@@ -1,0 +1,279 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryPack, Tables}
+
+/** Relational operator coverage (SURVEY.md §2.9): scans with
+  * pushdown/pruning, hash + broadcast joins, semi/anti joins, hash
+  * aggregation, rollup, windows, top-k, set ops, string/date/JSON
+  * functions. The reference (dask-ml) gets these from dask.dataframe;
+  * here they are plain Catalyst plans — filters and projections reach the
+  * parquet scan, small dimension tables are broadcast, aggregates are
+  * partial (map-side) before the shuffle.
+  */
+object RelationalQueries extends QueryPack {
+
+  private def rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Scan + projection + filter: predicate & column pruning reach parquet.
+    "q_scan_filter" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // TPC-H Q1-style hash aggregate; partial aggregation before shuffle.
+    "q1_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(rev), 4).as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Multi-join: lineitem ⋈ orders ⋈ customer ⋈ nation; nation/customer
+    // broadcast (small dims), lineitem⋈orders co-partitioned on orderkey.
+    "q_join_revenue_by_nation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = broadcast(Tables.customer(s, dir))
+      val n = broadcast(Tables.nation(s, dir))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(rev), 4).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // Broadcast join small dim (part) against fact (lineitem).
+    "q_join_broadcast_part" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"))
+        .orderBy("p_brand")),
+
+    // Anti join: customers with no high-value (>100k) orders, per segment.
+    "q_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 100000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Semi join: nations having at least one customer with acctbal > 9000.
+    "q_semi_join" -> ((s, dir) => {
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir).filter(col("c_acctbal") > 9000)
+      n.join(c, col("n_nationkey") === col("c_nationkey"), "left_semi")
+        .select("n_nationkey", "n_name").orderBy("n_nationkey")
+    }),
+
+    // Top-k with deterministic tie-break.
+    "q_topk_customers" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 4).as("total_spent"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(desc("total_spent"), asc("o_custkey"))
+        .limit(10)),
+
+    // Window: latest order per customer (row_number).
+    "q_window_latest_order" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("totalprice"))
+        .orderBy("o_custkey")
+    }),
+
+    // Window: per-customer running total ordered by date.
+    "q_window_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(w), 4).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Set ops: custkeys appearing in orders but not among high-balance
+    // customers (EXCEPT) + intersection count.
+    "q_set_ops" -> ((s, dir) => {
+      val withOrders = Tables.orders(s, dir).select(col("o_custkey").as("k")).distinct()
+      val highBal = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k")).distinct()
+      val ex = withOrders.except(highBal).agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
+      val in = withOrders.intersect(highBal).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+      val un = withOrders.union(highBal).distinct().agg(count(lit(1)).as("n")).withColumn("op", lit("union"))
+      ex.union(in).union(un).select("op", "n").orderBy("op")
+    }),
+
+    // Distinct aggregates.
+    "q_distinct_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status"))),
+
+    // Rollup (grouping sets) over returnflag × linestatus.
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // String functions.
+    "q_string_funcs" -> ((s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey")),
+
+    // Date functions: orders per month.
+    "q_date_funcs" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_totalprice"))
+        .groupBy("month")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 4).as("monthly_total"))
+        .orderBy("month")),
+
+    // Events: hourly tumbling aggregation (batch analog of the streaming
+    // windowed agg; string hour keys keep the oracle timezone-proof).
+    "q_events_hourly" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("sum_value"))
+        .orderBy("hour", "event_type")),
+
+    // JSON extraction from events.props.
+    "q_json_funcs" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") > 90)
+        .orderBy("event_id"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | round(l_extendedprice, 2) AS price
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | round(sum(l_extendedprice), 4) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_revenue_by_nation" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_join_broadcast_part" ->
+      """SELECT p_brand, round(sum(l_quantity), 4) AS sum_qty,
+        | round(avg(l_extendedprice), 6) AS avg_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_semi_join" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |  WHERE c_nationkey = n_nationkey AND c_acctbal > 9000)
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_topk_customers" ->
+      """SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spent,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY total_spent DESC, o_custkey ASC LIMIT 10""".stripMargin,
+    "q_window_latest_order" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_set_ops" ->
+      """WITH wo AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        | hb AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+        |SELECT 'except' AS op, count(*) AS n FROM (SELECT k FROM wo EXCEPT SELECT k FROM hb)
+        |UNION ALL
+        |SELECT 'intersect' AS op, count(*) AS n FROM (SELECT k FROM wo INTERSECT SELECT k FROM hb)
+        |UNION ALL
+        |SELECT 'union' AS op, count(*) AS n FROM (SELECT k FROM wo UNION SELECT k FROM hb)
+        |ORDER BY op""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_orders,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+        |FROM lineitem""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 4) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_upper,
+        | length(p_name) AS name_len,
+        | substring(p_type, 1, 5) AS type_prefix,
+        | regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+        | concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        | count(*) AS n_orders, round(sum(o_totalprice), 4) AS monthly_total
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+        | count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_json_funcs" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+        |ORDER BY event_id""".stripMargin
+  )
+}
