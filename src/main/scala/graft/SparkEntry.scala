@@ -14,7 +14,9 @@ import graft.core.QueryPack
 object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
-    graft.relational.RelationalQueries
+    graft.relational.RelationalQueries,
+    graft.preprocessing.PreprocessingQueries,
+    graft.metrics.MetricsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,147 @@
+package graft.metrics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryPack, Tables}
+import graft.naivebayes.GaussianNB
+
+/** Oracle-verified queries for metrics (§2.6) and GaussianNB (§2.2).
+  * "Predictions" are deterministic column formulas so the oracle can
+  * reproduce them.
+  */
+object MetricsQueries extends QueryPack {
+
+  private def rounded(s: SparkSession, vals: Seq[(String, Double)]): DataFrame = {
+    import s.implicits._
+    vals.map { case (k, v) =>
+      (k, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("metric", "value").orderBy("metric")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_metrics_regression" -> ((s, dir) => {
+      val df = Tables.lineitem(s, dir)
+        .withColumn("y", col("l_extendedprice"))
+        .withColumn("p", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      rounded(s, Seq(
+        "mse" -> Metrics.meanSquaredError(df, "y", "p"),
+        "rmse" -> Metrics.meanSquaredError(df, "y", "p", squared = false),
+        "mae" -> Metrics.meanAbsoluteError(df, "y", "p"),
+        "mape" -> Metrics.meanAbsolutePercentageError(df, "y", "p"),
+        "r2" -> Metrics.r2Score(df, "y", "p"),
+        "msle" -> Metrics.meanSquaredLogError(df, "y", "p"),
+        "mae_weighted" -> Metrics.meanAbsoluteError(df, "y", "p", Some("l_quantity"))))
+    }),
+
+    "q_metrics_classification" -> ((s, dir) => {
+      val df = Tables.lineitem(s, dir)
+        .withColumn("pred", when(col("l_quantity") > 25, "R").otherwise("A"))
+        .withColumn("is_r", (col("l_returnflag") === "R").cast("double"))
+        .withColumn("prob", least(greatest(col("l_discount") * 10, lit(1e-15)),
+          lit(1.0 - 1e-15)))
+      rounded(s, Seq(
+        "accuracy" -> Metrics.accuracyScore(df, "l_returnflag", "pred"),
+        "accuracy_weighted" -> Metrics.accuracyScore(df, "l_returnflag", "pred",
+          Some("l_quantity")),
+        "hits" -> Metrics.accuracyScore(df, "l_returnflag", "pred", normalize = false),
+        "log_loss" -> Metrics.logLoss(df, "is_r", "prob")))
+    }),
+
+    "q_gnb_fit" -> ((s, dir) => {
+      val m = new GaussianNB(Seq("l_quantity", "l_extendedprice"), "l_returnflag")
+        .fit(Tables.lineitem(s, dir))
+      import s.implicits._
+      def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      m.classes.indices.map { i =>
+        (m.classes(i), r6(m.classPrior(i)), r6(m.theta(i)(0)), r6(m.theta(i)(1)),
+          r6(m.sigma(i)(0)), r6(m.sigma(i)(1)))
+      }.toDF("cls", "prior", "mean_qty", "mean_price", "var_qty", "var_price")
+        .orderBy("cls")
+    }),
+
+    "q_gnb_predict" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = new GaussianNB(Seq("l_quantity", "l_extendedprice"), "l_returnflag").fit(li)
+      m.transform(li)
+        .select(col("l_orderkey"), col("l_linenumber"), col("prediction"))
+        .orderBy("l_orderkey", "l_linenumber")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_metrics_regression" ->
+      """WITH d AS (SELECT l_extendedprice AS y,
+        |  l_extendedprice * (1.0 - l_discount) AS p, l_quantity AS w FROM lineitem)
+        |SELECT * FROM (
+        | SELECT 'mse' AS metric, round(avg((p-y)*(p-y)), 6) AS value FROM d
+        | UNION ALL SELECT 'rmse', round(sqrt(avg((p-y)*(p-y))), 6) FROM d
+        | UNION ALL SELECT 'mae', round(avg(abs(p-y)), 6) FROM d
+        | UNION ALL SELECT 'mape',
+        |   round(avg(abs(p-y)/greatest(abs(y), 2.220446049250313e-16)), 6) FROM d
+        | UNION ALL SELECT 'r2', round(1.0 - sum((y-p)*(y-p)) /
+        |   (sum(y*y) - sum(y)*sum(y)/count(*)), 6) FROM d
+        | UNION ALL SELECT 'msle', round(avg((ln(1+p)-ln(1+y))*(ln(1+p)-ln(1+y))), 6) FROM d
+        | UNION ALL SELECT 'mae_weighted', round(sum(abs(p-y)*w)/sum(w), 6) FROM d
+        |) ORDER BY metric""".stripMargin,
+    "q_metrics_classification" ->
+      """WITH d AS (SELECT l_returnflag AS y,
+        |  CASE WHEN l_quantity > 25 THEN 'R' ELSE 'A' END AS pred,
+        |  CAST(l_returnflag = 'R' AS DOUBLE) AS is_r,
+        |  least(greatest(l_discount * 10, 1e-15), 1.0 - 1e-15) AS prob,
+        |  l_quantity AS w FROM lineitem)
+        |SELECT * FROM (
+        | SELECT 'accuracy' AS metric,
+        |   round(avg(CASE WHEN y = pred THEN 1.0 ELSE 0.0 END), 6) AS value FROM d
+        | UNION ALL SELECT 'accuracy_weighted',
+        |   round(sum(CASE WHEN y = pred THEN 1.0 ELSE 0.0 END * w)/sum(w), 6) FROM d
+        | UNION ALL SELECT 'hits',
+        |   round(sum(CASE WHEN y = pred THEN 1.0 ELSE 0.0 END), 6) FROM d
+        | UNION ALL SELECT 'log_loss',
+        |   round(avg(-(is_r*ln(prob) + (1.0-is_r)*ln(1.0-prob))), 6) FROM d
+        |) ORDER BY metric""".stripMargin,
+    "q_gnb_fit" ->
+      """SELECT l_returnflag AS cls,
+        | round(count(*) / (SELECT count(*) FROM lineitem), 6) AS prior,
+        | round(avg(l_quantity), 6) AS mean_qty,
+        | round(avg(l_extendedprice), 6) AS mean_price,
+        | round(var_pop(l_quantity) + 1e-9 * (SELECT max(greatest(vq, vp)) FROM
+        |   (SELECT var_pop(l_quantity) AS vq, var_pop(l_extendedprice) AS vp
+        |    FROM lineitem GROUP BY l_returnflag)), 6) AS var_qty,
+        | round(var_pop(l_extendedprice) + 1e-9 * (SELECT max(greatest(vq, vp)) FROM
+        |   (SELECT var_pop(l_quantity) AS vq, var_pop(l_extendedprice) AS vp
+        |    FROM lineitem GROUP BY l_returnflag)), 6) AS var_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY cls""".stripMargin,
+    "q_gnb_predict" ->
+      """WITH s AS (SELECT l_returnflag AS cls, count(*) AS n,
+        |   avg(l_quantity) AS mq, var_pop(l_quantity) AS vq,
+        |   avg(l_extendedprice) AS mp, var_pop(l_extendedprice) AS vp
+        | FROM lineitem GROUP BY 1),
+        | mv AS (SELECT max(greatest(vq, vp)) AS m FROM s),
+        | tot AS (SELECT sum(n) AS t FROM s),
+        | w AS (SELECT
+        |   max(CASE WHEN cls='A' THEN mq END) AS a_mq, max(CASE WHEN cls='A' THEN vq END) + 1e-9*(SELECT m FROM mv) AS a_vq,
+        |   max(CASE WHEN cls='A' THEN mp END) AS a_mp, max(CASE WHEN cls='A' THEN vp END) + 1e-9*(SELECT m FROM mv) AS a_vp,
+        |   max(CASE WHEN cls='A' THEN n END) / (SELECT t FROM tot) AS a_pr,
+        |   max(CASE WHEN cls='N' THEN mq END) AS n_mq, max(CASE WHEN cls='N' THEN vq END) + 1e-9*(SELECT m FROM mv) AS n_vq,
+        |   max(CASE WHEN cls='N' THEN mp END) AS n_mp, max(CASE WHEN cls='N' THEN vp END) + 1e-9*(SELECT m FROM mv) AS n_vp,
+        |   max(CASE WHEN cls='N' THEN n END) / (SELECT t FROM tot) AS n_pr,
+        |   max(CASE WHEN cls='R' THEN mq END) AS r_mq, max(CASE WHEN cls='R' THEN vq END) + 1e-9*(SELECT m FROM mv) AS r_vq,
+        |   max(CASE WHEN cls='R' THEN mp END) AS r_mp, max(CASE WHEN cls='R' THEN vp END) + 1e-9*(SELECT m FROM mv) AS r_vp,
+        |   max(CASE WHEN cls='R' THEN n END) / (SELECT t FROM tot) AS r_pr
+        | FROM s),
+        | j AS (SELECT l_orderkey, l_linenumber,
+        |   ln(a_pr) - 0.5*ln(2*pi()*a_vq) - (l_quantity-a_mq)*(l_quantity-a_mq)/(2*a_vq)
+        |           - 0.5*ln(2*pi()*a_vp) - (l_extendedprice-a_mp)*(l_extendedprice-a_mp)/(2*a_vp) AS jll_a,
+        |   ln(n_pr) - 0.5*ln(2*pi()*n_vq) - (l_quantity-n_mq)*(l_quantity-n_mq)/(2*n_vq)
+        |           - 0.5*ln(2*pi()*n_vp) - (l_extendedprice-n_mp)*(l_extendedprice-n_mp)/(2*n_vp) AS jll_n,
+        |   ln(r_pr) - 0.5*ln(2*pi()*r_vq) - (l_quantity-r_mq)*(l_quantity-r_mq)/(2*r_vq)
+        |           - 0.5*ln(2*pi()*r_vp) - (l_extendedprice-r_mp)*(l_extendedprice-r_mp)/(2*r_vp) AS jll_r
+        | FROM lineitem, w)
+        |SELECT l_orderkey, l_linenumber,
+        | CASE WHEN jll_a >= jll_n AND jll_a >= jll_r THEN 'A'
+        |      WHEN jll_n >= jll_r THEN 'N' ELSE 'R' END AS prediction
+        |FROM j ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}

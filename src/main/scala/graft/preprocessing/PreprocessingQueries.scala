@@ -1,0 +1,221 @@
+package graft.preprocessing
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryPack, Tables}
+
+/** Oracle-verified queries for the preprocessing estimators
+  * (SURVEY.md §2.1/§2.2). Each runs the real fit→transform flow on the
+  * given sf dir; the DuckDB oracle recomputes the fit statistics with
+  * window/scalar subqueries.
+  */
+object PreprocessingQueries extends QueryPack {
+
+  private val key = Seq("l_orderkey", "l_linenumber")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_standard_scaler_fit" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val m = new StandardScaler(cols).fit(Tables.lineitem(s, dir))
+      import s.implicits._
+      cols.indices.map(i => (cols(i),
+          BigDecimal(m.means(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(m.scales(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("feature", "mean", "std").orderBy("feature")
+    }),
+
+    "q_standard_scaler_transform" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice")
+      val li = Tables.lineitem(s, dir)
+      val out = new StandardScaler(cols).fit(li).transform(li)
+      out.select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 6).as("scaled_qty"),
+        round(col("l_extendedprice"), 6).as("scaled_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_minmax_scaler_transform" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice")
+      val li = Tables.lineitem(s, dir)
+      val out = new MinMaxScaler(cols).fit(li).transform(li)
+      out.select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 6).as("mm_qty"),
+        round(col("l_extendedprice"), 6).as("mm_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_robust_scaler_fit" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_tax")
+      val m = new RobustScaler(cols, exact = true).fit(Tables.lineitem(s, dir))
+      import s.implicits._
+      cols.indices.map(i => (cols(i),
+          BigDecimal(m.centers(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(m.scales(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("feature", "center", "iqr").orderBy("feature")
+    }),
+
+    "q_simple_imputer_mean" -> ((s, dir) => {
+      // synthesize nulls (l_tax=0 → null), then mean-impute
+      val li = Tables.lineitem(s, dir)
+        .withColumn("l_tax", when(col("l_tax") === 0, lit(null)).otherwise(col("l_tax")))
+      val out = new SimpleImputer(Seq("l_tax"), "mean").fit(li).transform(li)
+      out.select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_tax"), 6).as("tax_imputed"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_simple_imputer_mode" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("flag", when(col("l_returnflag") === "N", lit(null))
+          .otherwise(col("l_returnflag")))
+      val out = new SimpleImputer(Seq("flag"), "most_frequent").fit(li).transform(li)
+      out.groupBy("flag").agg(count(lit(1)).as("cnt")).orderBy("flag")
+    }),
+
+    "q_label_encoder" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = new LabelEncoder("l_returnflag", "flag_code").fit(li)
+      m.transform(li)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("flag_code").cast("long").as("flag_code"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_ordinal_encoder" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = new OrdinalEncoder(Seq("l_returnflag", "l_linestatus")).fit(li)
+      m.transform(li)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag").cast("long").as("flag_code"),
+          col("l_linestatus").cast("long").as("status_code"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_dummy_encoder" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = new DummyEncoder(Seq("l_returnflag")).fit(li)
+      m.transform(li)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag_A").cast("int").as("flag_a"),
+          col("l_returnflag_N").cast("int").as("flag_n"),
+          col("l_returnflag_R").cast("int").as("flag_r"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_poly_features" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = new PolynomialFeatures(Seq("l_quantity", "l_discount"), degree = 2)
+        .fit(li)
+      m.transform(li).select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 6).as("x1"),
+        round(col("l_discount"), 6).as("x2"),
+        round(col("`l_quantity^2`"), 6).as("x1_sq"),
+        round(col("`l_quantity*l_discount`"), 6).as("x1x2"),
+        round(col("`l_discount^2`"), 6).as("x2_sq"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // QuantileTransformer: approx-quantile fit is engine-specific →
+    // rows-only check (no oracle). Sanity: output in [0,1].
+    "q_quantile_transform" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = new QuantileTransformer(Seq("l_extendedprice"), nQuantiles = 200).fit(li)
+      m.transform(li).select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 6).as("q_uniform"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_scaler_inverse_roundtrip" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice")
+      val li = Tables.lineitem(s, dir)
+      val m = new StandardScaler(cols).fit(li)
+      m.inverseTransform(m.transform(li))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 6).as("qty_rt"),
+          round(col("l_extendedprice"), 6).as("price_rt"))
+        .orderBy("l_orderkey", "l_linenumber")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_standard_scaler_fit" ->
+      """SELECT * FROM (
+        |  SELECT 'l_quantity' AS feature, round(avg(l_quantity),6) AS mean,
+        |    round(stddev_pop(l_quantity),6) AS std FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', round(avg(l_extendedprice),6),
+        |    round(stddev_pop(l_extendedprice),6) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', round(avg(l_discount),6),
+        |    round(stddev_pop(l_discount),6) FROM lineitem
+        |) ORDER BY feature""".stripMargin,
+    "q_standard_scaler_transform" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round((l_quantity - avg(l_quantity) OVER ())
+        |   / stddev_pop(l_quantity) OVER (), 6) AS scaled_qty,
+        | round((l_extendedprice - avg(l_extendedprice) OVER ())
+        |   / stddev_pop(l_extendedprice) OVER (), 6) AS scaled_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_minmax_scaler_transform" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round((l_quantity - min(l_quantity) OVER ())
+        |   / (max(l_quantity) OVER () - min(l_quantity) OVER ()), 6) AS mm_qty,
+        | round((l_extendedprice - min(l_extendedprice) OVER ())
+        |   / (max(l_extendedprice) OVER () - min(l_extendedprice) OVER ()), 6) AS mm_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_robust_scaler_fit" ->
+      """SELECT * FROM (
+        |  SELECT 'l_quantity' AS feature, round(quantile_cont(l_quantity,0.5),6) AS center,
+        |    round(quantile_cont(l_quantity,0.75)-quantile_cont(l_quantity,0.25),6) AS iqr
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', round(quantile_cont(l_extendedprice,0.5),6),
+        |    round(quantile_cont(l_extendedprice,0.75)-quantile_cont(l_extendedprice,0.25),6)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', round(quantile_cont(l_tax,0.5),6),
+        |    round(quantile_cont(l_tax,0.75)-quantile_cont(l_tax,0.25),6)
+        |  FROM lineitem
+        |) ORDER BY feature""".stripMargin,
+    "q_simple_imputer_mean" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(coalesce(nullif(l_tax, 0),
+        |   (SELECT avg(nullif(l_tax, 0)) FROM lineitem)), 6) AS tax_imputed
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_simple_imputer_mode" ->
+      """WITH t AS (SELECT nullif(l_returnflag, 'N') AS flag FROM lineitem),
+        | m AS (SELECT flag FROM t WHERE flag IS NOT NULL
+        |   GROUP BY flag ORDER BY count(*) DESC, flag ASC LIMIT 1)
+        |SELECT coalesce(t.flag, (SELECT flag FROM m)) AS flag, count(*) AS cnt
+        |FROM t GROUP BY 1 ORDER BY flag""".stripMargin,
+    "q_label_encoder" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        | dense_rank() OVER (ORDER BY l_returnflag) - 1 AS flag_code
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_ordinal_encoder" ->
+      """SELECT l_orderkey, l_linenumber,
+        | dense_rank() OVER (ORDER BY l_returnflag) - 1 AS flag_code,
+        | dense_rank() OVER (ORDER BY l_linestatus) - 1 AS status_code
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_dummy_encoder" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(l_returnflag = 'A' AS INT) AS flag_a,
+        | CAST(l_returnflag = 'N' AS INT) AS flag_n,
+        | CAST(l_returnflag = 'R' AS INT) AS flag_r
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_poly_features" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_quantity, 6) AS x1, round(l_discount, 6) AS x2,
+        | round(l_quantity * l_quantity, 6) AS x1_sq,
+        | round(l_quantity * l_discount, 6) AS x1x2,
+        | round(l_discount * l_discount, 6) AS x2_sq
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_scaler_inverse_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_quantity, 6) AS qty_rt,
+        | round(l_extendedprice, 6) AS price_rt
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}

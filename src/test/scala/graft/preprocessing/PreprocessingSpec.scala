@@ -1,0 +1,137 @@
+package graft.preprocessing
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class PreprocessingSpec extends SparkSpec {
+
+  lazy val li = Tables.lineitem(spark, sfDir).cache()
+
+  test("StandardScaler: transformed column has mean 0, std 1; roundtrip id") {
+    val m = new StandardScaler(Seq("l_quantity")).fit(li)
+    val t = m.transform(li)
+    val row = t.agg(avg("l_quantity"), stddev_pop("l_quantity")).head()
+    assert(row.getDouble(0) ~== 0.0)
+    assert(row.getDouble(1) ~== 1.0)
+    // roundtrip on a frame carrying the original alongside ((l_orderkey,
+    // l_linenumber) is NOT unique in this data, so no join-on-key checks)
+    val withOrig = li.withColumn("orig", col("l_quantity"))
+    val rt = m.inverseTransform(m.transform(withOrig))
+    val diff = rt.agg(max(abs(col("l_quantity") - col("orig")))).head().getDouble(0)
+    assert(diff < 1e-9)
+  }
+
+  test("StandardScaler: zero-variance column scales by 1") {
+    val df = li.withColumn("const", lit(5.0))
+    val m = new StandardScaler(Seq("const")).fit(df)
+    assert(m.scales(0) == 1.0)
+    val v = m.transform(df).agg(max(abs(col("const")))).head().getDouble(0)
+    assert(v ~== 0.0)
+  }
+
+  test("MinMaxScaler: range [0,1] attained") {
+    val m = new MinMaxScaler(Seq("l_extendedprice")).fit(li)
+    val row = m.transform(li).agg(min("l_extendedprice"), max("l_extendedprice")).head()
+    assert(row.getDouble(0) ~== 0.0)
+    assert(row.getDouble(1) ~== 1.0)
+  }
+
+  test("RobustScaler exact: median maps to 0") {
+    val m = new RobustScaler(Seq("l_quantity"), exact = true).fit(li)
+    // median of 1..50-ish integers; transformed median must be 0
+    val medAfter = m.transform(li)
+      .agg(percentile(col("l_quantity"), lit(0.5))).head().getDouble(0)
+    assert(medAfter ~== 0.0)
+  }
+
+  test("SimpleImputer mean fills nulls with the mean of non-nulls") {
+    val df = li.withColumn("t", when(col("l_tax") === 0, lit(null)).otherwise(col("l_tax")))
+      .withColumn("orig", when(col("l_tax") === 0, lit(null)).otherwise(col("l_tax")))
+    val mean = df.agg(avg("t")).head().getDouble(0)
+    val out = new SimpleImputer(Seq("t"), "mean").fit(df).transform(df)
+    assert(out.filter(col("t").isNull).count() == 0)
+    val filled = out.filter(col("orig").isNull).select("t").distinct().collect()
+    assert(filled.length == 1 && (filled(0).getDouble(0) ~== mean))
+  }
+
+  test("SimpleImputer most_frequent uses deterministic mode") {
+    val df = li.withColumn("f",
+      when(col("l_returnflag") === "N", lit(null)).otherwise(col("l_returnflag")))
+    val m = new SimpleImputer(Seq("f"), "most_frequent").fit(df)
+    assert(Set("A", "R").contains(m.statistics("f").asInstanceOf[String]))
+  }
+
+  test("LabelEncoder: codes are 0..K-1 over sorted classes; inverse roundtrips") {
+    val m = new LabelEncoder("l_returnflag", "code").fit(li)
+    assert(m.classes.toSeq == Seq("A", "N", "R"))
+    val t = m.transform(li)
+    val pairs = t.select("l_returnflag", "code").distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(pairs == Map("A" -> 0, "N" -> 1, "R" -> 2))
+    val rt = m.inverseTransform(t.drop("l_returnflag").withColumnRenamed("code", "code"))
+    assert(rt.filter(col("l_returnflag").isNull).count() == 0)
+  }
+
+  test("LabelEncoder: unseen label raises when errorOnUnseen") {
+    val m = new LabelEncoder("l_returnflag", "code").fit(li)
+    val bad = li.withColumn("l_returnflag", lit("Z"))
+    intercept[Exception] { m.transform(bad).collect() }
+  }
+
+  test("DummyEncoder roundtrip") {
+    val m = new DummyEncoder(Seq("l_returnflag")).fit(li)
+    val wide = m.transform(li.withColumn("orig", col("l_returnflag")))
+    assert(wide.columns.count(_.startsWith("l_returnflag_")) == 3)
+    val back = m.inverseTransform(wide)
+    assert(back.filter(col("l_returnflag") =!= col("orig")).count() == 0)
+  }
+
+  test("DummyEncoder dropFirst roundtrip (all-zero row = first category)") {
+    val m = new DummyEncoder(Seq("l_returnflag"), dropFirst = true).fit(li)
+    val wide = m.transform(li.withColumn("orig", col("l_returnflag")))
+    assert(wide.columns.count(_.startsWith("l_returnflag_")) == 2)
+    val back = m.inverseTransform(wide)
+    assert(back.filter(col("l_returnflag") =!= col("orig")).count() == 0)
+  }
+
+  test("OneHotEncoder array output sums to 1 per row; inverse roundtrips") {
+    val m = new OneHotEncoder("l_returnflag", "oh").fit(li)
+    val t = m.transform(li)
+    val sums = t.select(aggregate(col("oh"), lit(0.0), (a, x) => a + x).as("s"))
+      .distinct().collect().map(_.getDouble(0))
+    assert(sums.toSeq == Seq(1.0))
+    val back = m.inverseTransform(t.withColumnRenamed("l_returnflag", "orig"))
+    assert(back.filter(col("l_returnflag") =!= col("orig")).count() == 0)
+  }
+
+  test("PolynomialFeatures degree-2 combinations") {
+    val m = new PolynomialFeatures(Seq("a", "b"), degree = 2).fit(li.limit(1))
+    assert(m.combinations.map(m.featureName) ==
+      Seq("a", "b", "a^2", "a*b", "b^2"))
+    val mi = new PolynomialFeatures(Seq("a", "b"), degree = 2,
+      interactionOnly = true).fit(li.limit(1))
+    assert(mi.combinations.map(mi.featureName) == Seq("a", "b", "a*b"))
+  }
+
+  test("QuantileTransformer uniform output in [0,1], monotone") {
+    val m = new QuantileTransformer(Seq("l_extendedprice"), nQuantiles = 100).fit(li)
+    val t = m.transform(li)
+    val row = t.agg(min("l_extendedprice"), max("l_extendedprice")).head()
+    assert(row.getDouble(0) >= 0.0 && row.getDouble(1) <= 1.0)
+  }
+
+  test("QuantileTransformer normal PPF sanity") {
+    assert(QuantileTransformerModel.normalPpf(0.5) ~== 0.0)
+    assert(QuantileTransformerModel.normalPpf(0.975) ~== (1.959964, 1e-5))
+  }
+
+  test("Categorizer records categories and attaches metadata") {
+    val m = new Categorizer().fit(li)
+    assert(m.categories("l_returnflag").toSeq == Seq("A", "N", "R"))
+    val t = m.transform(li)
+    assert(t.schema("l_returnflag").metadata.getStringArray("categories").toSeq ==
+      Seq("A", "N", "R"))
+  }
+}
