@@ -16,7 +16,8 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     graft.relational.RelationalQueries,
     graft.preprocessing.PreprocessingQueries,
-    graft.metrics.MetricsQueries
+    graft.metrics.MetricsQueries,
+    graft.llmdata.LlmDataQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,102 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]).
+  *
+  *  - [[cosineTopK]]: exact brute force — broadcast the (small) query
+  *    set against the corpus; per-row dot products are codegen'd
+  *    `zip_with`/`aggregate` expressions; top-k via per-query window.
+  *    At 100 TB corpus this is one scan, no shuffle except the final
+  *    per-query top-k (tiny).
+  *  - [[randomHyperplaneBuckets]] / [[lshCosineTopK]]: the scale path —
+  *    sign-random-projection LSH (Charikar). Corpus is bucketed once by
+  *    a b-bit signature; queries probe only their own bucket, cutting
+  *    the candidate set ~2^b fold at slight recall cost.
+  */
+object Ann {
+
+  /** dot(a,b) with both float arrays upcast to double (exact). */
+  def dotExpr(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def normExpr(a: Column): Column = sqrt(dotExpr(a, a))
+
+  def cosineExpr(a: Column, b: Column): Column =
+    dotExpr(a, b) / (normExpr(a) * normExpr(b))
+
+  /** Exact top-k cosine neighbors of each query vector.
+    * @param corpus (idCol, vecCol) rows to search
+    * @param queries (idCol, vecCol) rows to search for (small; broadcast)
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val scored = corpus.join(q, col(idCol) =!= col("query_id"))
+      .withColumn("cos", cosineExpr(col("qv"), col(vecCol)))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
+  }
+
+  /** Deterministic ±1 hyperplanes from a seed (md5-bit-derived), as
+    * literal arrays — broadcast implicitly with the plan.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Int = 42): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed|$p|$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1.0 else -1.0
+      }
+    }
+
+  /** b-bit sign signature of a vector against the planes. */
+  def signatureExpr(vecCol: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, j) =>
+      val planeLit = array(plane.map(lit).toIndexedSeq: _*)
+      when(dotExpr(vecCol, planeLit) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  def randomHyperplaneBuckets(df: DataFrame, vecCol: String,
+      nPlanes: Int, dim: Int, seed: Int = 42): DataFrame =
+    df.withColumn("bucket", signatureExpr(col(vecCol), hyperplanes(nPlanes, dim, seed)))
+
+  /** LSH-bucketed ANN: candidates = same bucket, then exact cosine
+    * top-k within. Recall < 1; bucket count 2^nPlanes trades recall for
+    * candidate-set size.
+    */
+  def lshCosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int, dim: Int, seed: Int = 42): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val c = corpus.withColumn("bucket", signatureExpr(col(vecCol), planes))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", signatureExpr(col("qv"), planes)))
+    val scored = c.join(q, Seq("bucket")).filter(col(idCol) =!= col("query_id"))
+      .withColumn("cos", cosineExpr(col("qv"), col(vecCol)))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
+  }
+
+  /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥
+    * threshold, pruned by LSH buckets (exact within bucket).
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int, dim: Int, seed: Int = 42): DataFrame = {
+    val b = randomHyperplaneBuckets(df, vecCol, nPlanes, dim, seed)
+    val a = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val c = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(c, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosineExpr(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos").distinct()
+  }
+}

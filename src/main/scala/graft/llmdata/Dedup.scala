@@ -1,0 +1,166 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines: exact,
+  * fingerprint, MinHash+LSH near-dup, and SimHash. All are
+  * expression-based (no UDFs) and shuffle only on the keys that
+  * actually need co-location:
+  *
+  *  - exact/fingerprint: one hash-shuffle on the (hashed) content key —
+  *    at 100 TB, hash keys (16-byte md5) shuffle instead of documents.
+  *  - MinHash LSH: shuffle on shingle (signature build), then on band
+  *    hash (bucket join). Candidate pairs ≪ n²; only candidates pay the
+  *    exact-Jaccard verification join. This is the standard
+  *    shingle→minhash→band→bucket-join design (Broder; MMDS ch.3).
+  *  - SimHash: one aggregate per doc, then a 4-chunk pigeonhole
+  *    self-join for hamming≤3 candidates (Charikar; Manku et al. WWW'07).
+  *
+  * Hash family: md5(seed ‖ value) — deterministic, engine-independent
+  * (reproducible in the DuckDB oracle), uniformly distributed; the min
+  * over lexicographic md5 hex strings is a valid min-wise permutation.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: one representative (min id) per distinct
+    * value of `cols`, with the group size.
+    */
+  def exact(df: DataFrame, cols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(cols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Fingerprint (normalized-text) duplicate groups. */
+  def byFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("fingerprint", TextStats.fingerprint(col(textCol)))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val t = split(col(textCol), " ")
+    val idx = when(size(t) >= n, sequence(lit(1), size(t) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val gram = (i: Column) => concat_ws(" ",
+      (0 until n).map(o => element_at(t, i + o)): _*)
+    df.select(col(idCol), explode(transform(idx, gram)).as("shingle")).distinct()
+  }
+
+  /** MinHash signature per document: k independent min-hashes
+    * min(md5(seed‖shingle)). One shuffle (groupBy id).
+    */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, shingleN: Int = 3): DataFrame = {
+    val sh = shingles(df, textCol, idCol, shingleN)
+    val aggs = (0 until k).map(s =>
+      min(md5(concat(lit(s.toString), lit("|"), col("shingle")))).as(s"mh_$s"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band hashes: k minhashes grouped into bands of `rowsPerBand`,
+    * each band hashed to one value; docs sharing any band are candidates.
+    */
+  def bandHashes(sigs: DataFrame, idCol: String, k: Int, rowsPerBand: Int): DataFrame = {
+    require(k % rowsPerBand == 0, "k must be divisible by rowsPerBand")
+    val nBands = k / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(parts: _*)).as("bh"))
+    }
+    sigs.select(col(idCol), explode(array(bands: _*)).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  /** Candidate pairs (idA < idB) sharing at least one LSH band. */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col("band"), col("bh"), col(idCol).as("id_a"))
+    val b = bands.select(col("band"), col("bh"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for the given pairs only. */
+  def jaccard(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
+      .join(pairs, Seq("id_a", "id_b")) // semi-filter to candidates
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard", col("c") / (col("sz_a") + col("sz_b") - col("c")))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-duplicate pipeline: candidate generation via
+    * banding, then exact-Jaccard verification, keeping pairs ≥ threshold.
+    */
+  def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, k: Int = 8, rowsPerBand: Int = 2,
+      shingleN: Int = 3): DataFrame = {
+    val sh = shingles(df, textCol, idCol, shingleN)
+    val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
+    val cands = candidatePairs(bandHashes(sigs, idCol, k, rowsPerBand), idCol)
+    jaccard(cands, sh, idCol).filter(col("jaccard") >= threshold)
+  }
+
+  /** 60-bit SimHash per document, fully expression-based: per token a
+    * 60-bit hash (15 hex chars of md5), per bit a ±1 vote weighted by
+    * term frequency (Charikar's weighted form — unweighted collapses on
+    * small shared vocabularies), sign → bit.
+    */
+  def simhash(df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 60): DataFrame = {
+    require(bits <= 60, "md5-15-hex hash carries 60 bits")
+    val tok = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until bits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$j"))
+    val agg = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val hash = (0 until bits).map(j =>
+      when(col(s"v_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col(idCol), hash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming via the
+    * pigeonhole band join: split the hash into (maxHamming+1) chunks —
+    * any pair within distance must agree on ≥1 chunk exactly.
+    */
+  def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, bits: Int = 60): DataFrame = {
+    val nChunks = maxHamming + 1
+    val chunkBits = bits / nChunks
+    val sh = simhash(df, textCol, idCol, bits)
+    val chunks = (0 until nChunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * chunkBits)
+          .bitwiseAND((1L << chunkBits) - 1).as("cv"))
+    }
+    val banded = sh.select(col(idCol), col("simhash"),
+      explode(array(chunks: _*)).as("b"))
+      .select(col(idCol), col("simhash"), col("b.chunk").as("chunk"), col("b.cv").as("cv"))
+    val a = banded.select(col("chunk"), col("cv"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("chunk"), col("cv"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "cv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Keep one representative per near-dup cluster: connected pairs →
+    * keep the min id of each group (single-link via min-id propagation
+    * over the pair list; pair lists are small relative to the corpus).
+    */
+  def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val toDrop = pairs.select(col("id_b").as(idCol)).distinct()
+    df.join(toDrop, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,178 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryPack, Tables}
+
+/** Oracle-verified queries for the LLM-data-pipeline operators: text
+  * stats, language ID, fingerprinting, exact + MinHash-LSH dedup, and
+  * embedding similarity search. The md5-seeded hash family makes even
+  * the MinHash pipeline bit-reproducible in DuckDB.
+  */
+object LlmDataQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_text_stats" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextStats.tokenCount(t).as("n_tokens"),
+        round(TextStats.avgTokenLen(t), 6).as("avg_token_len"),
+        round(TextStats.stopwordRatio(t, TextStats.defaultStopwords), 6)
+          .as("stopword_ratio"),
+        round(TextStats.uniqueTokenRatio(t), 6).as("unique_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextStats.languageScore(t, TextStats.defaultMarkers("en")).as("s_en"),
+        TextStats.languageScore(t, TextStats.defaultMarkers("fr")).as("s_fr"),
+        TextStats.languageId(t).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "q_doc_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), Seq("text"), "doc_id")
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy("doc_id")),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(Tables.documents(s, dir), "text", "doc_id",
+        threshold = 0.8, k = 8, rowsPerBand = 2, shingleN = 3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // SimHash hamming pairs: hash family (JVM md5-hex → 60-bit int via
+    // conv) is not reproducible in DuckDB SQL → rows-only check; the
+    // recall property is unit-tested against the MinHash pairs.
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(Tables.documents(s, dir), "text", "doc_id",
+        maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    "q_ann_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Ann.cosineTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH ANN: hyperplanes derive from JVM md5 bytes → rows-only check;
+    // recall vs brute force is unit-tested.
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Ann.lshCosineTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3, nPlanes = 4, dim = 64)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_embedding_norms" -> ((s, dir) =>
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        round(Ann.normExpr(col("embedding")), 6).as("norm"),
+        size(col("embedding")).as("dim"))
+        .orderBy("vec_id"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_tokens,
+        | round(list_aggregate(list_transform(string_split(text, ' '), x -> len(x)), 'sum')
+        |   * 1.0 / len(string_split(text, ' ')), 6) AS avg_token_len,
+        | round(len(list_filter(string_split(text, ' '),
+        |   x -> x IN ('the','a','of','and','to','in')))
+        |   * 1.0 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+        | round(len(list_distinct(string_split(text, ' ')))
+        |   * 1.0 / len(string_split(text, ' ')), 6) AS unique_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH sc AS (SELECT doc_id,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('der','und','die'))) AS s_de,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('the','a','of'))) AS s_en,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('el','la','y'))) AS s_es,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('le','et','les'))) AS s_fr,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('de','shi','bu'))) AS s_zh
+        | FROM documents)
+        |SELECT doc_id, s_en, s_fr,
+        | CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+        |      WHEN s_en >= greatest(s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+        |      WHEN s_es >= greatest(s_fr, s_zh) AND s_es > 0 THEN 'es'
+        |      WHEN s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+        |      WHEN s_zh > 0 THEN 'zh' ELSE 'und' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(
+        |   regexp_replace(lower(text), '[[:punct:]]', '', 'g'),
+        |   '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |       FROM toks, (SELECT unnest(range(1, 100000)) AS i) ii
+        |       WHERE i <= len(t) - 2),
+        |seeds AS (SELECT unnest(range(0, 8)) AS s),
+        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || '|' || shingle)) AS m
+        |       FROM sh, seeds GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |  max(CASE WHEN s=0 THEN m END) AS m0, max(CASE WHEN s=1 THEN m END) AS m1,
+        |  max(CASE WHEN s=2 THEN m END) AS m2, max(CASE WHEN s=3 THEN m END) AS m3,
+        |  max(CASE WHEN s=4 THEN m END) AS m4, max(CASE WHEN s=5 THEN m END) AS m5,
+        |  max(CASE WHEN s=6 THEN m END) AS m6, max(CASE WHEN s=7 THEN m END) AS m7
+        | FROM mh GROUP BY 1),
+        |bands AS (
+        | SELECT doc_id, 0 AS band, md5(m0 || m1) AS bh FROM sig
+        | UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sig
+        | UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM sig
+        | UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT c.id_a, c.id_b, count(*) AS cnt
+        |          FROM cand c JOIN sh a ON a.doc_id = c.id_a
+        |          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        | round(cnt * 1.0 / (sa.sz + sb.sz - cnt), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE cnt * 1.0 / (sa.sz + sb.sz - cnt) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |x AS (SELECT query_id, vec_id,
+        |        unnest(qe)::DOUBLE AS a, unnest(embedding)::DOUBLE AS b
+        |      FROM q, embeddings WHERE vec_id != query_id),
+        |c AS (SELECT query_id, vec_id,
+        |        sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) AS cos
+        |      FROM x GROUP BY 1, 2),
+        |r AS (SELECT query_id, vec_id, cos,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC, vec_id) AS rank FROM c)
+        |SELECT query_id, rank, vec_id AS neighbor_id, round(cos, 6) AS cos
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q_embedding_norms" ->
+      """SELECT vec_id,
+        | round(sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')), 6) AS norm,
+        | len(embedding) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+  )
+}

@@ -1,0 +1,106 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: token
+  * counting, quality signals, language ID, document fingerprinting.
+  *
+  * All pure Column expressions — per-row, no shuffle, codegen'd; at
+  * 100 TB these fuse into the parquet scan. (Beyond the reference's own
+  * surface; its text module stops at vectorizers —
+  * feature_extraction/text.py.)
+  */
+object TextStats {
+
+  /** Whitespace tokens (simple split; the BPE-ish variant is
+    * [[bpeTokenCount]]).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Rough BPE-style subword count: words are split every 4 chars (a
+    * public heuristic ≈ chars/4), counted without materializing subwords.
+    */
+  def bpeTokenCount(text: Column): Column =
+    aggregate(tokens(text), lit(0),
+      (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("int"))
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    size(filter(t, x => x.isin(stopwords.map(lit): _*))) / size(t).cast("double")
+  }
+
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") / size(t)
+  }
+
+  /** Distinct-token fraction — low values indicate boilerplate/spam. */
+  def uniqueTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(array_distinct(t)) / size(t).cast("double")
+  }
+
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))) /
+      length(text).cast("double")
+
+  /** Composite quality score in [0,1] from public heuristics (length,
+    * lexical diversity, stopword presence) — Gopher/C4-style signals.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val lenOk = when(tokenCount(text).between(5, 10000), 1.0).otherwise(0.0)
+    val diversity = least(uniqueTokenRatio(text) * 2.0, lit(1.0))
+    val hasStop = when(stopwordRatio(text, stopwords) > 0, 1.0).otherwise(0.0)
+    (lenOk + diversity + hasStop) / 3.0
+  }
+
+  val defaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Marker-token language ID: score = count of language-marker tokens;
+    * prediction = argmax with ties broken by language code (n-gram
+    * heuristic in the classic public style; markers are configurable).
+    */
+  val defaultMarkers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "und", "die"),
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "y"),
+    "fr" -> Seq("le", "et", "les"),
+    "zh" -> Seq("de", "shi", "bu"))
+
+  def languageScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), x => x.isin(markers.map(lit): _*)))
+
+  def languageId(text: Column, markers: Map[String, Seq[String]] = defaultMarkers): Column = {
+    val langs = markers.keys.toSeq.sorted
+    val scores = langs.map(l => languageScore(text, markers(l)))
+    val best = greatest(scores: _*)
+    // first language (alphabetical) attaining the max; 'und' if none hit
+    langs.zip(scores).reverse.foldLeft(lit("und"): Column) {
+      case (acc, (l, sc)) => when(sc === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Normalization + md5 fingerprint for exact-ish dedup (lowercase,
+    * strip punctuation, collapse whitespace). The rolling-hash analog on
+    * a normalized document.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[\\p{Punct}]", ""),
+      "\\s+", " ")))
+
+  /** Convenience: attach the full stat block to a DataFrame. */
+  def withTextStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_bpe_tokens", bpeTokenCount(t))
+      .withColumn("avg_token_len", avgTokenLen(t))
+      .withColumn("stopword_ratio", stopwordRatio(t, defaultStopwords))
+      .withColumn("unique_ratio", uniqueTokenRatio(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_pred", languageId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.llmdata
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class LlmDataSpec extends SparkSpec {
+
+  lazy val docs = Tables.documents(spark, sfDir).cache()
+  lazy val emb = Tables.embeddings(spark, sfDir).cache()
+
+  test("TextStats: token count and ratios are consistent") {
+    val out = TextStats.withTextStats(docs, "text")
+      .select("n_tokens", "stopword_ratio", "unique_ratio", "quality").collect()
+    assert(out.forall(_.getInt(0) >= 10))
+    assert(out.forall(r => r.getDouble(1) >= 0 && r.getDouble(1) <= 1))
+    assert(out.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1))
+    assert(out.forall(r => r.getDouble(3) >= 0 && r.getDouble(3) <= 1))
+  }
+
+  test("fingerprint is normalization-invariant") {
+    import spark.implicits._
+    val d = Seq((1L, "Hello,  World!"), (2L, "hello world"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val fps = d.select(TextStats.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("exact dedup groups identical texts") {
+    import spark.implicits._
+    val d = Seq((1L, "x y z"), (2L, "x y z"), (3L, "a b c")).toDF("doc_id", "text")
+    val out = Dedup.exact(d, Seq("text"), "doc_id")
+      .select("doc_id", "n_copies").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds the planted near-dup pairs with high jaccard") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id", threshold = 0.8)
+      .collect()
+    assert(pairs.length >= 10, s"expected >=10 near-dup pairs, got ${pairs.length}")
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.8))
+  }
+
+  test("identical docs have identical minhash signatures") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(d, "text", "doc_id", k = 4).collect()
+    val s1 = sigs.find(_.getLong(0) == 1L).get
+    val s2 = sigs.find(_.getLong(0) == 2L).get
+    (1 to 4).foreach(i => assert(s1.getString(i) == s2.getString(i)))
+  }
+
+  test("simhash: near-dups at small hamming distance, recall vs minhash") {
+    val mh = Dedup.minhashNearDupPairs(docs, "text", "doc_id", threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = mh.intersect(sh).size.toDouble / math.max(mh.size, 1)
+    assert(recall >= 0.5, s"simhash recall vs minhash too low: $recall (mh=${mh.size}, sh=${sh.size})")
+  }
+
+  test("dropNearDuplicates removes the higher id of each pair") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id", threshold = 0.8)
+    val kept = Dedup.dropNearDuplicates(docs, pairs, "doc_id")
+    val dropped = docs.count() - kept.count()
+    val dupIds = pairs.select("id_b").distinct().count()
+    assert(dropped == dupIds)
+  }
+
+  test("brute-force ANN: self-consistent, cos in [-1,1], k rows per query") {
+    val out = Ann.cosineTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+      "embedding", k = 3).collect()
+    assert(out.length == 15)
+    assert(out.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-12))
+  }
+
+  test("LSH ANN: results are a subset of brute-force candidates with decent recall@1") {
+    val q = emb.filter(col("vec_id") < 20)
+    val brute = Ann.cosineTopK(emb, q, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Ann.lshCosineTopK(emb, q, "vec_id", "embedding", k = 1,
+      nPlanes = 4, dim = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recall@1 of 4-bit LSH on random data is modest; require > 0.2 and
+    // that every LSH answer at least exists
+    val hits = brute.keys.count(k => lsh.get(k).contains(brute(k)))
+    assert(lsh.nonEmpty)
+    assert(hits.toDouble / brute.size >= 0.2,
+      s"LSH recall@1 ${hits.toDouble / brute.size}")
+  }
+
+  test("languageId picks marker-dominant language, und when none") {
+    import spark.implicits._
+    val d = Seq((1L, "le chat et le chien"), (2L, "qqq www eee"),
+      (3L, "the cat of the hat")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"), TextStats.languageId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "fr")
+    assert(out(2L) == "und")
+    assert(out(3L) == "en")
+  }
+}
