@@ -17,7 +17,8 @@ object SparkEntry {
     graft.relational.RelationalQueries,
     graft.preprocessing.PreprocessingQueries,
     graft.metrics.MetricsQueries,
-    graft.llmdata.LlmDataQueries
+    graft.llmdata.LlmDataQueries,
+    graft.cluster.EstimatorQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,134 @@
+package graft.cluster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryPack, Tables}
+import graft.decomposition.PCA
+import graft.linear.LinearRegression
+import graft.modelselection.Splits
+
+/** Oracle-verified queries for the iterative/linalg estimators
+  * (SURVEY.md §2.3/§2.4) — the SQL-expressible kernels get an oracle
+  * (one Lloyd step from fixed centers; OLS slope/intercept via the
+  * closed form; 2-feature PCA eigenvalues in closed form); the
+  * end-to-end iterative fits get rows-only checks.
+  */
+object EstimatorQueries extends QueryPack {
+
+  private val fixedCenters: Array[Array[Double]] = Array(
+    Array(10.0, 2000.0), Array(25.0, 35000.0), Array(40.0, 60000.0))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // One Lloyd iteration from literal centers: the k-means
+    // assignment+update kernel (_kmeans_single_lloyd body) — exactly
+    // reproducible in SQL.
+    "q_kmeans_lloyd_step" -> ((s, dir) =>
+      KMeansModel.lloydStep(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice"), fixedCenters)
+        .select(col("cluster"), col("n"),
+          round(col("c_l_quantity"), 6).as("c_qty"),
+          round(col("c_l_extendedprice"), 6).as("c_price"))
+        .orderBy("cluster")),
+
+    // Full MLlib k-means|| fit: iterative, seed-dependent → rows-only.
+    // Output: sorted cluster sizes + inertia (stable shape).
+    "q_kmeans_fit" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = new KMeans(Seq("l_quantity", "l_extendedprice", "l_discount"),
+        nClusters = 4, seed = 42).fit(li)
+      m.transform(li).groupBy("prediction").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"))
+        .select(col("n"))
+    }),
+
+    // OLS via the distributed normal equations; single-feature closed
+    // form matches DuckDB's regr_slope/regr_intercept.
+    "q_linreg_fit" -> ((s, dir) => {
+      val m = new LinearRegression(Seq("l_quantity"), "l_extendedprice")
+        .fit(Tables.lineitem(s, dir))
+      import s.implicits._
+      def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((r6(m.coef(0)), r6(m.intercept))).toDF("slope", "intercept")
+    }),
+
+    // Residuals of the fitted single-feature OLS, per row.
+    "q_linreg_predict" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = new LinearRegression(Seq("l_quantity"), "l_extendedprice").fit(li)
+      m.transform(li).select(col("l_orderkey"), col("l_linenumber"),
+        round(col("prediction"), 4).as("prediction"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // 2-feature PCA: eigenvalues of the 2×2 covariance matrix have a
+    // closed form — oracle-checkable despite the distributed SVD.
+    "q_pca_explained_variance" -> ((s, dir) => {
+      val m = new PCA(Seq("l_quantity", "l_discount"), nComponents = 2)
+        .fit(Tables.lineitem(s, dir).withColumn("l_discount",
+          col("l_discount") * 100)) // comparable scales
+      import s.implicits._
+      def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      m.explainedVariance.zipWithIndex.map { case (ev, i) =>
+        (i, r6(ev), r6(m.explainedVarianceRatio(i)))
+      }.toSeq.toDF("component", "explained_variance", "evr")
+        .orderBy("component")
+    }),
+
+    // KFold assignment: contiguous folds == ntile over the same order.
+    "q_kfold_sizes" -> ((s, dir) => {
+      val df = Tables.orders(s, dir).orderBy("o_orderkey")
+      Splits.withFold(df.repartition(8), 5, "row_index")
+        .groupBy("fold").agg(count(lit(1)).as("n")).orderBy("fold")
+        .select(col("n"))
+    }),
+
+    // train_test_split: seed-dependent → rows-only sanity (sizes sum to
+    // total; both sides non-empty).
+    "q_train_test_split" -> ((s, dir) => {
+      val (tr, te) = Splits.trainTestSplit(Tables.orders(s, dir), testSize = 0.25)
+      import s.implicits._
+      Seq(("test", te.count()), ("train", tr.count())).toDF("split", "n")
+        .orderBy("split")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_kmeans_lloyd_step" -> {
+      def dist(c: Array[Double]) =
+        s"(l_quantity-(${c(0)}))*(l_quantity-(${c(0)})) + (l_extendedprice-(${c(1)}))*(l_extendedprice-(${c(1)}))"
+      val d0 = dist(fixedCenters(0)); val d1 = dist(fixedCenters(1)); val d2 = dist(fixedCenters(2))
+      s"""SELECT CASE WHEN $d0 <= $d1 AND $d0 <= $d2 THEN 0
+         |            WHEN $d1 <= $d2 THEN 1 ELSE 2 END AS cluster,
+         | count(*) AS n,
+         | round(avg(l_quantity), 6) AS c_qty,
+         | round(avg(l_extendedprice), 6) AS c_price
+         |FROM lineitem GROUP BY 1 ORDER BY cluster""".stripMargin
+    },
+    "q_linreg_fit" ->
+      """SELECT round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept
+        |FROM lineitem""".stripMargin,
+    "q_linreg_predict" ->
+      """WITH f AS (SELECT regr_slope(l_extendedprice, l_quantity) AS b,
+        |  regr_intercept(l_extendedprice, l_quantity) AS a FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        | round(a + b * l_quantity, 4) AS prediction
+        |FROM lineitem, f ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_pca_explained_variance" ->
+      """WITH c AS (SELECT var_pop(l_quantity) AS a,
+        |  covar_pop(l_quantity, l_discount*100) AS b,
+        |  var_pop(l_discount*100) AS d FROM lineitem),
+        |e AS (SELECT (a+d)/2 + sqrt(((a-d)/2)*((a-d)/2) + b*b) AS l1,
+        |        (a+d)/2 - sqrt(((a-d)/2)*((a-d)/2) + b*b) AS l2, a+d AS tot FROM c)
+        |SELECT 0 AS component, round(l1, 6) AS explained_variance,
+        |  round(l1/tot, 6) AS evr FROM e
+        |UNION ALL
+        |SELECT 1, round(l2, 6), round(l2/tot, 6) FROM e
+        |ORDER BY component""".stripMargin,
+    "q_kfold_sizes" ->
+      """WITH t AS (SELECT ntile(5) OVER (ORDER BY o_orderkey) AS f FROM orders)
+        |SELECT count(*) AS n FROM t GROUP BY f ORDER BY f""".stripMargin
+  )
+}

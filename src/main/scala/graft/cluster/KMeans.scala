@@ -1,0 +1,103 @@
+package graft.cluster
+
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Estimator, Model}
+
+/** Ref: dask_ml.cluster.KMeans (cluster/k_means.py:254-619).
+  *
+  * The reference's headline init, `init="k-means||"` (Bahmani 2012,
+  * k_means.py:436-513), IS MLlib's default init — the fit delegates to
+  * MLlib (assignment = broadcast centers + per-partition distance argmin;
+  * update = treeAggregate partial sums, exactly the reference's
+  * blockwise `_centers_dense` + `da.bincount` design). dask-ml's
+  * `oversampling_factor` has no MLlib knob (MLlib fixes 2k per step);
+  * `init_max_iter` maps to `initSteps`.
+  *
+  * Predict/transform are pure column expressions against literal centers
+  * (k·p doubles) — codegen'd, shuffle-free, and oracle-reproducible.
+  */
+class KMeans(
+    val featureCols: Seq[String],
+    val nClusters: Int = 8,
+    val init: String = "k-means||",
+    val initMaxIter: Int = 2,
+    val maxIter: Int = 300,
+    val tol: Double = 1e-4,
+    val seed: Long = 42,
+    val predictionCol: String = "prediction"
+) extends Estimator[KMeansModel] {
+
+  def fit(df: DataFrame): KMeansModel = {
+    val assembled = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("__features")
+      .transform(df.select(featureCols.map(col): _*))
+    val mlk = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nClusters)
+      .setInitMode(if (init == "k-means||") "k-means||" else "random")
+      .setInitSteps(math.max(initMaxIter, 1))
+      .setMaxIter(maxIter)
+      .setTol(tol)
+      .setSeed(seed)
+      .setFeaturesCol("__features")
+    val m = mlk.fit(assembled)
+    val centers = m.clusterCenters.map(_.toArray)
+    val inertia = m.summary.trainingCost
+    new KMeansModel(featureCols, centers, inertia, m.summary.numIter, predictionCol)
+  }
+}
+
+object KMeansModel {
+  /** Squared euclidean distance to a literal center — codegen'd. */
+  def sqDistExpr(featureCols: Seq[String], center: Array[Double]): Column =
+    featureCols.zipWithIndex.map { case (c, i) =>
+      val d = col(c) - lit(center(i)); d * d
+    }.reduce(_ + _)
+
+  /** Argmin over per-center distances (first minimum, like np.argmin). */
+  def assignExpr(featureCols: Seq[String], centers: Array[Array[Double]]): Column = {
+    val dists = centers.map(sqDistExpr(featureCols, _))
+    val arr = array(dists.toIndexedSeq: _*)
+    (array_position(arr, array_min(arr)) - 1).cast("int")
+  }
+
+  /** One Lloyd iteration from given centers: assign, then per-cluster
+    * mean — a single groupBy job (partial aggregation map-side).
+    * Exposed for oracle-verified testing of the assignment/update kernel
+    * (k_means.py:595-619 `_kmeans_single_lloyd` body).
+    */
+  def lloydStep(df: DataFrame, featureCols: Seq[String],
+      centers: Array[Array[Double]]): DataFrame = {
+    df.withColumn("cluster", assignExpr(featureCols, centers))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        featureCols.map(c => avg(col(c)).as(s"c_$c")): _*)
+  }
+}
+
+class KMeansModel(
+    val featureCols: Seq[String],
+    val clusterCenters: Array[Array[Double]],
+    val inertia: Double,
+    val nIter: Int,
+    val predictionCol: String
+) extends Model {
+
+  def transform(df: DataFrame): DataFrame =
+    df.withColumn(predictionCol,
+      KMeansModel.assignExpr(featureCols, clusterCenters))
+
+  /** Distance-to-each-center columns (sklearn transform semantics). */
+  def transformDistances(df: DataFrame): DataFrame =
+    clusterCenters.zipWithIndex.foldLeft(df) { case (d, (ctr, i)) =>
+      d.withColumn(s"dist_$i", sqrt(KMeansModel.sqDistExpr(featureCols, ctr)))
+    }
+
+  def score(df: DataFrame): Double = {
+    val dists = clusterCenters.map(KMeansModel.sqDistExpr(featureCols, _))
+    -df.agg(sum(least(dists.toIndexedSeq: _*))).head().getDouble(0)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.modelselection
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Split/sampling operators (ref: dask_ml/model_selection/_split.py).
+  *
+  * Scale notes: `randomSplit` is per-partition Bernoulli — identical to
+  * the reference's blockwise split (its only supported mode for arrays,
+  * _split.py:319-358) and shuffle-free at any scale. KFold's global row
+  * index is built from per-partition counts (one tiny count job) +
+  * partition-local offsets — no global sort, no single-partition window.
+  */
+object Splits {
+
+  /** Global 0-based contiguous row index without a total-order shuffle:
+    * count rows per partition, broadcast cumulative offsets, add
+    * partition-local position. (The DataFrame zipWithIndex idiom.)
+    */
+  def withRowIndex(df: DataFrame, indexCol: String = "row_index"): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.rdd
+    val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
+      Iterator((i, it.size))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val indexed = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var k = offsets(i)
+      it.map { r => val out = Row.fromSeq(r.toSeq :+ k); k += 1; out }
+    }
+    spark.createDataFrame(indexed,
+      StructType(df.schema.fields :+ StructField(indexCol, LongType, nullable = false)))
+  }
+
+  /** Ref: dask_ml.model_selection.train_test_split (_split.py:361-520).
+    * Per-partition Bernoulli split, fraction-only sizes (the reference
+    * rejects absolute counts too, _split.py:33-66).
+    */
+  def trainTestSplit(df: DataFrame, testSize: Double = 0.1,
+      trainSize: Option[Double] = None, seed: Long = 42): (DataFrame, DataFrame) = {
+    val train = trainSize.getOrElse(1.0 - testSize)
+    require(testSize > 0 && train > 0 && testSize + train <= 1.0 + 1e-9,
+      s"invalid sizes: test=$testSize train=$train")
+    val parts = df.randomSplit(Array(train, testSize), seed)
+    (parts(0), parts(1))
+  }
+
+  /** Ref: ShuffleSplit (_split.py:92-200): n_splits independent
+    * (train, test) pairs; `blockwise=true` = per-partition Bernoulli
+    * (reference default), false = global shuffle first (cheap in Spark,
+    * "much more expensive" in dask per _split.py:124-127).
+    */
+  def shuffleSplit(df: DataFrame, nSplits: Int = 10, testSize: Double = 0.1,
+      seed: Long = 42, blockwise: Boolean = true): Seq[(DataFrame, DataFrame)] = {
+    val base = if (blockwise) df else df.orderBy(rand(seed))
+    (0 until nSplits).map { i =>
+      val r = rand(seed + i)
+      val marked = base.withColumn("__is_test", r < testSize)
+      (marked.filter(!col("__is_test")).drop("__is_test"),
+        marked.filter(col("__is_test")).drop("__is_test"))
+    }
+  }
+
+  /** Ref: KFold (_split.py:211-316): contiguous folds by global row
+    * ranges. Returns the df with a fold column; use [[kfold]] for the
+    * (train, test) pairs.
+    */
+  def withFold(df: DataFrame, k: Int, indexCol: String = "row_index"): DataFrame = {
+    val n = df.count()
+    require(n >= k, s"need at least k=$k rows, got $n")
+    val indexed = if (df.columns.contains(indexCol)) df else withRowIndex(df, indexCol)
+    // contiguous fold ranges like sklearn: first n % k folds get one extra
+    val base = n / k; val extra = n % k
+    // fold f covers [f*base + min(f, extra), ...) — invert per row with
+    // integer division (`div`; true `/` would be double division)
+    val boundary = extra * (base + 1)
+    val fold = when(col(indexCol) < boundary,
+        expr(s"$indexCol div ${base + 1}").cast("int"))
+      .otherwise(expr(s"($indexCol - $boundary) div $base").cast("int") + extra.toInt)
+    indexed.withColumn("fold", fold)
+  }
+
+  def kfold(df: DataFrame, k: Int): Seq[(DataFrame, DataFrame)] = {
+    val folded = withFold(df, k).cache()
+    (0 until k).map { f =>
+      (folded.filter(col("fold") =!= f).drop("fold", "row_index"),
+        folded.filter(col("fold") === f).drop("fold", "row_index"))
+    }
+  }
+
+  /** Stratified sampling by label column (check_cv's stratified arm,
+    * _search.py:963-1019) — per-label Bernoulli via sampleBy.
+    */
+  def stratifiedSample(df: DataFrame, labelCol: String, fraction: Double,
+      seed: Long = 42): DataFrame = {
+    val labels = df.select(labelCol).distinct().collect().map(_.get(0))
+    df.stat.sampleBy(labelCol, labels.map(_ -> fraction).toMap, seed)
+  }
+}
