@@ -18,7 +18,8 @@ object SparkEntry {
     graft.preprocessing.PreprocessingQueries,
     graft.metrics.MetricsQueries,
     graft.llmdata.LlmDataQueries,
-    graft.cluster.EstimatorQueries
+    graft.cluster.EstimatorQueries,
+    graft.featureextraction.TextFeatureQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

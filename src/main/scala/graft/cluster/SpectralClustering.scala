@@ -1,0 +1,165 @@
+package graft.cluster
+
+import breeze.linalg.{diag, pinv, svd, DenseMatrix => BDM, DenseVector => BDV}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.{Estimator, Model}
+
+/** Ref: dask_ml.cluster.SpectralClustering (cluster/spectral.py:180-375)
+  * — Nyström-approximate spectral clustering (Fowlkes et al. 2004):
+  *
+  *  1. sample m landmark rows (spectral.py:237-249);
+  *  2. A = kernel(landmarks, landmarks) — m×m, driver/Breeze;
+  *  3. B = kernel(rest, landmarks) — the distributed strip, computed as
+  *     an m-wide kernel-vector column per row against the broadcast
+  *     landmark matrix (a UDF: dense BLAS-ish loop per row; the
+  *     reference's blockwise `pairwise_kernels`, spectral.py:250-262);
+  *  4. degree-normalize A and B (Eq. 16), eigendecompose the small
+  *     m×m system on the driver (scipy pinv/svd there, Breeze here,
+  *     spectral.py:263-291);
+  *  5. embed every row through the Nyström extension and k-means the
+  *     embedding (our KMeans on the k embedding columns).
+  *
+  * Scale: one scan computes B and the degree sums (treeAggregate-style
+  * partial sums); all m×m work is driver-side; the embedding is a
+  * per-row map. m (nComponents) stays ≤ a few hundred — same contract
+  * as the reference.
+  */
+class SpectralClustering(
+    val featureCols: Seq[String],
+    val nClusters: Int = 8,
+    val nComponents: Int = 100,
+    val gamma: Double = 1.0,
+    val seed: Long = 42,
+    val kmeansMaxIter: Int = 50,
+    val predictionCol: String = "prediction"
+) extends Estimator[SpectralClusteringModel] {
+
+  private def rbf(x: Array[Double], y: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < x.length) { val d = x(i) - y(i); s += d * d; i += 1 }
+    math.exp(-gamma * s)
+  }
+
+  def fit(df: DataFrame): SpectralClusteringModel = {
+    val p = featureCols.size
+    val data = df.select(featureCols.map(c => col(c).cast("double")): _*)
+
+    // 1. landmarks: deterministic sample without replacement
+    val frac = math.min(1.0, nComponents * 3.0 / math.max(df.count(), 1))
+    val landmarks = data.sample(withReplacement = false, frac, seed)
+      .limit(nComponents).collect()
+      .map(r => Array.tabulate(p)(r.getDouble))
+    val m = landmarks.length
+    require(m >= nClusters, s"need >= $nClusters landmarks, got $m")
+
+    // 2. A (m×m) on the driver
+    val a = BDM.tabulate(m, m)((i, j) => rbf(landmarks(i), landmarks(j)))
+
+    // 3. kernel strip B as a column: per row, the m kernel values
+    val bcLm = df.sparkSession.sparkContext.broadcast(landmarks)
+    val g = gamma
+    val kernelRow = udf { xs: Seq[Double] =>
+      val x = xs.toArray
+      bcLm.value.map { lm =>
+        var s = 0.0; var i = 0
+        while (i < x.length) { val d = x(i) - lm(i); s += d * d; i += 1 }
+        math.exp(-g * s)
+      }.toSeq
+    }
+    val withK = df.withColumn("__k",
+      kernelRow(array(featureCols.map(c => col(c).cast("double")): _*)))
+
+    // 4. degree estimates (Fowlkes Eq.16): d1 = A·1 + B·1 (landmark side
+    // uses the full-data column sums of the strip); column sums of B via
+    // one aggregate over the array column
+    val sumExprs = (0 until m).map(i => sum(element_at(col("__k"), i + 1)).as(s"s$i"))
+    val bColSums = withK.agg(sumExprs.head, sumExprs.tail: _*).head()
+    val bRowSumForLandmarks = BDV.tabulate(m)(i => bColSums.getDouble(i))
+    val aRowSums = BDV.tabulate(m)(i => breeze.linalg.sum(a(i, ::).t))
+    // landmark degrees: their kernel row over the whole dataset is the
+    // strip's column sums (includes the A part already when landmarks are
+    // data rows — the strip covers all rows, so use column sums directly)
+    val dLandmark = bRowSumForLandmarks
+    // normalized Â = A / sqrt(d dᵀ)
+    val ahat = BDM.tabulate(m, m)((i, j) =>
+      a(i, j) / math.sqrt(dLandmark(i) * dLandmark(j)))
+    // 5. small eigensystem: Â = U S Uᵀ; embedding map =
+    // D^{-1/2}_row · B_row · U · S^{-1/2} per row (Nyström extension)
+    val svd.SVD(u, s, _) = svd(ahat)
+    val k = nClusters
+    val uk = u(::, 0 until k) // m×k
+    val sk = s(0 until k)
+    val proj = BDM.tabulate(m, k)((i, j) => uk(i, j) / math.sqrt(math.max(sk(j), 1e-12)))
+    val projRows = Array.tabulate(m)(i => Array.tabulate(k)(j => proj(i, j)))
+    val bcProj = df.sparkSession.sparkContext.broadcast(projRows)
+    val bcDeg = df.sparkSession.sparkContext.broadcast(dLandmark.toArray)
+
+    // per-row embedding: e = (B_row / sqrt(deg_row)) · proj, where
+    // deg_row = Σ_j B_row(j) (row degree estimated through the strip)
+    val embed = udf { ks: Seq[Double] =>
+      val kv = ks.toArray
+      var deg = 0.0
+      var i = 0
+      while (i < kv.length) { deg += kv(i); i += 1 }
+      val inv = 1.0 / math.sqrt(math.max(deg, 1e-12))
+      val out = new Array[Double](k)
+      var j = 0
+      while (j < k) {
+        var acc = 0.0
+        i = 0
+        while (i < kv.length) { acc += kv(i) * bcProj.value(i)(j); i += 1 }
+        out(j) = acc * inv
+        j += 1
+      }
+      out.toSeq
+    }
+    val embedded = withK.withColumn("__e", embed(col("__k"))).drop("__k")
+    val withCols = (0 until k).foldLeft(embedded)((d, j) =>
+      d.withColumn(s"__e_$j", element_at(col("__e"), j + 1))).drop("__e")
+
+    // 6. k-means on the embedding
+    val km = new KMeans((0 until k).map(j => s"__e_$j"), nClusters,
+      maxIter = kmeansMaxIter, seed = seed).fit(withCols)
+    new SpectralClusteringModel(featureCols, landmarks, projRows, gamma,
+      km, predictionCol)
+  }
+}
+
+class SpectralClusteringModel(
+    val featureCols: Seq[String],
+    val landmarks: Array[Array[Double]],
+    val projection: Array[Array[Double]],
+    val gamma: Double,
+    val kmeans: KMeansModel,
+    val predictionCol: String
+) extends Model {
+  def transform(df: DataFrame): DataFrame = {
+    val k = projection(0).length
+    val bcLm = df.sparkSession.sparkContext.broadcast(landmarks)
+    val bcProj = df.sparkSession.sparkContext.broadcast(projection)
+    val g = gamma
+    val embed = udf { xs: Seq[Double] =>
+      val x = xs.toArray
+      val kv = bcLm.value.map { lm =>
+        var s = 0.0; var i = 0
+        while (i < x.length) { val d = x(i) - lm(i); s += d * d; i += 1 }
+        math.exp(-g * s)
+      }
+      var deg = 0.0
+      kv.foreach(deg += _)
+      val inv = 1.0 / math.sqrt(math.max(deg, 1e-12))
+      Array.tabulate(k) { j =>
+        var acc = 0.0; var i = 0
+        while (i < kv.length) { acc += kv(i) * bcProj.value(i)(j); i += 1 }
+        acc * inv
+      }.toSeq
+    }
+    val embedded = df.withColumn("__e",
+      embed(array(featureCols.map(c => col(c).cast("double")): _*)))
+    val withCols = (0 until k).foldLeft(embedded)((d, j) =>
+      d.withColumn(s"__e_$j", element_at(col("__e"), j + 1))).drop("__e")
+    kmeans.transform(withCols).drop((0 until k).map(j => s"__e_$j"): _*)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.featureextraction
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryPack, Tables}
+import graft.datasets.Datasets
+import graft.llmdata.Multimodal
+import graft.streaming.StreamingAdapter
+
+/** Oracle-verified queries for text feature extraction, multimodal
+  * plumbing, synthetic generators, and the streaming window (batch
+  * form).
+  */
+object TextFeatureQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CountVectorizer: vocabulary pass + long-format transform, fully
+    // SQL-reproducible (top-20 vocab by tf desc/term asc, then sorted).
+    "q_count_vectorizer" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val m = new CountVectorizer("text", vocabSize = 20).fit(docs)
+      m.transformLong(docs, "doc_id")
+        .select(col("doc_id"), col("term"),
+          col("term_index").cast("long").as("term_index"),
+          col("tf"))
+        .orderBy("doc_id", "term")
+    }),
+
+    // HashingTF: murmur3 buckets aren't SQL-reproducible → rows-only.
+    "q_hashing_tf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val out = new HashingVectorizer("text", nFeatures = 1 << 12).transform(docs)
+      val nnz = udf { v: org.apache.spark.ml.linalg.Vector => v.numNonzeros }
+      out.select(col("doc_id"), nnz(col("features")).as("nnz")).orderBy("doc_id")
+    }),
+
+    "q_multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.binarize(Tables.documents(s, dir), "text", "image")
+      Multimodal.withByteStats(media)
+        .select(col("doc_id"), col("byte_len"), col("content_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "q_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.binarize(Tables.documents(s, dir), "text", "video")
+      Multimodal.frameSample(media, n = 3)
+        .select(col("doc_id"), col("frame_no"), md5(col("frame_bytes")).as("frame_md5"))
+        .orderBy("doc_id", "frame_no")
+    }),
+
+    // Decode-stub feature extraction: JVM-side fake decoder → rows-only;
+    // schema/shape are the point.
+    "q_multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.binarize(Tables.documents(s, dir), "text", "image")
+      Multimodal.extractFeatures(media)
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          size(col("features")).as("n_features"))
+        .orderBy("doc_id")
+    }),
+
+    // Synthetic generators: JVM RNG → rows-only (shape + label balance).
+    "q_make_blobs" -> ((s, dir) => {
+      Datasets.makeBlobs(s, nSamples = 6000, nFeatures = 3, centers = 4,
+        seed = 42, nPartitions = 8)
+        .groupBy("label").agg(count(lit(1)).as("n")).orderBy("label")
+    }),
+
+    // Tumbling event-time window (the streaming aggregation shape, batch
+    // execution path of the same plan).
+    "q_events_tumbling_window" -> ((s, dir) => {
+      StreamingAdapter.windowedAggregate(Tables.events(s, dir), "ts", "value",
+        "1 hour", "10 minutes")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("window_start"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"),
+          round(col("avg_value"), 6).as("avg_value"))
+        .orderBy("window_start")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_count_vectorizer" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |             FROM documents),
+        |vocab AS (SELECT term, count(*) AS total FROM tok GROUP BY term
+        |          ORDER BY total DESC, term ASC LIMIT 20),
+        |vi AS (SELECT term, row_number() OVER (ORDER BY term) - 1 AS term_index
+        |       FROM vocab)
+        |SELECT t.doc_id, t.term AS term, vi.term_index, count(*) AS tf
+        |FROM tok t JOIN vi ON t.term = vi.term
+        |GROUP BY 1, 2, 3 ORDER BY doc_id, t.term""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        | md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_frame_sample" ->
+      """SELECT doc_id, frame_no,
+        | md5(substring(text, frame_no * 16 + 1, 16)) AS frame_md5
+        |FROM documents, (SELECT unnest(range(0, 3)) AS frame_no)
+        |ORDER BY doc_id, frame_no""".stripMargin,
+    "q_events_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+        | count(*) AS n_events, round(sum(value), 4) AS sum_value,
+        | round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin
+  )
+}

@@ -1,0 +1,100 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus the decode / feature-extract /
+  * frame-sample stages a training-data pipeline needs.
+  *
+  * The decode step is STUBBED (this container has no image/audio codecs)
+  * with a clearly-marked deterministic fake; everything Spark-side —
+  * schema, batch shape, partitioning, the mapPartitions contract — is
+  * real. Swap [[decodeStub]] for a real codec (e.g. a JNI/FFI decoder or
+  * a `mapInPandas` Python UDF in the PySpark surface) without touching
+  * the pipeline.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image|audio|video
+    StructField("content", BinaryType, nullable = true),
+    StructField("media_meta", MapType(StringType, StringType), nullable = true)))
+
+  /** Make an opaque binary media column from any source column (here:
+    * utf-8 bytes — the testdata has no real media; the binary path is
+    * what matters).
+    */
+  def binarize(df: DataFrame, srcCol: String, modality: String): DataFrame =
+    df.withColumn("content", encode(col(srcCol), "utf-8"))
+      .withColumn("modality", lit(modality))
+      .withColumn("media_meta", map(
+        lit("codec"), lit("raw"),
+        lit("origin"), lit(srcCol)))
+
+  /** Cheap metadata that needs no decode: byte length + content hash —
+    * pure expressions, scan-fused.
+    */
+  def withByteStats(df: DataFrame, binCol: String = "content"): DataFrame =
+    df.withColumn("byte_len", length(col(binCol)))
+      .withColumn("content_md5", md5(col(binCol)))
+
+  /** >>> DECODE STUB <<< — deterministic fake standing in for a real
+    * image decode: derives a (width, height, channels) header and a
+    * fixed-length "pixel histogram" from the bytes. A real
+    * implementation replaces ONLY this function (per-partition batch
+    * decode; same row-in/row-out contract).
+    */
+  def decodeStub(bytes: Array[Byte], histBins: Int = 16): (Int, Int, Int, Array[Double]) = {
+    if (bytes == null || bytes.isEmpty) (0, 0, 0, Array.fill(histBins)(0.0))
+    else {
+      val w = 1 + (math.abs(bytes(0).toInt) % 64)
+      val h = 1 + (math.abs(bytes(bytes.length / 2).toInt) % 64)
+      val hist = new Array[Double](histBins)
+      bytes.foreach(b => hist((b & 0xff) % histBins) += 1.0)
+      val n = bytes.length.toDouble
+      (w, h, 3, hist.map(_ / n))
+    }
+  }
+
+  /** Decode + feature-extract over partitions: the real distributed
+    * shape — one decoder instance per partition, rows streamed through
+    * it (no per-row re-init), output schema typed. At 100 TB this is a
+    * map-only stage; partition sizing controls decoder memory.
+    */
+  def extractFeatures(df: DataFrame, binCol: String = "content",
+      histBins: Int = 16): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("features", ArrayType(DoubleType))))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      // per-partition decoder init happens HERE (stub has no state)
+      it.map { r =>
+        val bytes = r.get(binIdx).asInstanceOf[Array[Byte]]
+        val (w, h, c, hist) = decodeStub(bytes, histBins)
+        Row.fromSeq(r.toSeq ++ Seq(w, h, c, hist.toSeq))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Frame sampling for video-like content: n deterministic offsets per
+    * row exploded to (media_id, frame_no, frame_bytes) — the shape of a
+    * video→frames stage; the "frame" is a byte slice in the stub.
+    */
+  def frameSample(df: DataFrame, binCol: String = "content", n: Int = 4): DataFrame = {
+    val frames = (0 until n).map { i =>
+      struct(lit(i).as("frame_no"),
+        substring(col(binCol), (i * 16) + 1, 16).as("frame_bytes"))
+    }
+    df.withColumn("frame", explode(array(frames: _*)))
+      .withColumn("frame_no", col("frame.frame_no"))
+      .withColumn("frame_bytes", col("frame.frame_bytes"))
+      .drop("frame")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+
+import graft.wrappers.{OnlineEstimator, OnlineState}
+
+/** Structured-Streaming adapters (SURVEY.md §2.9 streaming note): the
+  * reference has no stream processing; its closest semantic is
+  * block-sequential incremental learning (`partial_fit` chains). These
+  * adapters expose exactly that over `readStream`:
+  *
+  *  - [[OnlineLearnerSink.foreachBatch]]: every micro-batch partial_fits
+  *    the online learner — identical semantics to the reference's
+  *    `Incremental` over an unbounded block sequence.
+  *  - [[windowedAggregate]]: event-time tumbling window + watermark for
+  *    the streaming statistics path (late data dropped past the
+  *    watermark).
+  */
+object StreamingAdapter {
+
+  /** Watermarked tumbling-window aggregation over an event stream. */
+  def windowedAggregate(stream: DataFrame, tsCol: String, valueCol: String,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("sum_value"),
+        avg(col(valueCol)).as("avg_value"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("sum_value"), col("avg_value"))
+}
+
+/** Mutable holder driving an [[OnlineEstimator]] from a stream via
+  * foreachBatch. Call [[attach]] on a streaming Dataset to get a
+  * startable writer; [[state]] exposes the current learned state.
+  */
+class OnlineLearnerSink(
+    val estimator: OnlineEstimator,
+    val featureCols: Seq[String],
+    val labelCol: String
+) extends Serializable {
+  @volatile private var current: OnlineState = estimator.init(featureCols.size)
+  def state: OnlineState = current
+  def model: graft.wrappers.LocalModel = estimator.model(current)
+
+  /** Each micro-batch = one partial_fit block (collected per batch —
+    * batches are bounded by trigger sizing; for large batches the
+    * learner could instead fold partitions like wrappers.Incremental).
+    */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val p = featureCols.size
+    val rows = batch
+      .select((featureCols :+ labelCol).map(c => col(c).cast("double")): _*)
+      .collect()
+    if (rows.nonEmpty) {
+      val xs = rows.map(r => Array.tabulate(p)(r.getDouble))
+      val y = rows.map(_.getDouble(p))
+      current = estimator.partialFit(current, xs, y)
+    }
+  }
+
+  def attach(stream: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch(processBatch _)
+}

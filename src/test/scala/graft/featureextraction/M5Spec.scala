@@ -1,0 +1,139 @@
+package graft.featureextraction
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.cluster.SpectralClustering
+import graft.compose.{ColumnTransformer, Pipeline}
+import graft.core.Tables
+import graft.datasets.Datasets
+import graft.linear.LinearRegression
+import graft.llmdata.Multimodal
+import graft.preprocessing.{MinMaxScaler, StandardScaler}
+import graft.streaming.OnlineLearnerSink
+import graft.wrappers.LocalSGD
+
+class M5Spec extends SparkSpec {
+
+  lazy val docs = Tables.documents(spark, sfDir).cache()
+
+  test("CountVectorizer: bounded sorted vocab; counts match manual recount") {
+    val m = new CountVectorizer("text", vocabSize = 10).fit(docs)
+    assert(m.vocabulary.length == 10)
+    assert(m.vocabulary.sorted.sameElements(m.vocabulary))
+    val long = m.transformLong(docs, "doc_id")
+    val total = long.agg(sum("tf")).head().getLong(0)
+    val manual = docs.select(explode(split(lower(col("text")), " ")).as("t"))
+      .filter(col("t").isin(m.vocabulary.toIndexedSeq: _*)).count()
+    assert(total == manual)
+  }
+
+  test("CountVectorizer minDF filters rare terms") {
+    val all = new CountVectorizer("text", vocabSize = 10000, minDF = 1).fit(docs)
+    val filtered = new CountVectorizer("text", vocabSize = 10000, minDF = 100).fit(docs)
+    assert(filtered.vocabulary.length < all.vocabulary.length)
+  }
+
+  test("HashingVectorizer is stateless and deterministic") {
+    val hv = new HashingVectorizer("text", nFeatures = 1 << 10)
+    val a = hv.transform(docs).select("features").head()
+    val b = hv.transform(docs).select("features").head()
+    assert(a == b)
+  }
+
+  test("FeatureHasher hashes mixed columns") {
+    val out = new FeatureHasher(Seq("lang", "source", "n_chars"), 1 << 8)
+      .transform(docs)
+    assert(out.select("features").head().get(0) != null)
+  }
+
+  test("make_blobs: balanced labels, distinguishable clusters") {
+    val df = Datasets.makeBlobs(spark, 2000, nFeatures = 2, centers = 4,
+      clusterStd = 0.5, seed = 7, nPartitions = 4).cache()
+    val counts = df.groupBy("label").count().collect().map(_.getLong(1))
+    assert(counts.length == 4 && counts.forall(_ == 500))
+    // per-cluster std must be ≈ clusterStd
+    val stds = df.groupBy("label").agg(stddev_pop("x0")).collect().map(_.getDouble(1))
+    stds.foreach(s => assert(s ~== (0.5, 0.1)))
+  }
+
+  test("make_regression: exact linear law when noise=0") {
+    val df = Datasets.makeRegression(spark, 500, nFeatures = 4,
+      nInformative = 2, noise = 0.0, seed = 3, nPartitions = 4)
+    val m = new LinearRegression(Seq("x0", "x1", "x2", "x3"), "y").fit(df)
+    assert(m.score(df) ~== (1.0, 1e-9))
+    assert(math.abs(m.coef(2)) < 1e-8 && math.abs(m.coef(3)) < 1e-8)
+  }
+
+  test("make_classification labels follow the hidden boundary") {
+    val df = Datasets.makeClassification(spark, 1000, nFeatures = 3,
+      flipY = 0.0, seed = 5, nPartitions = 4)
+    val counts = df.groupBy("label").count().collect()
+    assert(counts.length == 2)
+  }
+
+  test("ColumnTransformer applies per-column-set transforms; Pipeline chains") {
+    val li = Tables.lineitem(spark, sfDir)
+    val ct = new ColumnTransformer(Seq(
+      "std" -> new StandardScaler(Seq("l_quantity")),
+      "mm" -> new MinMaxScaler(Seq("l_extendedprice")))).fit(li)
+    val out = ct.transform(li)
+    val r = out.agg(avg("l_quantity"), min("l_extendedprice"), max("l_extendedprice")).head()
+    assert(r.getDouble(0) ~== 0.0)
+    assert(r.getDouble(1) ~== 0.0)
+    assert(r.getDouble(2) ~== 1.0)
+    val rt = ct.inverseTransform(out)
+    val orig = li.agg(avg("l_quantity")).head().getDouble(0)
+    assert(rt.agg(avg("l_quantity")).head().getDouble(0) ~== (orig, 1e-6))
+
+    val pipe = new Pipeline(Seq(
+      "s1" -> new StandardScaler(Seq("l_quantity")),
+      "s2" -> new MinMaxScaler(Seq("l_quantity")))).fit(li)
+    val pr = pipe.transform(li).agg(min("l_quantity"), max("l_quantity")).head()
+    assert(pr.getDouble(0) ~== 0.0)
+    assert(pr.getDouble(1) ~== 1.0)
+  }
+
+  test("SpectralClustering separates non-convex-ish blobs") {
+    val df = Datasets.makeBlobs(spark, 600, nFeatures = 2, centers = 3,
+      clusterStd = 0.4, seed = 11, nPartitions = 4).cache()
+    val m = new SpectralClustering(Seq("x0", "x1"), nClusters = 3,
+      nComponents = 40, gamma = 0.5, seed = 1).fit(df)
+    val out = m.transform(df)
+    // purity: each predicted cluster dominated by one true label
+    val purity = out.groupBy("prediction", "label").count().collect()
+      .groupBy(_.getInt(0)).map { case (_, rows) =>
+        rows.map(_.getLong(2)).max.toDouble / rows.map(_.getLong(2)).sum
+      }
+    assert(purity.forall(_ > 0.9), s"purity=$purity")
+  }
+
+  test("Multimodal: byte stats, decode stub shape, frame sampling") {
+    val media = Multimodal.binarize(docs, "text", "image")
+    val stats = Multimodal.withByteStats(media)
+    assert(stats.filter(col("byte_len") =!= col("n_chars")).count() == 0) // ascii
+    val feats = Multimodal.extractFeatures(media, histBins = 16)
+    val r = feats.select("width", "height", "channels", "features").head()
+    assert(r.getInt(0) > 0 && r.getInt(2) == 3)
+    assert(r.getSeq[Double](3).length == 16)
+    assert(r.getSeq[Double](3).sum ~== (1.0, 1e-9)) // normalized histogram
+    val frames = Multimodal.frameSample(media, n = 4)
+    assert(frames.count() == docs.count() * 4)
+  }
+
+  test("OnlineLearnerSink learns from micro-batches (batch-driven)") {
+    import spark.implicits._
+    val sink = new OnlineLearnerSink(new LocalSGD("squared", 0.05), Seq("x"), "y")
+    val rnd = new scala.util.Random(2)
+    // simulate 5 micro-batches
+    (0 until 5).foreach { b =>
+      val batch = (1 to 200).map { _ =>
+        val x = rnd.nextDouble() * 2; (x, 3 * x + 1)
+      }.toDF("x", "y")
+      sink.processBatch(batch, b)
+    }
+    val m = sink.model
+    assert(m.predict(Array(1.0)) ~== (4.0, 0.3))
+    assert(sink.state.seen == 1000)
+  }
+}
