@@ -81,12 +81,19 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Exact Jaccard over shingle sets for the given pairs only. */
+  /** Exact Jaccard over shingle sets for the given pairs only.
+    *
+    * Join order matters at scale: shingle⊗shingle first would square the
+    * hot-shingle frequencies (a shingle in d docs yields d² rows) before
+    * the candidate filter could prune. Instead the candidate pairs fan
+    * out to (id_a, id_b, shingle) via id_a, then the intersection is a
+    * join on the near-unique composite (id_b, shingle) — no hot keys.
+    */
   def jaccard(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
-      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("shingle"))
-      .join(pairs, Seq("id_a", "id_b")) // semi-filter to candidates
+    val inter = pairs
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
     inter
       .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
@@ -101,8 +108,14 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, k: Int = 8, rowsPerBand: Int = 2,
       shingleN: Int = 3): DataFrame = {
+    // the shingle set feeds the signature pass, both sides of the
+    // intersection join, and the size aggregate — persist it once
+    // instead of re-exploding the corpus four times
     val sh = shingles(df, textCol, idCol, shingleN)
-    val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aggs = (0 until k).map(s =>
+      min(md5(concat(lit(s.toString), lit("|"), col("shingle")))).as(s"mh_$s"))
+    val sigs = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     val cands = candidatePairs(bandHashes(sigs, idCol, k, rowsPerBand), idCol)
     jaccard(cands, sh, idCol).filter(col("jaccard") >= threshold)
   }

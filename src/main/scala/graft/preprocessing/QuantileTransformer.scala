@@ -25,12 +25,11 @@ class QuantileTransformer(
 
   def fit(df: DataFrame): QuantileTransformerModel = {
     val refs = (0 until nQuantiles).map(_.toDouble / (nQuantiles - 1))
-    val exprs = cols.map(c => percentile_approx(col(c),
-      array(refs.map(lit): _*), lit(10000)))
-    val row = df.agg(exprs.head, exprs.tail: _*).head()
-    val quantiles = cols.indices.map { i =>
-      row.getSeq[Double](i).toArray
-    }.toArray
+    // sort-based exact quantile table (one range-sort per column;
+    // graft.core.Quantiles) — faster than a high-accuracy GK sketch and
+    // exact, unlike the reference's da.percentile fit
+    val quantiles = cols.map(c =>
+      graft.core.Quantiles.exact(df, c, refs).toArray).toArray
     new QuantileTransformerModel(cols, refs.toArray, quantiles, outputDistribution)
   }
 }

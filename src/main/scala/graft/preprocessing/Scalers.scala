@@ -99,14 +99,23 @@ class RobustScaler(
 ) extends Estimator[RobustScalerModel] {
   def fit(df: DataFrame): RobustScalerModel = {
     val (qlo, qhi) = (quantileRange._1 / 100.0, quantileRange._2 / 100.0)
-    def pct(c: String, q: Double) =
-      if (exact) percentile(col(c), lit(q))
-      else percentile_approx(col(c), lit(q), lit(10000))
-    val stats = util.aggRow(df, cols.flatMap(c =>
-      Seq(pct(c, 0.5), pct(c, qlo), pct(c, qhi))))
-    val centers = cols.indices.map(i => stats(3 * i)).toArray
-    val scales = cols.indices.map(i =>
-      util.handleZeroInScale(stats(3 * i + 2) - stats(3 * i + 1))).toArray
+    val (centers, scales) =
+      if (exact) {
+        // sort-based exact quantiles (graft.core.Quantiles) — one range
+        // sort per column beats the builtin percentile's value-count maps
+        // on continuous data
+        val qs = graft.core.Quantiles.exact(df, cols, Seq(0.5, qlo, qhi))
+        (cols.map(c => qs(c)(0)).toArray,
+          cols.map(c => util.handleZeroInScale(qs(c)(2) - qs(c)(1))).toArray)
+      } else {
+        val stats = util.aggRow(df, cols.flatMap(c => Seq(
+          percentile_approx(col(c), lit(0.5), lit(10000)),
+          percentile_approx(col(c), lit(qlo), lit(10000)),
+          percentile_approx(col(c), lit(qhi), lit(10000)))))
+        (cols.indices.map(i => stats(3 * i)).toArray,
+          cols.indices.map(i =>
+            util.handleZeroInScale(stats(3 * i + 2) - stats(3 * i + 1))).toArray)
+      }
     new RobustScalerModel(cols, centers, scales, withCentering, withScaling)
   }
 }

@@ -29,11 +29,14 @@ class SimpleImputer(
         val row = df.agg(avg(col(cols.head)), cols.tail.map(c => avg(col(c))): _*).head()
         cols.zipWithIndex.map { case (c, i) => c -> row.getDouble(i) }.toMap
       case "median" =>
-        val exprs = cols.map(c =>
-          if (exact) percentile(col(c), lit(0.5))
-          else percentile_approx(col(c), lit(0.5), lit(10000)))
-        val row = df.agg(exprs.head, exprs.tail: _*).head()
-        cols.zipWithIndex.map { case (c, i) => c -> row.getDouble(i) }.toMap
+        if (exact)
+          graft.core.Quantiles.exact(df, cols, Seq(0.5))
+            .map { case (c, qs) => c -> (qs.head: Any) }
+        else {
+          val exprs = cols.map(c => percentile_approx(col(c), lit(0.5), lit(10000)))
+          val row = df.agg(exprs.head, exprs.tail: _*).head()
+          cols.zipWithIndex.map { case (c, i) => c -> row.getDouble(i) }.toMap
+        }
       case "most_frequent" =>
         // One grouped count per column; K distinct values each — tiny
         // results, the scans run in parallel jobs only if asked; at scale
