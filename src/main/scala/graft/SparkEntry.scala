@@ -19,7 +19,8 @@ object SparkEntry {
     graft.metrics.MetricsQueries,
     graft.llmdata.LlmDataQueries,
     graft.cluster.EstimatorQueries,
-    graft.featureextraction.TextFeatureQueries
+    graft.featureextraction.TextFeatureQueries,
+    graft.wrappers.ModelQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -36,11 +36,8 @@ class SpectralClustering(
     val predictionCol: String = "prediction"
 ) extends Estimator[SpectralClusteringModel] {
 
-  private def rbf(x: Array[Double], y: Array[Double]): Double = {
-    var s = 0.0; var i = 0
-    while (i < x.length) { val d = x(i) - y(i); s += d * d; i += 1 }
-    math.exp(-gamma * s)
-  }
+  private def rbf(x: Array[Double], y: Array[Double]): Double =
+    graft.metrics.Pairwise.rbfLocal(x, y, gamma)
 
   def fit(df: DataFrame): SpectralClusteringModel = {
     val p = featureCols.size
@@ -124,6 +121,26 @@ class SpectralClustering(
       maxIter = kmeansMaxIter, seed = seed).fit(withCols)
     new SpectralClusteringModel(featureCols, landmarks, projRows, gamma,
       km, predictionCol)
+  }
+}
+
+object SpectralClustering {
+  /** The Nyström embedding map as pure column expressions from literal
+    * landmarks + projection: e_j = (Σ_i k_i·proj(i)(j)) / sqrt(Σ_i k_i)
+    * with k_i = rbf(x, landmark_i). Identical math to the model's UDF —
+    * usable (and oracle-reproducible in SQL) when m·k is small enough to
+    * inline; the UDF path handles landmark counts in the hundreds.
+    */
+  def embedExprs(featureCols: Seq[String], landmarks: Array[Array[Double]],
+      proj: Array[Array[Double]], gamma: Double): Seq[org.apache.spark.sql.Column] = {
+    val ks = landmarks.map(lm =>
+      graft.metrics.Pairwise.rbfExpr(featureCols, lm, gamma))
+    val deg = ks.reduce(_ + _)
+    val k = proj(0).length
+    (0 until k).map { j =>
+      ks.zipWithIndex.map { case (kc, i) => kc * lit(proj(i)(j)) }
+        .reduce(_ + _) / sqrt(greatest(deg, lit(1e-12)))
+    }
   }
 }
 

@@ -56,11 +56,14 @@ class BlockwiseVotingRegressor(
 }
 
 class BlockwiseVotingClassifier(
-    featureCols: Seq[String], labelCol: String, subEstimator: LocalEstimator
+    featureCols: Seq[String], labelCol: String, subEstimator: LocalEstimator,
+    val voting: String = "hard" // _blockwise.py:60: "hard" | "soft"
 ) extends BlockwiseVotingBase(featureCols, labelCol, subEstimator)
     with Estimator[BlockwiseVotingModel] {
+  require(Seq("hard", "soft").contains(voting))
   def fit(df: DataFrame): BlockwiseVotingModel =
-    new BlockwiseVotingModel(featureCols, fitPerPartition(df), voteMode = "majority")
+    new BlockwiseVotingModel(featureCols, fitPerPartition(df),
+      voteMode = if (voting == "soft") "soft" else "majority")
 }
 
 class BlockwiseVotingModel(
@@ -71,19 +74,61 @@ class BlockwiseVotingModel(
 ) extends Model {
 
   def transform(df: DataFrame): DataFrame = {
-    val p = featureCols.size
     val bc = df.sparkSession.sparkContext.broadcast(estimators)
     val mode = voteMode
     val predictUdf = udf { xs: Seq[Double] =>
       val x = xs.toArray
-      val votes = bc.value.map(_.predict(x))
-      if (mode == "mean") votes.sum / votes.length
-      else { // majority with lowest-label tie-break (bincount argmax)
-        votes.groupBy(identity).toSeq
-          .maxBy { case (label, vs) => (vs.length, -label) }._1
+      if (mode == "soft") { // argmax of mean proba (_blockwise.py soft arm)
+        val mean = BlockwiseVotingModel.meanProba(bc.value, x)
+        mean.indices.maxBy(mean(_)).toDouble
+      } else {
+        val votes = bc.value.map(_.predict(x))
+        if (mode == "mean") votes.sum / votes.length
+        else { // majority with lowest-label tie-break (bincount argmax)
+          votes.groupBy(identity).toSeq
+            .maxBy { case (label, vs) => (vs.length, -label) }._1
+        }
       }
     }
     df.withColumn(predictionCol,
       predictUdf(array(featureCols.map(c => col(c).cast("double")): _*)))
+  }
+
+  /** Soft-voting class probabilities: the blockwise mean of the
+    * sub-models' predict_proba (_blockwise.py:119-131) as
+    * `proba_0..proba_{c-1}` columns.
+    */
+  def predictProba(df: DataFrame): DataFrame = {
+    require(estimators.forall(_.hasProba),
+      "predict_proba requires every sub-model to implement it")
+    val bc = df.sparkSession.sparkContext.broadcast(estimators)
+    val nClasses = estimators.head
+      .predictProba(Array.fill(featureCols.size)(0.0)).length
+    val f = udf { xs: Seq[Double] =>
+      BlockwiseVotingModel.meanProba(bc.value, xs.toArray).toSeq
+    }
+    val withArr = df.withColumn("__proba",
+      f(array(featureCols.map(c => col(c).cast("double")): _*)))
+    (0 until nClasses).foldLeft(withArr)((d, c) =>
+      d.withColumn(s"proba_$c", element_at(col("__proba"), c + 1)))
+      .drop("__proba")
+  }
+}
+
+object BlockwiseVotingModel {
+  private[ensemble] def meanProba(models: Array[LocalModel],
+      x: Array[Double]): Array[Double] = {
+    val first = models(0).predictProba(x)
+    val acc = first.clone()
+    var m = 1
+    while (m < models.length) {
+      val p = models(m).predictProba(x)
+      var c = 0
+      while (c < acc.length) { acc(c) += p(c); c += 1 }
+      m += 1
+    }
+    var c = 0
+    while (c < acc.length) { acc(c) /= models.length; c += 1 }
+    acc
   }
 }

@@ -10,6 +10,13 @@ import breeze.linalg.{DenseMatrix => BDM, DenseVector => BDV}
   */
 trait LocalModel extends Serializable {
   def predict(x: Array[Double]): Double
+  /** Class-probability vector [P(class 0), P(class 1), ...] — the
+    * sklearn `predict_proba` contract required by ParallelPostFit's
+    * proba surface (wrappers.py:337-380). Classifiers override.
+    */
+  def predictProba(x: Array[Double]): Array[Double] =
+    throw new UnsupportedOperationException(s"$this has no predict_proba")
+  def hasProba: Boolean = false
 }
 
 trait LocalEstimator extends Serializable {
@@ -17,24 +24,46 @@ trait LocalEstimator extends Serializable {
 }
 
 /** Online learner with partial_fit semantics (the sklearn
-  * `partial_fit` contract that `Incremental` requires, _partial.py:24-139).
+  * `partial_fit` contract that `Incremental` requires, _partial.py:24-139),
+  * generic in its state type.
   */
-trait OnlineEstimator extends Serializable {
-  def init(nFeatures: Int): OnlineState
-  def partialFit(s: OnlineState, xs: Array[Array[Double]], y: Array[Double]): OnlineState
-  def model(s: OnlineState): LocalModel
+trait OnlineLearner[S] extends Serializable {
+  def init(nFeatures: Int): S
+  def partialFit(s: S, xs: Array[Array[Double]], y: Array[Double]): S
+  def model(s: S): LocalModel
 }
+
+/** The weight-vector-state specialization used by SGD learners and the
+  * adaptive searches (which inspect `OnlineState.seen`).
+  */
+trait OnlineEstimator extends OnlineLearner[OnlineState]
 
 case class OnlineState(weights: Array[Double], intercept: Double, seen: Long)
     extends Serializable
 
 case class LinearLocalModel(coef: Array[Double], intercept: Double,
     link: Double => Double = identity) extends LocalModel {
-  def predict(x: Array[Double]): Double = {
+  def margin(x: Array[Double]): Double = {
     var s = intercept; var i = 0
     while (i < coef.length) { s += coef(i) * x(i); i += 1 }
-    link(s)
+    s
   }
+  def predict(x: Array[Double]): Double = link(margin(x))
+}
+
+/** Binary logistic local model: predict = hard 0/1 at margin 0;
+  * predict_proba = [1−σ, σ] (the reference's stack at
+  * linear_model/utils.py:64-71).
+  */
+case class LogisticLocalModel(coef: Array[Double], intercept: Double)
+    extends LocalModel {
+  private val lin = LinearLocalModel(coef, intercept)
+  def predict(x: Array[Double]): Double = if (lin.margin(x) > 0) 1.0 else 0.0
+  override def predictProba(x: Array[Double]): Array[Double] = {
+    val p = 1.0 / (1.0 + math.exp(-lin.margin(x)))
+    Array(1.0 - p, p)
+  }
+  override def hasProba: Boolean = true
 }
 
 /** Exact in-memory OLS/ridge via Breeze (the local analog of
@@ -106,8 +135,64 @@ class LocalSGD(loss: String = "squared", eta0: Double = 0.01,
   }
 
   def model(s: OnlineState): LocalModel =
-    if (loss == "log")
-      LinearLocalModel(s.weights, s.intercept,
-        m => if (m > 0) 1.0 else 0.0)
+    if (loss == "log") LogisticLocalModel(s.weights, s.intercept)
     else LinearLocalModel(s.weights, s.intercept)
+}
+
+/** Accumulated normal-equation state: upper-triangular X'X (with the
+  * intercept column appended), X'y, and the row count.
+  */
+case class OlsState(xtx: Array[Double], xty: Array[Double], seen: Long)
+    extends Serializable
+
+/** EXACT online OLS/ridge: partial_fit accumulates the Gram sums, so the
+  * final model is the exact least-squares solution regardless of block
+  * order or partitioning — the `partial_fit` analog of
+  * graft.linear.LinearRegression solver="normal" (and of sklearn
+  * estimators whose partial_fit is order-invariant). This makes
+  * `Incremental(OnlineOLS)` deterministically equal to the closed-form
+  * OLS, which the DuckDB regr_slope/regr_intercept oracle verifies.
+  */
+class OnlineOLS(ridge: Double = 0.0) extends OnlineLearner[OlsState] {
+  def init(nFeatures: Int): OlsState = {
+    val d = nFeatures + 1
+    OlsState(new Array[Double](d * (d + 1) / 2), new Array[Double](d), 0L)
+  }
+
+  def partialFit(s: OlsState, xs: Array[Array[Double]], y: Array[Double]): OlsState = {
+    val d = s.xty.length; val p = d - 1
+    val xtx = s.xtx.clone(); val xty = s.xty.clone()
+    var r = 0
+    while (r < xs.length) {
+      val row = xs(r); var idx = 0; var i = 0
+      while (i < d) {
+        val xi = if (i == p) 1.0 else row(i)
+        xty(i) += xi * y(r)
+        var j = i
+        while (j < d) {
+          val xj = if (j == p) 1.0 else row(j)
+          xtx(idx) += xi * xj
+          idx += 1; j += 1
+        }
+        i += 1
+      }
+      r += 1
+    }
+    OlsState(xtx, xty, s.seen + xs.length)
+  }
+
+  def model(s: OlsState): LocalModel = {
+    val d = s.xty.length; val p = d - 1
+    val m = BDM.zeros[Double](d, d)
+    var idx = 0
+    for (i <- 0 until d; j <- i until d) {
+      m(i, j) = s.xtx(idx); m(j, i) = s.xtx(idx); idx += 1
+    }
+    for (i <- 0 until p) m(i, i) += ridge
+    val beta =
+      try m \ BDV(s.xty)
+      catch { case _: breeze.linalg.MatrixSingularException =>
+        breeze.linalg.pinv(m) * BDV(s.xty) }
+    LinearLocalModel(Array.tabulate(p)(beta(_)), beta(p))
+  }
 }

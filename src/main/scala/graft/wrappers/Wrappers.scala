@@ -9,18 +9,45 @@ import graft.core.Model
   * already-fitted in-memory model, broadcast it, and apply per
   * partition. Here the model is any [[LocalModel]]; predict is one
   * map-only stage over a broadcast handle (`X.map_blocks(_predict, ...)`
-  * ≈ broadcast + udf).
+  * ≈ broadcast + udf). `predictProba` / `predictLogProba` mirror
+  * wrappers.py:337-380 / 382-401: per-class probability columns
+  * `proba_0..proba_{c-1}` (log_proba: natural log of each).
   */
 class ParallelPostFit(
     val model: LocalModel,
     val featureCols: Seq[String],
     val predictionCol: String = "prediction"
 ) extends Model {
+  private def features = array(featureCols.map(c => col(c).cast("double")): _*)
+
   def transform(df: DataFrame): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(model)
     val f = udf { xs: Seq[Double] => bc.value.predict(xs.toArray) }
-    df.withColumn(predictionCol,
-      f(array(featureCols.map(c => col(c).cast("double")): _*)))
+    df.withColumn(predictionCol, f(features))
+  }
+
+  /** wrappers.py:337-380: stack per-class probabilities. The class count
+    * is probed once on the driver with a zero vector (the reference
+    * reads it off `_meta`).
+    */
+  def predictProba(df: DataFrame): DataFrame = {
+    require(model.hasProba, s"$model does not implement predict_proba")
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val nClasses = model.predictProba(Array.fill(featureCols.size)(0.0)).length
+    val f = udf { xs: Seq[Double] => bc.value.predictProba(xs.toArray).toSeq }
+    val withArr = df.withColumn("__proba", f(features))
+    (0 until nClasses).foldLeft(withArr)((d, c) =>
+      d.withColumn(s"proba_$c", element_at(col("__proba"), c + 1)))
+      .drop("__proba")
+  }
+
+  /** wrappers.py:382-401: log of predict_proba. */
+  def predictLogProba(df: DataFrame): DataFrame = {
+    val nClasses = model.predictProba(Array.fill(featureCols.size)(0.0)).length
+    val withP = predictProba(df)
+    (0 until nClasses).foldLeft(withP)((d, c) =>
+      d.withColumn(s"log_proba_$c", log(col(s"proba_$c")))
+        .drop(s"proba_$c"))
   }
 }
 
@@ -36,15 +63,15 @@ class ParallelPostFit(
   * order and per-step semantics match the reference exactly; each job
   * reads one cached partition, so an epoch costs one scan like dask's.
   */
-class Incremental(
-    val estimator: OnlineEstimator,
+class Incremental[S: scala.reflect.ClassTag](
+    val estimator: OnlineLearner[S],
     val featureCols: Seq[String],
     val labelCol: String,
     val epochs: Int = 1,
     val shuffleBlocks: Boolean = true,
     val seed: Long = 42
 ) {
-  def fit(df: DataFrame): IncrementalModel = {
+  def fit(df: DataFrame): IncrementalModel[S] = {
     val p = featureCols.size
     val data = df
       .select((featureCols :+ labelCol).map(c => col(c).cast("double")): _*)
@@ -75,12 +102,14 @@ class Incremental(
   }
 }
 
-class IncrementalModel(
+class IncrementalModel[S](
     val model: LocalModel,
     val featureCols: Seq[String],
-    val state: OnlineState,
+    val state: S,
     val predictionCol: String = "prediction"
 ) extends Model {
   private val inner = new ParallelPostFit(model, featureCols, predictionCol)
   def transform(df: DataFrame): DataFrame = inner.transform(df)
+  def predictProba(df: DataFrame): DataFrame = inner.predictProba(df)
+  def predictLogProba(df: DataFrame): DataFrame = inner.predictLogProba(df)
 }
