@@ -117,11 +117,13 @@ object PreprocessingQueries extends QueryPack {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
-    // QuantileTransformer: approx-quantile fit is engine-specific →
-    // rows-only check (no oracle). Sanity: output in [0,1].
+    // QuantileTransformer with the exact single-pass fit: DuckDB
+    // reproduces the quantile table (quantile_cont with a ref list) and
+    // the two-sided interpolation, mirroring the arithmetic exactly.
     "q_quantile_transform" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      val m = new QuantileTransformer(Seq("l_extendedprice"), nQuantiles = 200).fit(li)
+      val m = new QuantileTransformer(Seq("l_extendedprice"),
+        nQuantiles = 200, exact = true).fit(li)
       m.transform(li).select(col("l_orderkey"), col("l_linenumber"),
         round(col("l_extendedprice"), 6).as("q_uniform"))
         .orderBy("l_orderkey", "l_linenumber")
@@ -212,6 +214,29 @@ object PreprocessingQueries extends QueryPack {
         | round(l_quantity * l_discount, 6) AS x1x2,
         | round(l_discount * l_discount, 6) AS x2_sq
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Mirrors QuantileTransformerModel.interpTwoSided bit-for-bit:
+    // fwd = np.interp(x, qs, refs); bwdi = np.interp(-x, -rev qs,
+    // rev(1-refs)); u = 0.5*(fwd + 1 - bwdi). cle/clt = counts of
+    // quantile-table entries <= x / < x locate the bracketing knots.
+    "q_quantile_transform" ->
+      """WITH qt AS (SELECT quantile_cont(l_extendedprice,
+        |    list_transform(range(0, 200), i -> i/199.0)) AS qs FROM lineitem),
+        |f AS (SELECT l_orderkey, l_linenumber, l_extendedprice AS x, qs,
+        |    len(list_filter(qs, v -> v <= l_extendedprice)) AS cle,
+        |    len(list_filter(qs, v -> v < l_extendedprice)) AS clt
+        |  FROM lineitem, qt),
+        |g AS (SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN x <= qs[1] THEN 0.0 WHEN x >= qs[200] THEN 1.0
+        |    ELSE (cle-1)/199.0 + (cle/199.0 - (cle-1)/199.0)
+        |      * (x - qs[cle]) / (qs[cle+1] - qs[cle]) END AS fwd,
+        |  CASE WHEN x <= qs[1] THEN 1.0 WHEN x >= qs[200] THEN 0.0
+        |    ELSE (1.0 - clt/199.0)
+        |      + ((1.0 - (clt-1)/199.0) - (1.0 - clt/199.0))
+        |      * (qs[clt+1] - x) / (qs[clt+1] - qs[clt]) END AS bwdi
+        |  FROM f)
+        |SELECT l_orderkey, l_linenumber,
+        | round(0.5 * (fwd + (1.0 - bwdi)), 6) AS q_uniform
+        |FROM g ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_scaler_inverse_roundtrip" ->
       """SELECT l_orderkey, l_linenumber,
         | round(l_quantity, 6) AS qty_rt,

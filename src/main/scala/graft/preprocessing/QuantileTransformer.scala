@@ -7,30 +7,34 @@ import graft.core.{Estimator, Model}
 
 /** Ref: dask_ml.preprocessing.QuantileTransformer
   * (preprocessing/data.py:303-418). Fit: per-column quantiles at
-  * `nQuantiles` evenly spaced references — ONE pass with
-  * `percentile_approx(col, array<ref>)` (the reference likewise uses
-  * approximate `da.percentile`, data.py:343-349). Transform: per value,
+  * `nQuantiles` evenly spaced references — ONE aggregate job for ALL
+  * columns via `percentile_approx(col, array<ref>)` (the reference
+  * likewise fits on approximate `da.percentile`, data.py:343-349);
+  * `exact=true` swaps in the builtin exact `percentile` (same single
+  * job) for oracle-reproducible results. Transform: per value,
   * two-sided linear interpolation into the fitted quantile table
   * (data.py:351-418's double `np.interp`), optionally mapped through the
-  * normal PPF. The interpolation runs as a scalar UDF over the broadcast
-  * table (small: nQuantiles doubles/column) — a per-row pure function,
-  * embarrassingly parallel at any scale.
+  * normal PPF. The interpolation is a primitive-specialized scalar UDF
+  * (binary search over the small broadcast table, no boxing in the
+  * loop); nulls short-circuit in a codegen'd `when` before the UDF —
+  * a map-only stage, embarrassingly parallel at any scale.
   */
 class QuantileTransformer(
     val cols: Seq[String],
     val nQuantiles: Int = 1000,
-    val outputDistribution: String = "uniform"
+    val outputDistribution: String = "uniform",
+    val exact: Boolean = false,
+    val accuracy: Int = 10000
 ) extends Estimator[QuantileTransformerModel] {
   require(Seq("uniform", "normal").contains(outputDistribution))
 
   def fit(df: DataFrame): QuantileTransformerModel = {
     val refs = (0 until nQuantiles).map(_.toDouble / (nQuantiles - 1))
-    // sort-based exact quantile table (one range-sort per column;
-    // graft.core.Quantiles) — faster than a high-accuracy GK sketch and
-    // exact, unlike the reference's da.percentile fit
-    val quantiles = cols.map(c =>
-      graft.core.Quantiles.exact(df, c, refs).toArray).toArray
-    new QuantileTransformerModel(cols, refs.toArray, quantiles, outputDistribution)
+    val tables =
+      if (exact) graft.core.Quantiles.exactOnePass(df, cols, refs)
+      else graft.core.Quantiles.approxOnePass(df, cols, refs, accuracy)
+    new QuantileTransformerModel(cols, refs.toArray,
+      cols.map(tables(_)).toArray, outputDistribution)
   }
 }
 
@@ -46,32 +50,42 @@ class QuantileTransformerModel(
     cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
       val qs = quantiles(i)
       val refs = references
+      val n = qs.length
+      // the descending-side knot arrays are per-MODEL state, hoisted out
+      // of the per-row path (allocating them per row dominated the cost)
+      val negQs = Array.tabulate(n)(j => -qs(n - 1 - j))
+      val revYs = Array.tabulate(n)(j => 1.0 - refs(n - 1 - j))
       val normal = outputDistribution == "normal"
-      val f = udf { (x: java.lang.Double) =>
-        if (x == null) null
-        else {
-          val u = interpTwoSided(x.doubleValue(), qs, refs)
-          java.lang.Double.valueOf(
-            if (normal) normalPpf(math.min(math.max(u, 1e-7), 1 - 1e-7)) else u)
-        }
+      // primitive Double=>Double, so the per-row path never boxes
+      val f = udf { (x: Double) =>
+        val fwd = interp(x, qs, refs)
+        val bwd = 1.0 - interp(-x, negQs, revYs)
+        val u = 0.5 * (fwd + bwd)
+        if (normal) normalPpf(math.min(math.max(u, 1e-7), 1 - 1e-7)) else u
       }
-      d.withColumn(c, f(col(c)))
+      d.withColumn(c,
+        when(col(c).isNull, lit(null).cast("double"))
+          .otherwise(f(col(c).cast("double"))))
     }
 }
 
 object QuantileTransformerModel {
   /** sklearn's flat-region-stable interpolation:
     * 0.5·(interp(x, q, r) + 1 − interp(−x, −rev q, rev(1−r))).
+    * (Kept for tests; `transform` inlines it with hoisted knot arrays.)
     */
   private[preprocessing] def interpTwoSided(
       x: Double, qs: Array[Double], refs: Array[Double]): Double = {
-    val fwd = interp(x, qs, refs, ascending = true)
-    val bwd = 1.0 - interpDesc(-x, qs, refs)
+    val n = qs.length
+    val negQs = Array.tabulate(n)(j => -qs(n - 1 - j))
+    val revYs = Array.tabulate(n)(j => 1.0 - refs(n - 1 - j))
+    val fwd = interp(x, qs, refs)
+    val bwd = 1.0 - interp(-x, negQs, revYs)
     0.5 * (fwd + bwd)
   }
 
-  private def interp(x: Double, xs: Array[Double], ys: Array[Double],
-      ascending: Boolean): Double = {
+  private[preprocessing] def interp(x: Double, xs: Array[Double],
+      ys: Array[Double]): Double = {
     val n = xs.length
     if (x <= xs(0)) return ys(0)
     if (x >= xs(n - 1)) return ys(n - 1)
@@ -82,14 +96,6 @@ object QuantileTransformerModel {
     }
     if (xs(hi) == xs(lo)) ys(lo)
     else ys(lo) + (ys(hi) - ys(lo)) * (x - xs(lo)) / (xs(hi) - xs(lo))
-  }
-
-  /** interp of -x into (-qs reversed, (1-refs) reversed). */
-  private def interpDesc(negx: Double, qs: Array[Double], refs: Array[Double]): Double = {
-    val n = qs.length
-    val xs = Array.tabulate(n)(i => -qs(n - 1 - i))
-    val ys = Array.tabulate(n)(i => 1.0 - refs(n - 1 - i))
-    interp(negx, xs, ys, ascending = true)
   }
 
   /** Inverse normal CDF — Acklam's rational approximation (|ε|<1.15e-9),

@@ -101,10 +101,8 @@ class RobustScaler(
     val (qlo, qhi) = (quantileRange._1 / 100.0, quantileRange._2 / 100.0)
     val (centers, scales) =
       if (exact) {
-        // sort-based exact quantiles (graft.core.Quantiles) — one range
-        // sort per column beats the builtin percentile's value-count maps
-        // on continuous data
-        val qs = graft.core.Quantiles.exact(df, cols, Seq(0.5, qlo, qhi))
+        // exact quantiles for every column in ONE aggregate pass
+        val qs = graft.core.Quantiles.exactOnePass(df, cols, Seq(0.5, qlo, qhi))
         (cols.map(c => qs(c)(0)).toArray,
           cols.map(c => util.handleZeroInScale(qs(c)(2) - qs(c)(1))).toArray)
       } else {
