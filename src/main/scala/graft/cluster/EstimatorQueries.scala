@@ -84,13 +84,72 @@ object EstimatorQueries extends QueryPack {
         .select(col("n"))
     }),
 
-    // train_test_split: seed-dependent → rows-only sanity (sizes sum to
-    // total; both sides non-empty).
+    // train_test_split: the per-split sizes are seed-dependent, but the
+    // PARTITION invariant (train + test == total, no row lost or
+    // duplicated) is deterministic — that is what the oracle checks.
     "q_train_test_split" -> ((s, dir) => {
       val (tr, te) = Splits.trainTestSplit(Tables.orders(s, dir), testSize = 0.25)
       import s.implicits._
-      Seq(("test", te.count()), ("train", tr.count())).toDF("split", "n")
-        .orderBy("split")
+      Seq(("total", te.count() + tr.count())).toDF("split", "n")
+    }),
+
+    // ShuffleSplit: same partition invariant per split.
+    "q_shuffle_split" -> ((s, dir) => {
+      val splits = Splits.shuffleSplit(Tables.orders(s, dir), nSplits = 3,
+        testSize = 0.25, seed = 7)
+      import s.implicits._
+      splits.zipWithIndex
+        .map { case ((tr, te), i) => (i, tr.count() + te.count()) }
+        .toDF("split", "n_total").orderBy("split")
+    }),
+
+    // IncrementalPCA: treeAggregate CGL moment merge must reproduce the
+    // closed-form 2×2 covariance eigenvalues (and match batch PCA).
+    "q_incremental_pca" -> ((s, dir) => {
+      val m = new graft.decomposition.IncrementalPCA(
+        Seq("l_quantity", "l_tax_s"), nComponents = 2)
+        .fit(Tables.lineitem(s, dir).withColumn("l_tax_s", col("l_tax") * 100))
+      import s.implicits._
+      def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      m.explainedVariance.zipWithIndex.map { case (ev, i) =>
+        (i, r6(ev), r6(m.explainedVarianceRatio(i)))
+      }.toSeq.toDF("component", "explained_variance", "evr")
+        .orderBy("component")
+    }),
+
+    // TruncatedSVD: uncentered second-moment eigenvalues, closed form.
+    "q_truncated_svd" -> ((s, dir) => {
+      val m = new graft.decomposition.TruncatedSVD(
+        Seq("l_quantity", "l_disc_s"), nComponents = 2)
+        .fit(Tables.lineitem(s, dir).withColumn("l_disc_s", col("l_discount") * 100))
+      import s.implicits._
+      def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      m.explainedVariance.zipWithIndex.map { case (ev, i) =>
+        (i, r6(ev), r6(m.explainedVarianceRatio(i)))
+      }.toSeq.toDF("component", "explained_variance", "evr")
+        .orderBy("component")
+    }),
+
+    "q_onehot_encoder" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = new graft.preprocessing.OneHotEncoder("l_returnflag", "oh").fit(li)
+      m.transform(li).select(col("l_orderkey"), col("l_linenumber"),
+        element_at(col("oh"), 1).cast("int").as("oh_a"),
+        element_at(col("oh"), 2).cast("int").as("oh_n"),
+        element_at(col("oh"), 3).cast("int").as("oh_r"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Categorizer: the learned per-column category sets (the
+    // CategoricalDtype analog) as (column_name, idx, category) rows.
+    "q_categorizer" -> ((s, dir) => {
+      val m = new graft.preprocessing.Categorizer(
+        Seq("l_returnflag", "l_linestatus")).fit(Tables.lineitem(s, dir))
+      import s.implicits._
+      m.cols.flatMap(c => m.categories(c).zipWithIndex.map {
+        case (v, i) => (c, i, v)
+      }).toDF("column_name", "idx", "category")
+        .orderBy("column_name", "idx")
     })
   )
 
@@ -129,6 +188,51 @@ object EstimatorQueries extends QueryPack {
         |ORDER BY component""".stripMargin,
     "q_kfold_sizes" ->
       """WITH t AS (SELECT ntile(5) OVER (ORDER BY o_orderkey) AS f FROM orders)
-        |SELECT count(*) AS n FROM t GROUP BY f ORDER BY f""".stripMargin
+        |SELECT count(*) AS n FROM t GROUP BY f ORDER BY f""".stripMargin,
+    "q_train_test_split" ->
+      "SELECT 'total' AS split, count(*) AS n FROM orders",
+    "q_shuffle_split" ->
+      """SELECT 0 AS split, count(*) AS n_total FROM orders
+        |UNION ALL SELECT 1, count(*) FROM orders
+        |UNION ALL SELECT 2, count(*) FROM orders
+        |ORDER BY split""".stripMargin,
+    "q_incremental_pca" ->
+      """WITH c AS (SELECT var_pop(l_quantity) AS a,
+        |  covar_pop(l_quantity, l_tax*100) AS b,
+        |  var_pop(l_tax*100) AS d FROM lineitem),
+        |e AS (SELECT (a+d)/2 + sqrt(((a-d)/2)*((a-d)/2) + b*b) AS l1,
+        |        (a+d)/2 - sqrt(((a-d)/2)*((a-d)/2) + b*b) AS l2, a+d AS tot FROM c)
+        |SELECT 0 AS component, round(l1, 6) AS explained_variance,
+        |  round(l1/tot, 6) AS evr FROM e
+        |UNION ALL
+        |SELECT 1, round(l2, 6), round(l2/tot, 6) FROM e
+        |ORDER BY component""".stripMargin,
+    "q_truncated_svd" ->
+      """WITH c AS (SELECT avg(l_quantity*l_quantity) AS a,
+        |  avg(l_quantity*(l_discount*100)) AS b,
+        |  avg((l_discount*100)*(l_discount*100)) AS d FROM lineitem),
+        |e AS (SELECT (a+d)/2 + sqrt(((a-d)/2)*((a-d)/2) + b*b) AS l1,
+        |        (a+d)/2 - sqrt(((a-d)/2)*((a-d)/2) + b*b) AS l2, a+d AS tot FROM c)
+        |SELECT 0 AS component, round(l1, 6) AS explained_variance,
+        |  round(l1/tot, 6) AS evr FROM e
+        |UNION ALL
+        |SELECT 1, round(l2, 6), round(l2/tot, 6) FROM e
+        |ORDER BY component""".stripMargin,
+    "q_onehot_encoder" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(l_returnflag = 'A' AS INT) AS oh_a,
+        | CAST(l_returnflag = 'N' AS INT) AS oh_n,
+        | CAST(l_returnflag = 'R' AS INT) AS oh_r
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_categorizer" ->
+      """SELECT * FROM (
+        |  SELECT 'l_returnflag' AS column_name,
+        |    CAST(row_number() OVER (ORDER BY v) - 1 AS INT) AS idx, v AS category
+        |  FROM (SELECT DISTINCT l_returnflag AS v FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'l_linestatus',
+        |    CAST(row_number() OVER (ORDER BY v) - 1 AS INT), v
+        |  FROM (SELECT DISTINCT l_linestatus AS v FROM lineitem)
+        |) ORDER BY column_name, idx""".stripMargin
   )
 }

@@ -142,4 +142,37 @@ class EstimatorsSpec extends SparkSpec {
     val err = out.agg(max(abs(col("prediction") - col("a") * 2))).head().getDouble(0)
     assert(err < 1e-6)
   }
+
+  test("IncrementalPCA matches batch PCA up to sign") {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val batch = new PCA(cols, nComponents = 2).fit(li)
+    val inc = new graft.decomposition.IncrementalPCA(cols, nComponents = 2).fit(li)
+    for (j <- 0 until 2) {
+      assert(math.abs(inc.explainedVariance(j) - batch.explainedVariance(j))
+        / batch.explainedVariance(j) < 1e-8)
+      // components equal up to sign; svd_flip makes signs agree too
+      for (i <- cols.indices)
+        assert(math.abs(math.abs(inc.components(j)(i)) - math.abs(batch.components(j)(i))) < 1e-6)
+    }
+    assert(inc.nSamplesSeen == li.count())
+  }
+
+  test("Moments merge is associative and order-insensitive") {
+    val rnd = new scala.util.Random(3)
+    val xs = Array.fill(90)(Array.fill(2)(rnd.nextDouble() * 5))
+    def bulk(rows: Seq[Array[Double]]) =
+      rows.foldLeft(graft.decomposition.Moments.zero(2))(graft.decomposition.Moments.add)
+    val whole = bulk(xs.toSeq)
+    val (a, bc) = xs.splitAt(30); val (b, c) = bc.splitAt(40)
+    val m1 = graft.decomposition.Moments.merge(
+      graft.decomposition.Moments.merge(bulk(a.toSeq), bulk(b.toSeq)), bulk(c.toSeq))
+    val m2 = graft.decomposition.Moments.merge(bulk(a.toSeq),
+      graft.decomposition.Moments.merge(bulk(b.toSeq), bulk(c.toSeq)))
+    for (m <- Seq(m1, m2); i <- 0 until 2) {
+      assert(m.n == whole.n)
+      assert(math.abs(m.mean(i) - whole.mean(i)) < 1e-9)
+      for (j <- 0 until 2)
+        assert(math.abs(m.m2(i)(j) - whole.m2(i)(j)) / math.max(whole.m2(i)(j).abs, 1) < 1e-9)
+    }
+  }
 }
