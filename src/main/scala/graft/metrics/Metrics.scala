@@ -86,6 +86,21 @@ object Metrics {
     df.agg(weighted(ll, sampleWeight.map(col))).head().getDouble(0)
   }
 
+  /** classification.py:97-153 — MULTICLASS log loss: `yTrue` is a class
+    * index, `probsCol` an array<double> of per-class scores. Like
+    * sklearn: clip each probability to [eps, 1−eps], renormalize the row
+    * to sum 1, then −log p(true class), sample-weighted mean. One fused
+    * aggregate pass.
+    */
+  def logLossMulti(df: DataFrame, yTrue: String, probsCol: String,
+      sampleWeight: Option[String] = None, eps: Double = 1e-15): Double = {
+    val clipped = transform(col(probsCol),
+      p => least(greatest(p, lit(eps)), lit(1 - eps)))
+    val total = aggregate(clipped, lit(0.0), (acc, p) => acc + p)
+    val py = element_at(clipped, col(yTrue).cast("int") + 1) / total
+    df.agg(weighted(-log(py), sampleWeight.map(col))).head().getDouble(0)
+  }
+
   // ---- r2 without a window (exposed for the query pack) ----
   /** Two-aggregate single-pass r2: E[y], E[y²], E[(y-p)²]. */
   def r2Expr(yTrue: Column, yPred: Column): Column = {

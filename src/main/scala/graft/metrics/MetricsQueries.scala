@@ -49,6 +49,38 @@ object MetricsQueries extends QueryPack {
         "log_loss" -> Metrics.logLoss(df, "is_r", "prob")))
     }),
 
+    // Multiclass log loss: 3-class scores from deterministic formulas
+    // (NOT summing to 1, so the renormalization path is exercised);
+    // label = returnflag code.
+    "q_log_loss_multi" -> ((s, dir) => {
+      val df = Tables.lineitem(s, dir)
+        .withColumn("y", when(col("l_returnflag") === "A", 0)
+          .when(col("l_returnflag") === "N", 1).otherwise(2))
+        .withColumn("probs", array(
+          lit(0.2) + col("l_discount"),
+          lit(0.5),
+          lit(0.01) * col("l_quantity")))
+      rounded(s, Seq(
+        "log_loss_multi" -> Metrics.logLossMulti(df, "y", "probs"),
+        "log_loss_multi_weighted" -> Metrics.logLossMulti(df, "y", "probs",
+          Some("l_quantity"))))
+    }),
+
+    // SCORERS registry: get_scorer-driven evaluation of fixed
+    // deterministic predictions (scorer.py:8-77 name->fn mapping).
+    "q_scorers" -> ((s, dir) => {
+      val df = Tables.lineitem(s, dir)
+        .withColumn("y", col("l_extendedprice"))
+        .withColumn("p", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .withColumn("ycls", (col("l_quantity") > 25).cast("double"))
+        .withColumn("pcls", (col("l_discount") > 0.05).cast("double"))
+      rounded(s, Seq(
+        "r2" -> Scorer.getScorer("r2")(df, "y", "p"),
+        "neg_mean_squared_error" ->
+          Scorer.getScorer("neg_mean_squared_error")(df, "y", "p"),
+        "accuracy" -> Scorer.getScorer("accuracy")(df, "ycls", "pcls")))
+    }),
+
     "q_gnb_fit" -> ((s, dir) => {
       val m = new GaussianNB(Seq("l_quantity", "l_extendedprice"), "l_returnflag")
         .fit(Tables.lineitem(s, dir))
@@ -100,6 +132,35 @@ object MetricsQueries extends QueryPack {
         |   round(sum(CASE WHEN y = pred THEN 1.0 ELSE 0.0 END), 6) FROM d
         | UNION ALL SELECT 'log_loss',
         |   round(avg(-(is_r*ln(prob) + (1.0-is_r)*ln(1.0-prob))), 6) FROM d
+        |) ORDER BY metric""".stripMargin,
+    "q_log_loss_multi" ->
+      """WITH d AS (SELECT
+        |  CASE WHEN l_returnflag='A' THEN 0 WHEN l_returnflag='N' THEN 1
+        |       ELSE 2 END AS y,
+        |  least(greatest(0.2 + l_discount, 1e-15), 1.0 - 1e-15) AS p0,
+        |  least(greatest(0.5, 1e-15), 1.0 - 1e-15) AS p1,
+        |  least(greatest(0.01 * l_quantity, 1e-15), 1.0 - 1e-15) AS p2,
+        |  l_quantity AS w FROM lineitem),
+        |e AS (SELECT w,
+        |  -ln((CASE WHEN y=0 THEN p0 WHEN y=1 THEN p1 ELSE p2 END)
+        |      / (p0 + p1 + p2)) AS ll FROM d)
+        |SELECT * FROM (
+        | SELECT 'log_loss_multi' AS metric, round(avg(ll), 6) AS value FROM e
+        | UNION ALL
+        | SELECT 'log_loss_multi_weighted', round(sum(ll*w)/sum(w), 6) FROM e
+        |) ORDER BY metric""".stripMargin,
+    "q_scorers" ->
+      """WITH d AS (SELECT l_extendedprice AS y,
+        |  l_extendedprice * (1.0 - l_discount) AS p,
+        |  CAST(l_quantity > 25 AS DOUBLE) AS ycls,
+        |  CAST(l_discount > 0.05 AS DOUBLE) AS pcls FROM lineitem)
+        |SELECT * FROM (
+        | SELECT 'r2' AS metric, round(1.0 - sum((y-p)*(y-p)) /
+        |   (sum(y*y) - sum(y)*sum(y)/count(*)), 6) AS value FROM d
+        | UNION ALL SELECT 'neg_mean_squared_error',
+        |   round(-avg((p-y)*(p-y)), 6) FROM d
+        | UNION ALL SELECT 'accuracy',
+        |   round(avg(CASE WHEN ycls = pcls THEN 1.0 ELSE 0.0 END), 6) FROM d
         |) ORDER BY metric""".stripMargin,
     "q_gnb_fit" ->
       """SELECT l_returnflag AS cls,
