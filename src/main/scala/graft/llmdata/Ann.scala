@@ -30,14 +30,22 @@ object Ann {
     dotExpr(a, b) / (normExpr(a) * normExpr(b))
 
   /** Exact top-k cosine neighbors of each query vector.
+    *
+    * Norms are computed ONCE per corpus row and once per query (not per
+    * (query, row) pair — a |Q|-query search would otherwise traverse
+    * each corpus vector 2|Q|+1 times instead of |Q|+2).
     * @param corpus (idCol, vecCol) rows to search
     * @param queries (idCol, vecCol) rows to search for (small; broadcast)
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val scored = corpus.join(q, col(idCol) =!= col("query_id"))
-      .withColumn("cos", cosineExpr(col("qv"), col(vecCol)))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__nq", normExpr(col("qv"))))
+    val scored = corpus.withColumn("__nc", normExpr(col(vecCol)))
+      .join(q, col(idCol) =!= col("query_id"))
+      .withColumn("cos",
+        dotExpr(col("qv"), col(vecCol)) / (col("__nq") * col("__nc")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -75,11 +83,14 @@ object Ann {
       vecCol: String, k: Int, nPlanes: Int, dim: Int, seed: Int = 42): DataFrame = {
     val planes = hyperplanes(nPlanes, dim, seed)
     val c = corpus.withColumn("bucket", signatureExpr(col(vecCol), planes))
+      .withColumn("__nc", normExpr(col(vecCol)))
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket", signatureExpr(col("qv"), planes)))
+      .withColumn("bucket", signatureExpr(col("qv"), planes))
+      .withColumn("__nq", normExpr(col("qv"))))
     val scored = c.join(q, Seq("bucket")).filter(col(idCol) =!= col("query_id"))
-      .withColumn("cos", cosineExpr(col("qv"), col(vecCol)))
+      .withColumn("cos",
+        dotExpr(col("qv"), col(vecCol)) / (col("__nq") * col("__nc")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -87,15 +98,25 @@ object Ann {
   }
 
   /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥
-    * threshold, pruned by LSH buckets (exact within bucket).
+    * threshold, pruned by LSH buckets (exact within bucket). Buckets
+    * over `maxBucketSize` rows are dropped before the self-join (the
+    * same Manku-style skew cap as Dedup.candidatePairs — a bucket of
+    * identical/zero vectors would square inside one partition; exact
+    * dedup on a vector hash catches those cheaper).
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nPlanes: Int, dim: Int, seed: Int = 42): DataFrame = {
+      threshold: Double, nPlanes: Int, dim: Int, seed: Int = 42,
+      maxBucketSize: Int = 10000): DataFrame = {
     val b = randomHyperplaneBuckets(df, vecCol, nPlanes, dim, seed)
-    val a = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val c = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("__n", normExpr(col(vecCol)))
+      .withColumn("__bs", count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("__bs") <= maxBucketSize).drop("__bs")
+    val a = b.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("__n").as("na"))
+    val c = b.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("__n").as("nb"))
     a.join(c, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosineExpr(col("va"), col("vb")))
+      .withColumn("cos", dotExpr(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos").distinct()
   }

@@ -72,10 +72,23 @@ object Dedup {
       .select(col(idCol), col("b.band").as("band"), col("b.bh").as("bh"))
   }
 
-  /** Candidate pairs (idA < idB) sharing at least one LSH band. */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col("band"), col("bh"), col(idCol).as("id_a"))
-    val b = bands.select(col("band"), col("bh"), col(idCol).as("id_b"))
+  /** Candidate pairs (idA < idB) sharing at least one LSH band.
+    *
+    * Skew guard (Manku et al. WWW'07): a degenerate band value (empty
+    * docs, boilerplate headers) would turn the self-join quadratic in
+    * that bucket's size. Buckets with more than `maxBucketSize` members
+    * are DROPPED before the join — their contents are near-certainly
+    * exact/boilerplate duplicates that exact dedup (one hash shuffle)
+    * catches far cheaper; run [[exact]] first in a real pipeline. The
+    * join cost is then bounded by nBuckets·cap².
+    */
+  def candidatePairs(bands: DataFrame, idCol: String,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sized = bands.withColumn("__bs",
+      count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter(col("__bs") <= maxBucketSize).drop("__bs")
+    val a = sized.select(col("band"), col("bh"), col(idCol).as("id_a"))
+    val b = sized.select(col("band"), col("bh"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -106,8 +119,8 @@ object Dedup {
     * banding, then exact-Jaccard verification, keeping pairs ≥ threshold.
     */
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.8, k: Int = 8, rowsPerBand: Int = 2,
-      shingleN: Int = 3): DataFrame = {
+      threshold: Double = 0.8, k: Int = 64, rowsPerBand: Int = 4,
+      shingleN: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     // the shingle set feeds the signature pass, both sides of the
     // intersection join, and the size aggregate — persist it once
     // instead of re-exploding the corpus four times
@@ -116,7 +129,8 @@ object Dedup {
     val aggs = (0 until k).map(s =>
       min(md5(concat(lit(s.toString), lit("|"), col("shingle")))).as(s"mh_$s"))
     val sigs = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    val cands = candidatePairs(bandHashes(sigs, idCol, k, rowsPerBand), idCol)
+    val cands = candidatePairs(bandHashes(sigs, idCol, k, rowsPerBand), idCol,
+      maxBucketSize)
     jaccard(cands, sh, idCol).filter(col("jaccard") >= threshold)
   }
 
@@ -145,7 +159,8 @@ object Dedup {
     * any pair within distance must agree on ≥1 chunk exactly.
     */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, bits: Int = 60): DataFrame = {
+      maxHamming: Int = 3, bits: Int = 60,
+      maxBucketSize: Int = 1000): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = bits / nChunks
     val sh = simhash(df, textCol, idCol, bits)
@@ -157,6 +172,10 @@ object Dedup {
     val banded = sh.select(col(idCol), col("simhash"),
       explode(array(chunks: _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.chunk").as("chunk"), col("b.cv").as("cv"))
+      // same Manku-style skew cap as candidatePairs: a hot chunk value
+      // (all-identical boilerplate) would square inside one partition
+      .withColumn("__bs", count(lit(1)).over(Window.partitionBy("chunk", "cv")))
+      .filter(col("__bs") <= maxBucketSize).drop("__bs")
     val a = banded.select(col("chunk"), col("cv"),
       col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("chunk"), col("cv"),

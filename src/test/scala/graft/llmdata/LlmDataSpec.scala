@@ -102,4 +102,35 @@ class LlmDataSpec extends SparkSpec {
     assert(out(2L) == "und")
     assert(out(3L) == "en")
   }
+
+  test("LSH bucket cap bounds degenerate all-identical corpora") {
+    import spark.implicits._
+    // 300 identical docs: every band bucket has 300 members -> without a
+    // cap the self-join yields ~45k pairs per band; with the cap the
+    // bucket is dropped entirely (exact dedup's job instead).
+    val same = (1 to 300).map(i => (i.toLong, "the same boilerplate text repeated here"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(same, "text", "doc_id", k = 8)
+    val bands = Dedup.bandHashes(sigs, "doc_id", 8, 2)
+    val capped = Dedup.candidatePairs(bands, "doc_id", maxBucketSize = 100)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.candidatePairs(bands, "doc_id", maxBucketSize = Int.MaxValue)
+    assert(uncapped.count() == 300L * 299 / 2)
+    // simhash path: capped join also yields nothing on the degenerate set
+    assert(Dedup.simhashNearDupPairs(same, "text", "doc_id",
+      maxBucketSize = 100).count() == 0)
+  }
+
+  test("embeddingNearDupPairs caps hot buckets and keeps norms correct") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Ann.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.9, nPlanes = 2, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet.subsetOf(Set((1L, 2L))))
+  }
 }
