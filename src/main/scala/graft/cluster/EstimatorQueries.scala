@@ -140,6 +140,42 @@ object EstimatorQueries extends QueryPack {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // GridSearchCV over ridge lambda with deterministic contiguous
+    // 3-folds on the sorted key: every (candidate, fold) fit+score runs
+    // through the real search machinery (memoized futures, cached
+    // folds, rankdata ties) and the score table has a closed form the
+    // oracle reproduces: ridge normal equations per train fold + r2 on
+    // the test fold.
+    "q_grid_search" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).orderBy("l_orderkey", "l_linenumber")
+      val lambdas = Seq(0.0, 1e6, 1e8)
+      val search = new graft.modelselection.GridSearchCV[graft.linear.LinearRegressionModel](
+        params => {
+          val lam = params("lambda").asInstanceOf[Double]
+          new graft.linear.LinearRegression(Seq("l_quantity"), "l_extendedprice",
+            c = if (lam == 0.0) Double.PositiveInfinity else 1.0 / lam)
+        },
+        Map("lambda" -> lambdas),
+        (m, test) => graft.metrics.Metrics.r2Score(
+          m.transform(test), "l_extendedprice", "prediction"),
+        cv = 3, parallelism = 3, refit = false)
+      val res = search.fit(li)
+      import s.implicits._
+      def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      res.cvResults.map(r => (r.params("lambda").asInstanceOf[Double],
+          r6(r.meanScore), r.rank))
+        .toDF("lambda", "mean_r2", "rank").orderBy("lambda")
+    }),
+
+    // StratifiedKFold: per-(fold, label) sizes from the deterministic
+    // within-class contiguous assignment.
+    "q_stratified_kfold" -> ((s, dir) => {
+      graft.modelselection.Splits.withStratifiedFold(
+        Tables.orders(s, dir), 4, "o_orderstatus", "o_orderkey")
+        .groupBy("fold", "o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("fold", "o_orderstatus")
+    }),
+
     // Categorizer: the learned per-column category sets (the
     // CategoricalDtype analog) as (column_name, idx, category) rows.
     "q_categorizer" -> ((s, dir) => {
@@ -224,6 +260,54 @@ object EstimatorQueries extends QueryPack {
         | CAST(l_returnflag = 'N' AS INT) AS oh_n,
         | CAST(l_returnflag = 'R' AS INT) AS oh_r
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_grid_search" ->
+      """WITH idx AS (SELECT l_quantity AS x, l_extendedprice AS y,
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS i,
+        |    count(*) OVER () AS n FROM lineitem),
+        |fo AS (SELECT x, y,
+        |    CASE WHEN i < (n % 3) * (n // 3 + 1) THEN i // (n // 3 + 1)
+        |         ELSE (i - (n % 3) * (n // 3 + 1)) // (n // 3) + (n % 3)
+        |    END AS fold FROM idx),
+        |tot AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy FROM fo),
+        |pf AS (SELECT fold, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+        |  FROM fo GROUP BY fold),
+        |tr AS (SELECT p.fold, t.n - p.n AS n, t.sx - p.sx AS sx,
+        |    t.sy - p.sy AS sy, t.sxx - p.sxx AS sxx, t.sxy - p.sxy AS sxy
+        |  FROM pf p, tot t),
+        |lam AS (SELECT unnest([0.0, 1000000.0, 100000000.0]) AS lambda),
+        |co AS (SELECT tr.fold, lam.lambda,
+        |    (tr.n * tr.sxy - tr.sx * tr.sy)
+        |      / ((tr.sxx + lam.lambda) * tr.n - tr.sx * tr.sx) AS b,
+        |    ((tr.sxx + lam.lambda) * tr.sy - tr.sx * tr.sxy)
+        |      / ((tr.sxx + lam.lambda) * tr.n - tr.sx * tr.sx) AS a
+        |  FROM tr, lam),
+        |r2 AS (SELECT co.lambda, co.fold,
+        |    1.0 - (p.syy - 2*co.a*p.sy - 2*co.b*p.sxy + 2*co.a*co.b*p.sx
+        |           + co.a*co.a*p.n + co.b*co.b*p.sxx)
+        |        / (p.syy - p.sy*p.sy/p.n) AS r2
+        |  FROM co JOIN pf p ON p.fold = co.fold),
+        |m AS (SELECT lambda,
+        |    (max(CASE WHEN fold=0 THEN r2 END)
+        |     + max(CASE WHEN fold=1 THEN r2 END)
+        |     + max(CASE WHEN fold=2 THEN r2 END)) / 3 AS mean_r2
+        |  FROM r2 GROUP BY lambda)
+        |SELECT lambda, round(mean_r2, 6) AS mean_r2,
+        |  CAST(1 + (SELECT count(*) FROM m m2 WHERE m2.mean_r2 > m.mean_r2)
+        |    AS INT) AS rank
+        |FROM m ORDER BY lambda""".stripMargin,
+    "q_stratified_kfold" ->
+      """WITH t AS (SELECT o_orderstatus AS st,
+        |   row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) - 1 AS pos,
+        |   count(*) OVER (PARTITION BY o_orderstatus) AS nc
+        | FROM orders)
+        |SELECT CASE WHEN pos < (nc % 4) * (nc // 4 + 1)
+        |         THEN CAST(pos // (nc // 4 + 1) AS INT)
+        |         ELSE CAST((pos - (nc % 4) * (nc // 4 + 1)) // (nc // 4)
+        |           + (nc % 4) AS INT) END AS fold,
+        | st AS o_orderstatus, count(*) AS n
+        |FROM t GROUP BY 1, 2 ORDER BY fold, o_orderstatus""".stripMargin,
     "q_categorizer" ->
       """SELECT * FROM (
         |  SELECT 'l_returnflag' AS column_name,

@@ -10,16 +10,19 @@ import org.apache.spark.sql.DataFrame
 import graft.core.{Estimator, Model}
 
 /** Ref: dask_ml.model_selection.GridSearchCV / RandomizedSearchCV
-  * (model_selection/_search.py:131-1728).
+  * (model_selection/_search.py:131-1728) with the cv_results_ contract
+  * of _search.py:1180-1319 + methods.py:354-446: multimetric scoring,
+  * `error_score`, masked per-param arrays, scipy `rankdata` "min" tie
+  * ranks, and fit/score timing.
   *
   * The reference's execution model — one explicit task graph with
   * tokenized dedup of identical (estimator, params, fold) fits — maps to
-  * a driver-side memo `Map[(fold, prefixParams), Future[...]]` plus a
+  * a driver-side memo `Map[(fold, params), Future[...]]` plus a
   * bounded ExecutionContext (≈ `n_jobs`): each (candidate, fold) fit is
   * a chain of Spark jobs, and concurrent Futures give inter-candidate
   * parallelism on the cluster scheduler (FAIR-pool friendly).
   * Fold DataFrames are persisted once and shared (the `cache_cv=True`
-  * analog, methods.py:83-153).
+  * analog, methods.py:83-153) and unpersisted when the search ends.
   */
 object ParamGrid {
   /** Cartesian product in stable (sklearn) order. */
@@ -29,6 +32,13 @@ object ParamGrid {
       for (m <- acc; v <- grid(k)) yield m + (k -> v)
     }
   }
+
+  /** sklearn's list-of-grids form: concatenated expansions; candidates
+    * from different grids may have DIFFERENT key sets (masked/null in
+    * cv_results_).
+    */
+  def expandMulti(grids: Seq[Map[String, Seq[Any]]]): Seq[Map[String, Any]] =
+    grids.flatMap(expand)
 
   /** Random sample of nIter full combinations (RandomizedSearchCV). */
   def sample(grid: Map[String, Seq[Any]], nIter: Int, seed: Long): Seq[Map[String, Any]] = {
@@ -40,24 +50,59 @@ object ParamGrid {
   }
 }
 
+/** Per-metric split scores + aggregates (one block of cv_results_). */
+case class MetricResult(
+    splitScores: Array[Double],
+    mean: Double,
+    std: Double,
+    rank: Int)
+
 case class CVResult(
     params: Map[String, Any],
     splitScores: Array[Double],
     meanScore: Double,
     stdScore: Double,
-    rank: Int)
+    rank: Int,
+    metrics: Map[String, MetricResult] = Map.empty,
+    meanFitTime: Double = 0.0,
+    meanScoreTime: Double = 0.0)
 
 case class SearchResult[M <: Model](
     cvResults: Seq[CVResult],
     bestParams: Map[String, Any],
     bestScore: Double,
     bestModel: M) {
+  /** cv_results_ as a DataFrame: masked `param_*` columns (null where a
+    * candidate's grid lacks the key), per-metric mean/std/rank and
+    * per-split columns, and timing — the _search.py:1180-1319 table.
+    */
   def cvResultsDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    import spark.implicits._
-    cvResults.map(r => (r.params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
-        .mkString(";"),
-        r.meanScore, r.stdScore, r.rank))
-      .toDF("params", "mean_test_score", "std_test_score", "rank_test_score")
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val paramKeys = cvResults.flatMap(_.params.keys).distinct.sorted
+    val metricNames = cvResults.head.metrics.keys.toSeq.sorted
+    val nSplits = cvResults.head.splitScores.length
+    val fields =
+      paramKeys.map(k => StructField(s"param_$k", StringType)) ++
+        metricNames.flatMap { m =>
+          (0 until nSplits).map(i =>
+            StructField(s"split${i}_test_$m", DoubleType)) ++
+            Seq(StructField(s"mean_test_$m", DoubleType),
+              StructField(s"std_test_$m", DoubleType),
+              StructField(s"rank_test_$m", IntegerType))
+        } ++
+        Seq(StructField("mean_fit_time", DoubleType),
+          StructField("mean_score_time", DoubleType))
+    val rows = cvResults.map { r =>
+      Row.fromSeq(
+        paramKeys.map(k => r.params.get(k).map(_.toString).orNull) ++
+          metricNames.flatMap { m =>
+            val mr = r.metrics(m)
+            mr.splitScores.toSeq ++ Seq[Any](mr.mean, mr.std, mr.rank)
+          } ++ Seq(r.meanFitTime, r.meanScoreTime))
+    }
+    spark.createDataFrame(rows.asJava, StructType(fields))
   }
 }
 
@@ -67,45 +112,95 @@ class GridSearchCV[M <: Model](
     val scorer: (M, DataFrame) => Double,
     val cv: Int = 3,
     val parallelism: Int = 4,
-    val refit: Boolean = true
+    val refit: Boolean = true,
+    val scorers: Map[String, (M, DataFrame) => Double] = Map.empty[String, (Model, DataFrame) => Double],
+    val refitMetric: String = "score",
+    val errorScore: Option[Double] = None, // None = raise (sklearn default)
+    val paramGrids: Seq[Map[String, Seq[Any]]] = Nil
 ) {
-  protected def candidates: Seq[Map[String, Any]] = ParamGrid.expand(paramGrid)
+  protected def candidates: Seq[Map[String, Any]] =
+    if (paramGrids.nonEmpty) ParamGrid.expandMulti(paramGrids)
+    else ParamGrid.expand(paramGrid)
+
+  /** name → scorer table; the single `scorer` is metric "score". */
+  private def allScorers: Map[String, (M, DataFrame) => Double] =
+    if (scorers.nonEmpty) scorers else Map("score" -> scorer)
 
   def fit(df: DataFrame): SearchResult[M] = {
     val cands = candidates
-    val folds = Splits.kfold(df, cv).map { case (tr, te) => (tr.persist(), te.persist()) }
+    val sc = allScorers
+    require(sc.contains(refitMetric), s"refit metric $refitMetric not in scorers")
+    val (folds, cleanup) = Splits.kfoldCached(df, cv)
     val pool = Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       // tokenized dedup (normalize_estimator analog): identical param maps
       // fit once per fold even if listed twice in the grid
-      val memo = scala.collection.concurrent.TrieMap.empty[(Int, Map[String, Any]), Future[Double]]
-      val perCand: Seq[Seq[Future[Double]]] = cands.map { params =>
+      val memo = scala.collection.concurrent.TrieMap
+        .empty[(Int, Map[String, Any]), Future[(Map[String, Double], Double, Double)]]
+      val perCand = cands.map { params =>
         folds.indices.map { f =>
           memo.getOrElseUpdate((f, params), Future {
             val (tr, te) = folds(f)
-            scorer(makeEstimator(params).fit(tr), te)
+            try {
+              val t0 = System.nanoTime()
+              val model = makeEstimator(params).fit(tr)
+              val tFit = (System.nanoTime() - t0) / 1e9
+              val t1 = System.nanoTime()
+              val scores = sc.map { case (name, s) => name -> s(model, te) }
+              val tScore = (System.nanoTime() - t1) / 1e9
+              (scores, tFit, tScore)
+            } catch {
+              case e: Exception => errorScore match {
+                // _search.py error_score: failed fit scores a constant
+                case Some(v) => (sc.keys.map(_ -> v).toMap, 0.0, 0.0)
+                case None => throw e
+              }
+            }
           })
         }
       }
-      val scores = Await.result(
+      val resolved = Await.result(
         Future.sequence(perCand.map(Future.sequence(_))), Duration.Inf)
-      val results = cands.zip(scores).map { case (p, ss) =>
-        val mean = ss.sum / ss.size
-        val std = math.sqrt(ss.map(s => (s - mean) * (s - mean)).sum / ss.size)
-        (p, ss.toArray, mean, std)
+
+      val metricNames = sc.keys.toSeq
+      // per candidate per metric: split scores + mean/std
+      val perMetric = cands.indices.map { ci =>
+        metricNames.map { m =>
+          val ss = resolved(ci).map(_._1(m)).toArray
+          val mean = ss.sum / ss.length
+          val std = math.sqrt(ss.map(s => (s - mean) * (s - mean)).sum / ss.length)
+          m -> (ss, mean, std)
+        }.toMap
       }
-      // rank: 1 = best (max score), ties share the min rank like rankdata
-      val ranked = results.map { case (p, ss, mean, std) =>
-        val rank = 1 + results.count(_._3 > mean)
-        CVResult(p, ss, mean, std, rank)
+      // rankdata(method="min") on -mean per metric, NaN ranked last
+      def ranks(means: Seq[Double]): Seq[Int] =
+        means.map { m =>
+          if (m.isNaN) 1 + means.count(x => !x.isNaN)
+          else 1 + means.count(x => !x.isNaN && x > m)
+        }
+      val rankPerMetric: Map[String, Seq[Int]] =
+        metricNames.map(m => m -> ranks(perMetric.map(_(m)._2))).toMap
+
+      val results = cands.indices.map { ci =>
+        val metrics = metricNames.map { m =>
+          val (ss, mean, std) = perMetric(ci)(m)
+          m -> MetricResult(ss, mean, std, rankPerMetric(m)(ci))
+        }.toMap
+        val primary = metrics(refitMetric)
+        CVResult(cands(ci), primary.splitScores, primary.mean, primary.std,
+          primary.rank, metrics,
+          meanFitTime = resolved(ci).map(_._2).sum / folds.size,
+          meanScoreTime = resolved(ci).map(_._3).sum / folds.size)
       }
-      val best = ranked.minBy(_.rank)
-      val bestModel = makeEstimator(best.params).fit(df)
-      SearchResult(ranked, best.params, best.meanScore, bestModel)
+      val best = results.minBy(r => (r.rank, results.indexOf(r)))
+      val bestModel =
+        if (refit) makeEstimator(best.params).fit(df)
+        else null.asInstanceOf[M]
+      SearchResult(results, best.params, best.meanScore, bestModel)
     } finally {
       pool.shutdown()
-      folds.foreach { case (tr, te) => tr.unpersist(false); te.unpersist(false) }
+      cleanup()
     }
   }
 }
@@ -146,8 +241,8 @@ class PipelineGridSearchCV[M <: Model](
 
   def fit(df: DataFrame): SearchResult[M] = {
     val cands = ParamGrid.expand(paramGrid)
-    val folds = Splits.kfold(df, cv).map { case (tr, te) => (tr.persist(), te.persist()) }
-    // memo: (fold, prefix param map) -> (fitted stages, transformed train, transformed test)
+    val (folds, cleanup) = Splits.kfoldCached(df, cv)
+    // memo: (fold, prefix param maps) -> (transformed train, transformed test)
     val memo = scala.collection.mutable.Map.empty[
       (Int, Seq[Map[String, Any]]), (DataFrame, DataFrame)]
     fitCount = 0
@@ -176,7 +271,9 @@ class PipelineGridSearchCV[M <: Model](
         (params, ss.toArray, mean, std)
       }
       val ranked = scored.map { case (p, ss, mean, std) =>
-        CVResult(p, ss, mean, std, 1 + scored.count(_._3 > mean))
+        val rank = 1 + scored.count(_._3 > mean)
+        CVResult(p, ss, mean, std, rank,
+          Map("score" -> MetricResult(ss, mean, std, rank)))
       }
       val best = ranked.minBy(_.rank)
       // refit best pipeline on the full data
@@ -188,7 +285,7 @@ class PipelineGridSearchCV[M <: Model](
       SearchResult(ranked, best.params, best.meanScore, bestModel)
     } finally {
       memo.values.foreach { case (a, b) => a.unpersist(false); b.unpersist(false) }
-      folds.foreach { case (tr, te) => tr.unpersist(false); te.unpersist(false) }
+      cleanup()
     }
   }
 

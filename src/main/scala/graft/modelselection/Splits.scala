@@ -82,10 +82,57 @@ object Splits {
   }
 
   def kfold(df: DataFrame, k: Int): Seq[(DataFrame, DataFrame)] = {
-    val folded = withFold(df, k).cache()
+    val folded = withFold(df, k)
     (0 until k).map { f =>
       (folded.filter(col("fold") =!= f).drop("fold", "row_index"),
         folded.filter(col("fold") === f).drop("fold", "row_index"))
+    }
+  }
+
+  /** kfold over a CACHED fold assignment (the cache_cv analog): the
+    * folded frame is persisted and materialized once, every derived
+    * train/test filter scans the cache, and the returned cleanup
+    * unpersists it — callers (the CV searches) own the lifetime, so
+    * nothing leaks across repeated searches.
+    */
+  def kfoldCached(df: DataFrame, k: Int): (Seq[(DataFrame, DataFrame)], () => Unit) = {
+    val folded = withFold(df, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    folded.count() // materialize before fan-out
+    val folds = (0 until k).map { f =>
+      (folded.filter(col("fold") =!= f).drop("fold", "row_index"),
+        folded.filter(col("fold") === f).drop("fold", "row_index"))
+    }
+    (folds, () => { folded.unpersist(blocking = false); () })
+  }
+
+  /** Stratified k-fold (sklearn StratifiedKFold semantics per class):
+    * within each label, rows ordered by `orderCol` split into k
+    * contiguous groups, first n_c % k folds one row larger. The
+    * within-class position comes from a window partitioned by label —
+    * parallel across labels, no global sort. Deterministic given
+    * `orderCol`, hence oracle-expressible.
+    */
+  def withStratifiedFold(df: DataFrame, k: Int, labelCol: String,
+      orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(labelCol).orderBy(orderCol)
+    val pos = row_number().over(w) - 1
+    val nC = count(lit(1)).over(Window.partitionBy(labelCol))
+    val base = (nC / k).cast("long")
+    val extra = nC % k
+    val boundary = extra * (base + 1)
+    val fold = when(pos < boundary, (pos / (base + 1)).cast("int"))
+      .otherwise(((pos - boundary) / base).cast("int") + extra.cast("int"))
+    df.withColumn("fold", fold)
+  }
+
+  def stratifiedKFold(df: DataFrame, k: Int, labelCol: String,
+      orderCol: String): Seq[(DataFrame, DataFrame)] = {
+    val folded = withStratifiedFold(df, k, labelCol, orderCol)
+    (0 until k).map { f =>
+      (folded.filter(col("fold") =!= f).drop("fold"),
+        folded.filter(col("fold") === f).drop("fold"))
     }
   }
 
@@ -97,4 +144,47 @@ object Splits {
     val labels = df.select(labelCol).distinct().collect().map(_.get(0))
     df.stat.sampleBy(labelCol, labels.map(_ -> fraction).toMap, seed)
   }
+}
+
+/** Ref: check_cv / compute_n_splits (_search.py:963-1019, _split.py):
+  * coerce what a user passes as `cv` into a splitter strategy.
+  */
+sealed trait CVStrategy {
+  def nSplits: Int
+  def split(df: DataFrame): Seq[(DataFrame, DataFrame)]
+}
+
+final case class KFoldCV(k: Int) extends CVStrategy {
+  def nSplits: Int = k
+  def split(df: DataFrame): Seq[(DataFrame, DataFrame)] = Splits.kfold(df, k)
+}
+
+final case class ShuffleSplitCV(n: Int, testSize: Double = 0.1,
+    seed: Long = 42) extends CVStrategy {
+  def nSplits: Int = n
+  def split(df: DataFrame): Seq[(DataFrame, DataFrame)] =
+    Splits.shuffleSplit(df, n, testSize, seed)
+}
+
+final case class StratifiedKFoldCV(k: Int, labelCol: String,
+    orderCol: String) extends CVStrategy {
+  def nSplits: Int = k
+  def split(df: DataFrame): Seq[(DataFrame, DataFrame)] =
+    Splits.stratifiedKFold(df, k, labelCol, orderCol)
+}
+
+object CV {
+  /** _search.py:963-987: None → 5-fold; an int → KFold(n); a strategy
+    * passes through.
+    */
+  def checkCv(cv: Any): CVStrategy = cv match {
+    case null => KFoldCV(5)
+    case i: Int => require(i >= 2, s"cv must be >= 2, got $i"); KFoldCV(i)
+    case s: CVStrategy => s
+    case other => throw new IllegalArgumentException(
+      s"cannot interpret $other as a CV strategy")
+  }
+
+  /** _search.py:990-1019: split count without materializing splits. */
+  def computeNSplits(cv: Any): Int = checkCv(cv).nSplits
 }

@@ -92,4 +92,142 @@ class ModelSelectionSpec extends SparkSpec {
     orig.foreach { case (k, n) =>
       assert(math.abs(samp(k).toDouble / n - 0.5) < 0.15) }
   }
+
+  // ---- cv_results_ fidelity (mirrors the vendored sklearn suite's
+  // semantics: test_model_selection_sklearn.py) ----
+
+  private def olsSearch(grids: Seq[Map[String, Seq[Any]]] = Nil,
+      grid: Map[String, Seq[Any]] = Map("c" -> Seq(1e6, 1.0)),
+      scorers: Map[String, (graft.linear.LinearRegressionModel,
+        org.apache.spark.sql.DataFrame) => Double] = Map.empty,
+      errorScore: Option[Double] = None,
+      refitMetric: String = "score") = {
+    val df = orders.withColumn("x", col("o_totalprice") / 1000)
+      .withColumn("y", col("o_totalprice") / 500 + lit(3.0))
+    val search = new GridSearchCV[graft.linear.LinearRegressionModel](
+      params => {
+        if (params.get("boom").contains(true)) throw new RuntimeException("boom")
+        new LinearRegression(Seq("x"), "y", c = params("c").asInstanceOf[Double])
+      },
+      grid,
+      (m, test) => Metrics.r2Score(m.transform(test), "y", "prediction"),
+      cv = 3, parallelism = 2, refit = false, scorers = scorers,
+      refitMetric = refitMetric, errorScore = errorScore, paramGrids = grids)
+    (search.fit(df), df)
+  }
+
+  test("cv_results: split scores, mean, population std per candidate") {
+    val (res, _) = olsSearch()
+    res.cvResults.foreach { r =>
+      assert(r.splitScores.length == 3)
+      val mean = r.splitScores.sum / 3
+      assert(r.meanScore ~== (mean, 1e-12))
+      val std = math.sqrt(r.splitScores.map(s => (s - mean) * (s - mean)).sum / 3)
+      assert(r.stdScore ~== (std, 1e-12))
+    }
+  }
+
+  test("cv_results: rankdata min-method ties") {
+    // duplicate candidate -> identical means -> both get rank 1, next gets 3
+    val (res, _) = olsSearch(grid = Map("c" -> Seq(1e6, 1e6, 1e-6)))
+    val byC = res.cvResults.groupBy(_.params("c"))
+    val dupRanks = byC(1e6).map(_.rank)
+    assert(dupRanks == Seq(1, 1))
+    assert(byC(1e-6).head.rank == 3)
+  }
+
+  test("cv_results: multimetric scoring blocks + refit metric selection") {
+    val scorers = Map[String, (graft.linear.LinearRegressionModel,
+        org.apache.spark.sql.DataFrame) => Double](
+      "r2" -> ((m, t) => Metrics.r2Score(m.transform(t), "y", "prediction")),
+      "neg_mse" -> ((m, t) => -Metrics.meanSquaredError(m.transform(t), "y", "prediction")))
+    val (res, _) = olsSearch(scorers = scorers, refitMetric = "neg_mse")
+    res.cvResults.foreach { r =>
+      assert(r.metrics.keySet == Set("r2", "neg_mse"))
+      assert(r.metrics("neg_mse").mean == r.meanScore) // primary = refit metric
+      assert(r.metrics("r2").splitScores.length == 3)
+    }
+    // ranks computed per metric independently
+    assert(res.cvResults.map(_.metrics("r2").rank).min == 1)
+    assert(res.cvResults.map(_.metrics("neg_mse").rank).min == 1)
+  }
+
+  test("error_score=value records constant scores for a failing candidate") {
+    val (res, _) = olsSearch(
+      grids = Seq(Map("c" -> Seq(1e6)), Map("c" -> Seq(1.0), "boom" -> Seq(true))),
+      errorScore = Some(-999.0))
+    val failing = res.cvResults.find(_.params.contains("boom")).get
+    assert(failing.splitScores.toSeq == Seq(-999.0, -999.0, -999.0))
+    assert(failing.rank == 2)
+    assert(res.bestParams("c") == 1e6)
+  }
+
+  test("error_score=None (raise) propagates the failure") {
+    intercept[RuntimeException] {
+      olsSearch(grids = Seq(Map("c" -> Seq(1e6)),
+        Map("c" -> Seq(1.0), "boom" -> Seq(true))))
+    }
+  }
+
+  test("cv_results DataFrame: masked param_* columns for multi-grid search") {
+    val (res, _) = olsSearch(
+      grids = Seq(Map("c" -> Seq(1e6)), Map("c" -> Seq(1.0), "boom" -> Seq(true))),
+      errorScore = Some(0.0))
+    val cvdf = res.cvResultsDf(spark)
+    val cols = cvdf.columns.toSet
+    assert(Set("param_boom", "param_c", "mean_test_score", "std_test_score",
+      "rank_test_score", "split0_test_score", "split2_test_score",
+      "mean_fit_time", "mean_score_time").subsetOf(cols))
+    val rows = cvdf.collect()
+    // the candidate from the first grid has no "boom" param -> null mask
+    assert(rows.exists(r => r.isNullAt(r.fieldIndex("param_boom"))))
+    assert(rows.exists(r => r.getAs[String]("param_boom") == "true"))
+  }
+
+  test("cv_results: fit/score timing recorded for successful fits") {
+    val (res, _) = olsSearch()
+    assert(res.cvResults.forall(_.meanFitTime > 0))
+    assert(res.cvResults.forall(_.meanScoreTime > 0))
+  }
+
+  test("checkCv coercion and computeNSplits") {
+    assert(CV.checkCv(null) == KFoldCV(5))
+    assert(CV.checkCv(4) == KFoldCV(4))
+    assert(CV.checkCv(ShuffleSplitCV(7, 0.2)) == ShuffleSplitCV(7, 0.2))
+    assert(CV.computeNSplits(3) == 3)
+    intercept[IllegalArgumentException] { CV.checkCv(1) }
+    intercept[IllegalArgumentException] { CV.checkCv("nope") }
+  }
+
+  test("CVStrategy.split produces the declared number of splits") {
+    assert(KFoldCV(3).split(orders).size == 3)
+    assert(ShuffleSplitCV(2, 0.2).split(orders).size == 2)
+    assert(StratifiedKFoldCV(3, "o_orderstatus", "o_orderkey")
+      .split(orders).size == 3)
+  }
+
+  test("stratifiedKFold: folds partition the data and balance every class") {
+    val folded = Splits.withStratifiedFold(orders, 4, "o_orderstatus", "o_orderkey")
+    assert(folded.count() == orders.count())
+    val sizes = folded.groupBy("fold", "o_orderstatus").count().collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2))).toMap
+    sizes.foreach { case (_, ns) =>
+      assert(ns.length == 4)
+      assert(ns.max - ns.min <= 1) // per-class balance like sklearn
+    }
+  }
+
+  test("kfoldCached: folds usable after cleanup (recompute, not crash)") {
+    val (folds, cleanup) = Splits.kfoldCached(orders.repartition(5), 3)
+    assert(folds.map(_._2.count()).sum == orders.count())
+    cleanup()
+    assert(folds.head._1.count() + folds.head._2.count() == orders.count())
+  }
+
+  test("expandMulti concatenates grids preserving per-grid key sets") {
+    val cands = ParamGrid.expandMulti(Seq(
+      Map("a" -> Seq(1, 2)), Map("b" -> Seq("x"), "a" -> Seq(3))))
+    assert(cands.size == 3)
+    assert(cands.count(_.contains("b")) == 1)
+  }
 }
