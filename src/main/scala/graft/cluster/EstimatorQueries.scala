@@ -140,6 +140,22 @@ object EstimatorQueries extends QueryPack {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Generators: distribution is seed-dependent (rows-only check);
+    // determinism and moment sanity are unit-tested.
+    "q_make_counts" -> ((s, dir) => {
+      graft.datasets.Datasets.makeCounts(s, nSamples = 5000, nFeatures = 3,
+        seed = 11, nPartitions = 4)
+        .agg(count(lit(1)).as("n"), max(col("y")).as("max_count"),
+          sum(col("y")).as("total_events"))
+    }),
+
+    "q_make_classification_df" -> ((s, dir) => {
+      graft.datasets.Datasets.makeClassificationDf(s, nSamples = 5000,
+        nFeatures = 3, seed = 11, nPartitions = 4)
+        .groupBy(year(col("date")).as("yr")).agg(count(lit(1)).as("n"))
+        .orderBy("yr")
+    }),
+
     // GridSearchCV over ridge lambda with deterministic contiguous
     // 3-folds on the sorted key: every (candidate, fold) fit+score runs
     // through the real search machinery (memoized futures, cached

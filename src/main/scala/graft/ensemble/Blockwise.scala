@@ -33,6 +33,9 @@ abstract class BlockwiseVotingBase(
   protected def fitPerPartition(df: DataFrame): Array[LocalModel] = {
     val p = featureCols.size
     val est = subEstimator
+    require(df.rdd.getNumPartitions <= 10000,
+      s"${df.rdd.getNumPartitions} partitions => as many sub-models " +
+        "collected to the driver; repartition first")
     val models = collectRows(df).rdd.mapPartitions { it =>
       val rows = it.toArray
       if (rows.isEmpty) Iterator.empty

@@ -52,16 +52,30 @@ class CountVectorizerModel(
   private def tokensCol =
     if (lowercase) split(lower(col(textCol)), " ") else split(col(textCol), " ")
 
-  /** Dense counts array aligned with `vocabulary` (fine for bounded
-    * vocabularies; the long format below is the scale path).
+  /** Dense counts array aligned with `vocabulary`: one broadcast
+    * hash-map lookup per TOKEN (O(tokens + V_row) per row), not one
+    * expression per vocabulary term — the earlier per-term
+    * `size(filter(...))` form generated O(V) Catalyst expressions and
+    * O(V·tokens) work per row, which falls over long before the default
+    * vocabulary size. Dense output is inherently O(V) per row, so it is
+    * gated to small vocabularies; [[transformLong]] is the sparse scale
+    * path.
     */
   def transform(df: DataFrame): DataFrame = {
-    val vocabLit = vocabulary.map(lit).toIndexedSeq
-    df.withColumn("tf", {
-      val t = tokensCol
-      array(vocabulary.indices.map(i =>
-        size(filter(t, x => x === vocabLit(i)))): _*)
-    })
+    require(vocabulary.length <= (1 << 16),
+      s"dense transform materializes ${vocabulary.length} counts per row; " +
+        "use transformLong for large vocabularies")
+    val bcIndex = df.sparkSession.sparkContext.broadcast(index)
+    val counts = udf { tokens: Seq[String] =>
+      val idx = bcIndex.value
+      val out = new Array[Int](idx.size)
+      tokens.foreach(t => idx.get(t) match {
+        case Some(i) => out(i) += 1
+        case None =>
+      })
+      out.toSeq
+    }
+    df.withColumn("tf", counts(tokensCol))
   }
 
   /** Long-format term counts (id, term, term_index, count) — restricted

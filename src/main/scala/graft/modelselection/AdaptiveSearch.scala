@@ -162,9 +162,14 @@ class IncrementalSearchCV(
       .rdd.map(r => (Array.tabulate(p)(r.getDouble), r.getDouble(p)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nParts = math.max(train.getNumPartitions, 1)
+    // driver-size guard: the test set is collected by design (the
+    // reference scatters it to every scoring task too) — fail fast if a
+    // caller passes an unbounded frame instead of a held-out sample
     val testRows = testDf
       .select((featureCols :+ labelCol).map(c => col(c).cast("double")): _*)
-      .collect()
+      .limit(1000001).collect()
+    require(testRows.length <= 1000000,
+      "test set exceeds 1e6 rows; sample it before the adaptive search")
     val testX = testRows.map(r => Array.tabulate(p)(r.getDouble))
     val testY = testRows.map(_.getDouble(p))
     val sc = df.sparkSession.sparkContext

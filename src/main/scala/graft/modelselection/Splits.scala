@@ -18,7 +18,14 @@ object Splits {
     * count rows per partition, broadcast cumulative offsets, add
     * partition-local position. (The DataFrame zipWithIndex idiom.)
     */
-  def withRowIndex(df: DataFrame, indexCol: String = "row_index"): DataFrame = {
+  def withRowIndex(df: DataFrame, indexCol: String = "row_index"): DataFrame =
+    indexAndCount(df, indexCol)._1
+
+  /** The indexed frame plus the total count — the count comes free from
+    * the per-partition counts job, so callers needing both (withFold)
+    * scan the source once for them instead of twice.
+    */
+  private def indexAndCount(df: DataFrame, indexCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     val rdd = df.rdd
     val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
@@ -29,8 +36,9 @@ object Splits {
       var k = offsets(i)
       it.map { r => val out = Row.fromSeq(r.toSeq :+ k); k += 1; out }
     }
-    spark.createDataFrame(indexed,
-      StructType(df.schema.fields :+ StructField(indexCol, LongType, nullable = false)))
+    (spark.createDataFrame(indexed,
+      StructType(df.schema.fields :+ StructField(indexCol, LongType, nullable = false))),
+      offsets.last)
   }
 
   /** Ref: dask_ml.model_selection.train_test_split (_split.py:361-520).
@@ -67,9 +75,11 @@ object Splits {
     * (train, test) pairs.
     */
   def withFold(df: DataFrame, k: Int, indexCol: String = "row_index"): DataFrame = {
-    val n = df.count()
+    // one source scan supplies both the index and the count
+    val (indexed, n) =
+      if (df.columns.contains(indexCol)) (df, df.count())
+      else indexAndCount(df, indexCol)
     require(n >= k, s"need at least k=$k rows, got $n")
-    val indexed = if (df.columns.contains(indexCol)) df else withRowIndex(df, indexCol)
     // contiguous fold ranges like sklearn: first n % k folds get one extra
     val base = n / k; val extra = n % k
     // fold f covers [f*base + min(f, extra), ...) — invert per row with

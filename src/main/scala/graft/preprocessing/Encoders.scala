@@ -19,10 +19,22 @@ object Encoders {
     * would shuffle once per column; for few columns this is fine and
     * each result is tiny).
     */
+  /** Driver-side cardinality guard: collecting an unbounded distinct
+    * would OOM the driver at scale; fail fast instead (same bounded-
+    * category contract as the reference / StringIndexer).
+    */
+  val maxCategories: Int = 100000
+
   private[preprocessing] def categories(df: DataFrame, cols: Seq[String]): Map[String, Array[String]] =
     cols.map { c =>
-      c -> df.select(col(c).cast("string")).na.drop().distinct()
-        .orderBy(col(c)).collect().map(_.getString(0))
+      // take(limit+1) compiles to TakeOrderedAndProject (top-k per
+      // partition + merge) — no full collect even on overflow
+      val vals = df.select(col(c).cast("string")).na.drop().distinct()
+        .orderBy(col(c)).take(maxCategories + 1).map(_.getString(0))
+      require(vals.length <= maxCategories,
+        s"column $c has more than $maxCategories distinct values; " +
+          "categorical encoders require bounded cardinality")
+      c -> vals
     }.toMap
 
   private[preprocessing] def codeExpr(c: String, cats: Array[String]): Column = {

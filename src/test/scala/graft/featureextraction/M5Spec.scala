@@ -136,4 +136,44 @@ class M5Spec extends SparkSpec {
     assert(m.predict(Array(1.0)) ~== (4.0, 0.3))
     assert(sink.state.seen == 1000)
   }
+
+  test("makeCounts: deterministic, nonnegative Poisson-ish counts") {
+    val a = Datasets.makeCounts(spark, 2000, nFeatures = 3, seed = 5, nPartitions = 4)
+    val b = Datasets.makeCounts(spark, 2000, nFeatures = 3, seed = 5, nPartitions = 4)
+    import org.apache.spark.sql.functions._
+    val sa = a.agg(sum("y"), min("y"), avg("y")).head()
+    val sb = b.agg(sum("y"), min("y"), avg("y")).head()
+    assert(sa == sb) // same seed + partitioning => identical
+    assert(sa.getLong(1) >= 0)
+    // E[y] = E[exp(Xw)] >= 1 for centered gaussians; mean should be ~O(1)
+    assert(sa.getDouble(2) > 0.3 && sa.getDouble(2) < 5.0)
+    val c = Datasets.makeCounts(spark, 2000, nFeatures = 3, seed = 6, nPartitions = 4)
+    assert(c.agg(sum("y")).head().getLong(0) != sa.getLong(0))
+  }
+
+  test("makeClassificationDf: date column within range, deterministic") {
+    import org.apache.spark.sql.functions._
+    val df = Datasets.makeClassificationDf(spark, 1000, nFeatures = 2, seed = 9,
+      startDate = "2022-03-01", endDate = "2022-06-30", nPartitions = 4)
+    val r = df.agg(min("date"), max("date"), countDistinct("date")).head()
+    assert(r.getDate(0).toString >= "2022-03-01")
+    assert(r.getDate(1).toString <= "2022-06-30")
+    assert(r.getLong(2) > 50) // dates actually spread over the range
+    val again = Datasets.makeClassificationDf(spark, 1000, nFeatures = 2, seed = 9,
+      startDate = "2022-03-01", endDate = "2022-06-30", nPartitions = 4)
+    assert(again.agg(min("date"), max("date"), countDistinct("date")).head() == r)
+  }
+
+  test("CountVectorizer dense transform counts via broadcast map") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a c"), (2L, "b b d")).toDF("id", "text")
+    val m = new CountVectorizer("text", vocabSize = 10).fit(d)
+    val vocab = m.vocabulary.toSeq
+    val tf = m.transform(d).orderBy("id").select("tf").collect()
+      .map(_.getSeq[Int](0))
+    // row 1: a->2, b->1, c->1, d->0 in vocab order
+    val idx = vocab.zipWithIndex.toMap
+    assert(tf(0)(idx("a")) == 2 && tf(0)(idx("b")) == 1 && tf(0)(idx("d")) == 0)
+    assert(tf(1)(idx("b")) == 2 && tf(1)(idx("d")) == 1 && tf(1)(idx("a")) == 0)
+  }
 }
