@@ -79,15 +79,32 @@ object Ann {
     * top-k within. Recall < 1; bucket count 2^nPlanes trades recall for
     * candidate-set size.
     */
+  /** @param multiProbe 0 = each query probes only its own bucket (the
+    *   recall cliff: a query near a hyperplane misses neighbors across
+    *   it); 1 = also probe every bucket at Hamming distance 1 (flip
+    *   each signature bit) — nPlanes+1 buckets per query, the standard
+    *   multi-probe recall fix (Lv et al. VLDB'07). Corpus rows stay in
+    *   exactly one bucket, so no candidate is generated twice.
+    */
   def lshCosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nPlanes: Int, dim: Int, seed: Int = 42): DataFrame = {
+      vecCol: String, k: Int, nPlanes: Int, dim: Int, seed: Int = 42,
+      multiProbe: Int = 0): DataFrame = {
+    require(multiProbe <= 1, "only Hamming-1 multi-probe is supported")
     val planes = hyperplanes(nPlanes, dim, seed)
     val c = corpus.withColumn("bucket", signatureExpr(col(vecCol), planes))
       .withColumn("__nc", normExpr(col(vecCol)))
-    val q = broadcast(queries
+    val q0 = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket", signatureExpr(col("qv"), planes))
-      .withColumn("__nq", normExpr(col("qv"))))
+      .withColumn("__b0", signatureExpr(col("qv"), planes))
+      .withColumn("__nq", normExpr(col("qv")))
+    val q = broadcast(
+      if (multiProbe == 0) q0.withColumn("bucket", col("__b0")).drop("__b0")
+      else {
+        val probes = array((col("__b0") +:
+          (0 until nPlanes).map(j =>
+            col("__b0").bitwiseXOR(lit(1L << j)))): _*)
+        q0.withColumn("bucket", explode(probes)).drop("__b0")
+      })
     val scored = c.join(q, Seq("bucket")).filter(col(idCol) =!= col("query_id"))
       .withColumn("cos",
         dotExpr(col("qv"), col(vecCol)) / (col("__nq") * col("__nc")))

@@ -175,4 +175,29 @@ class EstimatorsSpec extends SparkSpec {
         assert(math.abs(m.m2(i)(j) - whole.m2(i)(j)) / math.max(whole.m2(i)(j).abs, 1) < 1e-9)
     }
   }
+
+  test("PCA randomized solver matches full solver (l >= p => exact range)") {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val full = new PCA(cols, nComponents = 2).fit(li)
+    val rand = new PCA(cols, nComponents = 2, solver = "randomized").fit(li)
+    for (j <- 0 until 2) {
+      assert(math.abs(rand.explainedVariance(j) - full.explainedVariance(j))
+        / full.explainedVariance(j) < 1e-6,
+        s"ev $j: ${rand.explainedVariance(j)} vs ${full.explainedVariance(j)}")
+      val dot = cols.indices.map(i =>
+        rand.components(j)(i) * full.components(j)(i)).sum
+      assert(math.abs(dot) > 0.999999, s"component $j misaligned: $dot")
+    }
+  }
+
+  test("ModelIO round-trips a fitted model through the filesystem") {
+    val m = new LinearRegression(Seq("a", "b"), "y").fit(reg)
+    val path = java.nio.file.Files.createTempDirectory("graftio").toString + "/ols.bin"
+    graft.core.ModelIO.save(spark, m, path)
+    val loaded = graft.core.ModelIO.load[graft.linear.LinearRegressionModel](spark, path)
+    assert(loaded.coef.toSeq == m.coef.toSeq && loaded.intercept == m.intercept)
+    val viaLoaded = loaded.transform(reg).agg(sum("prediction")).head().getDouble(0)
+    val viaOrig = m.transform(reg).agg(sum("prediction")).head().getDouble(0)
+    assert(viaLoaded == viaOrig)
+  }
 }

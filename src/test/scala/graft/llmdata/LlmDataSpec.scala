@@ -90,6 +90,16 @@ class LlmDataSpec extends SparkSpec {
     assert(lsh.nonEmpty)
     assert(hits.toDouble / brute.size >= 0.2,
       s"LSH recall@1 ${hits.toDouble / brute.size}")
+    // Hamming-1 multi-probe strictly widens the candidate set -> recall
+    // at least as high as single-probe
+    val mp = Ann.lshCosineTopK(emb, q, "vec_id", "embedding", k = 1,
+      nPlanes = 4, dim = 64, multiProbe = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mpHits = brute.keys.count(k => mp.get(k).contains(brute(k)))
+    assert(mpHits >= hits, s"multi-probe recall $mpHits < single $hits")
+    assert(mpHits.toDouble / brute.size >= 0.5,
+      s"multi-probe recall@1 ${mpHits.toDouble / brute.size}")
   }
 
   test("languageId picks marker-dominant language, und when none") {
