@@ -174,7 +174,7 @@ object EstimatorQueries extends QueryPack {
         Map("lambda" -> lambdas),
         (m, test) => graft.metrics.Metrics.r2Score(
           m.transform(test), "l_extendedprice", "prediction"),
-        cv = 3, parallelism = 3, refit = false)
+        cv = 3, parallelism = 9, refit = false)
       val res = search.fit(li)
       import s.implicits._
       def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -28,6 +28,17 @@ object TextFeatureQueries extends QueryPack {
         .orderBy("doc_id", "term")
     }),
 
+    // BlockTransformer: arbitrary stateless fn as a transformer — here a
+    // column-expression log1p, which stays codegen'd and SQL-exact.
+    "q_block_transformer" -> ((s, dir) => {
+      val bt = new graft.preprocessing.BlockTransformer(df =>
+        df.withColumn("log_price", log1p(col("l_extendedprice"))))
+      bt.transform(Tables.lineitem(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("log_price"), 6).as("log_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // HashingTF: murmur3 buckets aren't SQL-reproducible → rows-only.
     "q_hashing_tf" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -80,6 +91,20 @@ object TextFeatureQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_block_transformer" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(ln(1 + l_extendedprice), 6) AS log_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_make_blobs" ->
+      """SELECT CAST(i % 4 AS INT) AS label, count(*) AS n
+        |FROM range(0, 6000) t(i) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_multimodal_features" ->
+      """SELECT doc_id,
+        | CAST(1 + (ord(text[1:1]) % 64) AS INT) AS width,
+        | CAST(1 + (ord(text[(octet_length(encode(text))//2)+1
+        |   : (octet_length(encode(text))//2)+1]) % 64) AS INT) AS height,
+        | 3 AS channels, 16 AS n_features
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_count_vectorizer" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
         |             FROM documents),

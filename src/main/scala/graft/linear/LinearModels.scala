@@ -140,6 +140,12 @@ class LogisticRegressionModel(
     val p = lit(1.0) / (lit(1.0) + exp(-margin))
     df.withColumn("proba_1", p).withColumn("proba_0", lit(1.0) - p)
   }
+  /** log of predict_proba (wrappers.py:382-401 parity). */
+  def predictLogProba(df: DataFrame): DataFrame =
+    predictProba(df)
+      .withColumn("log_proba_0", log(col("proba_0")))
+      .withColumn("log_proba_1", log(col("proba_1")))
+      .drop("proba_0", "proba_1")
   def score(df: DataFrame): Double =
     graft.metrics.Metrics.accuracyScore(transform(df), labelCol, predictionCol)
 }

@@ -120,6 +120,10 @@ object Scorer {
   val scorers: Map[String, ScoreFn] = Map(
     "accuracy" -> ((df, t, p) => Metrics.accuracyScore(df, t, p)),
     "neg_mean_squared_error" -> ((df, t, p) => -Metrics.meanSquaredError(df, t, p)),
+    "neg_root_mean_squared_error" ->
+      ((df, t, p) => -Metrics.meanSquaredError(df, t, p, squared = false)),
+    "neg_mean_absolute_error" -> ((df, t, p) => -Metrics.meanAbsoluteError(df, t, p)),
+    "neg_mean_squared_log_error" -> ((df, t, p) => -Metrics.meanSquaredLogError(df, t, p)),
     "r2" -> ((df, t, p) => Metrics.r2Score(df, t, p)),
     "neg_log_loss" -> ((df, t, p) => -Metrics.logLoss(df, t, p))
   )
