@@ -99,6 +99,20 @@ object MetricsQueries extends QueryPack {
       m.transform(li)
         .select(col("l_orderkey"), col("l_linenumber"), col("prediction"))
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // predict_proba: softmax over the per-class joint log likelihoods —
+    // the full fit+proba path, reproduced in SQL from the same grouped
+    // statistics.
+    "q_gnb_proba" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val m = new GaussianNB(Seq("l_quantity", "l_extendedprice"), "l_returnflag").fit(li)
+      m.predictProba(li)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("proba_A"), 6).as("proba_a"),
+          round(col("proba_N"), 6).as("proba_n"),
+          round(col("proba_R"), 6).as("proba_r"))
+        .orderBy("l_orderkey", "l_linenumber")
     })
   )
 
@@ -174,6 +188,42 @@ object MetricsQueries extends QueryPack {
         |   (SELECT var_pop(l_quantity) AS vq, var_pop(l_extendedprice) AS vp
         |    FROM lineitem GROUP BY l_returnflag)), 6) AS var_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY cls""".stripMargin,
+    "q_gnb_proba" ->
+      """WITH s AS (SELECT l_returnflag AS cls, count(*) AS n,
+        |   avg(l_quantity) AS mq, var_pop(l_quantity) AS vq,
+        |   avg(l_extendedprice) AS mp, var_pop(l_extendedprice) AS vp
+        | FROM lineitem GROUP BY 1),
+        | mv AS (SELECT max(greatest(vq, vp)) AS m FROM s),
+        | tot AS (SELECT sum(n) AS t FROM s),
+        | w AS (SELECT
+        |   max(CASE WHEN cls='A' THEN mq END) AS a_mq, max(CASE WHEN cls='A' THEN vq END) + 1e-9*(SELECT m FROM mv) AS a_vq,
+        |   max(CASE WHEN cls='A' THEN mp END) AS a_mp, max(CASE WHEN cls='A' THEN vp END) + 1e-9*(SELECT m FROM mv) AS a_vp,
+        |   max(CASE WHEN cls='A' THEN n END) / (SELECT t FROM tot) AS a_pr,
+        |   max(CASE WHEN cls='N' THEN mq END) AS n_mq, max(CASE WHEN cls='N' THEN vq END) + 1e-9*(SELECT m FROM mv) AS n_vq,
+        |   max(CASE WHEN cls='N' THEN mp END) AS n_mp, max(CASE WHEN cls='N' THEN vp END) + 1e-9*(SELECT m FROM mv) AS n_vp,
+        |   max(CASE WHEN cls='N' THEN n END) / (SELECT t FROM tot) AS n_pr,
+        |   max(CASE WHEN cls='R' THEN mq END) AS r_mq, max(CASE WHEN cls='R' THEN vq END) + 1e-9*(SELECT m FROM mv) AS r_vq,
+        |   max(CASE WHEN cls='R' THEN mp END) AS r_mp, max(CASE WHEN cls='R' THEN vp END) + 1e-9*(SELECT m FROM mv) AS r_vp,
+        |   max(CASE WHEN cls='R' THEN n END) / (SELECT t FROM tot) AS r_pr
+        | FROM s),
+        | j AS (SELECT l_orderkey, l_linenumber,
+        |   ln(a_pr) - 0.5*ln(2*pi()*a_vq) - (l_quantity-a_mq)*(l_quantity-a_mq)/(2*a_vq)
+        |           - 0.5*ln(2*pi()*a_vp) - (l_extendedprice-a_mp)*(l_extendedprice-a_mp)/(2*a_vp) AS jll_a,
+        |   ln(n_pr) - 0.5*ln(2*pi()*n_vq) - (l_quantity-n_mq)*(l_quantity-n_mq)/(2*n_vq)
+        |           - 0.5*ln(2*pi()*n_vp) - (l_extendedprice-n_mp)*(l_extendedprice-n_mp)/(2*n_vp) AS jll_n,
+        |   ln(r_pr) - 0.5*ln(2*pi()*r_vq) - (l_quantity-r_mq)*(l_quantity-r_mq)/(2*r_vq)
+        |           - 0.5*ln(2*pi()*r_vp) - (l_extendedprice-r_mp)*(l_extendedprice-r_mp)/(2*r_vp) AS jll_r
+        | FROM lineitem, w),
+        | e AS (SELECT l_orderkey, l_linenumber,
+        |   exp(jll_a - greatest(jll_a, jll_n, jll_r)) AS ea,
+        |   exp(jll_n - greatest(jll_a, jll_n, jll_r)) AS en,
+        |   exp(jll_r - greatest(jll_a, jll_n, jll_r)) AS er
+        | FROM j)
+        |SELECT l_orderkey, l_linenumber,
+        | round(ea / (ea + en + er), 6) AS proba_a,
+        | round(en / (ea + en + er), 6) AS proba_n,
+        | round(er / (ea + en + er), 6) AS proba_r
+        |FROM e ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_gnb_predict" ->
       """WITH s AS (SELECT l_returnflag AS cls, count(*) AS n,
         |   avg(l_quantity) AS mq, var_pop(l_quantity) AS vq,

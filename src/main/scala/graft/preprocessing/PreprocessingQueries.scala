@@ -129,6 +129,19 @@ object PreprocessingQueries extends QueryPack {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Pipeline: each stage fitted on the PREVIOUS stage's output —
+    // minmax of the standard-scaled column, both fits reproduced in SQL.
+    "q_pipeline" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val pipe = new graft.compose.Pipeline(Seq(
+        "std" -> new StandardScaler(Seq("l_quantity")),
+        "mm" -> new MinMaxScaler(Seq("l_quantity"))))
+      pipe.fit(li).transform(li)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 6).as("scaled"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "q_scaler_inverse_roundtrip" -> ((s, dir) => {
       val cols = Seq("l_quantity", "l_extendedprice")
       val li = Tables.lineitem(s, dir)
@@ -237,6 +250,15 @@ object PreprocessingQueries extends QueryPack {
         |SELECT l_orderkey, l_linenumber,
         | round(0.5 * (fwd + (1.0 - bwdi)), 6) AS q_uniform
         |FROM g ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_pipeline" ->
+      """WITH s AS (SELECT avg(l_quantity) AS m, stddev_pop(l_quantity) AS sd
+        |  FROM lineitem),
+        |z AS (SELECT l_orderkey, l_linenumber, (l_quantity - m)/sd AS z
+        |  FROM lineitem, s),
+        |mm AS (SELECT min(z) AS zmin, max(z) AS zmax FROM z)
+        |SELECT l_orderkey, l_linenumber,
+        | round((z - zmin)/(zmax - zmin), 6) AS scaled
+        |FROM z, mm ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_scaler_inverse_roundtrip" ->
       """SELECT l_orderkey, l_linenumber,
         | round(l_quantity, 6) AS qty_rt,
