@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.wrappers.LocalSGD
+
+/** True Structured-Streaming runs (MemoryStream source → micro-batches),
+  * not just the batch execution path of the same plans.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(h: Int, m: Int) =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("windowedAggregate: watermarked tumbling windows over a live stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = StreamingAdapter.windowedAggregate(
+      input.toDF.toDF("ts", "value"), "ts", "value", "1 hour", "10 minutes")
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("win_test").start()
+    try {
+      input.addData((ts(1, 5), 1.0), (ts(1, 20), 2.0), (ts(2, 10), 5.0))
+      q.processAllAvailable()
+      // late event far past the watermark (= max event time − 10 min):
+      // its 00:00 window must be dropped, not created
+      input.addData((ts(0, 30), 100.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_test")
+        .groupBy("window_start")
+        .agg(max("n_events").as("n"), max("sum_value").as("s"))
+        .collect()
+        .map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(rows("2024-01-01 01:00:00.0") == ((2L, 3.0)))
+      assert(rows("2024-01-01 02:00:00.0") == ((1L, 5.0)))
+      assert(!rows.contains("2024-01-01 00:00:00.0"),
+        "late row past the watermark must be dropped")
+    } finally q.stop()
+  }
+
+  test("OnlineLearnerSink.attach learns from a real stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Double, Double)]
+    val sink = new OnlineLearnerSink(new LocalSGD("squared", 0.05), Seq("x"), "y")
+    val q = sink.attach(input.toDF.toDF("x", "y")).start()
+    try {
+      val rnd = new scala.util.Random(4)
+      (0 until 5).foreach { _ =>
+        input.addData((1 to 200).map { _ =>
+          val x = rnd.nextDouble() * 2; (x, 3 * x + 1)
+        })
+        q.processAllAvailable()
+      }
+      assert(sink.state.seen == 1000)
+      assert(math.abs(sink.model.predict(Array(1.0)) - 4.0) < 0.3)
+    } finally q.stop()
+  }
+}
