@@ -57,6 +57,18 @@ object Pairwise {
       gamma: Double, coef0: Double): Column =
     tanh(dotExpr(featureCols, y) * lit(gamma) + lit(coef0))
 
+  /** L1 (cityblock) distance — pairwise_distances(metric="manhattan"). */
+  def manhattanExpr(featureCols: Seq[String], y: Array[Double]): Column =
+    featureCols.zipWithIndex.map { case (c, i) => abs(col(c) - lit(y(i))) }
+      .reduce(_ + _)
+
+  /** Cosine DISTANCE 1 − x·y/(‖x‖‖y‖) — pairwise_distances(metric="cosine"). */
+  def cosineDistanceExpr(featureCols: Seq[String], y: Array[Double]): Column = {
+    val xNorm = sqrt(featureCols.map(c => col(c) * col(c)).reduce(_ + _))
+    val yNorm = math.sqrt(y.map(v => v * v).sum)
+    lit(1.0) - dotExpr(featureCols, y) / (xNorm * lit(yNorm))
+  }
+
   // ---- public DataFrame operators ----
 
   /** pairwise.py:50-70 euclidean_distances: one `dist_j` column per Y
@@ -93,8 +105,11 @@ object Pairwise {
       case "polynomial" | "poly" => polynomialExpr(featureCols, _, degree, gamma, coef0)
       case "sigmoid" => sigmoidExpr(featureCols, _, gamma, coef0)
       case "euclidean" => euclideanExpr(featureCols, _)
+      case "manhattan" | "cityblock" => manhattanExpr(featureCols, _)
+      case "cosine" => cosineDistanceExpr(featureCols, _)
       case other => throw new IllegalArgumentException(
-        s"unknown pairwise metric $other; known: rbf, linear, polynomial, sigmoid, euclidean")
+        s"unknown pairwise metric $other; known: rbf, linear, polynomial, " +
+          "sigmoid, euclidean, manhattan, cosine")
     }
     y.zipWithIndex.foldLeft(df) { case (d, (yr, j)) =>
       d.withColumn(s"$prefix$j", mk(yr))

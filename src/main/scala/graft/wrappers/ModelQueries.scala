@@ -121,13 +121,19 @@ object ModelQueries extends QueryPack {
       val withPoly = Pairwise.pairwiseKernels(withRbf, feat,
         Array(yBlock(0)), metric = "polynomial", gamma = 0.1, degree = 2,
         coef0 = 1.0, prefix = "poly_")
-      val all = Pairwise.pairwiseKernels(withPoly, feat,
+      val withSig = Pairwise.pairwiseKernels(withPoly, feat,
         Array(yBlock(0)), metric = "sigmoid", gamma = 0.01, coef0 = -1.0,
         prefix = "sig_")
+      val withMan = Pairwise.pairwiseKernels(withSig, feat,
+        Array(yBlock(0)), metric = "manhattan", prefix = "man_")
+      val all = Pairwise.pairwiseKernels(withMan, feat,
+        Array(yBlock(0)), metric = "cosine", prefix = "cos_")
       keyed(all.select(col("l_orderkey"), col("l_linenumber"),
         round(col("rbf_0"), 6).as("k_rbf"),
         round(col("poly_0"), 6).as("k_poly"),
-        round(col("sig_0"), 6).as("k_sig")))
+        round(col("sig_0"), 6).as("k_sig"),
+        round(col("man_0"), 6).as("k_man"),
+        round(col("cos_0"), 6).as("k_cos")))
     }),
 
     // Incremental(OnlineOLS): sequential partial_fit over shuffled
@@ -218,7 +224,7 @@ object ModelQueries extends QueryPack {
         | round(sqrt(least(d0, d1)), 6) AS min_dist
         |FROM d ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_pairwise_kernels" ->
-      """WITH b AS (SELECT l_orderkey, l_linenumber,
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
         |  (l_quantity-10.0)*(l_quantity-10.0)
         |    + (l_discount-0.02)*(l_discount-0.02) AS sqd,
         |  (l_quantity*10.0) + (l_discount*0.02) AS dot
@@ -227,7 +233,10 @@ object ModelQueries extends QueryPack {
         | round(exp(sqd * -0.01), 6) AS k_rbf,
         | round(pow(dot * 0.1 + 1.0, 2), 6) AS k_poly,
         | round((exp(2*(dot * 0.01 + (-1.0))) - 1)
-        |   / (exp(2*(dot * 0.01 + (-1.0))) + 1), 6) AS k_sig
+        |   / (exp(2*(dot * 0.01 + (-1.0))) + 1), 6) AS k_sig,
+        | round(abs(l_quantity - 10.0) + abs(l_discount - 0.02), 6) AS k_man,
+        | round(1.0 - dot / (sqrt(l_quantity*l_quantity + l_discount*l_discount)
+        |   * sqrt(10.0*10.0 + 0.02*0.02)), 6) AS k_cos
         |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_incremental_ols" ->
       """SELECT round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
