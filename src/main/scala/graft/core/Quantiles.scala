@@ -97,7 +97,8 @@ object Quantiles {
     columns.zipWithIndex.map { case (c, i) =>
       val n = counts(i)
       if (n == 0) { c -> probs.map(_ => Double.NaN).toArray }
-      else if (n == 1 || widths(i) <= 0 || mins(i) == maxs(i)) {
+      else if (n == 1 || !(widths(i) > 0) || mins(i) == maxs(i)) {
+        // !(w > 0) also catches the NaN width of an all-NaN column
         c -> probs.map(_ => mins(i)).toArray
       } else {
         val ranks = probs.flatMap { p =>

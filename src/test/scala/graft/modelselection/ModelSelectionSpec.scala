@@ -230,4 +230,45 @@ class ModelSelectionSpec extends SparkSpec {
     assert(cands.size == 3)
     assert(cands.count(_.contains("b")) == 1)
   }
+
+  test("refit=true trains best_model on the FULL data") {
+    val df = orders.withColumn("x", col("o_totalprice") / 1000)
+      .withColumn("y", col("o_totalprice") / 500 + lit(3.0))
+    val search = new GridSearchCV[graft.linear.LinearRegressionModel](
+      params => new LinearRegression(Seq("x"), "y",
+        c = params("c").asInstanceOf[Double]),
+      Map("c" -> Seq(1e6, 1e-6)),
+      (m, test) => Metrics.r2Score(m.transform(test), "y", "prediction"),
+      cv = 3, parallelism = 2, refit = true)
+    val res = search.fit(df)
+    // exact linear law -> refit model recovers slope 2 and intercept 3
+    assert(res.bestModel.coef(0) ~== (2.0, 1e-6))
+    assert(res.bestModel.intercept ~== (3.0, 1e-4))
+  }
+
+  test("RandomizedSearchCV dedups repeated sampled candidates via the memo") {
+    val df = orders.withColumn("x", col("o_totalprice") / 1000)
+      .withColumn("y", col("o_totalprice") / 500)
+    var fits = 0
+    val search = new RandomizedSearchCV[graft.linear.LinearRegressionModel](
+      params => { fits.synchronized { fits += 1 }
+        new LinearRegression(Seq("x"), "y", c = params("c").asInstanceOf[Double]) },
+      Map("c" -> Seq(1e6, 1.0)), // 2 distinct values, 8 draws -> dups certain
+      (m, test) => Metrics.r2Score(m.transform(test), "y", "prediction"),
+      nIter = 8, cv = 2, parallelism = 2, seed = 5)
+    search.fit(df)
+    // distinct (candidate, fold) fits  <=  2 values x 2 folds, + 1 refit
+    assert(fits <= 5, s"memo failed: $fits estimator constructions that fit")
+  }
+
+  test("search works over a StratifiedKFoldCV strategy end-to-end") {
+    val df = orders.withColumn("x", col("o_totalprice") / 1000)
+      .withColumn("y", col("o_totalprice") / 500 + lit(1.0))
+    val folds = StratifiedKFoldCV(3, "o_orderstatus", "o_orderkey").split(df)
+    val scores = folds.map { case (tr, te) =>
+      val m = new LinearRegression(Seq("x"), "y").fit(tr)
+      Metrics.r2Score(m.transform(te), "y", "prediction")
+    }
+    assert(scores.forall(_ > 0.999999))
+  }
 }
