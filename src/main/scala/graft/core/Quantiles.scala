@@ -126,12 +126,17 @@ object Quantiles {
         val binExpr = least(greatest(
           floor((col("v") - lit(mn)) / lit(w)), lit(0.0)),
           lit((nBins - 1).toDouble)).cast("int")
-        val fetched = data.select(col(c).cast("double").as("v"))
+        val maxFetch = 2000000 // driver guard: ~50 MB of (bin, v, cnt)
+        val fetchedRows = data.select(col(c).cast("double").as("v"))
           .na.drop()
           .withColumn("__bin", binExpr)
           .filter(col("__bin").isInCollection(needed))
           .groupBy("__bin", "v").agg(count(lit(1)).as("cnt"))
-          .collect()
+          .limit(maxFetch + 1).collect()
+        require(fetchedRows.length <= maxFetch,
+          s"column $c: needed histogram bins hold > $maxFetch distinct values; " +
+            "raise nBins or use the approximate fit")
+        val fetched = fetchedRows
           .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
           .groupBy(_._1)
           .map { case (b, vs) => b -> vs.map(t => (t._2, t._3)).sortBy(_._1) }

@@ -25,9 +25,13 @@ class GaussianNB(
   def fit(df: DataFrame): GaussianNBModel = {
     val aggs: Seq[Column] = count(lit(1)).as("n") +:
       featureCols.flatMap(c => Seq(avg(col(c)).as(s"mean_$c"), var_pop(col(c)).as(s"var_$c")))
+    // class-cardinality guard: a continuous label would otherwise
+    // collect one row per distinct value to the driver
     val rows = df.groupBy(col(labelCol).cast("string").as("cls"))
       .agg(aggs.head, aggs.tail: _*)
-      .orderBy("cls").collect()
+      .orderBy("cls").take(10001)
+    require(rows.length <= 10000,
+      s"$labelCol has more than 10000 distinct classes; GaussianNB needs a categorical label")
     val classes = rows.map(_.getString(0))
     val counts = rows.map(_.getLong(1))
     val total = counts.sum.toDouble
