@@ -52,20 +52,25 @@ class QuantileTransformerModel(
       val refs = references
       val n = qs.length
       // the descending-side knot arrays are per-MODEL state, hoisted out
-      // of the per-row path (allocating them per row dominated the cost)
+      // of the per-row path
       val negQs = Array.tabulate(n)(j => -qs(n - 1 - j))
       val revYs = Array.tabulate(n)(j => 1.0 - refs(n - 1 - j))
-      val normal = outputDistribution == "normal"
-      // primitive Double=>Double, so the per-row path never boxes
-      val f = udf { (x: Double) =>
-        val fwd = interp(x, qs, refs)
-        val bwd = 1.0 - interp(-x, negQs, revYs)
-        val u = 0.5 * (fwd + bwd)
-        if (normal) normalPpf(math.min(math.max(u, 1e-7), 1 - 1e-7)) else u
-      }
+      // two-sided np.interp as native codegen expressions
+      // (graft.functions.Interp1D) — the whole transform stays one
+      // WholeStageCodegen span, no UDF boundary
+      val x = col(c).cast("double")
+      val fwd = graft.functions.Interp1D(x, qs, refs)
+      val bwd = lit(1.0) - graft.functions.Interp1D(-x, negQs, revYs)
+      val u = lit(0.5) * (fwd + bwd)
+      val out =
+        if (outputDistribution == "normal") {
+          // PPF tail stays a primitive UDF (rational approximation)
+          val ppf = udf { (v: Double) =>
+            normalPpf(math.min(math.max(v, 1e-7), 1 - 1e-7)) }
+          ppf(u)
+        } else u
       d.withColumn(c,
-        when(col(c).isNull, lit(null).cast("double"))
-          .otherwise(f(col(c).cast("double"))))
+        when(col(c).isNull, lit(null).cast("double")).otherwise(out))
     }
 }
 
