@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** dot(a,b) with both float arrays upcast to double (exact). */
+  /** dot(a,b) with float/double elements upcast to double — a native
+    * codegen expression (graft.functions.VecDot); bit-identical to the
+    * `aggregate(zip_with(...))` HOF form it replaced, but fused into
+    * WholeStageCodegen instead of interpreting lambdas per element.
+    */
   def dotExpr(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VecDot(a, b)
 
   def normExpr(a: Column): Column = sqrt(dotExpr(a, a))
 
