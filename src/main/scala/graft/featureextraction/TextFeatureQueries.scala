@@ -78,6 +78,17 @@ object TextFeatureQueries extends QueryPack {
         .groupBy("label").agg(count(lit(1)).as("n")).orderBy("label")
     }),
 
+    // Session windows per user (gap-based merge; batch path of the
+    // streaming plan) — oracle = lag/cumsum islands.
+    "q_events_session" -> ((s, dir) => {
+      StreamingAdapter.sessionAggregate(Tables.events(s, dir), "ts", "value",
+        "user_id", "5 minutes")
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // Tumbling event-time window (the streaming aggregation shape, batch
     // execution path of the same plan).
     "q_events_tumbling_window" -> ((s, dir) => {
@@ -91,6 +102,20 @@ object TextFeatureQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_events_session" ->
+      """WITH l AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |            >= INTERVAL 5 MINUTE
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM l)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_block_transformer" ->
       """SELECT l_orderkey, l_linenumber,
         | round(ln(1 + l_extendedprice), 6) AS log_price

@@ -32,6 +32,23 @@ object StreamingAdapter {
         avg(col(valueCol)).as("avg_value"))
       .select(col("window.start").as("window_start"),
         col("n_events"), col("sum_value"), col("avg_value"))
+
+  /** Per-key SESSION windows (gap-based): consecutive events of a key
+    * merge while their spacing stays under `gap`. Runs streaming (with
+    * the watermark bounding session state) or batch — where it matches
+    * the classic lag/cumsum islands computation, which the DuckDB
+    * oracle replays.
+    */
+  def sessionAggregate(stream: DataFrame, tsCol: String, valueCol: String,
+      keyCol: String, gap: String = "5 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("sum_value"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
 }
 
 /** Mutable holder driving an [[OnlineEstimator]] from a stream via

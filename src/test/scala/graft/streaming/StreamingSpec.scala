@@ -62,4 +62,24 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(sink.model.predict(Array(1.0)) - 4.0) < 0.3)
     } finally q.stop()
   }
+
+  test("sessionAggregate merges gap-bounded sessions on a live stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamingAdapter.sessionAggregate(
+      input.toDF.toDF("ts", "user", "value"), "ts", "value", "user", "5 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_test").start()
+    try {
+      // u1: two events 3 min apart (one session), then one 20 min later
+      input.addData((ts(1, 0), "u1", 1.0), (ts(1, 3), "u1", 2.0),
+        (ts(1, 23), "u1", 4.0), (ts(1, 1), "u2", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_test")
+        .select("user", "n_events", "sum_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("u1", 2L, 3.0), ("u1", 1L, 4.0), ("u2", 1L, 8.0)))
+    } finally q.stop()
+  }
 }
