@@ -78,6 +78,15 @@ object TextFeatureQueries extends QueryPack {
         .groupBy("label").agg(count(lit(1)).as("n")).orderBy("label")
     }),
 
+    // Sliding 1h/30min windows: every event in exactly two windows.
+    "q_events_sliding_window" -> ((s, dir) => {
+      StreamingAdapter.slidingWindowAggregate(Tables.events(s, dir), "ts",
+        "value", "1 hour", "30 minutes")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("window_start"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("window_start")
+    }),
+
     // Session windows per user (gap-based merge; batch path of the
     // streaming plan) — oracle = lag/cumsum islands.
     "q_events_session" -> ((s, dir) => {
@@ -102,6 +111,14 @@ object TextFeatureQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_events_sliding_window" ->
+      """WITH w AS (SELECT value, unnest([
+        |    to_timestamp(floor(epoch(ts) / 1800) * 1800),
+        |    to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)]) AS ws
+        |  FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+        | count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM w GROUP BY ws ORDER BY window_start""".stripMargin,
     "q_events_session" ->
       """WITH l AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -33,6 +33,20 @@ object StreamingAdapter {
       .select(col("window.start").as("window_start"),
         col("n_events"), col("sum_value"), col("avg_value"))
 
+  /** SLIDING event-time windows: each event lands in
+    * windowDuration/slide overlapping windows.
+    */
+  def slidingWindowAggregate(stream: DataFrame, tsCol: String, valueCol: String,
+      windowDuration: String = "1 hour", slide: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration, slide))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("sum_value"))
+
   /** Per-key SESSION windows (gap-based): consecutive events of a key
     * merge while their spacing stays under `gap`. Runs streaming (with
     * the watermark bounding session state) or batch — where it matches
