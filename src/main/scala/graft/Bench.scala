@@ -39,13 +39,27 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> materialize(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    // full per-query breakdown goes to a FILE (and stderr): with 80+
+    // queries the dict is ~2.5 KB, larger than the driver's stdout tail
+    // window — r2's metric line got its head truncated and failed to
+    // parse. stdout carries ONE short line: the total plus the slowest
+    // 15 queries, always inside the window.
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      try w.println(fullJson) finally w.close()
+    } catch { case _: Throwable => () }
+    System.err.println(fullJson)
+    val slowest = results.sortBy(-_._2).take(15)
     // stop FIRST so nothing else can write to stdout after the metric
     // line — the driver parses the tail of stdout as JSON
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(slowest)},"n_queries":${results.size},"queries_file":"BENCH_FULL.json","sf":"$sfDir"}""")
     System.out.flush()
   }
 }

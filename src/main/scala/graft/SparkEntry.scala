@@ -19,6 +19,7 @@ object SparkEntry {
     graft.metrics.MetricsQueries,
     graft.llmdata.LlmDataQueries,
     graft.cluster.EstimatorQueries,
+    graft.modelselection.AdaptiveSearchQueries,
     graft.featureextraction.TextFeatureQueries,
     graft.wrappers.ModelQueries
   )

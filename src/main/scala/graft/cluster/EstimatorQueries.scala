@@ -32,6 +32,28 @@ object EstimatorQueries extends QueryPack {
           round(col("c_l_extendedprice"), 6).as("c_price"))
         .orderBy("cluster")),
 
+    // TWO chained Lloyd iterations from literal init centers — the
+    // k-means convergence loop itself (cluster/k_means.py:595-619),
+    // exactly gated: step-1 centers are rounded to 6 dp before feeding
+    // step 2 (on both engines), so the handoff is bit-stable and any
+    // assignment drift in the loop would flip counts. The 3-row center
+    // collect is the same bounded driver fetch every Lloyd round makes.
+    "q_kmeans_two_steps" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val feats = Seq("l_quantity", "l_extendedprice")
+      def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val step1 = KMeansModel.lloydStep(li, feats, fixedCenters)
+        .orderBy("cluster").collect()
+      val centers1 = step1.map(r => Array(
+        r6(r.getDouble(r.fieldIndex("c_l_quantity"))),
+        r6(r.getDouble(r.fieldIndex("c_l_extendedprice")))))
+      KMeansModel.lloydStep(li, feats, centers1)
+        .select(col("cluster"), col("n"),
+          round(col("c_l_quantity"), 6).as("c_qty"),
+          round(col("c_l_extendedprice"), 6).as("c_price"))
+        .orderBy("cluster")
+    }),
+
     // Full MLlib k-means|| fit: iterative, seed-dependent → rows-only.
     // Output: sorted cluster sizes + inertia (stable shape).
     "q_kmeans_fit" -> ((s, dir) => {
@@ -216,6 +238,34 @@ object EstimatorQueries extends QueryPack {
          | round(avg(l_quantity), 6) AS c_qty,
          | round(avg(l_extendedprice), 6) AS c_price
          |FROM lineitem GROUP BY 1 ORDER BY cluster""".stripMargin
+    },
+    "q_kmeans_two_steps" -> {
+      def dist(c: Array[Double]) =
+        s"(l_quantity-(${c(0)}))*(l_quantity-(${c(0)})) + (l_extendedprice-(${c(1)}))*(l_extendedprice-(${c(1)}))"
+      val d0 = dist(fixedCenters(0)); val d1 = dist(fixedCenters(1)); val d2 = dist(fixedCenters(2))
+      s"""WITH a1 AS (SELECT l_quantity, l_extendedprice,
+         |  CASE WHEN $d0 <= $d1 AND $d0 <= $d2 THEN 0
+         |       WHEN $d1 <= $d2 THEN 1 ELSE 2 END AS c FROM lineitem),
+         |c1 AS (SELECT c, round(avg(l_quantity), 6) AS q,
+         |         round(avg(l_extendedprice), 6) AS p FROM a1 GROUP BY c),
+         |cc AS (SELECT
+         |  max(CASE WHEN c=0 THEN q END) AS q0, max(CASE WHEN c=0 THEN p END) AS p0,
+         |  max(CASE WHEN c=1 THEN q END) AS q1, max(CASE WHEN c=1 THEN p END) AS p1,
+         |  max(CASE WHEN c=2 THEN q END) AS q2, max(CASE WHEN c=2 THEN p END) AS p2
+         | FROM c1),
+         |a2 AS (SELECT l_quantity, l_extendedprice,
+         |  CASE WHEN (l_quantity-q0)*(l_quantity-q0) + (l_extendedprice-p0)*(l_extendedprice-p0)
+         |         <= (l_quantity-q1)*(l_quantity-q1) + (l_extendedprice-p1)*(l_extendedprice-p1)
+         |        AND (l_quantity-q0)*(l_quantity-q0) + (l_extendedprice-p0)*(l_extendedprice-p0)
+         |         <= (l_quantity-q2)*(l_quantity-q2) + (l_extendedprice-p2)*(l_extendedprice-p2) THEN 0
+         |       WHEN (l_quantity-q1)*(l_quantity-q1) + (l_extendedprice-p1)*(l_extendedprice-p1)
+         |         <= (l_quantity-q2)*(l_quantity-q2) + (l_extendedprice-p2)*(l_extendedprice-p2) THEN 1
+         |       ELSE 2 END AS cluster
+         | FROM lineitem, cc)
+         |SELECT cluster, count(*) AS n,
+         | round(avg(l_quantity), 6) AS c_qty,
+         | round(avg(l_extendedprice), 6) AS c_price
+         |FROM a2 GROUP BY 1 ORDER BY cluster""".stripMargin
     },
     "q_linreg_fit" ->
       """SELECT round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,

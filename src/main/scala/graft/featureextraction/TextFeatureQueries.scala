@@ -71,6 +71,50 @@ object TextFeatureQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // make_regression invariant oracle: with noise=0 the target is an
+    // EXACT linear function of the informative features, so a full OLS
+    // refit must recover r2 = 1 and exactly-zero coefficients on the
+    // uninformative features — deterministic regardless of the RNG.
+    "q_make_regression" -> ((s, dir) => {
+      val df = Datasets.makeRegression(s, nSamples = 6000, nFeatures = 5,
+        nInformative = 3, noise = 0.0, bias = 1.5, seed = 11, nPartitions = 8)
+      val m = new graft.linear.LinearRegression(
+        (0 until 5).map(i => s"x$i"), "y").fit(df)
+      import s.implicits._
+      def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      Seq((df.count(), 5, r6(m.score(df)), r6(m.coef(3)), r6(m.coef(4))))
+        .toDF("n_rows", "n_features", "r2", "c3", "c4")
+    }),
+
+    // make_classification invariant oracle: with flipY=0 every label is
+    // exactly 1[x·w > 0] for the seed-derived weight vector (the
+    // documented generator contract) — recomputing the margin from the
+    // stored features finds zero inconsistent rows, and both classes
+    // occur.
+    "q_make_classification" -> ((s, dir) => {
+      val seed = 17L
+      val df = Datasets.makeClassification(s, nSamples = 6000, nFeatures = 5,
+        flipY = 0.0, seed = seed, nPartitions = 8)
+      val wRnd = new scala.util.Random(seed)
+      val w = Array.fill(5)(wRnd.nextGaussian())
+      val margin = (0 until 5).map(i => col(s"x$i") * lit(w(i))).reduce(_ + _)
+      val expected = when(margin > 0, 1.0).otherwise(0.0)
+      df.agg(count(lit(1)).as("n_rows"),
+        sum(when(col("label") =!= expected, 1L).otherwise(0L)).as("n_inconsistent"),
+        (max(when(col("label") === 1.0, 1).otherwise(0)) +
+          max(when(col("label") === 0.0, 1).otherwise(0))).as("n_classes"))
+    }),
+
+    // FeatureHasher: murmur3 bucket layout is JVM-side → rows-only
+    // (nnz/shape per doc).
+    "q_feature_hasher" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val out = new FeatureHasher(Seq("text"), nFeatures = 1 << 12).transform(docs)
+      val nnz = udf { v: org.apache.spark.ml.linalg.Vector => v.numNonzeros }
+      out.select(col("doc_id"), nnz(col("features")).as("nnz"),
+        lit(1 << 12).as("n_features")).orderBy("doc_id")
+    }),
+
     // Synthetic generators: JVM RNG → rows-only (shape + label balance).
     "q_make_blobs" -> ((s, dir) => {
       Datasets.makeBlobs(s, nSamples = 6000, nFeatures = 3, centers = 4,
@@ -140,6 +184,13 @@ object TextFeatureQueries extends QueryPack {
     "q_make_blobs" ->
       """SELECT CAST(i % 4 AS INT) AS label, count(*) AS n
         |FROM range(0, 6000) t(i) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_make_regression" ->
+      """SELECT CAST(6000 AS BIGINT) AS n_rows, CAST(5 AS INT) AS n_features,
+        | CAST(1.0 AS DOUBLE) AS r2, CAST(0.0 AS DOUBLE) AS c3,
+        | CAST(0.0 AS DOUBLE) AS c4""".stripMargin,
+    "q_make_classification" ->
+      """SELECT CAST(6000 AS BIGINT) AS n_rows,
+        | CAST(0 AS BIGINT) AS n_inconsistent, CAST(2 AS INT) AS n_classes""".stripMargin,
     "q_multimodal_features" ->
       """SELECT doc_id,
         | CAST(1 + (ord(text[1:1]) % 64) AS INT) AS width,

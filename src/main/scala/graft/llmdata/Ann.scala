@@ -127,10 +127,12 @@ object Ann {
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int, dim: Int, seed: Int = 42,
       maxBucketSize: Int = 10000): DataFrame = {
-    val b = randomHyperplaneBuckets(df, vecCol, nPlanes, dim, seed)
-      .withColumn("__n", normExpr(col(vecCol)))
-      .withColumn("__bs", count(lit(1)).over(Window.partitionBy("bucket")))
-      .filter(col("__bs") <= maxBucketSize).drop("__bs")
+    // aggregate+broadcast-anti-join cap (see Dedup.dropOversized): never
+    // concentrates a hot bucket on one task just to discard it
+    val b = Dedup.dropOversized(
+      randomHyperplaneBuckets(df, vecCol, nPlanes, dim, seed)
+        .withColumn("__n", normExpr(col(vecCol))),
+      Seq("bucket"), maxBucketSize)
     val a = b.select(col("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("va"), col("__n").as("na"))
     val c = b.select(col("bucket"), col(idCol).as("id_b"),

@@ -1,7 +1,6 @@
 package graft.llmdata
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines: exact,
@@ -23,6 +22,28 @@ import org.apache.spark.sql.functions._
   * over lexicographic md5 hex strings is a valid min-wise permutation.
   */
 object Dedup {
+
+  /** Drop rows whose key-group exceeds `cap`, WITHOUT concentrating the
+    * hot group on a single task first. A `count().over(Window.partitionBy
+    * (keys))` would shuffle every row of a degenerate bucket onto ONE
+    * task just to count-and-discard it — at 100 TB a boilerplate bucket
+    * holding 5% of the corpus becomes a single-task straggler that
+    * reads, spills, and throws away terabytes. Instead:
+    * `groupBy(keys).count` (partial map-side aggregation is skew-safe —
+    * every task pre-counts its own slice, only (key, partialCount) rows
+    * shuffle) → the oversized-key set is tiny by construction (≤
+    * nRows/cap keys) → broadcast it into a left-anti join, a map-only
+    * filter on the original frame. No row of a hot bucket ever
+    * co-locates.
+    */
+  private[llmdata] def dropOversized(df: DataFrame, keys: Seq[String],
+      cap: Int): DataFrame = {
+    val oversized = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bs"))
+      .filter(col("__bs") > cap)
+      .select(keys.map(col): _*)
+    df.join(broadcast(oversized), keys, "left_anti")
+  }
 
   /** Exact duplicate groups: one representative (min id) per distinct
     * value of `cols`, with the group size.
@@ -56,51 +77,115 @@ object Dedup {
   def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
     rawShingles(df, textCol, idCol, n).distinct()
 
-  /** MinHash signature per document: k independent min-hashes
-    * min(md5(seed‖shingle)).
+  /** MessageDigest is not thread-safe and costs ~1µs to allocate;
+    * one per executor thread, reset implicitly by each digest() call.
+    */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Multiply-add mixing constants for the cheap minhash family,
+    * derived deterministically from the seed index via splitmix64
+    * (Steele/Lea/Flood, OOPSLA'14 — the standard seeding mix).
+    * Multipliers are forced odd so each mix is a bijection on Z_2^64.
+    */
+  private[llmdata] def mixConstants(k: Int): (Array[Long], Array[Long]) = {
+    def splitmix(x0: Long): Long = {
+      var z = x0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (Array.tabulate(k)(i => splitmix(2L * i) | 1L),
+      Array.tabulate(k)(i => splitmix(2L * i + 1)))
+  }
+
+  /** MinHash signature per document: k independent min-hashes.
     *
-    * Computed ENTIRELY map-side: the shingle array never leaves its row
-    * (`array_min(transform(shingles, md5))` per seed), so the signature
-    * pass is shuffle-FREE — where an explode+groupBy design shuffles the
-    * full shingle stream, this fuses into the scan. min over the raw
-    * shingle multiset equals min over the shingle set, so no distinct
-    * is needed either.
+    * Computed ENTIRELY map-side in one tight JVM loop per row, so the
+    * signature pass is shuffle-FREE — where an explode+groupBy design
+    * shuffles the full shingle stream, this fuses into the scan. min
+    * over the raw shingle multiset equals min over the shingle set, so
+    * no distinct is needed either.
+    *
+    * Two hash families:
+    *  - DEFAULT (`oracleCompatible = false`): each shingle is hashed
+    *    ONCE (md5 → first 8 bytes as u64), then the k per-seed values
+    *    are cheap multiply-add mixes `h_i = a_i·h + b_i (mod 2^64)`
+    *    with unsigned-min selection — the standard universal-hashing
+    *    construction (Carter–Wegman; MMDS ch.3.3). One digest per
+    *    shingle instead of k: ~k× less hashing on the production path.
+    *  - `oracleCompatible = true`: min(md5(seed‖shingle)) over hex
+    *    strings per seed — k full digests per shingle, but every value
+    *    is bit-reproducible in an external SQL engine (DuckDB `md5()`),
+    *    which is what the correctness oracle needs.
+    * Both emit 32-hex-char (oracle) / 16-hex-char (cheap) string
+    * signature columns; downstream banding only needs equality.
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 8, shingleN: Int = 3): DataFrame = {
+      k: Int = 8, shingleN: Int = 3, oracleCompatible: Boolean = false): DataFrame = {
     val kk = k; val n = shingleN
-    // one tight JVM loop per row: k MD5 mins over the row's shingles —
-    // bit-identical to min(md5(seed‖shingle)) over hex strings (the
-    // DuckDB-reproducible hash family), ~10× faster than either an
-    // explode+groupBy (shuffles the shingle stream) or higher-order
-    // array expressions (interpreted lambdas)
-    val sig = udf { (text: String) =>
-      if (text == null) null
-      else {
-        val toks = text.split(" ")
-        if (toks.length < n) null
+    val sig =
+      if (oracleCompatible) udf { (text: String) =>
+        if (text == null) null
         else {
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val mins = Array.fill(kk)("￿")
-          var i = 0
-          while (i <= toks.length - n) {
-            val sb = new java.lang.StringBuilder(toks(i))
-            var o = 1
-            while (o < n) { sb.append(' ').append(toks(i + o)); o += 1 }
-            val shingle = sb.toString
-            var s = 0
-            while (s < kk) {
-              val bytes = md.digest((s.toString + "|" + shingle).getBytes("UTF-8"))
-              val hex = Dedup.toHex(bytes)
-              if (hex.compareTo(mins(s)) < 0) mins(s) = hex
-              s += 1
+          val toks = text.split(" ")
+          if (toks.length < n) null
+          else {
+            val md = md5Local.get()
+            val mins = Array.fill(kk)("￿")
+            var i = 0
+            while (i <= toks.length - n) {
+              val sb = new java.lang.StringBuilder(toks(i))
+              var o = 1
+              while (o < n) { sb.append(' ').append(toks(i + o)); o += 1 }
+              val shingle = sb.toString
+              var s = 0
+              while (s < kk) {
+                val bytes = md.digest((s.toString + "|" + shingle).getBytes("UTF-8"))
+                val hex = Dedup.toHex(bytes)
+                if (hex.compareTo(mins(s)) < 0) mins(s) = hex
+                s += 1
+              }
+              i += 1
             }
-            i += 1
+            mins.toSeq
           }
-          mins.toSeq
         }
       }
-    }
+      else {
+        val (as, bs) = mixConstants(kk)
+        udf { (text: String) =>
+          if (text == null) null
+          else {
+            val toks = text.split(" ")
+            if (toks.length < n) null
+            else {
+              val md = md5Local.get()
+              val mins = Array.fill(kk)(-1L) // unsigned max
+              var i = 0
+              while (i <= toks.length - n) {
+                val sb = new java.lang.StringBuilder(toks(i))
+                var o = 1
+                while (o < n) { sb.append(' ').append(toks(i + o)); o += 1 }
+                val bytes = md.digest(sb.toString.getBytes("UTF-8"))
+                var h = 0L
+                var bi = 0
+                while (bi < 8) { h = (h << 8) | (bytes(bi) & 0xffL); bi += 1 }
+                var s = 0
+                while (s < kk) {
+                  val v = as(s) * h + bs(s)
+                  if (java.lang.Long.compareUnsigned(v, mins(s)) < 0) mins(s) = v
+                  s += 1
+                }
+                i += 1
+              }
+              mins.toSeq.map(v => f"${v}%016x")
+            }
+          }
+        }
+      }
     val withSig = df.select(col(idCol), sig(col(textCol)).as("__sig"))
       .filter(col("__sig").isNotNull)
     withSig.select(col(idCol) +:
@@ -147,9 +232,7 @@ object Dedup {
     */
   def candidatePairs(bands: DataFrame, idCol: String,
       maxBucketSize: Int = 1000): DataFrame = {
-    val sized = bands.withColumn("__bs",
-      count(lit(1)).over(Window.partitionBy("band", "bh")))
-      .filter(col("__bs") <= maxBucketSize).drop("__bs")
+    val sized = dropOversized(bands, Seq("band", "bh"), maxBucketSize)
     val a = sized.select(col("band"), col("bh"), col(idCol).as("id_a"))
     val b = sized.select(col("band"), col("bh"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bh"))
@@ -183,11 +266,12 @@ object Dedup {
     */
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, k: Int = 64, rowsPerBand: Int = 4,
-      shingleN: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+      shingleN: Int = 3, maxBucketSize: Int = 1000,
+      oracleCompatible: Boolean = false): DataFrame = {
     // signature pass is SHUFFLE-FREE (map-side array_min over the
     // in-row shingle array — see minhashSignatures); only the tiny
     // signature/band frames and the candidate verification ever shuffle
-    val sigs = minhashSignatures(df, textCol, idCol, k, shingleN)
+    val sigs = minhashSignatures(df, textCol, idCol, k, shingleN, oracleCompatible)
     val cands = candidatePairs(bandHashes(sigs, idCol, k, rowsPerBand), idCol,
       maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -238,13 +322,13 @@ object Dedup {
         shiftright(col("simhash"), c * chunkBits)
           .bitwiseAND((1L << chunkBits) - 1).as("cv"))
     }
-    val banded = sh.select(col(idCol), col("simhash"),
-      explode(array(chunks: _*)).as("b"))
-      .select(col(idCol), col("simhash"), col("b.chunk").as("chunk"), col("b.cv").as("cv"))
-      // same Manku-style skew cap as candidatePairs: a hot chunk value
-      // (all-identical boilerplate) would square inside one partition
-      .withColumn("__bs", count(lit(1)).over(Window.partitionBy("chunk", "cv")))
-      .filter(col("__bs") <= maxBucketSize).drop("__bs")
+    // same Manku-style skew cap as candidatePairs: a hot chunk value
+    // (all-identical boilerplate) would square inside one partition
+    val banded = dropOversized(
+      sh.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("b"))
+        .select(col(idCol), col("simhash"),
+          col("b.chunk").as("chunk"), col("b.cv").as("cv")),
+      Seq("chunk", "cv"), maxBucketSize)
     val a = banded.select(col("chunk"), col("cv"),
       col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("chunk"), col("cv"),

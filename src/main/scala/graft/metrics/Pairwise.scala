@@ -52,10 +52,23 @@ object Pairwise {
       degree: Int, gamma: Double, coef0: Double): Column =
     pow(dotExpr(featureCols, y) * lit(gamma) + lit(coef0), degree)
 
-  /** pairwise.py:180-198 sigmoid_kernel: tanh(γ x·y + c₀). */
+  /** pairwise.py:180-198 sigmoid_kernel: tanh(γ x·y + c₀).
+    *
+    * Evaluated via the identity tanh(z) = (e^{2z}−1)/(e^{2z}+1) rather
+    * than JVM `tanh`: `exp` is correctly rounded on both the JVM and the
+    * SQL engines we verify against, so the exact float sequence is
+    * reproducible bit-for-bit across engines (JVM `tanh` and an exp-based
+    * mirror differ in the last ulp, which flips round-half-up at .5
+    * boundaries). |z| > 20 saturates to ±1 — tanh(20) is 1.0 at double
+    * precision — which also dodges exp overflow past z ≈ 354.
+    */
   def sigmoidExpr(featureCols: Seq[String], y: Array[Double],
-      gamma: Double, coef0: Double): Column =
-    tanh(dotExpr(featureCols, y) * lit(gamma) + lit(coef0))
+      gamma: Double, coef0: Double): Column = {
+    val z = dotExpr(featureCols, y) * lit(gamma) + lit(coef0)
+    val e2z = exp(z * lit(2.0))
+    when(abs(z) > lit(20.0), signum(z))
+      .otherwise((e2z - lit(1.0)) / (e2z + lit(1.0)))
+  }
 
   /** L1 (cityblock) distance — pairwise_distances(metric="manhattan"). */
   def manhattanExpr(featureCols: Seq[String], y: Array[Double]): Column =

@@ -253,10 +253,14 @@ class SuccessiveHalvingSearchCV(
       nInitial, testSize, seed = seed).fit(df)
 }
 
-/** HyperbandSearchCV (_hyperband.py:58-664): all SHA brackets run (the
-  * reference runs them concurrently via asyncio.gather; here brackets
-  * run sequentially but each bracket's models train concurrently — same
-  * total work), results merged, best model over all brackets wins.
+/** HyperbandSearchCV (_hyperband.py:58-664): all SHA brackets run
+  * CONCURRENTLY (the reference gathers them via `asyncio.gather`,
+  * _hyperband.py:425-427) — each bracket is a Future on a driver pool
+  * and tags its Spark jobs with a per-bracket scheduler pool name, so
+  * under FAIR scheduling the cluster time-shares brackets instead of
+  * head-of-line-blocking on the largest one (under the default FIFO
+  * scheduler the jobs still interleave across brackets; the tag is then
+  * inert). Results merged, best model over all brackets wins.
   */
 class HyperbandSearchCV(
     makeEstimator: Map[String, Any] => OnlineEstimator,
@@ -264,17 +268,32 @@ class HyperbandSearchCV(
     featureCols: Seq[String], labelCol: String,
     scorer: (LocalModel, Array[Array[Double]], Array[Double]) => Double,
     val maxIter: Int = 9, val eta: Double = 3.0,
-    testSize: Double = 0.15, seed: Long = 42
+    testSize: Double = 0.15, seed: Long = 42,
+    val concurrentBrackets: Boolean = true
 ) {
   def metadata: Seq[(Int, Int, Int)] = AdaptiveSearch.hyperbandMetadata(maxIter, eta)
 
   def fit(df: DataFrame): AdaptiveResult = {
     val brackets = AdaptiveSearch.hyperbandParams(maxIter, eta)
-    val results = brackets.zipWithIndex.map { case ((s, n, r), i) =>
-      new IncrementalSearchCV(makeEstimator, paramGrid, featureCols, labelCol,
+    val sc = df.sparkSession.sparkContext
+    def runBracket(bracket: ((Int, Int, Int), Int)): AdaptiveResult = {
+      val ((_, n, r), i) = bracket
+      sc.setLocalProperty("spark.scheduler.pool", s"hyperband-bracket-$i")
+      try new IncrementalSearchCV(makeEstimator, paramGrid, featureCols, labelCol,
         scorer, _ => new AdaptiveSearch.SuccessiveHalving(n, math.max(r, 1), eta),
         n, testSize, seed = seed + i).fit(df)
+      finally sc.setLocalProperty("spark.scheduler.pool", null)
     }
+    val results =
+      if (!concurrentBrackets) brackets.zipWithIndex.map(runBracket)
+      else {
+        val pool = Executors.newFixedThreadPool(brackets.size)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.sequence(brackets.zipWithIndex.map(b => Future(runBracket(b)))),
+          Duration.Inf)
+        finally pool.shutdown()
+      }
     val best = results.maxBy(_.bestScore)
     AdaptiveResult(results.flatMap(_.history), best.bestParams, best.bestScore,
       best.bestModel, results.map(_.totalPartialFits).sum)

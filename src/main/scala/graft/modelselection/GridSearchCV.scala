@@ -40,12 +40,37 @@ object ParamGrid {
   def expandMulti(grids: Seq[Map[String, Seq[Any]]]): Seq[Map[String, Any]] =
     grids.flatMap(expand)
 
-  /** Random sample of nIter full combinations (RandomizedSearchCV). */
+  /** Random sample of nIter full combinations (RandomizedSearchCV).
+    *
+    * Mirrors sklearn's ParameterSampler semantics for all-list grids:
+    * sampling is WITHOUT replacement, and when nIter meets or exceeds
+    * the number of distinct combinations the full grid is returned
+    * (sklearn warns and degrades to an exhaustive search). Without-
+    * replacement draws never waste a fit on a duplicate candidate and
+    * make small-grid searches deterministic in CONTENT (order still
+    * seed-dependent). Large virtual grids are never materialized:
+    * distinct combination indices are rejection-sampled and decoded
+    * positionally.
+    */
   def sample(grid: Map[String, Seq[Any]], nIter: Int, seed: Long): Seq[Map[String, Any]] = {
-    val rnd = new scala.util.Random(seed)
     val keys = grid.keys.toSeq.sorted
-    (0 until nIter).map { _ =>
-      keys.map(k => k -> grid(k)(rnd.nextInt(grid(k).size))).toMap
+    val sizes = keys.map(k => grid(k).size.toLong)
+    val total = sizes.foldLeft(1L)((a, b) =>
+      if (a > Long.MaxValue / math.max(b, 1)) Long.MaxValue else a * b)
+    if (total <= nIter) expand(grid)
+    else if (total <= 10000) {
+      val rnd = new scala.util.Random(seed)
+      rnd.shuffle(expand(grid)).take(nIter)
+    } else {
+      val rnd = new scala.util.Random(seed)
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+      while (seen.size < nIter) seen += math.floorMod(rnd.nextLong(), total)
+      seen.toSeq.map { ix =>
+        var rem = ix
+        keys.zip(sizes).map { case (k, sz) =>
+          val v = grid(k)((rem % sz).toInt); rem /= sz; k -> v
+        }.toMap
+      }
     }
   }
 }

@@ -27,7 +27,20 @@ object Splits {
     */
   private def indexAndCount(df: DataFrame, indexCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
-    val rdd = df.rdd
+    // the idiom runs TWO jobs over the same partitions (counts, then
+    // index). For a raw scan, re-reading is cheaper than caching; but if
+    // the plan contains a shuffle-producing operator (join/agg/window/
+    // repartition), persist so (a) the expensive upstream computes once
+    // and (b) both jobs see identical partition contents even when the
+    // upstream ordering is nondeterministic. The cached RDD is released
+    // by Spark's ContextCleaner once unreferenced.
+    val shuffled = df.queryExecution.optimizedPlan.collectFirst {
+      case p if Seq("Join", "Aggregate", "Window", "Repartition", "Sort")
+        .exists(p.nodeName.contains) => p
+    }.isDefined
+    val rdd =
+      if (shuffled) df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df.rdd
     val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
       Iterator((i, it.size))
     }.collect().sortBy(_._1).map(_._2)

@@ -32,6 +32,12 @@ object ModelQueries extends QueryPack {
     LogisticLocalModel(Array(0.08, -2.0), -1.5),
     LogisticLocalModel(Array(-0.05, 3.0), 1.0))
 
+  // three fixed linear voters for the blockwise regressor (mean vote)
+  private val regVoters = Array(
+    LinearLocalModel(Array(2.0, -3.0), 1.0),
+    LinearLocalModel(Array(1.5, 2.0), 0.5),
+    LinearLocalModel(Array(-1.0, 4.0), 2.0))
+
   // fixed pairwise Y block over (l_quantity, l_discount)
   private val yBlock = Array(Array(10.0, 0.02), Array(40.0, 0.06))
 
@@ -101,6 +107,28 @@ object ModelQueries extends QueryPack {
       keyed(m.predictProba(li(s, dir))
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("proba_1"), 6).as("proba_1")))
+    }),
+
+    // BlockwiseVotingRegressor's mean-vote path over fixed linear
+    // voters: prediction = (m1 + m2 + m3)/3, SQL-exact.
+    "q_blockwise_regressor" -> ((s, dir) => {
+      val m = new BlockwiseVotingModel(feat,
+        regVoters.map(v => v: LocalModel), voteMode = "mean")
+      keyed(m.transform(li(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("prediction"), 6).as("pred")))
+    }),
+
+    // The regressor mixin `score` (glm.py's RegressorMixin contract):
+    // r2 of a fixed-coefficient model over the full table — the exact
+    // single-pass sum-of-squares identity the Metrics module uses.
+    "q_model_score" -> ((s, dir) => {
+      val m = new graft.linear.LinearRegressionModel(feat, "l_extendedprice",
+        olsCoef, olsB)
+      val r2 = m.score(li(s, dir))
+      import s.implicits._
+      def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq(r6(r2)).toDF("r2")
     }),
 
     "q_euclidean_distances" -> ((s, dir) =>
@@ -204,6 +232,21 @@ object ModelQueries extends QueryPack {
       s"""SELECT l_orderkey, l_linenumber,
          | round((($p1) + ($p2) + ($p3)) / 3, 6) AS proba_1
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+    "q_blockwise_regressor" -> {
+      val m1 = "((1.0) + (2.0 * l_quantity) + (-3.0 * l_discount))"
+      val m2 = "((0.5) + (1.5 * l_quantity) + (2.0 * l_discount))"
+      val m3 = "((2.0) + (-1.0 * l_quantity) + (4.0 * l_discount))"
+      s"""SELECT l_orderkey, l_linenumber,
+         | round((($m1 + $m2) + $m3) / 3, 6) AS pred
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
+    "q_model_score" -> {
+      val pred = "((1.0) + (2.0 * l_quantity) + (-3.0 * l_discount))"
+      s"""SELECT round(1.0 - sum((l_extendedprice - $pred)*(l_extendedprice - $pred))
+         |  / (sum(l_extendedprice*l_extendedprice)
+         |     - pow(sum(l_extendedprice), 2)/count(*)), 6) AS r2
+         |FROM lineitem""".stripMargin
     },
     "q_euclidean_distances" ->
       """SELECT l_orderkey, l_linenumber,

@@ -51,6 +51,47 @@ class EstimatorsSpec extends SparkSpec {
     assert(normal.intercept ~== (lbfgs.intercept, 1e-3))
   }
 
+  test("every reference solver name fits (or rejects) per the glm.py contract") {
+    // newton/admm: exact for the quadratic objective
+    for (s <- Seq("newton", "admm")) {
+      val m = new LinearRegression(Seq("a", "b"), "y", solver = s).fit(reg)
+      assert(m.coef(0) ~== (2.0, 1e-8), s"solver=$s")
+      assert(m.intercept ~== (5.0, 1e-8), s"solver=$s")
+    }
+    // gradient_descent/proximal_grad: BB gradient loop on the cached Gram
+    for (s <- Seq("gradient_descent", "proximal_grad")) {
+      val m = new LinearRegression(Seq("a", "b"), "y", solver = s,
+        maxIter = 300).fit(reg)
+      assert(m.coef(0) ~== (2.0, 1e-5), s"solver=$s")
+      assert(m.coef(1) ~== (-3.0, 1e-5), s"solver=$s")
+      assert(m.intercept ~== (5.0, 1e-4), s"solver=$s")
+    }
+    // unknown names raise, exactly like glm.py:166-168
+    intercept[IllegalArgumentException] {
+      new LinearRegression(Seq("a"), "y", solver = "sgd").fit(reg)
+    }
+    intercept[IllegalArgumentException] {
+      new LogisticRegression(Seq("a"), "y", solver = "bogus").fit(reg)
+    }
+    intercept[IllegalArgumentException] {
+      new PoissonRegression(Seq("a"), "y", solver = "bogus").fit(reg)
+    }
+  }
+
+  test("logistic accepts every dask-glm solver name (same smooth optimum)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val cls = (1 to 300).map { _ =>
+      val a = rnd.nextDouble() * 4 - 2
+      (a, if (a > 0.3) 1.0 else 0.0)
+    }.toDF("a", "label").cache()
+    val base = new LogisticRegression(Seq("a"), "label").fit(cls)
+    for (s <- Seq("newton", "admm", "gradient_descent", "proximal_grad")) {
+      val m = new LogisticRegression(Seq("a"), "label", solver = s).fit(cls)
+      assert(m.coef(0) ~== (base.coef(0), 1e-6), s"solver=$s")
+    }
+  }
+
   test("ridge shrinks coefficients monotonically") {
     val free = new LinearRegression(Seq("a", "b"), "y", c = 1e9).fit(reg)
     val tight = new LinearRegression(Seq("a", "b"), "y", c = 1e-3).fit(reg)

@@ -131,6 +131,45 @@ class LlmDataSpec extends SparkSpec {
       maxBucketSize = 100).count() == 0)
   }
 
+  test("skew cap uses aggregate+anti-join, not a Window over the hot bucket") {
+    import spark.implicits._
+    // 10k identical docs: one degenerate bucket holding the entire
+    // corpus. The cap must drop it WITHOUT first co-locating all 10k
+    // rows on a single task (the old Window.partitionBy(band,bh) plan) —
+    // assert the physical plan has no Window node and the partial-agg
+    // shape (two HashAggregates) plus a broadcast anti-join instead.
+    val same = (1 to 10000).map(i => (i.toLong, "the same boilerplate text repeated again"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(same, "text", "doc_id", k = 8)
+    val bands = Dedup.bandHashes(sigs, "doc_id", 8, 2)
+    val capped = Dedup.candidatePairs(bands, "doc_id", maxBucketSize = 100)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "skew cap must not use a Window")
+    assert(plan.contains("LeftAnti"), "skew cap should anti-join the oversized keys")
+    assert(capped.count() == 0)
+  }
+
+  test("cheap-mix minhash family: same near-dup pairs shape, >=3x faster signatures") {
+    // identical corpus, k=64: the cheap family pays ONE md5 per shingle
+    // vs 64 for the oracle family. Assert both a speedup and that the
+    // cheap family still finds the planted near-dup pairs.
+    def timeSigs(oracle: Boolean): Double = {
+      val t0 = System.nanoTime()
+      Dedup.minhashSignatures(docs, "text", "doc_id", k = 64,
+        oracleCompatible = oracle)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeSigs(oracle = false) // warmup codegen/scan
+    val tCheap = timeSigs(oracle = false)
+    val tOracle = timeSigs(oracle = true)
+    assert(tOracle >= 3 * tCheap,
+      f"cheap family not >=3x faster: cheap=$tCheap%.2fs oracle=$tOracle%.2fs")
+    val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id", threshold = 0.8)
+      .collect()
+    assert(pairs.length >= 10)
+  }
+
   test("embeddingNearDupPairs caps hot buckets and keeps norms correct") {
     import spark.implicits._
     val vecs = Seq(

@@ -62,6 +62,62 @@ class AdaptiveSearchSpec extends SparkSpec {
     assert(calls.max > calls.min)
   }
 
+  test("hyperband metadata pins the reference's paper counts") {
+    // tests/model_selection/test_hyperband.py:98-101: total models and
+    // partial_fit calls per max_iter
+    def totals(maxIter: Int) = {
+      val m = hyperbandMetadata(maxIter, 3.0)
+      (m.map(_._2).sum, m.map(_._3).sum)
+    }
+    assert(totals(9) == ((17, 69)))
+    assert(totals(27) == ((49, 357)))
+    assert(totals(81) == ((143, 1581)))
+  }
+
+  test("SHA over constant-score estimators follows the closed-form schedule") {
+    val alphas: Seq[Any] = (1 to 9).map(_ / 10.0)
+    val search = new SuccessiveHalvingSearchCV(
+      params => new ConstantScoreEstimator(params("alpha").asInstanceOf[Double]),
+      Map("alpha" -> alphas), Seq("a", "b"), "y",
+      (m, _, _) => m.asInstanceOf[graft.wrappers.LinearLocalModel].intercept,
+      nInitial = 9, r = 1, eta = 3.0, seed = 3)
+    val res = search.fit(df)
+    assert(res.bestScore ~== 0.9)
+    val byAlpha = res.history.map(r =>
+      r.params("alpha").asInstanceOf[Double] -> r.calls).toMap
+    assert((1 to 6).forall(i => byAlpha(i / 10.0) == 1))
+    assert((7 to 9).forall(i => byAlpha(i / 10.0) == 3))
+    assert(res.totalPartialFits == 15)
+  }
+
+  test("ParamGrid.sample is without replacement and degrades to the full grid") {
+    val grid = Map("a" -> Seq(1, 2, 3), "b" -> Seq("x", "y"))
+    val all = ParamGrid.sample(grid, 100, seed = 1)
+    assert(all.size == 6 && all.distinct.size == 6)
+    val four = ParamGrid.sample(grid, 4, seed = 2)
+    assert(four.size == 4 && four.distinct.size == 4)
+  }
+
+  test("concurrent hyperband brackets are no slower than sequential") {
+    def run(concurrent: Boolean, seed: Long): (Double, AdaptiveResult) = {
+      val hb = new HyperbandSearchCV(
+        params => new ConstantScoreEstimator(params("v").asInstanceOf[Double]),
+        Map("v" -> (1 to 30).map(_ / 30.0: Any)),
+        Seq("a", "b"), "y",
+        (m, _, _) => m.asInstanceOf[graft.wrappers.LinearLocalModel].intercept,
+        maxIter = 9, seed = seed, concurrentBrackets = concurrent)
+      val t0 = System.nanoTime()
+      val r = hb.fit(df)
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    run(concurrent = true, 5) // warmup
+    val (tSeq, rSeq) = run(concurrent = false, 5)
+    val (tCon, rCon) = run(concurrent = true, 5)
+    assert(rCon.bestScore ~== rSeq.bestScore)
+    assert(tCon <= tSeq * 1.25,
+      f"concurrent brackets slower: $tCon%.2fs vs sequential $tSeq%.2fs")
+  }
+
   test("Hyperband runs all brackets and returns the overall best") {
     val hb = new HyperbandSearchCV(
       params => new LocalSGD("squared", params("eta0").asInstanceOf[Double]),
