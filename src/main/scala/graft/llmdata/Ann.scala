@@ -117,6 +117,106 @@ object Ann {
       .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN — the other standard scale path next to
+    * sign-LSH: partition the corpus into `nList` Voronoi cells around
+    * k-means centroids, then each query scores only the cells of its
+    * `nProbe` nearest centroids (Jégou et al., PAMI'11 §III; same
+    * coarse-quantizer design as FAISS's IndexIVFFlat).
+    *
+    * Spark mapping: centroids are fit on a bounded sample (driver-side
+    * Lloyd — nList·dim doubles), shipped as literals; cell assignment is
+    * a map-only argmin over nList dot products fused into the scan; the
+    * probe step is an equi-join on cell id against a broadcast
+    * (query, probed-cell) list — each corpus row is scored by at most
+    * the queries probing its cell. At 100 TB: one scan to bucket, one
+    * broadcast-join scan to score, a tiny top-k shuffle; candidate
+    * volume is |corpus|·nProbe/nList on average.
+    */
+  def ivfIndex(corpus: DataFrame, vecCol: String, nList: Int, dim: Int,
+      sampleSize: Int = 100000, iters: Int = 10, seed: Long = 42): Array[Array[Double]] = {
+    val sample = corpus.select(col(vecCol)).limit(sampleSize).collect()
+      .map(_.getSeq[Any](0).toArray.map {
+        case f: Float => f.toDouble; case d: Double => d
+      })
+    require(sample.nonEmpty, "empty corpus")
+    // driver-side Lloyd on the bounded sample (deterministic seed init)
+    val rnd = new scala.util.Random(seed)
+    var centroids = Array.tabulate(nList)(i => sample(
+      ((rnd.nextLong().abs + i) % sample.length).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nList)(new Array[Double](dim))
+      val counts = new Array[Long](nList)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nList) {
+          var d2 = 0.0; var j = 0
+          while (j < dim) { val d = v(j) - centroids(c)(j); d2 += d * d; j += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(nList)(c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dim)(j => sums(c)(j) / counts(c)))
+      it += 1
+    }
+    centroids
+  }
+
+  /** Squared-L2 argmin cell id over literal centroids — map-only. */
+  def cellExpr(vecCol: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = centroids.map { ctr =>
+      val ctrLit = array(ctr.map(lit).toIndexedSeq: _*)
+      // ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²; ‖x‖² is common to all cells, so
+      // comparing −2x·c + ‖c‖² suffices — one VecDot per cell
+      dotExpr(vecCol, ctrLit) * lit(-2.0) + lit(ctr.map(v => v * v).sum)
+    }
+    val arr = array(dists.toIndexedSeq: _*)
+    (array_position(arr, array_min(arr)) - 1).cast("int")
+  }
+
+  /** IVF-bucketed top-k cosine: queries probe their `nProbe` nearest
+    * cells. Recall < 1 at cell boundaries (the IVF analog of the LSH
+    * recall cliff); raise nProbe to trade cost for recall.
+    */
+  def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Array[Array[Double]],
+      nProbe: Int = 2): DataFrame = {
+    val nList = centroids.length
+    require(nProbe >= 1 && nProbe <= nList)
+    val c = corpus.withColumn("__cell", cellExpr(col(vecCol), centroids))
+      .withColumn("__nc", normExpr(col(vecCol)))
+    // per query: the nProbe nearest centroids, exploded to probe rows
+    val probeDists = centroids.map { ctr =>
+      val ctrLit = array(ctr.map(lit).toIndexedSeq: _*)
+      dotExpr(col("qv"), ctrLit) * lit(-2.0) + lit(ctr.map(v => v * v).sum)
+    }
+    val distArr = array(probeDists.toIndexedSeq: _*)
+    val sortedCells = slice(
+      transform(
+        array_sort(zip_with(distArr,
+          sequence(lit(0), lit(nList - 1)).cast("array<double>"),
+          (d, i) => struct(d.as("d"), i.as("i")))),
+        s => s.getField("i").cast("int")),
+      1, nProbe)
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__nq", normExpr(col("qv")))
+      .withColumn("__cell", explode(sortedCells)))
+    val scored = c.join(q, Seq("__cell")).filter(col(idCol) =!= col("query_id"))
+      .withColumn("cos",
+        dotExpr(col("qv"), col(vecCol)) / (col("__nq") * col("__nc")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥
     * threshold, pruned by LSH buckets (exact within bucket). Buckets
     * over `maxBucketSize` rows are dropped before the self-join (the

@@ -93,6 +93,19 @@ object LlmDataQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF ANN: centroids from a JVM-side Lloyd on a bounded sample →
+    // rows-only check; recall vs brute force is unit-tested.
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centroids = Ann.ivfIndex(e, "embedding", nList = 8, dim = 64,
+        sampleSize = 2000, iters = 5, seed = 42)
+      Ann.ivfCosineTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3, centroids, nProbe = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q_embedding_norms" -> ((s, dir) =>
       Tables.embeddings(s, dir).select(
         col("vec_id"),

@@ -28,6 +28,16 @@ import graft.wrappers.{LocalModel, OnlineEstimator, OnlineState}
   * once to the driver (the reference scatters it to every worker,
   * _incremental.py:194-201 — same "small by design" contract), so
   * scoring is local and free of per-round job overhead.
+  *
+  * On the reference's SPECULATIVE pre-launch (_incremental.py:244-248,
+  * 323-327 — next-round partial_fits submitted at low priority before
+  * the policy decides, canceled for culled models): that optimization
+  * exists because dask's scoring and policy hops are themselves remote
+  * round-trips the speculation can hide. Here scoring is a driver-local
+  * array pass and the policy is pure arithmetic — there is no latency
+  * window between a model's score returning and its next partial_fit
+  * job being submitted, so speculation would only burn cluster slots on
+  * soon-culled models. Deliberately omitted.
   */
 object AdaptiveSearch {
 

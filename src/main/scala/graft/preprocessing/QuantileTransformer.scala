@@ -63,12 +63,11 @@ class QuantileTransformerModel(
       val bwd = lit(1.0) - graft.functions.Interp1D(-x, negQs, revYs)
       val u = lit(0.5) * (fwd + bwd)
       val out =
-        if (outputDistribution == "normal") {
-          // PPF tail stays a primitive UDF (rational approximation)
-          val ppf = udf { (v: Double) =>
-            normalPpf(math.min(math.max(v, 1e-7), 1 - 1e-7)) }
-          ppf(u)
-        } else u
+        if (outputDistribution == "normal")
+          // native codegen PPF (graft.functions.NormalPpf) — the whole
+          // normal-mode transform is one WholeStageCodegen span, UDF-free
+          graft.functions.NormalPpf(u)
+        else u
       d.withColumn(c,
         when(col(c).isNull, lit(null).cast("double")).otherwise(out))
     }
@@ -104,32 +103,11 @@ object QuantileTransformerModel {
   }
 
   /** Inverse normal CDF — Acklam's rational approximation (|ε|<1.15e-9),
-    * public algorithm; same role as scipy.stats.norm.ppf in the reference.
+    * public algorithm; same role as scipy.stats.norm.ppf in the
+    * reference. Delegates to the native codegen expression's static
+    * kernel (graft.functions.NormalPpf) so eval and generated code share
+    * one implementation.
     */
-  private[preprocessing] def normalPpf(p: Double): Double = {
-    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
-      -2.759285104469687e+02, 1.383577518672690e+02,
-      -3.066479806614716e+01, 2.506628277459239e+00)
-    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
-      -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
-    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
-      -2.400758277161838e+00, -2.549732539343734e+00,
-      4.374664141464968e+00, 2.938163982698783e+00)
-    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
-      2.445134137142996e+00, 3.754408661907416e+00)
-    val plow = 0.02425
-    if (p < plow) {
-      val q = math.sqrt(-2 * math.log(p))
-      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
-        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
-    } else if (p <= 1 - plow) {
-      val q = p - 0.5; val r = q * q
-      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
-        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
-    } else {
-      val q = math.sqrt(-2 * math.log(1 - p))
-      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
-        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
-    }
-  }
+  private[preprocessing] def normalPpf(p: Double): Double =
+    graft.functions.NormalPpf.ppf(p)
 }

@@ -131,6 +131,27 @@ class LlmDataSpec extends SparkSpec {
       maxBucketSize = 100).count() == 0)
   }
 
+  test("IVF ANN: subset of brute force with decent recall@1, bounded candidates") {
+    val centroids = Ann.ivfIndex(emb, "embedding", nList = 8, dim = 64,
+      sampleSize = 2000, iters = 5, seed = 42)
+    assert(centroids.length == 8 && centroids.forall(_.length == 64))
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Ann.cosineTopK(emb, queries, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ivf = Ann.ivfCosineTopK(emb, queries, "vec_id", "embedding", k = 1,
+      centroids, nProbe = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = brute.count { case (q, n) => ivf.get(q).contains(n) }
+    val recall = hits.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall@1 too low: $recall")
+    // probing more cells can only improve recall
+    val ivfAll = Ann.ivfCosineTopK(emb, queries, "vec_id", "embedding", k = 1,
+      centroids, nProbe = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hitsAll = brute.count { case (q, n) => ivfAll.get(q).contains(n) }
+    assert(hitsAll == brute.size, "nProbe=nList must equal brute force")
+  }
+
   test("skew cap uses aggregate+anti-join, not a Window over the hot bucket") {
     import spark.implicits._
     // 10k identical docs: one degenerate bucket holding the entire
