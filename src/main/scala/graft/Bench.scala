@@ -37,7 +37,10 @@ object Bench {
     // warmup: prime codegen/IO paths, untimed
     materialize("q1_agg")
 
+    // dev knob: SPARK_GRAFT_ONLY=q_a,q_b times a subset while iterating
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> materialize(n))
     val total = results.map(_._2).sum
     def toJson(rs: Seq[(String, Double)]): String =

@@ -270,11 +270,17 @@ object Dedup {
       oracleCompatible: Boolean = false): DataFrame = {
     // signature pass is SHUFFLE-FREE (map-side array_min over the
     // in-row shingle array — see minhashSignatures); only the tiny
-    // signature/band frames and the candidate verification ever shuffle
+    // signature/band frames and the candidate verification ever shuffle.
+    // The skew cap scans the band frame twice (count, then anti-join) —
+    // persist the SIGNATURES (k hashes + id per doc, tiny next to the
+    // corpus) so the expensive per-shingle hashing UDF runs exactly once.
     val sigs = minhashSignatures(df, textCol, idCol, k, shingleN, oracleCompatible)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = candidatePairs(bandHashes(sigs, idCol, k, rowsPerBand), idCol,
       maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands.count() // materialize candidates, then free the signature cache
+    sigs.unpersist(blocking = false)
     // set semantics only where Jaccard needs them: semi-join the DOCS
     // down to candidate ids first (broadcast map-side filter — the
     // bucket cap bounds the candidate volume by construction), and only
@@ -316,7 +322,11 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     val nChunks = maxHamming + 1
     val chunkBits = bits / nChunks
+    // the skew cap + self-join read the hash frame three times; simhash
+    // is a full token-explode aggregate, so cache its (id, hash) output
+    // (16 bytes/doc) rather than recompute the shuffle per read
     val sh = simhash(df, textCol, idCol, bits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = (0 until nChunks).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * chunkBits)
