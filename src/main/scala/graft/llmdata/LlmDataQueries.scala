@@ -66,12 +66,14 @@ object LlmDataQueries extends QueryPack {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
-    // SimHash hamming pairs: hash family (JVM md5-hex → 60-bit int via
-    // conv) is not reproducible in DuckDB SQL → rows-only check; the
-    // recall property is unit-tested against the MinHash pairs.
+    // SimHash hamming pairs — EXACT oracle: the hash is built from
+    // `md5` string expressions, which DuckDB reproduces bit-for-bit
+    // (('0x'||substr(md5,1,15))::BIGINT mirrors conv(...,16,10)), so the
+    // whole vote→sign→pigeonhole pipeline is SQL-checkable.
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(Tables.documents(s, dir), "text", "doc_id",
         maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
         .orderBy("id_a", "id_b")),
 
     "q_ann_topk" -> ((s, dir) => {
@@ -82,8 +84,10 @@ object LlmDataQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH ANN: hyperplanes derive from JVM md5 bytes → rows-only check;
-    // recall vs brute force is unit-tested.
+    // LSH ANN — EXACT oracle: the ±1 hyperplanes are deterministic
+    // constants (md5-bit-derived), embedded as literals in the generated
+    // SQL; bucket assignment + in-bucket cosine top-k are then fully
+    // SQL-expressible (sign flips only at dot==0, measure zero).
     "q_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Ann.lshCosineTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -182,6 +186,36 @@ object LlmDataQueries extends QueryPack {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE cnt * 1.0 / (sa.sz + sb.sz - cnt) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    // generated mirror of Dedup.simhash + the 4-chunk pigeonhole join:
+    // per token a 60-bit md5-derived hash, per bit a ±tf-weighted vote,
+    // sign → bit, chunks of 15 bits, hamming via bit_count(xor(...)).
+    "q_dedup_simhash" -> {
+      val votes = (0 until 60).map(j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v_$j")
+        .mkString(",\n|        ")
+      val hash = (0 until 60).map(j =>
+        s"(CASE WHEN v_$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)")
+        .mkString(" +\n|        ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |            FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+         |      FROM tok),
+         |v AS (SELECT doc_id,
+         |        $votes
+         |      FROM h GROUP BY doc_id),
+         |s AS (SELECT doc_id,
+         |        $hash AS simhash
+         |      FROM v),
+         |b AS (SELECT doc_id, simhash, c,
+         |        (simhash >> (c * 15)::INT) & 32767 AS cv
+         |      FROM s, (SELECT unnest(range(0, 4)) AS c) cc),
+         |p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |        CAST(bit_count(xor(a.simhash, b2.simhash)) AS INT) AS hamming
+         |      FROM b a JOIN b b2
+         |        ON a.c = b2.c AND a.cv = b2.cv AND a.doc_id < b2.doc_id)
+         |SELECT id_a, id_b, hamming FROM p
+         |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+    },
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
         |           FROM embeddings WHERE vec_id < 10),
@@ -196,6 +230,38 @@ object LlmDataQueries extends QueryPack {
         |          ORDER BY cos DESC, vec_id) AS rank FROM c)
         |SELECT query_id, rank, vec_id AS neighbor_id, round(cos, 6) AS cos
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_lsh" -> {
+      // 4×64 ±1 plane weights as a literal (j, i, w) table — the same
+      // deterministic constants the Spark side bakes into its plan
+      val planes = Ann.hyperplanes(nPlanes = 4, dim = 64, seed = 42)
+      val planeRows = (for (j <- planes.indices; i <- 0 until 64)
+        yield s"($j,${i + 1},${if (planes(j)(i) > 0) 1 else -1})").mkString(",")
+      s"""WITH planes(j, i, w) AS (SELECT * FROM (VALUES $planeRows)),
+         |x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+         |        generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |dots AS (SELECT vec_id, j, sum(e * w) AS d
+         |         FROM x JOIN planes USING (i) GROUP BY vec_id, j),
+         |bucket AS (SELECT vec_id,
+         |             sum(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bkt
+         |           FROM dots GROUP BY vec_id),
+         |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+         |          FROM bucket q JOIN bucket c ON q.bkt = c.bkt
+         |          WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+         |xx AS (SELECT p.query_id, p.vec_id,
+         |         unnest(qe.embedding)::DOUBLE AS a,
+         |         unnest(ce.embedding)::DOUBLE AS b
+         |       FROM pairs p
+         |       JOIN embeddings qe ON qe.vec_id = p.query_id
+         |       JOIN embeddings ce ON ce.vec_id = p.vec_id),
+         |cos AS (SELECT query_id, vec_id,
+         |          sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) AS cos
+         |        FROM xx GROUP BY 1, 2),
+         |r AS (SELECT query_id, vec_id, cos,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, vec_id) AS rank FROM cos)
+         |SELECT query_id, rank, vec_id AS neighbor_id, round(cos, 6) AS cos
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
     "q_embedding_norms" ->
       """SELECT vec_id,
         | round(sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')), 6) AS norm,
