@@ -12,6 +12,12 @@ import graft.core.{QueryPack, Tables}
   */
 object LlmDataQueries extends QueryPack {
 
+  /** Three fixed 64-d centroids (simple deterministic lattice) shared by
+    * the q_ann_ivf_fixed query and its generated SQL oracle.
+    */
+  private[llmdata] val fixedIvfCentroids: Array[Array[Double]] =
+    Array.tabulate(3, 64)((j, i) => ((j * 64 + i) % 7 - 3) / 3.0)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_text_stats" -> ((s, dir) => {
@@ -105,6 +111,18 @@ object LlmDataQueries extends QueryPack {
         sampleSize = 2000, iters = 5, seed = 42)
       Ann.ivfCosineTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 3, centroids, nProbe = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF search path with FIXED literal centroids (the learned-index
+    // q_ann_ivf stays rows-only; this gates cell assignment, probe-cell
+    // ranking, and in-cell top-k exactly — the distributed 99% of IVF).
+    "q_ann_ivf_fixed" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Ann.ivfCosineTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 3, LlmDataQueries.fixedIvfCentroids, nProbe = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cos"), 6).as("cos"))
         .orderBy("query_id", "rank")
@@ -247,6 +265,51 @@ object LlmDataQueries extends QueryPack {
          |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id
          |          FROM bucket q JOIN bucket c ON q.bkt = c.bkt
          |          WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+         |xx AS (SELECT p.query_id, p.vec_id,
+         |         unnest(qe.embedding)::DOUBLE AS a,
+         |         unnest(ce.embedding)::DOUBLE AS b
+         |       FROM pairs p
+         |       JOIN embeddings qe ON qe.vec_id = p.query_id
+         |       JOIN embeddings ce ON ce.vec_id = p.vec_id),
+         |cos AS (SELECT query_id, vec_id,
+         |          sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) AS cos
+         |        FROM xx GROUP BY 1, 2),
+         |r AS (SELECT query_id, vec_id, cos,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, vec_id) AS rank FROM cos)
+         |SELECT query_id, rank, vec_id AS neighbor_id, round(cos, 6) AS cos
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+    "q_ann_ivf_fixed" -> {
+      val cs = fixedIvfCentroids
+      val centRows = (for (j <- cs.indices; i <- 0 until 64)
+        yield s"($j,${i + 1},${cs(j)(i)})").mkString(",")
+      // the EXACT double literals the Spark plan bakes in for ‖c_j‖²
+      val norms = cs.map(_.map(v => v * v).sum)
+      s"""WITH cent(j, i, c) AS (SELECT * FROM (VALUES $centRows)),
+         |x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+         |        generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |cd AS (SELECT vec_id, j,
+         |         sum(e * c) * (-2.0) +
+         |           CASE j WHEN 0 THEN ${norms(0)} WHEN 1 THEN ${norms(1)}
+         |                  ELSE ${norms(2)} END AS d
+         |       FROM x JOIN cent USING (i) GROUP BY vec_id, j),
+         |cells AS (SELECT vec_id,
+         |            CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0
+         |                 WHEN d1 <= d2 THEN 1 ELSE 2 END AS cell
+         |          FROM (SELECT vec_id,
+         |                  max(CASE WHEN j=0 THEN d END) AS d0,
+         |                  max(CASE WHEN j=1 THEN d END) AS d1,
+         |                  max(CASE WHEN j=2 THEN d END) AS d2
+         |                FROM cd GROUP BY vec_id) t),
+         |probes AS (SELECT vec_id AS query_id, j AS cell
+         |           FROM (SELECT vec_id, j, d,
+         |                   row_number() OVER (PARTITION BY vec_id
+         |                     ORDER BY d, j) AS pr
+         |                 FROM cd WHERE vec_id < 10) t WHERE pr <= 2),
+         |pairs AS (SELECT p.query_id, c.vec_id
+         |          FROM probes p JOIN cells c USING (cell)
+         |          WHERE c.vec_id != p.query_id),
          |xx AS (SELECT p.query_id, p.vec_id,
          |         unnest(qe.embedding)::DOUBLE AS a,
          |         unnest(ce.embedding)::DOUBLE AS b
