@@ -142,6 +142,22 @@ object PreprocessingQueries extends QueryPack {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // ColumnTransformer: DIFFERENT estimators on different column
+    // subsets, one frame, no join — the hstack-of-blocks semantics
+    // (compose/_column_transformer.py:172-200) as sequential in-place
+    // column transforms.
+    "q_column_transformer" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ct = new graft.compose.ColumnTransformer(Seq(
+        "std" -> new StandardScaler(Seq("l_quantity")),
+        "mm" -> new MinMaxScaler(Seq("l_discount"))))
+      ct.fit(li).transform(li)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 6).as("q_std"),
+          round(col("l_discount"), 6).as("d_mm"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "q_scaler_inverse_roundtrip" -> ((s, dir) => {
       val cols = Seq("l_quantity", "l_extendedprice")
       val li = Tables.lineitem(s, dir)
@@ -172,6 +188,13 @@ object PreprocessingQueries extends QueryPack {
         |   / stddev_pop(l_quantity) OVER (), 6) AS scaled_qty,
         | round((l_extendedprice - avg(l_extendedprice) OVER ())
         |   / stddev_pop(l_extendedprice) OVER (), 6) AS scaled_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_column_transformer" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round((l_quantity - avg(l_quantity) OVER ())
+        |   / stddev_pop(l_quantity) OVER (), 6) AS q_std,
+        | round((l_discount - min(l_discount) OVER ())
+        |   / (max(l_discount) OVER () - min(l_discount) OVER ()), 6) AS d_mm
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_minmax_scaler_transform" ->
       """SELECT l_orderkey, l_linenumber,
