@@ -18,6 +18,42 @@ object LlmDataQueries extends QueryPack {
   private[llmdata] val fixedIvfCentroids: Array[Array[Double]] =
     Array.tabulate(3, 64)((j, i) => ((j * 64 + i) % 7 - 3) / 3.0)
 
+  /** The full MinHash-LSH mirror (k=8, rowsPerBand=2, 3-gram shingles,
+    * md5-per-seed oracle family) ending in a `pairs(id_a, id_b, jac)`
+    * CTE — shared by q_dedup_minhash and q_drop_near_dups.
+    */
+  private val minhashPairCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |       FROM toks, (SELECT unnest(range(1, 100000)) AS i) ii
+      |       WHERE i <= len(t) - 2),
+      |seeds AS (SELECT unnest(range(0, 8)) AS s),
+      |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || '|' || shingle)) AS m
+      |       FROM sh, seeds GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |  max(CASE WHEN s=0 THEN m END) AS m0, max(CASE WHEN s=1 THEN m END) AS m1,
+      |  max(CASE WHEN s=2 THEN m END) AS m2, max(CASE WHEN s=3 THEN m END) AS m3,
+      |  max(CASE WHEN s=4 THEN m END) AS m4, max(CASE WHEN s=5 THEN m END) AS m5,
+      |  max(CASE WHEN s=6 THEN m END) AS m6, max(CASE WHEN s=7 THEN m END) AS m7
+      | FROM mh GROUP BY 1),
+      |bands AS (
+      | SELECT doc_id, 0 AS band, md5(m0 || m1) AS bh FROM sig
+      | UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sig
+      | UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM sig
+      | UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM sig),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (SELECT c.id_a, c.id_b, count(*) AS cnt
+      |          FROM cand c JOIN sh a ON a.doc_id = c.id_a
+      |          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b, cnt * 1.0 / (sa.sz + sb.sz - cnt) AS jac
+      |          FROM inter JOIN sizes sa ON sa.doc_id = id_a
+      |          JOIN sizes sb ON sb.doc_id = id_b
+      |          WHERE cnt * 1.0 / (sa.sz + sb.sz - cnt) >= 0.8)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_text_stats" -> ((s, dir) => {
@@ -40,6 +76,29 @@ object LlmDataQueries extends QueryPack {
         TextStats.languageScore(t, TextStats.defaultMarkers("fr")).as("s_fr"),
         TextStats.languageId(t).as("lang_pred"))
         .orderBy("doc_id")
+    }),
+
+    // quality-signal block: BPE-ish subword count, punctuation ratio,
+    // composite Gopher/C4-style quality score — all scan-fused exprs.
+    "q_text_quality" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextStats.bpeTokenCount(t).as("n_bpe_tokens"),
+        round(TextStats.punctRatio(t), 6).as("punct_ratio"),
+        round(TextStats.qualityScore(t), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // the full dedup pipeline END: corpus minus the higher id of every
+    // verified near-dup pair (left-anti on the pair list).
+    "q_drop_near_dups" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+        threshold = 0.8, k = 8, rowsPerBand = 2, shingleN = 3,
+        oracleCompatible = true)
+      Dedup.dropNearDuplicates(docs, pairs, "doc_id")
+        .select(col("doc_id")).orderBy("doc_id")
     }),
 
     "q_doc_fingerprint" -> ((s, dir) =>
@@ -172,38 +231,29 @@ object LlmDataQueries extends QueryPack {
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-        |       FROM toks, (SELECT unnest(range(1, 100000)) AS i) ii
-        |       WHERE i <= len(t) - 2),
-        |seeds AS (SELECT unnest(range(0, 8)) AS s),
-        |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || '|' || shingle)) AS m
-        |       FROM sh, seeds GROUP BY 1, 2),
-        |sig AS (SELECT doc_id,
-        |  max(CASE WHEN s=0 THEN m END) AS m0, max(CASE WHEN s=1 THEN m END) AS m1,
-        |  max(CASE WHEN s=2 THEN m END) AS m2, max(CASE WHEN s=3 THEN m END) AS m3,
-        |  max(CASE WHEN s=4 THEN m END) AS m4, max(CASE WHEN s=5 THEN m END) AS m5,
-        |  max(CASE WHEN s=6 THEN m END) AS m6, max(CASE WHEN s=7 THEN m END) AS m7
-        | FROM mh GROUP BY 1),
-        |bands AS (
-        | SELECT doc_id, 0 AS band, md5(m0 || m1) AS bh FROM sig
-        | UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sig
-        | UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM sig
-        | UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM sig),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |         FROM bands a JOIN bands b
-        |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |inter AS (SELECT c.id_a, c.id_b, count(*) AS cnt
-        |          FROM cand c JOIN sh a ON a.doc_id = c.id_a
-        |          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-        |          GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        | round(cnt * 1.0 / (sa.sz + sb.sz - cnt), 6) AS jaccard
-        |FROM inter JOIN sizes sa ON sa.doc_id = id_a
-        |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE cnt * 1.0 / (sa.sz + sb.sz - cnt) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $minhashPairCtes
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard
+         |FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "q_drop_near_dups" ->
+      s"""WITH $minhashPairCtes
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+         |ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        | list_aggregate(list_transform(string_split(text, ' '),
+        |   x -> CAST(ceil(len(x) / 4.0) AS INT)), 'sum') AS n_bpe_tokens,
+        | round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        |   * 1.0 / length(text), 6) AS punct_ratio,
+        | round(((CASE WHEN len(string_split(text,' ')) BETWEEN 5 AND 10000
+        |          THEN 1.0 ELSE 0.0 END
+        |   + least(len(list_distinct(string_split(text,' ')))
+        |       * 1.0 / len(string_split(text,' ')) * 2.0, 1.0))
+        |   + CASE WHEN len(list_filter(string_split(text,' '),
+        |       x -> x IN ('the','a','of','and','to','in'))) * 1.0
+        |         / len(string_split(text,' ')) > 0 THEN 1.0 ELSE 0.0 END) / 3.0,
+        |  6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // generated mirror of Dedup.simhash + the 4-chunk pigeonhole join:
     // per token a 60-bit md5-derived hash, per bit a ±tf-weighted vote,
     // sign → bit, chunks of 15 bits, hamming via bit_count(xor(...)).
