@@ -125,6 +125,21 @@ class PreprocessingSpec extends SparkSpec {
   test("QuantileTransformer normal PPF sanity") {
     assert(QuantileTransformerModel.normalPpf(0.5) ~== 0.0)
     assert(QuantileTransformerModel.normalPpf(0.975) ~== (1.959964, 1e-5))
+    // pinned reference quantiles (scipy.stats.norm.ppf, |err| < 1.15e-9)
+    assert(QuantileTransformerModel.normalPpf(0.025) ~== (-1.9599639845400545, 1e-8))
+    assert(QuantileTransformerModel.normalPpf(0.001) ~== (-3.090232306167813, 1e-8))
+    assert(QuantileTransformerModel.normalPpf(0.84134474) ~== (1.0, 1e-6))
+    // symmetric; boundary clip keeps tails finite
+    assert(QuantileTransformerModel.normalPpf(0.3) ~== (-QuantileTransformerModel.normalPpf(0.7), 1e-12))
+    assert(!QuantileTransformerModel.normalPpf(0.0).isInfinite)
+    assert(!QuantileTransformerModel.normalPpf(1.0).isInfinite)
+    // the codegen'd Column path agrees with the local kernel
+    import spark.implicits._
+    val out = Seq(0.1, 0.5, 0.9).toDF("p")
+      .select(graft.functions.NormalPpf(org.apache.spark.sql.functions.col("p")))
+      .collect().map(_.getDouble(0))
+    assert(out(0) ~== (QuantileTransformerModel.normalPpf(0.1), 1e-15))
+    assert(out(2) ~== (QuantileTransformerModel.normalPpf(0.9), 1e-15))
   }
 
   test("Categorizer records categories and attaches metadata") {
