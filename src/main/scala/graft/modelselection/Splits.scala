@@ -131,23 +131,54 @@ object Splits {
 
   /** Stratified k-fold (sklearn StratifiedKFold semantics per class):
     * within each label, rows ordered by `orderCol` split into k
-    * contiguous groups, first n_c % k folds one row larger. The
-    * within-class position comes from a window partitioned by label —
-    * parallel across labels, no global sort. Deterministic given
-    * `orderCol`, hence oracle-expressible.
+    * contiguous groups, first n_c % k folds one row larger.
+    *
+    * Scale shape: a `Window.partitionBy(label)` would sort EVERY row of
+    * a class on one task — with few classes over 100 TB, a single-task
+    * multi-terabyte sort. Instead: range-partition on `orderCol` and
+    * sort within partitions (a parallel global sort), count per
+    * (partition, label) in one tiny job, broadcast the cumulative
+    * per-label offsets, and assign within-class positions + folds
+    * partition-locally. Same positions as the window form (given a
+    * tie-free `orderCol`), so the fold assignment stays
+    * oracle-expressible, but no label ever co-locates.
     */
   def withStratifiedFold(df: DataFrame, k: Int, labelCol: String,
       orderCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(labelCol).orderBy(orderCol)
-    val pos = row_number().over(w) - 1
-    val nC = count(lit(1)).over(Window.partitionBy(labelCol))
-    val base = (nC / k).cast("long")
-    val extra = nC % k
-    val boundary = extra * (base + 1)
-    val fold = when(pos < boundary, (pos / (base + 1)).cast("int"))
-      .otherwise(((pos - boundary) / base).cast("int") + extra.cast("int"))
-    df.withColumn("fold", fold)
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol)
+    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labelOf = (r: Row) => r.getAs[Any](labelCol)
+    val perPart: Array[Map[Any, Long]] = rdd.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.HashMap.empty[Any, Long]
+      it.foreach { r => val l = labelOf(r); m.update(l, m.getOrElse(l, 0L) + 1L) }
+      Iterator((i, m.toMap))
+    }.collect().sortBy(_._1).map(_._2)
+    val totals = perPart.flatten.groupMapReduce(_._1)(_._2)(_ + _)
+    val offsets = perPart.scanLeft(Map.empty[Any, Long]) { (acc, m) =>
+      (acc.keySet ++ m.keySet).iterator
+        .map(l => l -> (acc.getOrElse(l, 0L) + m.getOrElse(l, 0L))).toMap
+    }
+    val kk = k
+    val bc = spark.sparkContext.broadcast((totals, offsets))
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      val (tot, offs) = bc.value
+      val local = scala.collection.mutable.HashMap.empty[Any, Long]
+      it.map { r =>
+        val l = labelOf(r)
+        val p = offs(i).getOrElse(l, 0L) + local.getOrElse(l, 0L)
+        local.update(l, local.getOrElse(l, 0L) + 1L)
+        val nC = tot(l)
+        val base = nC / kk; val extra = nC % kk
+        val boundary = extra * (base + 1)
+        val fold =
+          if (p < boundary) (p / (base + 1)).toInt
+          else ((p - boundary) / base).toInt + extra.toInt
+        Row.fromSeq(r.toSeq :+ fold)
+      }
+    }
+    spark.createDataFrame(out, StructType(df.schema.fields :+
+      StructField("fold", org.apache.spark.sql.types.IntegerType, nullable = false)))
   }
 
   def stratifiedKFold(df: DataFrame, k: Int, labelCol: String,
