@@ -13,34 +13,40 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Whitespace tokens (simple split; the BPE-ish variant is
-    * [[bpeTokenCount]]).
+  /** Whitespace tokens (simple split). The scalar statistics below do
+    * NOT materialize this array: they read the native one-pass
+    * [[graft.functions.TokenStats]] expression — five interpreted-HOF
+    * passes collapsed into one codegen'd scan per document, shared
+    * across all projected stats via codegen subexpression elimination.
     */
   def tokens(text: Column): Column = split(text, " ")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  import graft.functions.{TokenStats => TS}
+  private def stats(text: Column): Column = TS(text, defaultStopwords)
+
+  def tokenCount(text: Column): Column =
+    element_at(stats(text), TS.N_TOKENS).cast("int")
 
   /** Rough BPE-style subword count: words are split every 4 chars (a
     * public heuristic ≈ chars/4), counted without materializing subwords.
     */
   def bpeTokenCount(text: Column): Column =
-    aggregate(tokens(text), lit(0),
-      (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("int"))
+    element_at(stats(text), TS.N_BPE).cast("int")
 
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val t = tokens(text)
-    size(filter(t, x => x.isin(stopwords.map(lit): _*))) / size(t).cast("double")
+    val s = TS(text, stopwords)
+    element_at(s, TS.N_STOP) / element_at(s, TS.N_TOKENS).cast("double")
   }
 
   def avgTokenLen(text: Column): Column = {
-    val t = tokens(text)
-    aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") / size(t)
+    val s = stats(text)
+    element_at(s, TS.TOTAL_LEN).cast("double") / element_at(s, TS.N_TOKENS)
   }
 
   /** Distinct-token fraction — low values indicate boilerplate/spam. */
   def uniqueTokenRatio(text: Column): Column = {
-    val t = tokens(text)
-    size(array_distinct(t)) / size(t).cast("double")
+    val s = stats(text)
+    element_at(s, TS.N_DISTINCT) / element_at(s, TS.N_TOKENS).cast("double")
   }
 
   def punctRatio(text: Column): Column =
@@ -71,7 +77,7 @@ object TextStats {
     "zh" -> Seq("de", "shi", "bu"))
 
   def languageScore(text: Column, markers: Seq[String]): Column =
-    size(filter(tokens(text), x => x.isin(markers.map(lit): _*)))
+    element_at(TS(text, markers), TS.N_STOP).cast("int")
 
   def languageId(text: Column, markers: Map[String, Seq[String]] = defaultMarkers): Column = {
     val langs = markers.keys.toSeq.sorted

@@ -195,7 +195,12 @@ object Splits {
     */
   def stratifiedSample(df: DataFrame, labelCol: String, fraction: Double,
       seed: Long = 42): DataFrame = {
-    val labels = df.select(labelCol).distinct().collect().map(_.get(0))
+    // driver-size guard: stratification needs the label set on the
+    // driver; fail fast on a continuous/high-cardinality column instead
+    // of collecting it (same pattern as GaussianNB's class guard)
+    val labels = df.select(labelCol).distinct().limit(10001).collect().map(_.get(0))
+    require(labels.length <= 10000,
+      s"$labelCol has >10000 distinct values; stratified sampling needs a categorical label")
     df.stat.sampleBy(labelCol, labels.map(_ -> fraction).toMap, seed)
   }
 }
