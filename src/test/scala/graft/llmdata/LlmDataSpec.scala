@@ -131,6 +131,38 @@ class LlmDataSpec extends SparkSpec {
       maxBucketSize = 100).count() == 0)
   }
 
+  test("TokenStats matches the HOF split/aggregate semantics on edge cases") {
+    import spark.implicits._
+    // consecutive/leading/trailing spaces (empty tokens kept, like
+    // split(text,\" \") with limit -1), unicode, stopword multi-hits
+    val texts = Seq("a  b", " lead", "trail ", "", "the the the of",
+      "héllo wörld héllo", "x")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val t = col("text")
+    val hofTokens = split(t, " ")
+    val out = df.select(
+      TextStats.tokenCount(t).as("n"),
+      size(hofTokens).as("n_hof"),
+      TextStats.bpeTokenCount(t).as("bpe"),
+      aggregate(hofTokens, lit(0),
+        (acc, x) => acc + ceil(length(x) / lit(4.0)).cast("int")).as("bpe_hof"),
+      element_at(graft.functions.TokenStats(t, TextStats.defaultStopwords), 3).as("dist"),
+      size(array_distinct(hofTokens)).as("dist_hof"),
+      element_at(graft.functions.TokenStats(t, TextStats.defaultStopwords), 4).as("stop"),
+      size(filter(hofTokens,
+        x => x.isin(TextStats.defaultStopwords.map(lit): _*))).as("stop_hof"),
+      element_at(graft.functions.TokenStats(t, TextStats.defaultStopwords), 2).as("len"),
+      aggregate(hofTokens, lit(0), (acc, x) => acc + length(x)).as("len_hof")
+    ).collect()
+    out.zip(texts).foreach { case (r, txt) =>
+      assert(r.getInt(0) == r.getInt(1), s"n_tokens mismatch on '$txt'")
+      assert(r.getInt(2) == r.getInt(3), s"bpe mismatch on '$txt'")
+      assert(r.getLong(4) == r.getInt(5).toLong, s"distinct mismatch on '$txt'")
+      assert(r.getLong(6) == r.getInt(7).toLong, s"stopword mismatch on '$txt'")
+      assert(r.getLong(8) == r.getInt(9).toLong, s"total len mismatch on '$txt'")
+    }
+  }
+
   test("IVF ANN: subset of brute force with decent recall@1, bounded candidates") {
     val centroids = Ann.ivfIndex(emb, "embedding", nList = 8, dim = 64,
       sampleSize = 2000, iters = 5, seed = 42)
