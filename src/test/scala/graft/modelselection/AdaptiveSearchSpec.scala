@@ -111,11 +111,16 @@ class AdaptiveSearchSpec extends SparkSpec {
       ((System.nanoTime() - t0) / 1e9, r)
     }
     run(concurrent = true, 5) // warmup
-    val (tSeq, rSeq) = run(concurrent = false, 5)
-    val (tCon, rCon) = run(concurrent = true, 5)
-    assert(rCon.bestScore ~== rSeq.bestScore)
-    assert(tCon <= tSeq * 1.25,
-      f"concurrent brackets slower: $tCon%.2fs vs sequential $tSeq%.2fs")
+    // wall-clock comparison; retry once to shrug off scheduler noise on
+    // a loaded machine before declaring concurrency a regression
+    val attempts = (1 to 2).iterator.map { _ =>
+      val (tSeq, rSeq) = run(concurrent = false, 5)
+      val (tCon, rCon) = run(concurrent = true, 5)
+      assert(rCon.bestScore ~== rSeq.bestScore)
+      (tCon, tSeq)
+    }
+    assert(attempts.exists { case (tCon, tSeq) => tCon <= tSeq * 1.25 },
+      "concurrent brackets slower than sequential in both attempts")
   }
 
   test("Hyperband runs all brackets and returns the overall best") {
