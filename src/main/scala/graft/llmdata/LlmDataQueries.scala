@@ -241,8 +241,8 @@ object LlmDataQueries extends QueryPack {
          |ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
-        | list_aggregate(list_transform(string_split(text, ' '),
-        |   x -> CAST(ceil(len(x) / 4.0) AS INT)), 'sum') AS n_bpe_tokens,
+        | CAST(list_aggregate(list_transform(string_split(text, ' '),
+        |   x -> CAST(ceil(len(x) / 4.0) AS INT)), 'sum') AS INT) AS n_bpe_tokens,
         | round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
         |   * 1.0 / length(text), 6) AS punct_ratio,
         | round(((CASE WHEN len(string_split(text,' ')) BETWEEN 5 AND 10000

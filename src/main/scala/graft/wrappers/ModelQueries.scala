@@ -275,11 +275,13 @@ object ModelQueries extends QueryPack {
         |SELECT l_orderkey, l_linenumber,
         | round(exp(sqd * -0.01), 6) AS k_rbf,
         | round(pow(dot * 0.1 + 1.0, 2), 6) AS k_poly,
-        | round((exp(2*(dot * 0.01 + (-1.0))) - 1)
-        |   / (exp(2*(dot * 0.01 + (-1.0))) + 1), 6) AS k_sig,
+        | round(CASE WHEN abs(dot * 0.01 + (-1.0)) > 20.0
+        |   THEN sign(dot * 0.01 + (-1.0))
+        |   ELSE (exp(2*(dot * 0.01 + (-1.0))) - 1)
+        |     / (exp(2*(dot * 0.01 + (-1.0))) + 1) END, 6) AS k_sig,
         | round(abs(l_quantity - 10.0) + abs(l_discount - 0.02), 6) AS k_man,
         | round(1.0 - dot / (sqrt(l_quantity*l_quantity + l_discount*l_discount)
-        |   * sqrt(10.0*10.0 + 0.02*0.02)), 6) AS k_cos
+        |   * sqrt(10.0*10.0 + 0.02*0.02)), 6) + 0.0 AS k_cos
         |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_incremental_ols" ->
       """SELECT round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,

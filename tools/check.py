@@ -56,9 +56,25 @@ def main(outdir: str, sfdir: str) -> int:
         else:
             for c in spark_df.columns:
                 a, b = spark_df[c].values, ora_df[c].values
-                if np.issubdtype(spark_df[c].dtype, np.floating) or np.issubdtype(ora_df[c].dtype, np.floating):
+                a_float = np.issubdtype(spark_df[c].dtype, np.floating)
+                b_float = np.issubdtype(ora_df[c].dtype, np.floating)
+                a_int = np.issubdtype(spark_df[c].dtype, np.integer)
+                b_int = np.issubdtype(ora_df[c].dtype, np.integer)
+                # Driver-faithful: the driver hashes FORMATTED cells, so an
+                # int column on one side rendered against a float column on
+                # the other ("44" vs "44.0") is a mismatch even when the
+                # values are numerically equal (r3: HUGEINT n_bpe_tokens).
+                if (a_float and b_int) or (a_int and b_float):
+                    print(f"FAIL {name}: col {c} dtype spark={spark_df[c].dtype} "
+                          f"oracle={ora_df[c].dtype} (int-vs-float render mismatch)")
+                    ok = False
+                elif a_float or b_float:
                     af = a.astype(float); bf = b.astype(float)
-                    bad = ~((af == bf) | (np.isnan(af) & np.isnan(bf)))
+                    # signbit: -0.0 formats as "-0.0", +0.0 as "0.0" — the
+                    # driver's hash distinguishes them (r3: DuckDB round()
+                    # emitting -0.0 on exactly-parallel k_cos rows).
+                    bad = ~(((af == bf) & (np.signbit(af) == np.signbit(bf)))
+                            | (np.isnan(af) & np.isnan(bf)))
                     if bad.any():
                         i = int(np.argmax(bad))
                         print(f"FAIL {name}: col {c} row {i}: spark={af[i]!r} oracle={bf[i]!r} (n_bad={bad.sum()})")
