@@ -1,7 +1,6 @@
 package graft.llmdata
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -9,9 +8,9 @@ import org.apache.spark.sql.functions._
   *
   *  - [[cosineTopK]]: exact brute force — broadcast the (small) query
   *    set against the corpus; per-row dot products are codegen'd
-  *    `zip_with`/`aggregate` expressions; top-k via per-query window.
-  *    At 100 TB corpus this is one scan, no shuffle except the final
-  *    per-query top-k (tiny).
+  *    native expressions; top-k via a bounded size-k-heap aggregate
+  *    (map-side partial merge). At 100 TB corpus this is one scan, and
+  *    the only shuffle carries ≤ k·nPartitions rows per query.
   *  - [[randomHyperplaneBuckets]] / [[lshCosineTopK]]: the scale path —
   *    sign-random-projection LSH (Charikar). Corpus is bucketed once by
   *    a b-bit signature; queries probe only their own bucket, cutting
@@ -32,6 +31,22 @@ object Ann {
   def cosineExpr(a: Column, b: Column): Column =
     dotExpr(a, b) / (normExpr(a) * normExpr(b))
 
+  /** Per-query top-k of a scored candidate stream via the bounded
+    * size-k-heap aggregate (graft.functions.TopKByScore), NOT a
+    * `row_number` window: a window `partitionBy(query_id)` ships every
+    * scored candidate of a query to ONE task and sorts it (~|corpus|
+    * rows/task for brute force at scale); the aggregate's partial phase
+    * caps each partition's contribution at k pairs per query before the
+    * shuffle, so the exchange carries ≤ k·nPartitions rows per query.
+    * Ordering (score desc, id asc) matches the window form exactly.
+    */
+  private def topKPerQuery(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKByScore(col("cos"), col(idCol), k).as("__nn"))
+      .select(col("query_id"), posexplode(col("__nn")).as(Seq("__pos", "__s")))
+      .select(col("query_id"), (col("__pos") + 1).as("rank"),
+        col("__s.id").as("neighbor_id"), col("__s.score").as("cos"))
+
   /** Exact top-k cosine neighbors of each query vector.
     *
     * Norms are computed ONCE per corpus row and once per query (not per
@@ -49,10 +64,7 @@ object Ann {
       .join(q, col(idCol) =!= col("query_id"))
       .withColumn("cos",
         dotExpr(col("qv"), col(vecCol)) / (col("__nq") * col("__nc")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
+    topKPerQuery(scored, idCol, k)
   }
 
   /** Deterministic ±1 hyperplanes from a seed (md5-bit-derived), as
@@ -111,10 +123,7 @@ object Ann {
     val scored = c.join(q, Seq("bucket")).filter(col(idCol) =!= col("query_id"))
       .withColumn("cos",
         dotExpr(col("qv"), col(vecCol)) / (col("__nq") * col("__nc")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
+    topKPerQuery(scored, idCol, k)
   }
 
   /** IVF (inverted-file) ANN — the other standard scale path next to
@@ -141,8 +150,9 @@ object Ann {
     require(sample.nonEmpty, "empty corpus")
     // driver-side Lloyd on the bounded sample (deterministic seed init)
     val rnd = new scala.util.Random(seed)
+    // floorMod: abs(Long.MinValue) is negative and +i can overflow
     var centroids = Array.tabulate(nList)(i => sample(
-      ((rnd.nextLong().abs + i) % sample.length).toInt).clone())
+      math.floorMod(rnd.nextLong() + i, sample.length.toLong).toInt).clone())
     var it = 0
     while (it < iters) {
       val sums = Array.fill(nList)(new Array[Double](dim))
@@ -211,10 +221,7 @@ object Ann {
     val scored = c.join(q, Seq("__cell")).filter(col(idCol) =!= col("query_id"))
       .withColumn("cos",
         dotExpr(col("qv"), col(vecCol)) / (col("__nq") * col("__nc")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("cos"))
+    topKPerQuery(scored, idCol, k)
   }
 
   /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥
