@@ -14,6 +14,46 @@ import graft.streaming.StreamingAdapter
   */
 object TextFeatureQueries extends QueryPack {
 
+  /** Pinned probe vocabulary for the EXACT hashing-vectorizer gates.
+    * The gate text is synthesized from doc_id over this vocabulary with
+    * pure integer arithmetic (identical in Spark and DuckDB); the REAL
+    * murmur3 path (MLlib HashingTF / FeatureHasher) then runs on the
+    * Spark side, and the oracle maps each vocabulary slot to its
+    * JVM-precomputed murmur3 bucket via a literal VALUES table — the
+    * same trick as the LSH literal hyperplanes.
+    */
+  private[featureextraction] val hashVocab: Vector[String] = Vector(
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliett", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+    "victor", "whiskey", "xray", "yankee", "zulu", "zero", "one",
+    "two", "three")
+
+  private[featureextraction] val catVocab: Vector[String] = Vector(
+    "en", "de", "fr", "es", "it", "pt", "nl", "sv")
+
+  private val nHashFeatures = 1 << 12
+
+  /** murmur3 bucket of each probe word under MLlib HashingTF. */
+  private[featureextraction] lazy val hashingTfBuckets: Map[String, Int] = {
+    val htf = new org.apache.spark.ml.feature.HashingTF()
+      .setNumFeatures(nHashFeatures)
+    hashVocab.map(w => w -> htf.indexOf(w)).toMap
+  }
+
+  /** MLlib FeatureHasher's bucket for a feature name: murmur3 (seed 42,
+    * hashUnsafeBytes2 — the corrected implementation both HashingTF and
+    * FeatureHasher use since Spark 3.0) of the UTF-8 bytes, mod n.
+    * String columns hash "col=value"; numeric columns hash "col".
+    * Replication is pinned against the real transform in M5Spec.
+    */
+  private[featureextraction] def fhBucket(feature: String, n: Int = nHashFeatures): Int = {
+    val utf8 = org.apache.spark.unsafe.types.UTF8String.fromString(feature)
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes2(
+      utf8.getBaseObject, utf8.getBaseOffset, utf8.numBytes, 42)
+    ((h % n) + n) % n
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // CountVectorizer: vocabulary pass + long-format transform, fully
@@ -39,12 +79,29 @@ object TextFeatureQueries extends QueryPack {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
-    // HashingTF: murmur3 buckets aren't SQL-reproducible → rows-only.
+    // HashingTF, EXACT: synthesized probe text (doc_id-derived slots of
+    // hashVocab) through the real murmur3 HashingTF; the oracle joins a
+    // literal slot→bucket table. Collisions merge identically on both
+    // sides (group-by bucket).
     "q_hashing_tf" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val out = new HashingVectorizer("text", nFeatures = 1 << 12).transform(docs)
-      val nnz = udf { v: org.apache.spark.ml.linalg.Vector => v.numNonzeros }
-      out.select(col("doc_id"), nnz(col("features")).as("nnz")).orderBy("doc_id")
+      val vocabArr = array(hashVocab.map(lit): _*)
+      val nTok = (col("doc_id") % 5 + 3).cast("int")
+      val synth = docs.select(col("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), nTok - 1), j =>
+          element_at(vocabArr,
+            ((col("doc_id") * 7 + j.cast("long") * 3) % 30).cast("int") + 1)))
+          .as("synth_text"))
+      val out = new HashingVectorizer("synth_text", nFeatures = nHashFeatures)
+        .transform(synth)
+      val entries = udf { v: org.apache.spark.ml.linalg.Vector =>
+        val sp = v.toSparse
+        sp.indices.zip(sp.values).toSeq
+      }
+      out.select(col("doc_id"), explode(entries(col("features"))).as("e"))
+        .select(col("doc_id"), col("e._1").as("bucket"),
+          col("e._2").cast("long").as("tf"))
+        .orderBy("doc_id", "bucket")
     }),
 
     "q_multimodal_meta" -> ((s, dir) => {
@@ -105,14 +162,26 @@ object TextFeatureQueries extends QueryPack {
           max(when(col("label") === 0.0, 1).otherwise(0))).as("n_classes"))
     }),
 
-    // FeatureHasher: murmur3 bucket layout is JVM-side → rows-only
-    // (nnz/shape per doc).
+    // FeatureHasher, EXACT: a pinned categorical ("cat=<v>" hashed, 1.0)
+    // + a nonzero numeric ("num" hashed, value) through the real MLlib
+    // FeatureHasher; oracle = literal value→bucket table + the numeric
+    // bucket constant, summed per (doc, bucket) on both sides.
     "q_feature_hasher" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val out = new FeatureHasher(Seq("text"), nFeatures = 1 << 12).transform(docs)
-      val nnz = udf { v: org.apache.spark.ml.linalg.Vector => v.numNonzeros }
-      out.select(col("doc_id"), nnz(col("features")).as("nnz"),
-        lit(1 << 12).as("n_features")).orderBy("doc_id")
+      val catArr = array(catVocab.map(lit): _*)
+      val in = docs.select(col("doc_id"),
+        element_at(catArr, (col("doc_id") % 8).cast("int") + 1).as("cat"),
+        ((col("doc_id") % 100 + 1) / lit(10.0)).as("num"))
+      val out = new FeatureHasher(Seq("cat", "num"), nFeatures = nHashFeatures)
+        .transform(in)
+      val entries = udf { v: org.apache.spark.ml.linalg.Vector =>
+        val sp = v.toSparse
+        sp.indices.zip(sp.values).toSeq
+      }
+      out.select(col("doc_id"), explode(entries(col("features"))).as("e"))
+        .select(col("doc_id"), col("e._1").as("bucket"),
+          round(col("e._2"), 6).as("value"))
+        .orderBy("doc_id", "bucket")
     }),
 
     // Synthetic generators: JVM RNG → rows-only (shape + label balance).
@@ -155,6 +224,32 @@ object TextFeatureQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // slot→murmur3-bucket literal table; the synthetic token stream is
+    // re-derived from doc_id with the same integer arithmetic.
+    "q_hashing_tf" -> {
+      val slotRows = hashVocab.zipWithIndex
+        .map { case (w, i) => s"($i,${hashingTfBuckets(w)})" }.mkString(",")
+      s"""WITH m(vi, b) AS (SELECT * FROM (VALUES $slotRows)),
+         |d AS (SELECT doc_id, unnest(range(0, doc_id % 5 + 3)) AS j
+         |      FROM documents),
+         |t AS (SELECT doc_id, (doc_id*7 + j*3) % 30 AS vi FROM d)
+         |SELECT t.doc_id, m.b AS bucket, count(*) AS tf
+         |FROM t JOIN m ON m.vi = t.vi
+         |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
+    },
+    "q_feature_hasher" -> {
+      val catRows = catVocab.zipWithIndex
+        .map { case (v, i) => s"($i,${fhBucket(s"cat=$v")})" }.mkString(",")
+      val numB = fhBucket("num")
+      s"""WITH cm(i, b) AS (SELECT * FROM (VALUES $catRows)),
+         |f AS (SELECT doc_id, cm.b AS bucket, CAST(1.0 AS DOUBLE) AS v
+         |        FROM documents JOIN cm ON cm.i = doc_id % 8
+         |      UNION ALL
+         |      SELECT doc_id, $numB AS bucket,
+         |        (doc_id % 100 + 1) / 10.0 AS v FROM documents)
+         |SELECT doc_id, bucket, round(sum(v), 6) AS value
+         |FROM f GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
+    },
     "q_events_sliding_window" ->
       """WITH w AS (SELECT value, unnest([
         |    to_timestamp(floor(epoch(ts) / 1800) * 1800),

@@ -176,4 +176,36 @@ class M5Spec extends SparkSpec {
     assert(tf(0)(idx("a")) == 2 && tf(0)(idx("b")) == 1 && tf(0)(idx("d")) == 0)
     assert(tf(1)(idx("b")) == 2 && tf(1)(idx("d")) == 1 && tf(1)(idx("a")) == 0)
   }
+
+  // Pin the JVM-side murmur3 bucket replication the generated hashing
+  // oracles embed as literal tables: if either drifts from the real
+  // MLlib transform, the exact gates would go red — fail here first.
+  test("hashingTfBuckets match actual HashingTF transform buckets") {
+    import spark.implicits._
+    val words = TextFeatureQueries.hashVocab
+    val d = words.map(w => Tuple1(w)).toDF("text")
+    val out = new HashingVectorizer("text", nFeatures = 1 << 12).transform(d)
+      .select("text", "features").collect()
+    out.foreach { r =>
+      val v = r.getAs[org.apache.spark.ml.linalg.Vector]("features").toSparse
+      assert(v.indices.toSeq == Seq(TextFeatureQueries.hashingTfBuckets(r.getString(0))))
+    }
+  }
+
+  test("fhBucket replicates MLlib FeatureHasher bucketing (cat + numeric)") {
+    import spark.implicits._
+    val d = TextFeatureQueries.catVocab.zipWithIndex
+      .map { case (v, i) => (v, (i + 1) / 10.0) }.toDF("cat", "num")
+    val out = new FeatureHasher(Seq("cat", "num"), nFeatures = 1 << 12)
+      .transform(d).collect()
+    val numB = TextFeatureQueries.fhBucket("num")
+    out.foreach { r =>
+      val v = r.getAs[org.apache.spark.ml.linalg.Vector]("features").toSparse
+      val catB = TextFeatureQueries.fhBucket(s"cat=${r.getString(0)}")
+      val got = v.indices.zip(v.values).toMap
+      assert(got(catB) == 1.0, s"cat=${r.getString(0)}")
+      assert(got(numB) == r.getDouble(1))
+      assert(got.size == 2)
+    }
+  }
 }
