@@ -1,6 +1,7 @@
 package graft.compose
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.core.{Estimator, Model}
 
@@ -55,4 +56,62 @@ class PipelineModel(val fitted: Seq[(String, Model)]) extends Model {
   override def inverseTransform(df: DataFrame): DataFrame =
     fitted.reverse.foldLeft(df) { case (d, (_, m)) => m.inverseTransform(d) }
   def apply(name: String): Model = fitted.find(_._1 == name).get._2
+}
+
+/** Ref: sklearn FeatureUnion as dask-ml's search graph handles it
+  * (model_selection/_search.py:851-955 `_do_featureunion`,
+  * methods.py:188-208 `feature_union` / `feature_union_concat`): every
+  * branch is fitted on the SAME input (fan-out, unlike Pipeline's
+  * chain), branch outputs are hstacked, and `transformer_weights`
+  * multiply a branch's output block.
+  *
+  * Spark shape: "hstack" = namespaced column copies. Each branch b over
+  * source columns cs first gets `b__<c>` copies (one fused projection —
+  * no join, no shuffle), fits and transforms in place on its own
+  * copies, and its weight scales those columns afterwards. Two branches
+  * can therefore transform the SAME source column differently — the
+  * semantics ColumnTransformer's disjoint in-place model can't express.
+  * The whole transform stays map-only: one scan at any data size.
+  *
+  * @param branches (name, sourceCols, factory given the branch's
+  *   namespaced column names `name__src`)
+  * @param weights transformer_weights: branch name → multiplier
+  */
+class FeatureUnion(
+    val branches: Seq[(String, Seq[String], Seq[String] => Estimator[_ <: Model])],
+    val weights: Map[String, Double] = Map.empty
+) extends Estimator[FeatureUnionModel] {
+  def fit(df: DataFrame): FeatureUnionModel = {
+    val prepared = FeatureUnion.prepare(df, branches.map(b => (b._1, b._2)))
+    new FeatureUnionModel(
+      branches.map { case (n, srcs, mk) =>
+        (n, srcs, mk(srcs.map(c => s"${n}__$c")).fit(prepared))
+      }, weights)
+  }
+}
+
+object FeatureUnion {
+  /** The stateless hstack projection: `name__src` copies per branch. */
+  def prepare(df: DataFrame, branchCols: Seq[(String, Seq[String])]): DataFrame =
+    branchCols.foldLeft(df) { case (d, (n, srcs)) =>
+      srcs.foldLeft(d)((dd, c) => dd.withColumn(s"${n}__$c", col(c)))
+    }
+}
+
+class FeatureUnionModel(
+    val fitted: Seq[(String, Seq[String], Model)],
+    val weights: Map[String, Double]
+) extends Model {
+  def transform(df: DataFrame): DataFrame = {
+    val prepared = FeatureUnion.prepare(df, fitted.map(b => (b._1, b._2)))
+    val transformed = fitted.foldLeft(prepared) { case (d, (_, _, m)) => m.transform(d) }
+    // feature_union_concat's `X * w` on the branch's output block
+    fitted.foldLeft(transformed) { case (d, (n, srcs, _)) =>
+      weights.get(n).fold(d) { w =>
+        srcs.foldLeft(d)((dd, c) =>
+          dd.withColumn(s"${n}__$c", col(s"${n}__$c") * w))
+      }
+    }
+  }
+  def apply(name: String): Model = fitted.find(_._1 == name).get._3
 }

@@ -243,18 +243,44 @@ class RandomizedSearchCV[M <: Model](
     ParamGrid.sample(paramGrid, nIter, seed)
 }
 
+/** One stage of a [[PipelineGridSearchCV]]. */
+sealed trait SearchStage { def name: String }
+
+object SearchStage {
+  /** Linear estimator stage; params namespaced `name__param`. */
+  final case class Est(
+      name: String,
+      make: Map[String, Any] => Estimator[_ <: Model]) extends SearchStage
+
+  /** FeatureUnion fan-out stage (_search.py:851-955 `_do_featureunion`):
+    * `prepare` is the union's stateless hstack projection (e.g.
+    * `FeatureUnion.prepare` column copies), then every branch is fitted
+    * on the SAME prepared input. Branch params are namespaced
+    * `stage__branch__param`, and identical (branch, params) fits are
+    * shared ACROSS candidates even when SIBLING branches differ — the
+    * reference's per-step tokenized dedup, which linear prefix sharing
+    * cannot express.
+    */
+  final case class Union(
+      name: String,
+      prepare: DataFrame => DataFrame,
+      branches: Seq[(String, Map[String, Any] => Estimator[_ <: Model])]) extends SearchStage
+}
+
 /** Pipeline grid search with PREFIX SHARING — the reference's key
   * optimization (_search.py:474-498, 561-587): two candidates whose
   * params agree on stages 0..i share those fitted stages and the
-  * transformed intermediate data per fold.
+  * transformed intermediate data per fold. [[SearchStage.Union]] stages
+  * additionally dedup each branch's fit independently of its siblings
+  * (_search.py:851-955).
   *
-  * Stages are (name, factory); params are namespaced "name__param".
-  * The memo key is (fold, prefix params); intermediate transformed
-  * DataFrames are persisted once per distinct prefix and unpersisted
-  * after the search.
+  * The frame memo key is (fold, stage-chain signature); intermediate
+  * transformed DataFrames are persisted once per distinct chain and
+  * unpersisted after the search. Union branch models are memoized by
+  * (fold, chain-before-stage, branch, branch params).
   */
 class PipelineGridSearchCV[M <: Model](
-    val stages: Seq[(String, Map[String, Any] => Estimator[_ <: Model])],
+    val stages: Seq[SearchStage],
     val finalStage: (String, Map[String, Any] => Estimator[M]),
     val paramGrid: Map[String, Seq[Any]],
     val scorer: (M, DataFrame) => Double,
@@ -267,26 +293,47 @@ class PipelineGridSearchCV[M <: Model](
   def fit(df: DataFrame): SearchResult[M] = {
     val cands = ParamGrid.expand(paramGrid)
     val (folds, cleanup) = Splits.kfoldCached(df, cv)
-    // memo: (fold, prefix param maps) -> (transformed train, transformed test)
-    val memo = scala.collection.mutable.Map.empty[
-      (Int, Seq[Map[String, Any]]), (DataFrame, DataFrame)]
+    // (fold, stage-chain signature) -> (transformed train, transformed test)
+    val frameMemo = scala.collection.mutable.Map.empty[
+      (Int, List[Any]), (DataFrame, DataFrame)]
+    // (fold, chain before the union, branch, branch params) -> fitted model
+    val branchMemo = scala.collection.mutable.Map.empty[
+      (Int, List[Any], String, Map[String, Any]), Model]
     fitCount = 0
     try {
       val scored = cands.map { params =>
         val ss = folds.indices.map { f =>
-          val (tr0, te0) = folds(f)
-          var tr = tr0; var te = te0
-          val prefix = scala.collection.mutable.ArrayBuffer.empty[Map[String, Any]]
-          stages.foreach { case (name, make) =>
-            val sp = stageParams(name, params)
-            prefix += sp
-            val key = (f, prefix.toSeq)
-            val (ntr, nte) = memo.getOrElseUpdate(key, {
-              fitCount += 1
-              val m = make(sp).fit(tr)
-              (m.transform(tr).persist(), m.transform(te).persist())
-            })
-            tr = ntr; te = nte
+          var (tr, te) = folds(f)
+          var chain = List.empty[Any]
+          stages.foreach {
+            case SearchStage.Est(name, make) =>
+              val sp = stageParams(name, params)
+              chain = (name, sp) :: chain
+              val (ntr, nte) = frameMemo.getOrElseUpdate((f, chain), {
+                fitCount += 1
+                val m = make(sp).fit(tr)
+                (m.transform(tr).persist(), m.transform(te).persist())
+              })
+              tr = ntr; te = nte
+            case SearchStage.Union(name, prepare, branches) =>
+              val bps = branches.map { case (bn, _) =>
+                bn -> stageParams(s"${name}__$bn", params) }
+              val before = chain
+              chain = (name, bps) :: chain
+              val (ntr, nte) = frameMemo.getOrElseUpdate((f, chain), {
+                val trP = prepare(tr); val teP = prepare(te)
+                // fan-out: every branch fits the SAME prepared input,
+                // deduped per branch across candidates
+                val ms = branches.zip(bps).map { case ((bn, mk), (_, bp)) =>
+                  branchMemo.getOrElseUpdate((f, name :: before, bn, bp), {
+                    fitCount += 1
+                    mk(bp).fit(trP): Model
+                  })
+                }
+                (ms.foldLeft(trP)((d, m) => m.transform(d)).persist(),
+                  ms.foldLeft(teP)((d, m) => m.transform(d)).persist())
+              })
+              tr = ntr; te = nte
           }
           val fm = finalStage._2(stageParams(finalStage._1, params)).fit(tr)
           scorer(fm, te)
@@ -303,20 +350,33 @@ class PipelineGridSearchCV[M <: Model](
       val best = ranked.minBy(_.rank)
       // refit best pipeline on the full data
       var full = df
-      stages.foreach { case (name, make) =>
-        full = make(stageParams(name, best.params)).fit(full).transform(full)
+      stages.foreach {
+        case SearchStage.Est(name, make) =>
+          full = make(stageParams(name, best.params)).fit(full).transform(full)
+        case SearchStage.Union(name, prepare, branches) =>
+          val fp = prepare(full)
+          val ms = branches.map { case (bn, mk) =>
+            mk(stageParams(s"${name}__$bn", best.params)).fit(fp) }
+          full = ms.foldLeft(fp)((d, m) => m.transform(d))
       }
       val bestModel = finalStage._2(stageParams(finalStage._1, best.params)).fit(full)
       SearchResult(ranked, best.params, best.meanScore, bestModel)
     } finally {
-      memo.values.foreach { case (a, b) => a.unpersist(false); b.unpersist(false) }
+      frameMemo.values.foreach { case (a, b) => a.unpersist(false); b.unpersist(false) }
       cleanup()
     }
   }
 
-  /** Number of distinct stage fits actually performed (for tests: must be
-    * < candidates × stages × folds when prefixes overlap).
+  /** Number of distinct stage/branch fits actually performed (for tests:
+    * must be < candidates × stages × folds when prefixes or union
+    * branches overlap).
     */
   def lastFitCount: Int = fitCount
   private var fitCount = 0
+}
+
+object PipelineGridSearchCV {
+  /** Convenience for the common linear (name -> factory) form. */
+  def linear(stages: (String, Map[String, Any] => Estimator[_ <: Model])*): Seq[SearchStage] =
+    stages.map { case (n, mk) => SearchStage.Est(n, mk) }
 }

@@ -158,6 +158,25 @@ object PreprocessingQueries extends QueryPack {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // FeatureUnion: two branches over the SAME source column fitted on
+    // the SAME input (fan-out, not a chain), hstacked as namespaced
+    // copies, with a transformer_weight on the mm branch — the
+    // feature_union/feature_union_concat semantics
+    // (_search.py:851-955, methods.py:188-208).
+    "q_feature_union" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val fu = new graft.compose.FeatureUnion(
+        Seq(
+          ("std", Seq("l_quantity"), cs => new StandardScaler(cs)),
+          ("mm", Seq("l_quantity"), cs => new MinMaxScaler(cs))),
+        weights = Map("mm" -> 2.0))
+      fu.fit(li).transform(li)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("std__l_quantity"), 6).as("q_std"),
+          round(col("mm__l_quantity"), 6).as("q_mm_w"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "q_scaler_inverse_roundtrip" -> ((s, dir) => {
       val cols = Seq("l_quantity", "l_extendedprice")
       val li = Tables.lineitem(s, dir)
@@ -282,6 +301,14 @@ object PreprocessingQueries extends QueryPack {
         |SELECT l_orderkey, l_linenumber,
         | round((z - zmin)/(zmax - zmin), 6) AS scaled
         |FROM z, mm ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // + 0.0 on q_std guards DuckDB's IEEE -0.0 from round() near zero
+    "q_feature_union" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round((l_quantity - avg(l_quantity) OVER ())
+        |   / stddev_pop(l_quantity) OVER (), 6) + 0.0 AS q_std,
+        | round((l_quantity - min(l_quantity) OVER ())
+        |   / (max(l_quantity) OVER () - min(l_quantity) OVER ()) * 2.0, 6) AS q_mm_w
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_scaler_inverse_roundtrip" ->
       """SELECT l_orderkey, l_linenumber,
         | round(l_quantity, 6) AS qty_rt,

@@ -62,7 +62,7 @@ class ModelSelectionSpec extends SparkSpec {
     val df = orders.withColumn("x", col("o_totalprice") / 1000)
       .withColumn("y", col("o_totalprice") / 500)
     val search = new PipelineGridSearchCV[graft.linear.LinearRegressionModel](
-      stages = Seq("scale" -> (p => new StandardScaler(Seq("x"),
+      stages = PipelineGridSearchCV.linear("scale" -> (p => new StandardScaler(Seq("x"),
         withMean = p("with_mean").asInstanceOf[Boolean]))),
       finalStage = "lr" -> (p => new LinearRegression(Seq("x"), "y",
         c = p("c").asInstanceOf[Double])),
@@ -76,6 +76,51 @@ class ModelSelectionSpec extends SparkSpec {
     assert(search.lastFitCount == 4,
       s"prefix sharing broken: ${search.lastFitCount} stage fits")
     assert(res.bestScore > 0.99)
+  }
+
+  test("union branches dedup fits across candidates (_do_featureunion)") {
+    val df = orders.withColumn("x", col("o_totalprice") / 1000)
+      .withColumn("y", col("o_totalprice") / 500)
+    val branchCols = Seq("std" -> Seq("x"), "mm" -> Seq("x"))
+    val search = new PipelineGridSearchCV[graft.linear.LinearRegressionModel](
+      stages = Seq(SearchStage.Union("u",
+        d => graft.compose.FeatureUnion.prepare(d, branchCols),
+        Seq(
+          // fixed-param branch: must fit once per fold, shared by all 4 candidates
+          "std" -> (_ => new StandardScaler(Seq("std__x"))),
+          // varying branch: once per (param value, fold)
+          "mm" -> (p => new StandardScaler(Seq("mm__x"),
+            withMean = p("with_mean").asInstanceOf[Boolean]))))),
+      finalStage = "lr" -> (p => new LinearRegression(Seq("std__x", "mm__x"), "y",
+        c = p("c").asInstanceOf[Double])),
+      paramGrid = Map(
+        "u__mm__with_mean" -> Seq(true, false),
+        "lr__c" -> Seq(1e6, 1.0)),
+      scorer = (m, test) => Metrics.r2Score(m.transform(test), "y", "prediction"),
+      cv = 2)
+    val res = search.fit(df)
+    // 4 candidates × 2 folds × 2 branches = 16 naive fits; shared:
+    // std 1×2 folds + mm 2 configs×2 folds = 6
+    assert(search.lastFitCount == 6,
+      s"union branch dedup broken: ${search.lastFitCount} branch fits")
+    assert(res.bestScore > 0.99)
+  }
+
+  test("FeatureUnion: fan-out fit on same input, weighted hstack columns") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val fu = new graft.compose.FeatureUnion(
+      Seq(
+        ("std", Seq("x"), cs => new StandardScaler(cs)),
+        ("mm", Seq("x"), cs => new graft.preprocessing.MinMaxScaler(cs))),
+      weights = Map("mm" -> 2.0))
+    val out = fu.fit(df).transform(df).orderBy("x")
+      .select("x", "std__x", "mm__x").as[(Double, Double, Double)].collect()
+    // source column untouched; branches transform their own copies
+    assert(out.map(_._1).toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+    // std: mean 2.5, std_pop sqrt(1.25); mm: (x-1)/3 then *2
+    assert(out.head._2 ~== (-1.5 / math.sqrt(1.25), 1e-9))
+    assert(out.map(_._3).toSeq == Seq(0.0, 2.0 / 3, 4.0 / 3, 2.0))
   }
 
   test("ParamGrid.expand is the full cartesian product in stable order") {
