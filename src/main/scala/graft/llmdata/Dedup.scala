@@ -85,20 +85,39 @@ object Dedup {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** Multiply-add mixing constants for the cheap minhash family,
-    * derived deterministically from the seed index via splitmix64
-    * (Steele/Lea/Flood, OOPSLA'14 — the standard seeding mix).
-    * Multipliers are forced odd so each mix is a bijection on Z_2^64.
+  /** Cheap minhash family: 60-bit XOR-then-xorshift bijections.
+    *
+    * Values live in [0, 2^60) and the mix uses ONLY xor, logical
+    * shifts, and masks — no multiplication — so the family is exactly
+    * reproducible in engines whose 64-bit integer multiply raises on
+    * overflow instead of wrapping (DuckDB BIGINT, the oracle engine).
+    * Left shifts are masked BEFORE shifting (`(x & mask) << s` ==
+    * `(x << s) & 2^60-1`) so intermediate values never exceed 60 bits,
+    * keeping signed BIGINT semantics identical to the JVM's.
+    *
+    * Per-seed constants come from splitmix64 (Steele/Lea/Flood,
+    * OOPSLA'14); each step of [[mix60]] is a bijection on Z_2^60, so
+    * v_s = mix60(h ^ c_s) is a valid (Carter–Wegman-style) min-wise
+    * family over the already-uniform md5-derived h.
     */
-  private[llmdata] def mixConstants(k: Int): (Array[Long], Array[Long]) = {
-    def splitmix(x0: Long): Long = {
-      var z = x0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    (Array.tabulate(k)(i => splitmix(2L * i) | 1L),
-      Array.tabulate(k)(i => splitmix(2L * i + 1)))
+  private[llmdata] val Mask60 = (1L << 60) - 1
+
+  private[llmdata] def splitmix(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private[llmdata] def cheapSeeds(k: Int): Array[Long] =
+    Array.tabulate(k)(i => splitmix(i.toLong) & Mask60)
+
+  private[llmdata] def mix60(x: Long): Long = {
+    var h = x
+    h ^= (h & ((1L << 47) - 1)) << 13
+    h ^= h >>> 7
+    h ^= (h & ((1L << 43) - 1)) << 17
+    h
   }
 
   /** MinHash signature per document: k independent min-hashes.
@@ -111,16 +130,17 @@ object Dedup {
     *
     * Two hash families:
     *  - DEFAULT (`oracleCompatible = false`): each shingle is hashed
-    *    ONCE (md5 → first 8 bytes as u64), then the k per-seed values
-    *    are cheap multiply-add mixes `h_i = a_i·h + b_i (mod 2^64)`
-    *    with unsigned-min selection — the standard universal-hashing
-    *    construction (Carter–Wegman; MMDS ch.3.3). One digest per
-    *    shingle instead of k: ~k× less hashing on the production path.
+    *    ONCE (md5 → first 15 hex chars as a 60-bit value, the same
+    *    truncation simhash uses), then the k per-seed values are cheap
+    *    mul-free mixes `v_s = mix60(h ^ c_s)` (see [[mix60]]) with
+    *    plain-min selection (values are non-negative). One digest per
+    *    shingle instead of k: ~k× less hashing on the production path —
+    *    AND exactly reproducible in DuckDB SQL, so the production
+    *    family is hash-gated too (q_dedup_minhash_default).
     *  - `oracleCompatible = true`: min(md5(seed‖shingle)) over hex
-    *    strings per seed — k full digests per shingle, but every value
-    *    is bit-reproducible in an external SQL engine (DuckDB `md5()`),
-    *    which is what the correctness oracle needs.
-    * Both emit 32-hex-char (oracle) / 16-hex-char (cheap) string
+    *    strings per seed — k full digests per shingle; the original
+    *    oracle family kept for the demo-parameter gate.
+    * Both emit 32-hex-char (oracle) / 15-hex-char (cheap) string
     * signature columns; downstream banding only needs equality.
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
@@ -155,7 +175,7 @@ object Dedup {
         }
       }
       else {
-        val (as, bs) = mixConstants(kk)
+        val cs = cheapSeeds(kk)
         udf { (text: String) =>
           if (text == null) null
           else {
@@ -163,25 +183,27 @@ object Dedup {
             if (toks.length < n) null
             else {
               val md = md5Local.get()
-              val mins = Array.fill(kk)(-1L) // unsigned max
+              val mins = Array.fill(kk)(Long.MaxValue)
               var i = 0
               while (i <= toks.length - n) {
                 val sb = new java.lang.StringBuilder(toks(i))
                 var o = 1
                 while (o < n) { sb.append(' ').append(toks(i + o)); o += 1 }
                 val bytes = md.digest(sb.toString.getBytes("UTF-8"))
-                var h = 0L
+                var h64 = 0L
                 var bi = 0
-                while (bi < 8) { h = (h << 8) | (bytes(bi) & 0xffL); bi += 1 }
+                while (bi < 8) { h64 = (h64 << 8) | (bytes(bi) & 0xffL); bi += 1 }
+                // first 15 hex chars = top 60 bits of the first 8 bytes
+                val h = h64 >>> 4
                 var s = 0
                 while (s < kk) {
-                  val v = as(s) * h + bs(s)
-                  if (java.lang.Long.compareUnsigned(v, mins(s)) < 0) mins(s) = v
+                  val v = mix60(h ^ cs(s))
+                  if (v < mins(s)) mins(s) = v
                   s += 1
                 }
                 i += 1
               }
-              mins.toSeq.map(v => f"${v}%016x")
+              mins.toSeq.map(v => f"${v}%015x")
             }
           }
         }
@@ -263,6 +285,12 @@ object Dedup {
 
   /** Full MinHash-LSH near-duplicate pipeline: candidate generation via
     * banding, then exact-Jaccard verification, keeping pairs ≥ threshold.
+    *
+    * EAGER: materializes intermediate frames to release their caches as
+    * it goes (signatures after banding, candidates after verification).
+    * The returned pair frame is persisted — small by construction
+    * (bounded by the verified candidates) — and callers that are done
+    * with it may `.unpersist()` it.
     */
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, k: Int = 64, rowsPerBand: Int = 4,
@@ -290,7 +318,11 @@ object Dedup {
       .union(cands.select(col("id_b").as(idCol))).distinct()
     val candDocs = df.join(broadcast(ids), Seq(idCol), "left_semi")
     val sh = rawShingles(candDocs, textCol, idCol, shingleN).distinct()
-    jaccard(cands, sh, idCol).filter(col("jaccard") >= threshold)
+    val res = jaccard(cands, sh, idCol).filter(col("jaccard") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count() // materialize verified pairs, then free the candidate cache
+    cands.unpersist(blocking = false)
+    res
   }
 
   /** 60-bit SimHash per document, fully expression-based: per token a
@@ -343,11 +375,15 @@ object Dedup {
       col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("chunk"), col("cv"),
       col(idCol).as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("chunk", "cv")).filter(col("id_a") < col("id_b"))
+    val res = a.join(b, Seq("chunk", "cv")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count() // materialize pairs (small), then free the simhash cache
+    sh.unpersist(blocking = false)
+    res
   }
 
   /** Keep one representative per near-dup cluster: connected pairs →

@@ -54,6 +54,63 @@ object LlmDataQueries extends QueryPack {
       |          JOIN sizes sb ON sb.doc_id = id_b
       |          WHERE cnt * 1.0 / (sa.sz + sb.sz - cnt) >= 0.8)""".stripMargin
 
+  /** Generated mirror of the PRODUCTION minhash family (k=64,
+    * rowsPerBand=4, cheap 60-bit xor-shift mixes — Dedup.mix60): one
+    * md5 per shingle → 60-bit h (first 15 hex chars, the established
+    * `('0x'||substr(md5,1,15))::BIGINT` trick) → per-seed
+    * `mix60(xor(h, c_s))` with the seed constants embedded as a literal
+    * VALUES table → per-doc mins as 15-hex strings → 16 band md5s →
+    * bucket join → exact Jaccard. Every step is the same arithmetic the
+    * JVM runs (left shifts are masked before shifting on BOTH sides, so
+    * signed BIGINT never overflows).
+    */
+  private val cheapMinhashPairCtes: String = {
+    val k = 64
+    val seeds = Dedup.cheapSeeds(k)
+    val seedRows = seeds.zipWithIndex
+      .map { case (c, s) => s"($s,${c}::BIGINT)" }.mkString(",")
+    val m47 = (1L << 47) - 1
+    val m43 = (1L << 43) - 1
+    val sigCols = (0 until k)
+      .map(s => s"max(CASE WHEN s=$s THEN m END) AS m$s")
+      .mkString(",\n|  ")
+    val bandRows = (0 until k / 4).map { b =>
+      val concat = (0 until 4).map(r => s"m${b * 4 + r}").mkString(" || ")
+      if (b == 0) s"SELECT doc_id, 0 AS band, md5($concat) AS bh FROM sig"
+      else s"UNION ALL SELECT doc_id, $b, md5($concat) FROM sig"
+    }.mkString("\n| ")
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       |       FROM toks, (SELECT unnest(range(1, 100000)) AS i) ii
+       |       WHERE i <= len(t) - 2),
+       |hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+       |       FROM sh),
+       |seeds(s, c) AS (SELECT * FROM (VALUES $seedRows)),
+       |x1 AS (SELECT doc_id, s, xor(h, c) AS x FROM hs, seeds),
+       |x2 AS (SELECT doc_id, s, xor(x, (x & $m47) << 13) AS x FROM x1),
+       |x3 AS (SELECT doc_id, s, xor(x, x >> 7) AS x FROM x2),
+       |x4 AS (SELECT doc_id, s, xor(x, (x & $m43) << 17) AS x FROM x3),
+       |mh AS (SELECT doc_id, s, printf('%015x', min(x)) AS m
+       |       FROM x4 GROUP BY 1, 2),
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       | FROM mh GROUP BY 1),
+       |bands AS (
+       | $bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS cnt
+       |          FROM cand c JOIN sh a ON a.doc_id = c.id_a
+       |          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT id_a, id_b, cnt * 1.0 / (sa.sz + sb.sz - cnt) AS jac
+       |          FROM inter JOIN sizes sa ON sa.doc_id = id_a
+       |          JOIN sizes sb ON sb.doc_id = id_b
+       |          WHERE cnt * 1.0 / (sa.sz + sb.sz - cnt) >= 0.8)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_text_stats" -> ((s, dir) => {
@@ -121,10 +178,11 @@ object LlmDataQueries extends QueryPack {
         .orderBy("id_a", "id_b")),
 
     // the PRODUCTION configuration: k=64/rowsPerBand=4 defaults with the
-    // cheap-mix hash family (one md5 per shingle + 64 multiply-add
-    // mixes). The hash family is JVM-side → rows-only check; this is the
-    // entry BENCH should be read against (q_dedup_minhash above
-    // certifies correctness at demo-scale parameters, not throughput).
+    // cheap hash family (ONE md5 per shingle + 64 mul-free 60-bit
+    // xor-shift mixes). The mix avoids multiplication precisely so the
+    // production path is EXACTLY hash-gated (DuckDB BIGINT multiply
+    // raises on overflow; xor/shift/mask reproduce bit-for-bit) — this
+    // is the entry BENCH is read against, now with a full oracle.
     "q_dedup_minhash_default" -> ((s, dir) =>
       Dedup.minhashNearDupPairs(Tables.documents(s, dir), "text", "doc_id",
         threshold = 0.8)
@@ -232,6 +290,10 @@ object LlmDataQueries extends QueryPack {
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH $minhashPairCtes
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard
+         |FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_minhash_default" ->
+      s"""WITH $cheapMinhashPairCtes
          |SELECT id_a, id_b, round(jac, 6) AS jaccard
          |FROM pairs ORDER BY id_a, id_b""".stripMargin,
     "q_drop_near_dups" ->
