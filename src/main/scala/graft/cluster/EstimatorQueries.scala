@@ -65,6 +65,33 @@ object EstimatorQueries extends QueryPack {
         .select(col("n"))
     }),
 
+    // Invariant gate for the seeded full fit (k_means.py:254-619): the
+    // centers are seed-dependent but these properties are not —
+    // assignment partition (sizes sum to n, all k clusters non-empty),
+    // Lloyd monotonicity (more iterations never worsen inertia from the
+    // same seeded init), beating the single-cluster baseline
+    // (n·Σvar_pop), and trainingCost agreeing with an independent
+    // expression-based recompute of Σ min_c ‖x−c‖².
+    "q_kmeans_fit_invariants" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val feats = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val m2 = new KMeans(feats, nClusters = 4, seed = 42, maxIter = 2).fit(li)
+      val m = new KMeans(feats, nClusters = 4, seed = 42).fit(li)
+      val sizes = m.transform(li).groupBy(col(m.predictionCol)).count().collect()
+      val baselineRow = li.agg(
+        (sum(lit(1L)) * (var_pop(col(feats.head)) +
+          var_pop(col(feats(1))) + var_pop(col(feats(2))))).as("b")).head()
+      val baseline = baselineRow.getDouble(0)
+      val recomputed = -m.score(li)
+      import s.implicits._
+      Seq((sizes.map(_.getLong(1)).sum, sizes.length,
+        m.inertia < baseline,
+        m.inertia <= m2.inertia * (1 + 1e-12),
+        math.abs(recomputed - m.inertia) <= 1e-6 * math.max(1.0, m.inertia)))
+        .toDF("n_total", "n_clusters", "lt_single_cluster", "monotone_iters",
+          "inertia_consistent")
+    }),
+
     // OLS via the distributed normal equations; single-feature closed
     // form matches DuckDB's regr_slope/regr_intercept.
     "q_linreg_fit" -> ((s, dir) => {
@@ -228,6 +255,11 @@ object EstimatorQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_kmeans_fit_invariants" ->
+      """SELECT count(*) AS n_total, CAST(4 AS INT) AS n_clusters,
+        | TRUE AS lt_single_cluster, TRUE AS monotone_iters,
+        | TRUE AS inertia_consistent
+        |FROM lineitem""".stripMargin,
     "q_kmeans_lloyd_step" -> {
       def dist(c: Array[Double]) =
         s"(l_quantity-(${c(0)}))*(l_quantity-(${c(0)})) + (l_extendedprice-(${c(1)}))*(l_extendedprice-(${c(1)}))"
