@@ -144,6 +144,46 @@ object EstimatorQueries extends QueryPack {
         .select(col("n"))
     }),
 
+    // Precomputed-kernel CV slicing (CVCache pairwise=True,
+    // methods.py:118-169): a 120×120 long-form RBF kernel over a
+    // deterministic lineitem sample, sliced per fold as
+    // K[ix_(train,train)] / K[ix_(test,train)] by kfoldPairwiseCached's
+    // range predicates. Output pins slice sizes, an exact integer
+    // membership checksum, and the sliced kernel mass.
+    "q_cv_pairwise_slice" -> ((s, dir) => {
+      val n = 120; val nFolds = 3
+      val li = Tables.lineitem(s, dir)
+      // tiny-n gate: the window sort is over 120 rows, not a scale path
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("l_orderkey", "l_linenumber")
+      val sample = li
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"))
+        .orderBy("l_orderkey", "l_linenumber").limit(n)
+        .withColumn("idx", row_number().over(w) - 1)
+      val a = sample.select(col("idx").as("row_idx"),
+        col("l_quantity").as("qa"), col("l_discount").as("da"))
+      val b = sample.select(col("idx").as("col_idx"),
+        col("l_quantity").as("qb"), col("l_discount").as("db"))
+      val kernel = a.crossJoin(b).select(col("row_idx"), col("col_idx"),
+        exp(lit(-0.05) * ((col("qa") - col("qb")) * (col("qa") - col("qb"))
+          + (col("da") - col("db")) * (col("da") - col("db")))).as("kv"))
+      val (slices, cleanup) = Splits.kfoldPairwiseCached(kernel, n, nFolds)
+      import s.implicits._
+      def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rows = slices.zipWithIndex.map { case ((tr, te), f) =>
+        val t = tr.agg(count(lit(1)),
+          sum(col("row_idx") * 1000 + col("col_idx"))).head()
+        val e = te.agg(count(lit(1)),
+          sum(col("row_idx") * 1000 + col("col_idx")), sum("kv")).head()
+        (f, t.getLong(0), e.getLong(0), t.getLong(1), e.getLong(1),
+          r6(e.getDouble(2)))
+      }
+      cleanup()
+      rows.toDF("fold", "n_train", "n_test", "ck_train", "ck_test",
+        "sum_test_k").orderBy("fold")
+    }),
+
     // train_test_split: the per-split sizes are seed-dependent, but the
     // PARTITION invariant (train + test == total, no row lost or
     // duplicated) is deterministic — that is what the oracle checks.
@@ -266,6 +306,26 @@ object EstimatorQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // n=120, k=3 → fold f is exactly [40f, 40f+40); HUGEINT sums cast
+    // back to BIGINT to match Spark's long render.
+    "q_cv_pairwise_slice" ->
+      """WITH s AS (SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS idx,
+        |    l_quantity AS q, l_discount AS d
+        |  FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 120),
+        |kern AS (SELECT a.idx AS r, b.idx AS c,
+        |    exp(-0.05 * ((a.q-b.q)*(a.q-b.q) + (a.d-b.d)*(a.d-b.d))) AS kv
+        |  FROM s a, s b),
+        |sl AS (SELECT fold, r, c, kv,
+        |    (r >= fold*40 AND r < fold*40+40) AS rin,
+        |    (c >= fold*40 AND c < fold*40+40) AS cin
+        |  FROM kern, (SELECT unnest(range(0, 3)) AS fold) ff)
+        |SELECT CAST(fold AS INT) AS fold,
+        | count(*) FILTER (WHERE NOT rin AND NOT cin) AS n_train,
+        | count(*) FILTER (WHERE rin AND NOT cin) AS n_test,
+        | CAST(sum(CASE WHEN NOT rin AND NOT cin THEN r*1000 + c END) AS BIGINT) AS ck_train,
+        | CAST(sum(CASE WHEN rin AND NOT cin THEN r*1000 + c END) AS BIGINT) AS ck_test,
+        | round(sum(CASE WHEN rin AND NOT cin THEN kv END), 6) AS sum_test_k
+        |FROM sl GROUP BY fold ORDER BY fold""".stripMargin,
     "q_kmeans_fit_invariants" ->
       """SELECT count(*) AS n_total, CAST(4 AS INT) AS n_clusters,
         | TRUE AS lt_single_cluster, TRUE AS monotone_iters,

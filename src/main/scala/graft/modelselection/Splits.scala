@@ -129,6 +129,45 @@ object Splits {
     (folds, () => { folded.unpersist(blocking = false); () })
   }
 
+  /** Contiguous-KFold range of fold `f` over n rows: [start, end).
+    * Mirrors [[withFold]]'s arithmetic (first n % k folds one larger).
+    */
+  def foldRange(n: Long, k: Int, f: Int): (Long, Long) = {
+    val base = n / k; val extra = n % k
+    val start = f * base + math.min(f, extra)
+    (start, start + base + (if (f < extra) 1 else 0))
+  }
+
+  /** Precomputed-kernel CV slicing — the CVCache `pairwise=True` path
+    * (ref: methods.py:118-169 `_extract_pairwise`,
+    * `X[np.ix_(train|test, train)]`): for estimators taking a
+    * precomputed n×n kernel/affinity matrix, fold f's TRAIN view keeps
+    * kernel entries whose row AND column are train samples, and its
+    * TEST view keeps test rows against TRAIN columns.
+    *
+    * Spark shape: the kernel is LONG-FORM (rowIdx, colIdx, value) with
+    * 0-based contiguous sample indices, and KFold folds are contiguous
+    * ranges — so each slice is a pure RANGE PREDICATE on the two index
+    * columns: map-only, no join, pushed down to the scan. The kernel
+    * frame is persisted once (the cache_cv analog) and the returned
+    * cleanup releases it.
+    */
+  def kfoldPairwiseCached(kernel: DataFrame, n: Long, k: Int,
+      rowCol: String = "row_idx", colCol: String = "col_idx")
+      : (Seq[(DataFrame, DataFrame)], () => Unit) = {
+    require(n >= k, s"need at least k=$k samples, got $n")
+    val cached = kernel
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count() // materialize before fan-out
+    val slices = (0 until k).map { f =>
+      val (s, e) = foldRange(n, k, f)
+      def inFold(c: String) = col(c) >= s && col(c) < e
+      (cached.filter(!inFold(rowCol) && !inFold(colCol)),
+        cached.filter(inFold(rowCol) && !inFold(colCol)))
+    }
+    (slices, () => { cached.unpersist(blocking = false); () })
+  }
+
   /** Stratified k-fold (sklearn StratifiedKFold semantics per class):
     * within each label, rows ordered by `orderCol` split into k
     * contiguous groups, first n_c % k folds one row larger.

@@ -123,6 +123,29 @@ class ModelSelectionSpec extends SparkSpec {
     assert(out.map(_._3).toSeq == Seq(0.0, 2.0 / 3, 4.0 / 3, 2.0))
   }
 
+  test("kfoldPairwiseCached slices K[ix_(train,train)] and K[ix_(test,train)]") {
+    import spark.implicits._
+    // 5x5 kernel K(i,j) = 10i + j; folds over n=5, k=2: fold0=[0,3), fold1=[3,5)
+    val kernel = (for (i <- 0 until 5; j <- 0 until 5)
+      yield (i.toLong, j.toLong, (10 * i + j).toDouble))
+      .toDF("row_idx", "col_idx", "kv")
+    val (slices, cleanup) = Splits.kfoldPairwiseCached(kernel, 5, 2)
+    try {
+      def setOf(df: org.apache.spark.sql.DataFrame) =
+        df.select("row_idx", "col_idx").as[(Long, Long)].collect().toSet
+      // fold 0: train = {3,4} -> train slice 2x2, test slice rows {0,1,2} x cols {3,4}
+      assert(setOf(slices(0)._1) == (for (i <- 3 to 4; j <- 3 to 4) yield (i.toLong, j.toLong)).toSet)
+      assert(setOf(slices(0)._2) == (for (i <- 0 to 2; j <- 3 to 4) yield (i.toLong, j.toLong)).toSet)
+      // fold 1: train = {0,1,2}
+      assert(setOf(slices(1)._1) == (for (i <- 0 to 2; j <- 0 to 2) yield (i.toLong, j.toLong)).toSet)
+      assert(setOf(slices(1)._2) == (for (i <- 3 to 4; j <- 0 to 2) yield (i.toLong, j.toLong)).toSet)
+      // values ride along unchanged
+      val v = slices(0)._2.filter(col("row_idx") === 1 && col("col_idx") === 4)
+        .select("kv").as[Double].head()
+      assert(v == 14.0)
+    } finally cleanup()
+  }
+
   test("ParamGrid.expand is the full cartesian product in stable order") {
     val g = ParamGrid.expand(Map("a" -> Seq(1, 2), "b" -> Seq("x", "y")))
     assert(g.size == 4 && g.distinct.size == 4)
