@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ExpressionBridge
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+
+import graft.functions._
+
+/** SQL surface for graft's native Catalyst expressions, via the
+  * standard `SparkSessionExtensions` extension point:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions   // config-time
+  *   GraftExtensions.register(spark)              // or on a live session
+  *
+  *   SELECT vec_dot(a.embedding, b.embedding)            -- double
+  *   SELECT normal_ppf(0.975)                            -- double
+  *   SELECT interp1d(x, array(0.0, 1.0), array(0.0, 10.0))
+  *   SELECT token_stats(text, array('the','a'))          -- array<bigint>
+  *   SELECT top_k_by_score(cos, id, 3) ... GROUP BY q    -- array<struct>
+  * }}}
+  *
+  * Array/scalar configuration arguments (knots, stopwords, k) must be
+  * FOLDABLE — they parameterize the expression itself, exactly like the
+  * Column-API constructors they mirror.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** Register all functions on an already-running session. */
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (name, info, builder) =>
+      ExpressionBridge.registerFunction(spark, name, info, builder)
+    }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
+
+  private def foldedDoubles(fn: String, e: Expression): Array[Double] = {
+    require(e.foldable && e.dataType.isInstanceOf[ArrayType],
+      s"$fn: expected a foldable double array argument")
+    val arr = e.eval().asInstanceOf[ArrayData]
+    val et = e.dataType.asInstanceOf[ArrayType].elementType
+    require(et == DoubleType, s"$fn: array elements must be double, got $et")
+    arr.toDoubleArray()
+  }
+
+  private def foldedStrings(fn: String, e: Expression): Seq[String] = {
+    require(e.foldable && e.dataType.isInstanceOf[ArrayType],
+      s"$fn: expected a foldable string array argument")
+    val arr = e.eval().asInstanceOf[ArrayData]
+    val et = e.dataType.asInstanceOf[ArrayType].elementType
+    require(et == StringType, s"$fn: array elements must be string, got $et")
+    arr.toObjectArray(StringType)
+      .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
+  }
+
+  private def foldedInt(fn: String, e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other =>
+      require(other.foldable, s"$fn: expected a literal int argument")
+      other.eval().asInstanceOf[Number].intValue()
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot",
+      info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays"),
+      args => { arity("vec_dot", args, 2); VecDot(args(0), args(1)) }),
+    ("normal_ppf",
+      info("normal_ppf", "normal_ppf(p) - inverse standard normal CDF"),
+      args => { arity("normal_ppf", args, 1); NormalPpf(args(0)) }),
+    ("interp1d",
+      info("interp1d",
+        "interp1d(x, xs, ys) - np.interp against literal knot arrays"),
+      args => {
+        arity("interp1d", args, 3)
+        Interp1D(args(0), foldedDoubles("interp1d", args(1)),
+          foldedDoubles("interp1d", args(2)))
+      }),
+    ("token_stats",
+      info("token_stats",
+        "token_stats(text, stopwords) - [n_tokens, total_len, n_distinct, n_stop, n_bpe]"),
+      args => {
+        arity("token_stats", args, 2)
+        TokenStats(args(0), foldedStrings("token_stats", args(1)))
+      }),
+    ("top_k_by_score",
+      info("top_k_by_score",
+        "top_k_by_score(score, id, k) - aggregate: top-k (id, score) pairs, score desc"),
+      args => {
+        arity("top_k_by_score", args, 3)
+        TopKByScore(args(0), args(1), foldedInt("top_k_by_score", args(2)))
+      })
+  )
+}

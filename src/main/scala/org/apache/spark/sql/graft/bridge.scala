@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Minimal accessor for the `private[sql]` Expression⇄Column bridge —
@@ -12,4 +13,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ExpressionBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function builder on an EXISTING session's registry —
+    * the runtime-side counterpart of `SparkSessionExtensions
+    * .injectFunction` (which only applies to sessions built AFTER the
+    * extension is configured). Used by `graft.GraftExtensions.register`.
+    */
+  def registerFunction(spark: SparkSession, name: String, info: ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(name), info, builder)
 }

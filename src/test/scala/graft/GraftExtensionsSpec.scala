@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** The SQL surface of the native expressions must agree with their
+  * Column-API forms (same Expression underneath).
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftExtensions.register(spark)
+  }
+
+  test("vec_dot / normal_ppf / interp1d evaluate from SQL") {
+    val r = spark.sql(
+      """SELECT
+        | vec_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS dot,
+        | normal_ppf(0.5d) AS med,
+        | interp1d(1.5d, array(1.0d, 2.0d), array(10.0d, 20.0d)) AS it
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+    assert(r.getDouble(2) == 15.0)
+    // parity with the Column API
+    assert(graft.functions.NormalPpf.ppf(0.5) == r.getDouble(1))
+  }
+
+  test("token_stats from SQL matches the Column form") {
+    import spark.implicits._
+    Seq("the cat sat on the mat").toDF("text").createOrReplaceTempView("t_ext")
+    val sqlRow = spark.sql(
+      "SELECT token_stats(text, array('the', 'on')) AS ts FROM t_ext").head()
+    assert(sqlRow.getSeq[Long](0) == Seq(6L, 17L, 5L, 3L, 6L))
+  }
+
+  test("top_k_by_score works as a SQL aggregate with partial merge") {
+    import spark.implicits._
+    (for (g <- 0 until 3; i <- 0 until 50)
+      yield (g.toLong, i.toLong, ((i * 37) % 11).toDouble))
+      .toDF("g", "id", "score").repartition(7)
+      .createOrReplaceTempView("scores_ext")
+    val rows = spark.sql(
+      """SELECT g, top_k_by_score(score, id, 2) AS nn
+        |FROM scores_ext GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val nn = r.getSeq[Row](1)
+      assert(nn.length == 2)
+      // (i*37)%11 == 10 at i ≡ 8 (mod 11): ties broken by ascending id
+      assert(nn.head.getDouble(1) == 10.0 && nn.head.getLong(0) == 8L)
+      assert(nn(1).getDouble(1) == 10.0 && nn(1).getLong(0) == 19L)
+    }
+  }
+
+  test("unregistered-session isolation: class form injects via extensions") {
+    // the class is instantiable and produces injections for config use
+    val exts = new GraftExtensions()
+    assert(GraftExtensions.registrations.map(_._1).toSet ==
+      Set("vec_dot", "normal_ppf", "interp1d", "token_stats", "top_k_by_score"))
+    assert(exts.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
+  }
+}
