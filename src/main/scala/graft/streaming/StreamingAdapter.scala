@@ -63,6 +63,34 @@ object StreamingAdapter {
         sum(col(valueCol)).as("sum_value"))
       .select(col(keyCol), col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
+
+  /** Streaming EXACT dedup — the streaming analog of
+    * [[graft.llmdata.Dedup.exact]]: keep the first arrival of each key
+    * within the watermark horizon (`dropDuplicatesWithinWatermark`), so
+    * per-key state expires instead of growing without bound. On an
+    * unbounded ingest stream this is the ingestion-time half of the
+    * dedup story; the batch operators handle the full-corpus pass.
+    */
+  def streamingExactDedup(stream: DataFrame, keyCols: Seq[String],
+      tsCol: String, watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming fingerprint dedup: normalize text →
+    * [[graft.llmdata.TextStats.fingerprint]] (md5 of
+    * lowercase/punct-stripped/whitespace-collapsed text, the SAME
+    * expression the batch path uses) and keep the first document per
+    * fingerprint in the watermark horizon. State carries only the
+    * 32-hex fingerprint per surviving key.
+    */
+  def streamingFingerprintDedup(stream: DataFrame, textCol: String,
+      tsCol: String, watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("fingerprint",
+        graft.llmdata.TextStats.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("fingerprint"))
 }
 
 /** Mutable holder driving an [[OnlineEstimator]] from a stream via

@@ -82,4 +82,31 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set(("u1", 2L, 3.0), ("u1", 1L, 4.0), ("u2", 1L, 8.0)))
     } finally q.stop()
   }
+
+  test("streamingFingerprintDedup keeps first arrival per normalized text") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingAdapter.streamingFingerprintDedup(
+      input.toDF.toDF("ts", "doc_id", "text"), "text", "ts", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_test").start()
+    try {
+      // doc 2 is doc 1 modulo case/punctuation (same fingerprint);
+      // doc 3 is distinct; doc 4 repeats doc 3 exactly in a later batch
+      input.addData(
+        (ts(1, 0), 1L, "Hello, World"),
+        (ts(1, 1), 2L, "hello world!"),
+        (ts(1, 2), 3L, "something else"))
+      q.processAllAvailable()
+      input.addData((ts(1, 5), 4L, "something else"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("doc_id")
+        .as[Long].collect().toSet
+      // one representative per fingerprint: {1|2} and 3 (4 is a
+      // cross-batch exact dup of 3 inside the watermark horizon)
+      assert(ids.size == 2 && ids.contains(3L) &&
+        (ids.contains(1L) || ids.contains(2L)), s"got $ids")
+    } finally q.stop()
+  }
 }
