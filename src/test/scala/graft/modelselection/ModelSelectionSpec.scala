@@ -121,6 +121,14 @@ class ModelSelectionSpec extends SparkSpec {
     // std: mean 2.5, std_pop sqrt(1.25); mm: (x-1)/3 then *2
     assert(out.head._2 ~== (-1.5 / math.sqrt(1.25), 1e-9))
     assert(out.map(_._3).toSeq == Seq(0.0, 2.0 / 3, 4.0 / 3, 2.0))
+    // learned state is small immutable per-branch models → ModelIO works
+    val path = java.nio.file.Files.createTempDirectory("graftio").toString + "/fu.bin"
+    graft.core.ModelIO.save(spark, fu.fit(df), path)
+    val loaded = graft.core.ModelIO
+      .load[graft.compose.FeatureUnionModel](spark, path)
+    val out2 = loaded.transform(df).orderBy("x")
+      .select("mm__x").as[Double].collect().toSeq
+    assert(out2 == out.map(_._3).toSeq)
   }
 
   test("kfoldPairwiseCached slices K[ix_(train,train)] and K[ix_(test,train)]") {
