@@ -60,6 +60,69 @@ object Metrics {
     df.agg(weighted(pow(log1p(col(yPred)) - log1p(col(yTrue)), 2),
       sampleWeight.map(col))).head().getDouble(0)
 
+  /** Multioutput regression metrics (the reference's `multioutput=`
+    * surface, regression.py 34-147 + tests/metrics/test_regression.py):
+    * `"raw_values"` → one value per (yTrue, yPred) output pair,
+    * `"uniform_average"` → their unweighted mean. Weighted multioutput
+    * is unsupported exactly like the reference (raises). All outputs
+    * aggregate in ONE pass over the data.
+    *
+    * `metric` ∈ mse | rmse | mae | mape | msle.
+    */
+  def regressionMulti(df: DataFrame, metric: String,
+      yTrues: Seq[String], yPreds: Seq[String],
+      multioutput: String = "uniform_average"): Array[Double] = {
+    require(yTrues.nonEmpty && yTrues.length == yPreds.length,
+      "yTrues and yPreds must be equal-length and non-empty")
+    checkMultioutput(multioutput)
+    val eps = 2.220446049250313e-16
+    val exprs = yTrues.zip(yPreds).map { case (t, p) =>
+      metric match {
+        case "mse" => avg(pow(col(p) - col(t), 2))
+        case "rmse" => sqrt(avg(pow(col(p) - col(t), 2)))
+        case "mae" => avg(abs(col(p) - col(t)))
+        case "mape" => avg(abs(col(p) - col(t)) / greatest(abs(col(t)), lit(eps)))
+        case "msle" => avg(pow(log1p(col(p)) - log1p(col(t)), 2))
+        case other => throw new IllegalArgumentException(
+          s"unknown multioutput metric $other; known: mse, rmse, mae, mape, msle")
+      }
+    }
+    val row = df.agg(exprs.head, exprs.tail: _*).head()
+    val raw = yTrues.indices.map(row.getDouble).toArray
+    if (multioutput == "raw_values") raw
+    else Array(raw.sum / raw.length)
+  }
+
+  /** Multioutput r2 — like the reference, ONLY uniform_average is
+    * supported (tests/metrics/test_regression.py: r2 with raw_values /
+    * weights raises "'multioutput' must be 'uniform_average'"). The
+    * per-output r2 terms use the same single-pass sum-of-squares
+    * identity as [[r2Score]], all outputs in one aggregate job.
+    */
+  def r2ScoreMulti(df: DataFrame, yTrues: Seq[String], yPreds: Seq[String],
+      multioutput: String = "uniform_average"): Double = {
+    require(yTrues.nonEmpty && yTrues.length == yPreds.length,
+      "yTrues and yPreds must be equal-length and non-empty")
+    if (multioutput != "uniform_average")
+      throw new NotImplementedError("'multioutput' must be 'uniform_average'")
+    val exprs = yTrues.zip(yPreds).flatMap { case (t, p) =>
+      Seq(sum(pow(col(t) - col(p), 2)), sum(pow(col(t), 2)), sum(col(t)))
+    } :+ count(lit(1))
+    val row = df.agg(exprs.head, exprs.tail: _*).head()
+    val n = row.getLong(exprs.length - 1)
+    val r2s = yTrues.indices.map { i =>
+      val num = row.getDouble(3 * i)
+      val den = row.getDouble(3 * i + 1) - math.pow(row.getDouble(3 * i + 2), 2) / n
+      if (den == 0.0) { if (num == 0.0) 1.0 else 0.0 } else 1.0 - num / den
+    }
+    r2s.sum / r2s.length
+  }
+
+  private def checkMultioutput(m: String): Unit = m match {
+    case "raw_values" | "uniform_average" => ()
+    case _ => throw new NotImplementedError("Weighted 'multioutput' not supported.")
+  }
+
   // ---- classification (ref: metrics/classification.py) ----
 
   /** classification.py:12-94. normalize=false returns the raw hit count. */

@@ -35,6 +35,29 @@ object MetricsQueries extends QueryPack {
         "mae_weighted" -> Metrics.meanAbsoluteError(df, "y", "p", Some("l_quantity"))))
     }),
 
+    // multioutput surface (tests/metrics/test_regression.py): raw
+    // per-output values + uniform average in one aggregate pass; r2
+    // only as uniform_average (reference raises on raw_values).
+    "q_metrics_multioutput" -> ((s, dir) => {
+      val df = Tables.lineitem(s, dir)
+        .withColumn("y0", col("l_quantity"))
+        .withColumn("p0", col("l_quantity") * 0.9 + 1.0)
+        .withColumn("y1", col("l_extendedprice"))
+        .withColumn("p1", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      val yT = Seq("y0", "y1"); val yP = Seq("p0", "p1")
+      def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      import s.implicits._
+      val rows = Seq("mae", "mape", "mse").map { m =>
+        val raw = Metrics.regressionMulti(df, m, yT, yP, "raw_values")
+        val avg = Metrics.regressionMulti(df, m, yT, yP, "uniform_average")(0)
+        (m, r6(raw(0)), r6(raw(1)), r6(avg))
+      } :+ {
+        val r2 = Metrics.r2ScoreMulti(df, yT, yP)
+        ("r2_avg", r6(r2), r6(r2), r6(r2))
+      }
+      rows.toDF("metric", "out_0", "out_1", "uniform_avg").orderBy("metric")
+    }),
+
     "q_metrics_classification" -> ((s, dir) => {
       val df = Tables.lineitem(s, dir)
         .withColumn("pred", when(col("l_quantity") > 25, "R").otherwise("A"))
@@ -130,6 +153,28 @@ object MetricsQueries extends QueryPack {
         |   (sum(y*y) - sum(y)*sum(y)/count(*)), 6) FROM d
         | UNION ALL SELECT 'msle', round(avg((ln(1+p)-ln(1+y))*(ln(1+p)-ln(1+y))), 6) FROM d
         | UNION ALL SELECT 'mae_weighted', round(sum(abs(p-y)*w)/sum(w), 6) FROM d
+        |) ORDER BY metric""".stripMargin,
+    "q_metrics_multioutput" ->
+      """WITH d AS (SELECT l_quantity AS y0, l_quantity * 0.9 + 1.0 AS p0,
+        |  l_extendedprice AS y1,
+        |  l_extendedprice * (1.0 - l_discount) AS p1 FROM lineitem),
+        |m AS (SELECT
+        |  avg(abs(p0-y0)) AS mae0, avg(abs(p1-y1)) AS mae1,
+        |  avg(abs(p0-y0)/greatest(abs(y0), 2.220446049250313e-16)) AS mape0,
+        |  avg(abs(p1-y1)/greatest(abs(y1), 2.220446049250313e-16)) AS mape1,
+        |  avg((p0-y0)*(p0-y0)) AS mse0, avg((p1-y1)*(p1-y1)) AS mse1,
+        |  (1.0 - sum((y0-p0)*(y0-p0)) / (sum(y0*y0) - sum(y0)*sum(y0)/count(*))
+        |   + 1.0 - sum((y1-p1)*(y1-p1)) / (sum(y1*y1) - sum(y1)*sum(y1)/count(*)))
+        |    / 2.0 AS r2a
+        | FROM d)
+        |SELECT * FROM (
+        | SELECT 'mae' AS metric, round(mae0, 6) AS out_0, round(mae1, 6) AS out_1,
+        |   round((mae0+mae1)/2.0, 6) AS uniform_avg FROM m
+        | UNION ALL SELECT 'mape', round(mape0, 6), round(mape1, 6),
+        |   round((mape0+mape1)/2.0, 6) FROM m
+        | UNION ALL SELECT 'mse', round(mse0, 6), round(mse1, 6),
+        |   round((mse0+mse1)/2.0, 6) FROM m
+        | UNION ALL SELECT 'r2_avg', round(r2a, 6), round(r2a, 6), round(r2a, 6) FROM m
         |) ORDER BY metric""".stripMargin,
     "q_metrics_classification" ->
       """WITH d AS (SELECT l_returnflag AS y,

@@ -54,4 +54,36 @@ class MetricsSpec extends SparkSpec {
     assert(Scorer.getScorer("r2")(df, "y", "p") ~== 0.9486081370449679)
     intercept[IllegalArgumentException] { Scorer.getScorer("nope") }
   }
+
+  // tests/metrics/test_regression.py multioutput contract
+  test("multioutput: raw_values per output, uniform_average is their mean") {
+    import spark.implicits._
+    val d = Seq((1.0, 1.5, 10.0, 12.0), (2.0, 2.0, 20.0, 18.0),
+      (3.0, 2.5, 30.0, 33.0)).toDF("y0", "p0", "y1", "p1")
+    val raw = Metrics.regressionMulti(d, "mae", Seq("y0", "y1"), Seq("p0", "p1"),
+      "raw_values")
+    assert(raw.length == 2)
+    assert(raw(0) ~== ((0.5 + 0.0 + 0.5) / 3))
+    assert(raw(1) ~== ((2.0 + 2.0 + 3.0) / 3))
+    val avg = Metrics.regressionMulti(d, "mae", Seq("y0", "y1"), Seq("p0", "p1"))
+    assert(avg.length == 1)
+    assert(avg(0) ~== ((raw(0) + raw(1)) / 2))
+    // per-output agrees with the single-output metric
+    assert(raw(0) ~== Metrics.meanAbsoluteError(d, "y0", "p0"))
+  }
+
+  test("multioutput: r2 only uniform_average; weighted multioutput raises") {
+    import spark.implicits._
+    val d = Seq((1.0, 1.1, 4.0, 4.2), (2.0, 2.2, 5.0, 4.9),
+      (3.0, 2.9, 6.0, 6.1)).toDF("y0", "p0", "y1", "p1")
+    val r2 = Metrics.r2ScoreMulti(d, Seq("y0", "y1"), Seq("p0", "p1"))
+    val expected = (Metrics.r2Score(d, "y0", "p0") + Metrics.r2Score(d, "y1", "p1")) / 2
+    assert(r2 ~== expected)
+    intercept[NotImplementedError] {
+      Metrics.r2ScoreMulti(d, Seq("y0"), Seq("p0"), "raw_values")
+    }
+    intercept[NotImplementedError] {
+      Metrics.regressionMulti(d, "mse", Seq("y0"), Seq("p0"), "weights=[1,2]")
+    }
+  }
 }
