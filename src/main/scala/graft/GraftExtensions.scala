@@ -102,6 +102,13 @@ object GraftExtensions {
       args => {
         arity("top_k_by_score", args, 3)
         TopKByScore(args(0), args(1), foldedInt("top_k_by_score", args(2)))
+      }),
+    ("freq_items",
+      info("freq_items",
+        "freq_items(item, k) - aggregate: Misra-Gries heavy hitters, count-desc"),
+      args => {
+        arity("freq_items", args, 2)
+        FreqItems(args(0), foldedInt("freq_items", args(1)))
       })
   )
 }

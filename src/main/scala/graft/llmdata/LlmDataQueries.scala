@@ -163,6 +163,29 @@ object LlmDataQueries extends QueryPack {
         col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // Misra–Gries heavy hitters: every token with exact count >
+    // n/(k+1) must be in the MG summary with its lower-bound count
+    // within n/(k+1) of exact — the mergeable-summaries guarantee,
+    // invariant to partitioning/merge order. The exact side is a plain
+    // groupBy both engines compute; found/bound_ok pin the MG output.
+    "q_heavy_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val k = 40
+      val mg = TextStats.heavyTokens(docs, "text", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // ≤ k rows
+      val toks = docs.select(explode(TextStats.tokens(col("text"))).as("token"))
+      val n = toks.count()
+      val thresh = n.toDouble / (k + 1)
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("c"))
+        .filter(col("c") > thresh)
+        .collect().map(r => (r.getString(0), r.getLong(1))) // ≤ k+1 rows
+      import s.implicits._
+      exact.toSeq.map { case (t, c) =>
+        val lb = mg.getOrElse(t, -1L)
+        (t, c, lb >= 0, lb >= 0 && lb <= c && (c - lb) <= thresh)
+      }.toDF("token", "exact_count", "found", "bound_ok").orderBy("token")
+    }),
+
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), Seq("text"), "doc_id")
         .select(col("doc_id"), col("n_copies"))
@@ -296,6 +319,14 @@ object LlmDataQueries extends QueryPack {
       s"""WITH $cheapMinhashPairCtes
          |SELECT id_a, id_b, round(jac, 6) AS jaccard
          |FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "q_heavy_tokens" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |n AS (SELECT count(*) AS n FROM t)
+        |SELECT token, count(*) AS exact_count,
+        | TRUE AS found, TRUE AS bound_ok
+        |FROM t, n GROUP BY token, n.n
+        |HAVING count(*) > n.n / 41.0 ORDER BY token""".stripMargin,
     "q_drop_near_dups" ->
       s"""WITH $minhashPairCtes
          |SELECT doc_id FROM documents

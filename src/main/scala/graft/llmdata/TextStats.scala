@@ -97,6 +97,20 @@ object TextStats {
     md5(trim(regexp_replace(regexp_replace(lower(text), "[\\p{Punct}]", ""),
       "\\s+", " ")))
 
+  /** Corpus heavy hitters: Misra–Gries top tokens
+    * (graft.functions.FreqItems) over the exploded token stream. The
+    * explode is map-only and the partial MG summaries (k counters per
+    * partition) merge through one tiny final shuffle — an exact
+    * `groupBy(token)` would shuffle the full 100 TB token stream
+    * instead. Every token with frequency > n_tokens/(k+1) is guaranteed
+    * present; counts are lower bounds within n/(k+1).
+    */
+  def heavyTokens(df: DataFrame, textCol: String, k: Int = 100): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .agg(graft.functions.FreqItems(col("token"), k).as("items"))
+      .select(explode(col("items")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("count_lb"))
+
   /** Convenience: attach the full stat block to a DataFrame. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

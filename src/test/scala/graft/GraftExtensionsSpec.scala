@@ -57,7 +57,8 @@ class GraftExtensionsSpec extends SparkSpec {
     // the class is instantiable and produces injections for config use
     val exts = new GraftExtensions()
     assert(GraftExtensions.registrations.map(_._1).toSet ==
-      Set("vec_dot", "normal_ppf", "interp1d", "token_stats", "top_k_by_score"))
+      Set("vec_dot", "normal_ppf", "interp1d", "token_stats", "top_k_by_score",
+        "freq_items"))
     assert(exts.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
 }
