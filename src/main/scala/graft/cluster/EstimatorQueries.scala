@@ -184,6 +184,19 @@ object EstimatorQueries extends QueryPack {
         "sum_test_k").orderBy("fold")
     }),
 
+    // Deterministic content-hash sampling: membership is a pure
+    // function of the key (md5-bucket < rate·1e6), so the oracle
+    // reproduces the EXACT member set — not just sizes. The complement
+    // is checked by the disjoint/exhaustive row count.
+    "q_hash_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sampled = Splits.hashSample(docs, "doc_id", 0.25)
+      val rest = Splits.hashSampleComplement(docs, "doc_id", 0.25)
+      sampled.select(col("doc_id"),
+        lit(sampled.count() + rest.count()).as("n_total"))
+        .orderBy("doc_id")
+    }),
+
     // train_test_split: the per-split sizes are seed-dependent, but the
     // PARTITION invariant (train + test == total, no row lost or
     // duplicated) is deterministic — that is what the oracle checks.
@@ -306,6 +319,13 @@ object EstimatorQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_hash_sample" ->
+      """SELECT doc_id,
+        | (SELECT count(*) FROM documents) AS n_total
+        |FROM documents
+        |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |       % 1000000) < 250000
+        |ORDER BY doc_id""".stripMargin,
     // n=120, k=3 → fold f is exactly [40f, 40f+40); HUGEINT sums cast
     // back to BIGINT to match Spark's long render.
     "q_cv_pairwise_slice" ->

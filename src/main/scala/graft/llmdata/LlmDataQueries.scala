@@ -163,6 +163,22 @@ object LlmDataQueries extends QueryPack {
         col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // Vocabulary cardinality: HLL++ estimate (the 100 TB path — fixed
+    // sketch per partition vs a full distinct shuffle) cross-checked
+    // against the exact distinct count, which DuckDB recomputes; the
+    // estimate must land within 3×rsd (deterministic: HLL++ has no RNG).
+    "q_vocab_size" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextStats.tokens(col("text"))).as("token"))
+      val row = toks.agg(
+        countDistinct(col("token")),
+        approx_count_distinct(col("token"), 0.05)).head()
+      val exact = row.getLong(0); val approx = row.getLong(1)
+      import s.implicits._
+      Seq((exact, math.abs(approx - exact).toDouble <= 0.15 * exact))
+        .toDF("exact_vocab", "approx_within_3rsd")
+    }),
+
     // Misra–Gries heavy hitters: every token with exact count >
     // n/(k+1) must be in the MG summary with its lower-bound count
     // within n/(k+1) of exact — the mergeable-summaries guarantee,
@@ -319,6 +335,10 @@ object LlmDataQueries extends QueryPack {
       s"""WITH $cheapMinhashPairCtes
          |SELECT id_a, id_b, round(jac, 6) AS jaccard
          |FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "q_vocab_size" ->
+      """SELECT count(DISTINCT token) AS exact_vocab, TRUE AS approx_within_3rsd
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |      FROM documents)""".stripMargin,
     "q_heavy_tokens" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
         |           FROM documents),

@@ -129,6 +129,35 @@ object Splits {
     (folds, () => { folded.unpersist(blocking = false); () })
   }
 
+  /** Deterministic content-hash sampling: keep a row iff
+    * md5(key) mod 1e6 < rate·1e6. Unlike seeded Bernoulli
+    * (`randomSplit`), membership is a pure function of the KEY — stable
+    * across runs, partitionings, cluster sizes, and even engines (the
+    * hash is the md5-hex→BIGINT construction the oracles mirror), so a
+    * document keeps landing in the same split as the corpus grows: the
+    * property training pipelines need for leak-free held-out sets.
+    * Map-only; the predicate fuses into the scan.
+    */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double,
+      salt: String = ""): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    df.filter(hashBucket(col(keyCol), salt) < (rate * 1000000).toLong)
+  }
+
+  /** Complement of [[hashSample]] under the same key+salt — disjoint and
+    * exhaustive by construction (train/holdout pairing).
+    */
+  def hashSampleComplement(df: DataFrame, keyCol: String, rate: Double,
+      salt: String = ""): DataFrame =
+    df.filter(hashBucket(col(keyCol), salt) >= (rate * 1000000).toLong)
+
+  /** md5-derived bucket in [0, 1e6): first 15 hex chars as a 60-bit
+    * value, mod 1e6 — engine-independent and uniform.
+    */
+  private def hashBucket(key: org.apache.spark.sql.Column, salt: String) =
+    pmod(conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long"), lit(1000000L))
+
   /** Contiguous-KFold range of fold `f` over n rows: [start, end).
     * Mirrors [[withFold]]'s arithmetic (first n % k folds one larger).
     */

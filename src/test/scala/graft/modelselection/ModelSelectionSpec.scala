@@ -131,6 +131,25 @@ class ModelSelectionSpec extends SparkSpec {
     assert(out2 == out.map(_._3).toSeq)
   }
 
+  test("hashSample: deterministic, partition-invariant, disjoint+exhaustive complement") {
+    val ids = orders.select("o_orderkey")
+    val take = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.getLong(0)).toSet
+    val s1 = take(Splits.hashSample(ids, "o_orderkey", 0.3))
+    val s2 = take(Splits.hashSample(ids.repartition(13), "o_orderkey", 0.3))
+    assert(s1 == s2, "membership must not depend on partitioning")
+    val c1 = take(Splits.hashSampleComplement(ids, "o_orderkey", 0.3))
+    assert((s1 & c1).isEmpty && (s1 | c1) == take(ids))
+    // roughly the requested rate
+    assert(math.abs(s1.size.toDouble / ids.count() - 0.3) < 0.05)
+    // salting draws a different (still deterministic) sample
+    val salted = take(Splits.hashSample(ids, "o_orderkey", 0.3, salt = "v2"))
+    assert(salted != s1)
+    // nested rates: a 10% sample is a subset of the 30% sample (same salt)
+    val s10 = take(Splits.hashSample(ids, "o_orderkey", 0.1))
+    assert(s10.subsetOf(s1))
+  }
+
   test("kfoldPairwiseCached slices K[ix_(train,train)] and K[ix_(test,train)]") {
     import spark.implicits._
     // 5x5 kernel K(i,j) = 10i + j; folds over n=5, k=2: fold0=[0,3), fold1=[3,5)
