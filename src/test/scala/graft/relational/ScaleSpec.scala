@@ -1,0 +1,57 @@
+package graft.relational
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+
+  test("saltedInnerJoin: identical results to the plain join on skewed keys") {
+    import spark.implicits._
+    // heavy skew: one key carries 90% of the left side
+    val left = (Seq.fill(9000)(1L) ++ (2L to 1001L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val right = (1L to 1001L).map(k => (k, s"r$k")).toDF("rk", "payload")
+    val plain = left.join(right, left("k") === right("rk"))
+      .select("k", "v", "payload")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val salted = SkewJoin.saltedInnerJoin(left, right, "k", "rk", saltFactor = 8)
+      .select("k", "v", "payload")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(salted == plain)
+    assert(salted.count(_._1 == 1L) == 9000)
+    // deterministic (hash salt, not rand): re-run matches
+    val again = SkewJoin.saltedInnerJoin(left, right, "k", "rk", saltFactor = 8)
+      .select("k", "v", "payload").as[(Long, Long, String)].collect().sorted.toSeq
+    assert(again == salted)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftbuckets")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val orders = Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_totalprice")
+      val li = Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_quantity")
+      Bucketing.writeBucketed(
+        orders.withColumn("k", col("o_orderkey")), "b_orders", "k", 4,
+        Some(s"$tmp/orders"))
+      Bucketing.writeBucketed(
+        li.withColumn("k", col("l_orderkey")), "b_lineitem", "k", 4,
+        Some(s"$tmp/lineitem"))
+      val joined = Bucketing.readBucketed(spark, "b_orders")
+        .join(Bucketing.readBucketed(spark, "b_lineitem"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == li.count()) // every lineitem has its order
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }
+  }
+}
