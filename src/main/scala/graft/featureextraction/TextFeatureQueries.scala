@@ -191,6 +191,17 @@ object TextFeatureQueries extends QueryPack {
         .groupBy("label").agg(count(lit(1)).as("n")).orderBy("label")
     }),
 
+    // Custom streaming state (flatMapGroupsWithState) in its BATCH
+    // execution: per-user running stats. The gate pins the
+    // order-independent outputs (count + integer scaled sum); the
+    // float Welford mean/variance are spec-checked on a live stream.
+    "q_events_user_stats" -> ((s, dir) => {
+      StreamingAdapter.runningStats(Tables.events(s, dir), "user_id", "value")
+        .toDF()
+        .select(col("key").as("user_id"), col("n"), col("sum_scaled"))
+        .orderBy("user_id")
+    }),
+
     // Sliding 1h/30min windows: every event in exactly two windows.
     "q_events_sliding_window" -> ((s, dir) => {
       StreamingAdapter.slidingWindowAggregate(Tables.events(s, dir), "ts",
@@ -312,6 +323,10 @@ object TextFeatureQueries extends QueryPack {
         | md5(substring(text, frame_no * 16 + 1, 16)) AS frame_md5
         |FROM documents, (SELECT unnest(range(0, 3)) AS frame_no)
         |ORDER BY doc_id, frame_no""".stripMargin,
+    "q_events_user_stats" ->
+      """SELECT user_id, count(*) AS n,
+        | CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_scaled
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_events_tumbling_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
         | count(*) AS n_events, round(sum(value), 4) AS sum_value,

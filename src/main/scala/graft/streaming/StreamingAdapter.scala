@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 import graft.wrappers.{OnlineEstimator, OnlineState}
 
@@ -63,6 +63,63 @@ object StreamingAdapter {
         sum(col(valueCol)).as("sum_value"))
       .select(col(keyCol), col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
+
+  /** Per-key Welford state carried across micro-batches by
+    * [[runningStats]]. `sumScaled` (Σ floor(value·10⁴) as integers) is
+    * an ORDER-INDEPENDENT exact accumulator — integer addition
+    * commutes, unlike the float mean/m2 — which is what the
+    * correctness gate pins.
+    */
+  case class RunningState(n: Long, sumScaled: Long, mean: Double, m2: Double)
+
+  case class RunningStatsRow(key: Long, n: Long, sum_scaled: Long,
+      mean: Double, variance: Double)
+
+  /** Custom streaming state via `flatMapGroupsWithState` (the
+    * KeyValueGroupedDataset state API): per-key running count / scaled
+    * integer sum / Welford mean+variance, updated each micro-batch and
+    * emitted in Update mode. `expireAfter` bounds state for keys gone
+    * idle (ProcessingTimeTimeout → the key's final row is emitted and
+    * its state dropped — unbounded key spaces can't grow state
+    * forever). The same plan executes in BATCH (each group's full
+    * iterator in one call), which is what the oracle gate runs.
+    */
+  def runningStats(ds: DataFrame, keyCol: String, valueCol: String,
+      expireAfter: Option[String] = None): Dataset[RunningStatsRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val timeout =
+      if (expireAfter.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ds.select(col(keyCol).cast("long").as("k"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RunningState, RunningStatsRow](
+        OutputMode.Update, timeout) {
+        (key: Long, rows: Iterator[(Long, Double)], state: GroupState[RunningState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(RunningStatsRow(key, s.n, s.sumScaled, s.mean,
+              if (s.n > 0) s.m2 / s.n else 0.0))
+          } else {
+            var s = state.getOption.getOrElse(RunningState(0L, 0L, 0.0, 0.0))
+            rows.foreach { case (_, v) =>
+              val n1 = s.n + 1
+              val d = v - s.mean
+              val mean1 = s.mean + d / n1
+              s = RunningState(n1,
+                s.sumScaled + math.floor(v * 10000).toLong,
+                mean1, s.m2 + d * (v - mean1))
+            }
+            state.update(s)
+            expireAfter.foreach(state.setTimeoutDuration)
+            Iterator(RunningStatsRow(key, s.n, s.sumScaled, s.mean,
+              if (s.n > 0) s.m2 / s.n else 0.0))
+          }
+      }
+  }
 
   /** Streaming EXACT dedup — the streaming analog of
     * [[graft.llmdata.Dedup.exact]]: keep the first arrival of each key

@@ -83,6 +83,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningStats: flatMapGroupsWithState carries Welford state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val out = StreamingAdapter.runningStats(
+      input.toDF.toDF("user", "value"), "user", "value")
+    val q = out.toDF.writeStream.outputMode("update")
+      .format("memory").queryName("rs_test").start()
+    try {
+      input.addData((1L, 2.0), (1L, 4.0), (2L, 10.0))
+      q.processAllAvailable()
+      input.addData((1L, 6.0)) // state must carry: user 1 now n=3
+      q.processAllAvailable()
+      val last = spark.table("rs_test")
+        .groupBy("key").agg(max("n").as("n"), max("sum_scaled").as("s"),
+          max_by(col("mean"), col("n")).as("mean"),
+          max_by(col("variance"), col("n")).as("variance"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+      assert(last(1L)._1 == 3L && last(1L)._2 == 120000L)
+      assert(last(1L)._3 ~== 4.0) // mean(2,4,6)
+      assert(last(1L)._4 ~== (8.0 / 3)) // var_pop(2,4,6)
+      assert(last(2L) == ((1L, 100000L, 10.0, 0.0)))
+    } finally q.stop()
+  }
+
   test("streamingFingerprintDedup keeps first arrival per normalized text") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
