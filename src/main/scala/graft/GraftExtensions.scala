@@ -81,6 +81,9 @@ object GraftExtensions {
     ("normal_ppf",
       info("normal_ppf", "normal_ppf(p) - inverse standard normal CDF"),
       args => { arity("normal_ppf", args, 1); NormalPpf(args(0)) }),
+    ("vec_normalize",
+      info("vec_normalize", "vec_normalize(v) - L2-normalize a float/double array"),
+      args => { arity("vec_normalize", args, 1); VecNormalize(args(0)) }),
     ("interp1d",
       info("interp1d",
         "interp1d(x, xs, ys) - np.interp against literal knot arrays"),

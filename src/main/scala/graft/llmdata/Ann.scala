@@ -28,6 +28,22 @@ object Ann {
 
   def normExpr(a: Column): Column = sqrt(dotExpr(a, a))
 
+  /** L2-normalize (native codegen loop — graft.functions.VecNormalize);
+    * after this, cosine similarity is a plain dot product, so an ANN
+    * index over normalized vectors skips the per-pair norm math.
+    */
+  def l2NormalizeExpr(a: Column): Column = graft.functions.VecNormalize(a)
+
+  /** Project onto `basis` (k literal vectors, e.g. top-k principal
+    * axes): an array of k codegen'd [[dotExpr]]s — the map-only
+    * dimensionality-reduction step in front of an ANN index. At 100 TB
+    * this fuses into the scan: no shuffle, k·dim multiply-adds per row.
+    */
+  def projectExpr(vecCol: Column, basis: Array[Array[Double]]): Column =
+    array(basis.toIndexedSeq.map { b =>
+      dotExpr(vecCol, array(b.map(lit).toIndexedSeq: _*))
+    }: _*)
+
   def cosineExpr(a: Column, b: Column): Column =
     dotExpr(a, b) / (normExpr(a) * normExpr(b))
 

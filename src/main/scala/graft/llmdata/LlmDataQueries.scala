@@ -163,6 +163,31 @@ object LlmDataQueries extends QueryPack {
         col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // L2 normalization (native VecNormalize codegen loop): first
+    // component of the unit vector + its recomputed norm, both exactly
+    // mirrored (sequential element order on both engines).
+    "q_embedding_normalize" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val nv = Ann.l2NormalizeExpr(col("embedding"))
+      e.select(col("vec_id"),
+        round(element_at(nv, 1), 6).as("e0"),
+        round(Ann.normExpr(nv), 6).as("unit_norm"))
+        .orderBy("vec_id")
+    }),
+
+    // Map-only dimensionality reduction: projection onto the fixed
+    // 3×64 literal basis (scan-fused VecDots); the standard front-end
+    // of an ANN index at scale.
+    "q_embedding_project" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val p = Ann.projectExpr(col("embedding"), fixedIvfCentroids)
+      e.select(col("vec_id"),
+        round(element_at(p, 1), 6).as("p0"),
+        round(element_at(p, 2), 6).as("p1"),
+        round(element_at(p, 3), 6).as("p2"))
+        .orderBy("vec_id")
+    }),
+
     // Vocabulary cardinality: HLL++ estimate (the 100 TB path — fixed
     // sketch per partition vs a full distinct shuffle) cross-checked
     // against the exact distinct count, which DuckDB recomputes; the
@@ -339,6 +364,36 @@ object LlmDataQueries extends QueryPack {
       """SELECT count(DISTINCT token) AS exact_vocab, TRUE AS approx_within_3rsd
         |FROM (SELECT unnest(string_split(text, ' ')) AS token
         |      FROM documents)""".stripMargin,
+    // + 0.0 guards DuckDB's -0.0 from round() on near-zero components
+    "q_embedding_normalize" ->
+      """WITH x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+        |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM x GROUP BY 1),
+        |u AS (SELECT x.vec_id,
+        |        sqrt(sum((e/nrm)*(e/nrm))) AS un
+        |      FROM x JOIN n ON n.vec_id = x.vec_id WHERE nrm > 0 GROUP BY 1),
+        |f AS (SELECT vec_id, e AS first FROM x WHERE i = 1)
+        |SELECT n.vec_id AS vec_id,
+        | round(CASE WHEN nrm > 0 THEN first/nrm ELSE first END, 6) + 0.0 AS e0,
+        | round(coalesce(un, 0.0), 6) AS unit_norm
+        |FROM n JOIN f ON f.vec_id = n.vec_id
+        |LEFT JOIN u ON u.vec_id = n.vec_id
+        |ORDER BY n.vec_id""".stripMargin,
+    "q_embedding_project" -> {
+      val cs = fixedIvfCentroids
+      val centRows = (for (j <- cs.indices; i <- 0 until 64)
+        yield s"($j,${i + 1},${cs(j)(i)})").mkString(",")
+      s"""WITH cent(j, i, c) AS (SELECT * FROM (VALUES $centRows)),
+         |x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+         |        generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |d AS (SELECT vec_id, j, sum(e*c) AS p
+         |      FROM x JOIN cent USING (i) GROUP BY 1, 2)
+         |SELECT vec_id,
+         | round(max(CASE WHEN j=0 THEN p END), 6) + 0.0 AS p0,
+         | round(max(CASE WHEN j=1 THEN p END), 6) + 0.0 AS p1,
+         | round(max(CASE WHEN j=2 THEN p END), 6) + 0.0 AS p2
+         |FROM d GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
     "q_heavy_tokens" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
         |           FROM documents),

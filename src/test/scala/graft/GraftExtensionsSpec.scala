@@ -22,6 +22,9 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 32.0)
     assert(math.abs(r.getDouble(1)) < 1e-12)
     assert(r.getDouble(2) == 15.0)
+    val nv = spark.sql("SELECT vec_normalize(array(3.0d, 4.0d)) AS v").head()
+      .getSeq[Double](0)
+    assert(nv == Seq(0.6, 0.8))
     // parity with the Column API
     assert(graft.functions.NormalPpf.ppf(0.5) == r.getDouble(1))
   }
@@ -58,7 +61,7 @@ class GraftExtensionsSpec extends SparkSpec {
     val exts = new GraftExtensions()
     assert(GraftExtensions.registrations.map(_._1).toSet ==
       Set("vec_dot", "normal_ppf", "interp1d", "token_stats", "top_k_by_score",
-        "freq_items"))
+        "freq_items", "vec_normalize"))
     assert(exts.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
 }

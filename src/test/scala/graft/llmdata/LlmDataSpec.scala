@@ -228,6 +228,22 @@ class LlmDataSpec extends SparkSpec {
     assert(pairs.length >= 10)
   }
 
+  test("VecNormalize: unit output, zero-vector passthrough, float input") {
+    import spark.implicits._
+    val df = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("id", "v")
+    val out = df.select(col("id"), Ann.l2NormalizeExpr(col("v")).as("n"))
+      .orderBy("id").as[(Long, Seq[Double])].collect()
+    assert(out(0)._2 == Seq(0.6, 0.8))
+    assert(out(1)._2 == Seq(0.0, 0.0)) // norm 0 → unchanged, no NaN
+    // projection onto a 2-vector basis = the two dot products
+    val basis = Array(Array(1.0, 0.0), Array(1.0, 1.0))
+    val p = df.filter(col("id") === 1)
+      .select(Ann.projectExpr(col("v"), basis).as("p"))
+      .as[Seq[Double]].head()
+    assert(p == Seq(3.0, 7.0))
+  }
+
   test("embeddingNearDupPairs caps hot buckets and keeps norms correct") {
     import spark.implicits._
     val vecs = Seq(
