@@ -163,6 +163,15 @@ object LlmDataQueries extends QueryPack {
         col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // Context-window chunking (training-context packing): overlapping
+    // maxTokens windows, step maxTokens−overlap; fully SQL-mirrorable
+    // (same start rule, same clamped slices, chunk md5s).
+    "q_doc_chunks" -> ((s, dir) => {
+      TextStats.chunkDocuments(Tables.documents(s, dir), "text", "doc_id",
+        maxTokens = 20, overlap = 5)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // L2 normalization (native VecNormalize codegen loop): first
     // component of the unit vector + its recomputed norm, both exactly
     // mirrored (sequential element order on both engines).
@@ -364,6 +373,17 @@ object LlmDataQueries extends QueryPack {
       """SELECT count(DISTINCT token) AS exact_vocab, TRUE AS approx_within_3rsd
         |FROM (SELECT unnest(string_split(text, ' ')) AS token
         |      FROM documents)""".stripMargin,
+    "q_doc_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 15)) AS start
+        |      FROM d),
+        |f AS (SELECT doc_id, t, start,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS chunk_id
+        |      FROM s WHERE start = 0 OR start < len(t) - 5)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, CAST(start AS INT) AS start,
+        | CAST(len(t[start+1 : start+20]) AS INT) AS n_chunk_tokens,
+        | md5(array_to_string(t[start+1 : start+20], ' ')) AS chunk_hash
+        |FROM f ORDER BY doc_id, chunk_id""".stripMargin,
     // + 0.0 guards DuckDB's -0.0 from round() on near-zero components
     "q_embedding_normalize" ->
       """WITH x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,

@@ -111,6 +111,40 @@ object TextStats {
       .select(explode(col("items")).as("e"))
       .select(col("e.item").as("token"), col("e.count").as("count_lb"))
 
+  /** Context-window chunking: split each document's token stream into
+    * overlapping windows of `maxTokens` tokens advancing by
+    * `maxTokens − overlap` — the packing step that turns raw documents
+    * into training-context rows. Entirely map-only (per-row array ops +
+    * one posexplode; the starts array is tiny so its filter lambda is
+    * not a hot path): at 100 TB this fuses into the scan with no
+    * shuffle. A start position opens a chunk iff it is 0 or leaves more
+    * than `overlap` fresh tokens (so no chunk is a suffix of its
+    * predecessor).
+    *
+    * Output: (id, chunk_id, start, n_chunk_tokens, chunk_hash) — the
+    * hash stands in for the chunk text to keep gates/storage small;
+    * select the slice itself in a real pipeline.
+    */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      maxTokens: Int = 512, overlap: Int = 64): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got overlap=$overlap max=$maxTokens")
+    val step = maxTokens - overlap
+    val t = tokens(col(textCol))
+    val n = size(t)
+    val starts = filter(
+      sequence(lit(0), greatest(n - 1, lit(0)), lit(step)),
+      s => s === 0 || s < n - overlap)
+    df.select(col(idCol), t.as("__t"), starts.as("__starts"))
+      .select(col(idCol), col("__t"),
+        posexplode(col("__starts")).as(Seq("chunk_id", "start")))
+      .select(col(idCol), col("chunk_id"), col("start"),
+        size(slice(col("__t"), col("start") + 1, lit(maxTokens)))
+          .as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("__t"), col("start") + 1, lit(maxTokens))))
+          .as("chunk_hash"))
+  }
+
   /** Convenience: attach the full stat block to a DataFrame. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

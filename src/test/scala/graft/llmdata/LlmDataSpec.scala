@@ -228,6 +228,24 @@ class LlmDataSpec extends SparkSpec {
     assert(pairs.length >= 10)
   }
 
+  test("chunkDocuments: overlapping windows cover the stream, suffix chunks dropped") {
+    import spark.implicits._
+    val text = (1 to 47).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "a b")).toDF("doc_id", "text")
+    val rows = TextStats.chunkDocuments(df, "text", "doc_id",
+      maxTokens = 20, overlap = 5)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = rows.filter(_.getLong(0) == 1L)
+    // starts 0,15,30; 45 dropped (< 5 fresh tokens, suffix of previous)
+    assert(d1.map(_.getInt(2)).toSeq == Seq(0, 15, 30))
+    assert(d1.map(_.getInt(3)).toSeq == Seq(20, 20, 17))
+    // short doc: single chunk of its full length
+    val d2 = rows.filter(_.getLong(0) == 2L)
+    assert(d2.map(r => (r.getInt(2), r.getInt(3))).toSeq == Seq((0, 2)))
+    // consecutive chunks share exactly `overlap` token positions
+    assert(15 + 5 == 20 && 30 + 5 == 35)
+  }
+
   test("VecNormalize: unit output, zero-vector passthrough, float input") {
     import spark.implicits._
     val df = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)))
