@@ -184,6 +184,15 @@ object EstimatorQueries extends QueryPack {
         "sum_test_k").orderBy("fold")
     }),
 
+    // Shuffled KFold: md5-of-key permutation then contiguous balanced
+    // folds — the EXACT per-row fold assignment is mirrored in SQL
+    // (row_number over the same md5 order + the same ±1 arithmetic).
+    "q_kfold_shuffled" -> ((s, dir) => {
+      Splits.withShuffledFold(Tables.orders(s, dir), 5, "o_orderkey")
+        .select(col("o_orderkey"), col("fold"))
+        .orderBy("o_orderkey")
+    }),
+
     // Deterministic content-hash sampling: membership is a pure
     // function of the key (md5-bucket < rate·1e6), so the oracle
     // reproduces the EXACT member set — not just sizes. The complement
@@ -319,6 +328,17 @@ object EstimatorQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_kfold_shuffled" ->
+      """WITH r AS (SELECT o_orderkey,
+        |    row_number() OVER (ORDER BY md5(CAST(o_orderkey AS VARCHAR))) - 1 AS idx,
+        |    count(*) OVER () AS n
+        |  FROM orders),
+        |p AS (SELECT o_orderkey, idx, n, n // 5 AS base, n % 5 AS extra
+        |      FROM r)
+        |SELECT o_orderkey,
+        | CAST(CASE WHEN idx < extra * (base + 1) THEN idx // (base + 1)
+        |      ELSE (idx - extra * (base + 1)) // base + extra END AS INT) AS fold
+        |FROM p ORDER BY o_orderkey""".stripMargin,
     "q_hash_sample" ->
       """SELECT doc_id,
         | (SELECT count(*) FROM documents) AS n_total

@@ -112,6 +112,27 @@ object Splits {
     }
   }
 
+  /** KFold(shuffle=True) semantics (ref _split.py KFold with
+    * random_state): permute, then contiguous balanced folds. The
+    * permutation is the md5 order of a key column — deterministic
+    * without an RNG, identical on any engine (so it stays exactly
+    * oracle-able), and salted for independent redraws. The sort is a
+    * parallel range-partition sort, then the same ±1-balanced fold
+    * arithmetic as [[withFold]].
+    */
+  def withShuffledFold(df: DataFrame, k: Int, keyCol: String,
+      salt: String = ""): DataFrame =
+    withFold(df.orderBy(md5(concat(lit(salt), col(keyCol).cast("string")))), k)
+
+  def kfoldShuffled(df: DataFrame, k: Int, keyCol: String,
+      salt: String = ""): Seq[(DataFrame, DataFrame)] = {
+    val folded = withShuffledFold(df, k, keyCol, salt)
+    (0 until k).map { f =>
+      (folded.filter(col("fold") =!= f).drop("fold", "row_index"),
+        folded.filter(col("fold") === f).drop("fold", "row_index"))
+    }
+  }
+
   /** kfold over a CACHED fold assignment (the cache_cv analog): the
     * folded frame is persisted and materialized once, every derived
     * train/test filter scans the cache, and the returned cleanup

@@ -131,6 +131,29 @@ class ModelSelectionSpec extends SparkSpec {
     assert(out2 == out.map(_._3).toSeq)
   }
 
+  test("kfoldShuffled: balanced md5-permuted folds, salt redraws, partition-invariant") {
+    val f1 = Splits.withShuffledFold(orders, 4, "o_orderkey")
+      .select("o_orderkey", "fold").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sizes = f1.values.groupBy(identity).view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1 && sizes.sum == orders.count())
+    // deterministic across partitionings (md5 order, no RNG)
+    val f2 = Splits.withShuffledFold(orders.repartition(11), 4, "o_orderkey")
+      .select("o_orderkey", "fold").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(f1 == f2)
+    // not the contiguous assignment (it IS shuffled)...
+    val plain = Splits.withFold(orders.orderBy("o_orderkey"), 4)
+      .select("o_orderkey", "fold").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(f1 != plain)
+    // ...and a salt draws a different balanced permutation
+    val salted = Splits.withShuffledFold(orders, 4, "o_orderkey", salt = "v2")
+      .select("o_orderkey", "fold").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(salted != f1)
+  }
+
   test("hashSample: deterministic, partition-invariant, disjoint+exhaustive complement") {
     val ids = orders.select("o_orderkey")
     val take = (df: org.apache.spark.sql.DataFrame) =>
