@@ -58,6 +58,22 @@ class PipelineModel(val fitted: Seq[(String, Model)]) extends Model {
   def apply(name: String): Model = fitted.find(_._1 == name).get._2
 }
 
+/** The `None` / `"drop"` pipeline step (ref: model_selection/_search.py:712
+  * treats `step is None or step == "drop"` as a no-op stage): fits
+  * nothing, transforms identity. Grid-search candidates swap a real
+  * stage for [[Passthrough]] to search over "with/without this step" —
+  * the factory just returns it for the skipping parameter value, and
+  * the search's fit memo dedups it like any other stage config.
+  */
+object Passthrough extends Estimator[PassthroughModel.type] {
+  def fit(df: DataFrame): PassthroughModel.type = PassthroughModel
+}
+
+object PassthroughModel extends Model {
+  def transform(df: DataFrame): DataFrame = df
+  override def inverseTransform(df: DataFrame): DataFrame = df
+}
+
 /** Ref: sklearn FeatureUnion as dask-ml's search graph handles it
   * (model_selection/_search.py:851-955 `_do_featureunion`,
   * methods.py:188-208 `feature_union` / `feature_union_concat`): every

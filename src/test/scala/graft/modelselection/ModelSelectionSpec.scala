@@ -78,6 +78,27 @@ class ModelSelectionSpec extends SparkSpec {
     assert(res.bestScore > 0.99)
   }
 
+  test("Passthrough stage: grid can search with/without a pipeline step") {
+    val df = orders.withColumn("x", col("o_totalprice") / 1000)
+      .withColumn("y", col("o_totalprice") / 500)
+    val search = new PipelineGridSearchCV[graft.linear.LinearRegressionModel](
+      stages = PipelineGridSearchCV.linear("scale" -> (p =>
+        if (p("on").asInstanceOf[Boolean]) new StandardScaler(Seq("x"))
+        else graft.compose.Passthrough)),
+      finalStage = "lr" -> (_ => new LinearRegression(Seq("x"), "y")),
+      paramGrid = Map("scale__on" -> Seq(true, false)),
+      scorer = (m, test) => Metrics.r2Score(m.transform(test), "y", "prediction"),
+      cv = 2)
+    val res = search.fit(df)
+    // y is linear in x either way -> both candidates near-perfect, and
+    // the passthrough branch really fit nothing but still scored
+    assert(res.cvResults.forall(_.meanScore > 0.99))
+    assert(search.lastFitCount == 4) // 2 configs x 2 folds, deduped
+    // identity semantics
+    val pt = graft.compose.Passthrough.fit(df).transform(df)
+    assert(pt.schema == df.schema && pt.count() == df.count())
+  }
+
   test("union branches dedup fits across candidates (_do_featureunion)") {
     val df = orders.withColumn("x", col("o_totalprice") / 1000)
       .withColumn("y", col("o_totalprice") / 500)
