@@ -17,6 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * fused primitive loop via `doGenCode` like [[VecDot]]. Zero vectors
   * pass through unchanged (norm 0 → no division), matching sklearn's
   * `normalize` semantics.
+  *
+  * Like [[VecDot]], elements are assumed NON-NULL (embedding columns
+  * are dense fixed-dimension vectors in practice); a null element would
+  * read as 0.0, not propagate.
   */
 case class VecNormalize(child: Expression) extends UnaryExpression {
 

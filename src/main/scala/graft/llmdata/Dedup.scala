@@ -150,7 +150,11 @@ object Dedup {
       if (oracleCompatible) udf { (text: String) =>
         if (text == null) null
         else {
-          val toks = text.split(" ")
+          // limit -1 keeps trailing empty tokens, matching Spark's
+          // split(text, " ") in rawShingles and SQL string_split — the
+          // default Java split would drop them, skewing signatures for
+          // trailing-space documents
+          val toks = text.split(" ", -1)
           if (toks.length < n) null
           else {
             val md = md5Local.get()
@@ -179,7 +183,7 @@ object Dedup {
         udf { (text: String) =>
           if (text == null) null
           else {
-            val toks = text.split(" ")
+            val toks = text.split(" ", -1) // keep trailing empties (see above)
             if (toks.length < n) null
             else {
               val md = md5Local.get()

@@ -41,9 +41,12 @@ object LlmDataQueries extends QueryPack {
       | UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sig
       | UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM sig
       | UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM sig),
+      |bands_ok AS (SELECT band, bh FROM bands
+      |             GROUP BY band, bh HAVING count(*) <= 1000),
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |         FROM bands a JOIN bands b
-      |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      |         JOIN bands_ok k ON k.band = a.band AND k.bh = a.bh),
       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
       |inter AS (SELECT c.id_a, c.id_b, count(*) AS cnt
       |          FROM cand c JOIN sh a ON a.doc_id = c.id_a
@@ -97,9 +100,12 @@ object LlmDataQueries extends QueryPack {
        | FROM mh GROUP BY 1),
        |bands AS (
        | $bandRows),
+       |bands_ok AS (SELECT band, bh FROM bands
+       |             GROUP BY band, bh HAVING count(*) <= 1000),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM bands a JOIN bands b
-       |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |         JOIN bands_ok k ON k.band = a.band AND k.bh = a.bh),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
        |inter AS (SELECT c.id_a, c.id_b, count(*) AS cnt
        |          FROM cand c JOIN sh a ON a.doc_id = c.id_a

