@@ -53,8 +53,10 @@ object Bench {
     // 15 queries, always inside the window.
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"}"""
+    // subset runs (dev iteration) must not clobber the full artifact
+    val artifact = if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_FULL.json"
     try {
-      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      val w = new java.io.PrintWriter(artifact)
       try w.println(fullJson) finally w.close()
     } catch { case _: Throwable => () }
     System.err.println(fullJson)
