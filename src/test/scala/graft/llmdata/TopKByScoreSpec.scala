@@ -63,6 +63,30 @@ class TopKByScoreSpec extends SparkSpec {
     assert(got == Seq("doc_000", "doc_010", "doc_020"))
   }
 
+  test("sort-based aggregation fallback (serde-heavy path) agrees") {
+    // ObjectHashAggregate is the normal path; disabling it forces
+    // SortAggregate, which round-trips the typed buffers through
+    // serialize/deserialize far more aggressively
+    val key = "spark.sql.execution.useObjectHashAggregateExec"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val df = rows.repartition(5)
+      val got = topK(df, 4).orderBy("query_id", "rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      val want = windowTopK(df, 4).orderBy("query_id", "rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+      assert(got == want)
+      // FreqItems through the same fallback
+      val mg = (Seq.fill(100)("hot") ++ (1 to 30).map(i => s"r$i"))
+        .toDF("item").repartition(7)
+        .agg(graft.functions.FreqItems(col("item"), 3).as("f"))
+        .select(explode(col("f")).as("e")).select("e.item", "e.count")
+        .as[(String, Long)].collect()
+      assert(mg.head._1 == "hot" && mg.head._2 >= 100 - (130 / 4))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("null scores are excluded") {
     val df = Seq((1L, 10L, Some(0.4)), (1L, 11L, None), (1L, 12L, Some(0.8)))
       .toDF("query_id", "id", "score")
