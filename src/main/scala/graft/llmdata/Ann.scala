@@ -159,7 +159,28 @@ object Ann {
     */
   def ivfIndex(corpus: DataFrame, vecCol: String, nList: Int, dim: Int,
       sampleSize: Int = 100000, iters: Int = 10, seed: Long = 42): Array[Array[Double]] = {
-    val sample = corpus.select(col(vecCol)).limit(sampleSize).collect()
+    // Content-hash UNIFORM sample, not `limit()`: limit takes the first
+    // partitions' rows in scan order, so on a sorted/clustered corpus
+    // (the norm for 100 TB parquet) the quantizer would train on one
+    // shard's distribution — unrepresentative centroids skew cell
+    // occupancy and concentrate the probe join on hot cells (FAISS
+    // trains its IVF quantizer on a uniform sample; Jégou PAMI'11 §III).
+    // Ranking rows by a seeded content hash makes the sample uniform
+    // AND deterministic across both row order and partitioning. The
+    // ordered limit stays bounded at scale: a scan-fused hash-range
+    // filter first cuts the input to ~8× sampleSize expected rows, so
+    // TakeOrderedAndProject's per-partition top-k never retains more
+    // than the filtered slice and the driver merge is O(sampleSize).
+    val hashed = corpus
+      .select(col(vecCol).as("__v"),
+        xxhash64(lit(seed), col(vecCol)).bitwiseAND(lit(Long.MaxValue)).as("__h"))
+    val total = corpus.count()
+    val bounded =
+      if (total > sampleSize.toLong * 8) {
+        val frac = sampleSize.toLong * 8.0 / total
+        hashed.filter(col("__h") < lit((Long.MaxValue * frac).toLong))
+      } else hashed
+    val sample = bounded.orderBy("__h").limit(sampleSize).select("__v").collect()
       .map(_.getSeq[Any](0).toArray.map {
         case f: Float => f.toDouble; case d: Double => d
       })

@@ -184,6 +184,42 @@ class LlmDataSpec extends SparkSpec {
     assert(hitsAll == brute.size, "nProbe=nList must equal brute force")
   }
 
+  test("IVF training sample is uniform: centroids independent of row order/partitioning, all clusters covered") {
+    import spark.implicits._
+    // Three well-separated blobs, corpus SORTED by blob: a limit()-based
+    // sample (the r4 defect) would train the quantizer on blob-0 rows
+    // only — blobs 1/2 would have no nearby centroid and the probe join
+    // would concentrate on the few cells that swallow them.
+    val rnd = new scala.util.Random(7)
+    val rows = for (c <- 0 until 3; i <- 0 until 1000) yield {
+      val v = Array.tabulate(8)(j =>
+        (if (j == c) 30.0 else 0.0) + rnd.nextGaussian()).map(_.toFloat)
+      (c * 1000L + i, v)
+    }
+    val sorted = rows.toDF("vec_id", "embedding")
+    val a = Ann.ivfIndex(sorted, "embedding", nList = 12, dim = 8,
+      sampleSize = 300, iters = 5, seed = 1)
+    // same rows, different partitioning AND row order → identical
+    // centroids (the sample is ranked by content hash, not scan order)
+    val b = Ann.ivfIndex(sorted.repartition(13), "embedding", nList = 12,
+      dim = 8, sampleSize = 300, iters = 5, seed = 1)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "centroids must not depend on partitioning/order")
+    // every blob is represented: each blob center has a centroid within
+    // a few stds (42 away if a blob were missed entirely)
+    (0 until 3).foreach { c =>
+      val center = Array.tabulate(8)(j => if (j == c) 30.0 else 0.0)
+      val minD = a.map(ctr => math.sqrt(
+        ctr.zip(center).map { case (x, y) => (x - y) * (x - y) }.sum)).min
+      assert(minD <= 5.0, s"blob $c has no nearby centroid (min dist $minD)")
+    }
+    // no degenerate hot cell once every blob holds centroids
+    val occ = sorted.withColumn("cell", Ann.cellExpr(col("embedding"), a))
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    assert(occ.max.toDouble / rows.size <= 0.4,
+      s"hot cell share ${occ.max.toDouble / rows.size}")
+  }
+
   test("skew cap uses aggregate+anti-join, not a Window over the hot bucket") {
     import spark.implicits._
     // 10k identical docs: one degenerate bucket holding the entire
