@@ -54,19 +54,11 @@ class SpectralClustering(
     // 2. A (m×m) on the driver
     val a = BDM.tabulate(m, m)((i, j) => rbf(landmarks(i), landmarks(j)))
 
-    // 3. kernel strip B as a column: per row, the m kernel values
-    val bcLm = df.sparkSession.sparkContext.broadcast(landmarks)
-    val g = gamma
-    val kernelRow = udf { xs: Seq[Double] =>
-      val x = xs.toArray
-      bcLm.value.map { lm =>
-        var s = 0.0; var i = 0
-        while (i < x.length) { val d = x(i) - lm(i); s += d * d; i += 1 }
-        math.exp(-g * s)
-      }.toSeq
-    }
-    val withK = df.withColumn("__k",
-      kernelRow(array(featureCols.map(c => col(c).cast("double")): _*)))
+    // 3. kernel strip B as a column: per row, the m kernel values — a
+    // native codegen expression (the landmark matrix rides as a
+    // task-shared referenced object), not an interpreted UDF
+    val withK = df.withColumn("__k", graft.functions.RbfKernelVec(
+      array(featureCols.map(c => col(c).cast("double")): _*), landmarks, gamma))
 
     // 4. degree estimates (Fowlkes Eq.16): d1 = A·1 + B·1 (landmark side
     // uses the full-data column sums of the strip); column sums of B via
@@ -90,29 +82,12 @@ class SpectralClustering(
     val sk = s(0 until k)
     val proj = BDM.tabulate(m, k)((i, j) => uk(i, j) / math.sqrt(math.max(sk(j), 1e-12)))
     val projRows = Array.tabulate(m)(i => Array.tabulate(k)(j => proj(i, j)))
-    val bcProj = df.sparkSession.sparkContext.broadcast(projRows)
-    val bcDeg = df.sparkSession.sparkContext.broadcast(dLandmark.toArray)
 
     // per-row embedding: e = (B_row / sqrt(deg_row)) · proj, where
-    // deg_row = Σ_j B_row(j) (row degree estimated through the strip)
-    val embed = udf { ks: Seq[Double] =>
-      val kv = ks.toArray
-      var deg = 0.0
-      var i = 0
-      while (i < kv.length) { deg += kv(i); i += 1 }
-      val inv = 1.0 / math.sqrt(math.max(deg, 1e-12))
-      val out = new Array[Double](k)
-      var j = 0
-      while (j < k) {
-        var acc = 0.0
-        i = 0
-        while (i < kv.length) { acc += kv(i) * bcProj.value(i)(j); i += 1 }
-        out(j) = acc * inv
-        j += 1
-      }
-      out.toSeq
-    }
-    val embedded = withK.withColumn("__e", embed(col("__k"))).drop("__k")
+    // deg_row = Σ_j B_row(j) (row degree estimated through the strip) —
+    // the NystromEmbed codegen matvec, fused with the kernel strip
+    val embedded = withK.withColumn("__e",
+      graft.functions.NystromEmbed(col("__k"), projRows)).drop("__k")
     val withCols = (0 until k).foldLeft(embedded)((d, j) =>
       d.withColumn(s"__e_$j", element_at(col("__e"), j + 1))).drop("__e")
 
@@ -154,27 +129,14 @@ class SpectralClusteringModel(
 ) extends Model {
   def transform(df: DataFrame): DataFrame = {
     val k = projection(0).length
-    val bcLm = df.sparkSession.sparkContext.broadcast(landmarks)
-    val bcProj = df.sparkSession.sparkContext.broadcast(projection)
-    val g = gamma
-    val embed = udf { xs: Seq[Double] =>
-      val x = xs.toArray
-      val kv = bcLm.value.map { lm =>
-        var s = 0.0; var i = 0
-        while (i < x.length) { val d = x(i) - lm(i); s += d * d; i += 1 }
-        math.exp(-g * s)
-      }
-      var deg = 0.0
-      kv.foreach(deg += _)
-      val inv = 1.0 / math.sqrt(math.max(deg, 1e-12))
-      Array.tabulate(k) { j =>
-        var acc = 0.0; var i = 0
-        while (i < kv.length) { acc += kv(i) * bcProj.value(i)(j); i += 1 }
-        acc * inv
-      }.toSeq
-    }
+    // kernel strip → degree-normalized matvec, both native codegen
+    // expressions — one fused span per row, no interpreted lambdas
     val embedded = df.withColumn("__e",
-      embed(array(featureCols.map(c => col(c).cast("double")): _*)))
+      graft.functions.NystromEmbed(
+        graft.functions.RbfKernelVec(
+          array(featureCols.map(c => col(c).cast("double")): _*),
+          landmarks, gamma),
+        projection))
     val withCols = (0 until k).foldLeft(embedded)((d, j) =>
       d.withColumn(s"__e_$j", element_at(col("__e"), j + 1))).drop("__e")
     kmeans.transform(withCols).drop((0 until k).map(j => s"__e_$j"): _*)
