@@ -163,20 +163,38 @@ class OnlineLearnerSink(
   def state: OnlineState = current
   def model: graft.wrappers.LocalModel = estimator.model(current)
 
-  /** Each micro-batch = one partial_fit block (collected per batch —
-    * batches are bounded by trigger sizing; for large batches the
-    * learner could instead fold partitions like wrappers.Incremental).
+  /** Each micro-batch = one partial_fit chain over its partitions. The
+    * batch is never `collect()`ed whole: partitions are visited
+    * sequentially as single-partition jobs (the same pattern as
+    * [[graft.wrappers.Incremental]]), so memory is bounded by one
+    * partition regardless of trigger sizing, and the row sequence the
+    * learner sees equals the old whole-batch collect (partitions in
+    * order, rows in partition order).
     */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val p = featureCols.size
-    val rows = batch
+    val data = batch
       .select((featureCols :+ labelCol).map(c => col(c).cast("double")): _*)
-      .collect()
-    if (rows.nonEmpty) {
-      val xs = rows.map(r => Array.tabulate(p)(r.getDouble))
-      val y = rows.map(_.getDouble(p))
-      current = estimator.partialFit(current, xs, y)
+      .rdd.map(r => (Array.tabulate(p)(r.getDouble), r.getDouble(p)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sc = batch.sparkSession.sparkContext
+    val est = estimator
+    var st = current
+    var pid = 0
+    val nParts = data.getNumPartitions
+    while (pid < nParts) {
+      val cur = st
+      val res = sc.runJob(data,
+        (it: Iterator[(Array[Double], Double)]) => {
+          val rows = it.toArray
+          if (rows.isEmpty) cur
+          else est.partialFit(cur, rows.map(_._1), rows.map(_._2))
+        }, Seq(pid))
+      st = res.head
+      pid += 1
     }
+    data.unpersist(blocking = false)
+    current = st
   }
 
   def attach(stream: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =

@@ -63,6 +63,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("OnlineLearnerSink folds partitions: a wide batch never rides one collect") {
+    // 32-partition batch far larger than one "block": every row must be
+    // seen exactly once, visited partition-by-partition (single-partition
+    // jobs, driver holds at most one partition), and the learner still
+    // converges on the linear law
+    val sink = new OnlineLearnerSink(new LocalSGD("squared", 0.05), Seq("x"), "y")
+    val batch = spark.range(0, 20000, 1, 32)
+      .select(((col("id") % 200) / 100.0).as("x"))
+      .withColumn("y", col("x") * 3 + 1)
+    sink.processBatch(batch, 0L)
+    assert(sink.state.seen == 20000)
+    assert(math.abs(sink.model.predict(Array(1.0)) - 4.0) < 0.3)
+  }
+
   test("sessionAggregate merges gap-bounded sessions on a live stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
