@@ -276,20 +276,29 @@ object EstimatorQueries extends QueryPack {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
-    // Generators: distribution is seed-dependent (rows-only check);
-    // determinism and moment sanity are unit-tested.
+    // Generators, EXACT per-row gates: every draw is an md5(seed|tag|
+    // row-id|j) stream the DuckDB oracle reproduces bit-for-bit
+    // (gaussians via Box-Muller, Poisson via quantized exponential
+    // arrivals — see Datasets scaladoc). Rows are ordered by the
+    // unrounded x0 (continuous, collision-free) and emitted rounded.
     "q_make_counts" -> ((s, dir) => {
       graft.datasets.Datasets.makeCounts(s, nSamples = 5000, nFeatures = 3,
         seed = 11, nPartitions = 4)
-        .agg(count(lit(1)).as("n"), max(col("y")).as("max_count"),
-          sum(col("y")).as("total_events"))
+        .orderBy("x0")
+        .select((round(col("x0"), 6) + 0.0).as("x0"),
+          (round(col("x1"), 6) + 0.0).as("x1"),
+          (round(col("x2"), 6) + 0.0).as("x2"),
+          col("y"))
     }),
 
     "q_make_classification_df" -> ((s, dir) => {
       graft.datasets.Datasets.makeClassificationDf(s, nSamples = 5000,
         nFeatures = 3, seed = 11, nPartitions = 4)
-        .groupBy(year(col("date")).as("yr")).agg(count(lit(1)).as("n"))
-        .orderBy("yr")
+        .orderBy("x0")
+        .select((round(col("x0"), 6) + 0.0).as("x0"),
+          (round(col("x1"), 6) + 0.0).as("x1"),
+          (round(col("x2"), 6) + 0.0).as("x2"),
+          col("label"), col("date"))
     }),
 
     // GridSearchCV over ridge lambda with deterministic contiguous
@@ -342,6 +351,52 @@ object EstimatorQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // md5-stream generator oracles: identical draw formulas, term for
+    // term, with literal driver-side weights inlined; all float
+    // comparisons quantized to 6 dp (see Datasets scaladoc).
+    "q_make_counts" -> {
+      import graft.datasets.Datasets
+      val w = Datasets.countsWeights(11, 3)
+      def g(j: Int) = Datasets.sqlGauss(11, "x", "ids.i", j)
+      s"""WITH ids AS (SELECT unnest(range(0, 5000)) AS i),
+         |g AS (SELECT ids.i AS i, ${g(0)} AS x0, ${g(1)} AS x1, ${g(2)} AS x2
+         |      FROM ids),
+         |lam AS (SELECT i, x0, x1, x2,
+         |    round(exp(x0 * (${w(0)}) + x1 * (${w(1)}) + x2 * (${w(2)})), 6) AS lam6
+         |  FROM g),
+         |e AS (SELECT ids.i AS i, pj.j AS j,
+         |    -ln(${Datasets.sqlUPos(11, "p", "ids.i", "pj.j")}) AS ej
+         |  FROM ids, (SELECT unnest(range(1, ${Datasets.MaxPoissonDraws + 1})) AS j) pj),
+         |c AS (SELECT i, j, sum(ej) OVER (PARTITION BY i ORDER BY j) AS cs FROM e),
+         |y AS (SELECT c.i, count(*) FILTER (WHERE round(c.cs, 6) <= l.lam6) AS y
+         |      FROM c JOIN lam l USING (i) GROUP BY c.i)
+         |SELECT round(l.x0, 6) + 0.0 AS x0, round(l.x1, 6) + 0.0 AS x1,
+         |  round(l.x2, 6) + 0.0 AS x2, CAST(y.y AS BIGINT) AS y
+         |FROM lam l JOIN y USING (i)
+         |ORDER BY l.x0""".stripMargin
+    },
+    "q_make_classification_df" -> {
+      import graft.datasets.Datasets
+      val w = Datasets.classificationWeights(11, 3)
+      def g(j: Int) = Datasets.sqlGauss(11, "x", "ids.i", j)
+      val days1 = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse("2020-01-01"),
+        java.time.LocalDate.parse("2021-01-01")) + 1
+      s"""WITH ids AS (SELECT unnest(range(0, 5000)) AS i),
+         |g AS (SELECT ids.i AS i, ${g(0)} AS x0, ${g(1)} AS x1, ${g(2)} AS x2
+         |      FROM ids),
+         |m AS (SELECT i, x0, x1, x2,
+         |    CASE WHEN x0 * (${w(0)}) + x1 * (${w(1)}) + x2 * (${w(2)}) > 0
+         |      THEN 1.0 ELSE 0.0 END AS l0 FROM g)
+         |SELECT round(x0, 6) + 0.0 AS x0, round(x1, 6) + 0.0 AS x1,
+         |  round(x2, 6) + 0.0 AS x2,
+         |  CASE WHEN ${Datasets.sqlU(11, "f", "m.i", "0")} < 0.01
+         |    THEN 1.0 - l0 ELSE l0 END AS label,
+         |  DATE '2020-01-01'
+         |    + CAST(floor(${Datasets.sqlU(11, "d", "m.i", "0")} * $days1) AS INT) AS "date"
+         |FROM m
+         |ORDER BY m.x0""".stripMargin
+    },
     "q_kfold_shuffled" ->
       """WITH r AS (SELECT o_orderkey,
         |    row_number() OVER (ORDER BY md5(CAST(o_orderkey AS VARCHAR))) - 1 AS idx,

@@ -151,6 +151,24 @@ class M5Spec extends SparkSpec {
     assert(c.agg(sum("y")).head().getLong(0) != sa.getLong(0))
   }
 
+  test("generators are bit-deterministic across partitionings (md5 draw streams)") {
+    import org.apache.spark.sql.functions._
+    // draws are pure functions of (seed, row id): changing nPartitions
+    // must not change a single value — the property that makes the
+    // generator gates hash-exact and the output stable under scale-out
+    def sig(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(md5(concat_ws("|", df.columns.map(c => col(c).cast("string")).toIndexedSeq: _*)))
+        .collect().map(_.getString(0)).sorted.toSeq
+    assert(sig(Datasets.makeCounts(spark, 1000, 3, seed = 5, nPartitions = 2)) ==
+      sig(Datasets.makeCounts(spark, 1000, 3, seed = 5, nPartitions = 7)))
+    assert(sig(Datasets.makeClassificationDf(spark, 1000, 2, seed = 9, nPartitions = 3)) ==
+      sig(Datasets.makeClassificationDf(spark, 1000, 2, seed = 9, nPartitions = 8)))
+    assert(sig(Datasets.makeBlobs(spark, 1000, 2, centers = 3, seed = 1, nPartitions = 2)) ==
+      sig(Datasets.makeBlobs(spark, 1000, 2, centers = 3, seed = 1, nPartitions = 5)))
+    assert(sig(Datasets.makeRegression(spark, 1000, 3, noise = 0.5, seed = 2, nPartitions = 2)) ==
+      sig(Datasets.makeRegression(spark, 1000, 3, noise = 0.5, seed = 2, nPartitions = 9)))
+  }
+
   test("makeClassificationDf: date column within range, deterministic") {
     import org.apache.spark.sql.functions._
     val df = Datasets.makeClassificationDf(spark, 1000, nFeatures = 2, seed = 9,
