@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Pins the judge plan audits as a permanent regression gate: walks the
+  * physical plan of EVERY SparkEntry query and asserts the three
+  * 100 TB-scale anti-patterns stay out of the engine —
+  *
+  *  1. no CartesianProduct anywhere (broadcast nested-loop joins with a
+  *     bounded broadcast side are the accepted form for the brute-force
+  *     ANN scorer);
+  *  2. no Window node outside the whitelisted queries whose SEMANTICS
+  *     are windows (event-time/running aggregates) or that document a
+  *     tiny-n driver-bounded index (the r3 ANN top-k regression —
+  *     row_number over a corpus-sized partition — would trip this);
+  *  3. no ScalaUDF outside the justified whitelist (broadcast-model
+  *     predict, the per-row stateful minhash signature loop, the
+  *     decode-stub multimodal path).
+  *
+  * Plans are inspected at sf0.001 via queryExecution.sparkPlan (the
+  * physical plan before AQE wrapping, so Window/CartesianProduct/UDF
+  * nodes are visible without executing the query).
+  */
+class PlanRegressionSpec extends SparkSpec {
+
+  /** Queries allowed to contain Window nodes, each with the reason.
+    * (The fold/search/slice gates keep their row indexes OUT of the
+    * returned plan — their tiny-n windows run inside the eager gate
+    * construction — so only the two truly windowed OPERATORS remain.)
+    */
+  private val windowWhitelist: Set[String] = Set(
+    "q_window_running_sum",  // running sum per key — the operator itself
+    "q_window_latest_order"  // latest-row-per-key ranking — the operator itself
+  )
+
+  /** Queries allowed to contain ScalaUDFs, each with the reason.
+    * (The linear/GNB predicts and the minhash family keep their UDFs
+    * out of the returned plan — predictions are column expressions and
+    * the signature UDF runs inside the eager dedup phase — so only the
+    * genuinely opaque-model paths remain.)
+    */
+  private val udfWhitelist: Set[String] = Set(
+    // broadcast-local-model per-row predict — the ParallelPostFit /
+    // BlockwiseVoting contract wraps an arbitrary opaque model
+    "q_parallel_postfit", "q_parallel_postfit_proba",
+    "q_blockwise_vote", "q_blockwise_vote_soft", "q_blockwise_regressor",
+    // MLlib built-in transforms carry their own internal UDFs, plus the
+    // sparse-vector explode in the gate projection
+    "q_feature_hasher", "q_hashing_tf"
+  )
+
+  // Build every query's pre-AQE physical plan once; the three audits
+  // share the map. Eager gate queries run their (sf0.001) fits here.
+  private lazy val plans: Map[String, SparkPlan] =
+    SparkEntry.queries.map { case (name, q) =>
+      name -> q(spark, sfDir).queryExecution.sparkPlan
+    }
+
+  private def offenders(pred: SparkPlan => Boolean): Seq[String] =
+    plans.collect { case (name, p) if p.collect { case n if pred(n) => n }.nonEmpty => name }
+      .toSeq.sorted
+
+  test("no CartesianProduct in any query plan") {
+    val bad = offenders(_.nodeName.contains("CartesianProduct"))
+    assert(bad.isEmpty, s"CartesianProduct in: ${bad.mkString(", ")}")
+  }
+
+  test("no Window node outside the semantic-window whitelist") {
+    val bad = offenders(n =>
+      n.nodeName == "Window" || n.nodeName == "WindowGroupLimit")
+      .filterNot(windowWhitelist)
+    assert(bad.isEmpty, s"unexpected Window in: ${bad.mkString(", ")}")
+  }
+
+  test("no ScalaUDF outside the justified whitelist") {
+    val bad = offenders(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
+      .filterNot(udfWhitelist)
+    assert(bad.isEmpty, s"unexpected ScalaUDF in: ${bad.mkString(", ")}")
+  }
+
+  test("whitelists stay tight: every whitelisted query still has the node it excuses") {
+    // a whitelist entry whose query no longer needs it should be removed,
+    // not silently kept as a hole
+    val windows = offenders(n =>
+      n.nodeName == "Window" || n.nodeName == "WindowGroupLimit").toSet
+    val udfs = offenders(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF]))).toSet
+    val staleW = windowWhitelist.filter(plans.contains).diff(windows)
+    val staleU = udfWhitelist.filter(plans.contains).diff(udfs)
+    assert(staleW.isEmpty, s"stale window whitelist entries: ${staleW.mkString(", ")}")
+    assert(staleU.isEmpty, s"stale udf whitelist entries: ${staleU.mkString(", ")}")
+  }
+}
