@@ -143,9 +143,16 @@ object Dedup {
     * Both emit 32-hex-char (oracle) / 15-hex-char (cheap) string
     * signature columns; downstream banding only needs equality.
     */
+  /** @param digestCounter optional accumulator incremented once per
+    *   md5 digest — lets specs assert the families' work ratio
+    *   (oracle = k digests/shingle, cheap = 1) as a deterministic
+    *   counter instead of a load-sensitive wall-clock compare.
+    */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 8, shingleN: Int = 3, oracleCompatible: Boolean = false): DataFrame = {
+      k: Int = 8, shingleN: Int = 3, oracleCompatible: Boolean = false,
+      digestCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val kk = k; val n = shingleN
+    val ctr = digestCounter
     val sig =
       if (oracleCompatible) udf { (text: String) =>
         if (text == null) null
@@ -159,6 +166,7 @@ object Dedup {
           else {
             val md = md5Local.get()
             val mins = Array.fill(kk)("￿")
+            var nd = 0L
             var i = 0
             while (i <= toks.length - n) {
               val sb = new java.lang.StringBuilder(toks(i))
@@ -168,12 +176,14 @@ object Dedup {
               var s = 0
               while (s < kk) {
                 val bytes = md.digest((s.toString + "|" + shingle).getBytes("UTF-8"))
+                nd += 1
                 val hex = Dedup.toHex(bytes)
                 if (hex.compareTo(mins(s)) < 0) mins(s) = hex
                 s += 1
               }
               i += 1
             }
+            ctr.foreach(_.add(nd))
             mins.toSeq
           }
         }
@@ -188,12 +198,14 @@ object Dedup {
             else {
               val md = md5Local.get()
               val mins = Array.fill(kk)(Long.MaxValue)
+              var nd = 0L
               var i = 0
               while (i <= toks.length - n) {
                 val sb = new java.lang.StringBuilder(toks(i))
                 var o = 1
                 while (o < n) { sb.append(' ').append(toks(i + o)); o += 1 }
                 val bytes = md.digest(sb.toString.getBytes("UTF-8"))
+                nd += 1
                 var h64 = 0L
                 var bi = 0
                 while (bi < 8) { h64 = (h64 << 8) | (bytes(bi) & 0xffL); bi += 1 }
@@ -207,6 +219,7 @@ object Dedup {
                 }
                 i += 1
               }
+              ctr.foreach(_.add(nd))
               mins.toSeq.map(v => f"${v}%015x")
             }
           }

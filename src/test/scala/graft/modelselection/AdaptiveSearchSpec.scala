@@ -98,29 +98,34 @@ class AdaptiveSearchSpec extends SparkSpec {
     assert(four.size == 4 && four.distinct.size == 4)
   }
 
-  test("concurrent hyperband brackets are no slower than sequential") {
-    def run(concurrent: Boolean, seed: Long): (Double, AdaptiveResult) = {
+  test("concurrent hyperband brackets fan out to bracket threads; results match sequential") {
+    // Deterministic structural check instead of the old load-sensitive
+    // wall-clock compare: each bracket's IncrementalSearchCV builds its
+    // estimators ON the bracket's thread, so the set of threads that
+    // invoke makeEstimator distinguishes the two modes exactly —
+    // sequential runs every bracket on the caller thread, concurrent
+    // submits all brackets to a bracket-count pool up front (one fresh
+    // thread each). Result equality pins that concurrency changes
+    // nothing semantically.
+    def run(concurrent: Boolean, seed: Long): (AdaptiveResult, Int) = {
+      val threads = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
       val hb = new HyperbandSearchCV(
-        params => new ConstantScoreEstimator(params("v").asInstanceOf[Double]),
+        params => {
+          threads.add(Thread.currentThread().getName)
+          new ConstantScoreEstimator(params("v").asInstanceOf[Double])
+        },
         Map("v" -> (1 to 30).map(_ / 30.0: Any)),
         Seq("a", "b"), "y",
         (m, _, _) => m.asInstanceOf[graft.wrappers.LinearLocalModel].intercept,
         maxIter = 9, seed = seed, concurrentBrackets = concurrent)
-      val t0 = System.nanoTime()
-      val r = hb.fit(df)
-      ((System.nanoTime() - t0) / 1e9, r)
+      (hb.fit(df), threads.size)
     }
-    run(concurrent = true, 5) // warmup
-    // wall-clock comparison; retry once to shrug off scheduler noise on
-    // a loaded machine before declaring concurrency a regression
-    val attempts = (1 to 2).iterator.map { _ =>
-      val (tSeq, rSeq) = run(concurrent = false, 5)
-      val (tCon, rCon) = run(concurrent = true, 5)
-      assert(rCon.bestScore ~== rSeq.bestScore)
-      (tCon, tSeq)
-    }
-    assert(attempts.exists { case (tCon, tSeq) => tCon <= tSeq * 1.25 },
-      "concurrent brackets slower than sequential in both attempts")
+    val (rSeq, tSeq) = run(concurrent = false, 5)
+    val (rCon, tCon) = run(concurrent = true, 5)
+    assert(rCon.bestScore ~== rSeq.bestScore)
+    assert(rCon.totalPartialFits == rSeq.totalPartialFits)
+    assert(tSeq == 1, s"sequential brackets must share the caller thread, saw $tSeq")
+    assert(tCon >= 2, s"concurrent brackets must fan out to bracket threads, saw $tCon")
   }
 
   test("Hyperband runs all brackets and returns the overall best") {
