@@ -18,6 +18,29 @@ object LlmDataQueries extends QueryPack {
   private[llmdata] val fixedIvfCentroids: Array[Array[Double]] =
     Array.tabulate(3, 64)((j, i) => ((j * 64 + i) % 7 - 3) / 3.0)
 
+  /** q_dedup_minhash and q_drop_near_dups gate the SAME oracle-family
+    * pipeline (k=8 / rowsPerBand=2 / 3-gram shingles, md5-per-seed):
+    * run it once per data dir and gate twice — the fit-once/gate-twice
+    * memo the KMeans gates use. The memo holds only the collected
+    * verified pairs (bounded by the near-dup count at gate SF), never
+    * data or a DataFrame.
+    */
+  private val oraclePairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long, Double)]]()
+  private def oracleMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val rows = oraclePairsMemo.computeIfAbsent(dir, d => {
+      val p = Dedup.minhashNearDupPairs(Tables.documents(s, d), "text", "doc_id",
+        threshold = 0.8, k = 8, rowsPerBand = 2, shingleN = 3,
+        oracleCompatible = true)
+      val out = p.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      p.unpersist(blocking = false)
+      out
+    })
+    import s.implicits._
+    rows.toSeq.toDF("id_a", "id_b", "jaccard")
+  }
+
   /** The full MinHash-LSH mirror (k=8, rowsPerBand=2, 3-gram shingles,
     * md5-per-seed oracle family) ending in a `pairs(id_a, id_b, jac)`
     * CTE — shared by q_dedup_minhash and q_drop_near_dups.
@@ -157,10 +180,7 @@ object LlmDataQueries extends QueryPack {
     // verified near-dup pair (left-anti on the pair list).
     "q_drop_near_dups" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
-        threshold = 0.8, k = 8, rowsPerBand = 2, shingleN = 3,
-        oracleCompatible = true)
-      Dedup.dropNearDuplicates(docs, pairs, "doc_id")
+      Dedup.dropNearDuplicates(docs, oracleMinhashPairs(s, dir), "doc_id")
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
@@ -250,9 +270,7 @@ object LlmDataQueries extends QueryPack {
     // small k + the md5-per-seed family so every minhash value is
     // bit-reproducible in the DuckDB oracle
     "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashNearDupPairs(Tables.documents(s, dir), "text", "doc_id",
-        threshold = 0.8, k = 8, rowsPerBand = 2, shingleN = 3,
-        oracleCompatible = true)
+      oracleMinhashPairs(s, dir)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
