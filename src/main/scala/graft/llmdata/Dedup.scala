@@ -300,6 +300,59 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT n-gram-Jaccard similarity self-join via prefix filtering
+    * (SSJoin, Chaudhuri et al. ICDE'06; All-Pairs, Bayardo et al.
+    * WWW'07). Unlike MinHash — probabilistic, with banding-dependent
+    * recall — this returns exactly the pairs with
+    * Jaccard(shingles_a, shingles_b) ≥ threshold.
+    *
+    * Prefix lemma: fix a global total order on shingles (ascending
+    * document frequency, ties by shingle — rarest first). If J(a,b) ≥ t
+    * the two sets must share at least one shingle inside each set's
+    * first |x| − ⌈t·|x|⌉ + 1 shingles under that order. So candidates
+    * are generated by equi-joining only on PREFIX shingles — the rarest
+    * per document — and bucket sizes stay small by construction.
+    * FP hygiene: the prefix length uses floor (sz − ⌊t·sz⌋ + 1 ≥ the
+    * lemma's requirement — at most one extra shingle, never too short
+    * when t·sz lands on x.000…01 in binary), and the length filter
+    * (t·max ≤ min, SSJoin) keeps an epsilon so a true J = t pair can't
+    * be dropped by double rounding.
+    *
+    * Shuffles at 100 TB: one groupBy(shingle) for document frequencies
+    * (map-side combined — (shingle, count) rows, never documents), one
+    * shingle-key join back, one groupBy(id) packing each document's
+    * ordered set (bounded by document length), the prefix equi-join
+    * (capped like the minhash band join — a degenerate boilerplate
+    * prefix shingle is dropped, not co-located), then exact-Jaccard
+    * verification on candidates only. No window functions: per-document
+    * ordering is a sort_array over the doc's own (df, shingle) structs.
+    */
+  def jaccardNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sh = shingles(df, textCol, idCol, shingleN)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val packed = sh.join(dfreq, "shingle")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ordered"))
+      .withColumn("sz", size(col("ordered")))
+      .withColumn("plen",
+        col("sz") - floor(col("sz") * threshold).cast("int") + 1)
+    val prefixes = packed
+      .select(col(idCol), col("sz"),
+        explode(slice(col("ordered"), lit(1), col("plen"))).as("p"))
+      .select(col(idCol), col("sz"), col("p.shingle").as("shingle"))
+    val capped = dropOversized(prefixes, Seq("shingle"), maxBucketSize)
+    val a = capped.select(col("shingle"), col(idCol).as("id_a"), col("sz").as("sz_a"))
+    val b = capped.select(col("shingle"), col(idCol).as("id_b"), col("sz").as("sz_b"))
+    val cands = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("sz_b") >= col("sz_a") * threshold - 1e-9 &&
+        col("sz_a") >= col("sz_b") * threshold - 1e-9)
+      .select("id_a", "id_b").distinct()
+    jaccard(cands, sh, idCol).filter(col("jaccard") >= threshold)
+  }
+
   /** Full MinHash-LSH near-duplicate pipeline: candidate generation via
     * banding, then exact-Jaccard verification, keeping pairs ≥ threshold.
     *

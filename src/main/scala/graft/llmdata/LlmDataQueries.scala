@@ -286,6 +286,17 @@ object LlmDataQueries extends QueryPack {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // Exact Jaccard similarity self-join via prefix filtering — the
+    // STRONGEST dedup gate: the oracle computes ground-truth all-pairs
+    // Jaccard ≥ t by brute force, so the hash must match iff the prefix
+    // filter has NO false negatives (the SSJoin/All-Pairs lemma) and the
+    // verification arithmetic is bit-identical.
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardNearDupPairs(Tables.documents(s, dir), "text", "doc_id",
+        threshold = 0.8, shingleN = 3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
     // SimHash hamming pairs — EXACT oracle: the hash is built from
     // `md5` string expressions, which DuckDB reproduces bit-for-bit
     // (('0x'||substr(md5,1,15))::BIGINT mirrors conv(...,16,10)), so the
@@ -451,6 +462,24 @@ object LlmDataQueries extends QueryPack {
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
          |ORDER BY doc_id""".stripMargin,
+    // GROUND-TRUTH all-pairs Jaccard (no filtering): the Spark side must
+    // reproduce this exactly THROUGH its prefix filter — a hash match
+    // certifies the SSJoin lemma holds (no false negatives) on real data.
+    "q_dedup_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |       FROM toks, (SELECT unnest(range(1, 100000)) AS i) ii
+        |       WHERE i <= len(t) - 2),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |          FROM sh a JOIN sh b USING (shingle)
+        |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         | CAST(list_aggregate(list_transform(string_split(text, ' '),

@@ -60,6 +60,35 @@ class LlmDataSpec extends SparkSpec {
     assert(recall >= 0.5, s"simhash recall vs minhash too low: $recall (mh=${mh.size}, sh=${sh.size})")
   }
 
+  test("prefix-filter Jaccard join matches brute force exactly") {
+    val sh = Dedup.shingles(docs, "text", "doc_id", 3)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val brute = sh.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .filter(col("c") / (col("sz_a") + col("sz_b") - col("c")) >= 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pf = Dedup.jaccardNearDupPairs(docs, "text", "doc_id", threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pf == brute, s"prefix-filter=${pf.size} brute=${brute.size} " +
+      s"missing=${(brute -- pf).take(5)} extra=${(pf -- brute).take(5)}")
+    assert(brute.nonEmpty, "fixture should contain planted near-dups")
+  }
+
+  test("Jaccard join keeps a pair at exactly the threshold (length-filter epsilon)") {
+    import spark.implicits._
+    // 3-gram sets of sizes 4 and 5 sharing 4 shingles → J = 4/5 = 0.8
+    // exactly; without the epsilon, 5*0.8 = 4.0000000000000002 in binary
+    // and the length filter would wrongly drop the pair.
+    val d = Seq((1L, "a b c d e f"), (2L, "a b c d e f g")).toDF("doc_id", "text")
+    val out = Dedup.jaccardNearDupPairs(d, "text", "doc_id", threshold = 0.8).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("jaccard") == 0.8)
+  }
+
   test("dropNearDuplicates removes the higher id of each pair") {
     val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id", threshold = 0.8)
     val kept = Dedup.dropNearDuplicates(docs, pairs, "doc_id")
