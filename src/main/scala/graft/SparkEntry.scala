@@ -25,11 +25,13 @@ object SparkEntry {
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * SURVEY.md §7.3 minimum slice: scan → scale → cluster → grouped count.
+    * The end-to-end LLM training-data pipeline (quality/language filter →
+    * fingerprint dedup → content-hash split → context-window chunks) —
+    * every stage an exactly-gated operator composed in one plan.
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    queries("q_join_revenue_by_nation")(spark, dir)
+    queries("q_llm_pipeline")(spark, dir)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -201,6 +201,34 @@ object LlmDataQueries extends QueryPack {
         col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // FLAGSHIP: the end-to-end training-data pipeline, every stage an
+    // already-exactly-gated operator composed into ONE declarative plan —
+    // scan-fused quality/language/fingerprint signals → quality+language
+    // filter → exact fingerprint dedup (min-id representative) →
+    // deterministic content-hash train/holdout split → context-window
+    // chunk counts. What a user runs over 100 TB of raw documents; the
+    // whole oracle is the composition of the per-stage SQL mirrors.
+    "q_llm_pipeline" -> ((s, dir) => {
+      val t = col("text")
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), t,
+        TextStats.qualityScore(t).as("quality"),
+        TextStats.languageId(t).as("lang"),
+        TextStats.fingerprint(t).as("fp"))
+      val filtered = scored.filter(col("quality") >= 0.5 && col("lang") === "en")
+      val reps = filtered.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      val kept = filtered.join(reps, Seq("fp", "doc_id"), "left_semi")
+      val chunks = TextStats.chunkDocuments(kept, "text", "doc_id",
+        maxTokens = 20, overlap = 5)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      kept.join(chunks, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          round(col("quality"), 6).as("quality"),
+          graft.modelselection.Splits.hashSplitLabel(col("doc_id"), 0.9).as("split"),
+          col("n_chunks"))
+        .orderBy("doc_id")
+    }),
+
     // Context-window chunking (training-context packing): overlapping
     // maxTokens windows, step maxTokens−overlap; fully SQL-mirrorable
     // (same start rule, same clamped slices, chunk md5s).
@@ -434,6 +462,51 @@ object LlmDataQueries extends QueryPack {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    // composition of the per-stage mirrors: q_lang_id's CASE chain,
+    // q_text_quality's composite, q_doc_fingerprint's normalization,
+    // q_hash_sample's md5 bucket, q_doc_chunks' start rule.
+    "q_llm_pipeline" ->
+      """WITH sc AS (SELECT doc_id, text,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('der','und','die'))) AS s_de,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('the','a','of'))) AS s_en,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('el','la','y'))) AS s_es,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('le','et','les'))) AS s_fr,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('de','shi','bu'))) AS s_zh
+        | FROM documents),
+        |lq AS (SELECT doc_id, text,
+        |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+        |       WHEN s_en >= greatest(s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+        |       WHEN s_es >= greatest(s_fr, s_zh) AND s_es > 0 THEN 'es'
+        |       WHEN s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+        |       WHEN s_zh > 0 THEN 'zh' ELSE 'und' END AS lang,
+        |  ((CASE WHEN len(string_split(text,' ')) BETWEEN 5 AND 10000
+        |      THEN 1.0 ELSE 0.0 END
+        |    + least(len(list_distinct(string_split(text,' ')))
+        |        * 1.0 / len(string_split(text,' ')) * 2.0, 1.0))
+        |   + CASE WHEN len(list_filter(string_split(text,' '),
+        |       x -> x IN ('the','a','of','and','to','in'))) * 1.0
+        |         / len(string_split(text,' ')) > 0 THEN 1.0 ELSE 0.0 END) / 3.0
+        |    AS quality
+        | FROM sc),
+        |f AS (SELECT doc_id, text, lang, quality,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'),
+        |      '\s+', ' ', 'g'))) AS fp
+        |  FROM lq WHERE quality >= 0.5 AND lang = 'en'),
+        |kept AS (SELECT f.doc_id, f.text, f.lang, f.quality
+        |  FROM f JOIN (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp) r
+        |    ON r.fp = f.fp AND r.doc_id = f.doc_id),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept),
+        |st AS (SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 15)) AS start
+        |       FROM tok),
+        |ch AS (SELECT doc_id, count(*) AS n_chunks FROM st
+        |  WHERE start = 0 OR start < len(t) - 5 GROUP BY doc_id)
+        |SELECT k.doc_id, k.lang, round(k.quality, 6) AS quality,
+        | CASE WHEN (('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |            % 1000000) < 900000
+        |      THEN 'train' ELSE 'holdout' END AS split,
+        | ch.n_chunks
+        |FROM kept k JOIN ch USING (doc_id)
+        |ORDER BY k.doc_id""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH $minhashPairCtes
          |SELECT id_a, id_b, round(jac, 6) AS jaccard

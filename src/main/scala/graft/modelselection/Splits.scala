@@ -172,6 +172,15 @@ object Splits {
       salt: String = ""): DataFrame =
     df.filter(hashBucket(col(keyCol), salt) >= rateBuckets(rate))
 
+  /** The [[hashSample]] membership as a labeling column instead of a
+    * filter — one scan assigns every row its split ('train' below the
+    * rate cut, 'holdout' above), with the same key-determinism contract.
+    */
+  def hashSplitLabel(key: org.apache.spark.sql.Column, rate: Double,
+      salt: String = ""): org.apache.spark.sql.Column =
+    when(hashBucket(key, salt) < rateBuckets(rate), "train")
+      .otherwise("holdout")
+
   /** round, not truncate: 0.29·1e6 is 289999.99999999994 in binary —
     * truncation would put bucket 289999 on the wrong side of the
     * documented `bucket < rate·1e6` contract.
