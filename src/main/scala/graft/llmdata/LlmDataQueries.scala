@@ -208,6 +208,13 @@ object LlmDataQueries extends QueryPack {
     // deterministic content-hash train/holdout split → context-window
     // chunk counts. What a user runs over 100 TB of raw documents; the
     // whole oracle is the composition of the per-stage SQL mirrors.
+    // Plan shape (audited via Explain): ONE corpus scan — the signal
+    // projection and quality/language filter fuse into it — then ONE
+    // shuffle (the fingerprint-dedup aggregate; min_by carries the
+    // representative row, so there is NO reps self-join), then map-only
+    // split labeling + a closed-form chunk count (the chunkDocuments
+    // start rule as an expression — no explode/re-aggregate join). The
+    // naive semi-join + chunk-join form scanned the corpus four times.
     "q_llm_pipeline" -> ((s, dir) => {
       val t = col("text")
       val scored = Tables.documents(s, dir).select(
@@ -216,16 +223,22 @@ object LlmDataQueries extends QueryPack {
         TextStats.languageId(t).as("lang"),
         TextStats.fingerprint(t).as("fp"))
       val filtered = scored.filter(col("quality") >= 0.5 && col("lang") === "en")
-      val reps = filtered.groupBy("fp").agg(min("doc_id").as("doc_id"))
-      val kept = filtered.join(reps, Seq("fp", "doc_id"), "left_semi")
-      val chunks = TextStats.chunkDocuments(kept, "text", "doc_id",
-        maxTokens = 20, overlap = 5)
-        .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
-      kept.join(chunks, Seq("doc_id"))
-        .select(col("doc_id"), col("lang"),
-          round(col("quality"), 6).as("quality"),
-          graft.modelselection.Splits.hashSplitLabel(col("doc_id"), 0.9).as("split"),
-          col("n_chunks"))
+      val kept = filtered.groupBy("fp").agg(
+        min("doc_id").as("doc_id"),
+        min_by(struct(col("text"), col("lang"), col("quality")),
+          col("doc_id")).as("r"))
+        .select(col("doc_id"), col("r.text").as("text"),
+          col("r.lang").as("lang"), col("r.quality").as("quality"))
+      // same start rule as chunkDocuments(maxTokens=20, overlap=5):
+      // a start opens a chunk iff it is 0 or leaves > overlap fresh tokens
+      val n = size(TextStats.tokens(col("text")))
+      val nChunks = size(filter(
+        sequence(lit(0), greatest(n - 1, lit(0)), lit(15)),
+        x => x === 0 || x < n - 5))
+      kept.select(col("doc_id"), col("lang"),
+        round(col("quality"), 6).as("quality"),
+        graft.modelselection.Splits.hashSplitLabel(col("doc_id"), 0.9).as("split"),
+        nChunks.cast("long").as("n_chunks"))
         .orderBy("doc_id")
     }),
 
