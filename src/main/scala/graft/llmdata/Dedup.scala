@@ -73,9 +73,22 @@ object Dedup {
     df.select(col(idCol), explode(transform(idx, gram)).as("shingle"))
   }
 
-  /** Distinct word n-gram shingles per document: (id, shingle). */
-  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
-    rawShingles(df, textCol, idCol, n).distinct()
+  /** Distinct word n-gram shingles per document: (id, shingle).
+    * Set semantics are per-document, so the dedup happens MAP-SIDE via
+    * array_distinct on the in-row shingle array before the explode — a
+    * row-local hash set bounded by document length. A corpus-wide
+    * `.distinct()` on the exploded rows would shuffle the full
+    * (id, shingle) stream just to remove within-document repeats.
+    */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val t = split(col(textCol), " ")
+    val idx = when(size(t) >= n, sequence(lit(1), size(t) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val gram = (i: Column) => concat_ws(" ",
+      (0 until n).map(o => element_at(t, i + o)): _*)
+    df.select(col(idCol),
+      explode(array_distinct(transform(idx, gram))).as("shingle"))
+  }
 
   /** MessageDigest is not thread-safe and costs ~1µs to allocate;
     * one per executor thread, reset implicitly by each digest() call.
@@ -387,7 +400,7 @@ object Dedup {
     val ids = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()
     val candDocs = df.join(broadcast(ids), Seq(idCol), "left_semi")
-    val sh = rawShingles(candDocs, textCol, idCol, shingleN).distinct()
+    val sh = shingles(candDocs, textCol, idCol, shingleN)
     val res = jaccard(cands, sh, idCol).filter(col("jaccard") >= threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     res.count() // materialize verified pairs, then free the candidate cache
