@@ -63,32 +63,42 @@ object Dedup {
     * and set semantics are applied only where required (Jaccard), so
     * the corpus-wide distinct shuffle never happens.
     */
-  private def rawShingles(df: DataFrame, textCol: String, idCol: String,
-      n: Int): DataFrame = {
+  /** The (multiset) n-gram shingle array of one document, in-row.
+    *
+    * Built with zip_with over SHIFTED SLICES of the token array, not
+    * `transform(positions, i => element_at(split(text), i+o))`: HOF
+    * *arguments* are evaluated once per row, but expressions inside the
+    * *lambda* re-evaluate per element — the element_at form re-split the
+    * document for every (position, offset) pair, O(tokens²) per doc.
+    * Here split() runs n times per row (the slice arguments) and each
+    * zip_with lambda only concatenates.
+    */
+  private[llmdata] def shingleArrayExpr(textCol: String, n: Int): Column = {
     val t = split(col(textCol), " ")
-    val idx = when(size(t) >= n, sequence(lit(1), size(t) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-    val gram = (i: Column) => concat_ws(" ",
-      (0 until n).map(o => element_at(t, i + o)): _*)
-    df.select(col(idCol), explode(transform(idx, gram)).as("shingle"))
+    val len = greatest(size(t) - (n - 1), lit(0))
+    val base = slice(t, lit(1), len)
+    (1 until n).foldLeft(base)((acc, o) =>
+      zip_with(acc, slice(t, lit(o + 1), len), (a, b) => concat_ws(" ", a, b)))
   }
 
-  /** Distinct word n-gram shingles per document: (id, shingle).
-    * Set semantics are per-document, so the dedup happens MAP-SIDE via
-    * array_distinct on the in-row shingle array before the explode — a
-    * row-local hash set bounded by document length. A corpus-wide
-    * `.distinct()` on the exploded rows would shuffle the full
-    * (id, shingle) stream just to remove within-document repeats.
+  private def rawShingles(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol), explode(shingleArrayExpr(textCol, n)).as("shingle"))
+
+  /** The DISTINCT shingle set of one document as an in-row array —
+    * set semantics computed map-side (array_distinct is a row-local
+    * hash set bounded by document length), no shuffle.
     */
-  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
-    val t = split(col(textCol), " ")
-    val idx = when(size(t) >= n, sequence(lit(1), size(t) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-    val gram = (i: Column) => concat_ws(" ",
-      (0 until n).map(o => element_at(t, i + o)): _*)
-    df.select(col(idCol),
-      explode(array_distinct(transform(idx, gram))).as("shingle"))
-  }
+  private[llmdata] def shingleSetExpr(textCol: String, n: Int): Column =
+    array_distinct(shingleArrayExpr(textCol, n))
+
+  /** Distinct word n-gram shingles per document: (id, shingle).
+    * Dedup happens MAP-SIDE via [[shingleSetExpr]] before the explode; a
+    * corpus-wide `.distinct()` on the exploded rows would shuffle the
+    * full (id, shingle) stream just to remove within-document repeats.
+    */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol), explode(shingleSetExpr(textCol, n)).as("shingle"))
 
   /** MessageDigest is not thread-safe and costs ~1µs to allocate;
     * one per executor thread, reset implicitly by each digest() call.
@@ -358,12 +368,40 @@ object Dedup {
     val capped = dropOversized(prefixes, Seq("shingle"), maxBucketSize)
     val a = capped.select(col("shingle"), col(idCol).as("id_a"), col("sz").as("sz_a"))
     val b = capped.select(col("shingle"), col(idCol).as("id_b"), col("sz").as("sz_b"))
+    // EAGER like minhashNearDupPairs: the candidate list is read three
+    // times (two id projections + verification) — persist it (small by
+    // the prefix/length filters) so the prefix-join pipeline runs once
     val cands = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("sz_b") >= col("sz_a") * threshold - 1e-9 &&
         col("sz_a") >= col("sz_b") * threshold - 1e-9)
       .select("id_a", "id_b").distinct()
-    jaccard(cands, sh, idCol).filter(col("jaccard") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands.count()
+    // verification is PAIRWISE, so it never explodes shingles into rows:
+    // semi-join the corpus down to candidate docs (broadcast — bounded
+    // by the prefix/length-filtered candidates), attach each candidate
+    // doc's in-row shingle SET, and compute |a ∩ b| via array_intersect
+    // — two id-key joins of the (small) pair list plus map-only set
+    // arithmetic, instead of fanning every pair out to its shingles
+    val ids = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    val candDocs = df.join(broadcast(ids), Seq(idCol), "left_semi")
+      .select(col(idCol), shingleSetExpr(textCol, shingleN).as("__shs"))
+    val res = cands
+      .join(candDocs.select(col(idCol).as("id_a"), col("__shs").as("__sh_a")),
+        Seq("id_a"))
+      .join(candDocs.select(col(idCol).as("id_b"), col("__shs").as("__sh_b")),
+        Seq("id_b"))
+      .withColumn("c", size(array_intersect(col("__sh_a"), col("__sh_b"))))
+      .withColumn("jaccard", col("c").cast("double") /
+        (size(col("__sh_a")) + size(col("__sh_b")) - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count() // materialize verified pairs, then free the candidate cache
+    cands.unpersist(blocking = false)
+    res
   }
 
   /** Full MinHash-LSH near-duplicate pipeline: candidate generation via
