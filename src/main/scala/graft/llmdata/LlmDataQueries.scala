@@ -230,12 +230,16 @@ object LlmDataQueries extends QueryPack {
         .select(col("doc_id"), col("r.text").as("text"),
           col("r.lang").as("lang"), col("r.quality").as("quality"))
       // same start rule as chunkDocuments(maxTokens=20, overlap=5):
-      // a start opens a chunk iff it is 0 or leaves > overlap fresh tokens
-      val n = size(TextStats.tokens(col("text")))
+      // a start opens a chunk iff it is 0 or leaves > overlap fresh
+      // tokens. Token count is bound to a column first so the filter
+      // lambda reads a row field, not a re-split per element.
+      val kept2 = kept.withColumn("__n",
+        size(TextStats.tokens(col("text"))))
+      val n = col("__n")
       val nChunks = size(filter(
         sequence(lit(0), greatest(n - 1, lit(0)), lit(15)),
         x => x === 0 || x < n - 5))
-      kept.select(col("doc_id"), col("lang"),
+      kept2.select(col("doc_id"), col("lang"),
         round(col("quality"), 6).as("quality"),
         graft.modelselection.Splits.hashSplitLabel(col("doc_id"), 0.9).as("split"),
         nChunks.cast("long").as("n_chunks"))
