@@ -335,11 +335,22 @@ object Dedup {
     * first |x| − ⌈t·|x|⌉ + 1 shingles under that order. So candidates
     * are generated by equi-joining only on PREFIX shingles — the rarest
     * per document — and bucket sizes stay small by construction.
+    * Candidate pruning beyond the prefix join (both complete):
+    *  - length filter (SSJoin): J ≥ t requires t·max(|a|,|b|) ≤ min;
+    *  - positional filter (PPJoin, Xiao et al. WWW'08): a shared
+    *    prefix shingle at 1-based ordered positions (i, j) bounds the
+    *    overlap by 1 + min(|a|−i, |b|−j); J ≥ t needs overlap ≥
+    *    t/(1+t)·(|a|+|b|), so a pair survives iff SOME shared prefix
+    *    row meets the bound. Complete because the globally-least
+    *    common shingle of a qualifying pair sits in both prefixes with
+    *    no common shingle before it (any earlier common shingle would
+    *    itself be in both prefixes, contradicting minimality), making
+    *    its positional bound valid and ≥ the required overlap.
     * FP hygiene: the prefix length uses floor (sz − ⌊t·sz⌋ + 1 ≥ the
     * lemma's requirement — at most one extra shingle, never too short
-    * when t·sz lands on x.000…01 in binary), and the length filter
-    * (t·max ≤ min, SSJoin) keeps an epsilon so a true J = t pair can't
-    * be dropped by double rounding.
+    * when t·sz lands on x.000…01 in binary), and the length/positional
+    * filters keep an epsilon so a true J = t pair can't be dropped by
+    * double rounding.
     *
     * Shuffles at 100 TB: one groupBy(shingle) for document frequencies
     * (map-side combined — (shingle, count) rows, never documents), one
@@ -363,18 +374,25 @@ object Dedup {
         col("sz") - floor(col("sz") * threshold).cast("int") + 1)
     val prefixes = packed
       .select(col(idCol), col("sz"),
-        explode(slice(col("ordered"), lit(1), col("plen"))).as("p"))
-      .select(col(idCol), col("sz"), col("p.shingle").as("shingle"))
+        posexplode(slice(col("ordered"), lit(1), col("plen"))).as(Seq("i", "p")))
+      .select(col(idCol), col("sz"), (col("i") + 1).as("pos"),
+        col("p.shingle").as("shingle"))
     val capped = dropOversized(prefixes, Seq("shingle"), maxBucketSize)
-    val a = capped.select(col("shingle"), col(idCol).as("id_a"), col("sz").as("sz_a"))
-    val b = capped.select(col("shingle"), col(idCol).as("id_b"), col("sz").as("sz_b"))
+    val a = capped.select(col("shingle"), col(idCol).as("id_a"),
+      col("sz").as("sz_a"), col("pos").as("pos_a"))
+    val b = capped.select(col("shingle"), col(idCol).as("id_b"),
+      col("sz").as("sz_b"), col("pos").as("pos_b"))
     // EAGER like minhashNearDupPairs: the candidate list is read three
     // times (two id projections + verification) — persist it (small by
-    // the prefix/length filters) so the prefix-join pipeline runs once
+    // the prefix/length/positional filters) so the prefix-join pipeline
+    // runs once
     val cands = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("sz_b") >= col("sz_a") * threshold - 1e-9 &&
         col("sz_a") >= col("sz_b") * threshold - 1e-9)
+      .filter(lit(1) +
+        least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) >=
+        (col("sz_a") + col("sz_b")) * (threshold / (1 + threshold)) - 1e-9)
       .select("id_a", "id_b").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands.count()
