@@ -78,6 +78,18 @@ class LlmDataSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  test("Jaccard join edges: identical docs pair at 1.0, sub-n-token docs drop out") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "w x y z q r s t"), (2L, "w x y z q r s t"), (3L, "w x y z q r s t"),
+      (4L, "completely different words here now then"),
+      (5L, "too short")) // < 3 tokens: no shingles, must not error or pair
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardNearDupPairs(d, "text", "doc_id", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs == Set((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0)))
+  }
+
   test("Jaccard join keeps a pair at exactly the threshold (length-filter epsilon)") {
     import spark.implicits._
     // 3-gram sets of sizes 4 and 5 sharing 4 shingles → J = 4/5 = 0.8
