@@ -43,10 +43,23 @@ class SpectralClustering(
     val p = featureCols.size
     val data = df.select(featureCols.map(c => col(c).cast("double")): _*)
 
-    // 1. landmarks: deterministic sample without replacement
-    val frac = math.min(1.0, nComponents * 3.0 / math.max(df.count(), 1))
-    val landmarks = data.sample(withReplacement = false, frac, seed)
-      .limit(nComponents).collect()
+    // 1. landmarks: content-hash-ranked UNIFORM sample — deterministic
+    // and independent of row order / partitioning (the same design as
+    // Ann.ivfIndex; reference semantics: uniform choice without
+    // replacement over all rows, spectral.py:180-230). The previous
+    // `sample(frac).limit(n)` kept the first n sampled rows in SCAN
+    // order, so on a sorted/clustered 100 TB corpus the Nyström basis
+    // represented only the leading shard's distribution. nComponents is
+    // ≤ a few hundred, so TakeOrderedAndProject keeps a bounded n-row
+    // heap per partition and the driver merge is tiny — no count() (the
+    // old code paid one) and no pre-filter needed at any corpus size.
+    // Ties on the hash break by feature values: fully deterministic.
+    val landmarks = data
+      .withColumn("__h", xxhash64(lit(seed), array(featureCols.map(col): _*)))
+      .orderBy(col("__h") +: featureCols.map(col): _*)
+      .limit(nComponents)
+      .select(featureCols.map(col): _*)
+      .collect()
       .map(r => Array.tabulate(p)(r.getDouble))
     val m = landmarks.length
     require(m >= nClusters, s"need >= $nClusters landmarks, got $m")
