@@ -27,8 +27,8 @@ object EstimatorQueries extends QueryPack {
     * from the bench.
     */
   private val fitFeatures = Seq("l_quantity", "l_extendedprice", "l_discount")
-  private val kmeansMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, KMeansModel]()
+  private val kmeansMemo = graft.core.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[String, KMeansModel]())
   private def fittedKMeans(s: SparkSession, dir: String): KMeansModel =
     kmeansMemo.computeIfAbsent(dir, _ =>
       new KMeans(fitFeatures, nClusters = 4, seed = 42)

@@ -1,0 +1,26 @@
+package graft.core
+
+/** Registry of the driver-side fit/result memos behind the
+  * fit-once/gate-twice pattern (seeded KMeans fit, IVF quantizer,
+  * oracle-family minhash pairs, Lloyd-fit trajectory).
+  *
+  * Contract shared by every registered memo:
+  *  - keys are data-directory paths and the data under a dir is assumed
+  *    IMMUTABLE for the life of the JVM session (the Verify/Bench mains
+  *    read driver-generated parquet that never changes mid-run); a dir
+  *    whose contents changed would be served stale results;
+  *  - values are small driver-side summaries (center matrices, collected
+  *    pair lists) — never DataFrames or row data at corpus scale.
+  *
+  * [[clearAll]] lets Bench drop every memo between repeat passes so each
+  * pass re-pays the real fit cost and per-query medians stay honest.
+  */
+object Memos {
+  private val maps =
+    new java.util.concurrent.CopyOnWriteArrayList[java.util.Map[_, _]]()
+
+  /** Register a memo map at construction; returns it for inline use. */
+  def register[M <: java.util.Map[_, _]](m: M): M = { maps.add(m); m }
+
+  def clearAll(): Unit = maps.forEach(_.clear())
+}

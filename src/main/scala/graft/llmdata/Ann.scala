@@ -157,8 +157,16 @@ object Ann {
     * broadcast-join scan to score, a tiny top-k shuffle; candidate
     * volume is |corpus|·nProbe/nList on average.
     */
+  /** @param rowCountHint corpus row count, if the caller already knows
+    *   it (e.g. from table stats or an earlier action) — sizes the
+    *   hash-range pre-filter without the extra full scan a `count()`
+    *   costs per index build. An overestimate only widens the filter
+    *   slightly; an underestimate below 8·sampleSize skips it (safe:
+    *   the ordered limit still bounds the sample).
+    */
   def ivfIndex(corpus: DataFrame, vecCol: String, nList: Int, dim: Int,
-      sampleSize: Int = 100000, iters: Int = 10, seed: Long = 42): Array[Array[Double]] = {
+      sampleSize: Int = 100000, iters: Int = 10, seed: Long = 42,
+      rowCountHint: Option[Long] = None): Array[Array[Double]] = {
     // Content-hash UNIFORM sample, not `limit()`: limit takes the first
     // partitions' rows in scan order, so on a sorted/clustered corpus
     // (the norm for 100 TB parquet) the quantizer would train on one
@@ -174,7 +182,7 @@ object Ann {
     val hashed = corpus
       .select(col(vecCol).as("__v"),
         xxhash64(lit(seed), col(vecCol)).bitwiseAND(lit(Long.MaxValue)).as("__h"))
-    val total = corpus.count()
+    val total = rowCountHint.getOrElse(corpus.count())
     val bounded =
       if (total > sampleSize.toLong * 8) {
         val frac = sampleSize.toLong * 8.0 / total

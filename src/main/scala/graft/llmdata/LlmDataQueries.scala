@@ -21,10 +21,12 @@ object LlmDataQueries extends QueryPack {
   /** q_ann_ivf and q_ann_ivf_recall gate the SAME seed-deterministic
     * quantizer training (identical nList/sample/iters/seed): train once
     * per data dir, gate twice. The memo holds only the centroid matrix
-    * (nList·dim doubles).
+    * (nList·dim doubles). Registered with [[graft.core.Memos]]: keys
+    * assume the dir's data is immutable for the JVM session; Bench
+    * clears it between passes.
     */
-  private val ivfMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private val ivfMemo = graft.core.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]())
   private def trainedIvfCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
     ivfMemo.computeIfAbsent(dir, d =>
       Ann.ivfIndex(Tables.embeddings(s, d), "embedding", nList = 8, dim = 64,
@@ -35,10 +37,12 @@ object LlmDataQueries extends QueryPack {
     * run it once per data dir and gate twice — the fit-once/gate-twice
     * memo the KMeans gates use. The memo holds only the collected
     * verified pairs (bounded by the near-dup count at gate SF), never
-    * data or a DataFrame.
+    * data or a DataFrame. Registered with [[graft.core.Memos]]: keys
+    * assume the dir's data is immutable for the JVM session; Bench
+    * clears it between passes.
     */
-  private val oraclePairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long, Double)]]()
+  private val oraclePairsMemo = graft.core.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long, Double)]]())
   private def oracleMinhashPairs(s: SparkSession, dir: String): DataFrame = {
     val rows = oraclePairsMemo.computeIfAbsent(dir, d => {
       val p = Dedup.minhashNearDupPairs(Tables.documents(s, d), "text", "doc_id",
@@ -150,6 +154,56 @@ object LlmDataQueries extends QueryPack {
        |          FROM inter JOIN sizes sa ON sa.doc_id = id_a
        |          JOIN sizes sb ON sb.doc_id = id_b
        |          WHERE cnt * 1.0 / (sa.sz + sb.sz - cnt) >= 0.8)""".stripMargin
+  }
+
+  /** Generated IVF probe-search oracle for arbitrary literal centroids —
+    * the q_ann_ivf_fixed SQL generalized from 3 hardcoded cells to any
+    * nList (cell argmin and probe ranking via row_number ORDER BY d, j,
+    * which matches Spark's first-minimum array_position and its
+    * array_sort over (d, i) structs tie-for-tie).
+    */
+  private def ivfOracleSql(cs: Array[Array[Double]], nProbe: Int): String = {
+    val dim = cs(0).length
+    val centRows = (for (j <- cs.indices; i <- 0 until dim)
+      yield s"($j,${i + 1},${cs(j)(i)})").mkString(",")
+    // the EXACT double literals the Spark plan bakes in for ‖c_j‖²
+    val norms = cs.map(_.map(v => v * v).sum)
+    val normCase = "CASE j " + norms.init.zipWithIndex
+      .map { case (n, j) => s"WHEN $j THEN $n" }.mkString(" ") +
+      s" ELSE ${norms.last} END"
+    s"""WITH cent(j, i, c) AS (SELECT * FROM (VALUES $centRows)),
+       |x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+       |        generate_subscripts(embedding, 1) AS i FROM embeddings),
+       |cd AS (SELECT vec_id, j,
+       |         sum(e * c) * (-2.0) + $normCase AS d
+       |       FROM x JOIN cent USING (i) GROUP BY vec_id, j),
+       |cells AS (SELECT vec_id, j AS cell
+       |          FROM (SELECT vec_id, j,
+       |                  row_number() OVER (PARTITION BY vec_id
+       |                    ORDER BY d, j) AS rn
+       |                FROM cd) t WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, j AS cell
+       |           FROM (SELECT vec_id, j,
+       |                   row_number() OVER (PARTITION BY vec_id
+       |                     ORDER BY d, j) AS pr
+       |                 FROM cd WHERE vec_id < 10) t WHERE pr <= $nProbe),
+       |pairs AS (SELECT p.query_id, c.vec_id
+       |          FROM probes p JOIN cells c USING (cell)
+       |          WHERE c.vec_id != p.query_id),
+       |xx AS (SELECT p.query_id, p.vec_id,
+       |         unnest(qe.embedding)::DOUBLE AS a,
+       |         unnest(ce.embedding)::DOUBLE AS b
+       |       FROM pairs p
+       |       JOIN embeddings qe ON qe.vec_id = p.query_id
+       |       JOIN embeddings ce ON ce.vec_id = p.vec_id),
+       |cos AS (SELECT query_id, vec_id,
+       |          sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) AS cos
+       |        FROM xx GROUP BY 1, 2),
+       |r AS (SELECT query_id, vec_id, cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, vec_id) AS rank FROM cos)
+       |SELECT query_id, rank, vec_id AS neighbor_id, round(cos, 6) AS cos
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -385,8 +439,10 @@ object LlmDataQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
-    // IVF ANN: centroids from a JVM-side Lloyd on a bounded sample →
-    // rows-only check; recall vs brute force is unit-tested.
+    // IVF ANN with the LIVE-TRAINED quantizer — exact-gated: the
+    // deterministic centroids are embedded as literal VALUES in the
+    // generated oracle (see trainedIvfOracle); recall vs brute force is
+    // additionally gated by q_ann_ivf_recall.
     "q_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Ann.ivfCosineTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -753,5 +809,23 @@ object LlmDataQueries extends QueryPack {
         | round(sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')), 6) AS norm,
         | len(embedding) AS dim
         |FROM embeddings ORDER BY vec_id""".stripMargin
-  )
+  ) ++ trainedIvfOracle
+
+  /** EXACT oracle for q_ann_ivf (the live-trained quantizer): the
+    * content-hash sample + seeded driver Lloyd make the centroids a
+    * deterministic function of the data dir, so — Verify runs every
+    * query BEFORE dumping oracle SQL — the trained centroids sit in
+    * [[ivfMemo]] by generation time and can be embedded as literal
+    * VALUES, the q_ann_ivf_fixed / q_hashing_tf technique. Emitted only
+    * when the memo holds exactly one dir (a Verify run); on a subset run
+    * that skipped q_ann_ivf the key is omitted and the driver falls back
+    * to its rows-only check.
+    */
+  private def trainedIvfOracle: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    ivfMemo.values.asScala.toList match {
+      case centroids :: Nil => Map("q_ann_ivf" -> ivfOracleSql(centroids, nProbe = 3))
+      case _ => Map.empty
+    }
+  }
 }
