@@ -50,6 +50,74 @@ class KMeans(
   }
 }
 
+/** Result of [[KMeans.fitLloydDeterministic]]: the final model plus the
+  * trajectory facts an exact gate needs (step count, convergence flag,
+  * final cluster sizes, the raw init centers).
+  */
+class LloydFitResult(
+    val init: Array[Array[Double]],
+    val nIter: Int,
+    val converged: Boolean,
+    val clusterSizes: Array[Long],
+    val model: KMeansModel)
+
+object KMeans {
+  /** Deterministic distributed Lloyd fit, exactly oracle-verifiable end
+    * to end (the full `_kmeans_single_lloyd` convergence loop,
+    * k_means.py:595-619 — not just one step):
+    *
+    *  - init: the k rows with the smallest md5 over `keyCols` — a
+    *    content-hash-ranked sample (the same family as the spectral
+    *    landmark / IVF samples: order- and partitioning-independent),
+    *    and SQL-expressible, so the oracle RECOMPUTES the init from the
+    *    data instead of trusting embedded literals;
+    *  - loop: one [[KMeansModel.lloydStep]] groupBy job per round
+    *    (assignment argmin + per-cluster means, map-side partial agg);
+    *    the k·p center doubles collected per round are quantized to
+    *    6 dp before the next round, so the whole trajectory is a
+    *    deterministic map on a finite lattice — bit-reproducible as
+    *    chained oracle CTEs (the q_kmeans_two_steps handoff generalized
+    *    to convergence);
+    *  - stop: the rounded centers repeat (a 6 dp Lloyd fixed point —
+    *    Lloyd is monotone, so repetition means convergence) or maxIter.
+    *
+    * Scale: each round is one scan + a k-row collect; driver state is
+    * k·p doubles. MLlib's seeded k-means|| (class [[KMeans]]) remains
+    * the default throughput path — its init needs fewer rounds — while
+    * this fit trades init sophistication for exact verifiability.
+    * The returned model's `inertia` is NaN (not computed — call
+    * `model.score(df)` for it, one extra pass).
+    */
+  def fitLloydDeterministic(df: DataFrame, featureCols: Seq[String],
+      keyCols: Seq[String], k: Int, maxIter: Int = 40,
+      predictionCol: String = "prediction"): LloydFitResult = {
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val keyExpr = md5(concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
+    val initRows = df
+      .select(featureCols.map(c => col(c).cast("double")) :+ keyExpr.as("__h"): _*)
+      .orderBy("__h").limit(k).collect()
+    require(initRows.length == k, s"need at least $k rows, got ${initRows.length}")
+    val init = initRows.map(r => Array.tabulate(featureCols.size)(r.getDouble))
+    var centers = init
+    var converged = false
+    var step = 0
+    var sizes = Array.empty[Long]
+    while (step < maxIter && !converged) {
+      val rows = KMeansModel.lloydStep(df, featureCols, centers)
+        .orderBy("cluster").collect()
+      require(rows.length == k, s"cluster went empty at iteration ${step + 1}")
+      val next = rows.map(r => featureCols.indices
+        .map(i => r6(r.getDouble(r.fieldIndex(s"c_${featureCols(i)}")))).toArray)
+      sizes = rows.map(r => r.getLong(r.fieldIndex("n")))
+      converged = next.zip(centers).forall { case (a, b) => a.sameElements(b) }
+      centers = next
+      step += 1
+    }
+    new LloydFitResult(init, step, converged, sizes,
+      new KMeansModel(featureCols, centers, Double.NaN, step, predictionCol))
+  }
+}
+
 object KMeansModel {
   /** Squared euclidean distance to a literal center — codegen'd. */
   def sqDistExpr(featureCols: Seq[String], center: Array[Double]): Column =

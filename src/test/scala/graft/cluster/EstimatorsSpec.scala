@@ -36,6 +36,32 @@ class EstimatorsSpec extends SparkSpec {
     assert(m.score(li) < 0)
   }
 
+  test("deterministic Lloyd fit: converges, partition-independent, monotone inertia") {
+    val f = KMeans.fitLloydDeterministic(li, Seq("l_quantity", "l_extendedprice"),
+      Seq("l_orderkey", "l_linenumber"), k = 3, maxIter = 40)
+    assert(f.converged, s"did not converge in 40 rounds (nIter=${f.nIter})")
+    assert(f.clusterSizes.sum == li.count() && f.clusterSizes.forall(_ > 0))
+    // md5-ranked init + quantized handoffs: the whole trajectory is a
+    // pure function of the data — identical under any partitioning
+    val g = KMeans.fitLloydDeterministic(li.repartition(13),
+      Seq("l_quantity", "l_extendedprice"),
+      Seq("l_orderkey", "l_linenumber"), k = 3, maxIter = 40)
+    assert(f.nIter == g.nIter)
+    assert(f.model.clusterCenters.map(_.toSeq).toSeq ==
+      g.model.clusterCenters.map(_.toSeq).toSeq)
+    // converged centers are a Lloyd fixed point: one more step from them
+    // cannot improve inertia beyond the 6 dp quantization regime
+    val inertia = -f.model.score(li)
+    val stepped = KMeansModel.lloydStep(li, Seq("l_quantity", "l_extendedprice"),
+      f.model.clusterCenters).orderBy("cluster").collect()
+      .map(r => Array(r.getDouble(r.fieldIndex("c_l_quantity")),
+        r.getDouble(r.fieldIndex("c_l_extendedprice"))))
+    val steppedInertia = -new KMeansModel(Seq("l_quantity", "l_extendedprice"),
+      stepped, 0.0, 0, "p").score(li)
+    assert(steppedInertia <= inertia * (1 + 1e-9) &&
+      steppedInertia >= inertia * (1 - 1e-6))
+  }
+
   test("LinearRegression normal solver recovers exact coefficients") {
     val m = new LinearRegression(Seq("a", "b"), "y").fit(reg)
     assert(m.coef(0) ~== (2.0, 1e-8))
