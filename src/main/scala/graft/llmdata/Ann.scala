@@ -276,6 +276,52 @@ object Ann {
     * identical/zero vectors would square inside one partition; exact
     * dedup on a vector hash catches those cheaper).
     */
+  /** SemDeDup (Abbas et al., arXiv:2303.09540 — public): SEMANTIC
+    * near-duplicate pairs via k-means clustering + within-cluster
+    * cosine. The paper's recipe: k-means the embedding space, then
+    * compare pairs ONLY inside each cluster — cross-cluster pairs are
+    * assumed dissimilar by construction — and drop all but one member
+    * of each high-cosine group. Here:
+    *
+    *  - clustering is the map-only [[cellExpr]] argmin over literal
+    *    centroids (train them once with [[ivfIndex]] — the same
+    *    deterministic quantizer IVF search uses, so one trained
+    *    codebook serves BOTH ANN search and semantic dedup);
+    *  - the within-cluster self-join is skew-capped like every other
+    *    self-join here (a degenerate cluster would square), with the
+    *    cap an explicit recall tradeoff documented at the call site;
+    *  - representative selection is deterministic min-id (the paper
+    *    keeps a random/low-centroid-sim member; min-id makes the gate
+    *    reproducible) — apply [[Dedup.dropNearDuplicates]] (pairwise)
+    *    or [[Dedup.dropNearDuplicatesTransitive]] (single-link) to
+    *    the returned pairs.
+    *
+    * At 100 TB: one scan to assign cells (fused argmin), one
+    * cell-keyed shuffle for the self-join whose per-cell cost is
+    * bounded by maxClusterSize², and nothing else — the nList knob
+    * (≈ √n in the paper) keeps cells small.
+    */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], threshold: Double,
+      maxClusterSize: Int = 10000): DataFrame = {
+    val assigned = df
+      .withColumn("__cell", cellExpr(col(vecCol), centroids))
+      .withColumn("__n", normExpr(col(vecCol)))
+    val capped =
+      if (maxClusterSize == Int.MaxValue) assigned
+      else Dedup.dropOversized(assigned, Seq("__cell"), maxClusterSize)
+    val a = capped.select(col("__cell"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("__n").as("na"))
+    val b = capped.select(col("__cell"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("__n").as("nb"))
+    // each row sits in exactly ONE cell, so a pair appears at most once
+    // — no distinct needed after the join
+    a.join(b, Seq("__cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dotExpr(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("__cell").as("cluster"), col("id_a"), col("id_b"), col("cos"))
+  }
+
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int, dim: Int, seed: Int = 42,
       maxBucketSize: Int = 10000): DataFrame = {

@@ -355,18 +355,58 @@ object Dedup {
     * Shuffles at 100 TB: one groupBy(shingle) for document frequencies
     * (map-side combined — (shingle, count) rows, never documents), one
     * shingle-key join back, one groupBy(id) packing each document's
-    * ordered set (bounded by document length), the prefix equi-join
-    * (capped like the minhash band join — a degenerate boilerplate
-    * prefix shingle is dropped, not co-located), then exact-Jaccard
-    * verification on candidates only. No window functions: per-document
-    * ordering is a sort_array over the doc's own (df, shingle) structs.
+    * ordered set (bounded by document length), the prefix equi-join,
+    * then exact-Jaccard verification on candidates only. No window
+    * functions: per-document ordering is a sort_array over the doc's
+    * own (df, shingle) structs.
+    *
+    * `dfSampleFraction`: the two full shingle-stream shuffles above pay
+    * for EXACT document frequencies — but the prefix lemma only needs a
+    * CONSISTENT total order (Bayardo WWW'07 §3 — any fixed order is
+    * complete; df-ascending merely minimizes candidates). With
+    * `Some(f)`, frequencies are estimated on a deterministic f-fraction
+    * content-hash sample of the documents, and only shingles seen ≥2
+    * times in the sample keep their estimate (the singleton tail —
+    * the vast majority of distinct shingles — defaults to df 1). That
+    * small frequent-shingle table BROADCASTS, so the order join-back is
+    * map-side: both full-stream shuffles collapse to one f-fraction
+    * groupBy. Ties (and all df-1 shingles) order by shingle string, so
+    * the order stays total and consistent → the result is STILL EXACT,
+    * at slightly larger candidate counts when the estimate misranks.
+    *
+    * `maxBucketSize` defaults to UNCAPPED: this is the exact API, and
+    * dropping an oversized prefix-shingle bucket can lose a true pair
+    * (the pair's globally-least common shingle is the one the
+    * completeness proof needs; if its bucket is capped, the remaining
+    * shared prefix rows may all fail the positional bound). Setting a
+    * finite cap is an EXPLICIT recall tradeoff for corpora with
+    * degenerate boilerplate prefixes — documents whose rarest shingles
+    * are shared by >cap documents may lose pairs; prefer minhash there.
+    *
+    * The returned frame is persisted (MEMORY_AND_DISK, already
+    * materialized); the CALLER owns the cache and should `.unpersist()`
+    * it when done. Intermediates are released eagerly inside.
     */
   def jaccardNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8, shingleN: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue,
+      dfSampleFraction: Option[Double] = None): DataFrame = {
     val sh = shingles(df, textCol, idCol, shingleN)
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val packed = sh.join(dfreq, "shingle")
+    val packedIn = dfSampleFraction match {
+      case None =>
+        val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        sh.join(dfreq, "shingle")
+      case Some(f) =>
+        require(f > 0 && f <= 1, s"dfSampleFraction must be in (0,1], got $f")
+        val dfreqS = shingles(
+          graft.modelselection.Splits.hashSample(df, idCol, f, salt = "jacdf"),
+          textCol, idCol, shingleN)
+          .groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2)
+        sh.join(broadcast(dfreqS), Seq("shingle"), "left")
+          .withColumn("df", coalesce(col("df"), lit(1L)))
+    }
+    val packed = packedIn
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ordered"))
       .withColumn("sz", size(col("ordered")))
@@ -377,7 +417,11 @@ object Dedup {
         posexplode(slice(col("ordered"), lit(1), col("plen"))).as(Seq("i", "p")))
       .select(col(idCol), col("sz"), (col("i") + 1).as("pos"),
         col("p.shingle").as("shingle"))
-    val capped = dropOversized(prefixes, Seq("shingle"), maxBucketSize)
+    // uncapped (the default) skips the cap's count+anti-join entirely —
+    // the prefix join is already bounded by the df-ordered prefix sizes
+    val capped =
+      if (maxBucketSize == Int.MaxValue) prefixes
+      else dropOversized(prefixes, Seq("shingle"), maxBucketSize)
     val a = capped.select(col("shingle"), col(idCol).as("id_a"),
       col("sz").as("sz_a"), col("pos").as("pos_a"))
     val b = capped.select(col("shingle"), col(idCol).as("id_b"),
@@ -487,6 +531,10 @@ object Dedup {
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming via the
     * pigeonhole band join: split the hash into (maxHamming+1) chunks —
     * any pair within distance must agree on ≥1 chunk exactly.
+    *
+    * The returned frame is persisted (MEMORY_AND_DISK, already
+    * materialized); the CALLER owns the cache and should `.unpersist()`
+    * it when done (the simhash intermediate is released eagerly inside).
     */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, bits: Int = 60,
@@ -525,12 +573,82 @@ object Dedup {
     res
   }
 
-  /** Keep one representative per near-dup cluster: connected pairs →
-    * keep the min id of each group (single-link via min-id propagation
-    * over the pair list; pair lists are small relative to the corpus).
+  /** PAIRWISE near-dup drop: removes the larger id of each verified
+    * pair — NOT single-link clustering. For pairs (a,c),(b,c) with
+    * a<b<c this keeps BOTH a and b (c is dropped twice); single-link
+    * semantics would keep only a. This is the cheap one-join policy
+    * appropriate when pairs are near-transitive anyway (high
+    * thresholds); for true cluster semantics use
+    * [[clusterNearDuplicates]] + [[dropNearDuplicatesTransitive]].
     */
   def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
     val toDrop = pairs.select(col("id_b").as(idCol)).distinct()
+    df.join(toDrop, Seq(idCol), "left_anti")
+  }
+
+  /** Single-link near-dup clusters: connected components of the pair
+    * graph by min-label propagation to a FIXPOINT. Returns
+    * (id, cluster) for every id that appears in a pair, where cluster
+    * is the least id reachable from it.
+    *
+    * Scale design: each round is one join of the label frame against
+    * the (both-direction) edge list plus a groupBy-min — label frames
+    * carry two longs per node of the PAIR graph (≪ corpus; near-dup
+    * pairs at sane thresholds are a small fraction of documents), and
+    * rounds converge in O(diameter) iterations — near-dup components
+    * are short chains, not long paths, so typically ≤ a handful
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — this is the label-propagation baseline; their
+    * large-star/small-star variant only pays off at web-graph
+    * diameters). Convergence is detected by the monotone invariant:
+    * labels only ever decrease, so an unchanged sum(label) IS the
+    * fixpoint — one cheap agg instead of a change-count join. Lineage
+    * is truncated each round with localCheckpoint (on a real cluster
+    * with lineage-critical recovery, swap for reliable checkpointing).
+    */
+  def clusterNearDuplicates(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("id"), least(col("id"), col("__mn")).as("label"))
+      .localCheckpoint(true)
+    // sum over an empty label frame is null — treat as 0 so an empty
+    // pair list converges immediately instead of NPE-ing
+    def labelSum(l: DataFrame): Long =
+      Option(l.agg(sum(col("label"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var prevSum = labelSum(labels)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("__pl"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__pl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.withColumnRenamed("label", "cluster")
+  }
+
+  /** Single-link dedup: keep exactly ONE representative (the least id)
+    * per connected component of the pair graph — the cluster semantics
+    * [[dropNearDuplicates]] deliberately skips.
+    */
+  def dropNearDuplicatesTransitive(df: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val toDrop = clusterNearDuplicates(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
     df.join(toDrop, Seq(idCol), "left_anti")
   }
 }

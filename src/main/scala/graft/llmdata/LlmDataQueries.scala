@@ -57,15 +57,38 @@ object LlmDataQueries extends QueryPack {
     rows.toSeq.toDF("id_a", "id_b", "jaccard")
   }
 
+  /** q_dedup_jaccard's exact PPJoin pairs, collected-and-released per
+    * dir (the [[oracleMinhashPairs]] pattern): the builder hands back a
+    * persisted frame the CALLER owns — collect the small verified pair
+    * list, unpersist immediately, and serve later gates from the memo.
+    * Registered with [[graft.core.Memos]] under the same dir-immutable
+    * contract.
+    */
+  private val jaccardPairsMemo = graft.core.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long, Double)]]())
+  private def exactJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val rows = jaccardPairsMemo.computeIfAbsent(dir, d => {
+      val p = Dedup.jaccardNearDupPairs(Tables.documents(s, d), "text", "doc_id",
+        threshold = 0.8, shingleN = 3)
+      val out = p.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      p.unpersist(blocking = false)
+      out
+    })
+    import s.implicits._
+    rows.toSeq.toDF("id_a", "id_b", "jaccard")
+  }
+
   /** The full MinHash-LSH mirror (k=8, rowsPerBand=2, 3-gram shingles,
     * md5-per-seed oracle family) ending in a `pairs(id_a, id_b, jac)`
     * CTE — shared by q_dedup_minhash and q_drop_near_dups.
     */
   private val minhashPairCtes: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-      |       FROM toks, (SELECT unnest(range(1, 100000)) AS i) ii
-      |       WHERE i <= len(t) - 2),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                 for i in range(1, len(t) - 1)]) AS shingle
+      |       FROM toks),
       |seeds AS (SELECT unnest(range(0, 8)) AS s),
       |mh AS (SELECT doc_id, s, min(md5(s::VARCHAR || '|' || shingle)) AS m
       |       FROM sh, seeds GROUP BY 1, 2),
@@ -122,9 +145,10 @@ object LlmDataQueries extends QueryPack {
       else s"UNION ALL SELECT doc_id, $b, md5($concat) FROM sig"
     }.mkString("\n| ")
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-       |       FROM toks, (SELECT unnest(range(1, 100000)) AS i) ii
-       |       WHERE i <= len(t) - 2),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                 for i in range(1, len(t) - 1)]) AS shingle
+       |       FROM toks),
        |hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
        |       FROM sh),
        |seeds(s, c) AS (SELECT * FROM (VALUES $seedRows)),
@@ -403,9 +427,29 @@ object LlmDataQueries extends QueryPack {
     // filter has NO false negatives (the SSJoin/All-Pairs lemma) and the
     // verification arithmetic is bit-identical.
     "q_dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardNearDupPairs(Tables.documents(s, dir), "text", "doc_id",
-        threshold = 0.8, shingleN = 3)
+      exactJaccardPairs(s, dir)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // Single-link clusters over the (memoized) oracle-family minhash
+    // pairs: min-label propagation to fixpoint on the pair graph. The
+    // oracle walks the same graph with a recursive CTE, so every
+    // component's full membership — not just per-pair drops — is
+    // hash-gated.
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusterNearDuplicates(oracleMinhashPairs(s, dir))
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")),
+
+    // SemDeDup (Abbas et al. 2023): cluster embeddings with the FIXED
+    // literal codebook (exactly SQL-reproducible), then within-cluster
+    // cosine pairs ≥ t. Gates cell assignment + the capped self-join +
+    // the cosine arithmetic end to end.
+    "q_semdedup" -> ((s, dir) =>
+      Ann.semanticNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        LlmDataQueries.fixedIvfCentroids, threshold = 0.4)
+        .select(col("cluster"), col("id_a"), col("id_b"),
+          round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")),
 
     // SimHash hamming pairs — EXACT oracle: the hash is built from
@@ -655,9 +699,10 @@ object LlmDataQueries extends QueryPack {
     // certifies the SSJoin lemma holds (no false negatives) on real data.
     "q_dedup_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-        |       FROM toks, (SELECT unnest(range(1, 100000)) AS i) ii
-        |       WHERE i <= len(t) - 2),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                 for i in range(1, len(t) - 1)]) AS shingle
+        |       FROM toks),
         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
         |          FROM sh a JOIN sh b USING (shingle)
@@ -808,7 +853,59 @@ object LlmDataQueries extends QueryPack {
       """SELECT vec_id,
         | round(sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')), 6) AS norm,
         | len(embedding) AS dim
-        |FROM embeddings ORDER BY vec_id""".stripMargin
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // single-link components of the SAME pair graph the q_dedup_minhash
+    // oracle builds, walked to fixpoint with a recursive CTE: cc
+    // enumerates every label reachable from each node (UNION dedup
+    // terminates it), min per node = the component's least id.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |cc(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, c.label FROM edges e JOIN cc c ON c.id = e.dst)
+         |SELECT id AS doc_id, min(label) AS cluster
+         |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin,
+    // SemDeDup mirror: the same literal codebook + first-minimum cell
+    // assignment as the q_ann_ivf_fixed oracle, then within-cell pairs
+    // with exact cosine; threshold applied BEFORE rounding, as in Spark.
+    "q_semdedup" -> {
+      val cs = fixedIvfCentroids
+      val dim = cs(0).length
+      val centRows = (for (j <- cs.indices; i <- 0 until dim)
+        yield s"($j,${i + 1},${cs(j)(i)})").mkString(",")
+      val norms = cs.map(_.map(v => v * v).sum)
+      val normCase = "CASE j " + norms.init.zipWithIndex
+        .map { case (n, j) => s"WHEN $j THEN $n" }.mkString(" ") +
+        s" ELSE ${norms.last} END"
+      s"""WITH cent(j, i, c) AS (SELECT * FROM (VALUES $centRows)),
+         |x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+         |        generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |cd AS (SELECT vec_id, j, sum(e * c) * (-2.0) + $normCase AS d
+         |       FROM x JOIN cent USING (i) GROUP BY vec_id, j),
+         |cells AS (SELECT vec_id, j AS cell
+         |          FROM (SELECT vec_id, j,
+         |                  row_number() OVER (PARTITION BY vec_id
+         |                    ORDER BY d, j) AS rn
+         |                FROM cd) t WHERE rn = 1),
+         |n AS (SELECT vec_id, sqrt(sum(e*e)) AS nrm FROM x GROUP BY 1),
+         |p AS (SELECT a.cell AS cluster, a.vec_id AS id_a, b.vec_id AS id_b
+         |      FROM cells a JOIN cells b
+         |        ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |dp AS (SELECT id_a, id_b, sum(xa.e * xb.e) AS dot
+         |       FROM p JOIN x xa ON xa.vec_id = id_a
+         |       JOIN x xb ON xb.vec_id = id_b AND xb.i = xa.i
+         |       GROUP BY 1, 2),
+         |c AS (SELECT p.cluster, p.id_a, p.id_b,
+         |        dp.dot / (na.nrm * nb.nrm) AS cos
+         |      FROM p JOIN dp USING (id_a, id_b)
+         |      JOIN n na ON na.vec_id = p.id_a
+         |      JOIN n nb ON nb.vec_id = p.id_b)
+         |SELECT cluster, id_a, id_b, round(cos, 6) AS cos
+         |FROM c WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
+    }
   ) ++ trainedIvfOracle
 
   /** EXACT oracle for q_ann_ivf (the live-trained quantizer): the

@@ -348,4 +348,102 @@ class LlmDataSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet.subsetOf(Set((1L, 2L))))
   }
+
+  test("sampled-df prefix ordering returns EXACTLY the exact-df pair set") {
+    // the prefix lemma needs only a CONSISTENT total order, so the
+    // sampled-frequency order must not change the result — only the
+    // candidate count. Gate corpus, same threshold as q_dedup_jaccard.
+    val exact = Dedup.jaccardNearDupPairs(docs, "text", "doc_id", threshold = 0.8)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sampled = Dedup.jaccardNearDupPairs(docs, "text", "doc_id",
+      threshold = 0.8, dfSampleFraction = Some(0.3))
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(sampled == exact, s"sampled-df pairs diverge: " +
+      s"missing=${(exact -- sampled).take(5)} extra=${(sampled -- exact).take(5)}")
+  }
+
+  test("prefix-bucket cap is an explicit recall tradeoff; default is uncapped-exact") {
+    import spark.implicits._
+    // six identical docs: every prefix shingle's bucket holds 6 rows, so
+    // cap=2 drops ALL prefix rows → capped mode finds nothing, while the
+    // uncapped default finds all 15 pairs at J=1.0
+    val d = (1L to 6L).map(i => (i, "p q r s t u v w")).toDF("doc_id", "text")
+    val exact = Dedup.jaccardNearDupPairs(d, "text", "doc_id", threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.jaccardNearDupPairs(d, "text", "doc_id", threshold = 0.8,
+      maxBucketSize = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 15, s"uncapped default must be exact: ${exact.size}")
+    assert(capped.subsetOf(exact) && capped.size < exact.size,
+      s"cap should trade recall: capped=${capped.size}")
+  }
+
+  test("clusterNearDuplicates: min-label propagation reaches the fixpoint on a chain") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (diameter 4: needs >1 round), plus component {7,9},
+    // plus the (a,c),(b,c) triangle-free case 10-12, 11-12
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 9L),
+      (10L, 12L), (11L, 12L)).toDF("id_a", "id_b")
+    val cc = Dedup.clusterNearDuplicates(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 5L).forall(cc(_) == 1L), s"chain must collapse to 1: $cc")
+    assert(cc(7L) == 7L && cc(9L) == 7L)
+    assert(cc(10L) == 10L && cc(11L) == 10L && cc(12L) == 10L)
+  }
+
+  test("transitive drop keeps ONE representative per component; pairwise keeps more") {
+    import spark.implicits._
+    // pairs (1,3),(2,3): pairwise drop removes only id_b=3 (keeps 1 AND
+    // 2); single-link keeps only the component min 1
+    val d = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val pairwise = Dedup.dropNearDuplicates(d, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val transitive = Dedup.dropNearDuplicatesTransitive(d, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pairwise == Set(1L, 2L, 4L))
+    assert(transitive == Set(1L, 4L))
+  }
+
+  test("clusterNearDuplicates: empty pair list yields empty clusters") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.clusterNearDuplicates(none).count() == 0)
+  }
+
+  test("semanticNearDupPairs matches brute-force within-cell cosine pairs") {
+    val cs = LlmDataQueries.fixedIvfCentroids
+    val out = Ann.semanticNearDupPairs(emb, "vec_id", "embedding", cs,
+      threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: same cell AND cosine >= t over all pairs
+    val cells = emb.select(col("vec_id"),
+      Ann.cellExpr(col("embedding"), cs).as("cell"),
+      col("embedding"))
+    val a = cells.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("va"))
+    val b = cells.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"))
+    val brute = a.join(b, "cell").filter(col("id_a") < col("id_b"))
+      .filter(Ann.dotExpr(col("va"), col("vb")) /
+        (Ann.normExpr(col("va")) * Ann.normExpr(col("vb"))) >= 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == brute,
+      s"missing=${(brute -- out).take(5)} extra=${(out -- brute).take(5)}")
+    assert(out.nonEmpty, "threshold should yield pairs on the fixture")
+  }
+
+  test("semanticNearDupPairs cluster cap drops oversized cells, never invents pairs") {
+    val cs = LlmDataQueries.fixedIvfCentroids
+    val uncapped = Ann.semanticNearDupPairs(emb, "vec_id", "embedding", cs,
+      threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Ann.semanticNearDupPairs(emb, "vec_id", "embedding", cs,
+      threshold = 0.4, maxClusterSize = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+  }
 }
