@@ -64,6 +64,12 @@ object GraftExtensions {
       .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
   }
 
+  private def foldedString(fn: String, e: Expression): String = {
+    require(e.foldable && e.dataType == StringType,
+      s"$fn: expected a foldable string argument")
+    e.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+  }
+
   private def foldedInt(fn: String, e: Expression): Int = e match {
     case Literal(v: Int, _) => v
     case other =>
@@ -105,6 +111,16 @@ object GraftExtensions {
       args => {
         arity("top_k_by_score", args, 3)
         TopKByScore(args(0), args(1), foldedInt("top_k_by_score", args(2)))
+      }),
+    ("repetition_stats",
+      info("repetition_stats",
+        "repetition_stats(text, n, line_sep) - [top_ngram_score, dup_ngram_chars, " +
+          "total_chars, n_lines, n_distinct_lines, dup_line_count, dup_line_chars, " +
+          "total_line_chars]"),
+      args => {
+        arity("repetition_stats", args, 3)
+        RepetitionStats(args(0), foldedInt("repetition_stats", args(1)),
+          foldedString("repetition_stats", args(2)))
       }),
     ("freq_items",
       info("freq_items",

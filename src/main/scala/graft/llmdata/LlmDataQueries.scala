@@ -303,6 +303,23 @@ object LlmDataQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Gopher repetition filters (Rae et al. 2021 Table A1): most-common
+    // 2-gram / duplicated-5-gram character fractions, duplicate-"line"
+    // stats (the corpus has no newlines, so the gate splits lines on
+    // the literal token "slow" — same kernel, non-degenerate values).
+    // One native one-pass RepetitionStats kernel per (n, sep) shared
+    // across the projected columns — scan-fused, shuffle-free.
+    "q_repetition" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        round(TextStats.topNgramCharFrac(t, 2), 6).as("top2_char_frac"),
+        round(TextStats.dupNgramCharFrac(t, 5), 6).as("dup5_char_frac"),
+        round(TextStats.dupLineFrac(t, "slow"), 6).as("dup_line_frac"),
+        round(TextStats.dupLineCharFrac(t, "slow"), 6).as("dup_line_char_frac"))
+        .orderBy("doc_id")
+    }),
+
     // the full dedup pipeline END: corpus minus the higher id of every
     // verified near-dup pair (left-anti on the pair list).
     "q_drop_near_dups" -> ((s, dir) => {
@@ -611,6 +628,42 @@ object LlmDataQueries extends QueryPack {
         |   regexp_replace(lower(text), '[[:punct:]]', '', 'g'),
         |   '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // ground-truth repetition signals: explode word n-grams / "lines"
+    // per document, count in SQL, mirror the max/sum/cap formulas.
+    "q_repetition" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t,
+        |             len(text) AS nc FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |         i -> array_to_string(t[i:i+1], ' '))) AS g FROM d),
+        |c2 AS (SELECT doc_id, max(cnt * len(g)) AS top2,
+        |         sum(CASE WHEN cnt >= 2 THEN cnt * len(g) ELSE 0 END) AS dup2
+        |       FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+        |         i -> array_to_string(t[i:i+4], ' '))) AS g FROM d),
+        |c5 AS (SELECT doc_id,
+        |         sum(CASE WHEN cnt >= 2 THEN cnt * len(g) ELSE 0 END) AS dup5
+        |       FROM (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |l AS (SELECT doc_id, unnest(string_split(text, 'slow')) AS line FROM d),
+        |lc AS (SELECT doc_id, line, count(*) AS cnt, len(line) AS ch
+        |       FROM l GROUP BY 1, 2),
+        |ls AS (SELECT doc_id, sum(cnt) AS n_lines,
+        |         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dupc,
+        |         sum(CASE WHEN cnt > 1 THEN cnt * ch ELSE 0 END) AS dupch,
+        |         sum(cnt * ch) AS totch FROM lc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  round(CASE WHEN d.nc = 0 THEN 0
+        |    ELSE coalesce(c2.top2, 0) * 1.0 / d.nc END, 6) AS top2_char_frac,
+        |  round(CASE WHEN d.nc = 0 THEN 0
+        |    ELSE least(coalesce(c5.dup5, 0) * 1.0 / d.nc, 1.0) END, 6)
+        |    AS dup5_char_frac,
+        |  round(ls.dupc * 1.0 / ls.n_lines, 6) AS dup_line_frac,
+        |  round(CASE WHEN ls.totch = 0 THEN 0
+        |    ELSE ls.dupch * 1.0 / ls.totch END, 6) AS dup_line_char_frac
+        |FROM d LEFT JOIN c2 USING (doc_id) LEFT JOIN c5 USING (doc_id)
+        |JOIN ls USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

@@ -89,6 +89,55 @@ object TextStats {
     }
   }
 
+  import graft.functions.{RepetitionStats => RS}
+
+  /** Gopher repetition filters (Rae et al. 2021, Table A1 — public).
+    * All one-pass scan-fused native expressions
+    * ([[graft.functions.RepetitionStats]]); a query projecting several
+    * signals with the same (n, sep) shares ONE kernel evaluation via
+    * codegen subexpression elimination.
+    */
+
+  /** Fraction of characters in the most common word n-gram (ties
+    * resolved by taking the max count·chars product). 0 for docs with
+    * fewer than n tokens or empty text.
+    */
+  def topNgramCharFrac(text: Column, n: Int): Column = {
+    val s = RS(text, n, "\n")
+    val total = element_at(s, RS.TOTAL_CHARS)
+    when(total === 0, 0.0)
+      .otherwise(element_at(s, RS.TOP_NGRAM_SCORE) / total.cast("double"))
+  }
+
+  /** Fraction of characters in duplicated word n-grams (n-grams
+    * occurring ≥ 2 times; overlapping occurrences double-count, so the
+    * sum is capped at 1 — the standard public formulation).
+    */
+  def dupNgramCharFrac(text: Column, n: Int): Column = {
+    val s = RS(text, n, "\n")
+    val total = element_at(s, RS.TOTAL_CHARS)
+    when(total === 0, 0.0)
+      .otherwise(least(element_at(s, RS.DUP_NGRAM_CHARS) / total.cast("double"),
+        lit(1.0)))
+  }
+
+  /** Fraction of lines that are duplicates of another line (line = the
+    * maximal runs between LITERAL `sep` occurrences, empties kept).
+    */
+  def dupLineFrac(text: Column, sep: String = "\n"): Column = {
+    val s = RS(text, 1, sep)
+    element_at(s, RS.DUP_LINE_COUNT) /
+      element_at(s, RS.N_LINES).cast("double")
+  }
+
+  /** Fraction of (line-resident) characters inside duplicated lines. */
+  def dupLineCharFrac(text: Column, sep: String = "\n"): Column = {
+    val s = RS(text, 1, sep)
+    val total = element_at(s, RS.TOTAL_LINE_CHARS)
+    when(total === 0, 0.0)
+      .otherwise(element_at(s, RS.DUP_LINE_CHARS) / total.cast("double"))
+  }
+
   /** Normalization + md5 fingerprint for exact-ish dedup (lowercase,
     * strip punctuation, collapse whitespace). The rolling-hash analog on
     * a normalized document.

@@ -37,6 +37,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sqlRow.getSeq[Long](0) == Seq(6L, 17L, 5L, 3L, 6L))
   }
 
+  test("repetition_stats from SQL matches the kernel") {
+    import spark.implicits._
+    Seq("a b a b c").toDF("text").createOrReplaceTempView("rep_ext")
+    val r = spark.sql(
+      "SELECT repetition_stats(text, 2, 'c') AS rs FROM rep_ext").head()
+    // 2-grams: "a b"×2, "b a", "b c" → top = 2*3 = 6 = dup chars;
+    // lines on 'c': ["a b a b ", ""] → no dups, 8 line chars
+    assert(r.getSeq[Long](0) == Seq(6L, 6L, 9L, 2L, 2L, 0L, 0L, 8L))
+  }
+
   test("top_k_by_score works as a SQL aggregate with partial merge") {
     import spark.implicits._
     (for (g <- 0 until 3; i <- 0 until 50)
@@ -61,7 +71,7 @@ class GraftExtensionsSpec extends SparkSpec {
     val exts = new GraftExtensions()
     assert(GraftExtensions.registrations.map(_._1).toSet ==
       Set("vec_dot", "normal_ppf", "interp1d", "token_stats", "top_k_by_score",
-        "freq_items", "vec_normalize"))
+        "freq_items", "vec_normalize", "repetition_stats"))
     assert(exts.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
 }

@@ -92,4 +92,32 @@ class FunctionPropertiesSpec extends AnyFunSuite {
       got == want
     }, "token stats recount")
   }
+
+  test("RepetitionStats.compute matches a naive group-by recount") {
+    import graft.functions.RepetitionStats
+    // small vocab so repeats actually occur
+    val word = Gen.oneOf("aa", "b", "ccc", "the", "", "héllo")
+    val text = Gen.listOf(word).map(_.mkString(" "))
+    val n = Gen.choose(1, 4)
+    def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+    check(Prop.forAll(text, n) { (t, nn) =>
+      val got = RepetitionStats.compute(t, nn, "b").toLongArray().toSeq
+      val toks = t.split(" ", -1).toSeq
+      val grams = toks.sliding(nn).filter(_.size == nn).map(_.mkString(" ")).toSeq
+      val gc = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val topScore = if (gc.isEmpty) 0L else gc.map { case (g, c) => c * cp(g) }.max
+      val dupChars = gc.collect { case (g, c) if c >= 2 => c * cp(g) }.sum
+      // literal-separator split keeping empties: use -1-limit regex on the
+      // quoted separator
+      val lines = t.split(java.util.regex.Pattern.quote("b"), -1).toSeq
+      val lc = lines.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val want = Seq(
+        topScore, dupChars, cp(t),
+        lines.size.toLong, lc.size.toLong,
+        lc.collect { case (_, c) if c > 1 => c }.sum,
+        lc.collect { case (l, c) if c > 1 => c * cp(l) }.sum,
+        lc.map { case (l, c) => c * cp(l) }.sum)
+      got == want
+    }, "repetition stats recount")
+  }
 }
