@@ -19,6 +19,12 @@ object EstimatorQueries extends QueryPack {
   private val fixedCenters: Array[Array[Double]] = Array(
     Array(10.0, 2000.0), Array(25.0, 35000.0), Array(40.0, 60000.0))
 
+  /** Target language mixture shared by q_mixture_rates/_sample and
+    * their oracles.
+    */
+  private val mixTargets: Map[String, Double] = Map(
+    "en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1)
+
   /** The seeded MLlib k-means|| fit gated by q_kmeans_fit_invariants.
     * The memo holds only the fitted model (k·d center doubles — never
     * data or a DataFrame); keys assume the dir's data is immutable for
@@ -239,6 +245,38 @@ object EstimatorQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Per-group (stratified) content-hash sampling: each language gets
+    // its own rate cut; membership is a pure function of doc_id, so
+    // the oracle reproduces the EXACT member set. One scan-fused
+    // map-only filter — sampleBy with reproducibility.
+    "q_stratified_sample" -> ((s, dir) =>
+      Splits.stratifiedHashSample(Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1, "es" -> 1.0))
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+
+    // Domain-mixture budgeting: per-language char totals in one
+    // aggregation, then the closed-form down-sampling rate
+    // min(1, weight·budget/units) that hits a 60k-char budget at the
+    // target mixture.
+    "q_mixture_rates" -> ((s, dir) =>
+      Splits.mixtureRates(Tables.documents(s, dir), "lang", "n_chars",
+        mixTargets, unitBudget = 60000)
+        .select(col("lang"), col("n_rows"), col("n_units"),
+          round(col("target_w"), 6).as("target_w"),
+          round(col("rate"), 6).as("rate"))
+        .orderBy("lang")),
+
+    // End-to-end mixture sampling: the tiny rates frame broadcast back
+    // onto the corpus, rows kept iff hash bucket < floor(rate·1e6) —
+    // ONE corpus scan, no corpus shuffle, exact member set.
+    "q_mixture_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val rates = Splits.mixtureRates(docs, "lang", "n_chars", mixTargets,
+        unitBudget = 60000)
+      Splits.mixtureSample(docs, "doc_id", "lang", rates, salt = "mix")
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")
+    }),
+
     // train_test_split: the per-split sizes are seed-dependent, but the
     // PARTITION invariant (train + test == total, no row lost or
     // duplicated) is deterministic — that is what the oracle checks.
@@ -427,6 +465,43 @@ object EstimatorQueries extends QueryPack {
         | CAST(CASE WHEN idx < extra * (base + 1) THEN idx // (base + 1)
         |      ELSE (idx - extra * (base + 1)) // base + extra END AS INT) AS fold
         |FROM p ORDER BY o_orderkey""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |       % 1000000)
+        |  < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+        |              WHEN 'fr' THEN 100000 WHEN 'es' THEN 1000000
+        |              ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+    // explicit DOUBLE casts everywhere: DuckDB parses bare 0.4 as
+    // DECIMAL, whose arithmetic would diverge from Spark's IEEE doubles.
+    "q_mixture_rates" ->
+      """WITH g AS (SELECT lang, count(*) AS n_rows,
+        |             CAST(sum(n_chars) AS BIGINT) AS n_units
+        |           FROM documents GROUP BY 1),
+        |r AS (SELECT lang, n_rows, n_units,
+        |        CAST(CASE lang WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.4
+        |             WHEN 'es' THEN 0.1 WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.1
+        |             ELSE 0.0 END AS DOUBLE) AS tw
+        |      FROM g)
+        |SELECT lang, n_rows, n_units, round(tw, 6) AS target_w,
+        | round(least(CAST(1.0 AS DOUBLE),
+        |   tw * CAST(60000 AS DOUBLE) / CAST(n_units AS DOUBLE)), 6) AS rate
+        |FROM r ORDER BY lang""".stripMargin,
+    "q_mixture_sample" ->
+      """WITH g AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_units
+        |           FROM documents GROUP BY 1),
+        |r AS (SELECT lang, least(CAST(1.0 AS DOUBLE),
+        |        CAST(CASE lang WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.4
+        |             WHEN 'es' THEN 0.1 WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.1
+        |             ELSE 0.0 END AS DOUBLE)
+        |          * CAST(60000 AS DOUBLE) / CAST(n_units AS DOUBLE)) AS rate
+        |      FROM g)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE (('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |       % 1000000)
+        |  < floor(rate * CAST(1000000 AS DOUBLE))
+        |ORDER BY d.doc_id""".stripMargin,
     "q_hash_sample" ->
       """SELECT doc_id,
         | (SELECT count(*) FROM documents) AS n_total

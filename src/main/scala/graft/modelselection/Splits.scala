@@ -181,6 +181,66 @@ object Splits {
     when(hashBucket(key, salt) < rateBuckets(rate), "train")
       .otherwise("holdout")
 
+  /** Per-group deterministic content-hash sampling: keep a row iff its
+    * key's md5 bucket falls below its GROUP's rate cut — `sampleBy`
+    * with exact reproducibility (membership is a pure function of
+    * key+salt, independent of partitioning/order; same contract as
+    * [[hashSample]]). The fraction map compiles to a literal CASE
+    * chain, so the filter is scan-fused and shuffle-free — at 100 TB
+    * this is one map-only pass with parquet-pushable group pruning for
+    * groups at fraction 0.
+    */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, groupCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fractions must be in [0,1], got $f"))
+    val cut = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit(rateBuckets(defaultFraction))) { case (acc, (g, f)) =>
+      when(col(groupCol) === g, lit(rateBuckets(f))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), salt) < cut)
+  }
+
+  /** Domain-mixture sampling rates: one aggregation computes each
+    * group's total size (rows + `sizeCol` units, e.g. tokens or
+    * chars), then `rate(g) = min(1, weight(g)·budget / units(g))` — the
+    * closed-form down-sampling rate that hits a target mixture over a
+    * global unit budget (groups whose target exceeds their data are
+    * kept whole at rate 1; re-normalize upstream if strict proportions
+    * are required). Output: (group, n_rows, n_units, target_w, rate).
+    * One shuffle over ≤ |groups| keys; the result is tiny by
+    * construction (broadcast it into [[mixtureSample]]).
+    */
+  def mixtureRates(df: DataFrame, groupCol: String, sizeCol: String,
+      targets: Map[String, Double], unitBudget: Long): DataFrame = {
+    require(targets.values.forall(w => w >= 0.0), "weights must be >= 0")
+    val w = targets.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (g, t)) => when(col(groupCol) === g, lit(t)).otherwise(acc)
+    }
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), sum(col(sizeCol)).as("n_units"))
+      .withColumn("target_w", w)
+      .withColumn("rate",
+        least(lit(1.0),
+          col("target_w") * lit(unitBudget.toDouble) / col("n_units")))
+  }
+
+  /** End-to-end mixture sampling: broadcast the [[mixtureRates]] frame
+    * back onto the corpus and keep each row iff its key bucket falls
+    * below `floor(rate·1e6)` (floor on BOTH engines — the in-plan rate
+    * is a computed double, and floor of the identical IEEE value is
+    * engine-independent where half-way rounding is not). Map-side
+    * broadcast join + fused filter: ONE corpus scan, no corpus shuffle.
+    */
+  def mixtureSample(df: DataFrame, keyCol: String, groupCol: String,
+      rates: DataFrame, salt: String = ""): DataFrame = {
+    val r = broadcast(rates.select(col(groupCol), col("rate")))
+    df.join(r, Seq(groupCol))
+      .filter(hashBucket(col(keyCol), salt) < floor(col("rate") * lit(1000000.0)))
+      .drop("rate")
+  }
+
   /** round, not truncate: 0.29·1e6 is 289999.99999999994 in binary —
     * truncation would put bucket 289999 on the wrong side of the
     * documented `bucket < rate·1e6` contract.

@@ -194,6 +194,51 @@ class ModelSelectionSpec extends SparkSpec {
     assert(s10.subsetOf(s1))
   }
 
+  test("stratifiedHashSample: per-group cuts, partition-invariant, group nesting") {
+    import spark.implicits._
+    val rows = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "g")
+    val take = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val fr = Map("a" -> 0.6, "b" -> 0.2)
+    val s1 = take(Splits.stratifiedHashSample(rows, "id", "g", fr))
+    val s2 = take(Splits.stratifiedHashSample(rows.repartition(7), "id", "g", fr))
+    assert(s1 == s2, "membership must not depend on partitioning")
+    // group-restricted membership equals the flat hashSample at that rate
+    val aOnly = rows.filter($"g" === "a")
+    assert(take(Splits.stratifiedHashSample(rows, "id", "g", fr)
+      .filter($"g" === "a")) == take(Splits.hashSample(aOnly, "id", 0.6)))
+    // default fraction drops unlisted groups entirely
+    val onlyA = Splits.stratifiedHashSample(rows, "id", "g", Map("a" -> 1.0))
+    assert(onlyA.select("g").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(onlyA.count() == 200)
+  }
+
+  test("mixtureRates closed form + mixtureSample hits the budgeted mixture") {
+    import spark.implicits._
+    // group a: 100 rows x 100 units; group b: 100 rows x 20 units
+    val rows = ((0L until 100L).map(i => (i, "a", 100L)) ++
+      (100L until 200L).map(i => (i, "b", 20L))).toDF("id", "g", "units")
+    val rates = Splits.mixtureRates(rows, "g", "units",
+      Map("a" -> 0.5, "b" -> 0.5), unitBudget = 4000)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    // a: min(1, 0.5*4000/10000) = 0.2; b: min(1, 0.5*4000/2000) = 1.0
+    assert(rates("a") == ((100L, 10000L, 0.2)))
+    assert(rates("b") == ((100L, 2000L, 1.0)))
+    val ratesDf = Splits.mixtureRates(rows, "g", "units",
+      Map("a" -> 0.5, "b" -> 0.5), unitBudget = 4000)
+    val kept = Splits.mixtureSample(rows, "id", "g", ratesDf)
+    // rate-1 group keeps every row; rate-0.2 group keeps ~20
+    assert(kept.filter($"g" === "b").count() == 100)
+    val aKept = kept.filter($"g" === "a").count()
+    assert(aKept > 5 && aKept < 40, s"expected ~20 of 100, got $aKept")
+    // deterministic under repartition
+    val kept2 = Splits.mixtureSample(rows.repartition(11), "id", "g", ratesDf)
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet ==
+      kept2.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("kfoldPairwiseCached slices K[ix_(train,train)] and K[ix_(test,train)]") {
     import spark.implicits._
     // 5x5 kernel K(i,j) = 10i + j; folds over n=5, k=2: fold0=[0,3), fold1=[3,5)
