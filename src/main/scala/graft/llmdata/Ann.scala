@@ -167,18 +167,26 @@ object Ann {
   def ivfIndex(corpus: DataFrame, vecCol: String, nList: Int, dim: Int,
       sampleSize: Int = 100000, iters: Int = 10, seed: Long = 42,
       rowCountHint: Option[Long] = None): Array[Array[Double]] = {
-    // Content-hash UNIFORM sample, not `limit()`: limit takes the first
-    // partitions' rows in scan order, so on a sorted/clustered corpus
-    // (the norm for 100 TB parquet) the quantizer would train on one
-    // shard's distribution — unrepresentative centroids skew cell
-    // occupancy and concentrate the probe join on hot cells (FAISS
-    // trains its IVF quantizer on a uniform sample; Jégou PAMI'11 §III).
-    // Ranking rows by a seeded content hash makes the sample uniform
-    // AND deterministic across both row order and partitioning. The
-    // ordered limit stays bounded at scale: a scan-fused hash-range
-    // filter first cuts the input to ~8× sampleSize expected rows, so
-    // TakeOrderedAndProject's per-partition top-k never retains more
-    // than the filtered slice and the driver merge is O(sampleSize).
+    val sample = hashUniformSample(corpus, vecCol, sampleSize, seed, rowCountHint)
+    lloydOnSample(sample, nList, dim, iters, seed)
+  }
+
+  /** Content-hash UNIFORM sample, not `limit()`: limit takes the first
+    * partitions' rows in scan order, so on a sorted/clustered corpus
+    * (the norm for 100 TB parquet) a quantizer would train on one
+    * shard's distribution — unrepresentative centroids skew cell
+    * occupancy and concentrate the probe join on hot cells (FAISS
+    * trains its IVF quantizer on a uniform sample; Jégou PAMI'11 §III).
+    * Ranking rows by a seeded content hash makes the sample uniform
+    * AND deterministic across both row order and partitioning. The
+    * ordered limit stays bounded at scale: a scan-fused hash-range
+    * filter first cuts the input to ~8× sampleSize expected rows, so
+    * TakeOrderedAndProject's per-partition top-k never retains more
+    * than the filtered slice and the driver merge is O(sampleSize).
+    */
+  private[llmdata] def hashUniformSample(corpus: DataFrame, vecCol: String,
+      sampleSize: Int, seed: Long,
+      rowCountHint: Option[Long]): Array[Array[Double]] = {
     val hashed = corpus
       .select(col(vecCol).as("__v"),
         xxhash64(lit(seed), col(vecCol)).bitwiseAND(lit(Long.MaxValue)).as("__h"))
@@ -193,9 +201,16 @@ object Ann {
         case f: Float => f.toDouble; case d: Double => d
       })
     require(sample.nonEmpty, "empty corpus")
-    // driver-side Lloyd on the bounded sample (deterministic seed init)
+    sample
+  }
+
+  /** Driver-side Lloyd on a bounded sample (deterministic seed init;
+    * nList·dim state). floorMod in the init: abs(Long.MinValue) is
+    * negative and +i can overflow.
+    */
+  private[llmdata] def lloydOnSample(sample: Array[Array[Double]], nList: Int,
+      dim: Int, iters: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
-    // floorMod: abs(Long.MinValue) is negative and +i can overflow
     var centroids = Array.tabulate(nList)(i => sample(
       math.floorMod(rnd.nextLong() + i, sample.length.toLong).toInt).clone())
     var it = 0
@@ -221,6 +236,97 @@ object Ann {
       it += 1
     }
     centroids
+  }
+
+  /** Product-quantization codebooks (Jégou et al. PAMI'11 §IV — the
+    * design FAISS's IndexPQ implements): split the `dim` dimensions
+    * into `m` contiguous subspaces of dim/m, and k-means each subspace
+    * independently (`ksub` centroids) on the SAME content-hash uniform
+    * sample the IVF quantizer trains on. Returns
+    * `codebooks(j)(c) = centroid c of subspace j` (m·ksub·dsub
+    * doubles — driver-tiny).
+    *
+    * Why at 100 TB: a 64-d float vector is 256 bytes; its PQ code is
+    * m bytes (m=8 → 32× smaller). The ADC scan then reads codes, not
+    * vectors — the index fits in a fraction of the corpus footprint
+    * and each query·row score is m table lookups instead of dim
+    * multiply-adds.
+    */
+  def pqTrain(corpus: DataFrame, vecCol: String, m: Int, ksub: Int, dim: Int,
+      sampleSize: Int = 100000, iters: Int = 10, seed: Long = 42,
+      rowCountHint: Option[Long] = None): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val dsub = dim / m
+    val sample = hashUniformSample(corpus, vecCol, sampleSize, seed, rowCountHint)
+    Array.tabulate(m) { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      // per-subspace seed: independent inits, still fully deterministic
+      lloydOnSample(sub, ksub, dsub, iters, seed + j)
+    }
+  }
+
+  /** PQ encode: `array<int>` of length m, code j = first-minimum argmin
+    * over subspace j's `ksub` centroids of
+    * `-2·x_j·c + ‖c‖²` (the `‖x_j‖²` term is constant per subspace and
+    * dropped, exactly like [[cellExpr]]). Map-only, scan-fused: the
+    * one-off encode pass over a 100 TB corpus is a single scan writing
+    * m-byte codes.
+    */
+  def pqCodeExpr(vecCol: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    array((0 until m).map { j =>
+      val qs = slice(vecCol, j * dsub + 1, dsub)
+      val dists = codebooks(j).map { ctr =>
+        val ctrLit = array(ctr.map(lit).toIndexedSeq: _*)
+        dotExpr(qs, ctrLit) * lit(-2.0) + lit(ctr.map(v => v * v).sum)
+      }
+      val arr = array(dists.toIndexedSeq: _*)
+      (array_position(arr, array_min(arr)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k: each query computes its m·ksub
+    * distance table in-plan (`dt(j)(c) = ‖q_j − c‖²`, the exact PAMI'11
+    * eq. 12 estimator), the corpus carries only its codes, and the
+    * per-pair score is m codegen'd table lookups
+    * (`Σ_j dt(j)(code_j)`) — no vector math on the corpus side of the
+    * join. Queries broadcast with their tables; top-k via the bounded
+    * heap aggregate, ranked by ascending ADC distance (ties by id).
+    *
+    * At 100 TB: one scan to encode (or a pre-encoded code column), one
+    * broadcast-join scan doing m lookups per (query, row), a tiny top-k
+    * shuffle. Recall < 1 from quantization error — raise m/ksub, or
+    * re-rank the top-k' exactly with the true vectors.
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val c = corpus.withColumn("__code", pqCodeExpr(col(vecCol), codebooks))
+      .select(col(idCol), col("__code"))
+    val dts = array((0 until m).map { j =>
+      val qs = slice(col("qv"), j * dsub + 1, dsub)
+      array(codebooks(j).map { ctr =>
+        val ctrLit = array(ctr.map(lit).toIndexedSeq: _*)
+        dotExpr(qs, qs) + (dotExpr(qs, ctrLit) * lit(-2.0) +
+          lit(ctr.map(v => v * v).sum))
+      }.toIndexedSeq: _*)
+    }: _*)
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__dt", dts)
+      .select("query_id", "__dt"))
+    // static GetArrayItem per j + one dynamic element_at per lookup —
+    // a fully codegen'd sum, no interpreted HOF lambdas in the pair loop
+    val adc = (0 until m).map(j =>
+      element_at(col("__dt").getItem(j), col("__code").getItem(j) + 1))
+      .reduce(_ + _)
+    val scored = c.join(q, col(idCol) =!= col("query_id"))
+      .withColumn("cos", adc * lit(-1.0))
+    topKPerQuery(scored, idCol, k)
+      .withColumn("adc_d", col("cos") * lit(-1.0)).drop("cos")
   }
 
   /** Squared-L2 argmin cell id over literal centroids — map-only. */

@@ -32,6 +32,18 @@ object LlmDataQueries extends QueryPack {
       Ann.ivfIndex(Tables.embeddings(s, d), "embedding", nList = 8, dim = 64,
         sampleSize = 2000, iters = 5, seed = 42))
 
+  /** q_ann_pq's product-quantization codebooks: trained once per data
+    * dir on the same content-hash uniform sample as the IVF quantizer
+    * (m·ksub·dsub doubles — driver-tiny). Same dir-immutability
+    * contract; Bench clears between passes.
+    */
+  private val pqMemo = graft.core.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]())
+  private def trainedPqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqMemo.computeIfAbsent(dir, d =>
+      Ann.pqTrain(Tables.embeddings(s, d), "embedding", m = 8, ksub = 16,
+        dim = 64, sampleSize = 2000, iters = 5, seed = 42))
+
   /** q_dedup_minhash and q_drop_near_dups gate the SAME oracle-family
     * pipeline (k=8 / rowsPerBand=2 / 3-gram shingles, md5-per-seed):
     * run it once per data dir and gate twice — the fit-once/gate-twice
@@ -593,7 +605,21 @@ object LlmDataQueries extends QueryPack {
         col("vec_id"),
         round(Ann.normExpr(col("embedding")), 6).as("norm"),
         size(col("embedding")).as("dim"))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // Product-quantization ANN (PAMI'11 §IV / FAISS IndexPQ): corpus
+    // rows carry only their m-byte codes, queries their in-plan
+    // distance tables; each pair score is m codegen'd lookups. The
+    // deterministic training makes the gate exact — the trained
+    // codebooks are embedded as oracle VALUES (trainedPqOracle).
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.pqAdcTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 3, trainedPqCodebooks(s, dir))
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("adc_d"), 6).as("adc_d"))
+        .orderBy("query_id", "rank")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -994,7 +1020,7 @@ object LlmDataQueries extends QueryPack {
          |SELECT cluster, id_a, id_b, round(cos, 6) AS cos
          |FROM c WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
     }
-  ) ++ trainedIvfOracle
+  ) ++ trainedIvfOracle ++ trainedPqOracle
 
   /** EXACT oracle for q_ann_ivf (the live-trained quantizer): the
     * content-hash sample + seeded driver Lloyd make the centroids a
@@ -1012,5 +1038,60 @@ object LlmDataQueries extends QueryPack {
       case centroids :: Nil => Map("q_ann_ivf" -> ivfOracleSql(centroids, nProbe = 3))
       case _ => Map.empty
     }
+  }
+
+  /** EXACT oracle for q_ann_pq, by the same technique: the codebooks
+    * are a deterministic function of the data dir and sit in [[pqMemo]]
+    * by oracle-generation time, so they embed as literal VALUES. The
+    * SQL mirrors the Spark arithmetic term for term: corpus encode
+    * distance `s·(−2)+‖c‖²` (first-minimum per subspace), query table
+    * entry `‖q_j‖² + (s·(−2)+‖c‖²)`, ADC = Σ_j table(code_j).
+    */
+  private def trainedPqOracle: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    pqMemo.values.asScala.toList match {
+      case cbs :: Nil => Map("q_ann_pq" -> pqOracleSql(cbs, k = 3))
+      case _ => Map.empty
+    }
+  }
+
+  private def pqOracleSql(cbs: Array[Array[Array[Double]]], k: Int): String = {
+    val dsub = cbs(0)(0).length
+    val cbRows = (for (j <- cbs.indices; c <- cbs(j).indices; i <- 0 until dsub)
+      yield s"($j,$c,${i + 1},${cbs(j)(c)(i)})").mkString(",")
+    val cbnRows = (for (j <- cbs.indices; c <- cbs(j).indices)
+      yield s"($j,$c,${cbs(j)(c).map(v => v * v).sum})").mkString(",")
+    s"""WITH cb(j, c, i, v) AS (SELECT * FROM (VALUES $cbRows)),
+       |cbn(j, c, n) AS (SELECT * FROM (VALUES $cbnRows)),
+       |x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+       |        generate_subscripts(embedding, 1) AS gi FROM embeddings),
+       |xs AS (SELECT vec_id, (gi - 1) // $dsub AS j,
+       |         ((gi - 1) % $dsub) + 1 AS i, e FROM x),
+       |cd0 AS (SELECT xs.vec_id, cb.j, cb.c, sum(xs.e * cb.v) AS s
+       |        FROM xs JOIN cb ON cb.j = xs.j AND cb.i = xs.i
+       |        GROUP BY 1, 2, 3),
+       |cd AS (SELECT vec_id, cd0.j, cd0.c, cd0.s * (-2.0) + cbn.n AS d
+       |       FROM cd0 JOIN cbn ON cbn.j = cd0.j AND cbn.c = cd0.c),
+       |codes AS (SELECT vec_id, j, c
+       |          FROM (SELECT vec_id, j, c,
+       |                  row_number() OVER (PARTITION BY vec_id, j
+       |                    ORDER BY d, c) AS rn
+       |                FROM cd) t WHERE rn = 1),
+       |qq AS (SELECT vec_id, j, sum(e * e) AS qq FROM xs
+       |       WHERE vec_id < 10 GROUP BY 1, 2),
+       |qd AS (SELECT cd0.vec_id AS query_id, cd0.j, cd0.c,
+       |         qq.qq + (cd0.s * (-2.0) + cbn.n) AS d
+       |       FROM cd0 JOIN cbn ON cbn.j = cd0.j AND cbn.c = cd0.c
+       |       JOIN qq ON qq.vec_id = cd0.vec_id AND qq.j = cd0.j
+       |       WHERE cd0.vec_id < 10),
+       |adc AS (SELECT qd.query_id, co.vec_id, sum(qd.d) AS d
+       |        FROM codes co JOIN qd ON qd.j = co.j AND qd.c = co.c
+       |        WHERE co.vec_id != qd.query_id
+       |        GROUP BY 1, 2),
+       |r AS (SELECT query_id, vec_id, d,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY d, vec_id) AS rank FROM adc)
+       |SELECT query_id, rank, vec_id AS neighbor_id, round(d, 6) AS adc_d
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 }

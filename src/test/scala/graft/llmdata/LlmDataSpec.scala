@@ -261,6 +261,40 @@ class LlmDataSpec extends SparkSpec {
       s"hot cell share ${occ.max.toDouble / rows.size}")
   }
 
+  test("PQ: codes in range, deterministic training, ADC ranks approximate true distances") {
+    val cbs = Ann.pqTrain(emb, "embedding", m = 8, ksub = 16, dim = 64,
+      sampleSize = 2000, iters = 5, seed = 42)
+    assert(cbs.length == 8 && cbs.forall(_.length == 16) &&
+      cbs.forall(_.forall(_.length == 8)))
+    // training is partitioning/order-independent (same hash sample)
+    val cbs2 = Ann.pqTrain(emb.repartition(13), "embedding", m = 8, ksub = 16,
+      dim = 64, sampleSize = 2000, iters = 5, seed = 42)
+    assert(cbs.map(_.map(_.toSeq).toSeq).toSeq ==
+      cbs2.map(_.map(_.toSeq).toSeq).toSeq)
+    // every code is a valid centroid index
+    val codes = emb.select(Ann.pqCodeExpr(col("embedding"), cbs).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // ADC distance approximates the true L2: the PQ top-1 neighbor's
+    // TRUE distance should be close to the true NN distance (quantized
+    // search finds a near-optimal neighbor even when ids differ)
+    val queries = emb.filter(col("vec_id") < 10)
+    val pq = Ann.pqAdcTopK(emb, queries, "vec_id", "embedding", k = 1, cbs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    pq.foreach { case (q, n) =>
+      val trueNn = vecs.filter(_._1 != q)
+        .minBy { case (_, v) => l2(vecs(q), v) }
+      val dTrue = l2(vecs(q), trueNn._2)
+      val dPq = l2(vecs(q), vecs(n))
+      assert(dPq <= dTrue * 1.5 + 1e-9,
+        s"query $q: PQ neighbor $n at $dPq vs true NN at $dTrue")
+    }
+  }
+
   test("skew cap uses aggregate+anti-join, not a Window over the hot bucket") {
     import spark.implicits._
     // 10k identical docs: one degenerate bucket holding the entire
