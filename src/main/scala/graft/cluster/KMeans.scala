@@ -93,28 +93,36 @@ object KMeans {
       predictionCol: String = "prediction"): LloydFitResult = {
     def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val keyExpr = md5(concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
-    val initRows = df
-      .select(featureCols.map(c => col(c).cast("double")) :+ keyExpr.as("__h"): _*)
-      .orderBy("__h").limit(k).collect()
-    require(initRows.length == k, s"need at least $k rows, got ${initRows.length}")
-    val init = initRows.map(r => Array.tabulate(featureCols.size)(r.getDouble))
-    var centers = init
-    var converged = false
-    var step = 0
-    var sizes = Array.empty[Long]
-    while (step < maxIter && !converged) {
-      val rows = KMeansModel.lloydStep(df, featureCols, centers)
-        .orderBy("cluster").collect()
-      require(rows.length == k, s"cluster went empty at iteration ${step + 1}")
-      val next = rows.map(r => featureCols.indices
-        .map(i => r6(r.getDouble(r.fieldIndex(s"c_${featureCols(i)}")))).toArray)
-      sizes = rows.map(r => r.getLong(r.fieldIndex("n")))
-      converged = next.zip(centers).forall { case (a, b) => a.sameElements(b) }
-      centers = next
-      step += 1
-    }
-    new LloydFitResult(init, step, converged, sizes,
-      new KMeansModel(featureCols, centers, Double.NaN, step, predictionCol))
+    // Every round re-scores the same rows: project the feature doubles
+    // once (names preserved; the cast is an identity on double source
+    // columns) and persist for the loop — each round then reads the
+    // ~2-column cached frame instead of re-decoding parquet. Released
+    // before returning.
+    val feat = df
+      .select(featureCols.map(c => col(c).cast("double").as(c)) :+ keyExpr.as("__h"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val initRows = feat.orderBy("__h").limit(k).collect()
+      require(initRows.length == k, s"need at least $k rows, got ${initRows.length}")
+      val init = initRows.map(r => Array.tabulate(featureCols.size)(r.getDouble))
+      var centers = init
+      var converged = false
+      var step = 0
+      var sizes = Array.empty[Long]
+      while (step < maxIter && !converged) {
+        val rows = KMeansModel.lloydStep(feat, featureCols, centers)
+          .orderBy("cluster").collect()
+        require(rows.length == k, s"cluster went empty at iteration ${step + 1}")
+        val next = rows.map(r => featureCols.indices
+          .map(i => r6(r.getDouble(r.fieldIndex(s"c_${featureCols(i)}")))).toArray)
+        sizes = rows.map(r => r.getLong(r.fieldIndex("n")))
+        converged = next.zip(centers).forall { case (a, b) => a.sameElements(b) }
+        centers = next
+        step += 1
+      }
+      new LloydFitResult(init, step, converged, sizes,
+        new KMeansModel(featureCols, centers, Double.NaN, step, predictionCol))
+    } finally feat.unpersist(blocking = false)
   }
 }
 

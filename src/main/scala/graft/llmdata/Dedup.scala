@@ -100,6 +100,33 @@ object Dedup {
   def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
     df.select(col(idCol), explode(shingleSetExpr(textCol, n)).as("shingle"))
 
+  /** Benchmark decontamination — the word-n-gram-overlap rule public
+    * LLM pipelines apply before training (GPT-3 used a 13-gram filter,
+    * Brown et al. 2020 §C; Gopher's train–test overlap appendix uses
+    * the same shape): drop every corpus document that shares at least
+    * one word n-gram with the contamination set (benchmark/eval texts).
+    *
+    * Plan shape for 100 TB: the contamination side is an eval suite,
+    * not a corpus — its distinct shingle set is tiny and BROADCAST.
+    * Corpus documents explode their distinct shingles map-side straight
+    * into the broadcast left-semi join, so the full shingle stream is
+    * never shuffled; only the contaminated id set (corpus-fraction-
+    * sized) passes through the `distinct`, and one left-anti join on
+    * the id removes those rows. Two corpus scans total.
+    */
+  def decontaminate(docs: DataFrame, textCol: String, idCol: String,
+      contamination: DataFrame, contaminationTextCol: String,
+      n: Int = 5): DataFrame = {
+    val contamShingles = broadcast(contamination
+      .select(explode(shingleSetExpr(contaminationTextCol, n)).as("shingle"))
+      .distinct())
+    val hits = docs
+      .select(col(idCol), explode(shingleSetExpr(textCol, n)).as("shingle"))
+      .join(contamShingles, Seq("shingle"), "left_semi")
+      .select(idCol).distinct()
+    docs.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** MessageDigest is not thread-safe and costs ~1µs to allocate;
     * one per executor thread, reset implicitly by each digest() call.
     */
@@ -606,7 +633,42 @@ object Dedup {
     * is truncated each round with localCheckpoint (on a real cluster
     * with lineage-critical recovery, swap for reliable checkpointing).
     */
-  def clusterNearDuplicates(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  /** @param driverThreshold pair counts at or below this finish on the
+    *   driver with union-find (microseconds, zero Spark jobs after the
+    *   count) instead of paying one join+agg job per propagation round
+    *   — the common case: even at 100 TB corpus scale, near-dup PAIR
+    *   lists at sane thresholds are corpus-fraction-sized, and callers
+    *   hold them materialized already. Set 0 to force the distributed
+    *   loop. Both paths produce identical labels (min reachable id).
+    */
+  def clusterNearDuplicates(pairs: DataFrame, maxIter: Int = 50,
+      driverThreshold: Long = 1000000L): DataFrame = {
+    if (driverThreshold > 0 && pairs.count() <= driverThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // union-find with path compression; roots resolve to component min
+      // because union always keeps the smaller id as root
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val ids = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+      return ids.map(id => (id, find(id))).toSeq.toDF("id", "cluster")
+    }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()

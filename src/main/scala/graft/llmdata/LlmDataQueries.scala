@@ -607,6 +607,29 @@ object LlmDataQueries extends QueryPack {
         size(col("embedding")).as("dim"))
         .orderBy("vec_id")),
 
+    // Benchmark decontamination: corpus docs sharing any 5-gram with
+    // the "eval set" (docs 0-2 here) are dropped — including those
+    // docs themselves (n=3 so cross-document overlap genuinely fires:
+    // 112 of 500 docs are contaminated at sf0.01). Broadcast semi-join
+    // on map-side distinct shingles; the full shingle stream never
+    // shuffles.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminate(docs, "text", "doc_id",
+        docs.filter(col("doc_id") < 3), "text", n = 3)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // BM25 relevance against a literal term set: one tree-aggregated
+    // stats pass (N, sum dl, per-term df — all riding the native
+    // TokenStats kernel), driver-baked idf literals, then a scan-fused
+    // scoring projection. Zero shuffles end to end.
+    "q_bm25" -> ((s, dir) =>
+      TextStats.withBm25(Tables.documents(s, dir), "text",
+        Seq("spark", "table", "join", "data"))
+        .select(col("doc_id"), col("dl"), round(col("bm25"), 6).as("bm25"))
+        .orderBy("doc_id")),
+
     // Product-quantization ANN (PAMI'11 §IV / FAISS IndexPQ): corpus
     // rows carry only their m-byte codes, queries their in-plan
     // distance tables; each pair score is m codegen'd lookups. The
@@ -654,6 +677,47 @@ object LlmDataQueries extends QueryPack {
         |   regexp_replace(lower(text), '[[:punct:]]', '', 'g'),
         |   '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // decontamination mirror: distinct 3-grams both sides, overlap ids
+    // dropped via NOT IN.
+    "q_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))))
+        |        AS s FROM d),
+        |c AS (SELECT DISTINCT s FROM g WHERE doc_id < 3),
+        |hits AS (SELECT DISTINCT g.doc_id FROM g JOIN c USING (s))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+        |ORDER BY doc_id""".stripMargin,
+
+    // BM25 mirror: same stats (ln idf recomputed in SQL — the round-6
+    // on the score absorbs any last-ulp libm difference from the
+    // driver-baked literals), same scoring arithmetic term for term
+    // with explicit DOUBLE casts.
+    "q_bm25" -> {
+      val terms = Seq("spark", "table", "join", "data")
+      val tfs = terms.indices.map(i =>
+        s"len(list_filter(t, x -> x = '${terms(i)}')) AS tf$i").mkString(", ")
+      val dfs = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val score = terms.indices.map { i =>
+        s"""ln((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+           |    / (CAST(df$i AS DOUBLE) + 0.5) + 1.0)
+           |  * (CAST(tf$i AS DOUBLE) * CAST(2.2 AS DOUBLE))
+           |  / (CAST(tf$i AS DOUBLE) + CAST(1.2 AS DOUBLE)
+           |     * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+           |        + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+           |          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))""".stripMargin
+      }.mkString("\n + ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |s AS (SELECT doc_id, len(t) AS dl, $tfs FROM d),
+         |g AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl, $dfs
+         |      FROM s)
+         |SELECT doc_id, CAST(dl AS INT) AS dl,
+         | round($score, 6) AS bm25
+         |FROM s CROSS JOIN g ORDER BY doc_id""".stripMargin
+    },
+
     // ground-truth repetition signals: explode word n-grams / "lines"
     // per document, count in SQL, mirror the max/sum/cap formulas.
     "q_repetition" ->

@@ -146,6 +146,51 @@ object TextStats {
     md5(trim(regexp_replace(regexp_replace(lower(text), "[\\p{Punct}]", ""),
       "\\s+", " ")))
 
+  /** BM25 relevance scores (Robertson–Walker–Jones; the '+1' idf
+    * variant that keeps weights positive) of every document against a
+    * small literal term set — the classic retrieval scorer, shaped for
+    * 100 TB:
+    *
+    *  1. ONE tree-aggregated stats pass computes N, Σdl and per-term
+    *     document frequencies together (per-term tf counts ride the
+    *     one-pass native [[graft.functions.TokenStats]] kernel — no
+    *     token explode, no shuffle);
+    *  2. idf values are computed on the driver and baked into the plan
+    *     as literals;
+    *  3. scoring is a scan-fused map-only projection — zero shuffles
+    *     end to end, and the term filter pushes nothing to the driver
+    *     but m+2 aggregate values.
+    *
+    * Returns the input plus `bm25` (and a `dl` token-count column).
+    */
+  def withBm25(df: DataFrame, textCol: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms, "terms must be distinct")
+    val t = col(textCol)
+    def tf(term: String): Column =
+      element_at(graft.functions.TokenStats(t, Seq(term)),
+        graft.functions.TokenStats.N_STOP)
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(tokenCount(t).cast("long")).as("sumdl")) ++
+      terms.zipWithIndex.map { case (term, i) =>
+        sum(when(tf(term) > 0, 1L).otherwise(0L)).as(s"df_$i")
+      }
+    val statsRow = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / n
+    val idf = terms.indices.map { i =>
+      val dfT = statsRow.getLong(2 + i)
+      math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+    }
+    val dl = tokenCount(t).cast("double")
+    val score = terms.zip(idf).map { case (term, w) =>
+      val tfc = tf(term).cast("double")
+      lit(w) * (tfc * lit(k1 + 1.0)) /
+        (tfc + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / lit(avgdl)))
+    }.reduce(_ + _)
+    df.withColumn("dl", tokenCount(t)).withColumn("bm25", score)
+  }
+
   /** Corpus heavy hitters: Misra–Gries top tokens
     * (graft.functions.FreqItems) over the exploded token stream. The
     * explode is map-only and the partial MG summaries (k counters per

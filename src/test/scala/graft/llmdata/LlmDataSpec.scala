@@ -426,6 +426,29 @@ class LlmDataSpec extends SparkSpec {
     assert((1L to 5L).forall(cc(_) == 1L), s"chain must collapse to 1: $cc")
     assert(cc(7L) == 7L && cc(9L) == 7L)
     assert(cc(10L) == 10L && cc(11L) == 10L && cc(12L) == 10L)
+    // the distributed propagation loop (driverThreshold=0 forces it)
+    // produces the identical labeling
+    val dist = Dedup.clusterNearDuplicates(pairs, driverThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == cc, s"driver union-find and distributed loop disagree: $dist vs $cc")
+  }
+
+  test("decontaminate drops exactly the n-gram-overlap docs; short docs survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares "alpha beta gamma" with eval
+      (2L, "zeta eta theta iota kappa"),      // clean
+      (3L, "one two"),                        // < n tokens: no shingles, survives
+      (4L, "x alpha beta gamma y")            // contaminated mid-document
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(docs, "text", "doc_id", eval_, "text", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"expected {2,3}, got $kept")
+    // n larger than the eval text: nothing can match, everything survives
+    val all = Dedup.decontaminate(docs, "text", "doc_id", eval_, "text", n = 4)
+      .count()
+    assert(all == 4)
   }
 
   test("transitive drop keeps ONE representative per component; pairwise keeps more") {
