@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryPack, Tables}
+import graft.modelselection.Splits
 
 /** Oracle-verified queries for the LLM-data-pipeline operators: text
   * stats, language ID, fingerprinting, exact + MinHash-LSH dedup, and
@@ -11,6 +12,12 @@ import graft.core.{QueryPack, Tables}
   * the MinHash pipeline bit-reproducible in DuckDB.
   */
 object LlmDataQueries extends QueryPack {
+
+  /** Target language mixture for the v2 pipeline's budgeted sampling
+    * stage (shared with its oracle).
+    */
+  private val pipelineMixTargets: Map[String, Double] = Map(
+    "en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1)
 
   /** Three fixed 64-d centroids (simple deterministic lattice) shared by
     * the q_ann_ivf_fixed query and its generated SQL oracle.
@@ -607,6 +614,56 @@ object LlmDataQueries extends QueryPack {
         size(col("embedding")).as("dim"))
         .orderBy("vec_id")),
 
+    // FLAGSHIP v2: the round-6 production pipeline — Gopher repetition
+    // + quality filter (scan-fused signals) → benchmark decontamination
+    // (broadcast 3-gram semi-join vs the doc 0-2 "eval set") → exact
+    // fingerprint dedup (min_by representative, no self-join) → domain-
+    // mixture sampling against a 30k-char budget (closed-form rates,
+    // broadcast back, map-only bucket filter). Every stage is an
+    // already-exactly-gated operator; the oracle is the composition of
+    // their SQL mirrors. Plan shape: the signal projection fuses into
+    // the corpus scan; decontamination adds the one extra corpus-side
+    // shingle pass it inherently needs; dedup is ONE shuffle; the
+    // rates aggregation shuffles ≤ |langs| keys.
+    "q_llm_pipeline_v2" -> ((s, dir) => {
+      val t = col("text")
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), t,
+        TextStats.qualityScore(t).as("quality"),
+        TextStats.languageId(t).as("lang"),
+        TextStats.fingerprint(t).as("fp"),
+        TextStats.dupNgramCharFrac(t, 2).as("dup2"),
+        length(t).as("n_chars"))
+        .filter(col("quality") >= 0.5 && col("dup2") <= 0.15)
+      val eval_ = Tables.documents(s, dir).filter(col("doc_id") < 3)
+      val clean = Dedup.decontaminate(scored, "text", "doc_id", eval_, "text", n = 3)
+      val deduped = clean.groupBy(col("fp"))
+        .agg(min_by(struct(col("doc_id"), col("lang"), col("quality"),
+          col("n_chars")), col("doc_id")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+          col("r.quality").as("quality"), col("r.n_chars").as("n_chars"))
+      val rates = Splits.mixtureRates(deduped, "lang", "n_chars",
+        pipelineMixTargets, unitBudget = 30000)
+      Splits.mixtureSample(deduped, "doc_id", "lang", rates, salt = "mix2")
+        .select(col("doc_id"), col("lang"),
+          round(col("quality"), 6).as("quality"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // PII scrub: the corpus has no organic PII, so the gate SYNTHESIZES
+    // an email/URL/IP from table values in-plan (same construction in
+    // the oracle) and scrubs the composite — exercising every pattern
+    // on every row with an exact string compare.
+    "q_pii_scrub" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextStats.scrubPii(concat_ws(" ",
+          concat(col("source"), lit("@"), col("lang"), lit(".com")),
+          concat(lit("https://"), col("source"), lit(".org/x")),
+          concat(lit("10.0."), (col("doc_id") % 256).cast("string"), lit(".1")),
+          substring(col("text"), 1, 40))).as("scrubbed"))
+        .orderBy("doc_id")),
+
     // Benchmark decontamination: corpus docs sharing any 5-gram with
     // the "eval set" (docs 0-2 here) are dropped — including those
     // docs themselves (n=3 so cross-document overlap genuinely fires:
@@ -677,6 +734,86 @@ object LlmDataQueries extends QueryPack {
         |   regexp_replace(lower(text), '[[:punct:]]', '', 'g'),
         |   '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // v2 pipeline mirror: composition of the q_lang_id / q_text_quality
+    // / q_repetition / q_decontaminate / q_dedup_exact / q_mixture_*
+    // oracle fragments. DOUBLE casts on the dup2 filter and rate math
+    // (they feed unrounded comparisons); the quality expression is the
+    // proven v1 fragment verbatim.
+    "q_llm_pipeline_v2" ->
+      """WITH d0 AS (SELECT doc_id, text, string_split(text, ' ') AS t,
+        |              len(text) AS nc FROM documents),
+        |sc AS (SELECT doc_id, text, t, nc,
+        |  len(list_filter(t, x -> x IN ('der','und','die'))) AS s_de,
+        |  len(list_filter(t, x -> x IN ('the','a','of'))) AS s_en,
+        |  len(list_filter(t, x -> x IN ('el','la','y'))) AS s_es,
+        |  len(list_filter(t, x -> x IN ('le','et','les'))) AS s_fr,
+        |  len(list_filter(t, x -> x IN ('de','shi','bu'))) AS s_zh
+        | FROM d0),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |         i -> array_to_string(t[i:i+1], ' '))) AS g FROM d0),
+        |c2 AS (SELECT doc_id,
+        |         sum(CASE WHEN cnt >= 2 THEN cnt * len(g) ELSE 0 END) AS dup2
+        |       FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |lq AS (SELECT sc.doc_id, sc.text, sc.t, sc.nc,
+        |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+        |       WHEN s_en >= greatest(s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+        |       WHEN s_es >= greatest(s_fr, s_zh) AND s_es > 0 THEN 'es'
+        |       WHEN s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+        |       WHEN s_zh > 0 THEN 'zh' ELSE 'und' END AS lang,
+        |  ((CASE WHEN len(t) BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END
+        |    + least(len(list_distinct(t)) * 1.0 / len(t) * 2.0, 1.0))
+        |   + CASE WHEN len(list_filter(t,
+        |       x -> x IN ('the','a','of','and','to','in'))) * 1.0
+        |         / len(t) > 0 THEN 1.0 ELSE 0.0 END) / 3.0 AS quality,
+        |  CASE WHEN sc.nc = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE least(CAST(coalesce(c2.dup2, 0) AS DOUBLE)
+        |           / CAST(sc.nc AS DOUBLE), CAST(1.0 AS DOUBLE)) END AS dup2f
+        | FROM sc LEFT JOIN c2 USING (doc_id)),
+        |kept0 AS (SELECT doc_id, text, t, nc, lang, quality,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[[:punct:]]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM lq WHERE quality >= 0.5 AND dup2f <= CAST(0.15 AS DOUBLE)),
+        |g3 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))))
+        |         AS s3 FROM d0),
+        |ev AS (SELECT DISTINCT s3 FROM g3 WHERE doc_id < 3),
+        |hits AS (SELECT DISTINCT g3.doc_id FROM g3 JOIN ev USING (s3)
+        |         JOIN kept0 k ON k.doc_id = g3.doc_id),
+        |kept1 AS (SELECT * FROM kept0
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+        |reps AS (SELECT fp, min(doc_id) AS doc_id FROM kept1 GROUP BY fp),
+        |kept2 AS (SELECT k.doc_id, k.lang, k.quality, CAST(k.nc AS INT) AS n_chars
+        |          FROM kept1 k JOIN reps r ON r.fp = k.fp AND r.doc_id = k.doc_id),
+        |gr AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS units
+        |       FROM kept2 GROUP BY 1),
+        |rt AS (SELECT lang, least(CAST(1.0 AS DOUBLE),
+        |         CAST(CASE lang WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.4
+        |              WHEN 'es' THEN 0.1 WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.1
+        |              ELSE 0.0 END AS DOUBLE)
+        |           * CAST(30000 AS DOUBLE) / CAST(units AS DOUBLE)) AS rate
+        |       FROM gr)
+        |SELECT k.doc_id, k.lang, round(k.quality, 6) AS quality, k.n_chars
+        |FROM kept2 k JOIN rt USING (lang)
+        |WHERE (('0x' || substr(md5('mix2' || CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |       % 1000000)
+        |  < floor(rate * CAST(1000000 AS DOUBLE))
+        |ORDER BY k.doc_id""".stripMargin,
+
+    // PII mirror: same synthesized composite, same three patterns in
+    // the same order ('g' = Spark's replace-all default).
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(
+        |   concat_ws(' ', source || '@' || lang || '.com',
+        |     'https://' || source || '.org/x',
+        |     '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1',
+        |     substr(text, 1, 40)),
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  'https?://[^\s]+', '<URL>', 'g'),
+        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // decontamination mirror: distinct 3-grams both sides, overlap ids
     // dropped via NOT IN.
     "q_decontaminate" ->

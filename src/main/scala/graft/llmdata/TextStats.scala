@@ -146,6 +146,25 @@ object TextStats {
     md5(trim(regexp_replace(regexp_replace(lower(text), "[\\p{Punct}]", ""),
       "\\s+", " ")))
 
+  /** PII scrubbing patterns (order matters: email, then URL, then IP —
+    * an address inside an already-scrubbed span can't double-fire).
+    * The dialect-neutral regex subset (char classes, {m,}, \b, \d, \s)
+    * behaves identically under Java regex and RE2, so the scrub is
+    * exactly reproducible by any RE2-based engine.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+" -> "<URL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  /** Redact emails, URLs and IPv4 addresses with typed sentinels — the
+    * standard pre-training privacy scrub, as chained scan-fused
+    * `regexp_replace`s (no UDF, no shuffle; fuses into the parquet
+    * scan at 100 TB).
+    */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
   /** BM25 relevance scores (Robertson–Walker–Jones; the '+1' idf
     * variant that keeps weights positive) of every document against a
     * small literal term set — the classic retrieval scorer, shaped for
