@@ -31,7 +31,9 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    queries("q_llm_pipeline")(spark, dir)
+    // the round-6 flagship: repetition+quality filter → benchmark
+    // decontamination → fingerprint dedup → domain-mixture sampling
+    queries("q_llm_pipeline_v2")(spark, dir)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

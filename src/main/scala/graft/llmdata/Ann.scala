@@ -306,25 +306,44 @@ object Ann {
     val dsub = codebooks(0)(0).length
     val c = corpus.withColumn("__code", pqCodeExpr(col(vecCol), codebooks))
       .select(col(idCol), col("__code"))
-    val dts = array((0 until m).map { j =>
-      val qs = slice(col("qv"), j * dsub + 1, dsub)
-      array(codebooks(j).map { ctr =>
-        val ctrLit = array(ctr.map(lit).toIndexedSeq: _*)
-        dotExpr(qs, qs) + (dotExpr(qs, ctrLit) * lit(-2.0) +
-          lit(ctr.map(v => v * v).sum))
-      }.toIndexedSeq: _*)
-    }: _*)
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("__dt", dts)
+      .withColumn("__dt", pqDistTablesExpr(codebooks))
       .select("query_id", "__dt"))
-    // static GetArrayItem per j + one dynamic element_at per lookup —
-    // a fully codegen'd sum, no interpreted HOF lambdas in the pair loop
-    val adc = (0 until m).map(j =>
-      element_at(col("__dt").getItem(j), col("__code").getItem(j) + 1))
-      .reduce(_ + _)
     val scored = c.join(q, col(idCol) =!= col("query_id"))
-      .withColumn("cos", adc * lit(-1.0))
+      .withColumn("cos", adcSumExpr(m) * lit(-1.0))
+    topKPerQuery(scored, idCol, k)
+      .withColumn("adc_d", col("cos") * lit(-1.0)).drop("cos")
+  }
+
+  /** IVFPQ — the composed FAISS workhorse (Jégou PAMI'11 §V, minus
+    * residual encoding: codes quantize the RAW vectors, so the coarse
+    * cells only prune candidates; adding residuals would be a per-cell
+    * codebook offset on the same plan): queries probe their `nProbe`
+    * nearest cells and candidates score by the m-lookup ADC sum.
+    *
+    * At 100 TB the search scan reads (cell, code) — ~(4+m) bytes per
+    * row instead of the 4·dim-byte vector — candidate volume is
+    * |corpus|·nProbe/nList, and the probe join carries no vector math
+    * at all.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.length)
+    val c = corpus
+      .withColumn("__cell", cellExpr(col(vecCol), centroids))
+      .withColumn("__code", pqCodeExpr(col(vecCol), codebooks))
+      .select(col(idCol), col("__cell"), col("__code"))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__dt", pqDistTablesExpr(codebooks))
+      .withColumn("__cell", explode(probeCellsExpr(centroids, nProbe)))
+      .select("query_id", "__cell", "__dt"))
+    // each corpus row sits in exactly ONE cell → no duplicate pairs
+    val scored = c.join(q, Seq("__cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cos", adcSumExpr(codebooks.length) * lit(-1.0))
     topKPerQuery(scored, idCol, k)
       .withColumn("adc_d", col("cos") * lit(-1.0)).drop("cos")
   }
@@ -345,6 +364,51 @@ object Ann {
     * cells. Recall < 1 at cell boundaries (the IVF analog of the LSH
     * recall cliff); raise nProbe to trade cost for recall.
     */
+  /** The `nProbe` nearest cells of the vector in column `qv`, as an
+    * array — shared by the IVF and IVFPQ probe sides.
+    */
+  private def probeCellsExpr(centroids: Array[Array[Double]],
+      nProbe: Int): Column = {
+    val nList = centroids.length
+    val probeDists = centroids.map { ctr =>
+      val ctrLit = array(ctr.map(lit).toIndexedSeq: _*)
+      dotExpr(col("qv"), ctrLit) * lit(-2.0) + lit(ctr.map(v => v * v).sum)
+    }
+    val distArr = array(probeDists.toIndexedSeq: _*)
+    slice(
+      transform(
+        array_sort(zip_with(distArr,
+          sequence(lit(0), lit(nList - 1)).cast("array<double>"),
+          (d, i) => struct(d.as("d"), i.as("i")))),
+        s => s.getField("i").cast("int")),
+      1, nProbe)
+  }
+
+  /** The m·ksub ADC distance tables of the vector in column `qv`
+    * (`dt(j)(c) = ‖q_j − c‖²`), as a nested array — shared by the PQ
+    * and IVFPQ query sides.
+    */
+  private def pqDistTablesExpr(codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    array((0 until m).map { j =>
+      val qs = slice(col("qv"), j * dsub + 1, dsub)
+      array(codebooks(j).map { ctr =>
+        val ctrLit = array(ctr.map(lit).toIndexedSeq: _*)
+        dotExpr(qs, qs) + (dotExpr(qs, ctrLit) * lit(-2.0) +
+          lit(ctr.map(v => v * v).sum))
+      }.toIndexedSeq: _*)
+    }: _*)
+  }
+
+  /** Codegen'd ADC sum: Σ_j dt(j)(code_j) — static GetArrayItem per j
+    * plus one dynamic element_at per lookup, no interpreted lambdas.
+    */
+  private def adcSumExpr(m: Int): Column =
+    (0 until m).map(j =>
+      element_at(col("__dt").getItem(j), col("__code").getItem(j) + 1))
+      .reduce(_ + _)
+
   def ivfCosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroids: Array[Array[Double]],
       nProbe: Int = 2): DataFrame = {
@@ -352,19 +416,7 @@ object Ann {
     require(nProbe >= 1 && nProbe <= nList)
     val c = corpus.withColumn("__cell", cellExpr(col(vecCol), centroids))
       .withColumn("__nc", normExpr(col(vecCol)))
-    // per query: the nProbe nearest centroids, exploded to probe rows
-    val probeDists = centroids.map { ctr =>
-      val ctrLit = array(ctr.map(lit).toIndexedSeq: _*)
-      dotExpr(col("qv"), ctrLit) * lit(-2.0) + lit(ctr.map(v => v * v).sum)
-    }
-    val distArr = array(probeDists.toIndexedSeq: _*)
-    val sortedCells = slice(
-      transform(
-        array_sort(zip_with(distArr,
-          sequence(lit(0), lit(nList - 1)).cast("array<double>"),
-          (d, i) => struct(d.as("d"), i.as("i")))),
-        s => s.getField("i").cast("int")),
-      1, nProbe)
+    val sortedCells = probeCellsExpr(centroids, nProbe)
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("__nq", normExpr(col("qv")))

@@ -687,6 +687,20 @@ object LlmDataQueries extends QueryPack {
         .select(col("doc_id"), col("dl"), round(col("bm25"), 6).as("bm25"))
         .orderBy("doc_id")),
 
+    // IVFPQ — the composed FAISS workhorse: probe nProbe coarse cells,
+    // score candidates by the m-lookup ADC sum. Both learned stages are
+    // deterministic, so the composed gate is exact (trainedIvfPqOracle
+    // embeds centroids AND codebooks as literal VALUES).
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 3, trainedIvfCentroids(s, dir),
+        trainedPqCodebooks(s, dir), nProbe = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("adc_d"), 6).as("adc_d"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Product-quantization ANN (PAMI'11 §IV / FAISS IndexPQ): corpus
     // rows carry only their m-byte codes, queries their in-plan
     // distance tables; each pair score is m codegen'd lookups. The
@@ -1221,7 +1235,7 @@ object LlmDataQueries extends QueryPack {
          |SELECT cluster, id_a, id_b, round(cos, 6) AS cos
          |FROM c WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
     }
-  ) ++ trainedIvfOracle ++ trainedPqOracle
+  ) ++ trainedIvfOracle ++ trainedPqOracle ++ trainedIvfPqOracle
 
   /** EXACT oracle for q_ann_ivf (the live-trained quantizer): the
     * content-hash sample + seeded driver Lloyd make the centroids a
@@ -1254,6 +1268,88 @@ object LlmDataQueries extends QueryPack {
       case cbs :: Nil => Map("q_ann_pq" -> pqOracleSql(cbs, k = 3))
       case _ => Map.empty
     }
+  }
+
+  /** EXACT oracle for the composed IVFPQ search: both learned stages
+    * sit in their memos by generation time (q_ann_ivf and q_ann_pq run
+    * in the same Verify pass), so coarse centroids AND subspace
+    * codebooks embed as literal VALUES. Probe ranking and cell argmin
+    * mirror the IVF oracle; encode/table/ADC arithmetic mirrors the PQ
+    * oracle; the two meet in the `pairs ⋈ codes ⋈ qd` ADC sum.
+    */
+  private def trainedIvfPqOracle: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    (ivfMemo.values.asScala.toList, pqMemo.values.asScala.toList) match {
+      case (cents :: Nil, cbs :: Nil) =>
+        Map("q_ann_ivfpq" -> ivfPqOracleSql(cents, cbs, nProbe = 3, k = 3))
+      case _ => Map.empty
+    }
+  }
+
+  private def ivfPqOracleSql(cents: Array[Array[Double]],
+      cbs: Array[Array[Array[Double]]], nProbe: Int, k: Int): String = {
+    val dim = cents(0).length
+    val dsub = cbs(0)(0).length
+    val centRows = (for (cl <- cents.indices; i <- 0 until dim)
+      yield s"($cl,${i + 1},${cents(cl)(i)})").mkString(",")
+    val norms = cents.map(_.map(v => v * v).sum)
+    val normCase = "CASE cl " + norms.init.zipWithIndex
+      .map { case (n, cl) => s"WHEN $cl THEN $n" }.mkString(" ") +
+      s" ELSE ${norms.last} END"
+    val cbRows = (for (j <- cbs.indices; cc <- cbs(j).indices; i <- 0 until dsub)
+      yield s"($j,$cc,${i + 1},${cbs(j)(cc)(i)})").mkString(",")
+    val cbnRows = (for (j <- cbs.indices; cc <- cbs(j).indices)
+      yield s"($j,$cc,${cbs(j)(cc).map(v => v * v).sum})").mkString(",")
+    s"""WITH cent(cl, i, c) AS (SELECT * FROM (VALUES $centRows)),
+       |cb(j, cc, i, v) AS (SELECT * FROM (VALUES $cbRows)),
+       |cbn(j, cc, n) AS (SELECT * FROM (VALUES $cbnRows)),
+       |x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+       |        generate_subscripts(embedding, 1) AS gi FROM embeddings),
+       |cd AS (SELECT vec_id, cl, sum(e * c) * (-2.0) + $normCase AS d
+       |       FROM x JOIN cent ON cent.i = x.gi GROUP BY vec_id, cl),
+       |cells AS (SELECT vec_id, cl AS cell
+       |          FROM (SELECT vec_id, cl,
+       |                  row_number() OVER (PARTITION BY vec_id
+       |                    ORDER BY d, cl) AS rn
+       |                FROM cd) t WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cl AS cell
+       |           FROM (SELECT vec_id, cl,
+       |                   row_number() OVER (PARTITION BY vec_id
+       |                     ORDER BY d, cl) AS pr
+       |                 FROM cd WHERE vec_id < 10) t WHERE pr <= $nProbe),
+       |xs AS (SELECT vec_id, (gi - 1) // $dsub AS j,
+       |         ((gi - 1) % $dsub) + 1 AS i, e FROM x),
+       |cd0 AS (SELECT xs.vec_id, cb.j, cb.cc, sum(xs.e * cb.v) AS s
+       |        FROM xs JOIN cb ON cb.j = xs.j AND cb.i = xs.i
+       |        GROUP BY 1, 2, 3),
+       |pd AS (SELECT vec_id, cd0.j, cd0.cc, cd0.s * (-2.0) + cbn.n AS d
+       |       FROM cd0 JOIN cbn ON cbn.j = cd0.j AND cbn.cc = cd0.cc),
+       |codes AS (SELECT vec_id, j, cc
+       |          FROM (SELECT vec_id, j, cc,
+       |                  row_number() OVER (PARTITION BY vec_id, j
+       |                    ORDER BY d, cc) AS rn
+       |                FROM pd) t WHERE rn = 1),
+       |qq AS (SELECT vec_id, j, sum(e * e) AS qq FROM xs
+       |       WHERE vec_id < 10 GROUP BY 1, 2),
+       |qd AS (SELECT cd0.vec_id AS query_id, cd0.j, cd0.cc,
+       |         qq.qq + (cd0.s * (-2.0) + cbn.n) AS d
+       |       FROM cd0 JOIN cbn ON cbn.j = cd0.j AND cbn.cc = cd0.cc
+       |       JOIN qq ON qq.vec_id = cd0.vec_id AND qq.j = cd0.j
+       |       WHERE cd0.vec_id < 10),
+       |pairs AS (SELECT p.query_id, c.vec_id
+       |          FROM probes p JOIN cells c USING (cell)
+       |          WHERE c.vec_id != p.query_id),
+       |adc AS (SELECT pr.query_id, pr.vec_id, sum(qd.d) AS d
+       |        FROM pairs pr
+       |        JOIN codes co ON co.vec_id = pr.vec_id
+       |        JOIN qd ON qd.query_id = pr.query_id
+       |          AND qd.j = co.j AND qd.cc = co.cc
+       |        GROUP BY 1, 2),
+       |r AS (SELECT query_id, vec_id, d,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY d, vec_id) AS rank FROM adc)
+       |SELECT query_id, rank, vec_id AS neighbor_id, round(d, 6) AS adc_d
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   private def pqOracleSql(cbs: Array[Array[Array[Double]]], k: Int): String = {

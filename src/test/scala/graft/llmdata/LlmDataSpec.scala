@@ -295,6 +295,24 @@ class LlmDataSpec extends SparkSpec {
     }
   }
 
+  test("IVFPQ with nProbe=nList equals flat PQ; fewer probes stay a subset family") {
+    val cents = Ann.ivfIndex(emb, "embedding", nList = 8, dim = 64,
+      sampleSize = 2000, iters = 5, seed = 42)
+    val cbs = Ann.pqTrain(emb, "embedding", m = 8, ksub = 16, dim = 64,
+      sampleSize = 2000, iters = 5, seed = 42)
+    val queries = emb.filter(col("vec_id") < 10)
+    def res(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val full = res(Ann.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 3,
+      cents, cbs, nProbe = 8))
+    val flat = res(Ann.pqAdcTopK(emb, queries, "vec_id", "embedding", k = 3, cbs))
+    assert(full == flat, "probing every cell must reduce to flat PQ ADC")
+    // pruned probing returns k results per query drawn from probed cells
+    val pruned = Ann.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 3,
+      cents, cbs, nProbe = 2).collect()
+    assert(pruned.length == 30)
+  }
+
   test("skew cap uses aggregate+anti-join, not a Window over the hot bucket") {
     import spark.implicits._
     // 10k identical docs: one degenerate bucket holding the entire
