@@ -89,7 +89,7 @@ object Dedup {
     * set semantics computed map-side (array_distinct is a row-local
     * hash set bounded by document length), no shuffle.
     */
-  private[llmdata] def shingleSetExpr(textCol: String, n: Int): Column =
+  private[graft] def shingleSetExpr(textCol: String, n: Int): Column =
     array_distinct(shingleArrayExpr(textCol, n))
 
   /** Distinct word n-gram shingles per document: (id, shingle).

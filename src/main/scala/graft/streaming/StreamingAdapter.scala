@@ -148,6 +148,40 @@ object StreamingAdapter {
         graft.llmdata.TextStats.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("fingerprint"))
+
+  /** Streaming benchmark decontamination — the ingestion-time half of
+    * [[graft.llmdata.Dedup.decontaminate]]: drop arriving documents
+    * that share a word n-gram with the STATIC contamination set.
+    *
+    * Stream-static left_anti joins are unsupported (and an anti join on
+    * EXPLODED shingles would be wrong anyway — it removes matching
+    * shingle rows, not whole documents), so the static side is
+    * collected ONCE at plan-build time — bounded by construction: the
+    * contamination set is an eval suite, not a corpus — and checked
+    * per row with `arrays_overlap` over the document's distinct
+    * shingle set: a stateless, scan-fused, row-local hash-set probe.
+    * No watermark state, so it composes freely in front of the
+    * stateful dedup stages. Contamination sets beyond literal-plan
+    * scale (≫10⁵ shingles) belong to the batch operator's broadcast
+    * join instead.
+    *
+    * A document with NO shingles (shorter than n tokens) has nothing
+    * to match and passes through — same semantics as the batch path.
+    */
+  def streamingDecontaminate(stream: DataFrame, textCol: String,
+      contamination: DataFrame, contaminationTextCol: String,
+      n: Int = 5): DataFrame = {
+    val contam = contamination
+      .select(explode(graft.llmdata.Dedup.shingleSetExpr(contaminationTextCol, n))
+        .as("s"))
+      .distinct().collect().map(_.getString(0))
+    if (contam.isEmpty) stream
+    else {
+      val contamLit = array(contam.toIndexedSeq.map(lit): _*)
+      stream.filter(
+        !arrays_overlap(graft.llmdata.Dedup.shingleSetExpr(textCol, n), contamLit))
+    }
+  }
 }
 
 /** Mutable holder driving an [[OnlineEstimator]] from a stream via

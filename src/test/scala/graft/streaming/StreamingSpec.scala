@@ -149,4 +149,27 @@ class StreamingSpec extends SparkSpec {
         (ids.contains(1L) || ids.contains(2L)), s"got $ids")
     } finally q.stop()
   }
+
+  test("streamingDecontaminate drops n-gram-overlap docs on a live stream, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val contamination = Seq("alpha beta gamma").toDF("text")
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingAdapter.streamingDecontaminate(
+      input.toDF.toDF("doc_id", "text"), "text", contamination, "text", n = 3)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("decontam_test").start()
+    try {
+      input.addData(
+        (1L, "x alpha beta gamma y"), // contaminated mid-document
+        (2L, "clean words only here"),
+        (3L, "al be"))                // < n tokens: passes through
+      q.processAllAvailable()
+      input.addData((4L, "alpha beta gamma")) // exact eval text, later batch
+      q.processAllAvailable()
+      val ids = spark.table("decontam_test").select("doc_id")
+        .as[Long].collect().toSet
+      assert(ids == Set(2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
 }
