@@ -2,29 +2,24 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: print the formatted physical plan for the named queries
-  * (all queries if none given) — the `.explain("formatted")` audit loop
-  * the build process uses to keep scans pruned, filters pushed, and
-  * WholeStageCodegen spans wide.
-  *
-  * Usage: sbt "runMain graft.Explain <sfDir> q_a q_b ..."
+/** Plan-audit helper: `runMain graft.Explain <query>[,<query>…] [sfDir]`
+  * prints each query's formatted physical plan — the same surface the
+  * per-round plan audits and PlanRegressionSpec read.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.tail.toSeq
-      else SparkEntry.queries.keys.toSeq.sorted
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder()
       .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"\n========== $n ==========")
-      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
-      catch { case e: Throwable => println(s"failed: ${e.getMessage}") }
+    names.foreach { name =>
+      println(s"\n========== $name ==========")
+      SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
     spark.stop()
   }

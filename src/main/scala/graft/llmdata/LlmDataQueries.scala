@@ -19,6 +19,32 @@ object LlmDataQueries extends QueryPack {
   private val pipelineMixTargets: Map[String, Double] = Map(
     "en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1)
 
+  /** Shared BM25 term set and oracle CTE block (q_bm25, q_bm25_topk):
+    * `bm(doc_id, lang, dl, bm25)` with the score already rounded to 6.
+    */
+  private val bm25Terms = Seq("spark", "table", "join", "data")
+  private def bm25Ctes: String = {
+    val tfs = bm25Terms.indices.map(i =>
+      s"len(list_filter(t, x -> x = '${bm25Terms(i)}')) AS tf$i").mkString(", ")
+    val dfs = bm25Terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val score = bm25Terms.indices.map { i =>
+      s"""ln((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+         |    / (CAST(df$i AS DOUBLE) + 0.5) + 1.0)
+         |  * (CAST(tf$i AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         |  / (CAST(tf$i AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |     * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+         |        + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
+         |          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))""".stripMargin
+    }.mkString("\n + ")
+    s"""d AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |s AS (SELECT doc_id, lang, len(t) AS dl, $tfs FROM d),
+       |g AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl, $dfs
+       |      FROM s),
+       |bm AS (SELECT doc_id, lang, dl, round($score, 6) AS bm25
+       |       FROM s CROSS JOIN g)""".stripMargin
+  }
+
   /** Three fixed 64-d centroids (simple deterministic lattice) shared by
     * the q_ann_ivf_fixed query and its generated SQL oracle.
     */
@@ -682,10 +708,22 @@ object LlmDataQueries extends QueryPack {
     // TokenStats kernel), driver-baked idf literals, then a scan-fused
     // scoring projection. Zero shuffles end to end.
     "q_bm25" -> ((s, dir) =>
-      TextStats.withBm25(Tables.documents(s, dir), "text",
-        Seq("spark", "table", "join", "data"))
+      TextStats.withBm25(Tables.documents(s, dir), "text", bm25Terms)
         .select(col("doc_id"), col("dl"), round(col("bm25"), 6).as("bm25"))
         .orderBy("doc_id")),
+
+    // per-language top-3 retrieval: BM25 composed with the bounded
+    // heap aggregate (rank on the ROUNDED score so both engines order
+    // identically; ≤ k·nPartitions rows per language shuffle).
+    "q_bm25_topk" -> ((s, dir) =>
+      TextStats.withBm25(Tables.documents(s, dir), "text", bm25Terms)
+        .groupBy(col("lang"))
+        .agg(graft.functions.TopKByScore(round(col("bm25"), 6),
+          col("doc_id"), 3).as("nn"))
+        .select(col("lang"), posexplode(col("nn")).as(Seq("pos", "sc")))
+        .select(col("lang"), (col("pos") + 1).as("rank"),
+          col("sc.id").as("doc_id"), col("sc.score").as("bm25"))
+        .orderBy("lang", "rank")),
 
     // IVFPQ — the composed FAISS workhorse: probe nProbe coarse cells,
     // score candidates by the m-lookup ADC sum. Both learned stages are
@@ -845,29 +883,21 @@ object LlmDataQueries extends QueryPack {
     // on the score absorbs any last-ulp libm difference from the
     // driver-baked literals), same scoring arithmetic term for term
     // with explicit DOUBLE casts.
-    "q_bm25" -> {
-      val terms = Seq("spark", "table", "join", "data")
-      val tfs = terms.indices.map(i =>
-        s"len(list_filter(t, x -> x = '${terms(i)}')) AS tf$i").mkString(", ")
-      val dfs = terms.indices.map(i =>
-        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
-      val score = terms.indices.map { i =>
-        s"""ln((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
-           |    / (CAST(df$i AS DOUBLE) + 0.5) + 1.0)
-           |  * (CAST(tf$i AS DOUBLE) * CAST(2.2 AS DOUBLE))
-           |  / (CAST(tf$i AS DOUBLE) + CAST(1.2 AS DOUBLE)
-           |     * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
-           |        + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)
-           |          / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))""".stripMargin
-      }.mkString("\n + ")
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |s AS (SELECT doc_id, len(t) AS dl, $tfs FROM d),
-         |g AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl, $dfs
-         |      FROM s)
-         |SELECT doc_id, CAST(dl AS INT) AS dl,
-         | round($score, 6) AS bm25
-         |FROM s CROSS JOIN g ORDER BY doc_id""".stripMargin
-    },
+    "q_bm25" ->
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, CAST(dl AS INT) AS dl, bm25
+         |FROM bm ORDER BY doc_id""".stripMargin,
+
+    // per-language retrieval: ranking happens on the ROUNDED score both
+    // sides, so last-ulp idf differences cannot reorder ties (id asc
+    // breaks them, matching TopKByScore).
+    "q_bm25_topk" ->
+      s"""WITH $bm25Ctes,
+         |r AS (SELECT lang, doc_id, bm25,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY bm25 DESC, doc_id) AS rank FROM bm)
+         |SELECT lang, CAST(rank AS INT) AS rank, doc_id, bm25
+         |FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
 
     // ground-truth repetition signals: explode word n-grams / "lines"
     // per document, count in SQL, mirror the max/sum/cap formulas.
