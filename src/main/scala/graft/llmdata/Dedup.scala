@@ -493,6 +493,81 @@ object Dedup {
     res
   }
 
+  /** Exact containment (asymmetric-overlap) self-join: DIRECTED pairs
+    * (id_a, id_b), a ≠ b, with `C(a→b) = |S_a ∩ S_b| / |S_a| ≥ t` —
+    * "a's n-grams are mostly inside b". Catches boilerplate, quotes
+    * and partial copies that symmetric Jaccard structurally misses
+    * (J(a,b) ≤ |S_a|/|S_b|, so a small doc inside a large one can
+    * never reach a high Jaccard threshold).
+    *
+    * Prefix lemma, containment form (SSJoin — Chaudhuri et al.
+    * ICDE'06): the required overlap o = ⌈t·|a|⌉ depends only on the
+    * CONTAINED side, so if none of a's first |a| − o + 1 shingles
+    * under the global df order were shared with b, at most o − 1
+    * shared elements remain — a's prefix must hit every qualifying b.
+    * The containing side gets NO prefix bound from t (its overlap
+    * elements may sit anywhere in its order), so b joins with its
+    * FULL ordered set; only the weak size filter |b| ≥ t·|a| − ε
+    * applies. ε-hygiene as in [[jaccardNearDupPairs]] (ceil with a
+    * 1e-9 slack never under-sizes the prefix).
+    *
+    * Cost shape at 100 TB: prefix(a)-stream ⋈ full(b)-stream on the
+    * shingle key — inherently heavier than the symmetric join's
+    * prefix⋈prefix (the unprefixed side is the price of asymmetry);
+    * bound it in production with a df band (drop shingles above a df
+    * ceiling before the join — stopword-like shingles generate
+    * candidates that verification would reject anyway) or reach for
+    * minhash first. Verification is pairwise `array_intersect` on the
+    * candidates, never a shingle fan-out.
+    *
+    * The returned frame is persisted (already materialized); the
+    * CALLER owns the cache and should `.unpersist()` it when done.
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val sh = shingles(df, textCol, idCol, shingleN)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val packed = sh.join(dfreq, "shingle")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ordered"))
+      .withColumn("sz", size(col("ordered")))
+    val aPref = packed
+      .select(col(idCol).as("id_a"), col("sz").as("sz_a"),
+        explode(slice(col("ordered"), lit(1),
+          (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int")))
+          .as("p"))
+      .select(col("id_a"), col("sz_a"), col("p.shingle").as("shingle"))
+    val bFull = packed
+      .select(col(idCol).as("id_b"), col("sz").as("sz_b"),
+        explode(col("ordered")).as("q"))
+      .select(col("id_b"), col("sz_b"), col("q.shingle").as("shingle"))
+    val cands = aPref.join(bFull, Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("sz_b") >= col("sz_a") * threshold - 1e-9)
+      .select("id_a", "id_b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands.count()
+    val ids = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    val candDocs = df.join(broadcast(ids), Seq(idCol), "left_semi")
+      .select(col(idCol), shingleSetExpr(textCol, shingleN).as("__shs"))
+    val res = cands
+      .join(candDocs.select(col(idCol).as("id_a"), col("__shs").as("__sh_a")),
+        Seq("id_a"))
+      .join(candDocs.select(col(idCol).as("id_b"), col("__shs").as("__sh_b")),
+        Seq("id_b"))
+      .withColumn("c", size(array_intersect(col("__sh_a"), col("__sh_b"))))
+      .withColumn("containment",
+        col("c").cast("double") / size(col("__sh_a")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count() // materialize, then free the candidate cache
+    cands.unpersist(blocking = false)
+    res
+  }
+
   /** Full MinHash-LSH near-duplicate pipeline: candidate generation via
     * banding, then exact-Jaccard verification, keeping pairs ≥ threshold.
     *

@@ -124,6 +124,24 @@ object LlmDataQueries extends QueryPack {
     rows.toSeq.toDF("id_a", "id_b", "jaccard")
   }
 
+  /** q_dedup_containment's exact directed pairs, collected-and-released
+    * per dir (the [[exactJaccardPairs]] pattern).
+    */
+  private val containmentPairsMemo = graft.core.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long, Double)]]())
+  private def exactContainmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val rows = containmentPairsMemo.computeIfAbsent(dir, d => {
+      val p = Dedup.containmentPairs(Tables.documents(s, d), "text", "doc_id",
+        threshold = 0.8, shingleN = 3)
+      val out = p.select("id_a", "id_b", "containment").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      p.unpersist(blocking = false)
+      out
+    })
+    import s.implicits._
+    rows.toSeq.toDF("id_a", "id_b", "containment")
+  }
+
   /** Same collect-and-unpersist hygiene for the PRODUCTION-family
     * minhash pipeline (k=64/rowsPerBand=4, cheap mixes) — the builders
     * hand the caller a persisted frame; without this, every Verify/Bench
@@ -529,6 +547,15 @@ object LlmDataQueries extends QueryPack {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // Exact DIRECTED containment pairs (a's shingles ≥80% inside b) —
+    // the asymmetric-overlap join symmetric Jaccard structurally
+    // misses; gated against a ground-truth all-directed-pairs oracle.
+    "q_dedup_containment" -> ((s, dir) =>
+      exactContainmentPairs(s, dir)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("id_a", "id_b")),
+
     // Single-link clusters over the (memoized) oracle-family minhash
     // pairs: min-label propagation to fixpoint on the pair graph. The
     // oracle walks the same graph with a recursive CTE, so every
@@ -898,6 +925,25 @@ object LlmDataQueries extends QueryPack {
          |          ORDER BY bm25 DESC, doc_id) AS rank FROM bm)
          |SELECT lang, CAST(rank AS INT) AS rank, doc_id, bm25
          |FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+
+    // ground-truth containment: ALL directed shared-shingle pairs with
+    // |a∩b|/|a| computed from first principles — certifies the
+    // a-prefix ⋈ b-full candidate generation has no false negatives
+    // on real data.
+    "q_dedup_containment" ->
+      """WITH dd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))))
+        |        AS s FROM dd),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cnt
+        |          FROM g a JOIN g b ON a.s = b.s AND a.doc_id != b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        | round(CAST(cnt AS DOUBLE) / CAST(sa.sz AS DOUBLE), 6) AS containment
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |WHERE CAST(cnt AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= CAST(0.8 AS DOUBLE)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // ground-truth repetition signals: explode word n-grams / "lines"
     // per document, count in SQL, mirror the max/sum/cap formulas.

@@ -469,6 +469,24 @@ class LlmDataSpec extends SparkSpec {
     assert(all == 4)
   }
 
+  test("containmentPairs finds the directed small-inside-large pair Jaccard misses") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta" // 4 distinct 3-grams
+    val large = small + " one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen" // 18 distinct 3-grams, superset
+    val docs = Seq((1L, small), (2L, large),
+      (3L, "totally unrelated words in this document here")).toDF("doc_id", "text")
+    val p = Dedup.containmentPairs(docs, "text", "doc_id", threshold = 0.8)
+    val got = p.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    p.unpersist(blocking = false)
+    assert(got.toSeq == Seq((1L, 2L, 1.0)),
+      s"expected only the directed (1→2) pair at 1.0, got ${got.toSeq}")
+    // the symmetric join rejects the same pair: J = 4/18 < 0.8
+    val j = Dedup.jaccardNearDupPairs(docs, "text", "doc_id", threshold = 0.8)
+    assert(j.count() == 0)
+    j.unpersist(blocking = false)
+  }
+
   test("transitive drop keeps ONE representative per component; pairwise keeps more") {
     import spark.implicits._
     // pairs (1,3),(2,3): pairwise drop removes only id_b=3 (keeps 1 AND
