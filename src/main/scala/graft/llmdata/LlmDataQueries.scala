@@ -739,6 +739,54 @@ object LlmDataQueries extends QueryPack {
         .select(col("doc_id"), col("dl"), round(col("bm25"), 6).as("bm25"))
         .orderBy("doc_id")),
 
+    // Count-min sketch (Cormode–Muthukrishnan; Spark's built-in
+    // count_min_sketch aggregate): the sketch itself is
+    // engine-specific binary, so the gate checks its GUARANTEES — for
+    // the 5 heaviest tokens, estimate ≥ true count (always) and
+    // ≤ true + ε·N (w.p. 1−δ; deterministic here given the seed) —
+    // against TRUE literals, the q_vocab_size pattern. Alongside
+    // FreqItems (Misra–Gries) and HLL++, this completes the mergeable-
+    // sketch triple a 100 TB profiling pass needs.
+    "q_heavy_tokens_cms" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextStats.tokens(col("text"))).as("token"))
+      val row = toks.agg(
+        count_min_sketch(col("token"), lit(0.001), lit(0.99), lit(42)).as("cms"),
+        count(lit(1)).as("n")).head()
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+      val n = row.getLong(1)
+      val top = toks.groupBy("token").count()
+        .orderBy(col("count").desc, col("token")).limit(5).collect()
+      top.map { r =>
+        val est = cms.estimateCount(r.getString(0))
+        (r.getString(0), r.getLong(1),
+          est >= r.getLong(1), est <= r.getLong(1) + (0.001 * n).toLong)
+      }.toSeq.toDF("token", "true_count", "cms_lower_bound_ok", "cms_eps_bound_ok")
+        .orderBy("token")
+    }),
+
+    // Corpus report: doc/token/quality profile per source × lang with
+    // CUBE subtotals — the profiling query a data curator runs before
+    // choosing mixture weights. One aggregation pass; quality is the
+    // scan-fused composite.
+    "q_corpus_report" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          TextStats.tokenCount(t).as("n_tokens"),
+          TextStats.qualityScore(t).as("q"))
+        .cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          round(avg(col("q")), 6).as("mean_quality"))
+        .select(coalesce(col("source"), lit("(all)")).as("source"),
+          coalesce(col("lang"), lit("(all)")).as("lang"),
+          col("n_docs"), col("total_tokens"), col("mean_quality"))
+        .orderBy("source", "lang")
+    }),
+
     // per-language top-3 retrieval: BM25 composed with the bounded
     // heap aggregate (rank on the ROUNDED score so both engines order
     // identically; ≤ k·nPartitions rows per language shuffle).
@@ -925,6 +973,36 @@ object LlmDataQueries extends QueryPack {
          |          ORDER BY bm25 DESC, doc_id) AS rank FROM bm)
          |SELECT lang, CAST(rank AS INT) AS rank, doc_id, bm25
          |FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+
+    // CMS invariant mirror: exact top-5 token counts + TRUE guarantee
+    // literals.
+    "q_heavy_tokens_cms" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |top AS (SELECT token, count(*) AS true_count FROM tok
+        |        GROUP BY 1 ORDER BY true_count DESC, token LIMIT 5)
+        |SELECT token, true_count, TRUE AS cms_lower_bound_ok,
+        |       TRUE AS cms_eps_bound_ok
+        |FROM top ORDER BY token""".stripMargin,
+
+    // corpus report mirror: CUBE with the same quality composite.
+    "q_corpus_report" ->
+      """WITH d AS (SELECT source, lang, string_split(text, ' ') AS t
+        |           FROM documents),
+        |s AS (SELECT source, lang, len(t) AS n_tokens,
+        |  ((CASE WHEN len(t) BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END
+        |    + least(len(list_distinct(t)) * 1.0 / len(t) * 2.0, 1.0))
+        |   + CASE WHEN len(list_filter(t,
+        |       x -> x IN ('the','a','of','and','to','in'))) * 1.0
+        |         / len(t) > 0 THEN 1.0 ELSE 0.0 END) / 3.0 AS q
+        | FROM d)
+        |SELECT coalesce(source, '(all)') AS source,
+        |       coalesce(lang, '(all)') AS lang,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       round(avg(q), 6) AS mean_quality
+        |FROM s GROUP BY CUBE (source, lang)
+        |ORDER BY source, lang""".stripMargin,
 
     // ground-truth containment: ALL directed shared-shingle pairs with
     // |a∩b|/|a| computed from first principles — certifies the
