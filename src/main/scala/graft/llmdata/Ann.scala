@@ -316,6 +316,36 @@ object Ann {
       .withColumn("adc_d", col("cos") * lit(-1.0)).drop("cos")
   }
 
+  /** PQ search with exact re-ranking (the standard recall-recovery
+    * step — PAMI'11 §VII evaluates exactly this IVFADC+R shape): ADC
+    * retrieves `rerank` coarse candidates per query (cheap m-lookup
+    * scoring), then ONLY those candidates are re-scored with true
+    * cosine against the broadcast query vectors and the top `k` kept.
+    * At 100 TB the corpus-wide scan still reads only codes; the exact
+    * math touches `rerank·|Q|` rows — a driver-bounded semi-join back
+    * into the vector table.
+    */
+  def pqAdcTopKReranked(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, codebooks: Array[Array[Array[Double]]],
+      rerank: Int = 20): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val coarse = pqAdcTopK(corpus, queries, idCol, vecCol, rerank, codebooks)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__nq", normExpr(col("qv"))))
+    val cand = corpus
+      .join(broadcast(coarse.select(col("neighbor_id").as(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+      .withColumn("__nc", normExpr(col(vecCol)))
+    val scored = coarse
+      .join(cand, col(idCol) === col("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cos",
+        dotExpr(col("qv"), col(vecCol)) / (col("__nq") * col("__nc")))
+    topKPerQuery(scored, idCol, k)
+  }
+
   /** IVFPQ — the composed FAISS workhorse (Jégou PAMI'11 §V, minus
     * residual encoding: codes quantize the RAW vectors, so the coarse
     * cells only prune candidates; adding residuals would be a per-cell

@@ -100,6 +100,23 @@ object Dedup {
   def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
     df.select(col(idCol), explode(shingleSetExpr(textCol, n)).as("shingle"))
 
+  /** Incremental-ingest exact dedup: drop arriving documents whose
+    * normalized fingerprint already exists in the known-corpus
+    * fingerprint table. One anti-join on the 32-hex fingerprint — at
+    * 100 TB the known side is a fingerprint-ONLY table (16 bytes per
+    * document, a tiny fraction of the corpus), and bucketing both
+    * sides by fingerprint makes the recurring ingest join
+    * exchange-free. The batch keeps its computed `fingerprint` column
+    * so the caller can append the survivors' fingerprints to the known
+    * table — the loop that keeps ingestion incremental.
+    */
+  def dropKnownFingerprints(batch: DataFrame, textCol: String,
+      knownFps: DataFrame, fpCol: String = "fingerprint"): DataFrame =
+    batch
+      .withColumn("fingerprint", TextStats.fingerprint(col(textCol)))
+      .join(knownFps.select(col(fpCol).as("fingerprint")),
+        Seq("fingerprint"), "left_anti")
+
   /** Benchmark decontamination — the word-n-gram-overlap rule public
     * LLM pipelines apply before training (GPT-3 used a 13-gram filter,
     * Brown et al. 2020 §C; Gopher's train–test overlap appendix uses
@@ -523,12 +540,26 @@ object Dedup {
     * The returned frame is persisted (already materialized); the
     * CALLER owns the cache and should `.unpersist()` it when done.
     */
+  /** @param maxDf shingles appearing in more than `maxDf` documents are
+    *   dropped from the CANDIDATE JOIN ONLY (both streams) — the
+    *   production df band bounding the unprefixed containing side;
+    *   verification still runs on the FULL sets, so the containment
+    *   values are unchanged. EXPLICIT recall tradeoff: a qualifying
+    *   pair is lost only if every shared shingle in a's prefix is
+    *   above the band. Default uncapped (the exact API).
+    */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+      threshold: Double = 0.8, shingleN: Int = 3,
+      maxDf: Long = Long.MaxValue): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val sh = shingles(df, textCol, idCol, shingleN)
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val packed = sh.join(dfreq, "shingle")
+    val banded =
+      if (maxDf == Long.MaxValue) sh.join(dfreq, "shingle")
+      else sh.join(dfreq.filter(col("df") <= maxDf), "shingle")
+    // NOTE with a band, `sz` counts the banded vocabulary for
+    // prefix-length purposes only; verification sizes use the full set
+    val packed = banded
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ordered"))
       .withColumn("sz", size(col("ordered")))

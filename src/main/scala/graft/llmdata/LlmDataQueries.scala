@@ -547,6 +547,20 @@ object LlmDataQueries extends QueryPack {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // Incremental-ingest dedup: the known corpus is doc_id < 250 PLUS
+    // docs 300-319 (a re-ingestion overlap — every fingerprint is
+    // unique in this corpus, so the overlap makes the anti-join
+    // genuinely fire: 20 arrivals are already known and drop).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val known = docs
+        .filter(col("doc_id") < 250 ||
+          (col("doc_id") >= 300 && col("doc_id") < 320))
+        .select(TextStats.fingerprint(col("text")).as("fingerprint"))
+      Dedup.dropKnownFingerprints(docs.filter(col("doc_id") >= 250), "text", known)
+        .select(col("doc_id"), col("fingerprint")).orderBy("doc_id")
+    }),
+
     // Exact DIRECTED containment pairs (a's shingles ≥80% inside b) —
     // the asymmetric-overlap join symmetric Jaccard structurally
     // misses; gated against a ground-truth all-directed-pairs oracle.
@@ -814,6 +828,20 @@ object LlmDataQueries extends QueryPack {
         .orderBy("query_id", "rank")
     }),
 
+    // PQ + exact re-rank (IVFADC+R shape, PAMI'11 §VII): ADC retrieves
+    // 20 coarse candidates, true cosine re-scores ONLY those — the
+    // recall-recovery step a production PQ deployment runs. Exact gate
+    // via the widened ADC oracle chain + the IVF oracle's cosine
+    // fragment.
+    "q_ann_pq_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.pqAdcTopKReranked(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 3, trainedPqCodebooks(s, dir), rerank = 20)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Product-quantization ANN (PAMI'11 §IV / FAISS IndexPQ): corpus
     // rows carry only their m-byte codes, queries their in-plan
     // distance tables; each pair score is m codegen'd lookups. The
@@ -1003,6 +1031,18 @@ object LlmDataQueries extends QueryPack {
         |       round(avg(q), 6) AS mean_quality
         |FROM s GROUP BY CUBE (source, lang)
         |ORDER BY source, lang""".stripMargin,
+
+    // incremental-dedup mirror: same normalization, NOT IN on the
+    // known half's fingerprints.
+    "q_dedup_incremental" ->
+      """WITH f AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[[:punct:]]', '', 'g'), '\s+', ' ', 'g')))
+        |    AS fingerprint FROM documents)
+        |SELECT doc_id, fingerprint FROM f
+        |WHERE doc_id >= 250
+        |  AND fingerprint NOT IN (SELECT fingerprint FROM f
+        |       WHERE doc_id < 250 OR (doc_id >= 300 AND doc_id < 320))
+        |ORDER BY doc_id""".stripMargin,
 
     // ground-truth containment: ALL directed shared-shingle pairs with
     // |a∩b|/|a| computed from first principles — certifies the
@@ -1419,7 +1459,9 @@ object LlmDataQueries extends QueryPack {
   private def trainedPqOracle: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     pqMemo.values.asScala.toList match {
-      case cbs :: Nil => Map("q_ann_pq" -> pqOracleSql(cbs, k = 3))
+      case cbs :: Nil => Map(
+        "q_ann_pq" -> pqOracleSql(cbs, k = 3),
+        "q_ann_pq_rerank" -> pqRerankOracleSql(cbs, rerank = 20, k = 3))
       case _ => Map.empty
     }
   }
@@ -1504,6 +1546,34 @@ object LlmDataQueries extends QueryPack {
        |          ORDER BY d, vec_id) AS rank FROM adc)
        |SELECT query_id, rank, vec_id AS neighbor_id, round(d, 6) AS adc_d
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Re-ranked PQ oracle: the flat ADC chain widened to `rerank`
+    * candidates per query, then exact cosine re-ranking to `k` (the
+    * xx/cos fragment of the IVF oracle).
+    */
+  private def pqRerankOracleSql(cbs: Array[Array[Array[Double]]],
+      rerank: Int, k: Int): String = {
+    val base = pqOracleSql(cbs, k = rerank)
+    // swap the final ADC-ranked SELECT for a coarse-list CTE + exact
+    // cosine re-rank: everything up to and including CTE `r` is reused
+    val upToR = base.substring(0, base.indexOf("SELECT query_id, rank")).trim
+    s"""$upToR,
+       |coarse AS (SELECT query_id, vec_id FROM r WHERE rank <= $rerank),
+       |xx AS (SELECT c.query_id, c.vec_id,
+       |         unnest(qe.embedding)::DOUBLE AS a,
+       |         unnest(ce.embedding)::DOUBLE AS b
+       |       FROM coarse c
+       |       JOIN embeddings qe ON qe.vec_id = c.query_id
+       |       JOIN embeddings ce ON ce.vec_id = c.vec_id),
+       |cos AS (SELECT query_id, vec_id,
+       |          sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) AS cos
+       |        FROM xx GROUP BY 1, 2),
+       |rr AS (SELECT query_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, vec_id) AS rank FROM cos)
+       |SELECT query_id, rank, vec_id AS neighbor_id, round(cos, 6) AS cos
+       |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   private def pqOracleSql(cbs: Array[Array[Array[Double]]], k: Int): String = {

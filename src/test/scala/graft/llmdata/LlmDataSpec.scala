@@ -313,6 +313,25 @@ class LlmDataSpec extends SparkSpec {
     assert(pruned.length == 30)
   }
 
+  test("PQ re-rank: recall at least that of plain ADC ordering") {
+    val cbs = Ann.pqTrain(emb, "embedding", m = 8, ksub = 16, dim = 64,
+      sampleSize = 2000, iters = 5, seed = 42)
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Ann.cosineTopK(emb, queries, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val pq = Ann.pqAdcTopK(emb, queries, "vec_id", "embedding", k = 1, cbs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rr = Ann.pqAdcTopKReranked(emb, queries, "vec_id", "embedding", k = 1,
+      cbs, rerank = 20).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val pqHits = brute.count { case (q, n) => pq.get(q).contains(n) }
+    val rrHits = brute.count { case (q, n) => rr.get(q).contains(n) }
+    // if ADC already ranks the true NN first it is certainly in the
+    // coarse-20 list, and exact re-scoring puts it back on top — so
+    // re-ranking can only gain
+    assert(rrHits >= pqHits, s"re-rank lost recall: $rrHits < $pqHits")
+    assert(rrHits > 0, "re-ranked search found no true neighbors at all")
+  }
+
   test("skew cap uses aggregate+anti-join, not a Window over the hot bucket") {
     import spark.implicits._
     // 10k identical docs: one degenerate bucket holding the entire
@@ -485,6 +504,12 @@ class LlmDataSpec extends SparkSpec {
     val j = Dedup.jaccardNearDupPairs(docs, "text", "doc_id", threshold = 0.8)
     assert(j.count() == 0)
     j.unpersist(blocking = false)
+    // a df band ABOVE every document frequency changes nothing
+    val banded = Dedup.containmentPairs(docs, "text", "doc_id",
+      threshold = 0.8, maxDf = 1000L)
+    val gotB = banded.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    banded.unpersist(blocking = false)
+    assert(gotB.toSeq == got.toSeq)
   }
 
   test("transitive drop keeps ONE representative per component; pairwise keeps more") {
