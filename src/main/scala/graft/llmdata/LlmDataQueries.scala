@@ -781,6 +781,15 @@ object LlmDataQueries extends QueryPack {
         .orderBy("token")
     }),
 
+    // Cross-document sequence packing: greedy running-token-sum bins
+    // per source shard (512-token budget) — the window is per-shard,
+    // never a global orderBy.
+    "q_sequence_packing" -> ((s, dir) =>
+      TextStats.packSequences(Tables.documents(s, dir), "text", "doc_id",
+        "source", budget = 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))
+        .orderBy("doc_id")),
+
     // Corpus report: doc/token/quality profile per source × lang with
     // CUBE subtotals — the profiling query a data curator runs before
     // choosing mixture weights. One aggregation pass; quality is the
@@ -1012,6 +1021,19 @@ object LlmDataQueries extends QueryPack {
         |SELECT token, true_count, TRUE AS cms_lower_bound_ok,
         |       TRUE AS cms_eps_bound_ok
         |FROM top ORDER BY token""".stripMargin,
+
+    // packing mirror: same per-shard running sum and floor arithmetic.
+    "q_sequence_packing" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+        | CAST(floor(CAST(cum - n_tokens AS DOUBLE) / CAST(512 AS DOUBLE))
+        |   AS INT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // corpus report mirror: CUBE with the same quality composite.
     "q_corpus_report" ->

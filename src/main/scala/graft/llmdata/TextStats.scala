@@ -258,6 +258,38 @@ object TextStats {
           .as("chunk_hash"))
   }
 
+  /** Cross-document sequence packing: assign each document to a pack
+    * (training sequence) of at most `budget` tokens, greedily in
+    * (shard, id) order — the step that turns a deduped corpus into
+    * fixed-size pretraining sequences. A document longer than the
+    * budget gets its own pack (split it first with [[chunkDocuments]]).
+    *
+    * Greedy first-fit over a running token total needs a sequential
+    * scan, so the window runs PER SHARD (`shardCol` — source, file,
+    * date…): each shard's packing is independent, the window state is
+    * one running sum, and no shard's document stream rides a single
+    * task at corpus scale the way a global `Window.orderBy` would.
+    * Deterministic: (shard, id) is a total order.
+    *
+    * pack_id = floor((cumsum − len) / budget) — the standard
+    * contiguous approximation of first-fit (a pack may under-fill when
+    * a long document straddles a boundary; exact bin packing is
+    * NP-hard and the approximation never OVERFILLS more than the
+    * straddling document's spill, matching public packing recipes).
+    * Output adds (n_tokens, pack_id) with pack ids local to the shard.
+    */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+      shardCol: String, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+    df.withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("__cum") - col("n_tokens")) / lit(budget)).cast("int"))
+      .drop("__cum")
+  }
+
   /** Convenience: attach the full stat block to a DataFrame. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

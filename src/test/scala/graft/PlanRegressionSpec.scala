@@ -31,7 +31,9 @@ class PlanRegressionSpec extends SparkSpec {
     */
   private val windowWhitelist: Set[String] = Set(
     "q_window_running_sum",  // running sum per key — the operator itself
-    "q_window_latest_order"  // latest-row-per-key ranking — the operator itself
+    "q_window_latest_order", // latest-row-per-key ranking — the operator itself
+    "q_sequence_packing"     // per-SHARD running token sum — the packing
+                             // operator's semantics; never a global orderBy
   )
 
   /** Queries allowed to contain ScalaUDFs, each with the reason.

@@ -313,6 +313,72 @@ class LlmDataSpec extends SparkSpec {
     assert(pruned.length == 30)
   }
 
+  test("containmentPairs equals brute force on randomized small corpora") {
+    import spark.implicits._
+    // seeded random docs over a tiny vocab → dense shingle overlap;
+    // compare the prefix-join result against first-principles pairs
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee")
+    (0 until 3).foreach { trial =>
+      val docs = (0L until 30L).map { i =>
+        val len = 3 + rnd.nextInt(12)
+        (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val t = 0.6
+      def shset(s: String): Set[String] =
+        s.split(" ", -1).sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      val want = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia != ib
+        sa = shset(ta); sb = shset(tb)
+        if sa.nonEmpty
+        c = (sa & sb).size.toDouble / sa.size
+        if c >= t
+      } yield (ia, ib, c)).toSet
+      val got = {
+        val p = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+          "text", "doc_id", threshold = t)
+        val out = p.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        p.unpersist(blocking = false)
+        out
+      }
+      assert(got == want,
+        s"trial $trial: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
+  test("jaccardNearDupPairs equals brute force on randomized small corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee")
+    (0 until 3).foreach { trial =>
+      val docs = (0L until 30L).map { i =>
+        val len = 3 + rnd.nextInt(12)
+        (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val t = 0.5
+      def shset(s: String): Set[String] =
+        s.split(" ", -1).sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      val want = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        sa = shset(ta); sb = shset(tb)
+        if sa.nonEmpty || sb.nonEmpty
+        j = (sa & sb).size.toDouble / (sa | sb).size
+        if j >= t
+      } yield (ia, ib, j)).toSet
+      val got = {
+        val p = Dedup.jaccardNearDupPairs(docs.toDF("doc_id", "text"),
+          "text", "doc_id", threshold = t)
+        val out = p.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        p.unpersist(blocking = false)
+        out
+      }
+      assert(got == want,
+        s"trial $trial: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
   test("PQ re-rank: recall at least that of plain ADC ordering") {
     val cbs = Ann.pqTrain(emb, "embedding", m = 8, ksub = 16, dim = 64,
       sampleSize = 2000, iters = 5, seed = 42)
