@@ -695,25 +695,37 @@ object LlmDataQueries extends QueryPack {
     "q_llm_pipeline_v2" -> ((s, dir) => {
       val t = col("text")
       val scored = Tables.documents(s, dir).select(
-        col("doc_id"), t,
+        col("doc_id"), t, col("source"),
         TextStats.qualityScore(t).as("quality"),
         TextStats.languageId(t).as("lang"),
         TextStats.fingerprint(t).as("fp"),
         TextStats.dupNgramCharFrac(t, 2).as("dup2"),
+        TextStats.tokenCount(t).as("n_tokens"),
         length(t).as("n_chars"))
         .filter(col("quality") >= 0.5 && col("dup2") <= 0.15)
       val eval_ = Tables.documents(s, dir).filter(col("doc_id") < 3)
       val clean = Dedup.decontaminate(scored, "text", "doc_id", eval_, "text", n = 3)
       val deduped = clean.groupBy(col("fp"))
-        .agg(min_by(struct(col("doc_id"), col("lang"), col("quality"),
-          col("n_chars")), col("doc_id")).as("r"))
-        .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
-          col("r.quality").as("quality"), col("r.n_chars").as("n_chars"))
+        .agg(min_by(struct(col("doc_id"), col("source"), col("lang"),
+          col("quality"), col("n_tokens"), col("n_chars")), col("doc_id")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+          col("r.lang").as("lang"), col("r.quality").as("quality"),
+          col("r.n_tokens").as("n_tokens"), col("r.n_chars").as("n_chars"))
       val rates = Splits.mixtureRates(deduped, "lang", "n_chars",
         pipelineMixTargets, unitBudget = 30000)
-      Splits.mixtureSample(deduped, "doc_id", "lang", rates, salt = "mix2")
-        .select(col("doc_id"), col("lang"),
-          round(col("quality"), 6).as("quality"), col("n_chars"))
+      val sampled = Splits.mixtureSample(deduped, "doc_id", "lang", rates,
+        salt = "mix2")
+      // final stage: greedy per-shard packing of the SAMPLED docs into
+      // 512-token training sequences (the q_sequence_packing window)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      sampled
+        .withColumn("__cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id",
+          floor((col("__cum") - col("n_tokens")) / lit(512)).cast("int"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          round(col("quality"), 6).as("quality"), col("n_tokens"),
+          col("pack_id"))
         .orderBy("doc_id")
     }),
 
@@ -904,9 +916,9 @@ object LlmDataQueries extends QueryPack {
     // (they feed unrounded comparisons); the quality expression is the
     // proven v1 fragment verbatim.
     "q_llm_pipeline_v2" ->
-      """WITH d0 AS (SELECT doc_id, text, string_split(text, ' ') AS t,
+      """WITH d0 AS (SELECT doc_id, source, text, string_split(text, ' ') AS t,
         |              len(text) AS nc FROM documents),
-        |sc AS (SELECT doc_id, text, t, nc,
+        |sc AS (SELECT doc_id, source, text, t, nc,
         |  len(list_filter(t, x -> x IN ('der','und','die'))) AS s_de,
         |  len(list_filter(t, x -> x IN ('the','a','of'))) AS s_en,
         |  len(list_filter(t, x -> x IN ('el','la','y'))) AS s_es,
@@ -919,7 +931,7 @@ object LlmDataQueries extends QueryPack {
         |         sum(CASE WHEN cnt >= 2 THEN cnt * len(g) ELSE 0 END) AS dup2
         |       FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2)
         |       GROUP BY 1),
-        |lq AS (SELECT sc.doc_id, sc.text, sc.t, sc.nc,
+        |lq AS (SELECT sc.doc_id, sc.source, sc.text, sc.t, sc.nc,
         |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
         |       WHEN s_en >= greatest(s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
         |       WHEN s_es >= greatest(s_fr, s_zh) AND s_es > 0 THEN 'es'
@@ -934,7 +946,8 @@ object LlmDataQueries extends QueryPack {
         |    ELSE least(CAST(coalesce(c2.dup2, 0) AS DOUBLE)
         |           / CAST(sc.nc AS DOUBLE), CAST(1.0 AS DOUBLE)) END AS dup2f
         | FROM sc LEFT JOIN c2 USING (doc_id)),
-        |kept0 AS (SELECT doc_id, text, t, nc, lang, quality,
+        |kept0 AS (SELECT doc_id, source, text, t, nc, lang, quality,
+        |    len(t) AS n_tokens,
         |    md5(trim(regexp_replace(regexp_replace(lower(text),
         |      '[[:punct:]]', '', 'g'), '\s+', ' ', 'g'))) AS fp
         |  FROM lq WHERE quality >= 0.5 AND dup2f <= CAST(0.15 AS DOUBLE)),
@@ -947,7 +960,8 @@ object LlmDataQueries extends QueryPack {
         |kept1 AS (SELECT * FROM kept0
         |          WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
         |reps AS (SELECT fp, min(doc_id) AS doc_id FROM kept1 GROUP BY fp),
-        |kept2 AS (SELECT k.doc_id, k.lang, k.quality, CAST(k.nc AS INT) AS n_chars
+        |kept2 AS (SELECT k.doc_id, k.source, k.lang, k.quality, k.n_tokens,
+        |            CAST(k.nc AS INT) AS n_chars
         |          FROM kept1 k JOIN reps r ON r.fp = k.fp AND r.doc_id = k.doc_id),
         |gr AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS units
         |       FROM kept2 GROUP BY 1),
@@ -956,13 +970,20 @@ object LlmDataQueries extends QueryPack {
         |              WHEN 'es' THEN 0.1 WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.1
         |              ELSE 0.0 END AS DOUBLE)
         |           * CAST(30000 AS DOUBLE) / CAST(units AS DOUBLE)) AS rate
-        |       FROM gr)
-        |SELECT k.doc_id, k.lang, round(k.quality, 6) AS quality, k.n_chars
-        |FROM kept2 k JOIN rt USING (lang)
-        |WHERE (('0x' || substr(md5('mix2' || CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT
-        |       % 1000000)
-        |  < floor(rate * CAST(1000000 AS DOUBLE))
-        |ORDER BY k.doc_id""".stripMargin,
+        |       FROM gr),
+        |samp AS (SELECT k.doc_id, k.source, k.lang, k.quality, k.n_tokens
+        |  FROM kept2 k JOIN rt USING (lang)
+        |  WHERE (('0x' || substr(md5('mix2' || CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |         % 1000000)
+        |    < floor(rate * CAST(1000000 AS DOUBLE))),
+        |pk AS (SELECT doc_id, source, lang, quality, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS cum FROM samp)
+        |SELECT doc_id, source, lang, round(quality, 6) AS quality,
+        | CAST(n_tokens AS INT) AS n_tokens,
+        | CAST(floor(CAST(cum - n_tokens AS DOUBLE) / CAST(512 AS DOUBLE))
+        |   AS INT) AS pack_id
+        |FROM pk ORDER BY doc_id""".stripMargin,
 
     // PII mirror: same synthesized composite, same three patterns in
     // the same order ('g' = Spark's replace-all default).

@@ -32,8 +32,10 @@ class PlanRegressionSpec extends SparkSpec {
   private val windowWhitelist: Set[String] = Set(
     "q_window_running_sum",  // running sum per key — the operator itself
     "q_window_latest_order", // latest-row-per-key ranking — the operator itself
-    "q_sequence_packing"     // per-SHARD running token sum — the packing
+    "q_sequence_packing",    // per-SHARD running token sum — the packing
                              // operator's semantics; never a global orderBy
+    "q_llm_pipeline_v2"      // the flagship's final stage IS the per-shard
+                             // packing window above, over the sampled set
   )
 
   /** Queries allowed to contain ScalaUDFs, each with the reason.
