@@ -729,6 +729,22 @@ object LlmDataQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // URL canonicalization: synthesized mixed-case URLs with query +
+    // fragment + trailing slash noise (same construction in the
+    // oracle); exact string compare of canonical form and host, plus
+    // the non-URL empty-string path on raw text.
+    "q_url_canonical" -> ((s, dir) => {
+      val url = concat(lit("HTTPS://WWW."), upper(col("source")),
+        lit(".Org/Path/"), col("doc_id").cast("string"),
+        lit("/?utm_source=x&y=1#frag"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextStats.canonicalizeUrl(url).as("canonical"),
+        TextStats.urlHost(url).as("host"),
+        TextStats.canonicalizeUrl(col("text")).as("not_a_url"))
+        .orderBy("doc_id")
+    }),
+
     // PII scrub: the corpus has no organic PII, so the gate SYNTHESIZES
     // an email/URL/IP from table values in-plan (same construction in
     // the oracle) and scrubs the composite — exercising every pattern
@@ -984,6 +1000,33 @@ object LlmDataQueries extends QueryPack {
         | CAST(floor(CAST(cum - n_tokens AS DOUBLE) / CAST(512 AS DOUBLE))
         |   AS INT) AS pack_id
         |FROM pk ORDER BY doc_id""".stripMargin,
+
+    // URL mirror: same synthesized URL, same (?i) extract/replace
+    // chain; the failed-extract path returns '' in both engines.
+    "q_url_canonical" ->
+      """WITH u AS (SELECT doc_id, text,
+        |  'HTTPS://WWW.' || upper(source) || '.Org/Path/' ||
+        |    CAST(doc_id AS VARCHAR) || '/?utm_source=x&y=1#frag' AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN regexp_extract(url, '(?i)^(https?)://', 1) = ''
+        |        OR regexp_extract(url, '(?i)^https?://([^/?#]+)', 1) = ''
+        |   THEN ''
+        |   ELSE lower(regexp_extract(url, '(?i)^(https?)://', 1)) || '://'
+        |     || lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1))
+        |     || regexp_replace(
+        |          regexp_extract(url, '(?i)^https?://[^/?#]+([^?#]*)', 1),
+        |          '/$', '') END AS canonical,
+        | lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1)) AS host,
+        | CASE WHEN regexp_extract(text, '(?i)^(https?)://', 1) = ''
+        |        OR regexp_extract(text, '(?i)^https?://([^/?#]+)', 1) = ''
+        |   THEN ''
+        |   ELSE lower(regexp_extract(text, '(?i)^(https?)://', 1)) || '://'
+        |     || lower(regexp_extract(text, '(?i)^https?://([^/?#]+)', 1))
+        |     || regexp_replace(
+        |          regexp_extract(text, '(?i)^https?://[^/?#]+([^?#]*)', 1),
+        |          '/$', '') END AS not_a_url
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     // PII mirror: same synthesized composite, same three patterns in
     // the same order ('g' = Spark's replace-all default).

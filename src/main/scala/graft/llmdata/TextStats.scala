@@ -165,6 +165,28 @@ object TextStats {
   def scrubPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
 
+  /** Canonical URL for URL-keyed dedup/grouping: lowercase scheme and
+    * host (case-insensitive per RFC 3986), keep the path's case, strip
+    * query string, fragment, and any trailing slash. Pure
+    * regexp_extract/replace in the dialect-neutral subset — scan-fused.
+    * Non-URLs canonicalize to the empty string (both engines return ''
+    * for a failed extract), so a `!= ''` filter separates them.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = regexp_extract(url, "(?i)^(https?)://", 1)
+    val host = regexp_extract(url, "(?i)^https?://([^/?#]+)", 1)
+    val path = regexp_extract(url, "(?i)^https?://[^/?#]+([^?#]*)", 1)
+    when(scheme === "" || host === "", lit(""))
+      .otherwise(concat(lower(scheme), lit("://"), lower(host),
+        regexp_replace(path, "/$", "")))
+  }
+
+  /** Lowercased host of a URL ('' for non-URLs) — the grouping key for
+    * per-domain statistics and domain-level filtering.
+    */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "(?i)^https?://([^/?#]+)", 1))
+
   /** BM25 relevance scores (Robertson–Walker–Jones; the '+1' idf
     * variant that keeps weights positive) of every document against a
     * small literal term set — the classic retrieval scorer, shaped for
