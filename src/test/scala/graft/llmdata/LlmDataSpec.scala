@@ -536,6 +536,60 @@ class LlmDataSpec extends SparkSpec {
     assert(dist == cc, s"driver union-find and distributed loop disagree: $dist vs $cc")
   }
 
+  test("packSequences: shard isolation, own pack for over-budget docs, no overfill start") {
+    import spark.implicits._
+    // shard A: 4 docs of 3 tokens each, budget 6 → packs (0,0,1,1);
+    // shard B independent numbering; one 10-token doc alone in shard C
+    // starts its own pack even though it exceeds the budget
+    val docs = Seq(
+      (1L, "A", "a b c"), (2L, "A", "d e f"), (3L, "A", "g h i"),
+      (4L, "A", "j k l"),
+      (10L, "B", "m n o"), (11L, "B", "p q r"),
+      (20L, "C", "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")
+    ).toDF("doc_id", "source", "text")
+    val packed = TextStats.packSequences(docs, "text", "doc_id", "source", budget = 6)
+      .select("doc_id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(packed(1L) == 0 && packed(2L) == 0, "first two 3-token docs share pack 0")
+    assert(packed(3L) == 1 && packed(4L) == 1, "next two roll into pack 1")
+    assert(packed(10L) == 0 && packed(11L) == 0, "shard B numbering restarts at 0")
+    assert(packed(20L) == 0, "an over-budget doc still STARTS pack 0 of its shard")
+    // pack token mass: no pack's STARTING offset exceeds the budget
+    // boundary arithmetic (cum − len < (pack+1)·budget by construction)
+    val rows = TextStats.packSequences(docs, "text", "doc_id", "source", budget = 6)
+      .select("source", "n_tokens", "pack_id").collect()
+    val bySrc = rows.groupBy(_.getString(0))
+    bySrc.foreach { case (_, rs) =>
+      val packs = rs.map(_.getInt(2)).distinct.sorted
+      assert(packs.head == 0 && packs.toSeq == (0 until packs.length).toSeq,
+        "contiguous pack ids")
+    }
+  }
+
+  test("scrubPii: each pattern fires, embedded spans scrub, clean text untouched") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "contact me at john.doe+tag@sub.example.co today",
+        "contact me at <EMAIL> today"),
+      (2L, "see https://example.com/a?b=c#d for details",
+        "see <URL> for details"),
+      (3L, "server at 192.168.0.1 responded", "server at <IP> responded"),
+      // URL with email-like userinfo: the email pass rewrites the
+      // middle, then the URL pass consumes the whole remaining span
+      (4L, "http://user@host.example.com/path", "<URL>"),
+      (5L, "no pii here at all", "no pii here at all"),
+      // version strings survive the \b-anchored IP pattern only if they
+      // have more than 4 numeric groups (1.2.3.4.5 has a 4-group prefix:
+      // document the behavior — the leading groups scrub)
+      (6L, "x 1.2.3.4 y", "x <IP> y"))
+    val got = cases.map(c => (c._1, c._2)).toDF("id", "text")
+      .select(col("id"), TextStats.scrubPii(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, in, want) =>
+      assert(got(id) == want, s"case $id: ${got(id)} (in: $in)")
+    }
+  }
+
   test("decontaminate drops exactly the n-gram-overlap docs; short docs survive") {
     import spark.implicits._
     val docs = Seq(
