@@ -292,7 +292,10 @@ object Ann {
     * per-pair score is m codegen'd table lookups
     * (`Σ_j dt(j)(code_j)`) — no vector math on the corpus side of the
     * join. Queries broadcast with their tables; top-k via the bounded
-    * heap aggregate, ranked by ascending ADC distance (ties by id).
+    * heap aggregate, ranked by ascending ADC distance ROUNDED to 6 dp
+    * (ties by id): sum() accumulation order is engine-specific, so
+    * ranking on the raw double could flip a rank-k boundary by one ulp
+    * between engines — same determinism convention as q_bm25_topk.
     *
     * At 100 TB: one scan to encode (or a pre-encoded code column), one
     * broadcast-join scan doing m lookups per (query, row), a tiny top-k
@@ -311,7 +314,7 @@ object Ann {
       .withColumn("__dt", pqDistTablesExpr(codebooks))
       .select("query_id", "__dt"))
     val scored = c.join(q, col(idCol) =!= col("query_id"))
-      .withColumn("cos", adcSumExpr(m) * lit(-1.0))
+      .withColumn("cos", round(adcSumExpr(m), 6) * lit(-1.0))
     topKPerQuery(scored, idCol, k)
       .withColumn("adc_d", col("cos") * lit(-1.0)).drop("cos")
   }
@@ -342,7 +345,7 @@ object Ann {
       .join(cand, col(idCol) === col("neighbor_id"))
       .join(q, Seq("query_id"))
       .withColumn("cos",
-        dotExpr(col("qv"), col(vecCol)) / (col("__nq") * col("__nc")))
+        round(dotExpr(col("qv"), col(vecCol)) / (col("__nq") * col("__nc")), 6))
     topKPerQuery(scored, idCol, k)
   }
 
@@ -373,7 +376,7 @@ object Ann {
     // each corpus row sits in exactly ONE cell → no duplicate pairs
     val scored = c.join(q, Seq("__cell"))
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("cos", adcSumExpr(codebooks.length) * lit(-1.0))
+      .withColumn("cos", round(adcSumExpr(codebooks.length), 6) * lit(-1.0))
     topKPerQuery(scored, idCol, k)
       .withColumn("adc_d", col("cos") * lit(-1.0)).drop("cos")
   }

@@ -746,10 +746,26 @@ object Dedup {
     *   lists at sane thresholds are corpus-fraction-sized, and callers
     *   hold them materialized already. Set 0 to force the distributed
     *   loop. Both paths produce identical labels (min reachable id).
+    *   The fast path requires integral id columns; non-numeric ids
+    *   (strings, binary) route to the distributed loop, which is
+    *   id-type-generic. Callers that already know |pairs| (they just
+    *   materialized it) pass `knownPairCount` to skip the count() job.
     */
   def clusterNearDuplicates(pairs: DataFrame, maxIter: Int = 50,
-      driverThreshold: Long = 1000000L): DataFrame = {
-    if (driverThreshold > 0 && pairs.count() <= driverThreshold) {
+      driverThreshold: Long = 1000000L,
+      knownPairCount: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val integralIds = Seq("id_a", "id_b").forall { n =>
+      pairs.schema.fields.find(_.name == n).map(_.dataType) match {
+        case Some(ByteType | ShortType | IntegerType | LongType) => true
+        case _ => false
+      }
+    }
+    val nPairs =
+      if (driverThreshold > 0 && integralIds) {
+        if (knownPairCount >= 0) knownPairCount else pairs.count()
+      } else Long.MaxValue
+    if (driverThreshold > 0 && integralIds && nPairs <= driverThreshold) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val es = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))

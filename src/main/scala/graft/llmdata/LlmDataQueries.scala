@@ -1629,7 +1629,7 @@ object LlmDataQueries extends QueryPack {
        |        GROUP BY 1, 2),
        |r AS (SELECT query_id, vec_id, d,
        |        row_number() OVER (PARTITION BY query_id
-       |          ORDER BY d, vec_id) AS rank FROM adc)
+       |          ORDER BY round(d, 6), vec_id) AS rank FROM adc)
        |SELECT query_id, rank, vec_id AS neighbor_id, round(d, 6) AS adc_d
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
@@ -1657,7 +1657,7 @@ object LlmDataQueries extends QueryPack {
        |        FROM xx GROUP BY 1, 2),
        |rr AS (SELECT query_id, vec_id, cos,
        |         row_number() OVER (PARTITION BY query_id
-       |           ORDER BY cos DESC, vec_id) AS rank FROM cos)
+       |           ORDER BY round(cos, 6) DESC, vec_id) AS rank FROM cos)
        |SELECT query_id, rank, vec_id AS neighbor_id, round(cos, 6) AS cos
        |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
@@ -1697,7 +1697,7 @@ object LlmDataQueries extends QueryPack {
        |        GROUP BY 1, 2),
        |r AS (SELECT query_id, vec_id, d,
        |        row_number() OVER (PARTITION BY query_id
-       |          ORDER BY d, vec_id) AS rank FROM adc)
+       |          ORDER BY round(d, 6), vec_id) AS rank FROM adc)
        |SELECT query_id, rank, vec_id AS neighbor_id, round(d, 6) AS adc_d
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }

@@ -283,8 +283,11 @@ object TextStats {
   /** Cross-document sequence packing: assign each document to a pack
     * (training sequence) of at most `budget` tokens, greedily in
     * (shard, id) order — the step that turns a deduped corpus into
-    * fixed-size pretraining sequences. A document longer than the
-    * budget gets its own pack (split it first with [[chunkDocuments]]).
+    * fixed-size pretraining sequences. An over-budget document
+    * OVERFILLS the pack that is open when it arrives (it only lands in
+    * a pack of its own when its cumulative sum happens to start at a
+    * pack boundary, e.g. first in shard) — split long documents first
+    * with [[chunkDocuments]] if strict budgets matter.
     *
     * Greedy first-fit over a running token total needs a sequential
     * scan, so the window runs PER SHARD (`shardCol` — source, file,

@@ -536,7 +536,7 @@ class LlmDataSpec extends SparkSpec {
     assert(dist == cc, s"driver union-find and distributed loop disagree: $dist vs $cc")
   }
 
-  test("packSequences: shard isolation, own pack for over-budget docs, no overfill start") {
+  test("packSequences: shard isolation, over-budget doc at a pack boundary starts its own pack") {
     import spark.implicits._
     // shard A: 4 docs of 3 tokens each, budget 6 → packs (0,0,1,1);
     // shard B independent numbering; one 10-token doc alone in shard C
@@ -564,6 +564,27 @@ class LlmDataSpec extends SparkSpec {
       assert(packs.head == 0 && packs.toSeq == (0 until packs.length).toSeq,
         "contiguous pack ids")
     }
+  }
+
+  test("packSequences: an over-budget doc MID-shard overfills the open pack") {
+    import spark.implicits._
+    // budget 6, docs of 3 then 10 tokens: cum = 3, 13. The 10-token doc
+    // starts at offset 3 (inside pack 0), so floor((13-10)/6)=0 — it
+    // OVERFILLS pack 0 (13 tokens) rather than opening its own pack.
+    // This is the documented first-fit approximation behavior.
+    val docs = Seq(
+      (1L, "D", "a b c"),
+      (2L, "D", "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (3L, "D", "x y z")
+    ).toDF("doc_id", "source", "text")
+    val packed = TextStats.packSequences(docs, "text", "doc_id", "source", budget = 6)
+      .select("doc_id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(packed(1L) == 0, "3-token doc opens pack 0")
+    assert(packed(2L) == 0, "over-budget doc mid-shard joins (overfills) pack 0")
+    // cum after the big doc is 13; the next doc starts at 13 → pack 2
+    // (pack 1 is skipped entirely — the spill consumed its budget)
+    assert(packed(3L) == 2, "next doc lands past the spilled budget")
   }
 
   test("scrubPii: each pattern fires, embedded spans scrub, clean text untouched") {
