@@ -32,12 +32,34 @@ object EstimatorQueries extends QueryPack {
     * passes).
     */
   private val fitFeatures = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  /** ONE persisted projection of lineitem shared by BOTH k-means fits
+    * (the deterministic Lloyd fit and the seeded MLlib fit) and every
+    * invariant pass: 2 key + 3 double columns, so each of the ~40 Lloyd
+    * rounds, the k-means|| init passes, and the invariant aggregates
+    * read a compact cached frame instead of re-decoding parquet.
+    * Projection-only — row order and partitioning match the raw scan,
+    * so both fits' trajectories are unchanged. Unpersisted by
+    * Memos.clearAll between Bench passes (CachedFrameMap).
+    */
+  private val featMemo = graft.core.Memos.register(new graft.core.Memos.CachedFrameMap())
+  private def kmeansFeatures(s: SparkSession, dir: String): DataFrame =
+    featMemo.computeIfAbsent(dir, _ => {
+      val f = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_extendedprice").cast("double").as("l_extendedprice"),
+        col("l_discount").cast("double").as("l_discount"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      f
+    })
+
   private val kmeansMemo = graft.core.Memos.register(
     new java.util.concurrent.ConcurrentHashMap[String, KMeansModel]())
   private def fittedKMeans(s: SparkSession, dir: String): KMeansModel =
     kmeansMemo.computeIfAbsent(dir, _ =>
       new KMeans(fitFeatures, nClusters = 4, seed = 42)
-        .fit(Tables.lineitem(s, dir)))
+        .fit(kmeansFeatures(s, dir)))
 
   /** The deterministic Lloyd fit behind the EXACT q_kmeans_fit gate:
     * fit once per dir (the trajectory's step count parameterizes the
@@ -48,7 +70,7 @@ object EstimatorQueries extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[String, LloydFitResult]())
   private def lloydFit(s: SparkSession, dir: String): LloydFitResult =
     lloydMemo.computeIfAbsent(dir, _ =>
-      KMeans.fitLloydDeterministic(Tables.lineitem(s, dir),
+      KMeans.fitLloydDeterministic(kmeansFeatures(s, dir),
         Seq("l_quantity", "l_extendedprice"),
         Seq("l_orderkey", "l_linenumber"), k = 3, maxIter = 40))
 
@@ -114,26 +136,46 @@ object EstimatorQueries extends QueryPack {
     // (n·Σvar_pop), and trainingCost agreeing with an independent
     // expression-based recompute of Σ min_c ‖x−c‖².
     "q_kmeans_fit_invariants" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
+      val li = kmeansFeatures(s, dir)
       val feats = fitFeatures
       val m = fittedKMeans(s, dir)
-      val sizes = m.transform(li).groupBy(col(m.predictionCol)).count().collect()
-      val baseline = li.agg(
-        (sum(lit(1L)) * (var_pop(col(feats.head)) +
-          var_pop(col(feats(1))) + var_pop(col(feats(2))))).as("b"))
-        .head().getDouble(0)
-      val recomputed = -m.score(li)
-      // one extra assignment+update pass from the fitted centers: its
-      // centers' inertia must not beat the converged fit by more than
-      // the convergence tolerance regime allows (Lloyd is monotone, so
-      // a large further drop would mean the fit stopped early/wrongly)
-      val stepped = KMeansModel.lloydStep(li, feats, m.clusterCenters)
-        .collect().map(r => feats.indices.map(i =>
-          r.getDouble(r.fieldIndex(s"c_${feats(i)}"))).toArray)
+      // ONE fused groupBy pass over the shared cached frame computes
+      // everything the r5 version spent four passes on: per-cluster
+      // sizes, the Lloyd-update (stepped) centers, the inertia
+      // recompute (sum of min center distance == distance to the
+      // assigned center), and the Σx/Σx² moments behind the
+      // single-cluster n·Σvar_pop baseline (combined on the driver
+      // from k rows).
+      val dists = m.clusterCenters.map(KMeansModel.sqDistExpr(feats, _))
+      val per = li
+        .withColumn("__c", KMeansModel.assignExpr(feats, m.clusterCenters))
+        .withColumn("__d", least(dists.toIndexedSeq: _*))
+        .groupBy("__c")
+        .agg(count(lit(1)).as("n"),
+          (feats.map(c => avg(col(c)).as(s"c_$c")) ++
+            feats.map(c => sum(col(c)).as(s"s_$c")) ++
+            feats.map(c => sum(col(c) * col(c)).as(s"ss_$c")) :+
+            sum(col("__d")).as("sd")): _*)
+        .collect()
+      def d(r: org.apache.spark.sql.Row, f: String) = r.getDouble(r.fieldIndex(f))
+      val nTotal = per.map(r => r.getLong(r.fieldIndex("n"))).sum
+      val recomputed = per.map(d(_, "sd")).sum
+      val baseline = nTotal.toDouble * feats.map { c =>
+        val sx = per.map(d(_, s"s_$c")).sum
+        val sxx = per.map(d(_, s"ss_$c")).sum
+        sxx / nTotal - (sx / nTotal) * (sx / nTotal) // var_pop from moments
+      }.sum
+      // one extra assignment+update step from the fitted centers: its
+      // centers' inertia must not improve beyond the convergence
+      // tolerance regime (Lloyd is monotone, so a large further drop
+      // would mean the fit stopped early/wrongly). The stepped centers
+      // are the avg columns of the fused pass; their inertia is the
+      // one remaining extra aggregate.
+      val stepped = per.map(r => feats.map(c => d(r, s"c_$c")).toArray)
       val steppedInertia = -new KMeansModel(feats, stepped, 0.0, 0,
         "p").score(li)
       import s.implicits._
-      Seq((sizes.map(_.getLong(1)).sum, sizes.length,
+      Seq((nTotal, per.length,
         m.inertia < baseline,
         steppedInertia <= m.inertia * (1 + 1e-12) &&
           steppedInertia >= m.inertia * (1 - 1e-2),

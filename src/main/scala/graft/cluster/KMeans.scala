@@ -71,10 +71,17 @@ object KMeans {
     *    landmark / IVF samples: order- and partitioning-independent),
     *    and SQL-expressible, so the oracle RECOMPUTES the init from the
     *    data instead of trusting embedded literals;
-    *  - loop: one [[KMeansModel.lloydStep]] groupBy job per round
-    *    (assignment argmin + per-cluster means, map-side partial agg);
-    *    the k·p center doubles collected per round are quantized to
-    *    6 dp before the next round, so the whole trajectory is a
+    *  - loop: one mapPartitions job per round computing per-partition
+    *    (count, Σx) partials that the driver combines in PARTITION
+    *    ORDER (deterministic fp accumulation; same assignment argmin —
+    *    first minimum — and the same left-to-right squared-distance
+    *    sum as [[KMeansModel.lloydStep]]'s SQL kernel, which remains
+    *    the per-step gate). A DataFrame round would re-plan and
+    *    re-codegen the assignment expression every round (fresh center
+    *    literals → fresh generated source → Janino compile, ~half the
+    *    round's wall time); the closure kernel pays neither. The k·p
+    *    center doubles collected per round are quantized to 6 dp
+    *    before the next round, so the whole trajectory is a
     *    deterministic map on a finite lattice — bit-reproducible as
     *    chained oracle CTEs (the q_kmeans_two_steps handoff generalized
     *    to convergence);
@@ -101,28 +108,63 @@ object KMeans {
     val feat = df
       .select(featureCols.map(c => col(c).cast("double").as(c)) :+ keyExpr.as("__h"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = featureCols.size
+    val vecs = feat.select(featureCols.map(col): _*).rdd
+      .map(r => Array.tabulate(p)(r.getDouble))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val initRows = feat.orderBy("__h").limit(k).collect()
       require(initRows.length == k, s"need at least $k rows, got ${initRows.length}")
-      val init = initRows.map(r => Array.tabulate(featureCols.size)(r.getDouble))
+      val init = initRows.map(r => Array.tabulate(p)(r.getDouble))
       var centers = init
       var converged = false
       var step = 0
       var sizes = Array.empty[Long]
       while (step < maxIter && !converged) {
-        val rows = KMeansModel.lloydStep(feat, featureCols, centers)
-          .orderBy("cluster").collect()
-        require(rows.length == k, s"cluster went empty at iteration ${step + 1}")
-        val next = rows.map(r => featureCols.indices
-          .map(i => r6(r.getDouble(r.fieldIndex(s"c_${featureCols(i)}")))).toArray)
-        sizes = rows.map(r => r.getLong(r.fieldIndex("n")))
+        val ctrs = centers
+        val partials = vecs.mapPartitions { it =>
+          val cnt = new Array[Long](k)
+          val sums = Array.ofDim[Double](k, p)
+          it.foreach { x =>
+            var best = 0; var bd = Double.PositiveInfinity
+            var c = 0
+            while (c < k) {
+              var d = 0.0; var i = 0
+              while (i < p) { val t = x(i) - ctrs(c)(i); d += t * t; i += 1 }
+              if (d < bd) { bd = d; best = c } // strict < : first minimum
+              c += 1
+            }
+            cnt(best) += 1
+            var i = 0
+            while (i < p) { sums(best)(i) += x(i); i += 1 }
+          }
+          Iterator.single((cnt, sums))
+        }.collect() // collect (not reduce): combine in partition order
+        val cnt = new Array[Long](k)
+        val sums = Array.ofDim[Double](k, p)
+        partials.foreach { case (c0, s0) =>
+          var c = 0
+          while (c < k) {
+            cnt(c) += c0(c)
+            var i = 0
+            while (i < p) { sums(c)(i) += s0(c)(i); i += 1 }
+            c += 1
+          }
+        }
+        require(cnt.forall(_ > 0), s"cluster went empty at iteration ${step + 1}")
+        val next = Array.tabulate(k)(c =>
+          Array.tabulate(p)(i => r6(sums(c)(i) / cnt(c))))
+        sizes = cnt
         converged = next.zip(centers).forall { case (a, b) => a.sameElements(b) }
         centers = next
         step += 1
       }
       new LloydFitResult(init, step, converged, sizes,
         new KMeansModel(featureCols, centers, Double.NaN, step, predictionCol))
-    } finally feat.unpersist(blocking = false)
+    } finally {
+      vecs.unpersist(blocking = false)
+      feat.unpersist(blocking = false)
+    }
   }
 }
 

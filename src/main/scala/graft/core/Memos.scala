@@ -23,4 +23,19 @@ object Memos {
   def register[M <: java.util.Map[_, _]](m: M): M = { maps.add(m); m }
 
   def clearAll(): Unit = maps.forEach(_.clear())
+
+  /** Memo of PERSISTED projection frames — the one sanctioned exception
+    * to the "never DataFrames" rule: values must be bounded projections
+    * (a few numeric columns per row, e.g. the k-means feature frame),
+    * never full corpus rows. clear() unpersists before dropping entries
+    * so Bench's between-pass [[clearAll]] releases executor storage
+    * along with the driver references.
+    */
+  final class CachedFrameMap
+      extends java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame] {
+    override def clear(): Unit = {
+      values().forEach(df => df.unpersist(blocking = false))
+      super.clear()
+    }
+  }
 }
