@@ -265,6 +265,9 @@ class EstimatorsSpec extends SparkSpec {
     assert(loaded.coef.toSeq == m.coef.toSeq && loaded.intercept == m.intercept)
     val viaLoaded = loaded.transform(reg).agg(sum("prediction")).head().getDouble(0)
     val viaOrig = m.transform(reg).agg(sum("prediction")).head().getDouble(0)
-    assert(viaLoaded == viaOrig)
+    // relative tolerance, not ==: across a real executor boundary the
+    // two sums may combine partials in different orders (last-ulp)
+    assert(math.abs(viaLoaded - viaOrig) <= 1e-12 * math.abs(viaOrig),
+      s"$viaLoaded vs $viaOrig")
   }
 }
