@@ -20,10 +20,21 @@ object EstimatorQueries extends QueryPack {
     Array(10.0, 2000.0), Array(25.0, 35000.0), Array(40.0, 60000.0))
 
   /** Target language mixture shared by q_mixture_rates/_sample and
-    * their oracles.
+    * their oracles. Units are LEARNED BPE subword tokens (what a token
+    * budget actually buys — r7 rebase off n_chars); the budget is sized
+    * so the sf0.01 corpus yields a non-degenerate rate spread (some
+    * languages capped at 1.0, some down-sampled).
     */
   private val mixTargets: Map[String, Double] = Map(
     "en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1)
+  private val mixBudget = 42000 // caps de at 1.0 at sf0.01, spreads the rest
+
+  /** Documents with the learned-BPE token count attached (the mixture
+    * unit column) — scan-fused expression, table from Bpe's per-dir memo.
+    */
+  private def docsWithBpe(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).withColumn("n_bpe",
+      graft.llmdata.Bpe.countExpr(col("text"), graft.llmdata.Bpe.trained(s, dir)))
 
   /** The seeded MLlib k-means|| fit gated by q_kmeans_fit_invariants.
     * The memo holds only the fitted model (k·d center doubles — never
@@ -296,13 +307,13 @@ object EstimatorQueries extends QueryPack {
         Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1, "es" -> 1.0))
         .select(col("doc_id"), col("lang")).orderBy("doc_id")),
 
-    // Domain-mixture budgeting: per-language char totals in one
-    // aggregation, then the closed-form down-sampling rate
-    // min(1, weight·budget/units) that hits a 60k-char budget at the
-    // target mixture.
+    // Domain-mixture budgeting: per-language BPE-token totals in one
+    // aggregation (the count expression fuses into the scan), then the
+    // closed-form down-sampling rate min(1, weight·budget/units) that
+    // hits the token budget at the target mixture.
     "q_mixture_rates" -> ((s, dir) =>
-      Splits.mixtureRates(Tables.documents(s, dir), "lang", "n_chars",
-        mixTargets, unitBudget = 60000)
+      Splits.mixtureRates(docsWithBpe(s, dir), "lang", "n_bpe",
+        mixTargets, unitBudget = mixBudget)
         .select(col("lang"), col("n_rows"), col("n_units"),
           round(col("target_w"), 6).as("target_w"),
           round(col("rate"), 6).as("rate"))
@@ -312,9 +323,9 @@ object EstimatorQueries extends QueryPack {
     // onto the corpus, rows kept iff hash bucket < floor(rate·1e6) —
     // ONE corpus scan, no corpus shuffle, exact member set.
     "q_mixture_sample" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val rates = Splits.mixtureRates(docs, "lang", "n_chars", mixTargets,
-        unitBudget = 60000)
+      val docs = docsWithBpe(s, dir)
+      val rates = Splits.mixtureRates(docs, "lang", "n_bpe", mixTargets,
+        unitBudget = mixBudget)
       Splits.mixtureSample(docs, "doc_id", "lang", rates, salt = "mix")
         .select(col("doc_id"), col("lang")).orderBy("doc_id")
     }),
@@ -515,35 +526,9 @@ object EstimatorQueries extends QueryPack {
         |              WHEN 'fr' THEN 100000 WHEN 'es' THEN 1000000
         |              ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
-    // explicit DOUBLE casts everywhere: DuckDB parses bare 0.4 as
-    // DECIMAL, whose arithmetic would diverge from Spark's IEEE doubles.
-    "q_mixture_rates" ->
-      """WITH g AS (SELECT lang, count(*) AS n_rows,
-        |             CAST(sum(n_chars) AS BIGINT) AS n_units
-        |           FROM documents GROUP BY 1),
-        |r AS (SELECT lang, n_rows, n_units,
-        |        CAST(CASE lang WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.4
-        |             WHEN 'es' THEN 0.1 WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.1
-        |             ELSE 0.0 END AS DOUBLE) AS tw
-        |      FROM g)
-        |SELECT lang, n_rows, n_units, round(tw, 6) AS target_w,
-        | round(least(CAST(1.0 AS DOUBLE),
-        |   tw * CAST(60000 AS DOUBLE) / CAST(n_units AS DOUBLE)), 6) AS rate
-        |FROM r ORDER BY lang""".stripMargin,
-    "q_mixture_sample" ->
-      """WITH g AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_units
-        |           FROM documents GROUP BY 1),
-        |r AS (SELECT lang, least(CAST(1.0 AS DOUBLE),
-        |        CAST(CASE lang WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.4
-        |             WHEN 'es' THEN 0.1 WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.1
-        |             ELSE 0.0 END AS DOUBLE)
-        |          * CAST(60000 AS DOUBLE) / CAST(n_units AS DOUBLE)) AS rate
-        |      FROM g)
-        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
-        |WHERE (('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
-        |       % 1000000)
-        |  < floor(rate * CAST(1000000 AS DOUBLE))
-        |ORDER BY d.doc_id""".stripMargin,
+    // (q_mixture_rates / q_mixture_sample oracles are GENERATED — the
+    // BPE merge table behind the unit counts embeds as literal VALUES:
+    // see bpeMixtureOracle.)
     "q_hash_sample" ->
       """SELECT doc_id,
         | (SELECT count(*) FROM documents) AS n_total
@@ -732,7 +717,51 @@ object EstimatorQueries extends QueryPack {
         |    CAST(row_number() OVER (ORDER BY v) - 1 AS INT), v
         |  FROM (SELECT DISTINCT l_linestatus AS v FROM lineitem)
         |) ORDER BY column_name, idx""".stripMargin
-  ) ++ lloydFitOracle
+  ) ++ lloydFitOracle ++ bpeMixtureOracle
+
+  /** EXACT oracles for the BPE-unit mixture gates (trainedBpeOracle
+    * pattern, see LlmDataQueries): the learned merge table embeds as
+    * VALUES and the `nb` CTE reproduces every document's subword count;
+    * the rate arithmetic mirrors Splits.mixtureRates with explicit
+    * DOUBLE casts everywhere — DuckDB parses bare 0.4 as DECIMAL, whose
+    * arithmetic would diverge from Spark's IEEE doubles.
+    */
+  private def bpeMixtureOracle: Map[String, String] =
+    graft.llmdata.Bpe.memoized match {
+      case merges :: Nil =>
+        val cte = graft.llmdata.Bpe.bpeCteSql(merges)
+        Map(
+          "q_mixture_rates" ->
+            s"""WITH RECURSIVE $cte,
+               |g AS (SELECT d.lang, count(*) AS n_rows,
+               |        CAST(sum(nb.n_bpe) AS BIGINT) AS n_units
+               |      FROM documents d JOIN nb USING (doc_id) GROUP BY 1),
+               |r AS (SELECT lang, n_rows, n_units,
+               |        CAST(CASE lang WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.4
+               |             WHEN 'es' THEN 0.1 WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.1
+               |             ELSE 0.0 END AS DOUBLE) AS tw
+               |      FROM g)
+               |SELECT lang, n_rows, n_units, round(tw, 6) AS target_w,
+               | round(least(CAST(1.0 AS DOUBLE),
+               |   tw * CAST($mixBudget AS DOUBLE) / CAST(n_units AS DOUBLE)), 6) AS rate
+               |FROM r ORDER BY lang""".stripMargin,
+          "q_mixture_sample" ->
+            s"""WITH RECURSIVE $cte,
+               |g AS (SELECT d.lang, CAST(sum(nb.n_bpe) AS BIGINT) AS n_units
+               |      FROM documents d JOIN nb USING (doc_id) GROUP BY 1),
+               |r AS (SELECT lang, least(CAST(1.0 AS DOUBLE),
+               |        CAST(CASE lang WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.4
+               |             WHEN 'es' THEN 0.1 WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.1
+               |             ELSE 0.0 END AS DOUBLE)
+               |          * CAST($mixBudget AS DOUBLE) / CAST(n_units AS DOUBLE)) AS rate
+               |      FROM g)
+               |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+               |WHERE (('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+               |       % 1000000)
+               |  < floor(rate * CAST(1000000 AS DOUBLE))
+               |ORDER BY d.doc_id""".stripMargin)
+      case _ => Map.empty
+    }
 
   /** EXACT oracle for q_kmeans_fit: regenerates the WHOLE deterministic
     * Lloyd fit in SQL — the md5-ranked init sample (recomputed from the

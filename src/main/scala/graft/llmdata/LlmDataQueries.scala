@@ -809,12 +809,26 @@ object LlmDataQueries extends QueryPack {
         .orderBy("token")
     }),
 
+    // True-subword token counts from the in-repo learned BPE merge
+    // table (Sennrich 1508.07909; Bpe.train): one codegen'd expression
+    // per row with the table as a reference object. EXACT oracle — the
+    // learned table embeds as literal VALUES and a per-rank replace
+    // recursion mirrors the expression term for term (trainedBpeOracle).
+    "q_bpe_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Bpe.countExpr(col("text"), Bpe.trained(s, dir)).as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
     // Cross-document sequence packing: greedy running-token-sum bins
     // per source shard (512-token budget) — the window is per-shard,
-    // never a global orderBy.
+    // never a global orderBy. Budgets count LEARNED BPE subwords (what
+    // a training sequence actually holds), not whitespace tokens; the
+    // oracle chains the BPE recursion into the packing arithmetic.
     "q_sequence_packing" -> ((s, dir) =>
       TextStats.packSequences(Tables.documents(s, dir), "text", "doc_id",
-        "source", budget = 512)
+        "source", budget = 512,
+        tokenCounter = Bpe.countExpr(_, Bpe.trained(s, dir)))
         .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))
         .orderBy("doc_id")),
 
@@ -1086,18 +1100,8 @@ object LlmDataQueries extends QueryPack {
         |       TRUE AS cms_eps_bound_ok
         |FROM top ORDER BY token""".stripMargin,
 
-    // packing mirror: same per-shard running sum and floor arithmetic.
-    "q_sequence_packing" ->
-      """WITH d AS (SELECT doc_id, source,
-        |             len(string_split(text, ' ')) AS n_tokens
-        |           FROM documents),
-        |c AS (SELECT doc_id, source, n_tokens,
-        |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |          ROWS UNBOUNDED PRECEDING) AS cum FROM d)
-        |SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
-        | CAST(floor(CAST(cum - n_tokens AS DOUBLE) / CAST(512 AS DOUBLE))
-        |   AS INT) AS pack_id
-        |FROM c ORDER BY doc_id""".stripMargin,
+    // (q_sequence_packing / q_bpe_tokens oracles are GENERATED — the
+    // learned merge table embeds as VALUES: see trainedBpeOracle.)
 
     // corpus report mirror: CUBE with the same quality composite.
     "q_corpus_report" ->
@@ -1515,7 +1519,37 @@ object LlmDataQueries extends QueryPack {
          |SELECT cluster, id_a, id_b, round(cos, 6) AS cos
          |FROM c WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
     }
-  ) ++ trainedIvfOracle ++ trainedPqOracle ++ trainedIvfPqOracle
+  ) ++ trainedIvfOracle ++ trainedPqOracle ++ trainedIvfPqOracle ++
+    trainedBpeOracle
+
+  /** EXACT oracles for the learned-BPE gates, by the trainedIvfOracle
+    * technique: the merge table is a deterministic function of the data
+    * dir and sits in Bpe's memo by oracle-generation time (Verify runs
+    * queries first), so it embeds as literal VALUES; the per-rank
+    * replace recursion mirrors BpeTokenCount term for term. The packing
+    * oracle chains the same `nb` counts into the per-shard running-sum
+    * arithmetic.
+    */
+  private def trainedBpeOracle: Map[String, String] =
+    Bpe.memoized match {
+      case merges :: Nil => Map(
+        "q_bpe_tokens" ->
+          s"""WITH RECURSIVE ${Bpe.bpeCteSql(merges)}
+             |SELECT doc_id, n_bpe AS n_bpe_tokens FROM nb
+             |ORDER BY doc_id""".stripMargin,
+        "q_sequence_packing" ->
+          s"""WITH RECURSIVE ${Bpe.bpeCteSql(merges)},
+             |d AS (SELECT d0.doc_id, d0.source, nb.n_bpe AS n_tokens
+             |      FROM documents d0 JOIN nb USING (doc_id)),
+             |c AS (SELECT doc_id, source, n_tokens,
+             |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |          ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+             |SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+             | CAST(floor(CAST(cum - n_tokens AS DOUBLE) / CAST(512 AS DOUBLE))
+             |   AS INT) AS pack_id
+             |FROM c ORDER BY doc_id""".stripMargin)
+      case _ => Map.empty
+    }
 
   /** EXACT oracle for q_ann_ivf (the live-trained quantizer): the
     * content-hash sample + seeded driver Lloyd make the centroids a

@@ -303,12 +303,17 @@ object TextStats {
     * straddling document's spill, matching public packing recipes).
     * Output adds (n_tokens, pack_id) with pack ids local to the shard.
     */
+  /** @param tokenCounter token-count expression per document — default
+    *   whitespace tokens; pass `Bpe.countExpr(_, merges)` to pack on
+    *   true learned-subword counts.
+    */
   def packSequences(df: DataFrame, textCol: String, idCol: String,
-      shardCol: String, budget: Int): DataFrame = {
+      shardCol: String, budget: Int,
+      tokenCounter: Column => Column = tokenCount): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(shardCol)).orderBy(col(idCol))
-    df.withColumn("n_tokens", tokenCount(col(textCol)))
+    df.withColumn("n_tokens", tokenCounter(col(textCol)))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .withColumn("pack_id",
         floor((col("__cum") - col("n_tokens")) / lit(budget)).cast("int"))
