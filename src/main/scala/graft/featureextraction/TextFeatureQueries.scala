@@ -118,6 +118,44 @@ object TextFeatureQueries extends QueryPack {
         .orderBy("doc_id", "frame_no")
     }),
 
+    // 64-bit dHash perceptual fingerprint per image (DHash64 codegen
+    // expression over the binary content). EXACT oracle: the ASCII
+    // guard pins UTF-8 bytes == code points, so the oracle replays the
+    // byte grid from the text column with integer-only arithmetic; the
+    // hash emits as two unsigned 32-bit halves to stay in signed SQL
+    // BIGINT range.
+    "q_image_phash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(octet_length(col("text")) === length(col("text")))
+      Multimodal.perceptualHash(Multimodal.binarize(docs, "text", "image"))
+        .select(col("doc_id"),
+          shiftrightunsigned(col("phash"), 32).as("phash_hi"),
+          col("phash").bitwiseAND(lit(0xffffffffL)).as("phash_lo"))
+        .orderBy("doc_id")
+    }),
+
+    // Perceptual near-dup image pairs: dHash + the generic Hamming
+    // pigeonhole band join (the SimHash machinery reused). The natural
+    // corpus has no perceptually-close pair, so the gate synthesizes
+    // them IN-PLAN with the same construction in the oracle (the
+    // PII-gate pattern): the first 10 docs are cloned with a
+    // same-length 5-byte patch — a local edit perturbs only the cells
+    // covering those bytes, landing each clone within the Hamming band
+    // of its source. EXACT vs a brute-force all-pairs oracle — sound
+    // because the gate corpus fits under the skew cap, so banding
+    // loses nothing.
+    "q_image_phash_neardups" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(octet_length(col("text")) === length(col("text")))
+      val base = docs.select(col("doc_id"), col("text"))
+      val clones = base.filter(col("doc_id") < 10 && length(col("text")) >= 5)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("xxxxx"), substring(col("text"), 6, Int.MaxValue)).as("text"))
+      val media = Multimodal.binarize(base.union(clones), "text", "image")
+      Multimodal.nearDuplicateMedia(media, "doc_id")
+        .orderBy("id_a", "id_b")
+    }),
+
     // Decode-stub feature extraction: JVM-side fake decoder → rows-only;
     // schema/shape are the point.
     "q_multimodal_features" -> ((s, dir) => {
@@ -331,6 +369,56 @@ object TextFeatureQueries extends QueryPack {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
         | count(*) AS n_events, round(sum(value), 4) AS sum_value,
         | round(avg(value), 6) AS avg_value
-        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
+    "q_image_phash" ->
+      s"""WITH ${phashCteSql("documents")}
+         |SELECT doc_id, phash_hi, phash_lo FROM ph ORDER BY doc_id""".stripMargin,
+    "q_image_phash_neardups" ->
+      s"""WITH srcu AS (SELECT doc_id, text FROM documents
+         |       WHERE strlen(text) = length(text)
+         |     UNION ALL
+         |     SELECT doc_id + 100000, 'xxxxx' || text[6:]
+         |     FROM documents WHERE doc_id < 10 AND length(text) >= 5
+         |       AND strlen(text) = length(text)),
+         |${phashCteSql("srcu")},
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        bit_count(xor(a.phash_hi, b.phash_hi))
+         |          + bit_count(xor(a.phash_lo, b.phash_lo)) AS hamming
+         |      FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+         |FROM p WHERE hamming <= 7 ORDER BY id_a, id_b""".stripMargin
   )
+
+  /** CTE chain producing `ph(doc_id, phash_hi, phash_lo)` — the exact
+    * integer-arithmetic mirror of [[graft.functions.DHash64]] replayed
+    * from the text column (ASCII guard ⇒ UTF-8 bytes == code points):
+    * per-byte cell assignment `(i·72)/n`, per-cell (Σ, count), gradient
+    * bit via the same `sum_a·len_b > sum_b·len_a` cross-multiplication,
+    * hash assembled as two unsigned 32-bit halves.
+    */
+  private def phashCteSql(src: String): String =
+    s"""d AS (SELECT doc_id, text, length(text) AS n FROM $src
+      |       WHERE strlen(text) = length(text)),
+      |px AS (SELECT doc_id, (i * 72) // n AS cell,
+      |         ascii(text[i+1:i+1]) AS v
+      |       FROM (SELECT doc_id, text, n, unnest(range(0, n)) AS i FROM d)),
+      |cg AS (SELECT doc_id, cell, CAST(sum(v) AS BIGINT) AS s,
+      |         CAST(count(*) AS BIGINT) AS l
+      |       FROM px GROUP BY 1, 2),
+      |grid AS (SELECT dd.doc_id, cc.cell,
+      |           coalesce(cg.s, 0) AS s, coalesce(cg.l, 0) AS l
+      |         FROM (SELECT doc_id FROM d) dd
+      |         CROSS JOIN (SELECT unnest(range(0, 72)) AS cell) cc
+      |         LEFT JOIN cg ON cg.doc_id = dd.doc_id AND cg.cell = cc.cell),
+      |bits AS (SELECT a.doc_id,
+      |           (a.cell // 9) * 8 + (a.cell % 9) AS bit
+      |         FROM grid a JOIN grid b
+      |           ON b.doc_id = a.doc_id AND b.cell = a.cell + 1
+      |         WHERE (a.cell % 9) < 8 AND a.s * b.l > b.s * a.l),
+      |ph AS (SELECT d.doc_id,
+      |         CAST(coalesce(sum(CASE WHEN bit >= 32
+      |           THEN CAST(1 AS BIGINT) << (bit - 32) END), 0) AS BIGINT) AS phash_hi,
+      |         CAST(coalesce(sum(CASE WHEN bit < 32
+      |           THEN CAST(1 AS BIGINT) << bit END), 0) AS BIGINT) AS phash_lo
+      |       FROM d LEFT JOIN bits ON bits.doc_id = d.doc_id GROUP BY 1)""".stripMargin
 }

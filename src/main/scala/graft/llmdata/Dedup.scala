@@ -672,37 +672,59 @@ object Dedup {
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, bits: Int = 60,
       maxBucketSize: Int = 1000): DataFrame = {
-    val nChunks = maxHamming + 1
-    val chunkBits = bits / nChunks
     // the skew cap + self-join read the hash frame three times; simhash
     // is a full token-explode aggregate, so cache its (id, hash) output
     // (16 bytes/doc) rather than recompute the shuffle per read
     val sh = simhash(df, textCol, idCol, bits)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val res = hammingNearDupPairs(sh, idCol, "simhash", maxHamming, bits,
+      maxBucketSize)
+    sh.unpersist(blocking = false)
+    res
+  }
+
+  /** Generic Hamming-band near-dup join over ANY per-row bit-hash
+    * column (SimHash text fingerprints, dHash perceptual image hashes):
+    * split the hash into (maxHamming+1) equal chunks — by pigeonhole,
+    * two hashes within the distance agree on at least one chunk exactly
+    * — equi-join on (chunk, value), verify with one bit_count(xor).
+    * `bits` must divide evenly into the chunks or boundary bits would
+    * escape the pigeonhole argument (e.g. 60 bits / ≤3 distance,
+    * 64 bits / 7 distance).
+    *
+    * Scale: the corpus never self-joins on raw content — candidates are
+    * generated per chunk bucket with the same Manku-style skew cap as
+    * the minhash path (a hot chunk value would square inside one task),
+    * and the returned frame is persisted + materialized (caller owns
+    * the cache).
+    */
+  def hammingNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, bits: Int, maxBucketSize: Int = 1000): DataFrame = {
+    val nChunks = maxHamming + 1
+    require(bits % nChunks == 0,
+      s"bits=$bits must split evenly into ${nChunks} chunks for the pigeonhole")
+    val chunkBits = bits / nChunks
     val chunks = (0 until nChunks).map { c =>
       struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * chunkBits)
+        shiftright(col(hashCol), c * chunkBits)
           .bitwiseAND((1L << chunkBits) - 1).as("cv"))
     }
-    // same Manku-style skew cap as candidatePairs: a hot chunk value
-    // (all-identical boilerplate) would square inside one partition
     val banded = dropOversized(
-      sh.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("b"))
-        .select(col(idCol), col("simhash"),
+      hashes.select(col(idCol), col(hashCol), explode(array(chunks: _*)).as("b"))
+        .select(col(idCol), col(hashCol),
           col("b.chunk").as("chunk"), col("b.cv").as("cv")),
       Seq("chunk", "cv"), maxBucketSize)
     val a = banded.select(col("chunk"), col("cv"),
-      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+      col(idCol).as("id_a"), col(hashCol).as("sh_a"))
     val b = banded.select(col("chunk"), col("cv"),
-      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+      col(idCol).as("id_b"), col(hashCol).as("sh_b"))
     val res = a.join(b, Seq("chunk", "cv")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    res.count() // materialize pairs (small), then free the simhash cache
-    sh.unpersist(blocking = false)
+    res.count() // materialize pairs (small) before callers drop inputs
     res
   }
 

@@ -83,6 +83,31 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** 64-bit dHash perceptual fingerprint per media row — the
+    * scan-fused codegen expression [[graft.functions.DHash64]] (see its
+    * doc for the grid/gradient recipe). Near-duplicate media land
+    * within a small Hamming distance; exact copies collide.
+    */
+  def perceptualHash(df: DataFrame, binCol: String = "content",
+      hashCol: String = "phash"): DataFrame =
+    df.withColumn(hashCol, graft.functions.DHash64(col(binCol)))
+
+  /** Perceptual near-duplicate pairs (id_a, id_b, hamming ≤ maxHamming)
+    * over a binary media column: one scan computes the 64-bit dHash,
+    * then the generic pigeonhole band join
+    * ([[Dedup.hammingNearDupPairs]] — the SimHash machinery reused
+    * verbatim) generates candidates without ever self-joining content.
+    * maxHamming defaults to 7 so the 64 bits split into 8 exact chunks.
+    */
+  def nearDuplicateMedia(df: DataFrame, idCol: String,
+      binCol: String = "content", maxHamming: Int = 7,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val hashes = perceptualHash(df.select(col(idCol), col(binCol)), binCol)
+      .select(col(idCol), col("phash"))
+    Dedup.hammingNearDupPairs(hashes, idCol, "phash", maxHamming, bits = 64,
+      maxBucketSize = maxBucketSize)
+  }
+
   /** Frame sampling for video-like content: n deterministic offsets per
     * row exploded to (media_id, frame_no, frame_bytes) — the shape of a
     * video→frames stage; the "frame" is a byte slice in the stub.
