@@ -599,6 +599,38 @@ object Dedup {
     res
   }
 
+  /** PRODUCTION preset for containment near-dup detection: the
+    * [[containmentPairs]] join with the df band ON by default — at
+    * 100 TB the uncapped containing-side stream join on raw shingle
+    * keys is the engine's one documented heavy shape, and a caller
+    * should have to OPT INTO it (call [[containmentPairs]] directly for
+    * the exact API), not stumble into it.
+    *
+    * The band is relative, `maxDf = max(2, ⌈maxDfFraction·nDocs⌉)`:
+    * shingles appearing in more than that many documents are dropped
+    * from CANDIDATE GENERATION only (stopword-like shingles whose
+    * candidates verification would mostly reject anyway); surviving
+    * pairs keep their exact containment values because verification
+    * always runs on the full sets, and the band can only LOSE pairs,
+    * never invent them. Measured on the 500-doc gate corpus at
+    * threshold 0.8 (ContainmentBandSpec pins these): the default 10%
+    * band keeps recall 1.0, and so does a band as tight as 1% — real
+    * containment pairs share rare shingles, exactly the SSJoin
+    * intuition the prefix order exploits.
+    *
+    * @param knownDocCount pass the corpus size if already known to
+    *   skip the count() job sizing the band.
+    */
+  def containmentNearDups(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3,
+      maxDfFraction: Double = 0.10, knownDocCount: Long = -1L): DataFrame = {
+    require(maxDfFraction > 0 && maxDfFraction <= 1,
+      s"maxDfFraction in (0,1], got $maxDfFraction")
+    val n = if (knownDocCount >= 0) knownDocCount else df.count()
+    val band = math.max(2L, math.ceil(n * maxDfFraction).toLong)
+    containmentPairs(df, textCol, idCol, threshold, shingleN, maxDf = band)
+  }
+
   /** Full MinHash-LSH near-duplicate pipeline: candidate generation via
     * banding, then exact-Jaccard verification, keeping pairs ≥ threshold.
     *
