@@ -31,9 +31,10 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    // the round-6 flagship: repetition+quality filter → benchmark
-    // decontamination → fingerprint dedup → domain-mixture sampling
-    queries("q_llm_pipeline_v2")(spark, dir)
+    // the round-7 flagship: TRAINED quality-classifier filter →
+    // benchmark decontamination → fingerprint dedup → domain-mixture
+    // sampling → per-shard sequence packing
+    queries("q_llm_pipeline_v3")(spark, dir)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -681,6 +681,65 @@ object LlmDataQueries extends QueryPack {
         size(col("embedding")).as("dim"))
         .orderBy("vec_id")),
 
+    // Trained quality classifier (fastText-style hashed-n-gram logistic,
+    // Joulin 1607.01759): trained in-repo by the existing GLM surface on
+    // weak labels from the engine's own repetition/uniqueness signals,
+    // applied as the scan-fused HashedLinearScore margin with the
+    // learned weights in-plan. EXACT oracle — weights embed as VALUES
+    // and the margin sum replays per token (trainedQualityOracle).
+    "q_quality_classifier" -> ((s, dir) => {
+      val (w, b) = QualityClassifier.trained(s, dir)
+      val m = QualityClassifier.marginExpr(col("text"), w, b)
+      Tables.documents(s, dir).select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(m * lit(-1.0))), 6).as("p_quality"),
+        (m > 0).cast("int").as("pred"))
+        .orderBy("doc_id")
+    }),
+
+    // FLAGSHIP v3: the round-7 production pipeline — v2 with the
+    // hand-weighted quality composite replaced by the TRAINED
+    // classifier (margin > 0 keeps predicted-quality docs; repetition
+    // filter stays): classifier filter → benchmark decontamination →
+    // fingerprint dedup → mixture sampling → per-shard packing. Same
+    // plan shape as v2 (the margin fuses into the corpus scan).
+    "q_llm_pipeline_v3" -> ((s, dir) => {
+      val t = col("text")
+      val (wts, b) = QualityClassifier.trained(s, dir)
+      val margin = QualityClassifier.marginExpr(t, wts, b)
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), t, col("source"),
+        (lit(1.0) / (lit(1.0) + exp(margin * lit(-1.0)))).as("p_quality"),
+        margin.as("qmargin"),
+        TextStats.languageId(t).as("lang"),
+        TextStats.fingerprint(t).as("fp"),
+        TextStats.dupNgramCharFrac(t, 2).as("dup2"),
+        TextStats.tokenCount(t).as("n_tokens"),
+        length(t).as("n_chars"))
+        .filter(col("qmargin") > 0 && col("dup2") <= 0.15)
+      val eval3 = Tables.documents(s, dir).filter(col("doc_id") < 3)
+      val clean = Dedup.decontaminate(scored, "text", "doc_id", eval3, "text", n = 3)
+      val deduped = clean.groupBy(col("fp"))
+        .agg(min_by(struct(col("doc_id"), col("source"), col("lang"),
+          col("p_quality"), col("n_tokens"), col("n_chars")), col("doc_id")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+          col("r.lang").as("lang"), col("r.p_quality").as("p_quality"),
+          col("r.n_tokens").as("n_tokens"), col("r.n_chars").as("n_chars"))
+      val rates = Splits.mixtureRates(deduped, "lang", "n_chars",
+        pipelineMixTargets, unitBudget = 30000)
+      val sampled = Splits.mixtureSample(deduped, "doc_id", "lang", rates,
+        salt = "mix2")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      sampled
+        .withColumn("__cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id",
+          floor((col("__cum") - col("n_tokens")) / lit(512)).cast("int"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          round(col("p_quality"), 6).as("p_quality"), col("n_tokens"),
+          col("pack_id"))
+        .orderBy("doc_id")
+    }),
+
     // FLAGSHIP v2: the round-6 production pipeline — Gopher repetition
     // + quality filter (scan-fused signals) → benchmark decontamination
     // (broadcast 3-gram semi-join vs the doc 0-2 "eval set") → exact
@@ -1520,7 +1579,95 @@ object LlmDataQueries extends QueryPack {
          |FROM c WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
     }
   ) ++ trainedIvfOracle ++ trainedPqOracle ++ trainedIvfPqOracle ++
-    trainedBpeOracle
+    trainedBpeOracle ++ trainedQualityOracle
+
+  /** EXACT oracles for the trained-classifier gates: the learned
+    * weights are a deterministic function of the dir and sit in
+    * QualityClassifier's memo by generation time, so they embed as
+    * VALUES; the margin replays as a per-token weight-sum
+    * (QualityClassifier.marginCteSql). The v3 flagship oracle is the
+    * v2 composition with the quality-composite stage swapped for the
+    * classifier margin.
+    */
+  private def trainedQualityOracle: Map[String, String] =
+    QualityClassifier.memoized match {
+      case (w, b) :: Nil => Map(
+        "q_quality_classifier" ->
+          s"""WITH ${QualityClassifier.marginCteSql(w, b)}
+             |SELECT doc_id,
+             | round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-margin)), 6)
+             |   AS p_quality,
+             | CAST(margin > 0 AS INT) AS pred
+             |FROM qm ORDER BY doc_id""".stripMargin,
+        "q_llm_pipeline_v3" ->
+          s"""WITH ${QualityClassifier.marginCteSql(w, b)},
+             |d0 AS (SELECT doc_id, source, text, string_split(text, ' ') AS t,
+             |         len(text) AS nc FROM documents),
+             |sc AS (SELECT doc_id, source, text, t, nc,
+             |  len(list_filter(t, x -> x IN ('der','und','die'))) AS s_de,
+             |  len(list_filter(t, x -> x IN ('the','a','of'))) AS s_en,
+             |  len(list_filter(t, x -> x IN ('el','la','y'))) AS s_es,
+             |  len(list_filter(t, x -> x IN ('le','et','les'))) AS s_fr,
+             |  len(list_filter(t, x -> x IN ('de','shi','bu'))) AS s_zh
+             | FROM d0),
+             |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             |         i -> array_to_string(t[i:i+1], ' '))) AS g FROM d0),
+             |c2 AS (SELECT doc_id,
+             |         sum(CASE WHEN cnt >= 2 THEN cnt * len(g) ELSE 0 END) AS dup2
+             |       FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+             |       GROUP BY 1),
+             |lq AS (SELECT sc.doc_id, sc.source, sc.text, sc.t, sc.nc, qm.margin,
+             |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+             |       WHEN s_en >= greatest(s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+             |       WHEN s_es >= greatest(s_fr, s_zh) AND s_es > 0 THEN 'es'
+             |       WHEN s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+             |       WHEN s_zh > 0 THEN 'zh' ELSE 'und' END AS lang,
+             |  CASE WHEN sc.nc = 0 THEN CAST(0.0 AS DOUBLE)
+             |    ELSE least(CAST(coalesce(c2.dup2, 0) AS DOUBLE)
+             |           / CAST(sc.nc AS DOUBLE), CAST(1.0 AS DOUBLE)) END AS dup2f
+             | FROM sc LEFT JOIN c2 USING (doc_id) JOIN qm USING (doc_id)),
+             |kept0 AS (SELECT doc_id, source, text, t, nc, lang, margin,
+             |    len(t) AS n_tokens,
+             |    md5(trim(regexp_replace(regexp_replace(lower(text),
+             |      '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+             |  FROM lq WHERE margin > 0 AND dup2f <= CAST(0.15 AS DOUBLE)),
+             |g3 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |         range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))))
+             |         AS s3 FROM d0),
+             |ev AS (SELECT DISTINCT s3 FROM g3 WHERE doc_id < 3),
+             |hits AS (SELECT DISTINCT g3.doc_id FROM g3 JOIN ev USING (s3)
+             |         JOIN kept0 k ON k.doc_id = g3.doc_id),
+             |kept1 AS (SELECT * FROM kept0
+             |          WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+             |reps AS (SELECT fp, min(doc_id) AS doc_id FROM kept1 GROUP BY fp),
+             |kept2 AS (SELECT k.doc_id, k.source, k.lang, k.margin, k.n_tokens,
+             |            CAST(k.nc AS INT) AS n_chars
+             |          FROM kept1 k JOIN reps r ON r.fp = k.fp AND r.doc_id = k.doc_id),
+             |gr AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS units
+             |       FROM kept2 GROUP BY 1),
+             |rt AS (SELECT lang, least(CAST(1.0 AS DOUBLE),
+             |         CAST(CASE lang WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.4
+             |              WHEN 'es' THEN 0.1 WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.1
+             |              ELSE 0.0 END AS DOUBLE)
+             |           * CAST(30000 AS DOUBLE) / CAST(units AS DOUBLE)) AS rate
+             |       FROM gr),
+             |samp AS (SELECT k.doc_id, k.source, k.lang, k.margin, k.n_tokens
+             |  FROM kept2 k JOIN rt USING (lang)
+             |  WHERE (('0x' || substr(md5('mix2' || CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |         % 1000000)
+             |    < floor(rate * CAST(1000000 AS DOUBLE))),
+             |pk AS (SELECT doc_id, source, lang, margin, n_tokens,
+             |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |           ROWS UNBOUNDED PRECEDING) AS cum FROM samp)
+             |SELECT doc_id, source, lang,
+             | round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-margin)), 6)
+             |   AS p_quality,
+             | CAST(n_tokens AS INT) AS n_tokens,
+             | CAST(floor(CAST(cum - n_tokens AS DOUBLE) / CAST(512 AS DOUBLE))
+             |   AS INT) AS pack_id
+             |FROM pk ORDER BY doc_id""".stripMargin)
+      case _ => Map.empty
+    }
 
   /** EXACT oracles for the learned-BPE gates, by the trainedIvfOracle
     * technique: the merge table is a deterministic function of the data

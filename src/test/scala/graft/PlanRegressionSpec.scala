@@ -34,8 +34,9 @@ class PlanRegressionSpec extends SparkSpec {
     "q_window_latest_order", // latest-row-per-key ranking — the operator itself
     "q_sequence_packing",    // per-SHARD running token sum — the packing
                              // operator's semantics; never a global orderBy
-    "q_llm_pipeline_v2"      // the flagship's final stage IS the per-shard
+    "q_llm_pipeline_v2",     // the flagship's final stage IS the per-shard
                              // packing window above, over the sampled set
+    "q_llm_pipeline_v3"      // same final packing stage, classifier-filtered
   )
 
   /** Queries allowed to contain ScalaUDFs, each with the reason.
