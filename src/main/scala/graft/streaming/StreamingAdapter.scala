@@ -149,6 +149,89 @@ object StreamingAdapter {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("fingerprint"))
 
+  /** One live LSH band bucket: the first document to claim the bucket
+    * is its representative (one long of state per bucket).
+    */
+  case class LshBucketState(repId: Long)
+
+  case class LshCandidate(doc_id: Long, rep_id: Long, band: Int)
+
+  /** Streaming STATEFUL LSH near-dup detection — the ingestion-time
+    * analog of [[graft.llmdata.Dedup.minhashNearDupPairs]]: each
+    * arriving document computes its minhash signature (one scan-local
+    * pass, the batch signature path reused verbatim) and claims its
+    * `k/rowsPerBand` band buckets via `flatMapGroupsWithState` keyed on
+    * (band, bandHash). The FIRST document in a bucket becomes its
+    * representative; every later arrival emits an
+    * `(arriving, representative, band)` candidate — the rows a
+    * downstream stateless anti-join on `doc_id` drops to get the
+    * deduped stream. Candidates are LSH-band matches WITHOUT the
+    * exact-Jaccard verification the batch pipeline runs — the standard
+    * ingestion-time recall/precision tradeoff; run the batch operator
+    * for the verified pass.
+    *
+    * State discipline = the Welford precedent ([[runningStats]]):
+    * one long per live bucket, `expireAfter` arms a processing-time
+    * timeout so idle buckets forget their representative instead of
+    * growing state forever (a later near-dup of an expired doc
+    * re-enters — the horizon semantics of
+    * `dropDuplicatesWithinWatermark`).
+    *
+    * The same code path executes in BATCH (each bucket's full iterator
+    * in one call) — there, ids are visited in sorted order so the
+    * representative is deterministically the bucket MIN, and the
+    * candidate set provably covers the batch minhash family: a
+    * verified pair (a < b) shares a band bucket whose representative
+    * is ≤ a, so b always surfaces as a candidate
+    * (StreamingLshDedupSpec pins this containment).
+    */
+  def streamingLshCandidates(stream: DataFrame, textCol: String,
+      idCol: String, k: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3,
+      expireAfter: Option[String] = None): Dataset[LshCandidate] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val sigs = graft.llmdata.Dedup.minhashSignatures(
+      stream, textCol, idCol, k, shingleN)
+    val bands = graft.llmdata.Dedup.bandHashes(sigs, idCol, k, rowsPerBand)
+      .select(col(idCol).cast("long").as("doc"),
+        col("band").cast("int").as("band"), col("bh"))
+      .as[(Long, Int, String)]
+    val timeout =
+      if (expireAfter.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    bands.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[LshBucketState, LshCandidate](
+        OutputMode.Append, timeout) {
+        case ((band, _), rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // sorted+distinct: deterministic representative (bucket
+            // min) in batch mode and under any micro-batch iterator
+            // order; a doc re-arriving as the rep emits nothing
+            val ids = rows.map(_._1).toArray.distinct.sorted
+            val rep = state.getOption.map(_.repId).getOrElse(ids.head)
+            if (state.getOption.isEmpty) state.update(LshBucketState(rep))
+            expireAfter.foreach(state.setTimeoutDuration)
+            ids.iterator.filter(_ != rep)
+              .map(d => LshCandidate(d, rep, band))
+          }
+      }
+  }
+
+  /** The deduped stream given the candidate relation: stateless
+    * anti-join semantics — drop every document that surfaced as a
+    * candidate. (For a true unbounded pipeline, route
+    * [[streamingLshCandidates]] to a sink and anti-join batch-side, or
+    * run it foreachBatch; stream-stream anti-joins on the live relation
+    * are not expressible.)
+    */
+  def dropLshCandidates(docs: DataFrame, candidates: DataFrame,
+      idCol: String): DataFrame =
+    docs.join(candidates.select(col("doc_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Streaming benchmark decontamination — the ingestion-time half of
     * [[graft.llmdata.Dedup.decontaminate]]: drop arriving documents
     * that share a word n-gram with the STATIC contamination set.
