@@ -361,7 +361,16 @@ object Splits {
       seed: Long = 42): DataFrame = {
     // driver-size guard: stratification needs the label set on the
     // driver; fail fast on a continuous/high-cardinality column instead
-    // of collecting it (same pattern as GaussianNB's class guard)
+    // of collecting it (same pattern as GaussianNB's class guard). The
+    // cheap approx_count_distinct pre-check (one sketch aggregate, no
+    // shuffle of distinct values) catches the failure case BEFORE the
+    // exact distinct scan — on a 100 TB corpus the old guard paid a
+    // full distinct shuffle just to throw. 2% HLL error stays far from
+    // the 10000 cut via the 12000 margin.
+    val approx = df.agg(approx_count_distinct(col(labelCol)).as("n"))
+      .head().getLong(0)
+    require(approx <= 12000,
+      s"$labelCol has ~$approx distinct values; stratified sampling needs a categorical label")
     val labels = df.select(labelCol).distinct().limit(10001).collect().map(_.get(0))
     require(labels.length <= 10000,
       s"$labelCol has >10000 distinct values; stratified sampling needs a categorical label")
