@@ -77,6 +77,11 @@ object GraftExtensions {
       other.eval().asInstanceOf[Number].intValue()
   }
 
+  private def foldedDouble(fn: String, e: Expression): Double = {
+    require(e.foldable, s"$fn: expected a literal double argument")
+    e.eval().asInstanceOf[Number].doubleValue()
+  }
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
@@ -128,6 +133,32 @@ object GraftExtensions {
       args => {
         arity("freq_items", args, 2)
         FreqItems(args(0), foldedInt("freq_items", args(1)))
+      }),
+    ("dhash64",
+      info("dhash64",
+        "dhash64(content) - 64-bit perceptual difference-hash of a binary column"),
+      args => { arity("dhash64", args, 1); DHash64(args(0)) }),
+    ("bpe_token_count",
+      info("bpe_token_count",
+        "bpe_token_count(text, merge_lefts, merge_rights) - learned-BPE subword " +
+          "count; the two literal string arrays are the rank-ordered merge table"),
+      args => {
+        arity("bpe_token_count", args, 3)
+        val l = foldedStrings("bpe_token_count", args(1))
+        val r = foldedStrings("bpe_token_count", args(2))
+        require(l.length == r.length,
+          s"bpe_token_count: merge arrays differ in length (${l.length} vs ${r.length})")
+        BpeTokenCount(args(0), l.zip(r))
+      }),
+    ("hashed_linear_score",
+      info("hashed_linear_score",
+        "hashed_linear_score(text, weights, intercept) - hashed bag-of-words " +
+          "linear margin: intercept + sum of w[md5_bucket(token) % len(weights)]"),
+      args => {
+        arity("hashed_linear_score", args, 3)
+        HashedLinearScore(args(0),
+          foldedDoubles("hashed_linear_score", args(1)).toIndexedSeq,
+          foldedDouble("hashed_linear_score", args(2)))
       })
   )
 }

@@ -47,6 +47,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getSeq[Long](0) == Seq(6L, 6L, 9L, 2L, 2L, 0L, 0L, 8L))
   }
 
+  test("dhash64 / bpe_token_count / hashed_linear_score evaluate from SQL") {
+    import spark.implicits._
+    Seq("join the join").toDF("text").createOrReplaceTempView("r7_ext")
+    val r = spark.sql(
+      """SELECT
+        | dhash64(encode(text, 'utf-8')) AS dh,
+        | bpe_token_count(text, array('j','jo','joi'), array('o','i','n')) AS bpe,
+        | hashed_linear_score(text, array(0.5d, 0.25d), 1.0d) AS hls
+        |FROM r7_ext""".stripMargin).head()
+    assert(r.getLong(0) ==
+      graft.functions.DHash64.compute("join the join".getBytes("UTF-8")))
+    assert(r.getInt(1) == 5, "join(1) + the(3 unmerged chars) + join(1)")
+    val w = Array(0.5, 0.25)
+    assert(r.getDouble(2) ==
+      graft.functions.HashedLinearScore.compute("join the join", w, 1.0))
+  }
+
   test("top_k_by_score works as a SQL aggregate with partial merge") {
     import spark.implicits._
     (for (g <- 0 until 3; i <- 0 until 50)
@@ -71,7 +88,8 @@ class GraftExtensionsSpec extends SparkSpec {
     val exts = new GraftExtensions()
     assert(GraftExtensions.registrations.map(_._1).toSet ==
       Set("vec_dot", "normal_ppf", "interp1d", "token_stats", "top_k_by_score",
-        "freq_items", "vec_normalize", "repetition_stats"))
+        "freq_items", "vec_normalize", "repetition_stats",
+        "dhash64", "bpe_token_count", "hashed_linear_score"))
     assert(exts.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
 }
