@@ -32,6 +32,92 @@ class ColumnTransformerModel(
   def apply(name: String): Model = fitted.find(_._1 == name).get._2
 }
 
+/** A transformer slot in the sklearn-parity [[ColumnTransformerSpec]]:
+  * an estimator factory over the slot's columns, or the special-cased
+  * reference strings (`compose/_column_transformer.py:42-47`).
+  */
+sealed trait TransformerSpec
+object TransformerSpec {
+  final case class Est(mk: Seq[String] => Estimator[_ <: Model]) extends TransformerSpec
+  case object Passthrough extends TransformerSpec
+  case object Drop extends TransformerSpec
+
+  /** The reference's string forms, verbatim. */
+  def apply(s: String): TransformerSpec = s match {
+    case "passthrough" => Passthrough
+    case "drop" => Drop
+    case other => throw new IllegalArgumentException(
+      s"transformer must be an estimator, 'passthrough' or 'drop'; got '$other'")
+  }
+}
+
+/** Full reference parameter surface for ColumnTransformer
+  * (compose/_column_transformer.py:33-68): `(name, transformer,
+  * columns)` triples where `transformer` is an estimator or the
+  * strings 'passthrough' / 'drop', plus the `remainder` policy for
+  * non-specified columns — 'drop' (the reference default),
+  * 'passthrough', or an estimator. A ported sklearn/dask-ml spec runs
+  * verbatim modulo Scala syntax.
+  *
+  * Output = the specified sets in SPEC ORDER (transformed in place;
+  * 'drop' sets contribute nothing) followed by the remainder subset in
+  * frame order — sklearn's hstack, realized as ONE fused projection
+  * (no join, no shuffle). Column sets must be disjoint: the in-place
+  * column model cannot transform one source column two ways — use
+  * [[FeatureUnion]] (namespaced copies) for that.
+  */
+class ColumnTransformerSpec(
+    val specs: Seq[(String, TransformerSpec, Seq[String])],
+    val remainder: TransformerSpec = TransformerSpec.Drop
+) extends Estimator[ColumnTransformerSpecModel] {
+  locally {
+    val all = specs.flatMap(_._3)
+    require(all.distinct.size == all.size,
+      s"column sets must be disjoint (use FeatureUnion for overlap): " +
+        all.diff(all.distinct).distinct.mkString(", "))
+  }
+
+  def fit(df: DataFrame): ColumnTransformerSpecModel = {
+    val specified = specs.flatMap(_._3).toSet
+    val remainderCols = df.columns.filterNot(specified).toSeq
+    val fitted = specs.map {
+      case (n, TransformerSpec.Est(mk), cols) => (n, cols, Some(mk(cols).fit(df)))
+      case (n, TransformerSpec.Passthrough, cols) => (n, cols, None)
+      case (n, TransformerSpec.Drop, _) => (n, Seq.empty[String], None)
+    }
+    val remModel = remainder match {
+      case TransformerSpec.Est(mk) if remainderCols.nonEmpty =>
+        Some(mk(remainderCols).fit(df))
+      case _ => None
+    }
+    val keptRemainder = remainder match {
+      case TransformerSpec.Drop => Seq.empty[String]
+      case _ => remainderCols
+    }
+    new ColumnTransformerSpecModel(fitted, keptRemainder, remModel)
+  }
+}
+
+class ColumnTransformerSpecModel(
+    val fitted: Seq[(String, Seq[String], Option[Model])],
+    val remainderCols: Seq[String],
+    val remainderModel: Option[Model]
+) extends Model {
+  def transform(df: DataFrame): DataFrame = {
+    val applied = fitted.foldLeft(df) {
+      case (d, (_, _, Some(m))) => m.transform(d)
+      case (d, _) => d
+    }
+    val withRem = remainderModel.fold(applied)(_.transform(applied))
+    val out = fitted.flatMap(_._2) ++ remainderCols
+    withRem.select(out.map(col): _*)
+  }
+  def apply(name: String): Model =
+    fitted.find(_._1 == name).flatMap(_._3)
+      .getOrElse(throw new NoSuchElementException(
+        s"no fitted estimator named '$name' (passthrough/drop slots hold none)"))
+}
+
 /** sklearn-style Pipeline: sequential estimator stages, each fitted on
   * the output of the previous (the reference reuses sklearn.Pipeline
   * directly; its graph form is in model_selection._search — see

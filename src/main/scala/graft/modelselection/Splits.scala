@@ -57,13 +57,35 @@ object Splits {
   /** Ref: dask_ml.model_selection.train_test_split (_split.py:361-520).
     * Per-partition Bernoulli split, fraction-only sizes (the reference
     * rejects absolute counts too, _split.py:33-66).
+    *
+    * @param shuffle the reference's dask≥2.13 DataFrame knob
+    *   (_split.py:458-488): `false` — the reference's DataFrame default
+    *   — keeps input row order and assigns membership by a per-row
+    *   seeded draw (order-preserving, exactly Spark's `randomSplit`
+    *   contract); `true` additionally PERMUTES rows before splitting
+    *   (within-block in dask; a rand-keyed global sort here — cheap in
+    *   Spark where dask warns it is expensive).
+    * @param blockwise reference Array-path knob: `true` (default)
+    *   shuffles within partitions only; `false` permits cross-block
+    *   movement — with `shuffle=true` Spark's rand-keyed sort is global
+    *   anyway, so both values produce a global permutation and the knob
+    *   only gates the reference's call-site compatibility (dask raises
+    *   for DataFrames; we accept both).
+    * @param convertMixedTypes accepted for call-site compatibility with
+    *   the reference signature (_split.py:368, 400-404); Spark frames
+    *   are uniformly typed — there is no DataFrame/Array mixture to
+    *   convert, so the flag is a no-op rather than an error.
     */
   def trainTestSplit(df: DataFrame, testSize: Double = 0.1,
-      trainSize: Option[Double] = None, seed: Long = 42): (DataFrame, DataFrame) = {
+      trainSize: Option[Double] = None, seed: Long = 42,
+      shuffle: Boolean = false, blockwise: Boolean = true,
+      convertMixedTypes: Boolean = false): (DataFrame, DataFrame) = {
     val train = trainSize.getOrElse(1.0 - testSize)
     require(testSize > 0 && train > 0 && testSize + train <= 1.0 + 1e-9,
       s"invalid sizes: test=$testSize train=$train")
-    val parts = df.randomSplit(Array(train, testSize), seed)
+    val _ = (blockwise, convertMixedTypes) // surface-parity knobs (see doc)
+    val base = if (shuffle) df.orderBy(rand(seed ^ 0x5f5f5f5fL)) else df
+    val parts = base.randomSplit(Array(train, testSize), seed)
     (parts(0), parts(1))
   }
 

@@ -158,6 +158,27 @@ object PreprocessingQueries extends QueryPack {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Full reference ColumnTransformer parameter surface
+    // (compose/_column_transformer.py:33-68): an estimator slot, a
+    // 'passthrough' slot, a 'drop' slot, and remainder='passthrough' —
+    // output is the sklearn hstack order (spec sets, then remainder).
+    // The dropped column (l_discount) and the passthrough/remainder
+    // columns pin every policy branch in one exact gate.
+    "q_column_transformer_spec" -> ((s, dir) => {
+      import graft.compose.{ColumnTransformerSpec, TransformerSpec}
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_tax", "l_discount")
+      val ct = new ColumnTransformerSpec(Seq(
+        ("std", TransformerSpec.Est(cols => new StandardScaler(cols)), Seq("l_quantity")),
+        ("keep", TransformerSpec("passthrough"), Seq("l_tax")),
+        ("deny", TransformerSpec("drop"), Seq("l_discount"))),
+        remainder = TransformerSpec("passthrough"))
+      ct.fit(li).transform(li)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 6).as("q_std"), col("l_tax"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // FeatureUnion: two branches over the SAME source column fitted on
     // the SAME input (fan-out, not a chain), hstacked as namespaced
     // copies, with a transformer_weight on the mm branch — the
@@ -214,6 +235,12 @@ object PreprocessingQueries extends QueryPack {
         |   / stddev_pop(l_quantity) OVER (), 6) AS q_std,
         | round((l_discount - min(l_discount) OVER ())
         |   / (max(l_discount) OVER () - min(l_discount) OVER ()), 6) AS d_mm
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_column_transformer_spec" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round((l_quantity - avg(l_quantity) OVER ())
+        |   / stddev_pop(l_quantity) OVER (), 6) AS q_std,
+        | l_tax
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_minmax_scaler_transform" ->
       """SELECT l_orderkey, l_linenumber,

@@ -94,6 +94,70 @@ class M5Spec extends SparkSpec {
     assert(pr.getDouble(1) ~== 1.0)
   }
 
+  test("ColumnTransformerSpec: passthrough/drop slots, remainder policies, hstack order") {
+    import graft.compose.{ColumnTransformerSpec, TransformerSpec}
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_tax", "l_discount")
+    val specs = Seq(
+      ("std", TransformerSpec.Est(cols => new StandardScaler(cols)),
+        Seq("l_quantity"): Seq[String]),
+      ("keep", TransformerSpec("passthrough"), Seq("l_tax")),
+      ("deny", TransformerSpec("drop"), Seq("l_discount")))
+    // remainder='drop' (the reference default): only the spec sets survive
+    val dropped = new ColumnTransformerSpec(specs).fit(li).transform(li)
+    assert(dropped.columns.toSeq == Seq("l_quantity", "l_tax"),
+      s"got ${dropped.columns.toSeq}")
+    // remainder='passthrough': spec sets first, then remainder in frame order
+    val m = new ColumnTransformerSpec(specs,
+      remainder = TransformerSpec("passthrough")).fit(li)
+    val out = m.transform(li)
+    assert(out.columns.toSeq ==
+      Seq("l_quantity", "l_tax", "l_orderkey", "l_linenumber"))
+    assert(out.agg(avg("l_quantity")).head().getDouble(0) ~== 0.0,
+      "estimator slot must actually transform")
+    assert(out.agg(max("l_tax")).head().getDouble(0) ==
+      li.agg(max("l_tax")).head().getDouble(0), "passthrough slot untouched")
+    // remainder as an ESTIMATOR fits over the non-specified columns
+    val rem = new ColumnTransformerSpec(
+      specs.take(1),
+      remainder = TransformerSpec.Est(cols =>
+        new MinMaxScaler(cols.filter(_ == "l_tax")))).fit(li)
+    val ro = rem.transform(li)
+    assert(ro.columns.toSeq ==
+      Seq("l_quantity", "l_orderkey", "l_linenumber", "l_tax", "l_discount"),
+      s"got ${ro.columns.toSeq}")
+    val rr = ro.agg(min("l_tax"), max("l_tax")).head()
+    assert((rr.getDouble(0) ~== 0.0) && (rr.getDouble(1) ~== 1.0),
+      "remainder estimator must transform its columns")
+    // string forms + guards
+    intercept[IllegalArgumentException] { TransformerSpec("bogus") }
+    intercept[IllegalArgumentException] {
+      new ColumnTransformerSpec(Seq(
+        ("a", TransformerSpec("passthrough"), Seq("l_tax")),
+        ("b", TransformerSpec("drop"), Seq("l_tax"))))
+    }
+    intercept[NoSuchElementException] { m("keep") }
+  }
+
+  test("trainTestSplit shuffle knob: order-preserving by default, permuting when true") {
+    import graft.modelselection.Splits
+    val orders = Tables.orders(spark, sfDir).select("o_orderkey").limit(500)
+    val (tr0, te0) = Splits.trainTestSplit(orders, testSize = 0.25, seed = 7)
+    val (tr1, te1) = Splits.trainTestSplit(orders, testSize = 0.25, seed = 7,
+      shuffle = false)
+    // shuffle=false is the default: identical membership, and rows come
+    // out in input (key) order because randomSplit preserves order
+    assert(tr0.collect().map(_.getLong(0)).toSeq ==
+      tr1.collect().map(_.getLong(0)).toSeq)
+    // both splits remain a partition of the input under shuffle=true
+    val (tr2, te2) = Splits.trainTestSplit(orders, testSize = 0.25, seed = 7,
+      shuffle = true, blockwise = false, convertMixedTypes = true)
+    assert(tr2.count() + te2.count() == 500)
+    val all = tr2.select("o_orderkey").union(te2.select("o_orderkey"))
+      .distinct().count()
+    assert(all == 500, "shuffle=true must still partition the input")
+  }
+
   test("SpectralClustering separates non-convex-ish blobs") {
     val df = Datasets.makeBlobs(spark, 600, nFeatures = 2, centers = 3,
       clusterStd = 0.4, seed = 11, nPartitions = 4).cache()
