@@ -177,7 +177,78 @@ object RelationalQueries extends QueryPack {
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .filter(col("k") > 90)
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // As-of join (pandas merge_asof backward): each error event picks the
+    // most recent same-user click at-or-before it. One shuffle + sort —
+    // no theta-join (Temporal.asofJoin); the DuckDB oracle is the native
+    // ASOF JOIN, an independent implementation of the same semantics.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val errs = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "us")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("c_us"),
+          col("value").as("c_value"), col("event_id").as("c_id"))
+      Temporal.asofJoin(errs, clicks, Seq("user_id"), "us", "c_us",
+          Seq("c_value"), rightTiebreak = Seq("c_id"))
+        .filter(col("asof").isNotNull)
+        .select(col("event_id"), col("user_id"), col("us").as("err_us"),
+          col("asof.c_us").as("click_us"),
+          (col("us") - col("asof.c_us")).as("gap_us"),
+          col("asof.c_value").as("click_value"))
+        .orderBy("event_id")
+    }),
+
+    // Band/range join via bucketed equi-join (|Δt| <= 10 min): clicks
+    // near each error, zero-count errors kept. The bucket explode keeps
+    // the pair generation an equi-join — never a nested-loop theta-join.
+    "q_range_join_count" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("us").as("e_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("us").as("c_us"))
+      val counts = Temporal
+        .rangeJoinPairs(errs, clicks, "e_us", "c_us", 600000000L)
+        .groupBy("event_id").agg(count(lit(1)).as("n_near"))
+      errs.join(counts, Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+        .orderBy("event_id")
+    }),
+
+    // Gap-based sessionization (native session_window, 6 h gap): per-user
+    // sessions with start/last timestamps and per-session aggregates.
+    "q_sessionize" -> ((s, dir) =>
+      Temporal.sessionize(Tables.events(s, dir), Seq("user_id"), "ts",
+          "6 hours",
+          Seq(count(lit(1)).as("n_events"),
+            round(sum("value"), 4).as("sum_value")))
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_last")).as("last_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "start_us")),
+
+    // Pivot: per-user value totals spread across event types (explicit
+    // pivot values keep the plan a single pass, no distinct-scan).
+    "q_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum("value"), 4))
+        .orderBy("user_id")),
+
+    // CUBE grouping sets over orders status × priority.
+    "q_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(round(sum("o_totalprice"), 4).as("total"),
+          count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -274,6 +345,52 @@ object RelationalQueries extends QueryPack {
     "q_json_funcs" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS err_us,
+        | epoch_us(c.ts) AS click_us,
+        | epoch_us(e.ts) - epoch_us(c.ts) AS gap_us,
+        | c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q_range_join_count" ->
+      """SELECT e.event_id, count(c.c_us) AS n_near
+        |FROM (SELECT event_id, epoch_us(ts) AS e_us FROM events
+        |      WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT epoch_us(ts) AS c_us FROM events
+        |      WHERE event_type = 'click') c
+        |  ON abs(e.e_us - c.c_us) <= 600000000
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value,
+        |   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, us, value,
+        |   sum(CASE WHEN prev_us IS NULL OR us - prev_us > 21600000000
+        |        THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us
+        |          ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM o)
+        |SELECT user_id, min(us) AS start_us, max(us) AS last_us,
+        | count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM m GROUP BY user_id, sess
+        |ORDER BY user_id, start_us""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        | round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+        | round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+        | round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+        | round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+        | round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | round(sum(o_totalprice), 4) AS total, count(*) AS cnt
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
   )
 }

@@ -1,0 +1,158 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins and sessionization — the event-time operators a
+  * large-scale pipeline needs beyond plain equi-joins (reference scope:
+  * dask.dataframe's `merge_asof`/`map_overlap` family; semantics follow
+  * pandas `merge_asof`, direction='backward').
+  *
+  * Scale design (100 TB north star):
+  *
+  *  - [[asofJoin]] never materializes a theta-join. Both sides are
+  *    union-tagged and sorted ONCE per key partition; the match is a
+  *    running `last(ignoreNulls)` window, so the cost is one shuffle on
+  *    the key columns + a per-partition sort — the same movement a
+  *    sort-merge join would pay, with no candidate-pair blowup. Spark has
+  *    no native as-of; the naive alternative (range theta-join +
+  *    row_number per left row) is a BroadcastNestedLoop/Cartesian at
+  *    scale, which PlanRegressionSpec bans.
+  *  - [[rangeJoinPairs]] turns the band predicate |l-r| <= tol into an
+  *    equi-join on floor(ord/tol) buckets with a 3-bucket explode on the
+  *    left (pigeonhole: a pair within tol differs by at most 1 bucket).
+  *    Each surviving pair is produced exactly once (the three exploded
+  *    buckets are distinct), then the exact band filter runs on the
+  *    joined rows. Shuffle volume is 3×|L| + |R| keyed rows — never
+  *    |L|×|R|. Hot buckets behave like any skewed equi-join key (AQE
+  *    skew-join splits them).
+  *  - [[sessionize]] is Spark's native `session_window` aggregate: one
+  *    shuffle on the session keys, sessions merged per partition — the
+  *    same operator Structured Streaming uses, so the batch gate and a
+  *    streaming deployment share semantics (gap-based windows,
+  *    session = [first event, last event + gap)).
+  */
+object Temporal {
+
+  /** Backward as-of join: for each left row, attach the single right row
+    * with the greatest `rightOrd` <= `leftOrd` (or < when
+    * `allowExactMatches=false`) within the same `keys` group.
+    *
+    * Ordering columns are numeric (e.g. `unix_micros(ts)`) so `tolerance`
+    * is expressible in the caller's own units; convert timestamps before
+    * calling. Returns every left row (left-outer semantics) with one
+    * struct column `asof` holding the matched right row's `rightOrd` +
+    * `rightPayload` fields, null when no prior right row exists or the
+    * match exceeds `tolerance`.
+    *
+    * Determinism: among right rows tied on (keys, rightOrd), the winner
+    * is the last under `rightTiebreak` ascending — pass the right side's
+    * unique id to pin ties.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftOrd: String,
+      rightOrd: String,
+      rightPayload: Seq[String],
+      allowExactMatches: Boolean = true,
+      tolerance: Option[Long] = None,
+      rightTiebreak: Seq[String] = Nil): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // Tag order decides who wins at equal ord: right-before-left makes the
+    // running last() include an equal-ord right row (inclusive <=);
+    // left-before-right excludes it (strict <).
+    val (rightTag, leftTag) = if (allowExactMatches) (0, 1) else (1, 0)
+    val rStructType = org.apache.spark.sql.types.StructType(
+      right.select((rightOrd +: rightPayload).map(col): _*).schema.fields.toSeq)
+    val lCols: Seq[Column] =
+      struct(leftCols.map(col): _*).as("__l") +: keys.map(col) ++: Seq(
+        col(leftOrd).cast("long").as("__ord"),
+        lit(leftTag).as("__tag"),
+        lit(null).cast("long").as("__tb"),
+        lit(null).cast(rStructType).as("__r"))
+    val l = left.select(lCols: _*)
+    val tb = rightTiebreak.headOption.map(col(_).cast("long"))
+      .getOrElse(lit(null).cast("long"))
+    val rCols: Seq[Column] =
+      lit(null).cast(l.schema("__l").dataType).as("__l") +: keys.map(col) ++: Seq(
+        col(rightOrd).cast("long").as("__ord"),
+        lit(rightTag).as("__tag"),
+        tb.as("__tb"),
+        struct((rightOrd +: rightPayload).map(col): _*).as("__r"))
+    val r = right.select(rCols: _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ord").asc, col("__tag").asc, col("__tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__l").isNotNull)
+    val withTol = tolerance match {
+      case Some(t) =>
+        matched.withColumn("__asof",
+          when(col("__asof").isNotNull &&
+            col("__ord") - col("__asof")(rightOrd).cast("long") <= t,
+            col("__asof")))
+      case None => matched
+    }
+    withTol.select(leftCols.map(c => col(s"__l.$c").as(c)) :+
+      col("__asof").as("asof"): _*)
+  }
+
+  /** All (left, right) row pairs with |leftOrd - rightOrd| <= tol (and
+    * equal `keys`, when given), via the bucketed equi-join above. Column
+    * names must be disjoint across the two sides (rename before calling).
+    */
+  def rangeJoinPairs(
+      left: DataFrame,
+      right: DataFrame,
+      leftOrd: String,
+      rightOrd: String,
+      tol: Long,
+      keys: Seq[(String, String)] = Nil): DataFrame = {
+    require(tol > 0, s"tolerance must be positive, got $tol")
+    // floor-div buckets of width tol; a pair within tol spans <= 1 bucket
+    // boundary, so probing {b-1, b, b+1} on one side is complete.
+    val lb = left.withColumn("__b",
+      explode(array(Seq(-1, 0, 1).map(d =>
+        floorDiv(col(leftOrd), tol) + lit(d)): _*)))
+    val rb = right.withColumn("__rb", floorDiv(col(rightOrd), tol))
+    val joinCond = keys.map { case (lk, rk) => col(lk) === col(rk) }
+      .foldLeft(col("__b") === col("__rb"))(_ && _)
+    lb.join(rb, joinCond)
+      .filter(abs(col(leftOrd) - col(rightOrd)) <= tol)
+      .drop("__b", "__rb")
+  }
+
+  private def floorDiv(c: Column, d: Long): Column = {
+    // pmod is non-negative, so subtracting it yields the floor multiple —
+    // correct for negative ordinates too (epoch values before 1970,
+    // deltas). Exact while |ord| < 2^53 (the quotient is a whole number
+    // in double space) — micros until year ~2255.
+    val cl = c.cast("long")
+    ((cl - pmod(cl, lit(d))) / lit(d)).cast("long")
+  }
+
+  /** Gap-based sessionization over Spark's native `session_window`:
+    * events on the same `keys` whose timestamps are within `gap` of the
+    * previous event share a session. Output: keys + `session_start`
+    * (first event ts), `session_last` (last event ts — i.e. window end
+    * minus the gap) + the caller's aggregates.
+    */
+  def sessionize(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      gap: String,
+      aggExprs: Seq[Column]): DataFrame = {
+    require(aggExprs.nonEmpty, "sessionize needs at least one aggregate")
+    df.groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .withColumn("session_start", col("session_window.start"))
+      .withColumn("session_last",
+        col("session_window.end") - expr(s"INTERVAL '$gap'"))
+      .drop("session_window")
+  }
+}

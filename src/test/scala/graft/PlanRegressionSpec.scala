@@ -36,7 +36,10 @@ class PlanRegressionSpec extends SparkSpec {
                              // operator's semantics; never a global orderBy
     "q_llm_pipeline_v2",     // the flagship's final stage IS the per-shard
                              // packing window above, over the sampled set
-    "q_llm_pipeline_v3"      // same final packing stage, classifier-filtered
+    "q_llm_pipeline_v3",     // same final packing stage, classifier-filtered
+    "q_asof_join"            // the as-of operator IS a per-key running
+                             // last() window (one shuffle + sort — the
+                             // alternative is a banned theta-join)
   )
 
   /** Queries allowed to contain ScalaUDFs, each with the reason.

@@ -1,0 +1,118 @@
+package graft.relational
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def asofRows(df: DataFrame): Seq[(Long, Long, Option[Long], Option[Double])] =
+    df.select(col("k"), col("ord"), col("asof.r_ord"), col("asof.r_val"))
+      .as[(Long, Long, Option[Long], Option[Double])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+
+  private val left = Seq(
+    (1L, 100L), (1L, 200L), (1L, 50L),
+    (2L, 100L), (3L, 10L)).toDF("k", "ord")
+  private val right = Seq(
+    (1L, 100L, 1.0, 10L), (1L, 100L, 2.0, 20L), (1L, 150L, 3.0, 30L),
+    (2L, 99L, 4.0, 40L)).toDF("k", "r_ord", "r_val", "r_id")
+
+  test("asofJoin backward inclusive: greatest right ord <= left ord, ties by tiebreak") {
+    val out = asofRows(Temporal.asofJoin(left, right, Seq("k"), "ord", "r_ord",
+      Seq("r_val"), rightTiebreak = Seq("r_id")))
+    assert(out == Seq(
+      (1L, 50L, None, None),                    // nothing at-or-before 50
+      (1L, 100L, Some(100L), Some(2.0)),        // tie at 100: r_id 20 wins
+      (1L, 200L, Some(150L), Some(3.0)),
+      (2L, 100L, Some(99L), Some(4.0)),
+      (3L, 10L, None, None)))                   // key with no right rows
+  }
+
+  test("asofJoin strict (allowExactMatches=false) skips the equal-ord row") {
+    val out = asofRows(Temporal.asofJoin(left, right, Seq("k"), "ord", "r_ord",
+      Seq("r_val"), allowExactMatches = false, rightTiebreak = Seq("r_id")))
+    assert(out.find(r => r._1 == 1L && r._2 == 100L).get._3.isEmpty)
+    assert(out.find(r => r._1 == 2L && r._2 == 100L).get._3 == Some(99L))
+  }
+
+  test("asofJoin tolerance nulls out matches beyond the bound") {
+    val out = asofRows(Temporal.asofJoin(left, right, Seq("k"), "ord", "r_ord",
+      Seq("r_val"), tolerance = Some(10L), rightTiebreak = Seq("r_id")))
+    // (1,200): nearest is 150, gap 50 > 10 -> null; (2,100): gap 1 <= 10 -> kept
+    assert(out.find(r => r._1 == 1L && r._2 == 200L).get._3.isEmpty)
+    assert(out.find(r => r._1 == 2L && r._2 == 100L).get._3 == Some(99L))
+  }
+
+  test("asofJoin matches a brute-force oracle on randomized data") {
+    val rnd = new scala.util.Random(7)
+    val l = Seq.fill(300)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((k, o), i) => (k, o, i.toLong) }
+    val r = Seq.fill(300)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((k, o), i) => (k, o, i.toLong) }
+    val ldf = l.toDF("k", "ord", "lid")
+    val rdf = r.toDF("k", "r_ord", "r_id").withColumn("r_val", col("r_id").cast("double"))
+    val got = Temporal.asofJoin(ldf, rdf, Seq("k"), "ord", "r_ord",
+      Seq("r_val"), rightTiebreak = Seq("r_id"))
+      .select(col("lid"), col("asof.r_ord"), col("asof.r_val"))
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // brute force: max r_ord <= ord; among ties the max r_id
+    val byKey = r.groupBy(_._1)
+    for ((k, o, lid) <- l) {
+      val cands = byKey.getOrElse(k, Nil).filter(_._2 <= o)
+      val expect =
+        if (cands.isEmpty) (None, None)
+        else {
+          val m = cands.map(_._2).max
+          val win = cands.filter(_._2 == m).map(_._3).max
+          (Some(m), Some(win.toDouble))
+        }
+      assert(got(lid) == expect, s"lid=$lid k=$k ord=$o")
+    }
+  }
+
+  test("rangeJoinPairs matches brute force, incl. negative ordinates") {
+    val rnd = new scala.util.Random(11)
+    val l = Seq.tabulate(200)(i => (i.toLong, rnd.nextLong() % 500L))
+    val r = Seq.tabulate(200)(i => (i.toLong, rnd.nextLong() % 500L))
+    val tol = 60L
+    val got = Temporal.rangeJoinPairs(
+      l.toDF("lid", "lo"), r.toDF("rid", "ro"), "lo", "ro", tol)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    val expect = for {
+      (lid, lo) <- l; (rid, ro) <- r if math.abs(lo - ro) <= tol
+    } yield (lid, rid)
+    assert(got.sorted == expect.sorted)
+    assert(got.size == got.toSet.size, "each pair exactly once")
+  }
+
+  test("rangeJoinPairs with key equality restricts pairs to the key group") {
+    val l2 = Seq((1L, 0L, 10L), (2L, 1L, 10L)).toDF("lid", "lk", "lo")
+    val r2 = Seq((7L, 0L, 12L), (8L, 1L, 500L)).toDF("rid", "rk", "ro")
+    val got = Temporal.rangeJoinPairs(l2, r2, "lo", "ro", 60L, Seq("lk" -> "rk"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 7L)))
+  }
+
+  test("sessionize: gap-based sessions; an exactly-gap-later event still merges") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (1L, "2024-01-01 10:10:00", 2.0),  // exactly gap later -> same session
+      (1L, "2024-01-01 10:20:01", 4.0),  // 1 s beyond gap -> new session
+      (2L, "2024-01-01 09:00:00", 8.0))
+      .toDF("k", "s", "v").withColumn("ts", to_timestamp(col("s")))
+    val out = Temporal.sessionize(df, Seq("k"), "ts", "10 minutes",
+        Seq(count(lit(1)).as("n"), sum("v").as("sv")))
+      .select(col("k"), unix_micros(col("session_start")).as("st"),
+        unix_micros(col("session_last")).as("en"), col("n"), col("sv"))
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    def us(s: String): Long =
+      java.time.Instant.parse(s).toEpochMilli * 1000L
+    assert(out == Seq(
+      (1L, us("2024-01-01T10:00:00Z"), us("2024-01-01T10:10:00Z"), 2L, 3.0),
+      (1L, us("2024-01-01T10:20:01Z"), us("2024-01-01T10:20:01Z"), 1L, 4.0),
+      (2L, us("2024-01-01T09:00:00Z"), us("2024-01-01T09:00:00Z"), 1L, 8.0)))
+  }
+}
