@@ -760,6 +760,110 @@ object Dedup {
     res
   }
 
+  /** Exact-substring duplicated spans (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * their ExactSubstr pass removes character runs that recur anywhere
+    * in the corpus, which document-level fingerprints structurally
+    * miss). The reference builds a corpus-wide suffix array; that is a
+    * sequential construction with no good 1000-executor analog, so this
+    * re-expression uses content-defined fingerprint sampling (Manber,
+    * USENIX'94 "mod-p" anchors; the winnowing family):
+    *
+    *  1. every char k-gram is generated map-side (codegen Generate — a
+    *     k× fan-out that never shuffles),
+    *  2. a gram is SAMPLED iff its md5 starts with `sampleHexPrefix` —
+    *     selection depends only on content, so two copies of a run
+    *     sample the SAME grams regardless of their alignment in each
+    *     document (a fixed-stride sample would miss misaligned copies);
+    *     only the ~1/16th sampled grams ever shuffle,
+    *  3. a sampled gram occurring >1 times corpus-wide marks both its
+    *     occurrences' [p, p+k) spans as duplicated (shuffle on gram —
+    *     hot grams are bounded by the sample rate, and behave as
+    *     ordinary skewed agg keys: partial aggregation pre-counts),
+    *  4. overlapping spans merge per document (gaps-and-islands window
+    *     PARTITIONED BY DOC — never a global sort).
+    *
+    * Expected detection: a duplicated run of length L contains ~L/16
+    * sampled anchors (miss probability (15/16)^(L-k+1) — negligible
+    * beyond a few hundred chars); spans are exact around each anchor.
+    * Returns one row per merged span: (idCol, span_start, span_end),
+    * 0-based char offsets, end exclusive.
+    */
+  def exactSubstrSpans(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 25, sampleHexPrefix: String = "0"): DataFrame = {
+    require(k > 0 && sampleHexPrefix.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val grams = df.filter(length(col(textCol)) >= k)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), length(col(textCol)) - k),
+        i => struct(i.as("p"),
+          col(textCol).substr(i + lit(1), lit(k)).as("gram")))).as("g"))
+      .select(col(idCol), col("g.p").as("p"), col("g.gram").as("gram"))
+      .filter(substring(md5(col("gram")), 1, sampleHexPrefix.length)
+        === sampleHexPrefix)
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("gram")
+    val marked = grams.join(dup, Seq("gram"), "left_semi")
+    val wPrev = Window.partitionBy(idCol).orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(idCol).orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevEnd = max(col("p") + k).over(wPrev)
+    marked
+      .withColumn("__new", when(prevEnd.isNull || col("p") > prevEnd, 1)
+        .otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(wRun))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("p")).as("span_start"), (max(col("p")) + k).as("span_end"))
+      .drop("__island")
+  }
+
+  /** Per-document summary of [[exactSubstrSpans]]: span count, duplicated
+    * char total, duplicated fraction of the document. Every input doc
+    * appears (zero-span docs included).
+    */
+  def exactSubstrStats(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 25, sampleHexPrefix: String = "0"): DataFrame = {
+    val st = exactSubstrSpans(df, textCol, idCol, k, sampleHexPrefix)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).cast("long").as("dup_chars"))
+    df.select(col(idCol), length(col(textCol)).as("__len"))
+      .join(st, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        round(coalesce(col("dup_chars"), lit(0L)) /
+          col("__len").cast("double"), 6).as("dup_frac"))
+  }
+
+  /** Apply [[exactSubstrSpans]]: cut the duplicated spans out of each
+    * document (the Lee et al. ExactSubstr action — span removal, not
+    * doc dropping). Spans are collected per doc (bounded: spans are
+    * merged and disjoint, ≤ len/k of them) and stitched with one
+    * `aggregate` higher-order expression — no UDF, no driver loop.
+    * Adds `text_dedup`; docs without spans pass through unchanged.
+    */
+  def removeSpans(df: DataFrame, spans: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val sp = spans.groupBy(idCol)
+      .agg(array_sort(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("__sp"))
+    df.join(sp, Seq(idCol), "left")
+      .withColumn("text_dedup",
+        when(col("__sp").isNull, col(textCol)).otherwise(
+          aggregate(col("__sp"),
+            struct(lit(0).as("pos"), lit("").as("acc")),
+            (acc, x) => struct(
+              x("e").as("pos"),
+              concat(acc("acc"), col(textCol)
+                .substr(acc("pos") + lit(1), x("s") - acc("pos"))).as("acc")),
+            acc => concat(acc("acc"), col(textCol)
+              .substr(acc("pos") + lit(1),
+                length(col(textCol)) - acc("pos"))))))
+      .drop("__sp")
+  }
+
   /** PAIRWISE near-dup drop: removes the larger id of each verified
     * pair — NOT single-link clustering. For pairs (a,c),(b,c) with
     * a<b<c this keeps BOTH a and b (c is dropped twice); single-link

@@ -570,6 +570,13 @@ object LlmDataQueries extends QueryPack {
           round(col("containment"), 6).as("containment"))
         .orderBy("id_a", "id_b")),
 
+    // Exact-substring duplicated spans (Lee et al. ExactSubstr,
+    // re-expressed as content-defined md5-anchor sampling — alignment-
+    // independent, unlike a fixed stride): per-doc merged-span stats.
+    "q_dedup_substr" -> ((s, dir) =>
+      Dedup.exactSubstrStats(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id")),
+
     // Single-link clusters over the (memoized) oracle-family minhash
     // pairs: min-label propagation to fixpoint on the pair graph. The
     // oracle walks the same graph with a recursive CTE, so every
@@ -1211,6 +1218,41 @@ object LlmDataQueries extends QueryPack {
         |FROM inter JOIN sizes sa ON sa.doc_id = id_a
         |WHERE CAST(cnt AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= CAST(0.8 AS DOUBLE)
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact-substring spans: regenerate every char 25-gram, keep the
+    // md5-prefix-sampled anchors, mark grams recurring corpus-wide,
+    // merge each doc's spans with the same gaps-and-islands windows.
+    "q_dedup_substr" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |   unnest(generate_series(0, CAST(n_chars AS INT) - 25, 1)) AS p
+        |  FROM documents WHERE n_chars >= 25),
+        |sg AS (
+        |  SELECT doc_id, p, substring(text, p + 1, 25) AS gram FROM g
+        |  WHERE substring(md5(substring(text, p + 1, 25)), 1, 1) = '0'),
+        |dup AS (SELECT gram FROM sg GROUP BY gram HAVING count(*) > 1),
+        |mk AS (SELECT doc_id, p FROM sg
+        |       WHERE gram IN (SELECT gram FROM dup)),
+        |w AS (SELECT doc_id, p,
+        |        max(p + 25) OVER (PARTITION BY doc_id ORDER BY p
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        |      FROM mk),
+        |isl AS (SELECT doc_id, p,
+        |        sum(CASE WHEN prev_e IS NULL OR p > prev_e THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY p
+        |                ROWS UNBOUNDED PRECEDING) AS island
+        |        FROM w),
+        |sp AS (SELECT doc_id, island, min(p) AS s0, max(p) + 25 AS e1
+        |       FROM isl GROUP BY doc_id, island),
+        |st AS (SELECT doc_id, count(*) AS n_spans,
+        |        CAST(sum(e1 - s0) AS BIGINT) AS dup_chars
+        |       FROM sp GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(st.n_spans, 0) AS n_spans,
+        | coalesce(st.dup_chars, 0) AS dup_chars,
+        | round(coalesce(st.dup_chars, 0) / CAST(d.n_chars AS DOUBLE), 6)
+        |   AS dup_frac
+        |FROM documents d LEFT JOIN st USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // ground-truth repetition signals: explode word n-grams / "lines"
     // per document, count in SQL, mirror the max/sum/cap formulas.
