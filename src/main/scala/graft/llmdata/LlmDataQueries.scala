@@ -577,6 +577,17 @@ object LlmDataQueries extends QueryPack {
       Dedup.exactSubstrStats(Tables.documents(s, dir), "text", "doc_id")
         .orderBy("doc_id")),
 
+    // CCNet-style LM quality scoring: interpolated-bigram model trained
+    // on the English slice, every doc scored by NLL-per-token. The
+    // count→probability arithmetic is rational (bit-exact cross-engine);
+    // only ln/avg accumulation needs the round(6).
+    "q_lm_perplexity" -> ((s, dir) =>
+      NgramLm.perplexityScore(Tables.documents(s, dir), "text", "doc_id",
+          col("lang") === "en")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("nll"), 6).as("nll"))
+        .orderBy("doc_id")),
+
     // Single-link clusters over the (memoized) oracle-family minhash
     // pairs: min-label propagation to fixpoint on the pair graph. The
     // oracle walks the same graph with a recursive CTE, so every
@@ -1253,6 +1264,43 @@ object LlmDataQueries extends QueryPack {
         |   AS dup_frac
         |FROM documents d LEFT JOIN st USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // LM scoring oracle: retrain the same unigram/bigram counts on the
+    // en slice in SQL, replay the interpolation arithmetic per token.
+    "q_lm_perplexity" ->
+      """WITH reft AS (SELECT string_split(text, ' ') AS t
+        |              FROM documents WHERE lang = 'en'),
+        |rtok AS (SELECT unnest(t) AS w FROM reft),
+        |uni AS (SELECT w, count(*) AS cw FROM rtok GROUP BY w),
+        |rbig AS (SELECT unnest(list_transform(range(1, len(t)),
+        |           i -> t[i] || ' ' || t[i+1])) AS bg
+        |         FROM reft WHERE len(t) >= 2),
+        |bi AS (SELECT bg, count(*) AS cb FROM rbig GROUP BY bg),
+        |tot AS (SELECT (SELECT count(*) FROM rtok) AS n_ref,
+        |               (SELECT count(*) FROM uni) AS v_size),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |posi AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM d),
+        |pw AS (SELECT doc_id, t[i] AS w,
+        |        CASE WHEN i > 1 THEN t[i-1] END AS prev FROM posi),
+        |j AS (SELECT pw.doc_id, pw.w, pw.prev, uni.cw, up.cw AS cprev, bi.cb
+        |      FROM pw
+        |      LEFT JOIN uni ON uni.w = pw.w
+        |      LEFT JOIN uni up ON up.w = pw.prev
+        |      LEFT JOIN bi ON bi.bg = pw.prev || ' ' || pw.w),
+        |sc AS (SELECT doc_id,
+        |        CASE WHEN prev IS NULL
+        |         THEN CAST(coalesce(cw, 0) + 1 AS DOUBLE)
+        |              / CAST(n_ref + v_size AS DOUBLE)
+        |         ELSE 0.9 * (CASE WHEN cprev IS NOT NULL
+        |                 THEN CAST(coalesce(cb, 0) AS DOUBLE)
+        |                      / CAST(cprev AS DOUBLE)
+        |                 ELSE 0.0 END)
+        |            + 0.1 * (CAST(coalesce(cw, 0) + 1 AS DOUBLE)
+        |                     / CAST(n_ref + v_size AS DOUBLE))
+        |        END AS p
+        |       FROM j, tot)
+        |SELECT doc_id, count(*) AS n_tokens, round(-avg(ln(p)), 6) AS nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // ground-truth repetition signals: explode word n-grams / "lines"
     // per document, count in SQL, mirror the max/sum/cap formulas.

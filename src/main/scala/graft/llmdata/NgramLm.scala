@@ -1,0 +1,94 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical n-gram language-model scoring for corpus quality
+  * filtering — the CCNet design (Wenzek et al., LREC 2020: score every
+  * document by the perplexity of an LM trained on a trusted corpus;
+  * keep the low-perplexity tail). The reference pipeline uses a 5-gram
+  * KenLM; this re-expression trains an interpolated bigram model
+  * entirely as aggregates, so "training" is two count shuffles and
+  * scoring is a broadcast-join scan:
+  *
+  *  - counts: unigram + bigram `groupBy(...).count` over the trusted
+  *    slice (map-side partial aggregation — skew-safe for stopwords).
+  *  - model size is VOCABULARY-sized, not corpus-sized: at 100 TB the
+  *    count tables still fit executor memory (10⁷–10⁸ keys) and ship
+  *    as broadcast joins; the corpus-sized token stream never shuffles
+  *    during scoring.
+  *  - probabilities are rational functions of integer counts
+  *    (interpolated bigram with add-one unigram smoothing, Chen &
+  *    Goodman 1996 family), so Spark and the SQL oracle compute
+  *    bit-identical doubles; only the final ln/avg sees float
+  *    accumulation, absorbed by the gate's round(…, 6).
+  *
+  * Per-token probability, position i in a document:
+  *   i = 0:  p = (c(w)+1) / (N+V)                      (smoothed unigram)
+  *   i > 0:  p = λ·c(prev,w)/c(prev) + μ·(c(w)+1)/(N+V)
+  *           (bigram term 0 when prev is unseen)
+  * Document score = -avg(ln p) — natural-log NLL; perplexity = e^score.
+  */
+object NgramLm {
+
+  private def toks(textCol: Column): Column = split(textCol, " ")
+
+  /** Train on a trusted reference slice: (unigram counts, bigram counts,
+    * 1-row totals {n_tokens_ref, v_size}). Bigram keys are the joined
+    * string "prev w" — tokens never contain spaces by construction.
+    */
+  def train(ref: DataFrame, textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val t = ref.select(toks(col(textCol)).as("t"))
+    val uni = t.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val bi = t.filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", col("t")(i - 1), col("t")(i)))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+    val totals = uni.agg(sum("cw").cast("long").as("n_tokens_ref"),
+      count(lit(1)).as("v_size"))
+    (uni, bi, totals)
+  }
+
+  /** Score every document against a trained model: one row per doc with
+    * `n_tokens` and `nll` (-avg ln p, unrounded). The three model
+    * frames are broadcast — the scored corpus only pays a scan.
+    */
+  def score(docs: DataFrame, textCol: String, idCol: String,
+      uni: DataFrame, bi: DataFrame, totals: DataFrame,
+      lambdaBi: Double = 0.9, lambdaUni: Double = 0.1): DataFrame = {
+    val pos = docs.select(col(idCol), toks(col(textCol)).as("t"))
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("t")) - 1),
+        i => struct(col("t")(i).as("w"),
+          when(i > 0, col("t")(i - 1)).as("prev")))).as("g"))
+      .select(col(idCol), col("g.w").as("w"), col("g.prev").as("prev"))
+    val scored = pos
+      .join(broadcast(uni), Seq("w"), "left")
+      .join(broadcast(uni.select(col("w").as("prev"), col("cw").as("cprev"))),
+        Seq("prev"), "left")
+      .withColumn("bg", concat_ws(" ", col("prev"), col("w")))
+      .join(broadcast(bi), Seq("bg"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("puni",
+        (coalesce(col("cw"), lit(0L)) + 1).cast("double") /
+          (col("n_tokens_ref") + col("v_size")).cast("double"))
+      .withColumn("pbi", when(col("cprev").isNotNull,
+          coalesce(col("cb"), lit(0L)).cast("double") /
+            col("cprev").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("p", when(col("prev").isNull, col("puni"))
+        .otherwise(lit(lambdaBi) * col("pbi") + lit(lambdaUni) * col("puni")))
+    scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), (-avg(log(col("p")))).as("nll"))
+  }
+
+  /** Train on `refFilter` docs, score ALL docs (CCNet: the trusted slice
+    * defines "quality"; everything is ranked by distance from it).
+    */
+  def perplexityScore(docs: DataFrame, textCol: String, idCol: String,
+      refFilter: Column): DataFrame = {
+    val (uni, bi, totals) = train(docs.filter(refFilter), textCol)
+    score(docs, textCol, idCol, uni, bi, totals)
+  }
+}

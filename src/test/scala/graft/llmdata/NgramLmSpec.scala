@@ -1,0 +1,60 @@
+package graft.llmdata
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class NgramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("score matches a from-first-principles bigram LM on a tiny corpus") {
+    val ref = Seq("the cat sat", "the cat ran", "a dog sat")
+    val docs = (ref ++ Seq("the cat sat", "zebra qux", "a cat sat the")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, i < ref.size) }
+    val df = docs.toDF("doc_id", "text", "is_ref")
+    val got = NgramLm.perplexityScore(df, "text", "doc_id", col("is_ref"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // reference model recomputed independently
+    val toks = ref.map(_.split(" ").toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val bi = toks.flatMap(t => t.sliding(2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val n = toks.map(_.size).sum
+    val v = uni.size
+    def puni(w: String) = (uni.getOrElse(w, 0) + 1).toDouble / (n + v)
+    def p(prev: Option[String], w: String): Double = prev match {
+      case None => puni(w)
+      case Some(pr) =>
+        val pb = uni.get(pr) match {
+          case Some(cp) => bi.getOrElse(s"$pr $w", 0).toDouble / cp
+          case None => 0.0
+        }
+        0.9 * pb + 0.1 * puni(w)
+    }
+    for ((id, text, _) <- docs) {
+      val t = text.split(" ").toSeq
+      val ps = t.zipWithIndex.map { case (w, i) =>
+        p(if (i == 0) None else Some(t(i - 1)), w)
+      }
+      val nll = -ps.map(math.log).sum / ps.size
+      val (gn, gnll) = got(id)
+      assert(gn == t.size, s"doc $id token count")
+      assert(gnll ~== (nll, 1e-12), s"doc $id nll: got $gnll want $nll")
+    }
+    // a doc made of seen bigrams scores better than unseen-vocab gibberish
+    assert(got(3L)._2 < got(4L)._2)
+  }
+
+  test("on real data: the trusted-language slice scores lower NLL") {
+    val docs = Tables.documents(spark, sfDir)
+    val scored = NgramLm.perplexityScore(docs, "text", "doc_id",
+        col("lang") === "en")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val byLang = scored.groupBy("lang").agg(avg("nll").as("m"))
+      .as[(String, Double)].collect().toMap
+    assert(byLang("en") < byLang("zh") && byLang("en") < byLang("de") &&
+      byLang("en") < byLang("es") && byLang("en") < byLang("fr"),
+      s"en must be the low-perplexity slice: $byLang")
+  }
+}
