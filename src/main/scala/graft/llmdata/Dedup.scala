@@ -793,14 +793,22 @@ object Dedup {
       k: Int = 25, sampleHexPrefix: String = "0"): DataFrame = {
     require(k > 0 && sampleHexPrefix.nonEmpty)
     import org.apache.spark.sql.expressions.Window
+    // Positions explode BEFORE gram construction (a plain int Generate;
+    // building array<struct<pos,gram>> per doc would materialize every
+    // gram string up front), and only the ~16th that survive the anchor
+    // filter are cached: both consumers below (global dup counting and
+    // the mark join) then pay the k×-fan-out generation + md5 ONCE.
     val grams = df.filter(length(col(textCol)) >= k)
-      .select(col(idCol), explode(transform(
-        sequence(lit(0), length(col(textCol)) - k),
-        i => struct(i.as("p"),
-          col(textCol).substr(i + lit(1), lit(k)).as("gram")))).as("g"))
-      .select(col(idCol), col("g.p").as("p"), col("g.gram").as("gram"))
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0), length(col(textCol)) - k)).as("p"))
+      .select(col(idCol), col("p"),
+        col(textCol).substr(col("p") + lit(1), lit(k)).as("gram"))
       .filter(substring(md5(col("gram")), 1, sampleHexPrefix.length)
         === sampleHexPrefix)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // grams recurring corpus-wide: tiny by construction -> the semi join
+    // back is a broadcast (no shuffle of the anchor stream, no hot-key
+    // task concentration — same skew posture as dropOversized).
     val dup = grams.groupBy("gram").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select("gram")
     val marked = grams.join(dup, Seq("gram"), "left_semi")
@@ -809,13 +817,17 @@ object Dedup {
     val wRun = Window.partitionBy(idCol).orderBy("p")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prevEnd = max(col("p") + k).over(wPrev)
-    marked
+    val spans = marked
       .withColumn("__new", when(prevEnd.isNull || col("p") > prevEnd, 1)
         .otherwise(0))
       .withColumn("__island", sum(col("__new")).over(wRun))
       .groupBy(col(idCol), col("__island"))
       .agg(min(col("p")).as("span_start"), (max(col("p")) + k).as("span_end"))
       .drop("__island")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    spans.count() // materialize the (bounded, merged) span set ...
+    grams.unpersist(blocking = false) // ... then release the anchor cache
+    spans
   }
 
   /** Per-document summary of [[exactSubstrSpans]]: span count, duplicated
