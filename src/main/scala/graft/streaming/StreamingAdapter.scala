@@ -64,6 +64,30 @@ object StreamingAdapter {
       .select(col(keyCol), col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: pair each left event with the right
+    * events of the same key whose timestamp falls in
+    * [leftTs − lookback, leftTs]. The time-bound join condition plus
+    * both watermarks let Spark derive a state-eviction horizon — buffered
+    * rows older than watermark − lookback are dropped, so join state is
+    * BOUNDED regardless of stream length (the unbounded-state pitfall of
+    * an unconstrained stream-stream equi-join). Batch frames run the
+    * identical plan as an ordinary range-predicate join.
+    *
+    * Column names must be disjoint across the two sides (rename before
+    * calling); `lookback` is an INTERVAL string, e.g. "10 minutes".
+    */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String, leftKey: String, rightKey: String,
+      lookback: String, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark(leftTs, watermarkDelay)
+      else left
+    val r = if (right.isStreaming) right.withWatermark(rightTs, watermarkDelay)
+      else right
+    l.join(r, expr(s"$leftKey = $rightKey" +
+      s" AND $rightTs >= $leftTs - INTERVAL $lookback" +
+      s" AND $rightTs <= $leftTs"))
+  }
+
   /** Per-key Welford state carried across micro-batches by
     * [[runningStats]]. `sumScaled` (Σ floor(value·10⁴) as integers) is
     * an ORDER-INDEPENDENT exact accumulator — integer addition

@@ -172,4 +172,33 @@ class StreamingSpec extends SparkSpec {
       assert(ids == Set(2L, 3L), s"got $ids")
     } finally q.stop()
   }
+
+  test("streamingIntervalJoin pairs events within the lookback, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val errs = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val joined = StreamingAdapter.streamingIntervalJoin(
+      errs.toDF.toDF("e_ts", "e_user", "e_id"),
+      clicks.toDF.toDF("c_ts", "c_user", "c_id"),
+      "e_ts", "c_ts", "e_user", "c_user", "10 minutes")
+    val q = joined.select("e_id", "c_id").writeStream.outputMode("append")
+      .format("memory").queryName("ij_test").start()
+    try {
+      clicks.addData((ts(1, 0), 7L, 100L), (ts(1, 12), 7L, 101L),
+        (ts(1, 0), 8L, 102L))
+      q.processAllAvailable()
+      // error arrives in a LATER micro-batch: buffered click state must
+      // still match; (1:15) reaches back 10 min -> click 101 only;
+      // user 8's click is outside the error's user group
+      errs.addData((ts(1, 15), 7L, 200L))
+      q.processAllAvailable()
+      // same-batch pairing + inclusive right edge (click at exactly e_ts)
+      clicks.addData((ts(1, 30), 7L, 103L))
+      errs.addData((ts(1, 30), 7L, 201L))
+      q.processAllAvailable()
+      val got = spark.table("ij_test").as[(Long, Long)].collect().toSet
+      assert(got == Set((200L, 101L), (201L, 103L)), s"got $got")
+    } finally q.stop()
+  }
 }
