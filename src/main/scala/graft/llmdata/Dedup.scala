@@ -827,8 +827,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     spans.count() // materialize the (bounded, merged) span set ...
     grams.unpersist(blocking = false) // ... then release the anchor cache
+    // The span cache is session-lived but registered, so Memos.clearAll
+    // (Bench between-pass hygiene, or any caller) releases it.
+    spanCache.put(s"spans-${spanCacheSeq.incrementAndGet()}", spans)
     spans
   }
+
+  private val spanCache =
+    graft.core.Memos.register(new graft.core.Memos.CachedFrameMap())
+  private val spanCacheSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Per-document summary of [[exactSubstrSpans]]: span count, duplicated
     * char total, duplicated fraction of the document. Every input doc

@@ -88,7 +88,16 @@ object NgramLm {
     */
   def perplexityScore(docs: DataFrame, textCol: String, idCol: String,
       refFilter: Column): DataFrame = {
-    val (uni, bi, totals) = train(docs.filter(refFilter), textCol)
+    val (uni0, bi, totals) = train(docs.filter(refFilter), textCol)
+    // uni feeds THREE broadcasts (unigram join, prev-count join, totals);
+    // persist the vocab-sized count table so training is genuinely one
+    // pass, and register it so Memos.clearAll releases the cache.
+    val uni = uni0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    uniCache.put(s"uni-${uniCacheSeq.incrementAndGet()}", uni)
     score(docs, textCol, idCol, uni, bi, totals)
   }
+
+  private val uniCache =
+    graft.core.Memos.register(new graft.core.Memos.CachedFrameMap())
+  private val uniCacheSeq = new java.util.concurrent.atomic.AtomicLong()
 }

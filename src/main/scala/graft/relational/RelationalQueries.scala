@@ -347,13 +347,21 @@ object RelationalQueries extends QueryPack {
         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
         |ORDER BY event_id""".stripMargin,
     "q_asof_join" ->
-      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS err_us,
-        | epoch_us(c.ts) AS click_us,
-        | epoch_us(e.ts) - epoch_us(c.ts) AS gap_us,
+      """SELECT e.event_id, e.user_id, e.e_us AS err_us,
+        | c.c_us AS click_us,
+        | e.e_us - c.c_us AS gap_us,
         | c.value AS click_value
-        |FROM (SELECT * FROM events WHERE event_type = 'error') e
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON e.user_id = c.user_id AND e.ts >= c.ts
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS e_us
+        |      FROM events WHERE event_type = 'error') e
+        |ASOF JOIN (
+        |  -- microsecond domain (matching the engine's unix_micros) and a
+        |  -- deterministic max-event_id winner among same-instant clicks,
+        |  -- mirroring the engine's rightTiebreak
+        |  SELECT user_id, epoch_us(ts) AS c_us,
+        |         arg_max(value, event_id) AS value
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_us(ts)) c
+        |  ON e.user_id = c.user_id AND e.e_us >= c.c_us
         |ORDER BY e.event_id""".stripMargin,
     "q_range_join_count" ->
       """SELECT e.event_id, count(c.c_us) AS n_near

@@ -39,16 +39,21 @@ object Temporal {
     * with the greatest `rightOrd` <= `leftOrd` (or < when
     * `allowExactMatches=false`) within the same `keys` group.
     *
-    * Ordering columns are numeric (e.g. `unix_micros(ts)`) so `tolerance`
-    * is expressible in the caller's own units; convert timestamps before
-    * calling. Returns every left row (left-outer semantics) with one
-    * struct column `asof` holding the matched right row's `rightOrd` +
-    * `rightPayload` fields, null when no prior right row exists or the
-    * match exceeds `tolerance`.
+    * Ordering columns are numeric in the same type family on both sides
+    * (e.g. `unix_micros(ts)`), NOT truncated by the join, so fractional
+    * ordinates keep their ordering and `tolerance` is expressible in the
+    * caller's own units; convert timestamps before calling. Returns
+    * every left row (left-outer semantics) with one struct column `asof`
+    * holding the matched right row's `rightOrd` + `rightPayload` fields,
+    * null when no prior right row exists or the match exceeds
+    * `tolerance`. Right rows with a null key or null `rightOrd` never
+    * match (pandas merge_asof drops null keys); left rows with null keys
+    * are retained with `asof` null.
     *
     * Determinism: among right rows tied on (keys, rightOrd), the winner
-    * is the last under `rightTiebreak` ascending — pass the right side's
-    * unique id to pin ties.
+    * is the LAST under `rightTiebreak` ascending (i.e. the max) —
+    * pass the right side's unique id column(s) to pin ties; any
+    * orderable types, compared in sequence.
     */
   def asofJoin(
       left: DataFrame,
@@ -65,24 +70,33 @@ object Temporal {
     // running last() include an equal-ord right row (inclusive <=);
     // left-before-right excludes it (strict <).
     val (rightTag, leftTag) = if (allowExactMatches) (0, 1) else (1, 0)
-    val rStructType = org.apache.spark.sql.types.StructType(
-      right.select((rightOrd +: rightPayload).map(col): _*).schema.fields.toSeq)
+    val rStructType =
+      right.select((rightOrd +: rightPayload).map(col): _*).schema
+    // Multi-column tiebreaks ride one struct column (struct ordering is
+    // field-by-field); a null struct on the left side is inert because
+    // __tag already separates the sides at equal ord.
+    val tbType = org.apache.spark.sql.types.StructType(
+      right.select(rightTiebreak.map(col): _*).schema)
+    val mkTb: Boolean => Column = isRight =>
+      if (rightTiebreak.isEmpty) lit(null).cast("long").as("__tb")
+      else if (isRight) struct(rightTiebreak.map(col): _*).as("__tb")
+      else lit(null).cast(tbType).as("__tb")
     val lCols: Seq[Column] =
       struct(leftCols.map(col): _*).as("__l") +: keys.map(col) ++: Seq(
-        col(leftOrd).cast("long").as("__ord"),
+        col(leftOrd).as("__ord"),
         lit(leftTag).as("__tag"),
-        lit(null).cast("long").as("__tb"),
+        mkTb(false),
         lit(null).cast(rStructType).as("__r"))
     val l = left.select(lCols: _*)
-    val tb = rightTiebreak.headOption.map(col(_).cast("long"))
-      .getOrElse(lit(null).cast("long"))
     val rCols: Seq[Column] =
       lit(null).cast(l.schema("__l").dataType).as("__l") +: keys.map(col) ++: Seq(
-        col(rightOrd).cast("long").as("__ord"),
+        col(rightOrd).as("__ord"),
         lit(rightTag).as("__tag"),
-        tb.as("__tb"),
+        mkTb(true),
         struct((rightOrd +: rightPayload).map(col): _*).as("__r"))
-    val r = right.select(rCols: _*)
+    val r = right
+      .filter((col(rightOrd) +: keys.map(col)).map(_.isNotNull).reduce(_ && _))
+      .select(rCols: _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ord").asc, col("__tag").asc, col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -93,7 +107,7 @@ object Temporal {
       case Some(t) =>
         matched.withColumn("__asof",
           when(col("__asof").isNotNull &&
-            col("__ord") - col("__asof")(rightOrd).cast("long") <= t,
+            col("__ord") - col("__asof")(rightOrd) <= t,
             col("__asof")))
       case None => matched
     }

@@ -73,6 +73,31 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin: string tiebreak column pins ties deterministically") {
+    val l = Seq((1L, 100L)).toDF("k", "ord")
+    val r = Seq((1L, 100L, 1.0, "aa"), (1L, 100L, 2.0, "zz"),
+      (1L, 100L, 3.0, "mm")).toDF("k", "r_ord", "r_val", "r_sid")
+    val out = Temporal.asofJoin(l, r, Seq("k"), "ord", "r_ord",
+      Seq("r_val", "r_sid"), rightTiebreak = Seq("r_sid"))
+      .select(col("asof.r_val"), col("asof.r_sid"))
+      .as[(Double, String)].collect().toSeq
+    assert(out == Seq((2.0, "zz"))) // max under ascending tiebreak
+  }
+
+  test("asofJoin: null right ord/key rows never match; fractional ords keep order") {
+    val l = Seq((1L, Some(10.5)), (2L, Some(3.0))).toDF("k", "ord")
+    val r = Seq((Some(1L), Some(10.9), 1.0), (Some(1L), Some(10.2), 2.0),
+      (Some(1L), None, 3.0), (None, Some(1.0), 4.0))
+      .toDF("k", "r_ord", "r_val")
+    val out = Temporal.asofJoin(l, r, Seq("k"), "ord", "r_ord", Seq("r_val"))
+      .select(col("k"), col("asof.r_ord"), col("asof.r_val"))
+      .as[(Long, Option[Double], Option[Double])].collect()
+      .sortBy(_._1).toSeq
+    // 10.9 > 10.5 must NOT match (no long truncation); 10.2 does.
+    // Null-ord and null-key right rows are excluded entirely (k=2 -> no match).
+    assert(out == Seq((1L, Some(10.2), Some(2.0)), (2L, None, None)))
+  }
+
   test("rangeJoinPairs matches brute force, incl. negative ordinates") {
     val rnd = new scala.util.Random(11)
     val l = Seq.tabulate(200)(i => (i.toLong, rnd.nextLong() % 500L))
