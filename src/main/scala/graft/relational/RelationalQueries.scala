@@ -200,6 +200,44 @@ object RelationalQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // Forward as-of (pandas direction='forward'): the NEXT same-user
+    // click at-or-after each error — same one-shuffle plan, negated ords.
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val errs = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "us")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("c_us"),
+          col("value").as("c_value"), col("event_id").as("c_id"))
+      Temporal.asofJoin(errs, clicks, Seq("user_id"), "us", "c_us",
+          Seq("c_value"), rightTiebreak = Seq("c_id"),
+          direction = "forward")
+        .filter(col("asof").isNotNull)
+        .select(col("event_id"), col("user_id"), col("us").as("err_us"),
+          col("asof.c_us").as("click_us"),
+          (col("asof.c_us") - col("us")).as("gap_us"),
+          col("asof.c_value").as("click_value"))
+        .orderBy("event_id")
+    }),
+
+    // As-of with a tolerance bound (pandas tolerance=): backward match
+    // kept only within 1 h — matches farther back are nulled, then
+    // dropped (inner semantics).
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val errs = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "us")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("c_us"),
+          col("event_id").as("c_id"))
+      Temporal.asofJoin(errs, clicks, Seq("user_id"), "us", "c_us", Nil,
+          tolerance = Some(3600000000L), rightTiebreak = Seq("c_id"))
+        .filter(col("asof").isNotNull)
+        .select(col("event_id"), col("asof.c_us").as("click_us"),
+          (col("us") - col("asof.c_us")).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     // Band/range join via bucketed equi-join (|Δt| <= 10 min): clicks
     // near each error, zero-count errors kept. The bucket explode keeps
     // the pair generation an equi-join — never a nested-loop theta-join.
@@ -362,6 +400,31 @@ object RelationalQueries extends QueryPack {
         |  FROM events WHERE event_type = 'click'
         |  GROUP BY user_id, epoch_us(ts)) c
         |  ON e.user_id = c.user_id AND e.e_us >= c.c_us
+        |ORDER BY e.event_id""".stripMargin,
+    "q_asof_forward" ->
+      """SELECT e.event_id, e.user_id, e.e_us AS err_us,
+        | c.c_us AS click_us,
+        | c.c_us - e.e_us AS gap_us,
+        | c.value AS click_value
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS e_us
+        |      FROM events WHERE event_type = 'error') e
+        |ASOF JOIN (
+        |  SELECT user_id, epoch_us(ts) AS c_us,
+        |         arg_max(value, event_id) AS value
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_us(ts)) c
+        |  ON e.user_id = c.user_id AND e.e_us <= c.c_us
+        |ORDER BY e.event_id""".stripMargin,
+    "q_asof_tolerance" ->
+      """SELECT e.event_id, c.c_us AS click_us, e.e_us - c.c_us AS gap_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS e_us
+        |      FROM events WHERE event_type = 'error') e
+        |ASOF JOIN (
+        |  SELECT user_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'
+        |  GROUP BY user_id, epoch_us(ts)) c
+        |  ON e.user_id = c.user_id AND e.e_us >= c.c_us
+        |WHERE e.e_us - c.c_us <= 3600000000
         |ORDER BY e.event_id""".stripMargin,
     "q_range_join_count" ->
       """SELECT e.event_id, count(c.c_us) AS n_near

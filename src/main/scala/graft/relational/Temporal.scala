@@ -54,6 +54,10 @@ object Temporal {
     * is the LAST under `rightTiebreak` ascending (i.e. the max) —
     * pass the right side's unique id column(s) to pin ties; any
     * orderable types, compared in sequence.
+    *
+    * `direction` is "backward" (default) or "forward" (smallest
+    * `rightOrd` >= `leftOrd`, pandas merge_asof direction='forward') —
+    * forward runs the same one-shuffle plan on negated ordinates.
     */
   def asofJoin(
       left: DataFrame,
@@ -64,7 +68,11 @@ object Temporal {
       rightPayload: Seq[String],
       allowExactMatches: Boolean = true,
       tolerance: Option[Long] = None,
-      rightTiebreak: Seq[String] = Nil): DataFrame = {
+      rightTiebreak: Seq[String] = Nil,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val sign = if (direction == "forward") -1 else 1
     val leftCols = left.columns.toSeq
     // Tag order decides who wins at equal ord: right-before-left makes the
     // running last() include an equal-ord right row (inclusive <=);
@@ -83,14 +91,16 @@ object Temporal {
       else lit(null).cast(tbType).as("__tb")
     val lCols: Seq[Column] =
       struct(leftCols.map(col): _*).as("__l") +: keys.map(col) ++: Seq(
-        col(leftOrd).as("__ord"),
+        (col(leftOrd) * sign).as("__ord"),
+        col(leftOrd).as("__lord"),
         lit(leftTag).as("__tag"),
         mkTb(false),
         lit(null).cast(rStructType).as("__r"))
     val l = left.select(lCols: _*)
     val rCols: Seq[Column] =
       lit(null).cast(l.schema("__l").dataType).as("__l") +: keys.map(col) ++: Seq(
-        col(rightOrd).as("__ord"),
+        (col(rightOrd) * sign).as("__ord"),
+        lit(null).cast(l.schema("__lord").dataType).as("__lord"),
         lit(rightTag).as("__tag"),
         mkTb(true),
         struct((rightOrd +: rightPayload).map(col): _*).as("__r"))
@@ -105,9 +115,11 @@ object Temporal {
       .filter(col("__l").isNotNull)
     val withTol = tolerance match {
       case Some(t) =>
+        // gap in the caller's units: backward = leftOrd − rightOrd,
+        // forward = rightOrd − leftOrd; one sign flip covers both.
         matched.withColumn("__asof",
           when(col("__asof").isNotNull &&
-            col("__ord") - col("__asof")(rightOrd) <= t,
+            (col("__lord") - col("__asof")(rightOrd)) * sign <= t,
             col("__asof")))
       case None => matched
     }

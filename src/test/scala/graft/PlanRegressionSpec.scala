@@ -37,9 +37,11 @@ class PlanRegressionSpec extends SparkSpec {
     "q_llm_pipeline_v2",     // the flagship's final stage IS the per-shard
                              // packing window above, over the sampled set
     "q_llm_pipeline_v3",     // same final packing stage, classifier-filtered
-    "q_asof_join"            // the as-of operator IS a per-key running
+    "q_asof_join",           // the as-of operator IS a per-key running
                              // last() window (one shuffle + sort — the
                              // alternative is a banned theta-join)
+    "q_asof_forward",        // same operator, forward direction
+    "q_asof_tolerance"       // same operator, tolerance bound
     // (q_dedup_substr's gaps-and-islands span-merge windows — per-doc
     // partitions — run inside the operator's eager span materialization
     // and surface to the gate plan as an InMemoryTableScan, so no

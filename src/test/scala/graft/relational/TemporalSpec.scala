@@ -73,6 +73,26 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin forward matches a brute-force oracle (smallest ord >= left)") {
+    val rnd = new scala.util.Random(13)
+    val l = Seq.fill(200)((rnd.nextInt(4).toLong, rnd.nextInt(500).toLong))
+      .zipWithIndex.map { case ((k, o), i) => (k, o, i.toLong) }
+    val r = Seq.fill(200)((rnd.nextInt(4).toLong, rnd.nextInt(500).toLong))
+      .zipWithIndex.map { case ((k, o), i) => (k, o, i.toLong) }
+    val got = Temporal.asofJoin(l.toDF("k", "ord", "lid"),
+        r.toDF("k", "r_ord", "r_id").withColumn("r_val", col("r_id").cast("double")),
+        Seq("k"), "ord", "r_ord", Seq("r_val"),
+        rightTiebreak = Seq("r_id"), direction = "forward")
+      .select(col("lid"), col("asof.r_ord")).as[(Long, Option[Long])]
+      .collect().map(t => t._1 -> t._2).toMap
+    val byKey = r.groupBy(_._1)
+    for ((k, o, lid) <- l) {
+      val cands = byKey.getOrElse(k, Nil).filter(_._2 >= o).map(_._2)
+      val expect = if (cands.isEmpty) None else Some(cands.min)
+      assert(got(lid) == expect, s"lid=$lid k=$k ord=$o")
+    }
+  }
+
   test("asofJoin: string tiebreak column pins ties deterministically") {
     val l = Seq((1L, 100L)).toDF("k", "ord")
     val r = Seq((1L, 100L, 1.0, "aa"), (1L, 100L, 2.0, "zz"),
