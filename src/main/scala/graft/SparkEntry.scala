@@ -32,9 +32,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     // the round-7 flagship: TRAINED quality-classifier filter →
-    // benchmark decontamination → fingerprint dedup → domain-mixture
+    // benchmark decontamination → fingerprint dedup → exact-substring
+    // duplication filter → LM-perplexity scoring → domain-mixture
     // sampling → per-shard sequence packing
-    queries("q_llm_pipeline_v3")(spark, dir)
+    queries("q_llm_pipeline_v4")(spark, dir)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -758,6 +758,62 @@ object LlmDataQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // FLAGSHIP v4 = v3 with two round-7 stages composed in: after the
+    // fingerprint dedup, (a) an exact-substring duplication filter drops
+    // docs whose corpus-wide duplicated-span fraction exceeds 0.5 —
+    // near-clones that SURVIVE fingerprint dedup because they are not
+    // byte-identical (14 of v3's 69 sf0.01 survivors!) — and (b) every
+    // surviving doc carries its CCNet LM-perplexity score. Mixture
+    // rates re-derive from the cleaner pool; packing unchanged.
+    "q_llm_pipeline_v4" -> ((s, dir) => {
+      val t = col("text")
+      val (wts, b) = QualityClassifier.trained(s, dir)
+      val margin = QualityClassifier.marginExpr(t, wts, b)
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), t, col("source"),
+        (lit(1.0) / (lit(1.0) + exp(margin * lit(-1.0)))).as("p_quality"),
+        margin.as("qmargin"),
+        TextStats.languageId(t).as("lang"),
+        TextStats.fingerprint(t).as("fp"),
+        TextStats.dupNgramCharFrac(t, 2).as("dup2"),
+        TextStats.tokenCount(t).as("n_tokens"),
+        length(t).as("n_chars"))
+        .filter(col("qmargin") > 0 && col("dup2") <= 0.15)
+      val eval3 = Tables.documents(s, dir).filter(col("doc_id") < 3)
+      val clean = Dedup.decontaminate(scored, "text", "doc_id", eval3, "text", n = 3)
+      val deduped = clean.groupBy(col("fp"))
+        .agg(min_by(struct(col("doc_id"), col("source"), col("lang"),
+          col("p_quality"), col("n_tokens"), col("n_chars")), col("doc_id")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+          col("r.lang").as("lang"), col("r.p_quality").as("p_quality"),
+          col("r.n_tokens").as("n_tokens"), col("r.n_chars").as("n_chars"))
+      // (a) exact-substring duplication filter (corpus-wide stats)
+      val lowDup = Dedup.exactSubstrStats(Tables.documents(s, dir),
+          "text", "doc_id")
+        .filter(col("dup_frac") <= 0.5).select("doc_id")
+      val substrFiltered = deduped.join(lowDup, Seq("doc_id"), "left_semi")
+      // (b) LM quality score carried through (en-trained bigram model)
+      val nll = NgramLm.perplexityScore(Tables.documents(s, dir), "text",
+          "doc_id", col("lang") === "en")
+        .select(col("doc_id"), col("nll"))
+      val withNll = substrFiltered.join(broadcast(nll), Seq("doc_id"))
+      val rates = Splits.mixtureRates(withNll, "lang", "n_chars",
+        pipelineMixTargets, unitBudget = 30000)
+      val sampled = Splits.mixtureSample(withNll, "doc_id", "lang", rates,
+        salt = "mix4")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      sampled
+        .withColumn("__cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id",
+          floor((col("__cum") - col("n_tokens")) / lit(512)).cast("int"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          round(col("p_quality"), 6).as("p_quality"),
+          round(col("nll"), 6).as("nll"), col("n_tokens"),
+          col("pack_id"))
+        .orderBy("doc_id")
+    }),
+
     // FLAGSHIP v2: the round-6 production pipeline — Gopher repetition
     // + quality filter (scan-fused signals) → benchmark decontamination
     // (broadcast 3-gram semi-join vs the doc 0-2 "eval set") → exact
@@ -1752,6 +1808,135 @@ object LlmDataQueries extends QueryPack {
              |SELECT doc_id, source, lang,
              | round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-margin)), 6)
              |   AS p_quality,
+             | CAST(n_tokens AS INT) AS n_tokens,
+             | CAST(floor(CAST(cum - n_tokens AS DOUBLE) / CAST(512 AS DOUBLE))
+             |   AS INT) AS pack_id
+             |FROM pk ORDER BY doc_id""".stripMargin,
+        "q_llm_pipeline_v4" ->
+          s"""WITH ${QualityClassifier.marginCteSql(w, b)},
+             |d0 AS (SELECT doc_id, source, text, string_split(text, ' ') AS t,
+             |         len(text) AS nc FROM documents),
+             |sc AS (SELECT doc_id, source, text, t, nc,
+             |  len(list_filter(t, x -> x IN ('der','und','die'))) AS s_de,
+             |  len(list_filter(t, x -> x IN ('the','a','of'))) AS s_en,
+             |  len(list_filter(t, x -> x IN ('el','la','y'))) AS s_es,
+             |  len(list_filter(t, x -> x IN ('le','et','les'))) AS s_fr,
+             |  len(list_filter(t, x -> x IN ('de','shi','bu'))) AS s_zh
+             | FROM d0),
+             |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             |         i -> array_to_string(t[i:i+1], ' '))) AS g FROM d0),
+             |c2 AS (SELECT doc_id,
+             |         sum(CASE WHEN cnt >= 2 THEN cnt * len(g) ELSE 0 END) AS dup2
+             |       FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+             |       GROUP BY 1),
+             |lq AS (SELECT sc.doc_id, sc.source, sc.text, sc.t, sc.nc, qm.margin,
+             |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+             |       WHEN s_en >= greatest(s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+             |       WHEN s_es >= greatest(s_fr, s_zh) AND s_es > 0 THEN 'es'
+             |       WHEN s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+             |       WHEN s_zh > 0 THEN 'zh' ELSE 'und' END AS lang,
+             |  CASE WHEN sc.nc = 0 THEN CAST(0.0 AS DOUBLE)
+             |    ELSE least(CAST(coalesce(c2.dup2, 0) AS DOUBLE)
+             |           / CAST(sc.nc AS DOUBLE), CAST(1.0 AS DOUBLE)) END AS dup2f
+             | FROM sc LEFT JOIN c2 USING (doc_id) JOIN qm USING (doc_id)),
+             |kept0 AS (SELECT doc_id, source, text, t, nc, lang, margin,
+             |    len(t) AS n_tokens,
+             |    md5(trim(regexp_replace(regexp_replace(lower(text),
+             |      '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+             |  FROM lq WHERE margin > 0 AND dup2f <= CAST(0.15 AS DOUBLE)),
+             |g3 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |         range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))))
+             |         AS s3 FROM d0),
+             |ev AS (SELECT DISTINCT s3 FROM g3 WHERE doc_id < 3),
+             |hits AS (SELECT DISTINCT g3.doc_id FROM g3 JOIN ev USING (s3)
+             |         JOIN kept0 k ON k.doc_id = g3.doc_id),
+             |kept1 AS (SELECT * FROM kept0
+             |          WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+             |reps AS (SELECT fp, min(doc_id) AS doc_id FROM kept1 GROUP BY fp),
+             |kept2 AS (SELECT k.doc_id, k.source, k.lang, k.margin, k.n_tokens,
+             |            CAST(k.nc AS INT) AS n_chars
+             |          FROM kept1 k JOIN reps r ON r.fp = k.fp AND r.doc_id = k.doc_id),
+             |ssg AS (SELECT doc_id, p, substring(text, p + 1, 25) AS gram FROM (
+             |    SELECT doc_id, text,
+             |     unnest(generate_series(0, CAST(nc AS INT) - 25, 1)) AS p
+             |    FROM d0 WHERE nc >= 25)
+             |  WHERE substring(md5(substring(text, p + 1, 25)), 1, 1) = '0'),
+             |ssdup AS (SELECT gram FROM ssg GROUP BY gram HAVING count(*) > 1),
+             |ssmk AS (SELECT doc_id, p FROM ssg
+             |         WHERE gram IN (SELECT gram FROM ssdup)),
+             |sswnd AS (SELECT doc_id, p,
+             |      max(p + 25) OVER (PARTITION BY doc_id ORDER BY p
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+             |    FROM ssmk),
+             |ssisl AS (SELECT doc_id, p,
+             |      sum(CASE WHEN prev_e IS NULL OR p > prev_e THEN 1 ELSE 0 END)
+             |        OVER (PARTITION BY doc_id ORDER BY p
+             |              ROWS UNBOUNDED PRECEDING) AS island FROM sswnd),
+             |sssp AS (SELECT doc_id, island, min(p) AS s0, max(p) + 25 AS e1
+             |         FROM ssisl GROUP BY doc_id, island),
+             |ssst AS (SELECT doc_id, CAST(sum(e1 - s0) AS BIGINT) AS dup_chars
+             |         FROM sssp GROUP BY doc_id),
+             |ssfrac AS (SELECT d0.doc_id,
+             |      round(coalesce(ssst.dup_chars, 0) / CAST(d0.nc AS DOUBLE), 6)
+             |        AS dup_frac
+             |    FROM d0 LEFT JOIN ssst USING (doc_id)),
+             |kept3 AS (SELECT k.* FROM kept2 k JOIN ssfrac f ON f.doc_id = k.doc_id
+             |          WHERE f.dup_frac <= CAST(0.5 AS DOUBLE)),
+             |lmreft AS (SELECT string_split(text, ' ') AS t
+             |           FROM documents WHERE lang = 'en'),
+             |lmrtok AS (SELECT unnest(t) AS w FROM lmreft),
+             |lmuni AS (SELECT w, count(*) AS cw FROM lmrtok GROUP BY w),
+             |lmrbig AS (SELECT unnest(list_transform(range(1, len(t)),
+             |             i -> t[i] || ' ' || t[i+1])) AS bg
+             |           FROM lmreft WHERE len(t) >= 2),
+             |lmbi AS (SELECT bg, count(*) AS cb FROM lmrbig GROUP BY bg),
+             |lmtot AS (SELECT (SELECT count(*) FROM lmrtok) AS n_ref,
+             |                 (SELECT count(*) FROM lmuni) AS v_size),
+             |lmposi AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM d0),
+             |lmpw AS (SELECT doc_id, t[i] AS w,
+             |          CASE WHEN i > 1 THEN t[i-1] END AS prev FROM lmposi),
+             |lmj AS (SELECT lmpw.doc_id, lmpw.w, lmpw.prev, lmuni.cw,
+             |          up.cw AS cprev, lmbi.cb
+             |        FROM lmpw
+             |        LEFT JOIN lmuni ON lmuni.w = lmpw.w
+             |        LEFT JOIN lmuni up ON up.w = lmpw.prev
+             |        LEFT JOIN lmbi ON lmbi.bg = lmpw.prev || ' ' || lmpw.w),
+             |lmsc AS (SELECT doc_id,
+             |        CASE WHEN prev IS NULL
+             |         THEN CAST(coalesce(cw, 0) + 1 AS DOUBLE)
+             |              / CAST(n_ref + v_size AS DOUBLE)
+             |         ELSE 0.9 * (CASE WHEN cprev IS NOT NULL
+             |                 THEN CAST(coalesce(cb, 0) AS DOUBLE)
+             |                      / CAST(cprev AS DOUBLE)
+             |                 ELSE 0.0 END)
+             |            + 0.1 * (CAST(coalesce(cw, 0) + 1 AS DOUBLE)
+             |                     / CAST(n_ref + v_size AS DOUBLE))
+             |        END AS p
+             |       FROM lmj, lmtot),
+             |lmnll AS (SELECT doc_id, -avg(ln(p)) AS nll FROM lmsc GROUP BY doc_id),
+             |kept3n AS (SELECT k.doc_id, k.source, k.lang, k.margin,
+             |             k.n_tokens, k.n_chars, lmnll.nll
+             |           FROM kept3 k JOIN lmnll USING (doc_id)),
+             |gr AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS units
+             |       FROM kept3n GROUP BY 1),
+             |rt AS (SELECT lang, least(CAST(1.0 AS DOUBLE),
+             |         CAST(CASE lang WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.4
+             |              WHEN 'es' THEN 0.1 WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.1
+             |              ELSE 0.0 END AS DOUBLE)
+             |           * CAST(30000 AS DOUBLE) / CAST(units AS DOUBLE)) AS rate
+             |       FROM gr),
+             |samp AS (SELECT k.doc_id, k.source, k.lang, k.margin, k.n_tokens, k.nll
+             |  FROM kept3n k JOIN rt USING (lang)
+             |  WHERE (('0x' || substr(md5('mix4' || CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |         % 1000000)
+             |    < floor(rate * CAST(1000000 AS DOUBLE))),
+             |pk AS (SELECT doc_id, source, lang, margin, n_tokens, nll,
+             |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |           ROWS UNBOUNDED PRECEDING) AS cum FROM samp)
+             |SELECT doc_id, source, lang,
+             | round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-margin)), 6)
+             |   AS p_quality,
+             | round(nll, 6) AS nll,
              | CAST(n_tokens AS INT) AS n_tokens,
              | CAST(floor(CAST(cum - n_tokens AS DOUBLE) / CAST(512 AS DOUBLE))
              |   AS INT) AS pack_id

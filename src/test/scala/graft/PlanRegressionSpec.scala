@@ -37,6 +37,9 @@ class PlanRegressionSpec extends SparkSpec {
     "q_llm_pipeline_v2",     // the flagship's final stage IS the per-shard
                              // packing window above, over the sampled set
     "q_llm_pipeline_v3",     // same final packing stage, classifier-filtered
+    "q_llm_pipeline_v4",     // same final packing stage, plus substr-dedup
+                             // filter + LM scoring (their own windows stay
+                             // inside eager/cached construction)
     "q_asof_join",           // the as-of operator IS a per-key running
                              // last() window (one shuffle + sort — the
                              // alternative is a banned theta-join)
