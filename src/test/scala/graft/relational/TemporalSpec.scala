@@ -141,6 +141,27 @@ class TemporalSpec extends SparkSpec {
     assert(got == Seq((1L, 7L)))
   }
 
+  test("plan shape: asofJoin is one shuffle, range join never a nested loop") {
+    // executedPlan (post-EnsureRequirements): Exchange placement visible
+    val asof = Temporal.asofJoin(left, right, Seq("k"), "ord", "r_ord",
+      Seq("r_val"), rightTiebreak = Seq("r_id"))
+      .queryExecution.executedPlan.toString
+    // union-tag design: both sides meet in ONE key-partitioned exchange;
+    // a theta-join formulation would show Cartesian/BroadcastNestedLoop
+    assert("Exchange hashpartitioning".r.findAllIn(asof).size == 1, asof)
+    assert(!asof.contains("CartesianProduct") &&
+      !asof.contains("BroadcastNestedLoop"), asof)
+    val rj = Temporal.rangeJoinPairs(
+      Seq((1L, 10L)).toDF("lid", "lo"), Seq((2L, 11L)).toDF("rid", "ro"),
+      "lo", "ro", 60L)
+      .queryExecution.executedPlan.toString
+    // the band predicate must arrive as an equi-join on buckets, never a
+    // nested-loop theta-join
+    assert(!rj.contains("CartesianProduct") &&
+      !rj.contains("BroadcastNestedLoop"), rj)
+    assert(rj.contains("Join"), rj)
+  }
+
   test("sessionize: gap-based sessions; an exactly-gap-later event still merges") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00", 1.0),
