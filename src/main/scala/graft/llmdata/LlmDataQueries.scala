@@ -588,6 +588,15 @@ object LlmDataQueries extends QueryPack {
           round(col("nll"), 6).as("nll"))
         .orderBy("doc_id")),
 
+    // CCNet deployment shape: ONE model per language in a single pass,
+    // every doc scored against its own language's model.
+    "q_lm_perplexity_perlang" -> ((s, dir) =>
+      NgramLm.perplexityScoreByKey(Tables.documents(s, dir), "text",
+          "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          round(col("nll"), 6).as("nll"))
+        .orderBy("doc_id")),
+
     // Single-link clusters over the (memoized) oracle-family minhash
     // pairs: min-label propagation to fixpoint on the pair graph. The
     // oracle walks the same graph with a recursive CTE, so every
@@ -1357,6 +1366,47 @@ object LlmDataQueries extends QueryPack {
         |       FROM j, tot)
         |SELECT doc_id, count(*) AS n_tokens, round(-avg(ln(p)), 6) AS nll
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // per-language LM oracle: the same retrain-in-SQL with lang carried
+    // through every count, join, and total.
+    "q_lm_perplexity_perlang" ->
+      """WITH dt AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+        |            FROM documents),
+        |rtok AS (SELECT lang, unnest(t) AS w FROM dt),
+        |uni AS (SELECT lang, w, count(*) AS cw FROM rtok GROUP BY lang, w),
+        |rbig AS (SELECT lang, unnest(list_transform(range(1, len(t)),
+        |           i -> t[i] || ' ' || t[i+1])) AS bg
+        |         FROM dt WHERE len(t) >= 2),
+        |bi AS (SELECT lang, bg, count(*) AS cb FROM rbig GROUP BY lang, bg),
+        |tot AS (SELECT lang, CAST(sum(cw) AS BIGINT) AS n_ref,
+        |               count(*) AS v_size FROM uni GROUP BY lang),
+        |posi AS (SELECT doc_id, lang, unnest(range(1, len(t) + 1)) AS i, t
+        |         FROM dt),
+        |pw AS (SELECT doc_id, lang, t[i] AS w,
+        |        CASE WHEN i > 1 THEN t[i-1] END AS prev FROM posi),
+        |j AS (SELECT pw.doc_id, pw.lang, pw.w, pw.prev, uni.cw,
+        |        up.cw AS cprev, bi.cb, tot.n_ref, tot.v_size
+        |      FROM pw
+        |      LEFT JOIN uni ON uni.lang = pw.lang AND uni.w = pw.w
+        |      LEFT JOIN uni up ON up.lang = pw.lang AND up.w = pw.prev
+        |      LEFT JOIN bi ON bi.lang = pw.lang
+        |        AND bi.bg = pw.prev || ' ' || pw.w
+        |      JOIN tot ON tot.lang = pw.lang),
+        |sc AS (SELECT doc_id, lang,
+        |        CASE WHEN prev IS NULL
+        |         THEN CAST(coalesce(cw, 0) + 1 AS DOUBLE)
+        |              / CAST(n_ref + v_size AS DOUBLE)
+        |         ELSE 0.9 * (CASE WHEN cprev IS NOT NULL
+        |                 THEN CAST(coalesce(cb, 0) AS DOUBLE)
+        |                      / CAST(cprev AS DOUBLE)
+        |                 ELSE 0.0 END)
+        |            + 0.1 * (CAST(coalesce(cw, 0) + 1 AS DOUBLE)
+        |                     / CAST(n_ref + v_size AS DOUBLE))
+        |        END AS p
+        |       FROM j)
+        |SELECT doc_id, lang, count(*) AS n_tokens,
+        | round(-avg(ln(p)), 6) AS nll
+        |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
 
     // ground-truth repetition signals: explode word n-grams / "lines"
     // per document, count in SQL, mirror the max/sum/cap formulas.

@@ -86,6 +86,53 @@ object NgramLm {
   /** Train on `refFilter` docs, score ALL docs (CCNet: the trusted slice
     * defines "quality"; everything is ranked by distance from it).
     */
+  /** Per-key (typically per-language) models in ONE pass: every count
+    * table and total carries `keyCol`, and each document is scored
+    * against the model of ITS OWN key — the actual CCNet deployment
+    * shape (one KenLM per language; Wenzek LREC'20 §3.3). No extra
+    * shuffles vs the single-model path: the key rides the same
+    * aggregation and broadcast-join keys.
+    */
+  def perplexityScoreByKey(docs: DataFrame, textCol: String, idCol: String,
+      keyCol: String): DataFrame = {
+    val t = docs.select(col(keyCol), toks(col(textCol)).as("t"))
+    val uni0 = t.select(col(keyCol), explode(col("t")).as("w"))
+      .groupBy(keyCol, "w").agg(count(lit(1)).as("cw"))
+    val uni = uni0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    uniCache.put(s"uni-${uniCacheSeq.incrementAndGet()}", uni)
+    val bi = t.filter(size(col("t")) >= 2)
+      .select(col(keyCol), explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", col("t")(i - 1), col("t")(i)))).as("bg"))
+      .groupBy(keyCol, "bg").agg(count(lit(1)).as("cb"))
+    val totals = uni.groupBy(keyCol)
+      .agg(sum("cw").cast("long").as("n_tokens_ref"),
+        count(lit(1)).as("v_size"))
+    val pos = docs.select(col(idCol), col(keyCol), toks(col(textCol)).as("t"))
+      .select(col(idCol), col(keyCol), explode(transform(
+        sequence(lit(0), size(col("t")) - 1),
+        i => struct(col("t")(i).as("w"),
+          when(i > 0, col("t")(i - 1)).as("prev")))).as("g"))
+      .select(col(idCol), col(keyCol), col("g.w").as("w"), col("g.prev").as("prev"))
+    val scored = pos
+      .join(broadcast(uni), Seq(keyCol, "w"), "left")
+      .join(broadcast(uni.select(col(keyCol), col("w").as("prev"),
+        col("cw").as("cprev"))), Seq(keyCol, "prev"), "left")
+      .withColumn("bg", concat_ws(" ", col("prev"), col("w")))
+      .join(broadcast(bi), Seq(keyCol, "bg"), "left")
+      .join(broadcast(totals), Seq(keyCol))
+      .withColumn("puni",
+        (coalesce(col("cw"), lit(0L)) + 1).cast("double") /
+          (col("n_tokens_ref") + col("v_size")).cast("double"))
+      .withColumn("pbi", when(col("cprev").isNotNull,
+          coalesce(col("cb"), lit(0L)).cast("double") /
+            col("cprev").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("p", when(col("prev").isNull, col("puni"))
+        .otherwise(lit(0.9) * col("pbi") + lit(0.1) * col("puni")))
+    scored.groupBy(col(idCol), col(keyCol))
+      .agg(count(lit(1)).as("n_tokens"), (-avg(log(col("p")))).as("nll"))
+  }
+
   def perplexityScore(docs: DataFrame, textCol: String, idCol: String,
       refFilter: Column): DataFrame = {
     val (uni0, bi, totals) = train(docs.filter(refFilter), textCol)

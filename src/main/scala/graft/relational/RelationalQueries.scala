@@ -269,6 +269,23 @@ object RelationalQueries extends QueryPack {
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "start_us")),
 
+    // Bloom pre-filtered join: lineitem is screened by a 1-row broadcast
+    // bloom of the high-value order keys BEFORE its shuffle; the exact
+    // join drops the sketch's false positives, so the result is
+    // oracle-exact while only might-match rows pay network.
+    "q_bloom_join" -> ((s, dir) => {
+      val small = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_orderstatus")
+      BloomJoin.bloomFilteredJoin(Tables.lineitem(s, dir), small,
+          "l_orderkey", "o_orderkey", expectedItems = 100000L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+            4).as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Pivot: per-user value totals spread across event types (explicit
     // pivot values keep the plan a single pass, no distinct-scan).
     "q_pivot" -> ((s, dir) =>
@@ -450,6 +467,12 @@ object RelationalQueries extends QueryPack {
         | count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM m GROUP BY user_id, sess
         |ORDER BY user_id, start_us""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 150000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         | round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,

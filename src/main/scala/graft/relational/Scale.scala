@@ -63,3 +63,52 @@ object Bucketing {
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 }
+
+/** Bloom-filter join pre-filtering — the semi-join reduction Spark's AQE
+  * InjectRuntimeFilter applies automatically when statistics allow,
+  * exposed as an explicit operator for the 100 TB shapes where the
+  * planner can't see it (e.g. the small side is itself a subquery the
+  * optimizer won't estimate). The bloom is built with ONE aggregation
+  * over the small side's keys (TypedImperative, map-side partial merge),
+  * broadcast as a single row, and applied as a scan-fused predicate on
+  * the big side BEFORE its shuffle — only rows that might match pay
+  * network. False positives (rate ~`fpp` of the sketch sizing) pass the
+  * pre-filter and are discarded by the exact join that follows, so the
+  * JOIN RESULT is exact; false negatives are impossible.
+  */
+object BloomJoin {
+
+  import org.apache.spark.sql.graft.ExpressionBridge
+
+  /** Build the small side's bloom as ONE aggregation (TypedImperative,
+    * map-side partial merge) and collect the serialized sketch to the
+    * driver — BOUNDED state (~1.2 MB per 10⁶ expected items), the same
+    * class of driver summary as a model or centroid set. The sketch is
+    * then a plan literal, so the big-side pre-filter is a scan-fused
+    * constant predicate (`might_contain` demands a constant or scalar
+    * subquery bloom — an attribute from a join fails analysis).
+    */
+  private def bloomBytes(small: DataFrame, smallKey: String,
+      expectedItems: Long): Array[Byte] =
+    small.agg(ExpressionBridge
+      .bloomFilterAgg(xxhash64(col(smallKey)), expectedItems).as("__bf"))
+      .head.getAs[Array[Byte]]("__bf")
+
+  /** Inner equi-join of `big` ⋈ `small` with a bloom pre-filter on the
+    * big side. Column names must be disjoint. `expectedItems` sizes the
+    * sketch (overestimate is safe — more bits, same exactness). False
+    * positives pass the pre-filter and are discarded by the exact join,
+    * so the JOIN RESULT is exact; false negatives are impossible.
+    */
+  def bloomFilteredJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, expectedItems: Long = 1000000L): DataFrame =
+    bloomSemiFilter(big, small, bigKey, smallKey, expectedItems)
+      .join(small, col(bigKey) === col(smallKey))
+
+  /** The pre-filter alone (for composing with other join strategies). */
+  def bloomSemiFilter(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, expectedItems: Long = 1000000L): DataFrame =
+    big.filter(ExpressionBridge.bloomMightContain(
+      lit(bloomBytes(small, smallKey, expectedItems)),
+      xxhash64(col(bigKey))))
+}

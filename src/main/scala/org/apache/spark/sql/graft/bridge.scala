@@ -14,6 +14,21 @@ object ExpressionBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Spark's internal bloom-filter pair (the machinery behind AQE
+    * runtime filters, not SQL-registered upstream): a TypedImperative
+    * bloom aggregate with map-side partial merge, and the codegen'd
+    * membership predicate. Values must be xxhash64-hashed longs — the
+    * same contract InjectRuntimeFilter uses.
+    */
+  def bloomFilterAgg(hashed: Column, expectedItems: Long): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(expression(hashed), expectedItems)
+      .toAggregateExpression())
+
+  def bloomMightContain(bloom: Column, hashed: Column): Column =
+    column(new org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(expression(bloom), expression(hashed)))
+
   /** Register a function builder on an EXISTING session's registry —
     * the runtime-side counterpart of `SparkSessionExtensions
     * .injectFunction` (which only applies to sessions built AFTER the

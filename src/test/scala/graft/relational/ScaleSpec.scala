@@ -54,4 +54,26 @@ class ScaleSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
     }
   }
+
+  test("bloomFilteredJoin: identical results to the plain join; no false negatives") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val big = Seq.tabulate(5000)(i => (rnd.nextInt(2000).toLong, i.toLong))
+      .toDF("bk", "bv")
+    val small = (1L to 100L).map(k => (k * 7, s"s$k")).toDF("sk", "payload")
+    val plain = big.join(small, col("bk") === col("sk"))
+      .select("bk", "bv", "payload")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val bloomed = BloomJoin.bloomFilteredJoin(big, small, "bk", "sk",
+        expectedItems = 1000L)
+      .select("bk", "bv", "payload")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(bloomed == plain)
+    // the pre-filter keeps every true match (no false negatives) and,
+    // with 100 keys out of 2000, screens out most of the big side
+    val pre = BloomJoin.bloomSemiFilter(big, small, "bk", "sk", 1000L).count()
+    val trueMatches = plain.size
+    assert(pre >= trueMatches)
+    assert(pre < 5000, s"pre-filter kept everything ($pre rows)")
+  }
 }
