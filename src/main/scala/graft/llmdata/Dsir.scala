@@ -1,0 +1,115 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling — DSIR (Xie et al.,
+  * arXiv:2302.03169): select raw-corpus documents whose hashed-n-gram
+  * distribution looks like a trusted target slice, by importance
+  * weights under two bag-of-hashed-n-grams models.
+  *
+  *  - Features: unigrams + bigrams hashed into `b` buckets (the paper
+  *    uses 10k; the gate default is 64 so the oracle's bucket table
+  *    stays readable). The house md5 bucket makes the hash
+  *    reproducible in integer SQL.
+  *  - Models: add-one-smoothed bucket distributions for the target
+  *    slice and the raw corpus — two bucket-count aggregations
+  *    (map-side partial merge; B-row results regardless of corpus
+  *    size).
+  *  - Per-doc log importance weight: Σ over the doc's hashed grams of
+  *    ln p_target[b] − ln p_raw[b]. Scoring is a broadcast join of the
+  *    B-row ratio table onto the gram stream plus ONE groupBy(doc) —
+  *    the corpus never joins anything corpus-sized.
+  *  - Resampling: Gumbel top-k (sampling without replacement ∝ the
+  *    importance weights): key = logw + Gumbel(md5(salt‖doc_id)) with
+  *    the uniform drawn from 52 md5 bits, so both engines compute the
+  *    identical key; selection is a bounded TakeOrdered, never a
+  *    global sort materialization.
+  *
+  * Probabilities are rational in integer counts, so Spark and DuckDB
+  * agree bit-for-bit before the ln; per-doc sums of ln terms see float
+  * accumulation order only, absorbed by the gates' round(…, 6).
+  */
+object Dsir {
+
+  /** Gate-default hashed-feature bucket count (production: O(10k)). */
+  val B = 64
+
+  /** Uni+bi-gram array per document. `sequence(1, n-1)` DESCENDS when
+    * n = 1, so the bigram branch is guarded by the size check.
+    */
+  def grams(textCol: Column): Column = {
+    val t = split(textCol, " ")
+    concat(t,
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", t(i - 1), t(i))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** House md5 bucket: 60 md5 bits mod `b` (non-negative, so Scala and
+    * SQL `%` agree).
+    */
+  def bucket(g: Column, b: Int): Column =
+    conv(substring(md5(g), 1, 15), 16, 10).cast("long") % b
+
+  /** The `b`-row model table: (bucket, logratio) with
+    * logratio = ln((ct+1)/(Nt+b)) − ln((cr+1)/(Nr+b)). Built over the
+    * FULL 0..b-1 domain so unseen buckets still carry smoothed mass.
+    */
+  def bucketLogRatios(target: DataFrame, raw: DataFrame, textCol: String,
+      b: Int = B): DataFrame = {
+    def counts(df: DataFrame, name: String) =
+      df.select(explode(grams(col(textCol))).as("g"))
+        .select(bucket(col("g"), b).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(name))
+    val ct = counts(target, "ct")
+    val cr = counts(raw, "cr")
+    val totals = ct.agg(sum("ct").cast("long").as("nt"))
+      .crossJoin(cr.agg(sum("cr").cast("long").as("nr")))
+    target.sparkSession.range(b).select(col("id").as("bucket"))
+      .join(ct, Seq("bucket"), "left")
+      .join(cr, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("nt") + b).cast("double"))
+          - log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
+            (col("nr") + b).cast("double"))).as("logratio"))
+  }
+
+  /** Per-document (n_grams, logw): broadcast the B-row ratios onto the
+    * gram stream, one groupBy(doc). The join is total — every bucket
+    * 0..b-1 exists in `ratios`.
+    */
+  def importanceWeights(docs: DataFrame, textCol: String, idCol: String,
+      ratios: DataFrame, b: Int = B): DataFrame =
+    docs.select(col(idCol), explode(grams(col(textCol))).as("g"))
+      .select(col(idCol), bucket(col("g"), b).as("bucket"))
+      .join(broadcast(ratios), Seq("bucket"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), sum("logratio").as("logw"))
+
+  /** Deterministic Gumbel perturbation from 52 md5 bits of
+    * (salt‖doc_id): u ∈ (0,1) exactly representable, g = −ln(−ln u).
+    * 52 bits keep the long→double cast exact in BOTH engines.
+    */
+  def gumbelKey(id: Column, logw: Column, salt: String = "dsir"): Column = {
+    val h = conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 13),
+      16, 10).cast("double")
+    val u = (h + 1.0) / lit(4503599627370497.0) // 2^52 + 1
+    logw - log(-log(u))
+  }
+
+  /** Gumbel top-k resample: k docs without replacement, inclusion
+    * probability ∝ softmax of logw. Ranked on the ROUNDED key (house
+    * cross-engine convention), id as tiebreak; bounded TakeOrdered.
+    */
+  def resample(weights: DataFrame, idCol: String, k: Int,
+      salt: String = "dsir"): DataFrame =
+    weights
+      .select(col(idCol),
+        round(gumbelKey(col(idCol), col("logw"), salt), 6).as("gkey"))
+      .orderBy(desc("gkey"), col(idCol))
+      .limit(k)
+}

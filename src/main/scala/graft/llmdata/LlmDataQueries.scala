@@ -183,6 +183,38 @@ object LlmDataQueries extends QueryPack {
     * md5-per-seed oracle family) ending in a `pairs(id_a, id_b, jac)`
     * CTE — shared by q_dedup_minhash and q_drop_near_dups.
     */
+  /** DSIR retrain-in-SQL prefix ending at `w(doc_id, n_grams, logw)`:
+    * hashed uni+bi-gram buckets (the house md5-15-hex trick mod 64),
+    * add-one target/raw bucket models over the FULL 0..63 domain, and
+    * per-doc logratio sums — the independent mirror of
+    * [[Dsir.bucketLogRatios]] + [[Dsir.importanceWeights]].
+    */
+  private val dsirWeightsSql: String =
+    """WITH dt AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+      |            FROM documents),
+      |g AS (SELECT doc_id, lang, unnest(list_concat(t,
+      |        list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
+      |        AS g
+      |      FROM dt),
+      |gb AS (SELECT doc_id, lang,
+      |         ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS b
+      |       FROM g),
+      |ct AS (SELECT b, count(*) AS c FROM gb WHERE lang = 'en' GROUP BY b),
+      |cr AS (SELECT b, count(*) AS c FROM gb GROUP BY b),
+      |tot AS (SELECT
+      |   (SELECT CAST(count(*) AS BIGINT) FROM gb WHERE lang = 'en') AS nt,
+      |   (SELECT CAST(count(*) AS BIGINT) FROM gb) AS nr),
+      |dom AS (SELECT unnest(generate_series(0, 63)) AS b),
+      |lr AS (SELECT dom.b,
+      |         ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE)
+      |            / CAST(nt + 64 AS DOUBLE))
+      |       - ln(CAST(coalesce(cr.c, 0) + 1 AS DOUBLE)
+      |            / CAST(nr + 64 AS DOUBLE)) AS logratio
+      |       FROM dom LEFT JOIN ct ON ct.b = dom.b
+      |       LEFT JOIN cr ON cr.b = dom.b CROSS JOIN tot),
+      |w AS (SELECT doc_id, count(*) AS n_grams, sum(lr.logratio) AS logw
+      |      FROM gb JOIN lr ON lr.b = gb.b GROUP BY doc_id)""".stripMargin
+
   private val minhashPairCtes: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
@@ -596,6 +628,30 @@ object LlmDataQueries extends QueryPack {
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           round(col("nll"), 6).as("nll"))
         .orderBy("doc_id")),
+
+    // DSIR importance weights (Xie 2302.03169): hashed uni+bi-gram
+    // bucket models for the trusted (en) slice vs the raw corpus;
+    // per-doc logw via a B-row broadcast join on the gram stream.
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ratios = Dsir.bucketLogRatios(
+        docs.filter(col("lang") === "en"), docs, "text")
+      Dsir.importanceWeights(docs, "text", "doc_id", ratios)
+        .select(col("doc_id"), col("n_grams"),
+          round(col("logw"), 6).as("logw"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR Gumbel top-k resample: without-replacement selection ∝ the
+    // importance weights, perturbation drawn from 52 md5 bits so both
+    // engines rank the identical keys.
+    "q_dsir_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ratios = Dsir.bucketLogRatios(
+        docs.filter(col("lang") === "en"), docs, "text")
+      val w = Dsir.importanceWeights(docs, "text", "doc_id", ratios)
+      Dsir.resample(w, "doc_id", 100).orderBy("doc_id")
+    }),
 
     // Single-link clusters over the (memoized) oracle-family minhash
     // pairs: min-label propagation to fixpoint on the pair graph. The
@@ -1407,6 +1463,22 @@ object LlmDataQueries extends QueryPack {
         |SELECT doc_id, lang, count(*) AS n_tokens,
         | round(-avg(ln(p)), 6) AS nll
         |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+
+    // DSIR: full retrain-in-SQL — hashed gram buckets, add-one bucket
+    // models over the 0..63 domain, per-doc logratio sums.
+    "q_dsir_weights" -> (dsirWeightsSql +
+      """
+        |SELECT doc_id, n_grams, round(logw, 6) AS logw
+        |FROM w ORDER BY doc_id""".stripMargin),
+
+    "q_dsir_sample" -> (dsirWeightsSql +
+      """, k AS (SELECT doc_id, round(logw - ln(-ln(
+        |        (CAST(('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)),
+        |           1, 13))::BIGINT AS DOUBLE) + 1) / 4503599627370497.0)),
+        |        6) AS gkey FROM w),
+        |sel AS (SELECT doc_id, gkey FROM k
+        |        ORDER BY gkey DESC, doc_id LIMIT 100)
+        |SELECT doc_id, gkey FROM sel ORDER BY doc_id""".stripMargin),
 
     // ground-truth repetition signals: explode word n-grams / "lines"
     // per document, count in SQL, mirror the max/sum/cap formulas.
