@@ -957,6 +957,27 @@ object LlmDataQueries extends QueryPack {
           substring(col("text"), 1, 40))).as("scrubbed"))
         .orderBy("doc_id")),
 
+    // RefinedWeb/CCNet line-level cleaning on in-plan-synthesized
+    // multi-line docs (the corpus is single-line): good line + SHOUTED
+    // clone + numeric line + duplicate + too-short + second good line.
+    // Every rule fires somewhere; the oracle mirrors rule-by-rule.
+    "q_line_clean" -> ((s, dir) => {
+      val t = split(col("text"), " ")
+      val base = array_join(slice(t, 1, 8), " ")
+      val multi = concat_ws("\n",
+        base,
+        upper(base),
+        concat_ws(" ", col("doc_id").cast("string"),
+          col("doc_id").cast("string"), col("doc_id").cast("string")),
+        base,
+        lit("short"),
+        array_join(slice(t, 9, 8), " "))
+      TextStats.cleanLines(
+          Tables.documents(s, dir).select(col("doc_id"), multi.as("text")),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: corpus docs sharing any 5-gram with
     // the "eval set" (docs 0-2 here) are dropped — including those
     // docs themselves (n=3 so cross-document overlap genuinely fires:
@@ -1253,6 +1274,46 @@ object LlmDataQueries extends QueryPack {
         |  'https?://[^\s]+', '<URL>', 'g'),
         |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // line-clean mirror: same in-plan synthesis, rule-by-rule filters,
+    // keep-first via min(pos), ordered string_agg reassembly.
+    "q_line_clean" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |           FROM documents),
+        |m AS (SELECT doc_id, concat_ws(chr(10),
+        |        array_to_string(t[1:8], ' '),
+        |        upper(array_to_string(t[1:8], ' ')),
+        |        concat_ws(' ', CAST(doc_id AS VARCHAR),
+        |          CAST(doc_id AS VARCHAR), CAST(doc_id AS VARCHAR)),
+        |        array_to_string(t[1:8], ' '),
+        |        'short',
+        |        array_to_string(t[9:16], ' ')) AS text
+        |      FROM d),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM m),
+        |posi AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS i, l
+        |         FROM ls),
+        |r AS (SELECT doc_id, i AS pos, l[i] AS line,
+        |        len(string_split(l[i], ' ')) AS nw,
+        |        len(replace(l[i], ' ', '')) AS nc,
+        |        len(regexp_replace(l[i], '[^A-Z]', '', 'g')) AS nu,
+        |        len(regexp_replace(l[i], '[^0-9]', '', 'g')) AS nd
+        |      FROM posi),
+        |k AS (SELECT doc_id, line, min(pos) AS pos FROM r
+        |      WHERE nw >= 3 AND (nc = 0 OR
+        |        (CAST(nu AS DOUBLE) / nc <= 0.6
+        |         AND CAST(nd AS DOUBLE) / nc <= 0.5))
+        |      GROUP BY doc_id, line),
+        |agg AS (SELECT doc_id,
+        |          string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+        |          count(*) AS n_kept
+        |        FROM k GROUP BY doc_id),
+        |n AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines
+        |      FROM m)
+        |SELECT n.doc_id, coalesce(cleaned, '') AS cleaned,
+        |  coalesce(n_kept, 0) AS n_kept,
+        |  n_lines - coalesce(n_kept, 0) AS n_dropped
+        |FROM n LEFT JOIN agg ON agg.doc_id = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
 
     // decontamination mirror: distinct 3-grams both sides, overlap ids
     // dropped via NOT IN.

@@ -320,6 +320,58 @@ object TextStats {
       .drop("__cum")
   }
 
+  /** Line-level document cleaning — the RefinedWeb / CCNet pre-filter
+    * stage (Penedo arXiv:2306.01116 App. F; Wenzek LREC'20 §3.1): drop
+    * lines that are too short, SHOUTED, or mostly numeric, and keep
+    * only the FIRST occurrence of a repeated line within a document,
+    * then reassemble the survivors in order.
+    *
+    * Plan shape: posexplode → pure-column keep rules → groupBy
+    * (doc, line) min(pos) for keep-first dedup → groupBy(doc) with
+    * sort_array(collect_list) reassembly. Two doc-keyed shuffles, NO
+    * window (per-doc state stays bounded by document size, and the
+    * per-line rules fuse into the scan).
+    *
+    * Fractions are rationals of integer lengths over non-space chars,
+    * so the rules evaluate identically in integer SQL.
+    *
+    * Returns (idCol, cleaned, n_kept, n_dropped); a doc whose every
+    * line drops keeps a row with cleaned = '' and n_kept = 0.
+    */
+  def cleanLines(df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 3, maxUpperFrac: Double = 0.6,
+      maxDigitFrac: Double = 0.5): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("pos", "line")))
+    val nChars = length(regexp_replace(col("line"), " ", ""))
+    val keep = (size(split(col("line"), " ")) >= minWords) &&
+      (nChars === 0 ||
+        (length(regexp_replace(col("line"), "[^A-Z]", "")).cast("double") /
+          nChars.cast("double") <= maxUpperFrac &&
+         length(regexp_replace(col("line"), "[^0-9]", "")).cast("double") /
+          nChars.cast("double") <= maxDigitFrac))
+    val counted = lines
+      .withColumn("__keep", keep)
+    val firstKept = counted.filter(col("__keep"))
+      .groupBy(col(idCol), col("line"))
+      .agg(min(col("pos")).as("pos"))
+    val perDoc = firstKept.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("line")))),
+          s => s("line")), "\n").as("cleaned"),
+        count(lit(1)).as("n_kept"))
+    // left join back so fully-cleaned docs still emit a row
+    df.select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("__n_lines"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Convenience: attach the full stat block to a DataFrame. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

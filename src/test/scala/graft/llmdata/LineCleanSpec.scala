@@ -1,0 +1,51 @@
+package graft.llmdata
+
+import graft.SparkSpec
+
+class LineCleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clean(texts: (Long, String)*): Map[Long, (String, Long, Long)] =
+    TextStats.cleanLines(texts.toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("each rule fires: short, shouted, numeric, duplicate-keep-first") {
+    val doc = Seq(
+      "keep me please now",      // kept
+      "no",                      // < 3 words
+      "THIS IS ALL SHOUTED",     // upper frac 1 > 0.6
+      "12 345 678",              // digit frac 1 > 0.5
+      "keep me please now",      // duplicate of line 0 → dropped
+      "another good line here"   // kept
+    ).mkString("\n")
+    val (cleaned, kept, dropped) = clean(0L -> doc)(0L)
+    assert(cleaned == "keep me please now\nanother good line here")
+    assert(kept == 2 && dropped == 4)
+  }
+
+  test("duplicate keeps the FIRST position, preserving order") {
+    val doc = Seq(
+      "zz late alphabetically first",
+      "aa early alphabetically second",
+      "zz late alphabetically first"
+    ).mkString("\n")
+    val (cleaned, kept, _) = clean(1L -> doc)(1L)
+    assert(cleaned ==
+      "zz late alphabetically first\naa early alphabetically second")
+    assert(kept == 2)
+  }
+
+  test("fully-cleaned doc keeps a row with empty text") {
+    val m = clean(2L -> "no\nNOPE BAD\n1 2 3", 3L -> "fine good line here")
+    assert(m(2L) == (("", 0L, 3L)))
+    assert(m(3L) == (("fine good line here", 1L, 0L)))
+  }
+
+  test("thresholds are inclusive: exactly-at-bound lines survive") {
+    // 9 upper of 15 non-space chars = 0.6 exactly ≤ 0.6 → kept
+    val exact = "ABCDEFGHI abc def"
+    val m = clean(4L -> exact)
+    assert(m(4L)._2 == 1L, s"expected kept, got ${m(4L)}")
+  }
+}
