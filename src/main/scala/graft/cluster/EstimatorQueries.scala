@@ -330,6 +330,23 @@ object EstimatorQueries extends QueryPack {
         .select(col("doc_id"), col("lang")).orderBy("doc_id")
     }),
 
+    // UniMax water-filling (Chung 2304.09151): budget = 1.5× the
+    // corpus tokens, epoch cap 2 — low-resource languages cap at two
+    // passes, the rest share the remainder equally. The capped/uncapped
+    // decision is pure integer arithmetic, mirrored by the oracle's
+    // window-closed-form; θ is the only double.
+    "q_unimax" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      val total = d.agg(sum("n_toks").cast("long")).head.getLong(0)
+      Splits.unimaxAllocation(d, "lang", "n_toks",
+          budget = total * 3 / 2, epochs = 2)
+        .select(col("lang"), col("n_tokens"), col("cap"),
+          round(col("alloc"), 6).as("alloc"),
+          round(col("rate"), 6).as("rate"))
+        .orderBy("lang")
+    }),
+
     // train_test_split: the per-split sizes are seed-dependent, but the
     // PARTITION invariant (train + test == total, no row lost or
     // duplicated) is deterministic — that is what the oracle checks.
@@ -529,6 +546,35 @@ object EstimatorQueries extends QueryPack {
     // (q_mixture_rates / q_mixture_sample oracles are GENERATED — the
     // BPE merge table behind the unit counts embeds as literal VALUES:
     // see bpeMixtureOracle.)
+    // UniMax water-fill, closed form: group i (cap-ascending rank rk)
+    // is capped ⟺ cap·(nl−rk+1) ≤ T − cum_prev — all BIGINT; θ is the
+    // single double. T = 3·total//2, epochs = 2.
+    "q_unimax" ->
+      """WITH tc AS (SELECT lang,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) * 3 // 2 AS t,
+        |               count(*) AS nl FROM tc),
+        |s AS (SELECT lang, n, n * 2 AS cap,
+        |        row_number() OVER (ORDER BY n, lang) AS rk,
+        |        CAST(sum(n * 2) OVER (ORDER BY n, lang
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM tc),
+        |f AS (SELECT s.lang, s.n, s.cap, s.rk, s.cum, tot.t, tot.nl,
+        |        (cap * (nl - rk + 1) <= t - (cum - cap)) AS capped
+        |      FROM s CROSS JOIN tot),
+        |th AS (SELECT coalesce(
+        |         CAST(t - CAST(coalesce(sum(CASE WHEN capped THEN cap END),
+        |           0) AS BIGINT) AS DOUBLE)
+        |         / NULLIF(nl - count(CASE WHEN capped THEN 1 END), 0),
+        |         CAST(0 AS DOUBLE)) AS theta
+        |       FROM f GROUP BY t, nl)
+        |SELECT lang, n AS n_tokens, cap,
+        |  round(CASE WHEN capped THEN CAST(cap AS DOUBLE) ELSE theta END,
+        |    6) AS alloc,
+        |  round(CASE WHEN capped THEN CAST(cap AS DOUBLE) ELSE theta END
+        |    / CAST(n AS DOUBLE), 6) AS rate
+        |FROM f CROSS JOIN th ORDER BY lang""".stripMargin,
     "q_hash_sample" ->
       """SELECT doc_id,
         | (SELECT count(*) FROM documents) AS n_total

@@ -263,6 +263,54 @@ object Splits {
       .drop("rate")
   }
 
+  /** UniMax per-language budget allocation (Chung et al.,
+    * arXiv:2304.09151): distribute a token budget across groups as
+    * uniformly as possible subject to a per-group repetition cap of
+    * `epochs`·n_g tokens — water-filling. Low-resource groups are
+    * capped at `epochs` passes over their data; the rest share the
+    * remaining budget equally (θ each).
+    *
+    * Group token counts are ONE tiny aggregation (≤ |groups| rows,
+    * collected bounded like any trained summary); the fill runs on the
+    * driver in INTEGER arithmetic — group i (cap-ascending, 0-based)
+    * is capped ⟺ cap_i·(L−i) ≤ T − S_{i−1} — the same closed-form
+    * predicate a SQL window evaluates, so both engines decide
+    * bit-identically (the predicate is monotone: g(i+1)−g(i) =
+    * (c_i−c_{i+1})(L−i−1) ≤ 0 on the sorted order, hence capped groups
+    * form a prefix and the sequential fill equals the closed form).
+    * θ = (T−S_k)/(L−k) is the only double.
+    *
+    * Returns (group, n_tokens, cap, alloc, rate); rate = alloc/n may
+    * exceed 1 — that is the point (repetition up to `epochs`).
+    */
+  def unimaxAllocation(df: DataFrame, groupCol: String, sizeCol: String,
+      budget: Long, epochs: Int = 2): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(epochs > 0, s"epochs must be positive, got $epochs")
+    val counts = df.groupBy(col(groupCol))
+      .agg(sum(col(sizeCol)).cast("long").as("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (g, n) => (n, g) }
+    require(counts.length <= 100000,
+      s"unimax: ${counts.length} groups exceed the driver bound")
+    val L = counts.length
+    var s = 0L
+    val capped = Array.ofDim[Boolean](L)
+    for (i <- 0 until L) {
+      val cap = counts(i)._2 * epochs
+      if (cap * (L - i).toLong <= budget - s) { capped(i) = true; s += cap }
+    }
+    val k = capped.count(identity)
+    val theta = if (k == L) 0.0 else (budget - s).toDouble / (L - k)
+    val spark = df.sparkSession
+    import spark.implicits._
+    counts.zipWithIndex.map { case ((g, n), i) =>
+      val cap = n * epochs
+      val alloc = if (capped(i)) cap.toDouble else theta
+      (g, n, cap, alloc, alloc / n)
+    }.toSeq.toDF(groupCol, "n_tokens", "cap", "alloc", "rate")
+  }
+
   /** round, not truncate: 0.29·1e6 is 289999.99999999994 in binary —
     * truncation would put bucket 289999 on the wrong side of the
     * documented `bucket < rate·1e6` contract.
