@@ -286,6 +286,43 @@ object RelationalQueries extends QueryPack {
         .orderBy("o_orderstatus")
     }),
 
+    // Interval-overlap join: click/view intervals [us, us+dur] on the
+    // same user, paired iff they overlap — bucket-explode equi-join
+    // with emit-at-first-overlap-bucket dedup (no theta-join, no
+    // distinct). The oracle is the naive overlap predicate join.
+    "q_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("dur", floor(col("value") * lit(1.0e8)).cast("long"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("a_id"),
+          col("us").as("a_s"), (col("us") + col("dur")).as("a_e"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("b_id"),
+          col("us").as("b_s"), (col("us") + col("dur")).as("b_e"))
+      Temporal.intervalOverlapPairs(clicks, views, "a_s", "a_e",
+          "b_s", "b_e", bucketWidth = 1L << 36,
+          keys = Seq(("user_id", "v_user")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(least(col("a_e"), col("b_e"))
+            - greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+        .orderBy("user_id")
+    }),
+
+    // Salted skew join: identical results to the plain join (the salt
+    // only routes rows), gated against the plain-join oracle.
+    "q_salted_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_orderpriority")
+      SkewJoin.saltedInnerJoin(Tables.lineitem(s, dir), o,
+          "l_orderkey", "o_orderkey", saltFactor = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Pivot: per-user value totals spread across event types (explicit
     // pivot values keep the plan a single pass, no distinct-scan).
     "q_pivot" -> ((s, dir) =>
@@ -467,6 +504,27 @@ object RelationalQueries extends QueryPack {
         | count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM m GROUP BY user_id, sess
         |ORDER BY user_id, start_us""".stripMargin,
+    "q_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) AS us, CAST(floor(value * 100000000.0) AS BIGINT) AS dur
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, us AS a_s, us + dur AS a_e
+        |      FROM e WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS b_id, us AS b_s, us + dur AS b_e
+        |      FROM e WHERE event_type = 'view'),
+        |p AS (SELECT a.user_id, a_id, b_id,
+        |        least(a_e, b_e) - greatest(a_s, b_s) AS ov
+        |      FROM a JOIN b ON a.user_id = b.user_id
+        |        AND a_s <= b_e AND b_s <= a_e)
+        |SELECT user_id, count(*) AS n_pairs,
+        | CAST(sum(ov) AS BIGINT) AS overlap_us
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 150000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_bloom_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,
         | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue

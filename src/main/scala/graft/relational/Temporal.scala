@@ -152,6 +152,41 @@ object Temporal {
       .drop("__b", "__rb")
   }
 
+  /** All (left, right) pairs of OVERLAPPING intervals —
+    * lStart ≤ rEnd AND rStart ≤ lEnd (inclusive ends) — and equal
+    * `keys` when given, as an equi-join: each interval explodes into
+    * the width-`bucketWidth` buckets it covers, sides join on bucket
+    * (+keys), and a pair is emitted ONLY in the bucket containing
+    * max(lStart, rStart) — the first bucket where both are present —
+    * so every pair surfaces exactly once with NO distinct/dedup
+    * shuffle. The naive formulation is a theta-join (nested loop);
+    * this is a shuffled equi-join with fan-out |interval|/bucketWidth
+    * per row — pick bucketWidth near the p99 interval length so the
+    * typical fan-out is 1-2. Column names must be disjoint.
+    */
+  def intervalOverlapPairs(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      bucketWidth: Long,
+      keys: Seq[(String, String)] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val lb = left.filter(col(lEnd) >= col(lStart))
+      .withColumn("__lb", explode(sequence(
+        floorDiv(col(lStart), bucketWidth), floorDiv(col(lEnd), bucketWidth))))
+    val rb = right.filter(col(rEnd) >= col(rStart))
+      .withColumn("__rb", explode(sequence(
+        floorDiv(col(rStart), bucketWidth), floorDiv(col(rEnd), bucketWidth))))
+    val joinCond = keys.map { case (lk, rk) => col(lk) === col(rk) }
+      .foldLeft(col("__lb") === col("__rb"))(_ && _)
+    lb.join(rb, joinCond)
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__lb") ===
+        floorDiv(greatest(col(lStart), col(rStart)), bucketWidth))
+      .drop("__lb", "__rb")
+  }
+
   private def floorDiv(c: Column, d: Long): Column = {
     // pmod is non-negative, so subtracting it yields the floor multiple —
     // correct for negative ordinates too (epoch values before 1970,

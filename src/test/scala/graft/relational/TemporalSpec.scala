@@ -141,6 +141,37 @@ class TemporalSpec extends SparkSpec {
     assert(got == Seq((1L, 7L)))
   }
 
+  test("intervalOverlapPairs matches brute force; each pair exactly once") {
+    val rnd = new scala.util.Random(23)
+    // negative ordinates, spans of varied length (0 to ~300, bucket 100:
+    // many intervals straddle several buckets)
+    def gen(n: Int) = Seq.tabulate(n) { i =>
+      val s = rnd.nextLong() % 1000L
+      (i.toLong, s, s + rnd.nextInt(300))
+    }
+    val l = gen(150); val r = gen(150)
+    val got = Temporal.intervalOverlapPairs(
+      l.toDF("lid", "ls", "le"), r.toDF("rid", "rs", "re"),
+      "ls", "le", "rs", "re", bucketWidth = 100L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    val expect = for {
+      (lid, ls, le) <- l; (rid, rs, re) <- r if ls <= re && rs <= le
+    } yield (lid, rid)
+    assert(got.sorted == expect.sorted)
+    assert(got.size == got.toSet.size, "each pair exactly once")
+  }
+
+  test("intervalOverlapPairs: inclusive edges and key isolation") {
+    val l = Seq((1L, 0L, 10L, 10L), (2L, 1L, 10L, 20L)).toDF("lid", "lk", "ls", "le")
+    val r = Seq((7L, 0L, 10L, 15L), (8L, 1L, 21L, 30L)).toDF("rid", "rk", "rs", "re")
+    val got = Temporal.intervalOverlapPairs(l, r, "ls", "le", "rs", "re",
+        bucketWidth = 7L, keys = Seq("lk" -> "rk"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    // (1,7): touch at exactly 10 → inclusive match; (2,8): gap of 1 → no;
+    // cross-key (1,8)/(2,7) excluded regardless of overlap
+    assert(got == Seq((1L, 7L)))
+  }
+
   test("plan shape: asofJoin is one shuffle, range join never a nested loop") {
     // executedPlan (post-EnsureRequirements): Exchange placement visible
     val asof = Temporal.asofJoin(left, right, Seq("k"), "ord", "r_ord",
