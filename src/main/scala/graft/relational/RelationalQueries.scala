@@ -286,6 +286,33 @@ object RelationalQueries extends QueryPack {
         .orderBy("o_orderstatus")
     }),
 
+    // Exact grouped percentiles (linear interpolation — the same
+    // definition DuckDB's quantile_cont uses). Exact percentile is the
+    // small-group path; at 100 TB switch to percentile_approx (the
+    // GK sketch Quantiles.scala wraps) — gated separately there.
+    "q_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("price_p90"))
+        .orderBy("l_returnflag")),
+
+    // Correlation / covariance / dispersion aggregates (one-pass
+    // co-moment accumulation both engines; round(6) absorbs merge-order
+    // ulps).
+    "q_corr_stats" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"))
+        .orderBy("l_returnflag")),
+
     // Interval-overlap join: click/view intervals [us, us+dur] on the
     // same user, paired iff they overlap — bucket-explode equi-join
     // with emit-at-first-overlap-bucket dedup (no theta-join, no
@@ -504,6 +531,20 @@ object RelationalQueries extends QueryPack {
         | count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM m GROUP BY user_id, sess
         |ORDER BY user_id, start_us""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        | round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        | round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_corr_stats" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+        | round(stddev_samp(l_quantity), 6) AS sd_qty,
+        | round(var_samp(l_discount), 6) AS var_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_interval_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |    epoch_us(ts) AS us, CAST(floor(value * 100000000.0) AS BIGINT) AS dur
