@@ -286,6 +286,25 @@ object RelationalQueries extends QueryPack {
         .orderBy("o_orderstatus")
     }),
 
+    // Weighted PageRank over the customer-nation → supplier-nation
+    // trade graph (the crawl-pipeline link-quality signal). 10
+    // iterations, ranks quantized at every handoff so the chained-CTE
+    // oracle replays the identical trajectory.
+    "q_pagerank" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.graph.PageRank.pageRank(edges, "src", "dst", "w",
+          damping = 0.85, iters = 10)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    }),
+
     // Exact grouped percentiles (linear interpolation — the same
     // definition DuckDB's quantile_cont uses). Exact percentile is the
     // small-group path; at 100 TB switch to percentile_approx (the
@@ -370,7 +389,51 @@ object RelationalQueries extends QueryPack {
           asc_nulls_first("o_orderpriority")))
   )
 
+  /** Generated PageRank oracle: the full 10-iteration trajectory as
+    * chained CTEs, each handoff quantized exactly like the Spark loop
+    * (graph.PageRank). Interpolated constants are the Scala-computed
+    * doubles (shortest-roundtrip decimals CAST to DOUBLE), so both
+    * engines run the identical arithmetic on the identical values.
+    */
+  private def pageRankOracleSql(iters: Int = 10, damping: Double = 0.85,
+      q: Int = 10): String = {
+    val oneMinusD = 1.0 - damping
+    val steps = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""c$i AS MATERIALIZED (SELECT ew.t, sum(ew.frac * $p.rank) AS m
+         |       FROM ew JOIN $p ON $p.n = ew.s GROUP BY ew.t),
+         |d$i AS MATERIALIZED (SELECT coalesce(sum(rank), CAST(0 AS DOUBLE)) AS dm
+         |        FROM $p WHERE n NOT IN (SELECT s FROM outw)),
+         |r$i AS MATERIALIZED (SELECT nodes.n,
+         |         round(CAST($oneMinusD AS DOUBLE) / nn.cnt
+         |           + CAST($damping AS DOUBLE) *
+         |             (coalesce(c$i.m, CAST(0 AS DOUBLE)) + d$i.dm / nn.cnt),
+         |           $q) AS rank
+         |        FROM nodes LEFT JOIN c$i ON c$i.t = nodes.n
+         |        CROSS JOIN nn CROSS JOIN d$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT c.c_nationkey AS s, su.s_nationkey AS t,
+       |             CAST(count(*) AS BIGINT) AS w
+       |           FROM lineitem l
+       |           JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |           JOIN customer c ON o.o_custkey = c.c_custkey
+       |           JOIN supplier su ON l.l_suppkey = su.s_suppkey
+       |           GROUP BY 1, 2),
+       |outw AS MATERIALIZED (SELECT s, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY s),
+       |ew AS MATERIALIZED (SELECT s, t, CAST(w AS DOUBLE) / CAST(ow AS DOUBLE) AS frac
+       |       FROM e JOIN outw USING (s)),
+       |nodes AS MATERIALIZED (SELECT DISTINCT n FROM (SELECT s AS n FROM e
+       |          UNION ALL SELECT t FROM e)),
+       |nn AS MATERIALIZED (SELECT count(*) AS cnt FROM nodes),
+       |r0 AS MATERIALIZED (SELECT n, round(CAST(1 AS DOUBLE) / nn.cnt, $q) AS rank
+       |       FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT n AS node, round(rank, 6) AS rank FROM r$iters
+       |ORDER BY node""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_pagerank" -> pageRankOracleSql(),
     "q_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         | round(l_extendedprice, 2) AS price
@@ -546,7 +609,7 @@ object RelationalQueries extends QueryPack {
         | round(var_samp(l_discount), 6) AS var_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_interval_join" ->
-      """WITH e AS (SELECT event_id, user_id, event_type,
+      """WITH e AS MATERIALIZED (SELECT event_id, user_id, event_type,
         |    epoch_us(ts) AS us, CAST(floor(value * 100000000.0) AS BIGINT) AS dur
         |  FROM events),
         |a AS (SELECT user_id, event_id AS a_id, us AS a_s, us + dur AS a_e
