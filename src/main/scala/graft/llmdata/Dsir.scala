@@ -90,6 +90,32 @@ object Dsir {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"), sum("logratio").as("logw"))
 
+  /** Scan-fused scoring: the B-row ratio table collapsed into an
+    * in-plan map literal, the per-doc weight computed as a single
+    * `aggregate` HOF over the gram array — NO explode, NO groupBy, NO
+    * join. Stateless per row, so the identical expression scores a
+    * structured STREAM (stream-static joins and aggregations never
+    * enter the plan); it is also the right batch plan when B stays
+    * map-literal-sized (≲10⁵). Returns struct(n_grams, logw).
+    */
+  def weightExpr(textCol: Column, ratios: Map[Long, Double],
+      b: Int = B): Column = {
+    require(ratios.keySet == (0L until b).toSet,
+      s"ratios must cover the full 0..${b - 1} bucket domain")
+    val m = map(ratios.toSeq.sortBy(_._1).flatMap {
+      case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val g = grams(textCol)
+    struct(size(g).cast("long").as("n_grams"),
+      aggregate(g, lit(0.0),
+        (acc, gr) => acc + element_at(m, bucket(gr, b))).as("logw"))
+  }
+
+  /** Collect a [[bucketLogRatios]] frame into the literal map
+    * [[weightExpr]] wants (bounded: exactly `b` rows).
+    */
+  def collectRatios(ratios: DataFrame): Map[Long, Double] =
+    ratios.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
   /** Deterministic Gumbel perturbation from 52 md5 bits of
     * (salt‖doc_id): u ∈ (0,1) exactly representable, g = −ln(−ln u).
     * 52 bits keep the long→double cast exact in BOTH engines.

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 class DsirSpec extends SparkSpec {
   import spark.implicits._
 
-  private def corpus = Seq(
+  private val rows = Seq(
     // target-flavored vocabulary
     (0L, "alpha beta gamma alpha beta", true),
     (1L, "beta gamma alpha gamma", true),
@@ -14,7 +14,8 @@ class DsirSpec extends SparkSpec {
     // off-distribution vocabulary
     (3L, "zork quux fnord zork quux", false),
     (4L, "fnord zork quux fnord", false)
-  ).toDF("doc_id", "text", "is_target")
+  )
+  private def corpus = rows.toDF("doc_id", "text", "is_target")
 
   test("ratio table covers the full bucket domain exactly once") {
     val docs = corpus
@@ -33,6 +34,50 @@ class DsirSpec extends SparkSpec {
     // and the weight is per-gram sensible: every target-vocab doc beats
     // every off-vocab doc
     assert(Seq(0L, 1L, 2L).map(w).min > Seq(3L, 4L).map(w).max)
+  }
+
+  test("weightExpr (map-literal scan-fused path) equals importanceWeights") {
+    val docs = corpus
+    val ratios = Dsir.bucketLogRatios(docs.filter(col("is_target")), docs, "text")
+    val viaJoin = Dsir.importanceWeights(docs, "text", "doc_id", ratios)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val m = Dsir.collectRatios(ratios)
+    val viaExpr = docs.select(col("doc_id"),
+        Dsir.weightExpr(col("text"), m).as("w"))
+      .select(col("doc_id"), col("w.n_grams"), col("w.logw"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(viaExpr.keySet == viaJoin.keySet)
+    viaJoin.foreach { case (id, (n, lw)) =>
+      assert(viaExpr(id)._1 == n)
+      assert(math.abs(viaExpr(id)._2 - lw) < 1e-9, s"doc $id")
+    }
+  }
+
+  test("weightExpr scores a live stream (stateless — no join, no agg)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = corpus
+    val ratios = Dsir.bucketLogRatios(docs.filter(col("is_target")), docs, "text")
+    val m = Dsir.collectRatios(ratios)
+    val expected = docs.select(col("doc_id"),
+        Dsir.weightExpr(col("text"), m).as("w"))
+      .select(col("doc_id"), col("w.logw"))
+      .as[(Long, Double)].collect().toMap
+    val input = MemoryStream[(Long, String)]
+    val scored = input.toDF.toDF("doc_id", "text")
+      .select(col("doc_id"), Dsir.weightExpr(col("text"), m).as("w"))
+      .select(col("doc_id"), col("w.logw").as("logw"))
+    val q = scored.writeStream.outputMode("append")
+      .format("memory").queryName("dsir_stream").start()
+    try {
+      input.addData(rows.map { case (id, t, _) => (id, t) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("dsir_stream")
+        .as[(Long, Double)].collect().toMap
+      assert(got.keySet == expected.keySet)
+      expected.foreach { case (id, lw) =>
+        assert(math.abs(got(id) - lw) < 1e-9, s"doc $id") }
+    } finally q.stop()
   }
 
   test("resample: k distinct docs; a hugely upweighted doc always enters") {
