@@ -33,9 +33,9 @@ object SparkEntry {
     val dir = "/root/testdata/sf0.001"
     // the round-7 flagship: TRAINED quality-classifier filter →
     // benchmark decontamination → fingerprint dedup → exact-substring
-    // duplication filter → LM-perplexity scoring → domain-mixture
-    // sampling → per-shard sequence packing
-    queries("q_llm_pipeline_v4")(spark, dir)
+    // duplication filter → LM-perplexity scoring → DSIR importance
+    // selection → domain-mixture sampling → per-shard sequence packing
+    queries("q_llm_pipeline_v5")(spark, dir)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

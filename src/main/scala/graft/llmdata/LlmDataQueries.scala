@@ -189,31 +189,40 @@ object LlmDataQueries extends QueryPack {
     * per-doc logratio sums — the independent mirror of
     * [[Dsir.bucketLogRatios]] + [[Dsir.importanceWeights]].
     */
-  private val dsirWeightsSql: String =
-    """WITH dt AS (SELECT doc_id, lang, string_split(text, ' ') AS t
-      |            FROM documents),
-      |g AS (SELECT doc_id, lang, unnest(list_concat(t,
-      |        list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
-      |        AS g
-      |      FROM dt),
-      |gb AS (SELECT doc_id, lang,
-      |         ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS b
-      |       FROM g),
-      |ct AS (SELECT b, count(*) AS c FROM gb WHERE lang = 'en' GROUP BY b),
-      |cr AS (SELECT b, count(*) AS c FROM gb GROUP BY b),
-      |tot AS (SELECT
-      |   (SELECT CAST(count(*) AS BIGINT) FROM gb WHERE lang = 'en') AS nt,
-      |   (SELECT CAST(count(*) AS BIGINT) FROM gb) AS nr),
-      |dom AS (SELECT unnest(generate_series(0, 63)) AS b),
-      |lr AS (SELECT dom.b,
-      |         ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE)
-      |            / CAST(nt + 64 AS DOUBLE))
-      |       - ln(CAST(coalesce(cr.c, 0) + 1 AS DOUBLE)
-      |            / CAST(nr + 64 AS DOUBLE)) AS logratio
-      |       FROM dom LEFT JOIN ct ON ct.b = dom.b
-      |       LEFT JOIN cr ON cr.b = dom.b CROSS JOIN tot),
-      |w AS (SELECT doc_id, count(*) AS n_grams, sum(lr.logratio) AS logw
-      |      FROM gb JOIN lr ON lr.b = gb.b GROUP BY doc_id)""".stripMargin
+  /** @param p CTE-name prefix, so the block composes into larger
+    *   oracles (flagship v5) without name collisions.
+    */
+  private def dsirWeightsCtes(p: String): String =
+    s"""${p}dt AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+       |            FROM documents),
+       |${p}g AS (SELECT doc_id, lang, unnest(list_concat(t,
+       |        list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
+       |        AS g
+       |      FROM ${p}dt),
+       |${p}gb AS (SELECT doc_id, lang,
+       |         ('0x' || substr(md5(g), 1, 15))::BIGINT % 64 AS b
+       |       FROM ${p}g),
+       |${p}ct AS (SELECT b, count(*) AS c FROM ${p}gb WHERE lang = 'en'
+       |        GROUP BY b),
+       |${p}cr AS (SELECT b, count(*) AS c FROM ${p}gb GROUP BY b),
+       |${p}tot AS (SELECT
+       |   (SELECT CAST(count(*) AS BIGINT) FROM ${p}gb WHERE lang = 'en')
+       |     AS nt,
+       |   (SELECT CAST(count(*) AS BIGINT) FROM ${p}gb) AS nr),
+       |${p}dom AS (SELECT unnest(generate_series(0, 63)) AS b),
+       |${p}lr AS (SELECT ${p}dom.b,
+       |         ln(CAST(coalesce(${p}ct.c, 0) + 1 AS DOUBLE)
+       |            / CAST(nt + 64 AS DOUBLE))
+       |       - ln(CAST(coalesce(${p}cr.c, 0) + 1 AS DOUBLE)
+       |            / CAST(nr + 64 AS DOUBLE)) AS logratio
+       |       FROM ${p}dom LEFT JOIN ${p}ct ON ${p}ct.b = ${p}dom.b
+       |       LEFT JOIN ${p}cr ON ${p}cr.b = ${p}dom.b CROSS JOIN ${p}tot),
+       |${p}w AS (SELECT doc_id, count(*) AS n_grams,
+       |        sum(${p}lr.logratio) AS logw
+       |      FROM ${p}gb JOIN ${p}lr ON ${p}lr.b = ${p}gb.b
+       |      GROUP BY doc_id)""".stripMargin
+
+  private val dsirWeightsSql: String = "WITH " + dsirWeightsCtes("")
 
   private val minhashPairCtes: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -875,6 +884,71 @@ object LlmDataQueries extends QueryPack {
         .select(col("doc_id"), col("source"), col("lang"),
           round(col("p_quality"), 6).as("p_quality"),
           round(col("nll"), 6).as("nll"), col("n_tokens"),
+          col("pack_id"))
+        .orderBy("doc_id")
+    }),
+
+    // FLAGSHIP v5 = v4 + a DSIR selection stage (Xie 2302.03169)
+    // between the LM annotation and the mixture: corpus-wide hashed
+    // n-gram importance weights against the trusted (en) slice, docs in
+    // the off-distribution tail (rounded logw ≤ −0.5) dropped — 390 of
+    // 500 sf0.01 docs survive, a genuine cut in EVERY language — and
+    // the mixture re-derives its rates from the cleaner pool. The DSIR
+    // pass adds one B-row broadcast join + one groupBy(doc) to the
+    // plan; every other stage keeps its v4 shape.
+    "q_llm_pipeline_v5" -> ((s, dir) => {
+      val t = col("text")
+      val (wts, b) = QualityClassifier.trained(s, dir)
+      val margin = QualityClassifier.marginExpr(t, wts, b)
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), t, col("source"),
+        (lit(1.0) / (lit(1.0) + exp(margin * lit(-1.0)))).as("p_quality"),
+        margin.as("qmargin"),
+        TextStats.languageId(t).as("lang"),
+        TextStats.fingerprint(t).as("fp"),
+        TextStats.dupNgramCharFrac(t, 2).as("dup2"),
+        TextStats.tokenCount(t).as("n_tokens"),
+        length(t).as("n_chars"))
+        .filter(col("qmargin") > 0 && col("dup2") <= 0.15)
+      val eval3 = Tables.documents(s, dir).filter(col("doc_id") < 3)
+      val clean = Dedup.decontaminate(scored, "text", "doc_id", eval3, "text", n = 3)
+      val deduped = clean.groupBy(col("fp"))
+        .agg(min_by(struct(col("doc_id"), col("source"), col("lang"),
+          col("p_quality"), col("n_tokens"), col("n_chars")), col("doc_id")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+          col("r.lang").as("lang"), col("r.p_quality").as("p_quality"),
+          col("r.n_tokens").as("n_tokens"), col("r.n_chars").as("n_chars"))
+      val lowDup = Dedup.exactSubstrStats(Tables.documents(s, dir),
+          "text", "doc_id")
+        .filter(col("dup_frac") <= 0.5).select("doc_id")
+      val substrFiltered = deduped.join(lowDup, Seq("doc_id"), "left_semi")
+      val nll = NgramLm.perplexityScore(Tables.documents(s, dir), "text",
+          "doc_id", col("lang") === "en")
+        .select(col("doc_id"), col("nll"))
+      val withNll = substrFiltered.join(broadcast(nll), Seq("doc_id"))
+      // DSIR selection: corpus-wide weights, off-distribution tail out
+      val ratios = Dsir.bucketLogRatios(
+        Tables.documents(s, dir).filter(col("lang") === "en"),
+        Tables.documents(s, dir), "text")
+      val dweights = Dsir.importanceWeights(Tables.documents(s, dir),
+          "text", "doc_id", ratios)
+        .select(col("doc_id"), col("logw"))
+      val selected = withNll.join(broadcast(dweights), Seq("doc_id"))
+        .filter(round(col("logw"), 6) > lit(-0.5))
+      val rates = Splits.mixtureRates(selected, "lang", "n_chars",
+        pipelineMixTargets, unitBudget = 30000)
+      val sampled = Splits.mixtureSample(selected, "doc_id", "lang", rates,
+        salt = "mix5")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      sampled
+        .withColumn("__cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id",
+          floor((col("__cum") - col("n_tokens")) / lit(512)).cast("int"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          round(col("p_quality"), 6).as("p_quality"),
+          round(col("nll"), 6).as("nll"),
+          round(col("logw"), 6).as("logw"), col("n_tokens"),
           col("pack_id"))
         .orderBy("doc_id")
     }),
@@ -1918,9 +1992,39 @@ object LlmDataQueries extends QueryPack {
     * v2 composition with the quality-composite stage swapped for the
     * classifier margin.
     */
+  /** v5 oracle = the v4 composition with the DSIR stage spliced in via
+    * anchored rewrites (each anchor REQUIRED present, so drift in the
+    * v4 template fails loudly at generation time rather than silently
+    * producing a stale v5).
+    */
+  private def v5FromV4(v4: String): String = {
+    def rep(s: String, from: String, to: String): String = {
+      require(s.contains(from), s"v5 oracle anchor missing: $from")
+      s.replace(from, to)
+    }
+    var s = v4
+    s = rep(s, "FROM kept3 k JOIN lmnll USING (doc_id)),",
+      "FROM kept3 k JOIN lmnll USING (doc_id)),\n" + dsirWeightsCtes("ds") +
+        ",\nkept3nd AS (SELECT k.*, dsw.logw FROM kept3n k JOIN dsw" +
+        " USING (doc_id)\n" +
+        "            WHERE round(dsw.logw, 6) > CAST(-0.5 AS DOUBLE)),")
+    s = rep(s, "FROM kept3n GROUP BY 1)", "FROM kept3nd GROUP BY 1)")
+    s = rep(s, "FROM kept3n k JOIN rt USING (lang)",
+      "FROM kept3nd k JOIN rt USING (lang)")
+    s = rep(s, "k.lang, k.margin, k.n_tokens, k.nll",
+      "k.lang, k.margin, k.n_tokens, k.nll, k.logw")
+    s = rep(s, "'mix4'", "'mix5'")
+    s = rep(s, "pk AS (SELECT doc_id, source, lang, margin, n_tokens, nll,",
+      "pk AS (SELECT doc_id, source, lang, margin, n_tokens, nll, logw,")
+    s = rep(s, "round(nll, 6) AS nll,",
+      "round(nll, 6) AS nll,\n round(logw, 6) AS logw,")
+    s
+  }
+
   private def trainedQualityOracle: Map[String, String] =
     QualityClassifier.memoized match {
-      case (w, b) :: Nil => Map(
+      case (w, b) :: Nil =>
+        val base = Map(
         "q_quality_classifier" ->
           s"""WITH ${QualityClassifier.marginCteSql(w, b)}
              |SELECT doc_id,
@@ -2124,6 +2228,7 @@ object LlmDataQueries extends QueryPack {
              | CAST(floor(CAST(cum - n_tokens AS DOUBLE) / CAST(512 AS DOUBLE))
              |   AS INT) AS pack_id
              |FROM pk ORDER BY doc_id""".stripMargin)
+        base + ("q_llm_pipeline_v5" -> v5FromV4(base("q_llm_pipeline_v4")))
       case _ => Map.empty
     }
 

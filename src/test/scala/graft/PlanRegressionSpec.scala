@@ -40,6 +40,8 @@ class PlanRegressionSpec extends SparkSpec {
     "q_llm_pipeline_v4",     // same final packing stage, plus substr-dedup
                              // filter + LM scoring (their own windows stay
                              // inside eager/cached construction)
+    "q_llm_pipeline_v5",     // same final packing stage, plus the DSIR
+                             // selection join (window-free itself)
     "q_asof_join",           // the as-of operator IS a per-key running
                              // last() window (one shuffle + sort — the
                              // alternative is a banned theta-join)
