@@ -156,6 +156,26 @@ object TextFeatureQueries extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // Composition: the phash near-dup pair graph fed into single-link
+    // clustering — "group all variants of an image" (each clone joins
+    // its source's cluster). Same in-plan synthesis as the pairs gate;
+    // the oracle walks the same graph with a recursive CTE, so full
+    // component membership is hash-gated.
+    "q_image_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(octet_length(col("text")) === length(col("text")))
+      val base = docs.select(col("doc_id"), col("text"))
+      val clones = base.filter(col("doc_id") < 10 && length(col("text")) >= 5)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("xxxxx"), substring(col("text"), 6, Int.MaxValue)).as("text"))
+      val media = Multimodal.binarize(base.union(clones), "text", "image")
+      val pairs = Multimodal.nearDuplicateMedia(media, "doc_id")
+        .select(col("id_a"), col("id_b"))
+      graft.llmdata.Dedup.clusterNearDuplicates(pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    }),
+
     // Decode-stub feature extraction: JVM-side fake decoder → rows-only;
     // schema/shape are the point.
     "q_multimodal_features" -> ((s, dir) => {
@@ -386,7 +406,29 @@ object TextFeatureQueries extends QueryPack {
          |          + bit_count(xor(a.phash_lo, b.phash_lo)) AS hamming
          |      FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
-         |FROM p WHERE hamming <= 7 ORDER BY id_a, id_b""".stripMargin
+         |FROM p WHERE hamming <= 7 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_image_dedup_clusters" ->
+      s"""WITH RECURSIVE srcu AS (SELECT doc_id, text FROM documents
+         |       WHERE strlen(text) = length(text)
+         |     UNION ALL
+         |     SELECT doc_id + 100000, 'xxxxx' || text[6:]
+         |     FROM documents WHERE doc_id < 10 AND length(text) >= 5
+         |       AND strlen(text) = length(text)),
+         |${phashCteSql("srcu")},
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        bit_count(xor(a.phash_hi, b.phash_hi))
+         |          + bit_count(xor(a.phash_lo, b.phash_lo)) AS hamming
+         |      FROM ph a JOIN ph b ON a.doc_id < b.doc_id),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+         |            WHERE hamming <= 7
+         |          UNION SELECT id_b, id_a FROM p WHERE hamming <= 7),
+         |cc(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, c.label FROM edges e JOIN cc c ON c.id = e.dst)
+         |SELECT id AS doc_id, min(label) AS cluster
+         |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin
   )
 
   /** CTE chain producing `ph(doc_id, phash_hi, phash_lo)` — the exact

@@ -1074,6 +1074,15 @@ object LlmDataQueries extends QueryPack {
         .select(col("doc_id"), col("dl"), round(col("bm25"), 6).as("bm25"))
         .orderBy("doc_id")),
 
+    // TF-IDF (sklearn smooth-idf) over the same probe vocabulary: one
+    // stats pass, idf as plan literals, scan-fused scoring.
+    "q_tfidf" -> ((s, dir) =>
+      TextStats.withTfIdf(Tables.documents(s, dir), "text", bm25Terms)
+        .select(col("doc_id") +:
+          bm25Terms.indices.map(i =>
+            round(col(s"tfidf_$i"), 6).as(s"tfidf_$i")): _*)
+        .orderBy("doc_id")),
+
     // Count-min sketch (Cormode–Muthukrishnan; Spark's built-in
     // count_min_sketch aggregate): the sketch itself is
     // engine-specific binary, so the gate checks its GUARANTEES — for
@@ -1410,6 +1419,26 @@ object LlmDataQueries extends QueryPack {
       s"""WITH $bm25Ctes
          |SELECT doc_id, CAST(dl AS INT) AS dl, bm25
          |FROM bm ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" -> {
+      val tfs = bm25Terms.indices.map(i =>
+        s"len(list_filter(t, x -> x = '${bm25Terms(i)}')) AS tf$i")
+        .mkString(", ")
+      val dfs = bm25Terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val scores = bm25Terms.indices.map(i =>
+        s"""round(CAST(tf$i AS DOUBLE) *
+           |  (ln(CAST(1 + n AS DOUBLE) / CAST(1 + df$i AS DOUBLE))
+           |   + CAST(1.0 AS DOUBLE)), 6) AS tfidf_$i""".stripMargin)
+        .mkString(",\n ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+         |           FROM documents),
+         |s AS (SELECT doc_id, $tfs FROM d),
+         |g AS (SELECT count(*) AS n, $dfs FROM s)
+         |SELECT doc_id,
+         | $scores
+         |FROM s CROSS JOIN g ORDER BY doc_id""".stripMargin
+    },
 
     // per-language retrieval: ranking happens on the ROUNDED score both
     // sides, so last-ulp idf differences cannot reorder ties (id asc

@@ -232,6 +232,35 @@ object TextStats {
     df.withColumn("dl", tokenCount(t)).withColumn("bm25", score)
   }
 
+  /** TF-IDF scores for a fixed probe vocabulary — the classic
+    * retrieval/feature scorer beside [[withBm25]], with sklearn's
+    * smooth-idf convention: idf = ln((1+N)/(1+df)) + 1, score = tf·idf
+    * (raw term counts; row-L2 normalization is a full-vocabulary
+    * notion and does not apply to a probe subset).
+    *
+    * Same plan shape as BM25: N and per-term document frequencies in
+    * ONE tree-aggregated pass riding the TokenStats kernel, idf baked
+    * as plan literals, scoring scan-fused — zero shuffles at score
+    * time.
+    */
+  def withTfIdf(df: DataFrame, textCol: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms, "terms must be distinct")
+    val t = col(textCol)
+    def tf(term: String): Column =
+      element_at(graft.functions.TokenStats(t, Seq(term)),
+        graft.functions.TokenStats.N_STOP)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      terms.zipWithIndex.map { case (term, i) =>
+        sum(when(tf(term) > 0, 1L).otherwise(0L)).as(s"df_$i")
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    terms.zipWithIndex.foldLeft(df) { case (d, (term, i)) =>
+      val idf = math.log((1.0 + n) / (1.0 + row.getLong(1 + i))) + 1.0
+      d.withColumn(s"tfidf_$i", tf(term).cast("double") * lit(idf))
+    }
+  }
+
   /** Corpus heavy hitters: Misra–Gries top tokens
     * (graft.functions.FreqItems) over the exploded token stream. The
     * explode is map-only and the partial MG summaries (k counters per
