@@ -286,6 +286,40 @@ object RelationalQueries extends QueryPack {
         .orderBy("o_orderstatus")
     }),
 
+    // GK-sketch guarantee gate (q_heavy_tokens_cms pattern): the
+    // percentile_approx estimate must land within its rank-error bound
+    // — between the exact quantiles at p ∓ 2ε (ε = 1/accuracy) — so
+    // the gate emits per-group booleans the oracle pins to TRUE. This
+    // closes the mergeable-sketch family: MG, HLL++, CMS, GK.
+    "q_approx_quantile_bounds" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile_approx(l_quantity, 0.5, 100)").as("__v"),
+          expr("percentile(l_quantity, 0.48)").as("__lo"),
+          expr("percentile(l_quantity, 0.52)").as("__hi"))
+        .select(col("l_returnflag"),
+          (col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+            .as("within_bounds"))
+        .orderBy("l_returnflag")),
+
+    // Full outer join with ALL three null patterns: every tenth order
+    // gets its custkey shifted out of range in-plan (the corpus is
+    // referentially intact, so 'order_only' would otherwise be empty).
+    "q_outer_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 150000)
+        .select(when(col("o_orderkey") % 10 === 0,
+            col("o_custkey") + 1000000)
+          .otherwise(col("o_custkey")).as("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(when(col("c_custkey").isNull, "order_only")
+          .when(col("o_custkey").isNull, "cust_only")
+          .otherwise("both").as("side"))
+        .groupBy("side").agg(count(lit(1)).as("n"))
+        .orderBy("side")
+    }),
+
     // Weighted PageRank over the customer-nation → supplier-nation
     // trade graph (the crawl-pipeline link-quality signal). 10
     // iterations, ranks quantized at every handoff so the chained-CTE
@@ -594,6 +628,19 @@ object RelationalQueries extends QueryPack {
         | count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM m GROUP BY user_id, sess
         |ORDER BY user_id, start_us""".stripMargin,
+    "q_approx_quantile_bounds" ->
+      """SELECT l_returnflag, TRUE AS within_bounds
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_outer_join" ->
+      """SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+        |            WHEN o_custkey IS NULL THEN 'cust_only'
+        |            ELSE 'both' END AS side, count(*) AS n
+        |FROM customer FULL JOIN
+        |  (SELECT CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+        |               ELSE o_custkey END AS o_custkey
+        |   FROM orders WHERE o_totalprice > 150000) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_quantity, 0.25), 6) AS p25,
