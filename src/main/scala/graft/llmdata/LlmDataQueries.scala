@@ -224,6 +224,49 @@ object LlmDataQueries extends QueryPack {
 
   private val dsirWeightsSql: String = "WITH " + dsirWeightsCtes("")
 
+  /** Per-language LM retrain-in-SQL ending at the grouped
+    * `lmn(doc_id, lang, n_tokens, nll)` — shared by the perlang gate
+    * and the CCNet tercile-bucket gate.
+    */
+  private val perLangNllCtes: String =
+    """dt AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+      |            FROM documents),
+      |rtok AS (SELECT lang, unnest(t) AS w FROM dt),
+      |uni AS (SELECT lang, w, count(*) AS cw FROM rtok GROUP BY lang, w),
+      |rbig AS (SELECT lang, unnest(list_transform(range(1, len(t)),
+      |           i -> t[i] || ' ' || t[i+1])) AS bg
+      |         FROM dt WHERE len(t) >= 2),
+      |bi AS (SELECT lang, bg, count(*) AS cb FROM rbig GROUP BY lang, bg),
+      |tot AS (SELECT lang, CAST(sum(cw) AS BIGINT) AS n_ref,
+      |               count(*) AS v_size FROM uni GROUP BY lang),
+      |posi AS (SELECT doc_id, lang, unnest(range(1, len(t) + 1)) AS i, t
+      |         FROM dt),
+      |pw AS (SELECT doc_id, lang, t[i] AS w,
+      |        CASE WHEN i > 1 THEN t[i-1] END AS prev FROM posi),
+      |j AS (SELECT pw.doc_id, pw.lang, pw.w, pw.prev, uni.cw,
+      |        up.cw AS cprev, bi.cb, tot.n_ref, tot.v_size
+      |      FROM pw
+      |      LEFT JOIN uni ON uni.lang = pw.lang AND uni.w = pw.w
+      |      LEFT JOIN uni up ON up.lang = pw.lang AND up.w = pw.prev
+      |      LEFT JOIN bi ON bi.lang = pw.lang
+      |        AND bi.bg = pw.prev || ' ' || pw.w
+      |      JOIN tot ON tot.lang = pw.lang),
+      |sc AS (SELECT doc_id, lang,
+      |        CASE WHEN prev IS NULL
+      |         THEN CAST(coalesce(cw, 0) + 1 AS DOUBLE)
+      |              / CAST(n_ref + v_size AS DOUBLE)
+      |         ELSE 0.9 * (CASE WHEN cprev IS NOT NULL
+      |                 THEN CAST(coalesce(cb, 0) AS DOUBLE)
+      |                      / CAST(cprev AS DOUBLE)
+      |                 ELSE 0.0 END)
+      |            + 0.1 * (CAST(coalesce(cw, 0) + 1 AS DOUBLE)
+      |                     / CAST(n_ref + v_size AS DOUBLE))
+      |        END AS p
+      |       FROM j),
+      |lmn AS (SELECT doc_id, lang, count(*) AS n_tokens,
+      |         round(-avg(ln(p)), 6) AS nll
+      |        FROM sc GROUP BY doc_id, lang)""".stripMargin
+
   private val minhashPairCtes: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
@@ -637,6 +680,35 @@ object LlmDataQueries extends QueryPack {
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           round(col("nll"), 6).as("nll"))
         .orderBy("doc_id")),
+
+    // CCNet head/middle/tail split: per-language perplexity terciles as
+    // two exact percentiles broadcast back — the corpus is never
+    // sorted. Gates the scoring + cutoff + boundary-compare chain.
+    "q_ccnet_buckets" -> ((s, dir) =>
+      NgramLm.perplexityBuckets(Tables.documents(s, dir), "text",
+          "doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // PMI collocations (Church & Hanks 1990): adjacent-pair pointwise
+    // mutual information over the whole corpus, top-k on the rounded
+    // score. Counts are integers, the ratio arithmetic is replicated
+    // operand-for-operand in SQL.
+    "q_token_pmi" -> ((s, dir) =>
+      TextStats.pmiCollocations(Tables.documents(s, dir), "text",
+        k = 50, minCount = 5)),
+
+    // Two-sample chi-square drift: char-length-bucket distribution of
+    // sources src0-src4 vs the rest — per-bucket observed/expected/
+    // contribution rows, integer counts collected bounded.
+    "q_corpus_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val probe = Seq("src0", "src1", "src2", "src3", "src4")
+      TextStats.distributionDrift(
+        docs.filter(col("source").isin(probe: _*)),
+        docs.filter(!col("source").isin(probe: _*)),
+        floor(length(col("text")) / 100))
+        .orderBy("bucket")
+    }),
 
     // DSIR importance weights (Xie 2302.03169): hashed uni+bi-gram
     // bucket models for the trusted (en) slice vs the raw corpus;
@@ -1588,45 +1660,80 @@ object LlmDataQueries extends QueryPack {
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // per-language LM oracle: the same retrain-in-SQL with lang carried
-    // through every count, join, and total.
+    // through every count, join, and total (shared CTE chain).
     "q_lm_perplexity_perlang" ->
-      """WITH dt AS (SELECT doc_id, lang, string_split(text, ' ') AS t
-        |            FROM documents),
-        |rtok AS (SELECT lang, unnest(t) AS w FROM dt),
-        |uni AS (SELECT lang, w, count(*) AS cw FROM rtok GROUP BY lang, w),
-        |rbig AS (SELECT lang, unnest(list_transform(range(1, len(t)),
-        |           i -> t[i] || ' ' || t[i+1])) AS bg
-        |         FROM dt WHERE len(t) >= 2),
-        |bi AS (SELECT lang, bg, count(*) AS cb FROM rbig GROUP BY lang, bg),
-        |tot AS (SELECT lang, CAST(sum(cw) AS BIGINT) AS n_ref,
-        |               count(*) AS v_size FROM uni GROUP BY lang),
-        |posi AS (SELECT doc_id, lang, unnest(range(1, len(t) + 1)) AS i, t
-        |         FROM dt),
-        |pw AS (SELECT doc_id, lang, t[i] AS w,
-        |        CASE WHEN i > 1 THEN t[i-1] END AS prev FROM posi),
-        |j AS (SELECT pw.doc_id, pw.lang, pw.w, pw.prev, uni.cw,
-        |        up.cw AS cprev, bi.cb, tot.n_ref, tot.v_size
-        |      FROM pw
-        |      LEFT JOIN uni ON uni.lang = pw.lang AND uni.w = pw.w
-        |      LEFT JOIN uni up ON up.lang = pw.lang AND up.w = pw.prev
-        |      LEFT JOIN bi ON bi.lang = pw.lang
-        |        AND bi.bg = pw.prev || ' ' || pw.w
-        |      JOIN tot ON tot.lang = pw.lang),
-        |sc AS (SELECT doc_id, lang,
-        |        CASE WHEN prev IS NULL
-        |         THEN CAST(coalesce(cw, 0) + 1 AS DOUBLE)
-        |              / CAST(n_ref + v_size AS DOUBLE)
-        |         ELSE 0.9 * (CASE WHEN cprev IS NOT NULL
-        |                 THEN CAST(coalesce(cb, 0) AS DOUBLE)
-        |                      / CAST(cprev AS DOUBLE)
-        |                 ELSE 0.0 END)
-        |            + 0.1 * (CAST(coalesce(cw, 0) + 1 AS DOUBLE)
-        |                     / CAST(n_ref + v_size AS DOUBLE))
-        |        END AS p
-        |       FROM j)
-        |SELECT doc_id, lang, count(*) AS n_tokens,
-        | round(-avg(ln(p)), 6) AS nll
-        |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+      ("WITH " + perLangNllCtes +
+        "\nSELECT doc_id, lang, n_tokens, nll FROM lmn ORDER BY doc_id"),
+
+    // CCNet terciles: per-language quantile_cont cutoffs on the rounded
+    // NLL (the same interpolated definition as Spark's percentile),
+    // rounded before the boundary compare on both sides.
+    "q_ccnet_buckets" ->
+      ("WITH " + perLangNllCtes + """,
+        |cuts AS (SELECT lang,
+        |   round(quantile_cont(nll, CAST(0.3333333333333333 AS DOUBLE)), 6)
+        |     AS c1,
+        |   round(quantile_cont(nll, CAST(0.6666666666666666 AS DOUBLE)), 6)
+        |     AS c2
+        |  FROM lmn GROUP BY lang)
+        |SELECT n.doc_id, n.lang, n.n_tokens, n.nll,
+        |  CASE WHEN n.nll <= c.c1 THEN 'head'
+        |       WHEN n.nll <= c.c2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM lmn n JOIN cuts c USING (lang) ORDER BY n.doc_id""".stripMargin),
+
+    // PMI collocations: integer uni/bi counts, the ratio computed
+    // operand-for-operand as in Spark ((cb/Nbi) / ((ca/Nuni)·(cbu/Nuni))),
+    // top-k on (rounded pmi DESC, bg) — a total order.
+    "q_token_pmi" ->
+      """WITH dt AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |tot AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n_uni,
+        |   CAST(sum(CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END)
+        |     AS BIGINT) AS n_bi FROM dt),
+        |uni AS (SELECT w, count(*) AS cw FROM
+        |         (SELECT unnest(t) AS w FROM dt) GROUP BY w),
+        |bi AS (SELECT bg, count(*) AS cb FROM
+        |         (SELECT unnest(list_transform(range(1, len(t)),
+        |            i -> t[i] || ' ' || t[i+1])) AS bg
+        |          FROM dt WHERE len(t) >= 2)
+        |       GROUP BY bg HAVING count(*) >= 5),
+        |j AS (SELECT bi.bg, bi.cb, ua.cw AS ca, ub.cw AS cbu
+        |      FROM bi
+        |      JOIN uni ua ON ua.w = string_split(bi.bg, ' ')[1]
+        |      JOIN uni ub ON ub.w = string_split(bi.bg, ' ')[2])
+        |SELECT bg, cb,
+        |  round(ln((CAST(cb AS DOUBLE) / n_bi) /
+        |    ((CAST(ca AS DOUBLE) / n_uni) * (CAST(cbu AS DOUBLE) / n_uni))),
+        |    6) AS pmi
+        |FROM j CROSS JOIN tot
+        |ORDER BY pmi DESC, bg LIMIT 50""".stripMargin,
+
+    // Chi-square drift: 2×B contingency on char-length buckets,
+    // expected counts and contributions computed on UNROUNDED doubles,
+    // rounded only in the output (mirrors distributionDrift).
+    "q_corpus_drift" ->
+      """WITH c AS (SELECT CAST(floor(len(text) / 100) AS BIGINT) AS bucket,
+        |   CAST(count(*) FILTER (WHERE source IN
+        |     ('src0','src1','src2','src3','src4')) AS BIGINT) AS ca,
+        |   CAST(count(*) FILTER (WHERE source NOT IN
+        |     ('src0','src1','src2','src3','src4')) AS BIGINT) AS cb
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |               CAST(sum(cb) AS BIGINT) AS nb FROM c),
+        |e AS (SELECT bucket, ca, cb,
+        |   CAST(ca + cb AS DOUBLE) * CAST(na AS DOUBLE)
+        |     / CAST(na + nb AS DOUBLE) AS exp_a,
+        |   CAST(ca + cb AS DOUBLE) * CAST(nb AS DOUBLE)
+        |     / CAST(na + nb AS DOUBLE) AS exp_b
+        |  FROM c CROSS JOIN tot)
+        |SELECT bucket, ca, cb, round(exp_a, 6) AS exp_a,
+        |  round(exp_b, 6) AS exp_b,
+        |  round((CAST(ca AS DOUBLE) - exp_a) * (CAST(ca AS DOUBLE) - exp_a)
+        |      / exp_a
+        |    + (CAST(cb AS DOUBLE) - exp_b) * (CAST(cb AS DOUBLE) - exp_b)
+        |      / exp_b, 6) AS chi2
+        |FROM e ORDER BY bucket""".stripMargin,
+
 
     // DSIR: full retrain-in-SQL — hashed gram buckets, add-one bucket
     // models over the 0..63 domain, per-doc logratio sums.

@@ -144,6 +144,40 @@ object NgramLm {
     score(docs, textCol, idCol, uni, bi, totals)
   }
 
+  /** CCNet §3.3 head/middle/tail split: bucket every document by where
+    * its perplexity falls among documents of ITS OWN key (language) —
+    * head = the trusted-looking third, tail = the discard candidates.
+    *
+    * The cutoffs are two exact percentiles PER KEY — a key-cardinality-
+    * row aggregate broadcast back onto the scored corpus. The ntile
+    * formulation would sort every language partition end-to-end (a
+    * single language can be a third of a 100 TB corpus); this plan
+    * never sorts the corpus at all. Both the scores and the cutoffs are
+    * rounded to 1e-6 before the boundary compare, so the bucket
+    * assignment is reproducible cross-engine.
+    */
+  def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
+      keyCol: String): DataFrame = {
+    // The scored frame feeds both the cutoff aggregate and the final
+    // join — persist the (id, key, n_tokens, nll) projection so the
+    // scoring DAG runs once (bounded: 4 narrow columns per doc).
+    val scored = perplexityScoreByKey(docs, textCol, idCol, keyCol)
+      .select(col(idCol), col(keyCol), col("n_tokens"),
+        round(col("nll"), 6).as("nll"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    uniCache.put(s"buckets-${uniCacheSeq.incrementAndGet()}", scored)
+    val cuts = scored.groupBy(keyCol).agg(
+      round(expr("percentile(nll, 0.3333333333333333D)"), 6).as("__c1"),
+      round(expr("percentile(nll, 0.6666666666666666D)"), 6).as("__c2"))
+    scored.join(broadcast(cuts), Seq(keyCol))
+      .withColumn("bucket",
+        when(col("nll") <= col("__c1"), lit("head"))
+          .when(col("nll") <= col("__c2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(keyCol), col("n_tokens"), col("nll"),
+        col("bucket"))
+  }
+
   private val uniCache =
     graft.core.Memos.register(new graft.core.Memos.CachedFrameMap())
   private val uniCacheSeq = new java.util.concurrent.atomic.AtomicLong()

@@ -401,6 +401,103 @@ object TextStats {
         (col("__n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** PMI collocation mining (Church & Hanks 1990): rank adjacent word
+    * pairs by pointwise mutual information
+    * ln( p(ab) / (p(a)·p(b)) ), with p(ab) from the bigram count over
+    * total bigrams and p(w) from unigram counts over total tokens.
+    * High-PMI pairs are multi-word expressions — the classic
+    * tokenizer-vocabulary / phrase-extraction signal.
+    *
+    * Plan shape: one corpus scan feeds the unigram aggregation and one
+    * the bigram aggregation (both map-side partial, vocab-sized
+    * results). The bigram table then meets the unigram table ONCE — the
+    * bigram unpivots into (bg, endpoint) rows, equi-joins `uni`, and a
+    * groupBy(bg) folds both endpoint counts back (joining `uni` twice,
+    * once per endpoint, would recompute the whole unigram DAG: Spark
+    * does not reuse exchanges across plan references). Corpus-level
+    * totals come from a separate LIGHT pass (two sums over `size(t)`,
+    * no explode) collected to plan literals. Selection is a bounded
+    * TakeOrdered on the ROUNDED score (house cross-engine rule).
+    *
+    * @param minCount drop bigrams rarer than this (PMI of hapaxes is
+    *   noise — standard practice)
+    */
+  def pmiCollocations(df: DataFrame, textCol: String, k: Int = 50,
+      minCount: Int = 5): DataFrame = {
+    val t = tokens(col(textCol))
+    val toksDf = df.select(t.as("t"))
+    val totRow = toksDf.agg(
+      sum(size(col("t"))).cast("long").as("n_uni"),
+      sum(when(size(col("t")) >= 2, size(col("t")) - 1).otherwise(0))
+        .cast("long").as("n_bi")).collect()(0)
+    val (nUni, nBi) = (totRow.getLong(0), totRow.getLong(1))
+    val uni = toksDf.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val n1 = size(col("t")) - 1
+    val bi = toksDf
+      .select(explode(zip_with(slice(col("t"), lit(1), n1),
+        slice(col("t"), lit(2), n1),
+        (a, b) => concat_ws(" ", a, b))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+    val endpoints = bi.select(col("bg"), col("cb"),
+      posexplode(split(col("bg"), " ")).as(Seq("pos", "w")))
+    val joined = endpoints.join(uni, Seq("w"))
+      .groupBy("bg", "cb")
+      .agg(max(when(col("pos") === 0, col("cw"))).as("ca"),
+        max(when(col("pos") === 1, col("cw"))).as("cb_uni"))
+    joined.select(col("bg"), col("cb"),
+        round(log((col("cb").cast("double") / lit(nBi.toDouble)) /
+          ((col("ca").cast("double") / lit(nUni.toDouble)) *
+            (col("cb_uni").cast("double") / lit(nUni.toDouble)))), 6)
+          .as("pmi"))
+      .orderBy(desc("pmi"), col("bg"))
+      .limit(k)
+  }
+
+  /** Two-sample chi-square drift monitor: compare the distribution of a
+    * bounded bucket column between two document populations (yesterday
+    * vs today's crawl, source A vs source B). Returns one row per
+    * bucket with both observed counts, the independence-expected
+    * counts, and the bucket's chi² contribution — Σ is the test
+    * statistic, per-bucket rows say WHERE the drift is.
+    *
+    * Each input is scanned once into a bucket-count aggregate (tagged
+    * union, map-side partial, ≤ |buckets| rows out); the bounded counts
+    * collect to the driver, where totals close over them — corpus-sized
+    * data never moves twice. The (obs−exp)²/exp arithmetic stays in
+    * Spark expressions over the literal integer counts, bit-identical
+    * cross-engine.
+    */
+  def distributionDrift(a: DataFrame, b: DataFrame,
+      bucket: Column): DataFrame = {
+    val spark = a.sparkSession
+    def counts(df: DataFrame, tag: Int) =
+      df.select(bucket.cast("long").as("bucket"), lit(tag.toLong).as("t"))
+        .groupBy("bucket").agg(sum(col("t")).as("ca"), count(lit(1)).as("n"))
+    val rows = counts(a, 1).unionByName(counts(b, 0))
+      .groupBy("bucket")
+      .agg(sum("ca").as("ca"), sum("n").as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) - r.getLong(1)))
+      .sortBy(_._1)
+    val na = rows.map(_._2).sum
+    val nb = rows.map(_._3).sum
+    val nTot = na + nb
+    import spark.implicits._
+    val base = rows.toSeq.toDF("bucket", "ca", "cb")
+    def contrib(obs: Column, rowTotal: Long) = {
+      val exp = (col("ca") + col("cb")).cast("double") *
+        lit(rowTotal.toDouble) / lit(nTot.toDouble)
+      ((obs.cast("double") - exp) * (obs.cast("double") - exp) / exp, exp)
+    }
+    val (chiA, expA) = contrib(col("ca"), na)
+    val (chiB, expB) = contrib(col("cb"), nb)
+    base.select(col("bucket"), col("ca"), col("cb"),
+      round(expA, 6).as("exp_a"), round(expB, 6).as("exp_b"),
+      round(chiA + chiB, 6).as("chi2"))
+  }
+
   /** Convenience: attach the full stat block to a DataFrame. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -1,0 +1,83 @@
+package graft.llmdata
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** PMI collocation mining and chi-square drift — brute-force oracles on
+  * hand corpora where every count is known.
+  */
+class CollocationDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pmiCollocations matches the hand formula on a tiny corpus") {
+    // "new york" always adjacent; "the the" frequent but independent
+    val docs = Seq.fill(6)("new york is big") ++
+      Seq.fill(6)("the cat saw the dog the end") ++
+      Seq.fill(3)("new deal in york county")
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextStats.pmiCollocations(df, "text", k = 100, minCount = 5)
+      .as[(String, Long, Double)].collect()
+
+    // independent recount
+    val toks = docs.map(_.split(" ").toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val big = toks.filter(_.size >= 2)
+      .flatMap(_.sliding(2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nUni = toks.map(_.size).sum.toDouble
+    val nBi = toks.map(t => math.max(t.size - 1, 0)).sum.toDouble
+    def pmi(bg: String): Double = {
+      val Array(a, b) = bg.split(" ")
+      val v = (big(bg) / nBi) / ((uni(a) / nUni) * (uni(b) / nUni))
+      BigDecimal(math.log(v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = big.filter(_._2 >= 5).keys.map(bg => bg -> pmi(bg)).toMap
+    assert(got.map(_._1).toSet == want.keySet)
+    got.foreach { case (bg, cb, p) =>
+      assert(cb == big(bg), s"$bg count")
+      assert(p == want(bg), s"$bg pmi: got $p want ${want(bg)}")
+    }
+    // always-adjacent pair beats the frequent-but-independent token pair
+    val byBg = got.map(r => r._1 -> r._3).toMap
+    assert(byBg("new york") > byBg.getOrElse("the cat", Double.MinValue))
+    // ranked on (pmi desc, bg)
+    assert(got.map(r => (-r._3, r._1)).toSeq ==
+      got.map(r => (-r._3, r._1)).toSeq.sorted)
+  }
+
+  test("pmiCollocations honors minCount and k") {
+    val df = (Seq.fill(4)("rare pair x") ++ Seq.fill(9)("common pair y"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val bgs = TextStats.pmiCollocations(df, "text", k = 2, minCount = 5)
+      .as[(String, Long, Double)].collect().map(_._1)
+    assert(bgs.length == 2)
+    assert(!bgs.contains("rare pair"), "minCount=5 must drop the 4-count pair")
+  }
+
+  test("distributionDrift: proportional populations give zero chi2") {
+    val a = Seq.fill(10)(1L) ++ Seq.fill(30)(2L)
+    val b = Seq.fill(20)(1L) ++ Seq.fill(60)(2L) // same proportions, 2x size
+    val out = TextStats.distributionDrift(
+      a.toDF("v"), b.toDF("v"), col("v"))
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(out.forall(_._6 == 0.0), s"chi2 must vanish: ${out.toSeq}")
+  }
+
+  test("distributionDrift matches the hand-computed 2x2 table") {
+    val a = Seq.fill(10)(0L) ++ Seq.fill(30)(1L)
+    val b = Seq.fill(20)(0L) ++ Seq.fill(20)(1L)
+    val out = TextStats.distributionDrift(
+      a.toDF("v"), b.toDF("v"), col("v"))
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // bucket 0: col total 30, na=40, nb=40, N=80 -> exp 15/15
+    assert(out(0L) == ((0L, 10L, 20L, 15.0, 15.0,
+      BigDecimal(25.0 / 15 + 25.0 / 15)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // bucket 1: col total 50 -> exp 25/25, chi2 = 1 + 1
+    assert(out(1L) == ((1L, 30L, 20L, 25.0, 25.0, 2.0)))
+  }
+}

@@ -57,4 +57,38 @@ class NgramLmSpec extends SparkSpec {
       byLang("en") < byLang("es") && byLang("en") < byLang("fr"),
       s"en must be the low-perplexity slice: $byLang")
   }
+
+  test("perplexityBuckets: per-key terciles match a brute-force replay") {
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val got = NgramLm.perplexityBuckets(docs, "text", "doc_id", "lang")
+      .as[(Long, String, Long, Double, String)].collect()
+
+    // expected labels from an independent interpolated-percentile replay
+    def percentile(sorted: Array[Double], p: Double): Double = {
+      val rank = p * (sorted.length - 1)
+      val lo = rank.toInt
+      if (lo == sorted.length - 1) sorted(lo)
+      else sorted(lo) + (rank - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    val round6 = (x: Double) =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val nlls = rows.map(_._4).sorted
+      val c1 = round6(percentile(nlls, 1.0 / 3))
+      val c2 = round6(percentile(nlls, 2.0 / 3))
+      rows.foreach { case (id, _, _, nll, bucket) =>
+        val want =
+          if (nll <= c1) "head" else if (nll <= c2) "middle" else "tail"
+        assert(bucket == want,
+          s"doc $id ($lang): nll=$nll cuts=($c1,$c2) got $bucket")
+      }
+      // terciles are balanced within interpolation slack
+      val sizes = rows.groupBy(_._5).view.mapValues(_.size)
+      assert(sizes.values.max - sizes.values.min <= 2,
+        s"$lang tercile sizes skewed: ${sizes.toMap}")
+    }
+    // every language contributes to every bucket on this corpus
+    assert(got.map(r => (r._2, r._5)).distinct.length ==
+      got.map(_._2).distinct.length * 3)
+  }
 }
