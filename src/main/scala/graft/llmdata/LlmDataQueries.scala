@@ -744,6 +744,17 @@ object LlmDataQueries extends QueryPack {
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")),
 
+    // The SAME component semantics through the O(log n)-round
+    // large-star/small-star path (Kiveris SoCC'14) — an independent
+    // algorithm cross-checked against the identical recursive-CTE
+    // oracle, so propagation and alternating-star must agree on every
+    // label.
+    "q_cc_largestar" -> ((s, dir) =>
+      graft.graph.ConnectedComponents
+        .connectedComponents(oracleMinhashPairs(s, dir))
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")),
+
     // SemDeDup (Abbas et al. 2023): cluster embeddings with the FIXED
     // literal codebook (exactly SQL-reproducible), then within-cluster
     // cosine pairs ≥ t. Gates cell assignment + the capped self-join +
@@ -2070,6 +2081,18 @@ object LlmDataQueries extends QueryPack {
     // enumerates every label reachable from each node (UNION dedup
     // terminates it), min per node = the component's least id.
     "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |cc(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, c.label FROM edges e JOIN cc c ON c.id = e.dst)
+         |SELECT id AS doc_id, min(label) AS cluster
+         |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin,
+    // identical oracle, independent Spark algorithm (large-star/
+    // small-star) — the two cluster gates cross-validate each other
+    "q_cc_largestar" ->
       s"""WITH RECURSIVE $minhashPairCtes,
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
          |          UNION SELECT id_b, id_a FROM pairs),
