@@ -672,6 +672,17 @@ object LlmDataQueries extends QueryPack {
           round(col("nll"), 6).as("nll"))
         .orderBy("doc_id")),
 
+    // Kneser-Ney smoothing (what KenLM actually runs): absolute
+    // discount + continuation-unigram backoff, every model table
+    // derived from one persisted bigram count frame. Integer counts →
+    // identical doubles in both engines.
+    "q_lm_kneser_ney" -> ((s, dir) =>
+      NgramLm.kneserNeyScore(Tables.documents(s, dir), "text", "doc_id",
+          col("lang") === "en")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("nll"), 6).as("nll"))
+        .orderBy("doc_id")),
+
     // CCNet deployment shape: ONE model per language in a single pass,
     // every doc scored against its own language's model.
     "q_lm_perplexity_perlang" -> ((s, dir) =>
@@ -1667,6 +1678,51 @@ object LlmDataQueries extends QueryPack {
         |                     / CAST(n_ref + v_size AS DOUBLE))
         |        END AS p
         |       FROM j, tot)
+        |SELECT doc_id, count(*) AS n_tokens, round(-avg(ln(p)), 6) AS nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Kneser-Ney oracle: retrain in SQL — context totals / follower
+    // fan-outs / continuation counts all re-derived from the bigram
+    // count CTE; discount arithmetic replicated operand-for-operand
+    // (bare decimals CAST to DOUBLE — DuckDB parses them as DECIMAL).
+    "q_lm_kneser_ney" ->
+      """WITH reft AS (SELECT string_split(text, ' ') AS t
+        |              FROM documents WHERE lang = 'en'),
+        |uni AS (SELECT w, count(*) AS cw FROM
+        |         (SELECT unnest(t) AS w FROM reft) GROUP BY w),
+        |rbig AS (SELECT unnest(list_transform(range(1, len(t)),
+        |           i -> t[i] || ' ' || t[i+1])) AS bg
+        |         FROM reft WHERE len(t) >= 2),
+        |bi AS (SELECT bg, count(*) AS cb FROM rbig GROUP BY bg),
+        |ctx AS (SELECT string_split(bg, ' ')[1] AS prev,
+        |         CAST(sum(cb) AS BIGINT) AS cctx, count(*) AS n1f
+        |        FROM bi GROUP BY 1),
+        |cont AS (SELECT string_split(bg, ' ')[2] AS w, count(*) AS n1b
+        |         FROM bi GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM bi) AS n_bi_types,
+        |               (SELECT count(*) FROM uni) AS v_size),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |posi AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM d),
+        |pw AS (SELECT doc_id, t[i] AS w,
+        |        CASE WHEN i > 1 THEN t[i-1] END AS prev FROM posi),
+        |j AS (SELECT pw.doc_id, pw.w, pw.prev, cont.n1b, ctx.cctx,
+        |        ctx.n1f, bi.cb,
+        |        CAST(coalesce(cont.n1b, 0) + 1 AS DOUBLE)
+        |          / CAST(n_bi_types + v_size AS DOUBLE) AS pcont
+        |      FROM pw
+        |      LEFT JOIN cont ON cont.w = pw.w
+        |      LEFT JOIN ctx ON ctx.prev = pw.prev
+        |      LEFT JOIN bi ON bi.bg = pw.prev || ' ' || pw.w
+        |      CROSS JOIN tot),
+        |sc AS (SELECT doc_id,
+        |        CASE WHEN prev IS NULL OR cctx IS NULL THEN pcont
+        |         ELSE greatest(CAST(coalesce(cb, 0) AS DOUBLE)
+        |                - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+        |              / CAST(cctx AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE) * CAST(n1f AS DOUBLE)
+        |              / CAST(cctx AS DOUBLE) * pcont
+        |        END AS p
+        |       FROM j)
         |SELECT doc_id, count(*) AS n_tokens, round(-avg(ln(p)), 6) AS nll
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

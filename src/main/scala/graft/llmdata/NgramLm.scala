@@ -133,6 +133,72 @@ object NgramLm {
       .agg(count(lit(1)).as("n_tokens"), (-avg(log(col("p")))).as("nll"))
   }
 
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney ICASSP'95;
+    * Chen & Goodman 1999 eq. 16-18) — the smoothing KenLM itself uses,
+    * so this is the closest in-engine analog of CCNet's actual scorer.
+    * Absolute discount D on seen bigrams, with the discounted mass
+    * redistributed over the CONTINUATION unigram (how many distinct
+    * contexts a word completes), not the raw unigram — the fix for
+    * "Francisco is frequent but only follows San":
+    *
+    *   i>0, seen ctx: p = max(c(prev,w)−D, 0)/cctx(prev)
+    *                     + D·N1+(prev,•)/cctx(prev) · pcont(w)
+    *   i=0 or unseen ctx: p = pcont(w)
+    *   pcont(w) = (N1+(•,w)+1) / (|bigram types| + V)   (add-one so
+    *              words that never end a bigram, and OOV, stay finite)
+    *
+    * Every model table derives from the ONE persisted bigram count
+    * frame (context totals + follower fan-out from a groupBy(prev),
+    * continuation counts from a groupBy(w), type totals from its
+    * count) — all vocabulary-sized aggregates broadcast to the scan,
+    * exactly the [[score]] plan shape: the corpus token stream never
+    * shuffles. Counts are integers, so both engines compute identical
+    * doubles; the gate rounds only the final nll.
+    */
+  def kneserNeyScore(docs: DataFrame, textCol: String, idCol: String,
+      refFilter: Column, discount: Double = 0.75): DataFrame = {
+    val t = docs.filter(refFilter).select(toks(col(textCol)).as("t"))
+    val uni = t.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val bi0 = t.filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(col("t")(i - 1).as("prev"), col("t")(i).as("w")))).as("g"))
+      .select(col("g.prev").as("prev"), col("g.w").as("w"))
+      .groupBy("prev", "w").agg(count(lit(1)).as("cb"))
+    // feeds ctx, cont, totals AND the per-token join — one aggregation
+    val bi = bi0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    uniCache.put(s"kn-${uniCacheSeq.incrementAndGet()}", bi)
+    val ctx = bi.groupBy("prev")
+      .agg(sum("cb").cast("long").as("cctx"), count(lit(1)).as("n1f"))
+    val cont = bi.groupBy("w").agg(count(lit(1)).as("n1b"))
+    val totals = bi.agg(count(lit(1)).as("n_bi_types"))
+      .crossJoin(uni.agg(count(lit(1)).as("v_size")))
+
+    val pos = docs.select(col(idCol), toks(col(textCol)).as("t"))
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("t")) - 1),
+        i => struct(col("t")(i).as("w"),
+          when(i > 0, col("t")(i - 1)).as("prev")))).as("g"))
+      .select(col(idCol), col("g.w").as("w"), col("g.prev").as("prev"))
+    val scored = pos
+      .join(broadcast(cont), Seq("w"), "left")
+      .join(broadcast(ctx), Seq("prev"), "left")
+      .join(broadcast(bi), Seq("prev", "w"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("pcont",
+        (coalesce(col("n1b"), lit(0L)) + 1).cast("double") /
+          (col("n_bi_types") + col("v_size")).cast("double"))
+      .withColumn("p",
+        when(col("prev").isNull || col("cctx").isNull, col("pcont"))
+          .otherwise(
+            greatest(coalesce(col("cb"), lit(0L)).cast("double") -
+              lit(discount), lit(0.0)) / col("cctx").cast("double") +
+              lit(discount) * col("n1f").cast("double") /
+                col("cctx").cast("double") * col("pcont")))
+    scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), (-avg(log(col("p")))).as("nll"))
+  }
+
   def perplexityScore(docs: DataFrame, textCol: String, idCol: String,
       refFilter: Column): DataFrame = {
     val (uni0, bi, totals) = train(docs.filter(refFilter), textCol)

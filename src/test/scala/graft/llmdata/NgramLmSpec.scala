@@ -58,6 +58,54 @@ class NgramLmSpec extends SparkSpec {
       s"en must be the low-perplexity slice: $byLang")
   }
 
+  test("kneserNeyScore matches a from-first-principles KN model") {
+    val ref = Seq("san francisco is big", "san francisco is far",
+      "york is big", "new york is big")
+    val probe = Seq("san francisco", "new francisco", "zzz qqq")
+    val all = (ref ++ probe).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, if (i < ref.length) "en" else "xx") }
+      .toDF("doc_id", "text", "lang")
+    val got = NgramLm.kneserNeyScore(all, "text", "doc_id",
+        col("lang") === "en", discount = 0.75)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // independent recount
+    val toks = ref.map(_.split(" ").toSeq)
+    val bi = toks.flatMap(_.sliding(2).map(s => (s(0), s(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cctx = bi.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1f = bi.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1b = bi.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val nBiTypes = bi.size.toLong
+    val v = toks.flatten.distinct.size.toLong
+    def pcont(w: String) =
+      (n1b.getOrElse(w, 0L) + 1).toDouble / (nBiTypes + v).toDouble
+    def p(prev: Option[String], w: String): Double = prev match {
+      case Some(pr) if cctx.contains(pr) =>
+        math.max(bi.getOrElse((pr, w), 0L).toDouble - 0.75, 0.0) / cctx(pr) +
+          0.75 * n1f(pr).toDouble / cctx(pr) * pcont(w)
+      case _ => pcont(w)
+    }
+    (ref ++ probe).zipWithIndex.foreach { case (text, i) =>
+      val ws = text.split(" ").toSeq
+      val ps = ws.zipWithIndex.map { case (w, j) =>
+        p(if (j > 0) Some(ws(j - 1)) else None, w)
+      }
+      val want = BigDecimal(-ps.map(math.log).sum / ps.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (n, nll) = got(i.toLong)
+      assert(n == ws.length, s"doc $i n_tokens")
+      assert(math.abs(nll - want) < 2e-6, s"doc $i: got $nll want $want")
+    }
+    // the KN property: "francisco" after "san" (its only context) is
+    // likely; after the unseen-as-context "new"... the continuation
+    // prob of francisco (1 distinct context) is LOW vs "is" or "big"
+    assert(pcont("francisco") < pcont("is"),
+      "continuation prob must punish single-context words")
+    // seen bigram beats unseen-context backoff for the same word
+    assert(p(Some("san"), "francisco") > p(Some("new"), "francisco"))
+  }
+
   test("perplexityBuckets: per-key terciles match a brute-force replay") {
     val docs = Tables.documents(spark, sfDir).limit(200)
     val got = NgramLm.perplexityBuckets(docs, "text", "doc_id", "lang")
