@@ -700,6 +700,16 @@ object LlmDataQueries extends QueryPack {
           "doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Winnowing fingerprints (Schleimer SIGMOD'03 / MOSS): rolling
+    // min-hash selection with the rightmost-tie rule — guaranteed
+    // detection of shared substrings ≥ w+k−1 at density 2/(w+1). The
+    // md5-60-bit hash and the window selection replay exactly in SQL
+    // list arithmetic.
+    "q_winnowing" -> ((s, dir) =>
+      TextStats.winnowingFingerprints(Tables.documents(s, dir), "text",
+          "doc_id", k = 12, w = 8)
+        .orderBy("doc_id", "pos")),
+
     // PMI collocations (Church & Hanks 1990): adjacent-pair pointwise
     // mutual information over the whole corpus, top-k on the rounded
     // score. Counts are integers, the ratio arithmetic is replicated
@@ -1748,6 +1758,31 @@ object LlmDataQueries extends QueryPack {
         |       WHEN n.nll <= c.c2 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM lmn n JOIN cuts c USING (lang) ORDER BY n.doc_id""".stripMargin),
+
+    // Winnowing oracle: the same k-gram md5-60-bit hashes as lists,
+    // each window start sliced out, min + rightmost-tie position via
+    // list_position over the reversed slice; short docs (< w hashes)
+    // winnow as one window, mirroring Spark.
+    "q_winnowing" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS n
+        |           FROM documents WHERE len(text) >= 12),
+        |h AS (SELECT doc_id, list_transform(range(1, n - 12 + 2),
+        |        i -> ('0x' || substr(md5(substr(text, i, 12)), 1, 15))::BIGINT)
+        |        AS hs
+        |      FROM d),
+        |wins AS (SELECT doc_id, hs, len(hs) AS nh,
+        |          unnest(range(1, greatest(len(hs) - 8 + 1, 1) + 1)) AS s
+        |         FROM h),
+        |sel AS (SELECT doc_id, s,
+        |         list_slice(hs, s, least(s + 8 - 1, nh)) AS sl
+        |        FROM wins),
+        |fp AS (SELECT doc_id,
+        |        s + (len(sl) - list_position(list_reverse(sl), list_min(sl)))
+        |          AS pos1,
+        |        list_min(sl) AS fp
+        |       FROM sel)
+        |SELECT DISTINCT doc_id, pos1 - 1 AS pos, fp
+        |FROM fp ORDER BY doc_id, pos""".stripMargin,
 
     // PMI collocations: integer uni/bi counts, the ratio computed
     // operand-for-operand as in Spark ((cb/Nbi) / ((ca/Nuni)·(cbu/Nuni))),

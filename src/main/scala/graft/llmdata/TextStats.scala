@@ -498,6 +498,55 @@ object TextStats {
       round(chiA + chiB, 6).as("chi2"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    * SIGMOD'03; the MOSS algorithm). From every window of `w`
+    * consecutive char-k-gram hashes, select the MINIMUM hash —
+    * rightmost occurrence on ties (the paper's rule, which makes
+    * selection depend only on local content, not alignment). The
+    * selected (pos, hash) set is the fingerprint: any shared substring
+    * of length ≥ w+k−1 between two documents is GUARANTEED to share a
+    * fingerprint, at density 2/(w+1) — the bounded-density guarantee
+    * mod-p anchor sampling ([[graft.llmdata.Dedup.exactSubstrSpans]])
+    * trades away for shuffle-free selection.
+    *
+    * Plan: gram positions explode map-side (same k×-fan-out Generate
+    * as exactSubstrSpans — never shuffles), the rolling min runs as a
+    * [p, p+w) FOLLOWING-frame window PARTITIONED BY DOCUMENT (each
+    * doc's hash stream sorts within its partition; nothing global),
+    * and rightmost-tie selection is one lexicographic struct-min
+    * `min(struct(hash, −p))` — no second pass. A window START exists
+    * per position only while a full w-window remains (trailing
+    * count = w); documents with fewer than w hashes winnow as a single
+    * window (the guarantee is vacuous below w+k−1 anyway, but the
+    * fingerprint stays non-empty). Hash = first 60 bits of md5, the
+    * house cross-engine integer hash.
+    *
+    * Output: (idCol, pos, fp) — 0-based gram position, distinct per
+    * (doc, pos).
+    */
+  def winnowingFingerprints(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 12, w: Int = 8): DataFrame = {
+    require(k > 0 && w > 0, s"k=$k and w=$w must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val grams = df.filter(length(col(textCol)) >= k)
+      .select(col(idCol),
+        explode(sequence(lit(0), length(col(textCol)) - k)).as("p"),
+        col(textCol))
+      .select(col(idCol), col("p"),
+        conv(substring(md5(col(textCol).substr(col("p") + 1, lit(k))),
+          1, 15), 16, 10).cast("long").as("h"))
+    val frame = Window.partitionBy(idCol).orderBy("p")
+      .rowsBetween(Window.currentRow, w - 1)
+    val sel = grams
+      .withColumn("__m", min(struct(col("h"), (-col("p")).as("np"))).over(frame))
+      .withColumn("__cnt", count(lit(1)).over(frame))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(idCol).orderBy("p")))
+      .filter(col("__cnt") === w || (col("__rn") === 1 && col("__cnt") < w))
+    sel.select(col(idCol), (-col("__m.np")).as("pos"), col("__m.h").as("fp"))
+      .distinct()
+  }
+
   /** Convenience: attach the full stat block to a DataFrame. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -46,7 +46,10 @@ class PlanRegressionSpec extends SparkSpec {
                              // last() window (one shuffle + sort — the
                              // alternative is a banned theta-join)
     "q_asof_forward",        // same operator, forward direction
-    "q_asof_tolerance"       // same operator, tolerance bound
+    "q_asof_tolerance",      // same operator, tolerance bound
+    "q_winnowing"            // winnowing's rolling min IS a per-DOC
+                             // [p, p+w) frame window — partitioned by
+                             // document, never a global sort
     // (q_dedup_substr's gaps-and-islands span-merge windows — per-doc
     // partitions — run inside the operator's eager span materialization
     // and surface to the gate plan as an InMemoryTableScan, so no
