@@ -1156,6 +1156,35 @@ object LlmDataQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // C4 preset (Raffel 1910.10683 §2.2): line rules (terminal punct,
+    // min words, javascript) + page rules (lorem ipsum, brace,
+    // blocklist token, min sentences) on in-plan synthesized multi-line
+    // docs where every rule branch fires on a doc_id-residue subset.
+    "q_c4_filter" -> ((s, dir) => {
+      val t = split(col("text"), " ")
+      val base = array_join(slice(t, 1, 6), " ")
+      val did = col("doc_id")
+      val multi = concat(
+        concat_ws("\n",
+          concat(base, lit(".")),
+          base,
+          lit("too short."),
+          lit("please enable javascript to view this page."),
+          concat(array_join(slice(t, 7, 6), " "),
+            when(did % 3 =!= 0, lit("? Yes! Sure. Fine. Ok."))
+              .otherwise(lit("?")))),
+        when(did % 7 === 0, lit("\nlorem ipsum dolor sit amet."))
+          .otherwise(lit("")),
+        when(did % 11 === 0, lit("\nbrace { ahead in code.")).otherwise(lit("")),
+        when(did % 13 === 0, lit("\nthis is verboten content here."))
+          .otherwise(lit("")))
+      TextStats.c4Filter(
+          Tables.documents(s, dir).select(did, multi.as("text")),
+          "text", "doc_id",
+          badwords = Seq("verboten", "forbidden"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: corpus docs sharing any 5-gram with
     // the "eval set" (docs 0-2 here) are dropped — including those
     // docs themselves (n=3 so cross-document overlap genuinely fires:
@@ -1501,6 +1530,57 @@ object LlmDataQueries extends QueryPack {
         |  n_lines - coalesce(n_kept, 0) AS n_dropped
         |FROM n LEFT JOIN agg ON agg.doc_id = n.doc_id
         |ORDER BY n.doc_id""".stripMargin,
+
+    // C4 mirror: same synthesized lines, kept-line predicate via
+    // right(line,1) + word count + javascript contains, page flags on
+    // the raw text, sentence marks counted by regexp erasure.
+    "q_c4_filter" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |           FROM documents),
+        |m AS (SELECT doc_id, concat(concat_ws(chr(10),
+        |        array_to_string(t[1:6], ' ') || '.',
+        |        array_to_string(t[1:6], ' '),
+        |        'too short.',
+        |        'please enable javascript to view this page.',
+        |        array_to_string(t[7:12], ' ') ||
+        |          CASE WHEN doc_id % 3 <> 0 THEN '? Yes! Sure. Fine. Ok.'
+        |               ELSE '?' END),
+        |        CASE WHEN doc_id % 7 = 0
+        |         THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END,
+        |        CASE WHEN doc_id % 11 = 0
+        |         THEN chr(10) || 'brace { ahead in code.' ELSE '' END,
+        |        CASE WHEN doc_id % 13 = 0
+        |         THEN chr(10) || 'this is verboten content here.' ELSE '' END)
+        |        AS text
+        |      FROM d),
+        |posi AS (SELECT doc_id, text, unnest(range(1, len(l) + 1)) AS i, l
+        |         FROM (SELECT doc_id, text,
+        |                 string_split(text, chr(10)) AS l FROM m)),
+        |k AS (SELECT doc_id, i AS pos, l[i] AS line FROM posi
+        |      WHERE right(l[i], 1) IN ('.', '!', '?', '"')
+        |        AND len(string_split(l[i], ' ')) >= 3
+        |        AND NOT contains(lower(l[i]), 'javascript')),
+        |agg AS (SELECT doc_id,
+        |          string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+        |          count(*) AS n_kept
+        |        FROM k GROUP BY doc_id),
+        |f AS (SELECT m.doc_id, coalesce(cleaned, '') AS cleaned,
+        |        CAST(coalesce(n_kept, 0) AS INT) AS n_kept,
+        |        CAST(len(coalesce(cleaned, ''))
+        |          - len(regexp_replace(coalesce(cleaned, ''),
+        |              '[.!?]', '', 'g')) AS INT) AS n_sentences,
+        |        CAST(contains(lower(m.text), 'lorem ipsum') AS INT)
+        |          AS has_lorem,
+        |        CAST(contains(m.text, '{') AS INT) AS has_brace,
+        |        CAST(list_has_any(
+        |          string_split(replace(lower(m.text), chr(10), ' '), ' '),
+        |          ['verboten', 'forbidden']) AS INT) AS has_badword
+        |      FROM m LEFT JOIN agg ON agg.doc_id = m.doc_id)
+        |SELECT doc_id, cleaned, n_kept, n_sentences, has_lorem, has_brace,
+        |  has_badword,
+        |  CAST(has_lorem = 0 AND has_brace = 0 AND has_badword = 0
+        |    AND n_kept > 0 AND n_sentences >= 5 AS INT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // decontamination mirror: distinct 3-grams both sides, overlap ids
     // dropped via NOT IN.

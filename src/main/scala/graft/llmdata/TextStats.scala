@@ -498,6 +498,49 @@ object TextStats {
       round(chiA + chiB, 6).as("chi2"))
   }
 
+  /** C4 cleaning preset (Raffel et al., arXiv:1910.10683 §2.2 — the
+    * public rule list behind the C4 corpus), composed as ONE scan-fused
+    * per-row projection — no shuffle, no UDF, streams statelessly:
+    *
+    *  - line level (kept lines rebuild the document): ends in a
+    *    terminal punctuation mark (. ! ? "), has ≥ `minWordsPerLine`
+    *    words, does not mention "javascript";
+    *  - page level: drop if "lorem ipsum" or '{' appears anywhere, if
+    *    any blocklist word occurs as a token, or if the CLEANED text
+    *    has fewer than `minSentences` sentence marks ([.!?] count — the
+    *    splitting-free count proxy).
+    *
+    * Returns every document with its cleaned text, per-rule flags
+    * (ints, for cross-engine hashing), and the final `keep` verdict —
+    * callers filter on `keep` but audits read the flags.
+    */
+  def c4Filter(df: DataFrame, textCol: String, idCol: String,
+      minWordsPerLine: Int = 3, minSentences: Int = 5,
+      badwords: Seq[String] = Seq.empty): DataFrame = {
+    val text = col(textCol)
+    val keptLines = filter(split(text, "\n"), l =>
+      substring(l, -1, 1).isInCollection(Seq(".", "!", "?", "\"")) &&
+        size(split(l, " ")) >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    val cleaned = array_join(keptLines, "\n")
+    val nSent = length(cleaned) -
+      length(regexp_replace(cleaned, "[.!?]", ""))
+    val hasBad =
+      if (badwords.isEmpty) lit(false)
+      else arrays_overlap(
+        split(translate(lower(text), "\n", " "), " "),
+        array(badwords.map(lit): _*))
+    df.select(col(idCol), cleaned.as("cleaned"),
+        size(keptLines).as("n_kept"), nSent.as("n_sentences"),
+        lower(text).contains("lorem ipsum").cast("int").as("has_lorem"),
+        text.contains("{").cast("int").as("has_brace"),
+        hasBad.cast("int").as("has_badword"))
+      .withColumn("keep",
+        (col("has_lorem") === 0 && col("has_brace") === 0 &&
+          col("has_badword") === 0 && col("n_kept") > 0 &&
+          col("n_sentences") >= minSentences).cast("int"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
     * SIGMOD'03; the MOSS algorithm). From every window of `w`
     * consecutive char-k-gram hashes, select the MINIMUM hash —
