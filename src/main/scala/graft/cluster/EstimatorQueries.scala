@@ -347,6 +347,30 @@ object EstimatorQueries extends QueryPack {
         .orderBy("lang")
     }),
 
+    // Temperature-scaled multilingual mixture (Arivazhagan 1907.05019):
+    // q_g ∝ p_g^0.3 — one aggregation + 1-row cross join; pow/sum
+    // doubles agree across engines to well past the 6-dp gate.
+    "q_mixture_temperature" -> ((s, dir) =>
+      Splits.temperatureMixtureRates(Tables.documents(s, dir), "lang",
+          "n_chars", alpha = 0.3)
+        .select(col("lang"), col("n_units"),
+          round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+          round(col("boost"), 6).as("boost"))
+        .orderBy("lang")),
+
+    // Per-host document cap (RefinedWeb rule): bounded-heap top-k per
+    // source — map-side partials carry ≤ cap rows into the shuffle, no
+    // group ever sorts its stream (the row_number idiom would). Score
+    // is the 52-bit md5 key so the double is integer-exact.
+    "q_host_cap" -> ((s, dir) => {
+      val sc = conv(substring(md5(concat(lit("cap1"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10)
+        .cast("long").cast("double")
+      Splits.capPerGroup(Tables.documents(s, dir), "source", "doc_id",
+          sc, cap = 20)
+        .orderBy("source", "rank")
+    }),
+
     // train_test_split: the per-split sizes are seed-dependent, but the
     // PARTITION invariant (train + test == total, no row lost or
     // duplicated) is deterministic — that is what the oracle checks.
@@ -546,6 +570,34 @@ object EstimatorQueries extends QueryPack {
     // (q_mixture_rates / q_mixture_sample oracles are GENERATED — the
     // BPE merge table behind the unit counts embeds as literal VALUES:
     // see bpeMixtureOracle.)
+    // temperature mixture: pow arithmetic replicated operand-for-
+    // operand; boost derives from the UNROUNDED p and q as in Spark.
+    "q_mixture_temperature" ->
+      """WITH c AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_units
+        |           FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n_units) AS BIGINT) AS N,
+        |        sum(pow(CAST(n_units AS DOUBLE), CAST(0.3 AS DOUBLE))) AS Z
+        |      FROM c)
+        |SELECT lang, n_units,
+        |  round(CAST(n_units AS DOUBLE) / CAST(N AS DOUBLE), 6) AS p,
+        |  round(pow(CAST(n_units AS DOUBLE), CAST(0.3 AS DOUBLE)) / Z, 6)
+        |    AS q,
+        |  round((pow(CAST(n_units AS DOUBLE), CAST(0.3 AS DOUBLE)) / Z)
+        |    / (CAST(n_units AS DOUBLE) / CAST(N AS DOUBLE)), 6) AS boost
+        |FROM c CROSS JOIN t ORDER BY lang""".stripMargin,
+    // host cap: row_number replay of the bounded heap's (score desc,
+    // id asc) total order on the 52-bit integer-exact key.
+    "q_host_cap" ->
+      """WITH sc AS (SELECT source, doc_id,
+        |    ('0x' || substr(md5('cap1' || CAST(doc_id AS VARCHAR)), 1, 13))
+        |      ::BIGINT AS h
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h DESC, doc_id)
+        |      AS rank
+        |  FROM sc)
+        |SELECT source, rank, doc_id, CAST(h AS DOUBLE) AS score
+        |FROM r WHERE rank <= 20 ORDER BY source, rank""".stripMargin,
     // UniMax water-fill, closed form: group i (cap-ascending rank rk)
     // is capped ⟺ cap·(nl−rk+1) ≤ T − cum_prev — all BIGINT; θ is the
     // single double. T = 3·total//2, epochs = 2.

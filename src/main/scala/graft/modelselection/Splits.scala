@@ -248,6 +248,56 @@ object Splits {
           col("target_w") * lit(unitBudget.toDouble) / col("n_units")))
   }
 
+  /** Temperature-scaled mixture rates (Arivazhagan et al.,
+    * arXiv:1907.05019 §4; the mT5/XLM-R multilingual recipe): sampling
+    * probability q_g ∝ p_g^alpha with p_g the group's natural share —
+    * alpha < 1 up-weights low-resource groups, alpha = 1 is natural,
+    * alpha → 0 is uniform. Output per group: n_units, p (natural
+    * share), q (temperature share), boost = q/p (the rate multiplier
+    * to feed a sampler).
+    *
+    * Same plan shape as [[mixtureRates]]: ONE aggregation to ≤|groups|
+    * rows, the normalizer folded back via a 1-row cross join — nothing
+    * corpus-sized moves twice, and the output broadcasts into
+    * [[mixtureSample]].
+    */
+  def temperatureMixtureRates(df: DataFrame, groupCol: String,
+      sizeCol: String, alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1], got $alpha")
+    val counts = df.groupBy(col(groupCol))
+      .agg(sum(col(sizeCol)).cast("long").as("n_units"))
+    val tot = counts.agg(sum(col("n_units")).cast("long").as("__N"),
+      sum(pow(col("n_units").cast("double"), alpha)).as("__Z"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_units").cast("double") / col("__N").cast("double"))
+      .withColumn("q",
+        pow(col("n_units").cast("double"), alpha) / col("__Z"))
+      .select(col(groupCol), col("n_units"), col("p"), col("q"),
+        (col("q") / col("p")).as("boost"))
+  }
+
+  /** Per-group document cap — the RefinedWeb/C4 "no single host
+    * dominates" rule (cap documents per domain, keep the best-scoring
+    * ones). The row_number-per-group idiom ships EVERY row of a group
+    * to one task and sorts it there — a hot host with 10⁸ documents is
+    * a straggler by construction. This uses the bounded-heap top-k
+    * aggregate ([[graft.functions.TopKByScore]]) instead: map-side
+    * partials carry ≤ cap rows per group into the shuffle, the merge
+    * is O(cap·log cap), and no group ever sorts its full stream.
+    * Ties break by ascending id (a total order — deterministic under
+    * any partitioning). Output: (group, rank, id, score), rank 1-based
+    * best-first.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      score: org.apache.spark.sql.Column, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.TopKByScore(score, col(idCol), cap).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__r", "__kv")))
+      .select(col(groupCol), (col("__r") + 1).as("rank"),
+        col("__kv.id").as(idCol), col("__kv.score").as("score"))
+  }
+
   /** End-to-end mixture sampling: broadcast the [[mixtureRates]] frame
     * back onto the corpus and keep each row iff its key bucket falls
     * below `floor(rate·1e6)` (floor on BOTH engines — the in-plan rate
