@@ -221,6 +221,13 @@ object NgramLm {
     * never sorts the corpus at all. Both the scores and the cutoffs are
     * rounded to 1e-6 before the boundary compare, so the bucket
     * assignment is reproducible cross-engine.
+    *
+    * Scale note: `percentile` is exact and buffers one double PER
+    * DOCUMENT per key — right up to ~10⁸ docs/language, beyond that
+    * swap the cutoff aggregate to `approx_percentile(nll, p, acc)`
+    * (GK — mergeable, bounded memory, rank error ≤ 1/acc; the repo's
+    * q_approx_quantile_bounds gate pins the guarantee). The boundary
+    * compare and everything else is unchanged.
     */
   def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
       keyCol: String): DataFrame = {
