@@ -1156,6 +1156,25 @@ object LlmDataQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Zipf fit: ln(freq)~ln(rank) least squares over the top-100
+    // tokens, ranked by the bounded heap (ties by token) — the
+    // vocabulary is never sorted. Formula replicated operand-for-
+    // operand; slope ≈ −1 on natural text.
+    "q_zipf_fit" -> ((s, dir) =>
+      TextStats.zipfFit(Tables.documents(s, dir), "text", topK = 100)
+        .select(col("n_top"), round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"))),
+
+    // Cross-source contamination matrix: trigram Jaccard between every
+    // source pair — per-group distinct shingle sets, one self equi-join
+    // partial-aggregated on the pair key.
+    "q_source_overlap" -> ((s, dir) =>
+      TextStats.crossSourceOverlap(Tables.documents(s, dir), "text",
+          "source", n = 3)
+        .select(col("src_a"), col("src_b"), col("inter"), col("n_a"),
+          col("n_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("src_a", "src_b")),
+
     // C4 preset (Raffel 1910.10683 §2.2): line rules (terminal punct,
     // min words, javascript) + page rules (lorem ipsum, brace,
     // blocklist token, min sentences) on in-plan synthesized multi-line
@@ -1530,6 +1549,51 @@ object LlmDataQueries extends QueryPack {
         |  n_lines - coalesce(n_kept, 0) AS n_dropped
         |FROM n LEFT JOIN agg ON agg.doc_id = n.doc_id
         |ORDER BY n.doc_id""".stripMargin,
+
+    // Zipf oracle: row_number replay of the heap's (freq desc, token)
+    // order, identical closed-form sums; intercept uses the UNROUNDED
+    // slope expression as in Spark.
+    "q_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |c AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |r AS (SELECT w, c FROM
+        |       (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rk
+        |        FROM c) WHERE rk <= 100),
+        |s AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w)
+        |          AS DOUBLE)) AS x,
+        |        ln(CAST(c AS DOUBLE)) AS y
+        |      FROM r),
+        |a AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |        sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        |      FROM s)
+        |SELECT CAST(n AS INT) AS n_top,
+        |  round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+        |  round(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+        |    * sx / n, 6) AS intercept
+        |FROM a""".stripMargin,
+
+    // source-overlap mirror: DISTINCT trigrams per source, self-join on
+    // the shingle, inner pair semantics (zero-overlap pairs absent both
+    // sides).
+    "q_source_overlap" ->
+      """WITH dt AS (SELECT source, string_split(text, ' ') AS t
+        |            FROM documents),
+        |sh AS (SELECT DISTINCT source,
+        |        unnest(list_transform(range(1, len(t) - 1),
+        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |       FROM dt WHERE len(t) >= 3),
+        |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |ix AS (SELECT a.source AS src_a, b.source AS src_b,
+        |         count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT src_a, src_b, inter, sa.n AS n_a, sb.n AS n_b,
+        |  round(CAST(inter AS DOUBLE)
+        |    / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+        |FROM ix JOIN sz sa ON sa.source = src_a
+        |JOIN sz sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
 
     // C4 mirror: same synthesized lines, kept-line predicate via
     // right(line,1) + word count + javascript contains, page flags on

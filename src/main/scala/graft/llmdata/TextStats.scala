@@ -498,6 +498,81 @@ object TextStats {
       round(chiA + chiB, 6).as("chi2"))
   }
 
+  /** Zipf's-law fit over the top-`topK` token frequencies: least
+    * squares of ln(freq) on ln(rank) — the classic corpus-health
+    * diagnostic (natural text ⇒ slope ≈ −1; templated/boilerplate
+    * corpora flatten or steepen it). One vocab-sized count
+    * aggregation; the rank order comes from the bounded top-k heap
+    * ([[graft.functions.TopKByScore]], ties by token asc), NOT a
+    * row_number window — nothing ever sorts the vocabulary, and the
+    * regression runs over exactly `topK` rows. Counts < 2^52 make the
+    * heap's double score integer-exact.
+    *
+    * Output: one row (n_top, slope, intercept), unrounded.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topK: Int = 100): DataFrame = {
+    require(topK > 1, s"topK must exceed 1, got $topK")
+    val c = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val top = c.groupBy()
+      .agg(graft.functions.TopKByScore(col("c").cast("double"), col("w"),
+        topK).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__r", "__kv")))
+      .select((col("__r") + 1).cast("double").as("rank"),
+        col("__kv.score").as("c"))
+    val a = top
+      .select(log(col("rank")).as("x"), log(col("c")).as("y"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("sxy") - col("sx") * col("sy") / col("n")) /
+      (col("sxx") - col("sx") * col("sx") / col("n"))
+    a.select(col("n").cast("int").as("n_top"), slope.as("slope"),
+      (col("sy") / col("n") - slope * col("sx") / col("n")).as("intercept"))
+  }
+
+  /** Cross-source contamination matrix: word-n-gram Jaccard between
+    * every pair of corpus slices (sources, dumps, snapshots) — the
+    * between-SOURCE analog of per-document dedup, the signal that says
+    * "dump B is 40% a re-crawl of dump A" before any per-doc work.
+    *
+    * Per group the distinct shingle set is content-diversity-sized
+    * (≪ corpus); the only corpus-sized pass is the shingle explode
+    * feeding one distinct. The pair counts come from a shingle
+    * equi-join of the (persisted) group-shingle frame against itself
+    * restricted to g_a < g_b — partial-aggregated on (g_a, g_b), so
+    * the exchange carries pair keys, not shingles; |groups|² rows out.
+    */
+  def crossSourceOverlap(df: DataFrame, textCol: String, groupCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val t = tokens(col(textCol))
+    val sh0 = df.filter(size(t) >= n)
+      .select(col(groupCol).as("g"),
+        explode(transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(j => t(i + j - 1)): _*))).as("s"))
+      .distinct()
+    val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shCache.put(s"xsrc-${shCacheSeq.incrementAndGet()}", sh)
+    val sz = sh.groupBy("g").agg(count(lit(1)).as("n_sh"))
+    val ix = sh.join(sh.select(col("g").as("g2"), col("s")), "s")
+      .filter(col("g") < col("g2"))
+      .groupBy(col("g"), col("g2")).agg(count(lit(1)).as("inter"))
+    ix.join(broadcast(sz), "g")
+      .join(broadcast(sz.select(col("g").as("g2"), col("n_sh").as("n_b"))), "g2")
+      .select(col("g").as("src_a"), col("g2").as("src_b"), col("inter"),
+        col("n_sh").as("n_a"), col("n_b"),
+        (col("inter").cast("double") /
+          (col("n_sh") + col("n_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+  }
+
+  private val shCache =
+    graft.core.Memos.register(new graft.core.Memos.CachedFrameMap)
+  private val shCacheSeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** C4 cleaning preset (Raffel et al., arXiv:1910.10683 §2.2 — the
     * public rule list behind the C4 corpus), composed as ONE scan-fused
     * per-row projection — no shuffle, no UDF, streams statelessly:

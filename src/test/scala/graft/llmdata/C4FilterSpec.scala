@@ -57,4 +57,27 @@ class C4FilterSpec extends SparkSpec {
     val got = run(Seq(8L -> "no punct at all\nanother bare line"))(8L)
     assert(got._3 == 0 && got._2 == "" && got._8 == 0)
   }
+
+  test("c4Filter scores a live stream unchanged (stateless projection)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Seq(
+      30L -> "a clean first sentence. two! three? four. five.",
+      31L -> "lorem ipsum in a page. two! three? four. five.",
+      32L -> "no terminal punctuation so nothing keeps")
+    val expected = run(docs)
+    val input = MemoryStream[(Long, String)]
+    val scored = TextStats.c4Filter(input.toDF.toDF("doc_id", "text"),
+      "text", "doc_id", badwords = Seq("verboten"))
+    val q = scored.writeStream.outputMode("append")
+      .format("memory").queryName("c4_stream").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("c4_stream")
+        .as[(Long, String, Int, Int, Int, Int, Int, Int)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(got == expected)
+    } finally q.stop()
+  }
 }
