@@ -417,6 +417,20 @@ object EstimatorQueries extends QueryPack {
         .orderBy("component")
     }),
 
+    // Whitened PCA projection (pca.py:379-381): per-row pcs divided by
+    // √explained_variance. Oracle is fully closed-form — 2×2 covariance
+    // eigenpairs ((b, λ−a) eigenvectors, svd_flip sign rule) — so the
+    // distributed SVD path is checked end-to-end through the whitening
+    // scale. round(·,4) like q_linreg_predict (cross-engine ulp margin).
+    "q_pca_whiten" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).withColumn("l_disc_s", col("l_discount") * 100)
+      val m = new PCA(Seq("l_quantity", "l_disc_s"), nComponents = 2,
+        whiten = true).fit(li)
+      m.transform(li).select(col("l_orderkey"), col("l_linenumber"),
+        round(col("pc_0"), 4).as("pc_0"), round(col("pc_1"), 4).as("pc_1"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "q_onehot_encoder" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val m = new graft.preprocessing.OneHotEncoder("l_returnflag", "oh").fit(li)
@@ -751,6 +765,30 @@ object EstimatorQueries extends QueryPack {
         |UNION ALL
         |SELECT 1, round(l2, 6), round(l2/tot, 6) FROM e
         |ORDER BY component""".stripMargin,
+    "q_pca_whiten" ->
+      """WITH c AS (SELECT var_pop(l_quantity) AS a,
+        |  covar_pop(l_quantity, l_discount*100) AS b,
+        |  var_pop(l_discount*100) AS d,
+        |  avg(l_quantity) AS mx, avg(l_discount*100) AS my FROM lineitem),
+        |e AS (SELECT *,
+        |  (a+d)/2 + sqrt(((a-d)/2)*((a-d)/2) + b*b) AS l1,
+        |  (a+d)/2 - sqrt(((a-d)/2)*((a-d)/2) + b*b) AS l2 FROM c),
+        |v AS (SELECT *,
+        |  b / sqrt(b*b + (l1-a)*(l1-a)) AS u1x,
+        |  (l1-a) / sqrt(b*b + (l1-a)*(l1-a)) AS u1y,
+        |  b / sqrt(b*b + (l2-a)*(l2-a)) AS u2x,
+        |  (l2-a) / sqrt(b*b + (l2-a)*(l2-a)) AS u2y FROM e),
+        |w AS (SELECT *,
+        |  CASE WHEN (CASE WHEN abs(u1x) >= abs(u1y) THEN u1x ELSE u1y END) < 0
+        |       THEN -1.0 ELSE 1.0 END AS s1,
+        |  CASE WHEN (CASE WHEN abs(u2x) >= abs(u2y) THEN u2x ELSE u2y END) < 0
+        |       THEN -1.0 ELSE 1.0 END AS s2 FROM v)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(s1 * ((l_quantity-mx)*u1x + (l_discount*100-my)*u1y)
+        |        / sqrt(l1), 4) AS pc_0,
+        |  round(s2 * ((l_quantity-mx)*u2x + (l_discount*100-my)*u2y)
+        |        / sqrt(l2), 4) AS pc_1
+        |FROM lineitem, w ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_onehot_encoder" ->
       """SELECT l_orderkey, l_linenumber,
         | CAST(l_returnflag = 'A' AS INT) AS oh_a,

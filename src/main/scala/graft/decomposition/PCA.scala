@@ -23,6 +23,7 @@ class PCA(
     val nComponents: Int,
     val center: Boolean = true,
     val solver: String = "full", // pca.py:272-281: "full" | "randomized"
+    val whiten: Boolean = false, // pca.py:53,379-381: scale pcs to unit variance
     val powerIter: Int = 1,
     val oversample: Int = 10,
     val seed: Long = 42
@@ -51,7 +52,8 @@ class PCA(
       val mx = comp.indices.maxBy(i => math.abs(comp(i)))
       if (comp(mx) < 0) comp.map(-_) else comp
     }
-    new PCAModel(featureCols, means, components, ev, ev.map(_ / totalVar), totalVar)
+    new PCAModel(featureCols, means, components, ev, ev.map(_ / totalVar),
+      totalVar, whiten)
   }
 
   private def centeredRows(df: DataFrame, means: Array[Double]) = {
@@ -169,25 +171,38 @@ class PCAModel(
     val components: Array[Array[Double]], // [component][feature]
     val explainedVariance: Array[Double],
     val explainedVarianceRatio: Array[Double],
-    val totalVariance: Double
+    val totalVariance: Double,
+    val whiten: Boolean = false
 ) extends Model {
 
   /** Project onto components: k new columns pc_0..pc_{k-1}; pure column
-    * math (no shuffle).
+    * math (no shuffle). With `whiten` (pca.py:379-381) each pc is divided
+    * by √explained_variance so the projected columns have unit population
+    * variance.
     */
   def transform(df: DataFrame): DataFrame =
     components.zipWithIndex.foldLeft(df) { case (d, (comp, j)) =>
       val proj = featureCols.zipWithIndex.map { case (c, i) =>
         (col(c) - lit(means(i))) * lit(comp(i))
       }.reduce(_ + _)
-      d.withColumn(s"pc_$j", proj)
+      val scaled =
+        if (whiten) proj / lit(math.sqrt(explainedVariance(j))) else proj
+      d.withColumn(s"pc_$j", scaled)
     }
 
-  /** Reconstruct from the projection (inverse_transform). */
+  /** Reconstruct from the projection (inverse_transform). With `whiten`
+    * the components are re-scaled by √explained_variance (pca.py:436-441)
+    * — like the reference, this undoes the whitening scale but not the
+    * rank-k truncation.
+    */
   override def inverseTransform(df: DataFrame): DataFrame =
     featureCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      val recon = components.indices.map(j =>
-        col(s"pc_$j") * lit(components(j)(i))).reduce(_ + _) + lit(means(i))
+      val recon = components.indices.map { j =>
+        val loading =
+          if (whiten) components(j)(i) * math.sqrt(explainedVariance(j))
+          else components(j)(i)
+        col(s"pc_$j") * lit(loading)
+      }.reduce(_ + _) + lit(means(i))
       d.withColumn(c, recon)
     }.drop(components.indices.map(j => s"pc_$j"): _*)
 }

@@ -161,6 +161,29 @@ class EstimatorsSpec extends SparkSpec {
     assert(err < 1e-9)
   }
 
+  test("PCA whiten: unit-variance pcs, full-rank roundtrip exact (pca.py:379-441)") {
+    val m = new PCA(Seq("a", "b"), nComponents = 2, whiten = true).fit(reg)
+    val t = m.transform(reg.withColumn("a0", col("a")).withColumn("b0", col("b")))
+      .cache()
+    // whitened projections have population variance exactly ev/ev = 1
+    val vars = t.agg(var_pop(col("pc_0")), var_pop(col("pc_1"))).head()
+    assert(vars.getDouble(0) ~== (1.0, 1e-9))
+    assert(vars.getDouble(1) ~== (1.0, 1e-9))
+    // inverse undoes the whitening scale: full-rank roundtrip is exact
+    val rt = m.inverseTransform(t)
+    val err = rt.agg(max(abs(col("a") - col("a0"))) + max(abs(col("b") - col("b0"))))
+      .head().getDouble(0)
+    assert(err < 1e-9)
+    // whiten changes only the per-component scale: pc_whiten * sqrt(ev) == pc_plain
+    val plain = new PCA(Seq("a", "b"), nComponents = 2).fit(reg).transform(reg)
+    val s0 = math.sqrt(m.explainedVariance(0))
+    val diff = t.select((col("pc_0") * s0).as("w0"), col("a"), col("b"))
+      .join(plain.select(col("pc_0").as("p0"), col("a"), col("b")), Seq("a", "b"))
+      .agg(max(abs(col("w0") - col("p0")))).head().getDouble(0)
+    assert(diff < 1e-9)
+    t.unpersist()
+  }
+
   test("TruncatedSVD on uncentered data differs from PCA") {
     val svd = new TruncatedSVD(Seq("a", "b"), 1).fit(reg)
     val pca = new PCA(Seq("a", "b"), 1).fit(reg)
