@@ -1,6 +1,6 @@
 package graft.llmdata
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryPack, Tables}
@@ -1204,6 +1204,40 @@ object LlmDataQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Gopher quality rules (Rae 2112.11446 App. A): every rule fires on
+    // a deterministic doc_id-mod slice — %31 ellipsis spam (rule 4),
+    // %29 long-word docs (rule 2),
+    // %23 numeric spam (rule 7), %19 all-ellipsis lines (rule 6), %17
+    // all-bullet lines (rule 5), %13 20-word truncation (rule 1), %7
+    // hash spam (rule 3); stop-word presence (rule 8) runs on the house
+    // corpus stop list (the synthetic vocabulary is not English web
+    // text) and varies naturally with the corpus languages. One
+    // scan-fused projection both sides.
+    "q_gopher_quality" -> ((s, dir) => {
+      val did = col("doc_id")
+      val base = col("text")
+      val wordsAll = split(translate(base, "\n", " "), " ")
+      val n = size(wordsAll)
+      val spam = (tok: String) =>
+        array_join(array_repeat(lit(tok), n), " ")
+      val perLine = (f: Column => Column) =>
+        array_join(transform(split(base, "\n"), f), "\n")
+      val t = when(did % 31 === 0, concat(base, lit(" "), spam("...")))
+        .when(did % 29 === 0, array_join(
+          array_repeat(lit("pneumonoultramicroscopicsilicovolcanoconiosis"),
+            lit(60)), " "))
+        .when(did % 23 === 0, concat(base, lit(" "), spam("12345")))
+        .when(did % 19 === 0, perLine(l => concat(l, lit("..."))))
+        .when(did % 17 === 0, perLine(l => concat(lit("- "), l)))
+        .when(did % 13 === 0, array_join(slice(wordsAll, 1, 20), " "))
+        .when(did % 7 === 0, concat(base, lit(" "), spam("#")))
+        .otherwise(base)
+      TextStats.gopherFilter(
+          Tables.documents(s, dir).select(did, t.as("text")),
+          "text", "doc_id", stopwords = TextStats.defaultStopwords)
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: corpus docs sharing any 5-gram with
     // the "eval set" (docs 0-2 here) are dropped — including those
     // docs themselves (n=3 so cross-document overlap genuinely fires:
@@ -1645,6 +1679,74 @@ object LlmDataQueries extends QueryPack {
         |  CAST(has_lorem = 0 AND has_brace = 0 AND has_badword = 0
         |    AND n_kept > 0 AND n_sentences >= 5 AS INT) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_quality" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 31 = 0 THEN text || ' ' || array_to_string(
+        |         list_transform(range(0, len(string_split(
+        |           replace(text, chr(10), ' '), ' '))), x -> '...'), ' ')
+        |       WHEN doc_id % 29 = 0 THEN array_to_string(
+        |         list_transform(range(0, 60),
+        |           x -> 'pneumonoultramicroscopicsilicovolcanoconiosis'), ' ')
+        |       WHEN doc_id % 23 = 0 THEN text || ' ' || array_to_string(
+        |         list_transform(range(0, len(string_split(
+        |           replace(text, chr(10), ' '), ' '))), x -> '12345'), ' ')
+        |       WHEN doc_id % 19 = 0 THEN array_to_string(
+        |         list_transform(string_split(text, chr(10)),
+        |           l -> l || '...'), chr(10))
+        |       WHEN doc_id % 17 = 0 THEN array_to_string(
+        |         list_transform(string_split(text, chr(10)),
+        |           l -> '- ' || l), chr(10))
+        |       WHEN doc_id % 13 = 0 THEN array_to_string(
+        |         (string_split(replace(text, chr(10), ' '), ' '))[1:20], ' ')
+        |       WHEN doc_id % 7 = 0 THEN text || ' ' || array_to_string(
+        |         list_transform(range(0, len(string_split(
+        |           replace(text, chr(10), ' '), ' '))), x -> '#'), ' ')
+        |       ELSE text END AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id, text,
+        |  list_filter(string_split(replace(text, chr(10), ' '), ' '),
+        |    w -> len(w) > 0) AS words,
+        |  string_split(text, chr(10)) AS lines FROM m),
+        |g AS (SELECT doc_id, len(words) AS nw,
+        |  CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |    / len(words) AS mean_len,
+        |  CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+        |    / len(words) AS hashr,
+        |  (CAST(len(text) - len(regexp_replace(text, '\.\.\.', '', 'g'))
+        |    AS DOUBLE) / 3) / len(words) AS ellr,
+        |  CAST(len(list_filter(lines,
+        |    l -> left(ltrim(l), 1) IN ('•', '-', '*'))) AS DOUBLE)
+        |    / len(lines) AS bulletf,
+        |  CAST(len(list_filter(lines, l -> right(l, 3) = '...')) AS DOUBLE)
+        |    / len(lines) AS elinef,
+        |  CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+        |    AS DOUBLE) / len(words) AS alphaf,
+        |  len(list_distinct(list_intersect(
+        |    list_filter(string_split(replace(lower(text), chr(10), ' '), ' '),
+        |      w -> len(w) > 0),
+        |    ['the','a','of','and','to','in']))) AS nstop
+        |  FROM s)
+        |SELECT doc_id, CAST(nw AS INT) AS n_words,
+        |  round(mean_len, 6) AS mean_word_len,
+        |  round(hashr, 6) AS hash_ratio,
+        |  round(ellr, 6) AS ellipsis_ratio,
+        |  round(bulletf, 6) AS bullet_frac,
+        |  round(elinef, 6) AS ellipsis_line_frac,
+        |  round(alphaf, 6) AS alpha_word_frac,
+        |  CAST(nstop AS INT) AS n_stop_hits,
+        |  CAST(nw BETWEEN 50 AND 100000 AS INT) AS r_words,
+        |  CAST(mean_len >= 3 AND mean_len <= 10 AS INT) AS r_word_len,
+        |  CAST(hashr <= 0.1 AS INT) AS r_hash,
+        |  CAST(ellr <= 0.1 AS INT) AS r_ellipsis,
+        |  CAST(bulletf < 0.9 AS INT) AS r_bullet,
+        |  CAST(elinef < 0.3 AS INT) AS r_ellipsis_line,
+        |  CAST(alphaf >= 0.8 AS INT) AS r_alpha,
+        |  CAST(nstop >= 2 AS INT) AS r_stop,
+        |  CAST(nw BETWEEN 50 AND 100000 AND mean_len >= 3 AND mean_len <= 10
+        |    AND hashr <= 0.1 AND ellr <= 0.1 AND bulletf < 0.9
+        |    AND elinef < 0.3 AND alphaf >= 0.8 AND nstop >= 2 AS INT) AS keep
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // decontamination mirror: distinct 3-grams both sides, overlap ids
     // dropped via NOT IN.

@@ -616,6 +616,78 @@ object TextStats {
           col("n_sentences") >= minSentences).cast("int"))
   }
 
+  /** Gopher quality-filter preset (Rae et al., arXiv:2112.11446,
+    * Appendix A — the public rule list; the repetition rules from the
+    * same appendix live in [[repetitionStats]]). One scan-fused per-row
+    * projection — no shuffle, no UDF, streams statelessly:
+    *
+    *  1. word count in [minWords, maxWords] (paper: 50..100 000);
+    *  2. mean word length in [3, 10] chars (non-whitespace chars /
+    *     words — identical to the mean over whitespace-split words);
+    *  3. '#' symbol-to-word ratio ≤ 0.1;
+    *  4. "..." ellipsis-to-word ratio ≤ 0.1;
+    *  5. < 90 % of lines start with a bullet (•, -, *);
+    *  6. < 30 % of lines end with an ellipsis;
+    *  7. ≥ 80 % of words contain an alphabetic character;
+    *  8. ≥ 2 distinct words from `stopwords` present (the paper's list
+    *     — [[requiredStopwords]] — is the default; non-English corpora
+    *     pass their own list, same ≥ 2 rule).
+    *
+    * Emits every document with the raw signals, one int flag per rule,
+    * and the conjunction `keep` — production callers filter on `keep`,
+    * audits read the flags. All signals are exact integer ratios so the
+    * verdict is reproducible cross-engine.
+    */
+  def gopherFilter(df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopwords: Seq[String] = requiredStopwords): DataFrame = {
+    val text = col(textCol)
+    val words = filter(split(translate(text, "\n", " "), " "),
+      w => length(w) > 0)
+    val nWords = size(words).cast("double")
+    val meanLen = length(regexp_replace(text, "\\s", "")) / nWords
+    val nHash = length(text) - length(translate(text, "#", ""))
+    val nEllipsis = (length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("double")
+    val bulletLines = size(filter(lines, l =>
+      substring(ltrim(l), 1, 1).isInCollection(Seq("•", "-", "*"))))
+    val ellipsisLines = size(filter(lines, l =>
+      substring(l, -3, 3) === "..."))
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val stopHits = size(array_intersect(
+      filter(split(translate(lower(text), "\n", " "), " "),
+        w => length(w) > 0),
+      array(stopwords.map(lit): _*)))
+    df.select(col(idCol),
+        nWords.cast("int").as("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(nHash / nWords, 6).as("hash_ratio"),
+        round(nEllipsis / nWords, 6).as("ellipsis_ratio"),
+        round(bulletLines / nLines, 6).as("bullet_frac"),
+        round(ellipsisLines / nLines, 6).as("ellipsis_line_frac"),
+        round(alphaWords / nWords, 6).as("alpha_word_frac"),
+        stopHits.as("n_stop_hits"),
+        (nWords >= minWords && nWords <= maxWords).cast("int").as("r_words"),
+        (meanLen >= 3 && meanLen <= 10).cast("int").as("r_word_len"),
+        (nHash / nWords <= 0.1).cast("int").as("r_hash"),
+        (nEllipsis / nWords <= 0.1).cast("int").as("r_ellipsis"),
+        (bulletLines / nLines < 0.9).cast("int").as("r_bullet"),
+        (ellipsisLines / nLines < 0.3).cast("int").as("r_ellipsis_line"),
+        (alphaWords / nWords >= 0.8).cast("int").as("r_alpha"),
+        (stopHits >= 2).cast("int").as("r_stop"))
+      .withColumn("keep",
+        (col("r_words") === 1 && col("r_word_len") === 1 &&
+          col("r_hash") === 1 && col("r_ellipsis") === 1 &&
+          col("r_bullet") === 1 && col("r_ellipsis_line") === 1 &&
+          col("r_alpha") === 1 && col("r_stop") === 1).cast("int"))
+  }
+
+  /** Gopher rule 8's required stop words (arXiv:2112.11446 App. A). */
+  val requiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
     * SIGMOD'03; the MOSS algorithm). From every window of `w`
     * consecutive char-k-gram hashes, select the MINIMUM hash —
