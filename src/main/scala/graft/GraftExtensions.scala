@@ -134,6 +134,14 @@ object GraftExtensions {
         arity("freq_items", args, 2)
         FreqItems(args(0), foldedInt("freq_items", args(1)))
       }),
+    ("unicode_normalize",
+      info("unicode_normalize",
+        "unicode_normalize(text, form) - UAX #15 normalization; form is a " +
+          "literal NFC/NFD/NFKC/NFKD"),
+      args => {
+        arity("unicode_normalize", args, 2)
+        UnicodeNormalize(args(0), foldedString("unicode_normalize", args(1)))
+      }),
     ("dhash64",
       info("dhash64",
         "dhash64(content) - 64-bit perceptual difference-hash of a binary column"),

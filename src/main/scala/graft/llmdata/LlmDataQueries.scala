@@ -428,6 +428,25 @@ object LlmDataQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Unicode normalization preset: combining marks + control chars +
+    // whitespace runs injected in-plan (the parquet corpus is ASCII);
+    // NFC recomposition runs in the native codegen expression, matched
+    // against DuckDB's nfc_normalize. Lengths are codepoint counts on
+    // both engines, so n_raw > n_norm pins real recomposition.
+    "q_text_normalize" -> ((s, dir) => {
+      val synth = concat(
+        lit("\u0001\u0002  intro\u000B\t"),
+        regexp_replace(col("text"), "e", "e\u0301"),
+        lit("\t trailing   run "))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), synth.as("text"))
+        .select(col("doc_id"),
+          length(col("text")).as("n_raw"),
+          TextStats.normalizeText(col("text")).as("normalized"))
+        .withColumn("n_norm", length(col("normalized")))
+        .orderBy("doc_id")
+    }),
+
     "q_lang_id" -> ((s, dir) => {
       val t = col("text")
       Tables.documents(s, dir).select(
@@ -1397,6 +1416,20 @@ object LlmDataQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_text_normalize" ->
+      """WITH m AS (SELECT doc_id,
+        |  chr(1) || chr(2) || '  intro' || chr(11) || chr(9) ||
+        |  regexp_replace(text, 'e', 'e' || chr(769), 'g') ||
+        |  chr(9) || ' trailing   run ' AS text
+        |  FROM documents),
+        |n AS (SELECT doc_id, CAST(length(text) AS INT) AS n_raw,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |    '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+        |    '[ \t]+', ' ', 'g')) AS normalized
+        |  FROM m)
+        |SELECT doc_id, n_raw, normalized,
+        |  CAST(length(normalized) AS INT) AS n_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         | len(string_split(text, ' ')) AS n_tokens,

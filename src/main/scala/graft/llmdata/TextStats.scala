@@ -684,6 +684,19 @@ object TextStats {
           col("r_alpha") === 1 && col("r_stop") === 1).cast("int"))
   }
 
+  /** Text-normalization preset: UAX #15 normalize (native codegen
+    * expression — [[graft.functions.UnicodeNormalize]]), strip control
+    * characters (keeping \n and \t), collapse space/tab runs to one
+    * space, trim. One scan-fused projection; the standard cleanup pass
+    * before fingerprinting/shingling so that byte-level variants of
+    * canonically-equal text dedup together.
+    */
+  def normalizeText(text: Column, form: String = "NFC"): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.UnicodeNormalize(text, form),
+        "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+      "[ \\t]+", " "))
+
   /** Gopher rule 8's required stop words (arXiv:2112.11446 App. A). */
   val requiredStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")

@@ -47,6 +47,33 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getSeq[Long](0) == Seq(6L, 6L, 9L, 2L, 2L, 0L, 0L, 8L))
   }
 
+  test("unicode_normalize: NFC/NFD/NFKC semantics, SQL == Column API") {
+    import spark.implicits._
+    val decomposed = "Cafe\u0301"      // e + combining acute
+    val compat = "\uFB01le\u00A0x"     // fi ligature + NBSP
+    Seq((decomposed, compat)).toDF("a", "b").createOrReplaceTempView("un_ext")
+    val r = spark.sql(
+      """SELECT unicode_normalize(a, 'NFC') AS nfc,
+        |  unicode_normalize(nfc_a, 'NFD') AS nfd,
+        |  unicode_normalize(b, 'NFKC') AS nfkc
+        |FROM (SELECT a, b, unicode_normalize(a, 'NFC') AS nfc_a
+        |      FROM un_ext)""".stripMargin).head()
+    assert(r.getString(0) == "Caf\u00E9")  // recomposed, 4 codepoints
+    assert(r.getString(1) == decomposed)   // NFD round-trips back
+    assert(r.getString(2) == "file x")     // ligature folds, NBSP -> space
+    // Column API parity + ASCII identity fast path
+    val c = Seq(decomposed, "plain ascii").toDF("t")
+      .select(graft.functions.UnicodeNormalize(
+        org.apache.spark.sql.functions.col("t")).as("n"))
+      .collect().map(_.getString(0))
+    assert(c.toSeq == Seq("Caf\u00E9", "plain ascii"))
+    // non-literal form rejected (must be plan-literal)
+    val err = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize(a, a) FROM un_ext").collect()
+    }
+    assert(err.getMessage.contains("foldable"))
+  }
+
   test("dhash64 / bpe_token_count / hashed_linear_score evaluate from SQL") {
     import spark.implicits._
     Seq("join the join").toDF("text").createOrReplaceTempView("r7_ext")
@@ -89,7 +116,8 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(GraftExtensions.registrations.map(_._1).toSet ==
       Set("vec_dot", "normal_ppf", "interp1d", "token_stats", "top_k_by_score",
         "freq_items", "vec_normalize", "repetition_stats",
-        "dhash64", "bpe_token_count", "hashed_linear_score"))
+        "dhash64", "bpe_token_count", "hashed_linear_score",
+        "unicode_normalize"))
     assert(exts.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
 }
