@@ -58,6 +58,46 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Corpus-wide line-level deduplication (the CCNet paragraph-dedup
+    * pass, Wenzek et al. arXiv:1911.00359 §3.1: boilerplate —
+    * navigation menus, cookie banners, footer legal lines — repeats
+    * across pages and is removed by keeping each distinct line's FIRST
+    * corpus occurrence). Every line is keyed by the house md5-60-bit
+    * hash; the winner per key is `min(struct(id, pos))` — a map-side
+    * partial aggregate, no window over the line stream — and documents
+    * are rebuilt from their surviving lines in original order.
+    *
+    * Two shuffles total at any scale: one on the 8-byte line hash
+    * (winner election), one on the doc id (rebuild); the line text
+    * itself crosses the wire only for winner verification in the
+    * hash-equi-join, never in a global sort.
+    *
+    * Returns (idCol, n_lines, n_kept, text_dedup); a document whose
+    * every line lost keeps a row with text_dedup = '' and n_kept = 0.
+    */
+  def dedupLinesGlobal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val hashed = lines.withColumn("h",
+      conv(substring(md5(col("line")), 1, 15), 16, 10).cast("long"))
+    val winners = hashed.groupBy("h")
+      .agg(min(struct(col(idCol), col("pos"))).as("w"))
+    val kept = hashed.join(winners, "h")
+      .filter(col(s"w.$idCol") === col(idCol) && col("w.pos") === col("pos"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("line")))),
+          s => s("line")), "\n").as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol),
+        size(split(col(textCol), "\n")).as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** Raw (multiset) word n-gram shingles per document: (id, shingle).
     * No distinct — downstream min-aggregates are duplicate-invariant,
     * and set semantics are applied only where required (Jaccard), so

@@ -1175,6 +1175,32 @@ object LlmDataQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // CCNet corpus-wide line dedup (Wenzek 1911.00359 §3.1): multi-line
+    // docs synthesized from word slices with boilerplate lines injected
+    // on doc_id-mod slices — the first doc carrying each boilerplate
+    // line keeps it, every later doc loses it; content lines survive.
+    // Winner election is min(struct(id,pos)) on the md5-60bit line key.
+    "q_line_dedup_global" -> ((s, dir) => {
+      val w = split(translate(col("text"), "\n", " "), " ")
+      val did = col("doc_id")
+      // short docs yield empty word slices: skip them like the oracle
+      // (DuckDB array_to_string of an empty slice is NULL)
+      val sl = (from: Int) => {
+        val j = array_join(slice(w, from, 10), " ")
+        when(length(j) > 0, j)
+      }
+      val multi = concat_ws("\n",
+        when(did % 5 === 0, lit("click here to read more.")),
+        sl(1),
+        when(did % 2 === 0, lit("subscribe to our newsletter today.")),
+        sl(11), sl(21),
+        when(did % 3 === 0, lit("all rights reserved worldwide.")))
+      Dedup.dedupLinesGlobal(
+          Tables.documents(s, dir).select(did, multi.as("text")),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Zipf fit: ln(freq)~ln(rank) least squares over the top-100
     // tokens, ranked by the bounded heap (ties by token) — the
     // vocabulary is never sorted. Formula replicated operand-for-
@@ -1576,6 +1602,38 @@ object LlmDataQueries extends QueryPack {
         |  'https?://[^\s]+', '<URL>', 'g'),
         |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_line_dedup_global" ->
+      """WITH m AS (SELECT doc_id, concat_ws(chr(10),
+        |    CASE WHEN doc_id % 5 = 0 THEN 'click here to read more.' END,
+        |    array_to_string(w[1:10], ' '),
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN 'subscribe to our newsletter today.' END,
+        |    array_to_string(w[11:20], ' '),
+        |    array_to_string(w[21:30], ' '),
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'all rights reserved worldwide.' END) AS text
+        |  FROM (SELECT doc_id,
+        |          string_split(replace(text, chr(10), ' '), ' ') AS w
+        |        FROM documents)),
+        |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM m),
+        |posi AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS i, ls
+        |         FROM l),
+        |lines AS (SELECT doc_id, i - 1 AS pos, ls[i] AS line FROM posi),
+        |k AS (SELECT doc_id, pos, line,
+        |        row_number() OVER (
+        |          PARTITION BY ('0x' || substr(md5(line), 1, 15))::BIGINT
+        |          ORDER BY doc_id, pos) AS rn
+        |      FROM lines),
+        |agg AS (SELECT doc_id,
+        |          string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+        |          count(*) AS n_kept
+        |        FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT l.doc_id, CAST(len(ls) AS INT) AS n_lines,
+        |  CAST(coalesce(n_kept, 0) AS INT) AS n_kept,
+        |  coalesce(text_dedup, '') AS text_dedup
+        |FROM l LEFT JOIN agg ON agg.doc_id = l.doc_id
+        |ORDER BY l.doc_id""".stripMargin,
 
     // line-clean mirror: same in-plan synthesis, rule-by-rule filters,
     // keep-first via min(pos), ordered string_agg reassembly.

@@ -10,6 +10,23 @@ class LineCleanSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
 
+  test("dedupLinesGlobal: corpus-wide keep-first, order preserved, empty docs survive") {
+    val docs = Seq(
+      1L -> "unique alpha\nshared boilerplate\nunique beta",
+      2L -> "shared boilerplate\nunique gamma\nshared boilerplate",
+      3L -> "shared boilerplate")
+    val got = Dedup.dedupLinesGlobal(docs.toDF("doc_id", "text"),
+        "text", "doc_id")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    // doc 1 is first (min struct(id,pos)): keeps everything
+    assert(got(1L) == ((1L, 3, 3,
+      "unique alpha\nshared boilerplate\nunique beta")))
+    // doc 2 loses BOTH copies of the boilerplate (within-doc repeat too)
+    assert(got(2L) == ((2L, 3, 1, "unique gamma")))
+    // doc 3 loses its only line but still emits a row
+    assert(got(3L) == ((3L, 1, 0, "")))
+  }
+
   test("each rule fires: short, shouted, numeric, duplicate-keep-first") {
     val doc = Seq(
       "keep me please now",      // kept
