@@ -1175,6 +1175,13 @@ object LlmDataQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Token-distribution entropy: ln n − (Σ c·ln c)/n from one
+    // (doc, token) count aggregate; normalized by the ln(n_distinct)
+    // maximum. Same formula operand-for-operand in the oracle.
+    "q_token_entropy" -> ((s, dir) =>
+      TextStats.tokenEntropy(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("doc_id")),
+
     // CCNet corpus-wide line dedup (Wenzek 1911.00359 §3.1): multi-line
     // docs synthesized from word slices with boilerplate lines injected
     // on doc_id-mod slices — the first doc carrying each boilerplate
@@ -1602,6 +1609,23 @@ object LlmDataQueries extends QueryPack {
         |  'https?://[^\s]+', '<URL>', 'g'),
         |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_entropy" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(replace(text, chr(10), ' '), ' '),
+        |    t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |g AS (SELECT doc_id,
+        |  CAST(sum(c) AS INT) AS n_tokens,
+        |  CAST(count(*) AS INT) AS n_distinct,
+        |  ln(CAST(sum(c) AS DOUBLE))
+        |    - sum(c * ln(c)) / CAST(sum(c) AS DOUBLE) AS ent
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct, round(ent, 6) AS entropy,
+        |  round(CASE WHEN n_distinct > 1 THEN ent / ln(n_distinct)
+        |        ELSE 0.0 END, 6) AS norm_entropy
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_line_dedup_global" ->
       """WITH m AS (SELECT doc_id, concat_ws(chr(10),

@@ -684,6 +684,32 @@ object TextStats {
           col("r_alpha") === 1 && col("r_stop") === 1).cast("int"))
   }
 
+  /** Per-document Shannon entropy of the token distribution — the
+    * lexical-diversity diagnostic complementing [[uniqueTokenRatio]]
+    * (low entropy = template/spam pages even when the unique ratio
+    * looks healthy). Computed distributed as ln n − (Σ c·ln c)/n from
+    * ONE (doc, token) count aggregate — the identity avoids a second
+    * pass for the total, and both shuffles are keyed by document, so
+    * the corpus scales out embarrassingly. Also emits the entropy
+    * normalized by its ln(n_distinct) maximum.
+    */
+  def tokenEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(filter(split(translate(col(textCol), "\n", " "), " "),
+        t => length(t) > 0)).as("tok"))
+    toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum("c").cast("int").as("n_tokens"),
+        count(lit(1)).cast("int").as("n_distinct"),
+        (log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c"))
+          .as("__ent"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        round(col("__ent"), 6).as("entropy"),
+        round(when(col("n_distinct") > 1,
+          col("__ent") / log(col("n_distinct"))).otherwise(0.0), 6)
+          .as("norm_entropy"))
+  }
+
   /** Text-normalization preset: UAX #15 normalize (native codegen
     * expression — [[graft.functions.UnicodeNormalize]]), strip control
     * characters (keeping \n and \t), collapse space/tab runs to one

@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -420,7 +420,55 @@ object RelationalQueries extends QueryPack {
         .agg(round(sum("o_totalprice"), 4).as("total"),
           count(lit(1)).as("cnt"))
         .orderBy(asc_nulls_first("o_orderstatus"),
-          asc_nulls_first("o_orderpriority")))
+          asc_nulls_first("o_orderpriority"))),
+
+    // Explicit GROUPING SETS (neither rollup nor cube) + grouping_id —
+    // Spark's bit convention (1 = column aggregated away) matches
+    // SQL-standard GROUPING(a, b).
+    "q_grouping_sets" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("int").as("gid"),
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))),
+
+    // Column profiling (the describe()/summary() surface): count, mean,
+    // sample std, min, max per numeric column in long form — ONE
+    // aggregate pass over the table, melted via unpivot. Exact oracle
+    // (no approx percentiles here; those are gated by q_percentiles).
+    "q_column_profile" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).cast("double").as(s"${c}__count"),
+        avg(col(c)).as(s"${c}__mean"),
+        stddev_samp(col(c)).as(s"${c}__std"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max")))
+      Tables.lineitem(s, dir)
+        .agg(aggs.head, aggs.tail: _*)
+        .unpivot(Array.empty[Column], "metric", "v")
+        .select(split(col("metric"), "__").getItem(0).as("col_name"),
+          split(col("metric"), "__").getItem(1).as("stat"),
+          round(col("v"), 4).as("value"))
+        .orderBy("col_name", "stat")
+    }),
+
+    // Unpivot (wide → long): four measure columns melt into
+    // (metric, val) pairs — one scan, a Generate per row, no shuffle.
+    "q_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          round(col("val"), 4).as("val"))
+        .orderBy("l_orderkey", "l_linenumber", "metric"))
   )
 
   /** Generated PageRank oracle: the full 10-iteration trajectory as
@@ -694,6 +742,39 @@ object RelationalQueries extends QueryPack {
       """SELECT o_orderstatus, o_orderpriority,
         | round(sum(o_totalprice), 4) AS total, count(*) AS cnt
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        | round(sum(l_quantity), 4) AS sum_qty, count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST,
+        |  l_linestatus NULLS FIRST""".stripMargin,
+    "q_column_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.flatMap(c => Seq(
+        s"SELECT '$c' AS col_name, 'count' AS stat, " +
+          s"round(CAST(count($c) AS DOUBLE), 4) AS value FROM lineitem",
+        s"SELECT '$c', 'mean', round(avg($c), 4) FROM lineitem",
+        s"SELECT '$c', 'std', round(stddev_samp($c), 4) FROM lineitem",
+        s"SELECT '$c', 'min', round(CAST(min($c) AS DOUBLE), 4) FROM lineitem",
+        s"SELECT '$c', 'max', round(CAST(max($c) AS DOUBLE), 4) FROM lineitem"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name, stat")
+    },
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        | SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |   round(l_quantity, 4) AS val FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |   round(l_extendedprice, 4) FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_discount',
+        |   round(l_discount, 4) FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_tax',
+        |   round(l_tax, 4) FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
   )
 }

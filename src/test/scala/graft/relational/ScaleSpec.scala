@@ -55,6 +55,47 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits the skewed join partition (skew=true in the adaptive plan)") {
+    import spark.implicits._
+    val prev = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    def restore(): Unit = prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // make the hot partition count as skewed at toy scale
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // one key carries ~95% of the left side, with a fat payload so the
+      // hot partition crosses the byte threshold
+      val pad = "x" * 64
+      val left = (Seq.fill(20000)(1L) ++ (2L to 1001L)).zipWithIndex
+        .map { case (k, i) => (k, i.toLong, pad) }.toDF("k", "v", "pad")
+      val right = (1L to 1001L).map(k => (k, s"r$k")).toDF("rk", "payload")
+      val joined = left.join(right, col("k") === col("rk"))
+      // execute THIS dataframe (count() would plan a separate query and
+      // leave joined's adaptive plan unfinalized)
+      assert(joined.collect().length == 20000 + 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed join:\n$plan")
+    } finally restore()
+  }
+
   test("bloomFilteredJoin: identical results to the plain join; no false negatives") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
