@@ -381,6 +381,74 @@ object Ann {
       .withColumn("adc_d", col("cos") * lit(-1.0)).drop("cos")
   }
 
+  /** Scalar 8-bit quantization training (the FAISS ScalarQuantizer
+    * QT_8bit design, Jégou PAMI'11 §III positions SQ as the baseline PQ
+    * improves on): each dimension gets an affine 256-level grid over
+    * its corpus [min, max]. ONE aggregate pass over the corpus (2·dim
+    * driver doubles); a zero-span dimension keeps scale 1 so its codes
+    * collapse to 0 without dividing by zero.
+    */
+  def sqTrain(corpus: DataFrame, vecCol: String, dim: Int): (Array[Double], Array[Double]) = {
+    val aggs = (0 until dim).flatMap(d => Seq(
+      min(element_at(col(vecCol), d + 1)).cast("double").as(s"mn_$d"),
+      max(element_at(col(vecCol), d + 1)).cast("double").as(s"mx_$d")))
+    val row = corpus.agg(aggs.head, aggs.tail: _*).head()
+    val mins = Array.tabulate(dim)(d => row.getDouble(2 * d))
+    val scales = Array.tabulate(dim) { d =>
+      val span = row.getDouble(2 * d + 1) - row.getDouble(2 * d)
+      if (span > 0) span / 255.0 else 1.0
+    }
+    (mins, scales)
+  }
+
+  /** SQ8 encode: `array<int>` of per-dim codes
+    * `clamp(round((x_d − min_d)/scale_d), 0, 255)` — map-only,
+    * scan-fused (the grid is plan literals), 1 byte of information per
+    * dimension instead of a 4-byte float.
+    */
+  def sqCodeExpr(vecCol: Column, mins: Array[Double],
+      scales: Array[Double]): Column = {
+    val mn = array(mins.map(lit).toIndexedSeq: _*)
+    val sc = array(scales.map(lit).toIndexedSeq: _*)
+    transform(vecCol, (x, i) =>
+      least(greatest(round((x.cast("double") - element_at(mn, i + 1)) /
+        element_at(sc, i + 1), 0), lit(0.0)), lit(255.0)).cast("int"))
+  }
+
+  /** SQ8 decode: x̂_d = min_d + code_d·scale_d (map-only). */
+  def sqReconstructExpr(codeCol: Column, mins: Array[Double],
+      scales: Array[Double]): Column = {
+    val mn = array(mins.map(lit).toIndexedSeq: _*)
+    val sc = array(scales.map(lit).toIndexedSeq: _*)
+    transform(codeCol, (c, i) =>
+      element_at(mn, i + 1) + c.cast("double") * element_at(sc, i + 1))
+  }
+
+  /** Asymmetric SQ8 search: corpus rows are scored from their
+    * RECONSTRUCTED vectors (encode → decode fused into the scan — at
+    * 100 TB the stored index is dim bytes/row), queries keep their
+    * exact vectors and broadcast. Cosine ranked ROUNDED to 6 dp (ties
+    * by id) via the bounded-heap top-k — the house ANN determinism
+    * convention. Recall sits between PQ (coarser) and exact
+    * brute-force; unlike PQ there is no per-query table, so the
+    * per-pair cost stays one fused dot product.
+    */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, mins: Array[Double],
+      scales: Array[Double]): DataFrame = {
+    val c = corpus
+      .withColumn("__xhat",
+        sqReconstructExpr(sqCodeExpr(col(vecCol), mins, scales), mins, scales))
+      .select(col(idCol), col("__xhat"), normExpr(col("__xhat")).as("__nc"))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__nq", normExpr(col("qv"))))
+    val scored = c.join(q, col(idCol) =!= col("query_id"))
+      .withColumn("cos",
+        round(dotExpr(col("qv"), col("__xhat")) / (col("__nq") * col("__nc")), 6))
+    topKPerQuery(scored, idCol, k)
+  }
+
   /** Squared-L2 argmin cell id over literal centroids — map-only. */
   def cellExpr(vecCol: Column, centroids: Array[Array[Double]]): Column = {
     val dists = centroids.map { ctr =>

@@ -58,6 +58,31 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Corpus snapshot diff — the bookkeeping pass between two versions
+    * of an ingested corpus (re-crawl, re-filtered dump): a full outer
+    * join on the document id comparing content FINGERPRINTS (the
+    * [[TextStats.fingerprint]] normalization, so whitespace/punct noise
+    * is not a "change"), labelling every id added / removed / changed /
+    * unchanged. One join keyed by id; fingerprints computed scan-fused
+    * on each side — at 100 TB neither corpus is materialized beyond
+    * (id, 32-byte fp).
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("__oid"),
+      TextStats.fingerprint(col(textCol)).as("old_fp"))
+    val n = newDf.select(col(idCol).as("__nid"),
+      TextStats.fingerprint(col(textCol)).as("new_fp"))
+    o.join(n, col("__oid") === col("__nid"), "full_outer")
+      .select(coalesce(col("__oid"), col("__nid")).as(idCol),
+        when(col("__oid").isNull, "added")
+          .when(col("__nid").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce(col("old_fp"), lit("")).as("old_fp"),
+        coalesce(col("new_fp"), lit("")).as("new_fp"))
+  }
+
   /** Corpus-wide line-level deduplication (the CCNet paragraph-dedup
     * pass, Wenzek et al. arXiv:1911.00359 §3.1: boilerplate —
     * navigation menus, cookie banners, footer legal lines — repeats

@@ -77,6 +77,16 @@ object LlmDataQueries extends QueryPack {
       Ann.pqTrain(Tables.embeddings(s, d), "embedding", m = 8, ksub = 16,
         dim = 64, sampleSize = 2000, iters = 5, seed = 42))
 
+  /** q_ann_sq8's per-dimension quantization grid: one aggregate pass
+    * per data dir (2·64 driver doubles). Same dir-immutability
+    * contract; Bench clears between passes.
+    */
+  private val sqMemo = graft.core.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double])]())
+  private def trainedSqGrid(s: SparkSession, dir: String): (Array[Double], Array[Double]) =
+    sqMemo.computeIfAbsent(dir, d =>
+      Ann.sqTrain(Tables.embeddings(s, d), "embedding", dim = 64))
+
   /** q_dedup_minhash and q_drop_near_dups gate the SAME oracle-family
     * pipeline (k=8 / rowsPerBand=2 / 3-gram shingles, md5-per-seed):
     * run it once per data dir and gate twice — the fit-once/gate-twice
@@ -1175,6 +1185,22 @@ object LlmDataQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Corpus snapshot diff: v2 synthesized from v1 in-plan — %7 docs
+    // dropped (removed), %11 texts appended-to (changed; %7 overlap
+    // resolves to removed), %13 docs re-added under id+10000 (added),
+    // rest unchanged. Fingerprint-compare, full outer join on id.
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val did = col("doc_id")
+      val v2 = docs.filter(did % 7 =!= 0)
+        .select(did, when(did % 11 === 0,
+          concat(col("text"), lit(" updated"))).otherwise(col("text")).as("text"))
+        .union(docs.filter(did % 13 === 0)
+          .select((did + 10000).as("doc_id"), col("text")))
+      Dedup.corpusDiff(docs.select(did, col("text")), v2, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Token-distribution entropy: ln n − (Σ c·ln c)/n from one
     // (doc, token) count aggregate; normalized by the ln(n_distinct)
     // maximum. Same formula operand-for-operand in the oracle.
@@ -1445,6 +1471,17 @@ object LlmDataQueries extends QueryPack {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("adc_d"), 6).as("adc_d"))
         .orderBy("query_id", "rank")
+    }),
+
+    // Scalar 8-bit quantization ANN (FAISS SQ8 baseline): corpus scored
+    // from reconstructed vectors, queries exact; per-dim grid embedded
+    // as oracle VALUES (trainedSqOracle).
+    "q_ann_sq8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (mins, scales) = trainedSqGrid(s, dir)
+      Ann.sqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 3, mins, scales)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -1609,6 +1646,30 @@ object LlmDataQueries extends QueryPack {
         |  'https?://[^\s]+', '<URL>', 'g'),
         |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[[:punct:]]', '', 'g'),
+        |    '\s+', ' ', 'g'))) AS old_fp FROM documents),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' updated'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 13 = 0),
+        |n AS (SELECT doc_id, md5(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[[:punct:]]', '', 'g'),
+        |    '\s+', ' ', 'g'))) AS new_fp FROM v2),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN old_fp = new_fp THEN 'unchanged'
+        |         ELSE 'changed' END AS status,
+        |    coalesce(old_fp, '') AS old_fp,
+        |    coalesce(new_fp, '') AS new_fp
+        |  FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id)
+        |SELECT doc_id, status, old_fp, new_fp
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     "q_token_entropy" ->
       """WITH tok AS (SELECT doc_id,
@@ -2593,7 +2654,7 @@ object LlmDataQueries extends QueryPack {
          |FROM c WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
     }
   ) ++ trainedIvfOracle ++ trainedPqOracle ++ trainedIvfPqOracle ++
-    trainedBpeOracle ++ trainedQualityOracle
+    trainedBpeOracle ++ trainedQualityOracle ++ trainedSqOracle
 
   /** EXACT oracles for the trained-classifier gates: the learned
     * weights are a deterministic function of the dir and sit in
@@ -3015,6 +3076,48 @@ object LlmDataQueries extends QueryPack {
        |           ORDER BY round(cos, 6) DESC, vec_id) AS rank FROM cos)
        |SELECT query_id, rank, vec_id AS neighbor_id, round(cos, 6) AS cos
        |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** EXACT oracle for q_ann_sq8, by the trainedPqOracle technique: the
+    * per-dim grid is a deterministic function of the data dir and sits
+    * in [[sqMemo]] by generation time. The SQL mirrors the Spark
+    * arithmetic term for term: encode `clamp(round((x−mn)/sc),0,255)`,
+    * decode `mn + code·sc`, asymmetric cosine (exact query · decoded
+    * corpus), rank on round(cos, 6) ties by id.
+    */
+  private def trainedSqOracle: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    sqMemo.values.asScala.toList match {
+      case (mins, scales) :: Nil => Map("q_ann_sq8" -> sqOracleSql(mins, scales, k = 3))
+      case _ => Map.empty
+    }
+  }
+
+  private def sqOracleSql(mins: Array[Double], scales: Array[Double],
+      k: Int): String = {
+    val gridRows = mins.indices
+      .map(d => s"(${d + 1},${mins(d)},${scales(d)})").mkString(",")
+    s"""WITH sq(i, mn, sc) AS (SELECT * FROM (VALUES $gridRows)),
+       |x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+       |        generate_subscripts(embedding, 1) AS gi FROM embeddings),
+       |xh AS (SELECT vec_id, gi,
+       |         mn + least(greatest(round((e - mn) / sc), 0), 255) * sc AS xh
+       |       FROM x JOIN sq ON sq.i = gi),
+       |nc AS (SELECT vec_id, sqrt(sum(xh * xh)) AS nc FROM xh GROUP BY 1),
+       |q AS (SELECT vec_id, gi, e FROM x WHERE vec_id < 10),
+       |nq AS (SELECT vec_id, sqrt(sum(e * e)) AS nq FROM q GROUP BY 1),
+       |dp AS (SELECT q.vec_id AS query_id, xh.vec_id, sum(q.e * xh.xh) AS dp
+       |       FROM q JOIN xh ON xh.gi = q.gi AND xh.vec_id != q.vec_id
+       |       GROUP BY 1, 2),
+       |c AS (SELECT query_id, dp.vec_id,
+       |        round(dp / (nq.nq * nc.nc), 6) AS cos
+       |      FROM dp JOIN nq ON nq.vec_id = dp.query_id
+       |      JOIN nc ON nc.vec_id = dp.vec_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, vec_id) AS rank FROM c)
+       |SELECT query_id, rank, vec_id AS neighbor_id, cos
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   private def pqOracleSql(cbs: Array[Array[Array[Double]]], k: Int): String = {

@@ -10,6 +10,19 @@ class LineCleanSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
 
+  test("corpusDiff: added/removed/changed/unchanged; normalization absorbs punct noise") {
+    val old = Seq(1L -> "doc one text", 2L -> "doc two text",
+      3L -> "doc three text").toDF("doc_id", "text")
+    val neu = Seq(2L -> "Doc  two, text!", // same after normalization
+      3L -> "doc three REVISED text", 4L -> "doc four text")
+      .toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(old, neu, "text", "doc_id")
+      .as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("dedupLinesGlobal: corpus-wide keep-first, order preserved, empty docs survive") {
     val docs = Seq(
       1L -> "unique alpha\nshared boilerplate\nunique beta",

@@ -116,6 +116,38 @@ class LlmDataSpec extends SparkSpec {
     assert(out.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-12))
   }
 
+  test("SQ8 ANN: codes in [0,255], reconstruction within half a grid step, high recall@1") {
+    val (mins, scales) = Ann.sqTrain(emb, "embedding", dim = 64)
+    assert(mins.length == 64 && scales.forall(_ > 0))
+    val coded = emb.select(col("vec_id"), col("embedding"),
+      Ann.sqCodeExpr(col("embedding"), mins, scales).as("code"),
+      Ann.sqReconstructExpr(
+        Ann.sqCodeExpr(col("embedding"), mins, scales), mins, scales).as("xhat"))
+    val rows = coded.collect()
+    rows.foreach { r =>
+      val code = r.getSeq[Int](2)
+      assert(code.forall(c => c >= 0 && c <= 255))
+      val x = r.getSeq[Float](1); val xh = r.getSeq[Double](3)
+      // in-range dims reconstruct within sc/2 (clamping only binds at
+      // the corpus extremes, which are exactly representable)
+      x.indices.foreach { d =>
+        assert(math.abs(x(d) - xh(d)) <= scales(d) / 2 + 1e-9,
+          s"dim $d: ${x(d)} vs ${xh(d)} (sc=${scales(d)})")
+      }
+    }
+    val q = emb.filter(col("vec_id") < 20)
+    val brute = Ann.cosineTopK(emb, q, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sq = Ann.sqTopK(emb, q, "vec_id", "embedding", k = 1, mins, scales)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = brute.count { case (qid, nn) => sq.get(qid).contains(nn) }
+    // 8-bit per-dim error is tiny relative to cosine gaps: near-perfect
+    assert(hits >= (brute.size * 0.8).toInt,
+      s"SQ8 recall@1 ${hits.toDouble / brute.size}")
+  }
+
   test("LSH ANN: results are a subset of brute-force candidates with decent recall@1") {
     val q = emb.filter(col("vec_id") < 20)
     val brute = Ann.cosineTopK(emb, q, "vec_id", "embedding", k = 1)
