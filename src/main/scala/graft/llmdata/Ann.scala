@@ -47,6 +47,16 @@ object Ann {
   def cosineExpr(a: Column, b: Column): Column =
     dotExpr(a, b) / (normExpr(a) * normExpr(b))
 
+  /** Matryoshka truncation (Kusupati et al., arXiv:2205.13147: MRL
+    * embeddings are trained so prefixes are usable sub-embeddings):
+    * keep the first `d` dims and re-L2-normalize — the standard
+    * storage/latency knob in front of an ANN index. Map-only,
+    * scan-fused; at 100 TB truncating 64→16 dims cuts the index scan
+    * volume 4× before any quantization.
+    */
+  def truncateNormalizeExpr(vecCol: Column, d: Int): Column =
+    l2NormalizeExpr(slice(vecCol, 1, d))
+
   /** Per-query top-k of a scored candidate stream via the bounded
     * size-k-heap aggregate (graft.functions.TopKByScore), NOT a
     * `row_number` window: a window `partitionBy(query_id)` ships every

@@ -58,6 +58,33 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** MinHash-LSH band planning (the S-curve analysis, Leskovec/Rajaraman
+    * /Ullman, Mining of Massive Datasets §3.4.3): with k = b·r hashes in
+    * b bands of r rows, a pair with Jaccard s becomes a candidate with
+    * probability 1 − (1 − s^r)^b, an S-curve whose threshold sits at
+    * ≈ (1/b)^(1/r). Picks the divisor pair minimizing
+    * |(1/b)^(1/r) − threshold| (ties to the smaller r — cheaper bands,
+    * higher recall). Driver-side arithmetic over the O(√k) divisors;
+    * feed the result to [[minhashNearDupPairs]]'s (k, rowsPerBand).
+    */
+  def planBands(threshold: Double, k: Int): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
+    require(k > 0, s"k must be positive, got $k")
+    val candidates = (1 to k).filter(k % _ == 0).map { r =>
+      val b = k / r
+      (b, r, math.abs(math.pow(1.0 / b, 1.0 / r) - threshold))
+    }
+    val best = candidates.minBy { case (_, r, err) => (err, r) }
+    (best._1, best._2)
+  }
+
+  /** Candidate probability of the (b, r) scheme at Jaccard s —
+    * 1 − (1 − s^r)^b, for recall/false-positive budgeting in specs and
+    * presets.
+    */
+  def candidateProbability(b: Int, r: Int, s: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(s, r), b)
+
   /** Corpus snapshot diff — the bookkeeping pass between two versions
     * of an ingested corpus (re-crawl, re-filtered dump): a full outer
     * join on the document id comparing content FINGERPRINTS (the

@@ -575,6 +575,20 @@ object LlmDataQueries extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // Matryoshka truncation (Kusupati 2205.13147): first-16-dims
+    // sub-embedding re-normalized, plus the L2 mass the prefix retains
+    // of the full vector — the storage/latency knob ahead of ANN.
+    "q_embedding_truncate" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val t = Ann.truncateNormalizeExpr(col("embedding"), 16)
+      e.select(col("vec_id"),
+        round(element_at(t, 1), 6).as("e0"),
+        round(Ann.normExpr(t), 6).as("unit_norm"),
+        round(Ann.normExpr(slice(col("embedding"), 1, 16)) /
+          Ann.normExpr(col("embedding")), 6).as("retained_mass"))
+        .orderBy("vec_id")
+    }),
+
     // Map-only dimensionality reduction: projection onto the fixed
     // 3×64 literal basis (scan-fused VecDots); the standard front-end
     // of an ANN index at scale.
@@ -2383,6 +2397,24 @@ object LlmDataQueries extends QueryPack {
         | md5(array_to_string(t[start+1 : start+20], ' ')) AS chunk_hash
         |FROM f ORDER BY doc_id, chunk_id""".stripMargin,
     // + 0.0 guards DuckDB's -0.0 from round() on near-zero components
+    "q_embedding_truncate" ->
+      """WITH x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+        |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |n16 AS (SELECT vec_id, sqrt(sum(e*e)) AS n16 FROM x
+        |        WHERE i <= 16 GROUP BY 1),
+        |nf AS (SELECT vec_id, sqrt(sum(e*e)) AS nf FROM x GROUP BY 1),
+        |u AS (SELECT x.vec_id, sqrt(sum((e/n16)*(e/n16))) AS un
+        |      FROM x JOIN n16 ON n16.vec_id = x.vec_id
+        |      WHERE i <= 16 AND n16 > 0 GROUP BY 1),
+        |f AS (SELECT vec_id, e AS first FROM x WHERE i = 1)
+        |SELECT n16.vec_id AS vec_id,
+        | round(CASE WHEN n16 > 0 THEN first/n16 ELSE first END, 6) + 0.0 AS e0,
+        | round(coalesce(un, 0.0), 6) AS unit_norm,
+        | round(n16 / nf, 6) AS retained_mass
+        |FROM n16 JOIN f ON f.vec_id = n16.vec_id
+        |JOIN nf ON nf.vec_id = n16.vec_id
+        |LEFT JOIN u ON u.vec_id = n16.vec_id
+        |ORDER BY vec_id""".stripMargin,
     "q_embedding_normalize" ->
       """WITH x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
         |             generate_subscripts(embedding, 1) AS i FROM embeddings),

@@ -116,6 +116,39 @@ class LlmDataSpec extends SparkSpec {
     assert(out.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-12))
   }
 
+  test("planBands: S-curve threshold selection and candidate-probability shape") {
+    // k=64, t=0.8: r=8,b=8 gives (1/8)^(1/8)=0.771 — the closest divisor pair
+    assert(Dedup.planBands(0.8, 64) == ((8, 8)))
+    // exhaustive check against brute force for several (t, k)
+    for (t <- Seq(0.5, 0.7, 0.9); k <- Seq(16, 64, 128)) {
+      val (b, r) = Dedup.planBands(t, k)
+      assert(b * r == k)
+      val err = math.abs(math.pow(1.0 / b, 1.0 / r) - t)
+      val bestErr = (1 to k).filter(k % _ == 0)
+        .map(rr => math.abs(math.pow(1.0 / (k / rr), 1.0 / rr) - t)).min
+      assert(err <= bestErr + 1e-12, s"t=$t k=$k chose (b=$b,r=$r)")
+    }
+    // the S-curve is monotone in s and steep around the threshold
+    val (b, r) = Dedup.planBands(0.8, 64)
+    val ps = (1 to 19).map(i => Dedup.candidateProbability(b, r, i / 20.0))
+    assert(ps.zip(ps.tail).forall { case (a, c) => a <= c })
+    assert(Dedup.candidateProbability(b, r, 0.95) > 0.99)
+    assert(Dedup.candidateProbability(b, r, 0.4) < 0.01)
+  }
+
+  test("truncateNormalizeExpr: 16-dim prefix is unit-norm; cos vs full prefix is 1") {
+    val out = emb.select(col("vec_id"),
+      Ann.normExpr(Ann.truncateNormalizeExpr(col("embedding"), 16)).as("n"),
+      graft.functions.VecDot(
+        Ann.truncateNormalizeExpr(col("embedding"), 16),
+        Ann.truncateNormalizeExpr(col("embedding"), 16)).as("selfdot"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getDouble(1) ~== (1.0, 1e-9))
+      assert(r.getDouble(2) ~== (1.0, 1e-9))
+    }
+  }
+
   test("SQ8 ANN: codes in [0,255], reconstruction within half a grid step, high recall@1") {
     val (mins, scales) = Ann.sqTrain(emb, "embedding", dim = 64)
     assert(mins.length == 64 && scales.forall(_ > 0))
