@@ -24,15 +24,27 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses natively;
-    * read nanos as long and convert to a microsecond TimestampType with
-    * integer division (a double division would lose sub-µs precision at
-    * 1e18 magnitudes).
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across testdata generations. Spark 4 refuses
+    * NANOS natively, so that generation is read as long
+    * (nanosAsLong) and converted with integer division (a double
+    * division would lose sub-µs precision at 1e18 magnitudes); the
+    * MICROS generation is already a Spark TimestampType and passes
+    * through. The branch is on the read schema, not the data.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // same µs instants as the nanos path: session timezone is UTC
+        // everywhere (Bench/Verify/specs), so NTZ→TZ preserves values
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
