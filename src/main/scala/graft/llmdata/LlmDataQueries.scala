@@ -1445,6 +1445,38 @@ object LlmDataQueries extends QueryPack {
           col("sc.id").as("doc_id"), col("sc.score").as("bm25"))
         .orderBy("lang", "rank")),
 
+    // Hybrid retrieval: reciprocal-rank fusion (Cormack SIGIR'09) of
+    // the corpus-wide BM25 top-10 (lexical) and the cosine top-10
+    // against query vector 0 (semantic). Both input rankings are taken
+    // on rounded scores with id tie break so the cross-engine rank
+    // lists agree exactly; fusion itself is bounded arithmetic.
+    "q_rrf_fusion" -> ((s, dir) => {
+      val lex = TextStats.withBm25(Tables.documents(s, dir), "text", bm25Terms)
+        .groupBy()
+        .agg(graft.functions.TopKByScore(round(col("bm25"), 6),
+          col("doc_id"), 10).as("nn"))
+        .select(posexplode(col("nn")).as(Seq("pos", "sc")))
+        .select(col("sc.id").as("doc_id"), (col("pos") + 1).as("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val q0 = broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+        .withColumn("__nq", Ann.normExpr(col("qv"))))
+      val vec = emb.filter(col("vec_id") =!= 0)
+        .join(q0)
+        .select(col("vec_id").as("doc_id"),
+          round(Ann.dotExpr(col("qv"), col("embedding")) /
+            (col("__nq") * Ann.normExpr(col("embedding"))), 6).as("cos"))
+        .groupBy()
+        .agg(graft.functions.TopKByScore(col("cos"), col("doc_id"), 10)
+          .as("nn"))
+        .select(posexplode(col("nn")).as(Seq("pos", "sc")))
+        .select(col("sc.id").as("doc_id"), (col("pos") + 1).as("rank"))
+      Retrieval.rrfFuse(Seq(lex, vec), "doc_id", "rank", k = 5)
+        .select(col("rank"), col("doc_id"), round(col("rrf"), 6).as("rrf"),
+          col("n_lists"))
+        .orderBy("rank")
+    }),
+
     // IVFPQ — the composed FAISS workhorse: probe nProbe coarse cells,
     // score candidates by the m-lookup ADC sum. Both learned stages are
     // deterministic, so the composed gate is exact (trainedIvfPqOracle
@@ -1990,6 +2022,37 @@ object LlmDataQueries extends QueryPack {
          |          ORDER BY bm25 DESC, doc_id) AS rank FROM bm)
          |SELECT lang, CAST(rank AS INT) AS rank, doc_id, bm25
          |FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+
+    // RRF mirror: both input rankings on the ROUNDED score (id asc tie
+    // break, matching TopKByScore), absence contributes 0 (UNION ALL +
+    // GROUP BY, not a worst-rank fill); the DOUBLE cast keeps DuckDB
+    // off decimal arithmetic for 1.0/(60+r).
+    "q_rrf_fusion" ->
+      s"""WITH $bm25Ctes,
+         |lexr AS (SELECT doc_id, row_number() OVER
+         |           (ORDER BY bm25 DESC, doc_id) AS r FROM bm),
+         |lex AS (SELECT doc_id, r FROM lexr WHERE r <= 10),
+         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         |x AS (SELECT vec_id, unnest(q)::DOUBLE AS a,
+         |        unnest(embedding)::DOUBLE AS b
+         |      FROM embeddings, qv WHERE vec_id != 0),
+         |c AS (SELECT vec_id,
+         |        round(sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))), 6) AS cos
+         |      FROM x GROUP BY 1),
+         |vecr AS (SELECT vec_id AS doc_id, row_number() OVER
+         |           (ORDER BY cos DESC, vec_id) AS r FROM c),
+         |vec AS (SELECT doc_id, r FROM vecr WHERE r <= 10),
+         |u AS (SELECT doc_id, r FROM lex UNION ALL
+         |      SELECT doc_id, r FROM vec),
+         |f AS (SELECT doc_id,
+         |        sum(CAST(1.0 AS DOUBLE) / (60 + r)) AS rrf,
+         |        count(*) AS n_lists
+         |      FROM u GROUP BY 1),
+         |rk AS (SELECT doc_id, rrf, n_lists, row_number() OVER
+         |         (ORDER BY round(rrf, 9) DESC, doc_id) AS rank FROM f)
+         |SELECT CAST(rank AS INT) AS rank, doc_id, round(rrf, 6) AS rrf,
+         |       CAST(n_lists AS BIGINT) AS n_lists
+         |FROM rk WHERE rank <= 5 ORDER BY rank""".stripMargin,
 
     // CMS invariant mirror: exact top-5 token counts + TRUE guarantee
     // literals.
