@@ -1104,4 +1104,51 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(toDrop, Seq(idCol), "left_anti")
   }
+
+  /** Keep exactly one row per key: the highest `scoreCol`, ties broken
+    * by least `idCol` — the RefinedWeb URL-dedup policy (one page per
+    * canonical URL, keep the best-quality capture) and the
+    * representative-selection step of quality-aware near-dup dedup.
+    *
+    * ONE partial-aggregated shuffle: the election is
+    * `min(struct(-score, id, row))` — lexicographic struct order gives
+    * (score desc, id asc), the full row rides the struct, and ids are
+    * unique so comparison never reaches the payload. No join back, no
+    * window (`row_number().over(partitionBy(key))` would ship whole key
+    * groups to single tasks; the aggregate caps each partition's
+    * contribution at one row per key before the exchange).
+    *
+    * Requires a numeric, non-null `scoreCol` (negation is the order
+    * flip) and per-row-distinct `idCol`.
+    */
+  def keepBestByKey(df: DataFrame, keyCol: String, scoreCol: String,
+      idCol: String): DataFrame = {
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.groupBy(col(keyCol))
+      .agg(min(struct((-col(scoreCol)).cast("double").as("__ns"),
+        col(idCol).as("__id"), payload.as("__row"))).as("__w"))
+      .select(col("__w.__row.*"))
+  }
+
+  /** Quality-aware single-link dedup: within every near-dup cluster
+    * keep the BEST-scoring document (ties → least id) instead of the
+    * least-id one [[dropNearDuplicatesTransitive]] keeps — the policy
+    * real pipelines want when a quality signal exists (drop the noisy
+    * capture, keep the clean one).
+    *
+    * The label frame is pair-graph-sized (≪ corpus at sane
+    * thresholds), so the membership join broadcasts; unclustered
+    * documents pass through untouched, winners come from ONE
+    * [[keepBestByKey]] aggregation over the clustered slice.
+    */
+  def dropNearDuplicatesKeepBest(df: DataFrame, pairs: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val labels = broadcast(
+      clusterNearDuplicates(pairs).withColumnRenamed("id", idCol))
+    val labeled = df.join(labels, Seq(idCol), "left")
+    val winners = keepBestByKey(
+      labeled.filter(col("cluster").isNotNull), "cluster", scoreCol, idCol)
+    labeled.filter(col("cluster").isNull).drop("cluster")
+      .unionByName(winners.drop("cluster"))
+  }
 }

@@ -808,6 +808,16 @@ object LlmDataQueries extends QueryPack {
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")),
 
+    // Quality-aware dedup END: one representative per near-dup cluster,
+    // chosen by (max n_chars, min doc_id) rather than least-id — the
+    // recursive-CTE labels + arg-max mirror gates membership AND the
+    // election rule.
+    "q_dedup_keep_best" -> ((s, dir) =>
+      Dedup.dropNearDuplicatesKeepBest(Tables.documents(s, dir),
+        oracleMinhashPairs(s, dir), "doc_id", "n_chars")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")),
+
     // The SAME component semantics through the O(log n)-round
     // large-star/small-star path (Kiveris SoCC'14) — an independent
     // algorithm cross-checked against the identical recursive-CTE
@@ -1162,6 +1172,25 @@ object LlmDataQueries extends QueryPack {
         TextStats.urlHost(url).as("host"),
         TextStats.canonicalizeUrl(col("text")).as("not_a_url"))
         .orderBy("doc_id")
+    }),
+
+    // URL dedup (RefinedWeb: one page per canonical URL, keep the
+    // best-quality capture): scheme/host case noise + trailing slash
+    // collapse under canonicalization, so each residue group of 40
+    // shares a canonical key; keepBestByKey elects (max n_chars, min
+    // doc_id) in one partial-aggregated shuffle.
+    "q_url_dedup" -> ((s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTP://WWW.Example.COM/r"))
+          .when(col("doc_id") % 3 === 1, lit("http://www.example.com/r"))
+          .otherwise(lit("Http://www.EXAMPLE.com/r")),
+        (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")))
+      val withUrl = Tables.documents(s, dir)
+        .withColumn("canonical", TextStats.canonicalizeUrl(url))
+      Dedup.keepBestByKey(withUrl, "canonical", "n_chars", "doc_id")
+        .select(col("canonical"), col("doc_id"), col("n_chars"))
+        .orderBy("canonical")
     }),
 
     // PII scrub: the corpus has no organic PII, so the gate SYNTHESIZES
@@ -1678,6 +1707,29 @@ object LlmDataQueries extends QueryPack {
         |          regexp_extract(text, '(?i)^https?://[^/?#]+([^?#]*)', 1),
         |          '/$', '') END AS not_a_url
         |FROM u ORDER BY doc_id""".stripMargin,
+
+    // URL-dedup mirror: same in-plan URL synthesis + canonicalization,
+    // winner per canonical key via row_number(n_chars DESC, doc_id).
+    "q_url_dedup" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://WWW.Example.COM/r'
+        |        WHEN doc_id % 3 = 1 THEN 'http://www.example.com/r'
+        |        ELSE 'Http://www.EXAMPLE.com/r' END)
+        |  || CAST(doc_id % 40 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_chars,
+        |  lower(regexp_extract(url, '(?i)^(https?)://', 1)) || '://'
+        |    || lower(regexp_extract(url, '(?i)^https?://([^/?#]+)', 1))
+        |    || regexp_replace(
+        |         regexp_extract(url, '(?i)^https?://[^/?#]+([^?#]*)', 1),
+        |         '/$', '') AS canonical
+        |  FROM u),
+        |r AS (SELECT canonical, doc_id, n_chars,
+        |        row_number() OVER (PARTITION BY canonical
+        |          ORDER BY n_chars DESC, doc_id) AS rn FROM c)
+        |SELECT canonical, doc_id, n_chars FROM r WHERE rn = 1
+        |ORDER BY canonical""".stripMargin,
 
     // PII mirror: same synthesized composite, same three patterns in
     // the same order ('g' = Spark's replace-all default).
@@ -2698,6 +2750,27 @@ object LlmDataQueries extends QueryPack {
          |  SELECT e.src, c.label FROM edges e JOIN cc c ON c.id = e.dst)
          |SELECT id AS doc_id, min(label) AS cluster
          |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin,
+    // keep-best dedup mirror: recursive-CTE cluster labels + arg-max
+    // (n_chars DESC, doc_id) winner per cluster; unclustered docs pass.
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |cc(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, c.label FROM edges e JOIN cc c ON c.id = e.dst),
+         |lab AS (SELECT id AS doc_id, min(label) AS cluster
+         |        FROM cc GROUP BY id),
+         |j AS (SELECT d.doc_id, d.n_chars, lab.cluster
+         |      FROM documents d LEFT JOIN lab USING (doc_id)),
+         |win AS (SELECT doc_id, n_chars FROM (
+         |    SELECT doc_id, n_chars, row_number() OVER
+         |      (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM j WHERE cluster IS NOT NULL) WHERE rn = 1)
+         |SELECT doc_id, n_chars FROM j WHERE cluster IS NULL
+         |UNION ALL SELECT doc_id, n_chars FROM win
+         |ORDER BY doc_id""".stripMargin,
     // identical oracle, independent Spark algorithm (large-star/
     // small-star) — the two cluster gates cross-validate each other
     "q_cc_largestar" ->
