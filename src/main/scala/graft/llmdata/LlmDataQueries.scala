@@ -945,6 +945,18 @@ object LlmDataQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Trained multiclass langid (fastText-langid shape): K one-vs-rest
+    // hashed-linear margins fused into the scan, argmax on rounded
+    // margins with class-asc tie break. EXACT oracle — all K weight
+    // vectors embed as VALUES (trainedLangIdOracle).
+    "q_langid_trained" -> ((s, dir) => {
+      val models = LangIdClassifier.trained(s, dir)
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        LangIdClassifier.predictExpr(col("text"), models).as("pred_lang"))
+        .withColumn("correct", (col("lang") === col("pred_lang")).cast("int"))
+        .orderBy("doc_id")
+    }),
+
     // FLAGSHIP v3: the round-7 production pipeline — v2 with the
     // hand-weighted quality composite replaced by the TRAINED
     // classifier (margin > 0 keeps predicted-quality docs; repetition
@@ -2822,7 +2834,24 @@ object LlmDataQueries extends QueryPack {
          |FROM c WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
     }
   ) ++ trainedIvfOracle ++ trainedPqOracle ++ trainedIvfPqOracle ++
-    trainedBpeOracle ++ trainedQualityOracle ++ trainedSqOracle
+    trainedBpeOracle ++ trainedQualityOracle ++ trainedSqOracle ++
+    trainedLangIdOracle
+
+  /** EXACT oracle for q_langid_trained (trainedQualityOracle pattern):
+    * all K one-vs-rest weight vectors embed as VALUES, prediction is
+    * the same rounded-margin argmax with class-asc tie break.
+    */
+  private def trainedLangIdOracle: Map[String, String] =
+    LangIdClassifier.memoized match {
+      case models :: Nil => Map(
+        "q_langid_trained" ->
+          s"""WITH ${LangIdClassifier.predictCteSql(models)}
+             |SELECT d.doc_id, d.lang, p.pred_lang,
+             | CAST(d.lang = p.pred_lang AS INT) AS correct
+             |FROM documents d JOIN lpred p ON p.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)
+      case _ => Map.empty
+    }
 
   /** EXACT oracles for the trained-classifier gates: the learned
     * weights are a deterministic function of the dir and sit in
