@@ -774,6 +774,19 @@ object LlmDataQueries extends QueryPack {
         .orderBy("bucket")
     }),
 
+    // JS divergence over the same contingency: magnitude of the drift
+    // on the bounded [0, ln 2] scale (per-bucket contributions so the
+    // compare never sums engine-side in unspecified order).
+    "q_js_divergence" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val probe = Seq("src0", "src1", "src2", "src3", "src4")
+      TextStats.jsDivergence(
+        docs.filter(col("source").isin(probe: _*)),
+        docs.filter(!col("source").isin(probe: _*)),
+        floor(length(col("text")) / 100))
+        .orderBy("bucket")
+    }),
+
     // DSIR importance weights (Xie 2302.03169): hashed uni+bi-gram
     // bucket models for the trusted (en) slice vs the raw corpus;
     // per-doc logw via a B-row broadcast join on the gram stream.
@@ -2397,6 +2410,30 @@ object LlmDataQueries extends QueryPack {
         |      / exp_a
         |    + (CAST(cb AS DOUBLE) - exp_b) * (CAST(cb AS DOUBLE) - exp_b)
         |      / exp_b, 6) AS chi2
+        |FROM e ORDER BY bucket""".stripMargin,
+
+    // JS mirror: same contingency CTEs, contribution arithmetic written
+    // operand-for-operand as the Spark expression (p·ln(p/m) with
+    // m = (p+q)·0.5; zero-count terms drop to 0).
+    "q_js_divergence" ->
+      """WITH c AS (SELECT CAST(floor(len(text) / 100) AS BIGINT) AS bucket,
+        |   CAST(count(*) FILTER (WHERE source IN
+        |     ('src0','src1','src2','src3','src4')) AS BIGINT) AS ca,
+        |   CAST(count(*) FILTER (WHERE source NOT IN
+        |     ('src0','src1','src2','src3','src4')) AS BIGINT) AS cb
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |               CAST(sum(cb) AS BIGINT) AS nb FROM c),
+        |e AS (SELECT bucket, ca, cb,
+        |   CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS p,
+        |   CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS q
+        |  FROM c CROSS JOIN tot)
+        |SELECT bucket, ca, cb,
+        |  round((CASE WHEN ca > 0
+        |           THEN p * ln(p / ((p + q) * 0.5)) ELSE 0.0 END) * 0.5
+        |      + (CASE WHEN cb > 0
+        |           THEN q * ln(q / ((p + q) * 0.5)) ELSE 0.0 END) * 0.5,
+        |    6) AS js_contrib
         |FROM e ORDER BY bucket""".stripMargin,
 
 

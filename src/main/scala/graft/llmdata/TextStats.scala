@@ -498,6 +498,48 @@ object TextStats {
       round(chiA + chiB, 6).as("chi2"))
   }
 
+  /** Jensen–Shannon divergence between two corpus slices over a bucket
+    * column — the bounded, symmetric drift measure (0 ≤ JS ≤ ln 2 in
+    * nats) complementing [[distributionDrift]]: chi-square tests
+    * significance of a difference, JS measures its magnitude on a
+    * sample-size-free scale (the standard "did the corpus mix shift"
+    * monitor between ingest snapshots).
+    *
+    * Same plan shape as the chi-square monitor: ONE tagged-union
+    * aggregation scans each side once, the 2×B contingency collects
+    * bounded, and the per-bucket contribution
+    * ½·p·ln(p/m) + ½·q·ln(q/m) with m = ½(p+q) (zero-count terms
+    * dropped — lim x→0 of x·ln x) stays in Spark expressions over the
+    * literal integer counts. The divergence is the sum of
+    * `js_contrib`; it is returned per bucket so the gate compares
+    * engine-ordered arithmetic, not an order-unspecified total.
+    */
+  def jsDivergence(a: DataFrame, b: DataFrame, bucket: Column): DataFrame = {
+    val spark = a.sparkSession
+    def counts(df: DataFrame, tag: Int) =
+      df.select(bucket.cast("long").as("bucket"), lit(tag.toLong).as("t"))
+        .groupBy("bucket").agg(sum(col("t")).as("ca"), count(lit(1)).as("n"))
+    val rows = counts(a, 1).unionByName(counts(b, 0))
+      .groupBy("bucket")
+      .agg(sum("ca").as("ca"), sum("n").as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) - r.getLong(1)))
+      .sortBy(_._1)
+    val na = rows.map(_._2).sum.toDouble
+    val nb = rows.map(_._3).sum.toDouble
+    require(na > 0 && nb > 0, "both slices must be non-empty")
+    import spark.implicits._
+    val base = rows.toSeq.toDF("bucket", "ca", "cb")
+    val p = col("ca").cast("double") / lit(na)
+    val q = col("cb").cast("double") / lit(nb)
+    val m = (p + q) * lit(0.5)
+    val js =
+      when(col("ca") > 0, p * log(p / m)).otherwise(lit(0.0)) * lit(0.5) +
+        when(col("cb") > 0, q * log(q / m)).otherwise(lit(0.0)) * lit(0.5)
+    base.select(col("bucket"), col("ca"), col("cb"),
+      round(js, 6).as("js_contrib"))
+  }
+
   /** Zipf's-law fit over the top-`topK` token frequencies: least
     * squares of ln(freq) on ln(rank) — the classic corpus-health
     * diagnostic (natural text ⇒ slope ≈ −1; templated/boilerplate

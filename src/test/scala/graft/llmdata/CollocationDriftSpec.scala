@@ -80,4 +80,39 @@ class CollocationDriftSpec extends SparkSpec {
     // bucket 1: col total 50 -> exp 25/25, chi2 = 1 + 1
     assert(out(1L) == ((1L, 30L, 20L, 25.0, 25.0, 2.0)))
   }
+
+  test("jsDivergence: identical distributions give zero everywhere") {
+    val a = Seq.fill(10)(0L) ++ Seq.fill(30)(1L)
+    val b = Seq.fill(20)(0L) ++ Seq.fill(60)(1L) // same proportions
+    val out = TextStats.jsDivergence(a.toDF("v"), b.toDF("v"), col("v"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.forall(_._4 == 0.0), s"JS must vanish: ${out.toSeq}")
+  }
+
+  test("jsDivergence matches the hand formula and is symmetric") {
+    val a = Seq.fill(10)(0L) ++ Seq.fill(30)(1L)
+    val b = Seq.fill(20)(0L) ++ Seq.fill(20)(1L)
+    def js(p: Double, q: Double): Double = {
+      val m = (p + q) * 0.5
+      val t = (if (p > 0) p * math.log(p / m) else 0.0) * 0.5 +
+        (if (q > 0) q * math.log(q / m) else 0.0) * 0.5
+      BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val out = TextStats.jsDivergence(a.toDF("v"), b.toDF("v"), col("v"))
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(out(0L) == js(10.0 / 40, 20.0 / 40))
+    assert(out(1L) == js(30.0 / 40, 20.0 / 40))
+    val sym = TextStats.jsDivergence(b.toDF("v"), a.toDF("v"), col("v"))
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(out == sym)
+  }
+
+  test("jsDivergence: disjoint supports sum to ln 2") {
+    val a = Seq.fill(25)(0L)
+    val b = Seq.fill(40)(1L)
+    val total = TextStats.jsDivergence(a.toDF("v"), b.toDF("v"), col("v"))
+      .as[(Long, Long, Long, Double)].collect().map(_._4).sum
+    // per-bucket 1e-6 rounding → the 2-bucket sum can be off by 1e-6
+    assert(total ~== (math.log(2.0), 2e-6), s"disjoint JS = $total")
+  }
 }
