@@ -774,6 +774,17 @@ object LlmDataQueries extends QueryPack {
         .orderBy("bucket")
     }),
 
+    // distinct-n diversity (Li 1510.03055): per-doc distinct/total
+    // n-gram ratios for n=1,2,3, scan-fused (zip_with shifted slices,
+    // array bound once) — the generation-diversity / templated-text
+    // signal beside the Gopher duplicated-n-gram CHARACTER fractions.
+    "q_distinct_ngrams" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        round(TextStats.distinctNgramRatio(col("text"), 1), 6).as("d1"),
+        round(TextStats.distinctNgramRatio(col("text"), 2), 6).as("d2"),
+        round(TextStats.distinctNgramRatio(col("text"), 3), 6).as("d3"))
+        .orderBy("doc_id")),
+
     // JS divergence over the same contingency: magnitude of the drift
     // on the bounded [0, ln 2] scale (per-bucket contributions so the
     // compare never sums engine-side in unspecified order).
@@ -2411,6 +2422,25 @@ object LlmDataQueries extends QueryPack {
         |    + (CAST(cb AS DOUBLE) - exp_b) * (CAST(cb AS DOUBLE) - exp_b)
         |      / exp_b, 6) AS chi2
         |FROM e ORDER BY bucket""".stripMargin,
+
+    // distinct-n mirror: DuckDB list arithmetic (1-based; range(a,b)
+    // excludes b), list_distinct, DOUBLE casts, sub-n docs → NULL.
+    "q_distinct_ngrams" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |           FROM documents),
+        |g AS (SELECT doc_id, t,
+        |  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g2,
+        |  list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+        |  FROM d)
+        |SELECT doc_id,
+        | CASE WHEN len(t) > 0 THEN round(CAST(len(list_distinct(t)) AS DOUBLE)
+        |   / CAST(len(t) AS DOUBLE), 6) END AS d1,
+        | CASE WHEN len(g2) > 0 THEN round(CAST(len(list_distinct(g2)) AS DOUBLE)
+        |   / CAST(len(g2) AS DOUBLE), 6) END AS d2,
+        | CASE WHEN len(g3) > 0 THEN round(CAST(len(list_distinct(g3)) AS DOUBLE)
+        |   / CAST(len(g3) AS DOUBLE), 6) END AS d3
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // JS mirror: same contingency CTEs, contribution arithmetic written
     // operand-for-operand as the Spark expression (p·ln(p/m) with

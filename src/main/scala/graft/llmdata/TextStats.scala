@@ -498,6 +498,37 @@ object TextStats {
       round(chiA + chiB, 6).as("chi2"))
   }
 
+  /** Word n-gram array built by zipping shifted slices — the array
+    * binds ONCE per row (the DSIR lesson: indexing back into an
+    * unbound split() inside a lambda re-evaluates it per element,
+    * O(n²)/doc), and gram strings are built left-fold so n-grams of
+    * any order stay one zip_with per order. Empty when the document
+    * has fewer than n tokens.
+    */
+  def ngramArray(tok: Column, n: Int): Column = {
+    require(n >= 1, s"n must be positive, got $n")
+    if (n == 1) tok
+    else {
+      val prev = ngramArray(tok, n - 1)
+      val len = greatest(size(tok) - lit(n - 1), lit(0))
+      zip_with(slice(prev, lit(1), len), slice(tok, lit(n), len),
+        (a, b) => concat(a, lit(" "), b))
+    }
+  }
+
+  /** distinct-n lexical diversity (Li et al. arXiv:1510.03055 §5's
+    * distinct-1/-2 metric, the standard self-repetition signal for
+    * generated/templated text): distinct n-grams / total n-grams per
+    * document, null when the document has fewer than n tokens.
+    * Scan-fused — no explode, no shuffle; the corpus-level mean is one
+    * aggregate over the per-doc column.
+    */
+  def distinctNgramRatio(text: Column, n: Int): Column = {
+    val g = ngramArray(tokens(text), n)
+    when(size(g) > 0,
+      size(array_distinct(g)).cast("double") / size(g).cast("double"))
+  }
+
   /** Jensen–Shannon divergence between two corpus slices over a bucket
     * column — the bounded, symmetric drift measure (0 ≤ JS ≤ ln 2 in
     * nats) complementing [[distributionDrift]]: chi-square tests

@@ -770,4 +770,30 @@ class LlmDataSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped.subsetOf(uncapped))
   }
+
+  test("distinctNgramRatio matches the hand count; sub-n docs are null") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b c"), (2L, "x y"), (3L, "solo"))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+      TextStats.distinctNgramRatio(col("text"), 1).as("d1"),
+      TextStats.distinctNgramRatio(col("text"), 2).as("d2"),
+      TextStats.distinctNgramRatio(col("text"), 3).as("d3"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    // t=[a,b,a,b,c]: d1=3/5; bigrams [a b, b a, a b, b c]: 3/4;
+    // trigrams [a b a, b a b, a b c]: 3/3
+    assert(out(1L) == ((Some(0.6), Some(0.75), Some(1.0))))
+    assert(out(2L) == ((Some(1.0), Some(1.0), None)))
+    assert(out(3L) == ((Some(1.0), None, None)))
+  }
+
+  test("distinct-1 agrees with the TokenStats uniqueTokenRatio kernel") {
+    val docs = graft.core.Tables.documents(spark, sfDir).limit(50)
+    val diff = docs.select(
+      (TextStats.distinctNgramRatio(col("text"), 1) -
+        TextStats.uniqueTokenRatio(col("text"))).as("d"))
+      .agg(max(abs(col("d")))).collect().head.getDouble(0)
+    assert(diff == 0.0)
+  }
 }
