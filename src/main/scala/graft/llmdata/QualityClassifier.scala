@@ -40,17 +40,25 @@ object QualityClassifier {
   def bucketExpr(tok: Column, d: Int = D): Column =
     (conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % d).cast("int")
 
-  /** D-bucket token-count features per document (train-side only). */
+  /** D-bucket token-count features per document (train-side only).
+    *
+    * Two-stage: the token stream first partial-aggregates to
+    * (doc, bucket) counts — ≤ D rows per doc cross the shuffle — and
+    * the D-way widening (a D-branch when-chain) runs on that small
+    * frame, not on every token. At D=256 the one-stage form evaluated
+    * 256 conditionals per TOKEN and was the dominant cost of the
+    * langid gate (≈4× slower at sf0.1).
+    */
   def hashedFeatures(docs: DataFrame, textCol: String, idCol: String,
       d: Int = D): DataFrame = {
-    val tok = docs
+    val cnt = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
-      .withColumn("__b", bucketExpr(col("__t"), d))
-    tok.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__n"),
-        (0 until d).map(j =>
-          sum(when(col("__b") === j, 1.0).otherwise(0.0)).as(s"f$j")): _*)
-      .drop("__n")
+      .groupBy(col(idCol), bucketExpr(col("__t"), d).as("__b"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    cnt.groupBy(col(idCol))
+      .agg(sum(when(col("__b") === 0, col("__c")).otherwise(0.0)).as("f0"),
+        (1 until d).map(j =>
+          sum(when(col("__b") === j, col("__c")).otherwise(0.0)).as(s"f$j")): _*)
   }
 
   /** Train on the corpus (deterministic given the dir): weak labels +
