@@ -609,4 +609,42 @@ object Ann {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos").distinct()
   }
+
+  /** Per-group mean embedding (domain centroid): posexplode to
+    * (key, dim, v), partial-aggregated avg per (key, dim), reassembled
+    * in dim order — both shuffles are key-bounded (groups × dim rows),
+    * the corpus passes once, and no vector ever rides a window.
+    * Returns (keyCol, centroid, n) where n is the group size.
+    */
+  def groupCentroids(df: DataFrame, keyCol: String, vecCol: String): DataFrame = {
+    val dims = df
+      .select(col(keyCol), posexplode(col(vecCol)).as(Seq("__i", "__v")))
+      .groupBy(col(keyCol), col("__i"))
+      .agg(avg(col("__v")).as("__m"), count(lit(1)).as("__n"))
+    dims.groupBy(col(keyCol))
+      .agg(
+        transform(array_sort(collect_list(struct(col("__i"), col("__m")))),
+          s => s.getField("__m")).as("centroid"),
+        max(col("__n")).as("n"))
+  }
+
+  /** Cross-domain similarity matrix: cosine between every pair of
+    * group centroids — "is dump B's embedding space the same as dump
+    * A's" at a glance (the embedding-level sibling of the trigram
+    * crossSourceOverlap). The centroid frame is |groups|-sized, so the
+    * self-join broadcasts; output is the strict upper triangle.
+    */
+  def centroidSimilarity(df: DataFrame, keyCol: String,
+      vecCol: String): DataFrame = {
+    val c = groupCentroids(df, keyCol, vecCol)
+      .select(col(keyCol), col("centroid"),
+        normExpr(col("centroid")).as("__n"))
+    val a = c.select(col(keyCol).as("key_a"), col("centroid").as("ca"),
+      col("__n").as("na"))
+    val b = c.select(col(keyCol).as("key_b"), col("centroid").as("cb"),
+      col("__n").as("nb"))
+    a.join(broadcast(b), col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        (dotExpr(col("ca"), col("cb")) / (col("na") * col("nb"))).as("cos"))
+  }
 }

@@ -1510,6 +1510,16 @@ object LlmDataQueries extends QueryPack {
           col("sc.id").as("doc_id"), col("sc.score").as("bm25"))
         .orderBy("lang", "rank")),
 
+    // Cross-domain embedding similarity: per-label mean vectors
+    // (key-bounded two-stage aggregation) + broadcast centroid-pair
+    // cosine — the embedding-space "is dump B a re-crawl of dump A"
+    // diagnostic beside the trigram source-overlap matrix.
+    "q_domain_centroids" -> ((s, dir) =>
+      Ann.centroidSimilarity(Tables.embeddings(s, dir), "label", "embedding")
+        .select(col("key_a").as("label_a"), col("key_b").as("label_b"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("label_a", "label_b")),
+
     // Hybrid retrieval: reciprocal-rank fusion (Cormack SIGIR'09) of
     // the corpus-wide BM25 top-10 (lexical) and the cosine top-10
     // against query vector 0 (semantic). Both input rankings are taken
@@ -2110,6 +2120,20 @@ object LlmDataQueries extends QueryPack {
          |          ORDER BY bm25 DESC, doc_id) AS rank FROM bm)
          |SELECT lang, CAST(rank AS INT) AS rank, doc_id, bm25
          |FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+
+    // centroid-similarity mirror: per-(label, dim) averages, cosine of
+    // the mean vectors, strict upper triangle.
+    "q_domain_centroids" ->
+      """WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+        |        unnest(embedding)::DOUBLE AS v FROM embeddings),
+        |c AS (SELECT label, i, avg(v) AS m FROM x GROUP BY 1, 2),
+        |p AS (SELECT a.label AS label_a, b.label AS label_b,
+        |        sum(a.m * b.m)
+        |          / (sqrt(sum(a.m * a.m)) * sqrt(sum(b.m * b.m))) AS cos
+        |      FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+        |      GROUP BY 1, 2)
+        |SELECT label_a, label_b, round(cos, 6) AS cos
+        |FROM p ORDER BY label_a, label_b""".stripMargin,
 
     // RRF mirror: both input rankings on the ROUNDED score (id asc tie
     // break, matching TopKByScore), absence contributes 0 (UNION ALL +

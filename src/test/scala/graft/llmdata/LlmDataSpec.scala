@@ -771,6 +771,30 @@ class LlmDataSpec extends SparkSpec {
     assert(capped.subsetOf(uncapped))
   }
 
+  test("groupCentroids averages per dimension; centroidSimilarity is exact cosine") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(1.0, 0.0)), ("a", Seq(3.0, 0.0)), // centroid (2, 0)
+      ("b", Seq(0.0, 2.0)), ("b", Seq(0.0, 4.0)), // centroid (0, 3)
+      ("c", Seq(2.0, 2.0)) // centroid (2, 2)
+    ).toDF("k", "v")
+    val cents = Ann.groupCentroids(df, "k", "v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Double](1).toList, r.getLong(2))))
+      .toMap
+    assert(cents == Map(
+      "a" -> ((List(2.0, 0.0), 2L)),
+      "b" -> ((List(0.0, 3.0), 2L)),
+      "c" -> ((List(2.0, 2.0), 1L))))
+    val sims = Ann.centroidSimilarity(df, "k", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(sims(("a", "b")) ~== 0.0)
+    assert(sims(("a", "c")) ~== math.sqrt(0.5))
+    assert(sims(("b", "c")) ~== math.sqrt(0.5))
+    assert(sims.size == 3)
+  }
+
   test("distinctNgramRatio matches the hand count; sub-n docs are null") {
     import spark.implicits._
     val df = Seq((1L, "a b a b c"), (2L, "x y"), (3L, "solo"))
