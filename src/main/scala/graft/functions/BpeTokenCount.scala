@@ -133,4 +133,85 @@ object BpeTokenCount {
 
   def apply(col: Column, merges: Seq[(String, String)]): Column =
     ExpressionBridge.column(BpeTokenCount(ExpressionBridge.expression(col), merges))
+
+  /** Full encode: the flattened subword token array of the document,
+    * words in order, tokens in within-word order — same word split,
+    * same merge semantics, same fallback as [[compute]] (so
+    * `encode(...).length == compute(...)` always). Tokens of a word
+    * concatenate back to the word: merges only join adjacent code
+    * points, so the final state is a partition of the word.
+    */
+  def encode(text: String,
+      patReps: Array[Array[String]]): Array[UTF8String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var start = 0
+    val len = text.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || text.charAt(i) == ' ') {
+        val w = text.substring(start, i)
+        if (w.nonEmpty) {
+          if (w.indexOf('|') >= 0 || w.indexOf('\n') >= 0 ||
+              w.indexOf('\r') >= 0) {
+            // per-code-point fallback, as in wordTokens
+            var j = 0
+            while (j < w.length) {
+              val cp = w.codePointAt(j)
+              val n = Character.charCount(cp)
+              out += UTF8String.fromString(w.substring(j, j + n))
+              j += n
+            }
+          } else {
+            val state = mergedState(w, patReps)
+            var s = 1 // state starts with '|'
+            var j = 1
+            while (j < state.length) {
+              if (state.charAt(j) == '|') {
+                if (j > s) out += UTF8String.fromString(state.substring(s, j))
+                s = j + 1
+              }
+              j += 1
+            }
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+}
+
+/** Array-returning sibling of [[BpeTokenCount]]: the document's subword
+  * tokens in order (see [[BpeTokenCount.encode]]).
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  @transient private lazy val patReps: Array[Array[String]] =
+    merges.map { case (l, r) => Array(s"|$l|$r|", s"|$l$r|") }.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      BpeTokenCount.encode(input.asInstanceOf[UTF8String].toString, patReps)
+        .asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("bpeMerges", patReps, "java.lang.String[][]")
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.BpeTokenCount.encode($c.toString(), $tableRef))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
+object BpeEncode {
+  def apply(col: Column, merges: Seq[(String, String)]): Column =
+    ExpressionBridge.column(BpeEncode(ExpressionBridge.expression(col), merges))
 }

@@ -96,6 +96,13 @@ object Bpe {
   def countExpr(text: Column, merges: Seq[(String, String)]): Column =
     BpeTokenCount(text, merges)
 
+  /** Full subword tokenization: the document's token array in order
+    * (size always equals [[countExpr]]; per-word tokens concatenate
+    * back to the word).
+    */
+  def encodeExpr(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.BpeEncode(text, merges)
+
   private def esc(s: String): String = s.replace("'", "''")
 
   /** DuckDB CTE chain computing `nb(doc_id, n_bpe)` — a term-for-term
@@ -130,5 +137,45 @@ object Bpe {
        |         CAST(sum(length(st) - length(replace(st, '|', '')) - 1) AS INT)
        |           AS n_bpe
        |       FROM bs WHERE rk = $m GROUP BY doc_id)""".stripMargin
+  }
+
+  /** DuckDB CTE chain computing `btok(doc_id, pos, token)` — the
+    * ENCODE mirror of [[graft.functions.BpeEncode]]: word position
+    * rides the recursion, the final state splits on '|' (empties
+    * dropped), and pos numbers the doc's tokens in (word, within-word)
+    * order, 0-based. No fallback CASE: the encode gate feeds text
+    * sanitized of delimiter/newline chars (fallback parity is covered
+    * by the count gate + Scala spec). MUST follow a `WITH RECURSIVE`
+    * header.
+    */
+  def bpeEncodeCteSql(merges: Seq[(String, String)],
+      srcExpr: String = "documents"): String = {
+    val vals = merges.zipWithIndex.map { case ((l, r), i) =>
+      s"($i,'${esc(s"|$l|$r|")}','${esc(s"|$l$r|")}')"
+    }.mkString(",")
+    val m = merges.length
+    val nested = (1 to graft.functions.BpeTokenCount.MaxPasses)
+      .foldLeft("st")((e, _) => s"replace($e, bm.pat, bm.rep)")
+    s"""bm(rk, pat, rep) AS (SELECT * FROM (VALUES $vals)),
+       |bw AS (SELECT doc_id,
+       |         generate_subscripts(string_split(text, ' '), 1) AS wp,
+       |         unnest(string_split(text, ' ')) AS w FROM $srcExpr),
+       |bs(doc_id, wp, st, rk) AS (
+       |  SELECT doc_id, wp,
+       |    CASE WHEN w = '' THEN '|'
+       |         ELSE '|' || regexp_replace(w, '(.)', '\\1|', 'g') END, 0
+       |  FROM bw
+       |  UNION ALL
+       |  SELECT doc_id, wp, $nested, bs.rk + 1
+       |  FROM bs JOIN bm ON bm.rk = bs.rk WHERE bs.rk < $m),
+       |bfin AS (SELECT doc_id, wp,
+       |           list_filter(string_split(st, '|'), x -> x != '') AS toks
+       |         FROM bs WHERE rk = $m),
+       |bflat AS (SELECT doc_id, wp, generate_subscripts(toks, 1) AS tp,
+       |            unnest(toks) AS token FROM bfin),
+       |btok AS (SELECT doc_id, CAST(row_number() OVER
+       |           (PARTITION BY doc_id ORDER BY wp, tp) - 1 AS INT) AS pos,
+       |           token
+       |         FROM bflat)""".stripMargin
   }
 }

@@ -1465,6 +1465,19 @@ object LlmDataQueries extends QueryPack {
           Bpe.countExpr(col("text"), Bpe.trained(s, dir)).as("n_bpe_tokens"))
         .orderBy("doc_id")),
 
+    // Full BPE encode: the actual subword token stream (what a
+    // tokenizer hands the trainer), exploded to (doc, pos, token).
+    // The scan feeds sanitized text (delimiter/newline → space) so the
+    // oracle needs no fallback branch; fallback parity is covered by
+    // q_bpe_tokens + the Scala spec.
+    "q_bpe_encode" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(Bpe.encodeExpr(
+            regexp_replace(col("text"), "[|\\n\\r]", " "),
+            Bpe.trained(s, dir))).as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos")),
+
     // Cross-document sequence packing: greedy running-token-sum bins
     // per source shard (512-token budget) — the window is per-shard,
     // never a global orderBy. Budgets count LEARNED BPE subwords (what
@@ -3207,6 +3220,12 @@ object LlmDataQueries extends QueryPack {
           s"""WITH RECURSIVE ${Bpe.bpeCteSql(merges)}
              |SELECT doc_id, n_bpe AS n_bpe_tokens FROM nb
              |ORDER BY doc_id""".stripMargin,
+        "q_bpe_encode" ->
+          s"""WITH RECURSIVE ${Bpe.bpeEncodeCteSql(merges,
+               "(SELECT doc_id, regexp_replace(text, '[|\\n\\r]', ' ', 'g')" +
+                 " AS text FROM documents)")}
+             |SELECT doc_id, pos, token FROM btok
+             |ORDER BY doc_id, pos""".stripMargin,
         "q_sequence_packing" ->
           s"""WITH RECURSIVE ${Bpe.bpeCteSql(merges)},
              |d AS (SELECT d0.doc_id, d0.source, nb.n_bpe AS n_tokens

@@ -72,4 +72,38 @@ class BpeSpec extends SparkSpec {
     assert(bpe >= ws, "a word is at least one subword")
     assert(bpe < chars, "merges must compress below the per-char count")
   }
+
+  test("encode: size equals count, tokens concatenate back to the text") {
+    import spark.implicits._
+    val merges = Bpe.trained(spark, sfDir)
+    val docs = graft.core.Tables.documents(spark, sfDir).limit(50)
+    val bad = docs.select(
+      (size(Bpe.encodeExpr(col("text"), merges)) =!=
+        Bpe.countExpr(col("text"), merges)).cast("int").as("szm"),
+      (concat_ws("", Bpe.encodeExpr(col("text"), merges)) =!=
+        regexp_replace(col("text"), " ", "")).cast("int").as("ccm"))
+      .agg(sum("szm"), sum("ccm")).head()
+    assert(bad.getLong(0) == 0, "encode size must equal the count")
+    assert(bad.getLong(1) == 0, "tokens must concatenate back to the text")
+  }
+
+  test("encode fallback: delimiter/newline words tokenize per code point") {
+    val patReps = Array(Array("|a|b|", "|ab|"))
+    val toks = BpeTokenCount.encode("x|y a\nb ab", patReps).map(_.toString)
+    assert(toks.toSeq == Seq("x", "|", "y", "a", "\n", "b", "ab"))
+  }
+
+  test("encode matches the driver kernel through codegen") {
+    import spark.implicits._
+    val merges = Seq("a" -> "b", "ab" -> "c")
+    val texts = Seq("abc abcabc", "", "a b c", "xyz abca")
+    val got = texts.toDF("t")
+      .select(Bpe.encodeExpr(col("t"), merges))
+      .collect().map(_.getSeq[String](0).toList)
+    val patReps = merges.map { case (l, r) =>
+      Array(s"|$l|$r|", s"|$l$r|") }.toArray
+    val want = texts.map(t =>
+      BpeTokenCount.encode(t, patReps).map(_.toString).toList)
+    assert(got.toSeq == want)
+  }
 }
