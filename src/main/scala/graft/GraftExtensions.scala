@@ -158,6 +158,18 @@ object GraftExtensions {
           s"bpe_token_count: merge arrays differ in length (${l.length} vs ${r.length})")
         BpeTokenCount(args(0), l.zip(r))
       }),
+    ("bpe_encode",
+      info("bpe_encode",
+        "bpe_encode(text, merge_lefts, merge_rights) - learned-BPE subword " +
+          "token array; same merge semantics as bpe_token_count"),
+      args => {
+        arity("bpe_encode", args, 3)
+        val l = foldedStrings("bpe_encode", args(1))
+        val r = foldedStrings("bpe_encode", args(2))
+        require(l.length == r.length,
+          s"bpe_encode: merge arrays differ in length (${l.length} vs ${r.length})")
+        BpeEncode(args(0), l.zip(r))
+      }),
     ("hashed_linear_score",
       info("hashed_linear_score",
         "hashed_linear_score(text, weights, intercept) - hashed bag-of-words " +

@@ -81,13 +81,16 @@ class GraftExtensionsSpec extends SparkSpec {
       """SELECT
         | dhash64(encode(text, 'utf-8')) AS dh,
         | bpe_token_count(text, array('j','jo','joi'), array('o','i','n')) AS bpe,
+        | bpe_encode(text, array('j','jo','joi'), array('o','i','n')) AS bpe_toks,
         | hashed_linear_score(text, array(0.5d, 0.25d), 1.0d) AS hls
         |FROM r7_ext""".stripMargin).head()
     assert(r.getLong(0) ==
       graft.functions.DHash64.compute("join the join".getBytes("UTF-8")))
     assert(r.getInt(1) == 5, "join(1) + the(3 unmerged chars) + join(1)")
+    assert(r.getSeq[String](2) == Seq("join", "t", "h", "e", "join"),
+      "encode mirrors the count's merge semantics")
     val w = Array(0.5, 0.25)
-    assert(r.getDouble(2) ==
+    assert(r.getDouble(3) ==
       graft.functions.HashedLinearScore.compute("join the join", w, 1.0))
   }
 
@@ -116,7 +119,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(GraftExtensions.registrations.map(_._1).toSet ==
       Set("vec_dot", "normal_ppf", "interp1d", "token_stats", "top_k_by_score",
         "freq_items", "vec_normalize", "repetition_stats",
-        "dhash64", "bpe_token_count", "hashed_linear_score",
+        "dhash64", "bpe_token_count", "bpe_encode", "hashed_linear_score",
         "unicode_normalize"))
     assert(exts.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
