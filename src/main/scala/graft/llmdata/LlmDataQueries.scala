@@ -785,6 +785,17 @@ object LlmDataQueries extends QueryPack {
         round(TextStats.distinctNgramRatio(col("text"), 3), 6).as("d3"))
         .orderBy("doc_id")),
 
+    // KS statistic over the same contingency: where the two slices'
+    // CDFs diverge most (the drift family's sup-norm scalar).
+    "q_ks_statistic" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val probe = Seq("src0", "src1", "src2", "src3", "src4")
+      TextStats.ksStatistic(
+        docs.filter(col("source").isin(probe: _*)),
+        docs.filter(!col("source").isin(probe: _*)),
+        floor(length(col("text")) / 100))
+    }),
+
     // JS divergence over the same contingency: magnitude of the drift
     // on the bounded [0, ln 2] scale (per-bucket contributions so the
     // compare never sums engine-side in unspecified order).
@@ -2478,6 +2489,31 @@ object LlmDataQueries extends QueryPack {
         | CASE WHEN len(g3) > 0 THEN round(CAST(len(list_distinct(g3)) AS DOUBLE)
         |   / CAST(len(g3) AS DOUBLE), 6) END AS d3
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // KS mirror: ordered cumulative window over the same contingency,
+    // supremum via row_number(dk DESC, bucket ASC).
+    "q_ks_statistic" ->
+      """WITH c AS (SELECT CAST(floor(len(text) / 100) AS BIGINT) AS bucket,
+        |   CAST(count(*) FILTER (WHERE source IN
+        |     ('src0','src1','src2','src3','src4')) AS BIGINT) AS ca,
+        |   CAST(count(*) FILTER (WHERE source NOT IN
+        |     ('src0','src1','src2','src3','src4')) AS BIGINT) AS cb
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |               CAST(sum(cb) AS BIGINT) AS nb FROM c),
+        |cum AS (SELECT bucket,
+        |   CAST(sum(ca) OVER (ORDER BY bucket
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+        |   CAST(sum(cb) OVER (ORDER BY bucket
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb FROM c),
+        |d AS (SELECT bucket,
+        |   abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+        |     - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)) AS dk
+        |  FROM cum CROSS JOIN tot),
+        |m AS (SELECT bucket, dk,
+        |        row_number() OVER (ORDER BY dk DESC, bucket) AS rn FROM d)
+        |SELECT round(dk, 6) AS d_ks, bucket AS at_bucket, na, nb
+        |FROM m CROSS JOIN tot WHERE rn = 1""".stripMargin,
 
     // JS mirror: same contingency CTEs, contribution arithmetic written
     // operand-for-operand as the Spark expression (p·ln(p/m) with

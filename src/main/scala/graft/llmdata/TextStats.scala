@@ -498,6 +498,44 @@ object TextStats {
       round(chiA + chiB, 6).as("chi2"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic over a bucket column —
+    * the sup-norm member of the drift family (chi-square = is the
+    * difference significant, JS = how big in distribution space, KS =
+    * where do the CDFs diverge most; the classic scalar for "did the
+    * length/score distribution shift"). Same ONE-pass tagged-union
+    * contingency as [[distributionDrift]]; the cumulative walk over
+    * the ≤B sorted buckets runs on the driver (sequential integer
+    * sums — bit-identical to the oracle's ordered window). Output: one
+    * row (d_ks, at_bucket, na, nb) — at_bucket is the SMALLEST bucket
+    * attaining the supremum.
+    */
+  def ksStatistic(a: DataFrame, b: DataFrame, bucket: Column): DataFrame = {
+    val spark = a.sparkSession
+    def counts(df: DataFrame, tag: Int) =
+      df.select(bucket.cast("long").as("bucket"), lit(tag.toLong).as("t"))
+        .groupBy("bucket").agg(sum(col("t")).as("ca"), count(lit(1)).as("n"))
+    val rows = counts(a, 1).unionByName(counts(b, 0))
+      .groupBy("bucket")
+      .agg(sum("ca").as("ca"), sum("n").as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) - r.getLong(1)))
+      .sortBy(_._1)
+    val na = rows.map(_._2).sum
+    val nb = rows.map(_._3).sum
+    require(na > 0 && nb > 0, "both slices must be non-empty")
+    var cumA = 0L; var cumB = 0L
+    var best = -1.0; var bestBucket = 0L
+    rows.foreach { case (bk, ca, cb) =>
+      cumA += ca; cumB += cb
+      val d = math.abs(cumA.toDouble / na - cumB.toDouble / nb)
+      if (d > best) { best = d; bestBucket = bk }
+    }
+    import spark.implicits._
+    Seq((BigDecimal(best).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble, bestBucket, na, nb))
+      .toDF("d_ks", "at_bucket", "na", "nb")
+  }
+
   /** Word n-gram array built by zipping shifted slices — the array
     * binds ONCE per row (the DSIR lesson: indexing back into an
     * unbound split() inside a lambda re-evaluates it per element,

@@ -107,6 +107,25 @@ class CollocationDriftSpec extends SparkSpec {
     assert(out == sym)
   }
 
+  test("ksStatistic matches the hand CDF walk; ties take the smallest bucket") {
+    val a = Seq.fill(10)(0L) ++ Seq.fill(30)(1L) ++ Seq.fill(10)(2L)
+    val b = Seq.fill(20)(0L) ++ Seq.fill(20)(1L) ++ Seq.fill(10)(2L)
+    // CDF_a: .2, .8, 1.0  CDF_b: .4, .8, 1.0 → sup .2 at bucket 0
+    val r = TextStats.ksStatistic(a.toDF("v"), b.toDF("v"), col("v"))
+      .as[(Double, Long, Long, Long)].collect().head
+    assert(r == ((0.2, 0L, 50L, 50L)))
+  }
+
+  test("ksStatistic: identical distributions give 0; disjoint give 1") {
+    val a = Seq.fill(10)(0L) ++ Seq.fill(30)(1L)
+    val b = Seq.fill(20)(0L) ++ Seq.fill(60)(1L)
+    assert(TextStats.ksStatistic(a.toDF("v"), b.toDF("v"), col("v"))
+      .collect().head.getDouble(0) == 0.0)
+    val c = Seq.fill(25)(0L); val d = Seq.fill(40)(5L)
+    assert(TextStats.ksStatistic(c.toDF("v"), d.toDF("v"), col("v"))
+      .collect().head.getDouble(0) == 1.0)
+  }
+
   test("jsDivergence: disjoint supports sum to ln 2") {
     val a = Seq.fill(25)(0L)
     val b = Seq.fill(40)(1L)
