@@ -114,6 +114,21 @@ object RelationalQueries extends QueryPack {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Window: the navigation/distribution function surface — lag/lead
+    // over the per-customer order sequence plus ntile quartiles and
+    // percent_rank (one Window node, all functions share the frame).
+    "q_window_lead_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag("o_orderkey", 1).over(w).as("prev_order"),
+          lead("o_orderkey", 1).over(w).as("next_order"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Set ops: custkeys appearing in orders but not among high-balance
     // customers (EXCEPT) + intersection count.
     "q_set_ops" -> ((s, dir) => {
@@ -572,6 +587,15 @@ object RelationalQueries extends QueryPack {
         |   ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_orderkey, 1) OVER w AS prev_order,
+        | lead(o_orderkey, 1) OVER w AS next_order,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_set_ops" ->
       """WITH wo AS (SELECT DISTINCT o_custkey AS k FROM orders),
         | hb AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 5000)

@@ -32,6 +32,8 @@ class PlanRegressionSpec extends SparkSpec {
   private val windowWhitelist: Set[String] = Set(
     "q_window_running_sum",  // running sum per key — the operator itself
     "q_window_latest_order", // latest-row-per-key ranking — the operator itself
+    "q_window_lead_lag",     // lag/lead/ntile/percent_rank — the
+                             // navigation-function surface itself
     "q_sequence_packing",    // per-SHARD running token sum — the packing
                              // operator's semantics; never a global orderBy
     "q_llm_pipeline_v2",     // the flagship's final stage IS the per-shard
