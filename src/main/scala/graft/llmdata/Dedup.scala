@@ -236,6 +236,44 @@ object Dedup {
     docs.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Per-document contamination FRACTION against an eval suite — the
+    * graded sibling of [[decontaminate]]'s binary drop (pipelines
+    * report "doc is 3% contaminated" and threshold per benchmark; the
+    * GPT-3 appendix-C shape). Same 100 TB plan: the eval suite's
+    * distinct shingle set broadcasts; the corpus's distinct shingles
+    * explode map-side and partial-aggregate per doc — counting total
+    * and hits in ONE pass via a broadcast-map membership flag, so the
+    * shingle stream is exploded once and never shuffled beyond the
+    * doc-keyed aggregation. Documents with fewer than n tokens have no
+    * shingles: n_shingles = 0 and the fraction is 0.
+    *
+    * Output: (idCol, n_shingles, n_contaminated, contamination_frac).
+    */
+  def contaminationStats(docs: DataFrame, textCol: String, idCol: String,
+      contamination: DataFrame, contaminationTextCol: String,
+      n: Int = 5): DataFrame = {
+    val contamShingles = broadcast(contamination
+      .select(explode(shingleSetExpr(contaminationTextCol, n)).as("shingle"))
+      .distinct()
+      .withColumn("__hit", lit(1L)))
+    val sh = docs
+      .select(col(idCol), explode(shingleSetExpr(textCol, n)).as("shingle"))
+      .join(contamShingles, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+    docs.select(col(idCol))
+      .join(sh, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_frac",
+        when(col("n_shingles") > 0,
+          round(col("n_contaminated").cast("double") /
+            col("n_shingles").cast("double"), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** MessageDigest is not thread-safe and costs ~1µs to allocate;
     * one per executor thread, reset implicitly by each digest() call.
     */

@@ -1419,6 +1419,16 @@ object LlmDataQueries extends QueryPack {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // Graded contamination: per-doc fraction of distinct 3-shingles
+    // present in the eval slice — the "3% contaminated" report real
+    // pipelines threshold per benchmark (GPT-3 app. C shape).
+    "q_contamination_frac" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationStats(docs, "text", "doc_id",
+        docs.filter(col("doc_id") < 3), "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // BM25 relevance against a literal term set: one tree-aggregated
     // stats pass (N, sum dl, per-term df — all riding the native
     // TokenStats kernel), driver-baked idf literals, then a scan-fused
@@ -2103,6 +2113,28 @@ object LlmDataQueries extends QueryPack {
         |hits AS (SELECT DISTINCT g.doc_id FROM g JOIN c USING (s))
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+        |ORDER BY doc_id""".stripMargin,
+
+    // graded-contamination mirror: same distinct-shingle stream, LEFT
+    // join membership, per-doc counts; shingle-less docs → zeros.
+    "q_contamination_frac" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))))
+        |        AS s FROM d),
+        |c AS (SELECT DISTINCT s, 1 AS hit FROM g WHERE doc_id < 3),
+        |agg AS (SELECT g.doc_id,
+        |          CAST(count(*) AS BIGINT) AS n_shingles,
+        |          CAST(sum(coalesce(c.hit, 0)) AS BIGINT) AS n_contaminated
+        |        FROM g LEFT JOIN c USING (s) GROUP BY g.doc_id)
+        |SELECT doc_id,
+        | coalesce(n_shingles, 0) AS n_shingles,
+        | coalesce(n_contaminated, 0) AS n_contaminated,
+        | CASE WHEN coalesce(n_shingles, 0) > 0
+        |   THEN round(CAST(n_contaminated AS DOUBLE)
+        |          / CAST(n_shingles AS DOUBLE), 6)
+        |   ELSE 0.0 END AS contamination_frac
+        |FROM documents LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // BM25 mirror: same stats (ln idf recomputed in SQL — the round-6

@@ -771,6 +771,29 @@ class LlmDataSpec extends SparkSpec {
     assert(capped.subsetOf(uncapped))
   }
 
+  test("contaminationStats: graded fractions, consistency with the binary drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), // shingles {a b c, b c d}
+      (2L, "a b c x"), // {a b c, b c x} — half contaminated vs eval {a b c ...}
+      (3L, "p q r s"), // disjoint
+      (4L, "zz") // too short: no shingles
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    val out = Dedup.contaminationStats(docs, "text", "doc_id", eval_, "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+    // binary drop == frac > 0
+    val dropped = docs.select("doc_id").except(
+      Dedup.decontaminate(docs, "text", "doc_id", eval_, "text", n = 3)
+        .select("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(dropped == out.filter(_._2._3 > 0).keySet)
+  }
+
   test("groupCentroids averages per dimension; centroidSimilarity is exact cosine") {
     import spark.implicits._
     val df = Seq(
