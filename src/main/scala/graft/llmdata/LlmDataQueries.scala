@@ -1511,6 +1511,47 @@ object LlmDataQueries extends QueryPack {
         .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))
         .orderBy("doc_id")),
 
+    // Length-bucketed packing: power-of-two token-length buckets
+    // (integer bit-length — no float log), packed per (source, bucket)
+    // — the padding-minimizing batching recipe; windows are strictly
+    // narrower than q_sequence_packing's per-shard ones.
+    "q_pack_length_buckets" -> ((s, dir) =>
+      TextStats.packLengthBuckets(Tables.documents(s, dir), "text",
+        "doc_id", "source", budget = 256)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("len_bucket"), col("pack_id"))
+        .orderBy("doc_id")),
+
+    // Weighted k-sample without replacement (Efraimidis–Spirakis
+    // A-ES): token-count-weighted document draw on content-hash
+    // uniforms — deterministic membership, TakeOrdered plan (bounded
+    // per-partition heap, no global sort, no corpus shuffle).
+    "q_weighted_sample" -> ((s, dir) =>
+      Splits.weightedHashSample(
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextStats.tokenCount(col("text")).cast("long").as("w")),
+        "doc_id", "w", k = 100, salt = "aes")
+        .orderBy("doc_id")),
+
+    // Token-budget corpus selection: best-quality documents until the
+    // budget fills — two-stage plan (score-group aggregate finds the
+    // boundary; the corpus pays a scan-fused filter, only the single
+    // boundary score group pays an ordered window).
+    "q_budget_select" -> ((s, dir) =>
+      Curriculum.budgetSelect(Tables.documents(s, dir), "doc_id",
+        TextStats.qualityScore(col("text")),
+        TextStats.tokenCount(col("text")), budget = 12000L)
+        .orderBy("doc_id")),
+
+    // Two-phase curriculum labeling: 'anneal' = the 5000-token
+    // best-quality prefix (the end-of-training high-quality anneal
+    // slice), 'main' = the rest; every row labeled in one frame.
+    "q_anneal_phases" -> ((s, dir) =>
+      Curriculum.annealPhases(Tables.documents(s, dir), "doc_id",
+        TextStats.qualityScore(col("text")),
+        TextStats.tokenCount(col("text")), annealBudget = 5000L)
+        .orderBy("doc_id")),
+
     // Corpus report: doc/token/quality profile per source × lang with
     // CUBE subtotals — the profiling query a data curator runs before
     // choosing mixture weights. One aggregation pass; quality is the
@@ -2254,6 +2295,78 @@ object LlmDataQueries extends QueryPack {
         |       round(avg(q), 6) AS mean_quality
         |FROM s GROUP BY CUBE (source, lang)
         |ORDER BY source, lang""".stripMargin,
+
+    // bit-length buckets via bin() (verbatim in both engines), packing
+    // arithmetic per (source, bucket) — mirrors packLengthBuckets.
+    "q_pack_length_buckets" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents),
+        |b AS (SELECT doc_id, source, n_tokens,
+        |        CAST(len(bin(CAST(greatest(n_tokens, 1) AS BIGINT)))
+        |          AS INT) AS len_bucket FROM d),
+        |c AS (SELECT doc_id, source, n_tokens, len_bucket,
+        |        sum(n_tokens) OVER (PARTITION BY source, len_bucket
+        |          ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM b)
+        |SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+        | len_bucket,
+        | CAST(floor(CAST(cum - n_tokens AS DOUBLE) / CAST(256 AS DOUBLE))
+        |   AS INT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // A-ES weighted sample mirror: the same md5-60-bit uniform,
+    // log-space key ln(u)/w, rank on the ROUNDED key with id tiebreak.
+    "q_weighted_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        |           FROM documents),
+        |k AS (SELECT doc_id, w,
+        |        round(ln((('0x' || substr(md5('aes' ||
+        |            CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |            + CAST(0.5 AS DOUBLE)) / 1152921504606846976.0)
+        |          / CAST(w AS DOUBLE), 6) AS aes_key
+        |      FROM d),
+        |r AS (SELECT doc_id, w, aes_key, row_number()
+        |        OVER (ORDER BY aes_key DESC, doc_id) AS rn FROM k)
+        |SELECT doc_id, w, aes_key FROM r WHERE rn <= 100
+        |ORDER BY doc_id""".stripMargin,
+
+    // budget-prefix mirror: the naive global-window form of the
+    // two-stage selection — sum(tokens) OVER (ORDER BY score DESC, id)
+    // <= budget; quality expression copied from q_corpus_report.
+    "q_budget_select" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |  round(((CASE WHEN len(t) BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END
+        |    + least(len(list_distinct(t)) * 1.0 / len(t) * 2.0, 1.0))
+        |   + CASE WHEN len(list_filter(t,
+        |       x -> x IN ('the','a','of','and','to','in'))) * 1.0
+        |         / len(t) > 0 THEN 1.0 ELSE 0.0 END) / 3.0, 6) AS score_r,
+        |  CAST(len(t) AS BIGINT) AS n_units FROM d),
+        |c AS (SELECT doc_id, score_r, n_units,
+        |        sum(n_units) OVER (ORDER BY score_r DESC, doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum FROM s)
+        |SELECT doc_id, score_r, n_units FROM c WHERE cum <= 12000
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_anneal_phases" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |  round(((CASE WHEN len(t) BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END
+        |    + least(len(list_distinct(t)) * 1.0 / len(t) * 2.0, 1.0))
+        |   + CASE WHEN len(list_filter(t,
+        |       x -> x IN ('the','a','of','and','to','in'))) * 1.0
+        |         / len(t) > 0 THEN 1.0 ELSE 0.0 END) / 3.0, 6) AS score_r,
+        |  CAST(len(t) AS BIGINT) AS n_units FROM d),
+        |c AS (SELECT doc_id, score_r, n_units,
+        |        sum(n_units) OVER (ORDER BY score_r DESC, doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum FROM s)
+        |SELECT doc_id, score_r, n_units,
+        | CASE WHEN cum <= 5000 THEN 'anneal' ELSE 'main' END AS phase
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // incremental-dedup mirror: same normalization, NOT IN on the
     // known half's fingerprints.

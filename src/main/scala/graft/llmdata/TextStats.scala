@@ -349,6 +349,38 @@ object TextStats {
       .drop("__cum")
   }
 
+  /** Length-bucketed sequence packing: [[packSequences]] with documents
+    * first split into power-of-two token-length buckets, then packed
+    * per (shard, bucket) — the padding-minimizing batching recipe
+    * (documents of similar length share a pack, so a pack's padding
+    * waste is bounded by the bucket's 2× width; the same idea as
+    * bucketed batching in public seq2seq training recipes).
+    *
+    * The bucket is `len(bin(n))` — the binary bit-length of the token
+    * count, i.e. floor(log2 n)+1 computed in INTEGER arithmetic
+    * (`bin()` exists verbatim in both engines; no float log whose ulp
+    * at an exact power of two could disagree across engines). Packing
+    * windows run per (shard, bucket): strictly narrower partitions
+    * than [[packSequences]], so the scale posture only improves.
+    * Output adds (n_tokens, len_bucket, pack_id), pack ids local to
+    * the (shard, bucket) pair.
+    */
+  def packLengthBuckets(df: DataFrame, textCol: String, idCol: String,
+      shardCol: String, budget: Int,
+      tokenCounter: Column => Column = tokenCount): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val bucket = length(bin(greatest(col("n_tokens"), lit(1)).cast("long")))
+      .cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol), col("len_bucket")).orderBy(col(idCol))
+    df.withColumn("n_tokens", tokenCounter(col(textCol)))
+      .withColumn("len_bucket", bucket)
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("__cum") - col("n_tokens")) / lit(budget)).cast("int"))
+      .drop("__cum")
+  }
+
   /** Line-level document cleaning — the RefinedWeb / CCNet pre-filter
     * stage (Penedo arXiv:2306.01116 App. F; Wenzek LREC'20 §3.1): drop
     * lines that are too short, SHOUTED, or mostly numeric, and keep

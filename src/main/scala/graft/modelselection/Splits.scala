@@ -361,6 +361,44 @@ object Splits {
     }.toSeq.toDF(groupCol, "n_tokens", "cap", "alloc", "rate")
   }
 
+  /** Weighted k-sample WITHOUT replacement (Efraimidis & Spirakis,
+    * IPL 97(5) 2006, algorithm A-ES): each row draws u ∈ (0,1) and the
+    * k rows with the largest u^(1/w) win — the selection distribution
+    * is exactly weighted-sequential-sampling. We rank on the
+    * equivalent log-space key ln(u)/w (monotone in u^(1/w), no
+    * underflow for tiny weights) and the uniform is CONTENT-HASHED,
+    * not seeded: u = (v + 0.5) / 2^60 with v the row key's md5-60-bit
+    * value — the same determinism contract as [[hashSample]], so
+    * membership is a pure function of (key, salt) that any engine
+    * reproduces.
+    *
+    * Plan shape: map-only key computation fused into the scan, then
+    * TakeOrderedAndProject (per-partition bounded heap + size-k driver
+    * merge) — no global sort, no shuffle of the corpus; at 100 TB each
+    * task ships exactly k candidate rows. Rank on the ROUNDED key with
+    * ascending-id tiebreak (the repo's cross-engine ordering
+    * convention: ulp-level ln/pow differences cannot flip an order the
+    * oracle resolves identically).
+    *
+    * Output: (id, weight, key) for the k winners. Weights must be
+    * strictly positive — clamp upstream (e.g. `greatest(w, 1)`); a
+    * zero/negative weight would make ln(u)/w flip sign and win every
+    * draw.
+    */
+  def weightedHashSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // first 15 md5 hex chars = 60 bits, already < 2^60: no mod needed
+    val v = conv(substring(md5(concat(lit(salt),
+        col(keyCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val u = (v.cast("double") + lit(0.5)) / lit(1152921504606846976.0)
+    df.withColumn("__aes_key",
+        round(log(u) / col(weightCol).cast("double"), 6))
+      .orderBy(col("__aes_key").desc, col(keyCol))
+      .limit(k)
+      .select(col(keyCol), col(weightCol), col("__aes_key").as("aes_key"))
+  }
+
   /** round, not truncate: 0.29·1e6 is 289999.99999999994 in binary —
     * truncation would put bucket 289999 on the wrong side of the
     * documented `bucket < rate·1e6` contract.

@@ -49,9 +49,16 @@ class PlanRegressionSpec extends SparkSpec {
                              // alternative is a banned theta-join)
     "q_asof_forward",        // same operator, forward direction
     "q_asof_tolerance",      // same operator, tolerance bound
-    "q_winnowing"            // winnowing's rolling min IS a per-DOC
+    "q_winnowing",           // winnowing's rolling min IS a per-DOC
                              // [p, p+w) frame window — partitioned by
                              // document, never a global sort
+    "q_pack_length_buckets", // per-(shard, length-bucket) running token
+                             // sum — packing semantics, windows strictly
+                             // narrower than q_sequence_packing's
+    "q_budget_select",       // ordered prefix WITHIN the single boundary
+                             // score group only (the corpus path is a
+                             // scan-fused filter; see Curriculum doc)
+    "q_anneal_phases"        // same boundary-group-only window
     // (q_dedup_substr's gaps-and-islands span-merge windows — per-doc
     // partitions — run inside the operator's eager span materialization
     // and surface to the gate plan as an InMemoryTableScan, so no
