@@ -164,6 +164,77 @@ object Metrics {
     df.agg(weighted(-log(py), sampleWeight.map(col))).head().getDouble(0)
   }
 
+  // ---- classifier evaluation beyond the reference surface ----
+  // (the trained quality / language classifiers this library ships
+  // need confusion / per-class PRF / ranking metrics to be judged;
+  // sklearn semantics, Spark-shaped plans)
+
+  /** Confusion matrix as a long-form frame (label, pred, n): ONE
+    * hash-aggregate over ≤ |classes|² keys — no pivot, no collect.
+    */
+  def confusionMatrix(df: DataFrame, yTrue: String, yPred: String): DataFrame =
+    df.groupBy(col(yTrue).as("label"), col(yPred).as("pred"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-class precision / recall / F1 from one confusion aggregate:
+    * tp from the diagonal, fp/fn from per-pred / per-label marginals —
+    * three tiny grouped sums over the ≤ |classes|² confusion frame,
+    * outer-joined on the class key (a class never predicted, or never
+    * true, still gets its row with the sklearn zero-division=0
+    * convention). Output: (class, tp, fp, fn, precision, recall, f1),
+    * doubles rounded to 6.
+    */
+  def precisionRecallF1(df: DataFrame, yTrue: String, yPred: String): DataFrame = {
+    val cm = confusionMatrix(df, yTrue, yPred)
+    val tp = cm.filter(col("label") === col("pred"))
+      .select(col("label").as("clazz"), col("n").as("tp"))
+    val byLabel = cm.groupBy(col("label").as("clazz"))
+      .agg(sum(col("n")).as("n_true"))
+    val byPred = cm.groupBy(col("pred").as("clazz"))
+      .agg(sum(col("n")).as("n_pred"))
+    val z = lit(0L)
+    byLabel.join(byPred, Seq("clazz"), "full_outer")
+      .join(tp, Seq("clazz"), "left_outer")
+      .select(col("clazz"),
+        coalesce(col("tp"), z).as("tp"),
+        (coalesce(col("n_pred"), z) - coalesce(col("tp"), z)).as("fp"),
+        (coalesce(col("n_true"), z) - coalesce(col("tp"), z)).as("fn"))
+      .withColumn("precision", round(when(col("tp") + col("fp") === 0, 0.0)
+        .otherwise(col("tp").cast("double") / (col("tp") + col("fp"))), 6))
+      .withColumn("recall", round(when(col("tp") + col("fn") === 0, 0.0)
+        .otherwise(col("tp").cast("double") / (col("tp") + col("fn"))), 6))
+      .withColumn("f1", round(when(col("precision") + col("recall") === 0, 0.0)
+        .otherwise(lit(2.0) * col("precision") * col("recall")
+          / (col("precision") + col("recall"))), 6))
+  }
+
+  /** Binary ROC-AUC as the tie-aware Mann–Whitney U statistic:
+    * AUC = (Σ avgrank(positives) − P(P+1)/2) / (P·N). The global
+    * ranking the textbook formula implies is NOT materialized —
+    * scores aggregate to ≤ |distinct scores| (cnt, pos) rows first and
+    * the rank window runs over that aggregate frame only (the same
+    * two-stage shape as Curriculum.budgetSelect), so the corpus pays
+    * one hash aggregate and no sort at any size. A score group's
+    * members share the average rank cumBefore + (cnt+1)/2, which is
+    * exactly the tie convention sklearn's roc_auc_score implements.
+    * NaN when only one class is present (sklearn raises; callers gate).
+    */
+  def rocAuc(df: DataFrame, yTrue: String, scoreCol: String): Double = {
+    val g = df.groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).cast("double").as("cnt"),
+        sum(col(yTrue).cast("double")).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val r = g.withColumn("cb", coalesce(sum(col("cnt")).over(w), lit(0.0)))
+      .agg(
+        sum(col("pos") * (col("cb") + (col("cnt") + 1) / 2)).as("rank_sum"),
+        sum(col("pos")).as("p"), sum(col("cnt")).as("n")).head()
+    val (rankSum, p, n) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    val neg = n - p
+    if (p == 0 || neg == 0) Double.NaN
+    else (rankSum - p * (p + 1) / 2) / (p * neg)
+  }
+
   // ---- r2 without a window (exposed for the query pack) ----
   /** Two-aggregate single-pass r2: E[y], E[y²], E[(y-p)²]. */
   def r2Expr(yTrue: Column, yPred: Column): Column = {
@@ -188,7 +259,10 @@ object Scorer {
     "neg_mean_absolute_error" -> ((df, t, p) => -Metrics.meanAbsoluteError(df, t, p)),
     "neg_mean_squared_log_error" -> ((df, t, p) => -Metrics.meanSquaredLogError(df, t, p)),
     "r2" -> ((df, t, p) => Metrics.r2Score(df, t, p)),
-    "neg_log_loss" -> ((df, t, p) => -Metrics.logLoss(df, t, p))
+    "neg_log_loss" -> ((df, t, p) => -Metrics.logLoss(df, t, p)),
+    // beyond the reference registry: ranking metric for the trained
+    // quality/langid classifiers (third arg = score column)
+    "roc_auc" -> ((df, t, p) => Metrics.rocAuc(df, t, p))
   )
 
   def getScorer(name: String): ScoreFn =

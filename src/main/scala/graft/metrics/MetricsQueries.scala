@@ -105,6 +105,40 @@ object MetricsQueries extends QueryPack {
         "accuracy" -> Scorer.getScorer("accuracy")(df, "ycls", "pcls")))
     }),
 
+    // Confusion matrix: long-form (label, pred, n) — one hash
+    // aggregate over ≤ |classes|² keys; pred is a deterministic 3-way
+    // formula so the oracle reproduces it.
+    "q_confusion" -> ((s, dir) =>
+      Metrics.confusionMatrix(
+        Tables.lineitem(s, dir).withColumn("p3",
+          when(col("l_quantity") > 35, "R")
+            .when(col("l_quantity") > 15, "N").otherwise("A")),
+        "l_returnflag", "p3")
+        .orderBy("label", "pred")),
+
+    // Per-class precision/recall/F1 from the confusion marginals
+    // (full-outer on the class key: classes never predicted — or never
+    // true — keep their rows under the sklearn zero-division=0 rule).
+    "q_prf1" -> ((s, dir) =>
+      Metrics.precisionRecallF1(
+        Tables.lineitem(s, dir).withColumn("p3",
+          when(col("l_quantity") > 35, "R")
+            .when(col("l_quantity") > 15, "N").otherwise("A")),
+        "l_returnflag", "p3")
+        .orderBy("clazz")),
+
+    // Binary ROC-AUC via the tie-aware Mann–Whitney rank form — the
+    // rank window runs over the per-score AGGREGATE, never the corpus.
+    // l_discount has only 11 distinct values: the tie path carries the
+    // whole statistic; l_extendedprice exercises the near-unique path.
+    "q_roc_auc" -> ((s, dir) => {
+      val df = Tables.lineitem(s, dir)
+        .withColumn("is_r", (col("l_returnflag") === "R").cast("double"))
+      rounded(s, Seq(
+        "auc_ties" -> Metrics.rocAuc(df, "is_r", "l_discount"),
+        "auc_dense" -> Metrics.rocAuc(df, "is_r", "l_extendedprice")))
+    }),
+
     "q_gnb_fit" -> ((s, dir) => {
       val m = new GaussianNB(Seq("l_quantity", "l_extendedprice"), "l_returnflag")
         .fit(Tables.lineitem(s, dir))
@@ -141,6 +175,70 @@ object MetricsQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_confusion" ->
+      """SELECT l_returnflag AS label,
+        | CASE WHEN l_quantity > 35 THEN 'R'
+        |      WHEN l_quantity > 15 THEN 'N' ELSE 'A' END AS pred,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY label, pred""".stripMargin,
+
+    // marginal mirror of precisionRecallF1: tp from the diagonal,
+    // fp/fn from per-pred/per-label counts, f1 from the ROUNDED
+    // precision/recall exactly as the Spark expression computes it.
+    "q_prf1" ->
+      """WITH d AS (SELECT l_returnflag AS label,
+        |  CASE WHEN l_quantity > 35 THEN 'R'
+        |       WHEN l_quantity > 15 THEN 'N' ELSE 'A' END AS pred
+        |  FROM lineitem),
+        |lbl AS (SELECT label AS clazz, count(*) AS n_true FROM d GROUP BY 1),
+        |prd AS (SELECT pred AS clazz, count(*) AS n_pred FROM d GROUP BY 1),
+        |diag AS (SELECT label AS clazz, count(*) AS tp FROM d
+        |         WHERE label = pred GROUP BY 1),
+        |j AS (SELECT coalesce(l.clazz, p.clazz) AS clazz,
+        |        coalesce(l.n_true, 0) AS n_true,
+        |        coalesce(p.n_pred, 0) AS n_pred
+        |      FROM lbl l FULL OUTER JOIN prd p ON l.clazz = p.clazz),
+        |c AS (SELECT j.clazz, coalesce(diag.tp, 0) AS tp,
+        |        j.n_pred - coalesce(diag.tp, 0) AS fp,
+        |        j.n_true - coalesce(diag.tp, 0) AS fn
+        |      FROM j LEFT JOIN diag ON j.clazz = diag.clazz),
+        |pr AS (SELECT clazz, tp, fp, fn,
+        |        round(CASE WHEN tp + fp = 0 THEN 0.0
+        |          ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+        |        round(CASE WHEN tp + fn = 0 THEN 0.0
+        |          ELSE CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall
+        |       FROM c)
+        |SELECT clazz, tp, fp, fn, precision, recall,
+        | round(CASE WHEN precision + recall = 0 THEN 0.0
+        |   ELSE 2.0 * precision * recall / (precision + recall) END, 6) AS f1
+        |FROM pr ORDER BY clazz""".stripMargin,
+
+    // tie-aware Mann–Whitney AUC over the per-score aggregate — the
+    // same group/cumulate/sum arithmetic as Metrics.rocAuc.
+    "q_roc_auc" ->
+      """WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END
+        |    AS is_r, l_discount AS s1, l_extendedprice AS s2 FROM lineitem),
+        |g1 AS (SELECT s1, CAST(count(*) AS DOUBLE) AS cnt,
+        |         sum(is_r) AS pos FROM d GROUP BY s1),
+        |c1 AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY s1
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS cb FROM g1),
+        |a1 AS (SELECT sum(pos * (cb + (cnt + 1) / 2)) AS rank_sum,
+        |         sum(pos) AS p, sum(cnt) AS n FROM c1),
+        |g2 AS (SELECT s2, CAST(count(*) AS DOUBLE) AS cnt,
+        |         sum(is_r) AS pos FROM d GROUP BY s2),
+        |c2 AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY s2
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS cb FROM g2),
+        |a2 AS (SELECT sum(pos * (cb + (cnt + 1) / 2)) AS rank_sum,
+        |         sum(pos) AS p, sum(cnt) AS n FROM c2)
+        |SELECT 'auc_dense' AS metric, round((rank_sum - p * (p + 1) / 2)
+        |  / (p * (n - p)), 6) AS value FROM a2
+        |UNION ALL
+        |SELECT 'auc_ties', round((rank_sum - p * (p + 1) / 2)
+        |  / (p * (n - p)), 6) FROM a1
+        |ORDER BY metric""".stripMargin,
+
     "q_metrics_regression" ->
       """WITH d AS (SELECT l_extendedprice AS y,
         |  l_extendedprice * (1.0 - l_discount) AS p, l_quantity AS w FROM lineitem)

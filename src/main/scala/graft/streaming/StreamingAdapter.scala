@@ -289,6 +289,71 @@ object StreamingAdapter {
         !arrays_overlap(graft.llmdata.Dedup.shingleSetExpr(textCol, n), contamLit))
     }
   }
+
+  /** Per-shard running token total carried across micro-batches by
+    * [[streamingPackSequences]] — ONE long of state per shard.
+    */
+  case class PackState(cum: Long)
+
+  case class PackedDoc(doc_id: Long, shard: String, n_tokens: Int,
+      pack_id: Int)
+
+  /** Streaming sequence packing — the ingestion-time analog of
+    * [[graft.llmdata.TextStats.packSequences]], closing the last batch
+    * flagship stage without a streaming counterpart: assign each
+    * arriving document to a fixed-budget training pack, per shard,
+    * with the SAME arithmetic (pack = floor(cumBefore / budget), an
+    * over-budget document overfills the open pack).
+    *
+    * Order contract: the batch operator packs in (shard, id) order; a
+    * stream has no total order, so packing is id-ordered WITHIN each
+    * micro-batch and arrival-ordered across batches — when ids arrive
+    * monotonically (ingest sequence numbers), the streamed packing
+    * equals the batch packing of the concatenated corpus exactly
+    * (StreamingPackSpec pins this parity). The per-shard group is
+    * buffered to sort by id — bounded by one micro-batch's shard
+    * slice, not by history.
+    *
+    * State discipline: one long per shard (shard spaces are small and
+    * long-lived — source/date buckets — so no timeout by default;
+    * `expireAfter` arms the same processing-time expiry as
+    * [[runningStats]] for unbounded shard keys, at the cost that a
+    * re-appearing shard restarts its packs at 0).
+    */
+  def streamingPackSequences(stream: DataFrame, textCol: String,
+      idCol: String, shardCol: String, budget: Int,
+      expireAfter: Option[String] = None): Dataset[PackedDoc] = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val timeout =
+      if (expireAfter.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    stream.select(col(idCol).cast("long").as("id"),
+        col(shardCol).cast("string").as("shard"),
+        graft.llmdata.TextStats.tokenCount(col(textCol)).cast("int").as("n"))
+      .as[(Long, String, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[PackState, PackedDoc](
+        OutputMode.Append, timeout) {
+        (shard: String, rows: Iterator[(Long, String, Int)],
+            state: GroupState[PackState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var cum = state.getOption.map(_.cum).getOrElse(0L)
+            val out = rows.toArray.sortBy(_._1).map { case (id, _, n) =>
+              val packId = (cum / budget).toInt
+              cum += n
+              PackedDoc(id, shard, n, packId)
+            }
+            state.update(PackState(cum))
+            expireAfter.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
 }
 
 /** Mutable holder driving an [[OnlineEstimator]] from a stream via

@@ -86,4 +86,42 @@ class MetricsSpec extends SparkSpec {
       Metrics.regressionMulti(d, "mse", Seq("y0"), Seq("p0"), "weights=[1,2]")
     }
   }
+
+  test("confusion matrix + PRF1: never-predicted class keeps its row at P=0") {
+    import spark.implicits._
+    // truth:  a a a b b c ; pred: a a b b b a  — 'c' never predicted
+    val d = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"),
+      ("c", "a")).toDF("y", "p")
+    val cm = Metrics.confusionMatrix(d, "y", "p")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cm == Map(("a", "a") -> 2L, ("a", "b") -> 1L, ("b", "b") -> 2L,
+      ("c", "a") -> 1L))
+    val prf = Metrics.precisionRecallF1(d, "y", "p")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(prf("a") == (((2L, 1L, 1L), 0.666667, 0.666667, 0.666667)),
+      "values carry the round-6 output convention")
+    assert(prf("b")._1 == ((2L, 1L, 0L)))
+    assert(prf("b")._3 == 1.0, "recall(b) = 2/2")
+    assert(prf("c") == (((0L, 0L, 1L), 0.0, 0.0, 0.0)),
+      "never-predicted class: sklearn zero-division=0 convention")
+  }
+
+  test("rocAuc equals the brute-force pair statistic, ties counted half") {
+    import spark.implicits._
+    val rows = Seq((1.0, 0.9), (1.0, 0.5), (1.0, 0.5), (0.0, 0.5),
+      (0.0, 0.3), (0.0, 0.1), (1.0, 0.2))
+    val d = rows.toDF("y", "s")
+    val pos = rows.filter(_._1 == 1.0).map(_._2)
+    val neg = rows.filter(_._1 == 0.0).map(_._2)
+    val brute = (for { p <- pos; n <- neg } yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum / (pos.size * neg.size)
+    assert(Metrics.rocAuc(d, "y", "s") ~== brute)
+    // perfect separation and degenerate single-class input
+    val perfect = Seq((1.0, 2.0), (1.0, 3.0), (0.0, 1.0)).toDF("y", "s")
+    assert(Metrics.rocAuc(perfect, "y", "s") ~== 1.0)
+    val oneClass = Seq((1.0, 2.0), (1.0, 3.0)).toDF("y", "s")
+    assert(Metrics.rocAuc(oneClass, "y", "s").isNaN)
+  }
 }
