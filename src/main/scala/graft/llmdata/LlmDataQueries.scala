@@ -1511,6 +1511,24 @@ object LlmDataQueries extends QueryPack {
         .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))
         .orderBy("doc_id")),
 
+    // Tokenizer fertility report: per-language BPE subwords per
+    // whitespace word and chars per subword — the tokenizer-QA numbers
+    // a multilingual corpus owner reads before fixing a merge table
+    // (fertility ≫ 1 on a language = the tokenizer fragments it).
+    // One aggregation; the BPE count is the scan-fused codegen kernel.
+    "q_bpe_fertility" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("lang"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_words"),
+          length(col("text")).cast("long").as("n_chars"),
+          Bpe.countExpr(col("text"), Bpe.trained(s, dir)).cast("long").as("n_bpe"))
+        .groupBy("lang")
+        .agg(sum("n_words").as("n_words"), sum("n_bpe").as("n_bpe"),
+          round(sum("n_bpe").cast("double") / sum("n_words").cast("double"), 6)
+            .as("fertility"),
+          round(sum("n_chars").cast("double") / sum("n_bpe").cast("double"), 6)
+            .as("chars_per_token"))
+        .orderBy("lang")),
+
     // Length-bucketed packing: power-of-two token-length buckets
     // (integer bit-length — no float log), packed per (source, bucket)
     // — the padding-minimizing batching recipe; windows are strictly
@@ -3407,6 +3425,19 @@ object LlmDataQueries extends QueryPack {
                  " AS text FROM documents)")}
              |SELECT doc_id, pos, token FROM btok
              |ORDER BY doc_id, pos""".stripMargin,
+        "q_bpe_fertility" ->
+          s"""WITH RECURSIVE ${Bpe.bpeCteSql(merges)},
+             |f AS (SELECT d.lang,
+             |        len(string_split(d.text, ' ')) AS n_words,
+             |        length(d.text) AS n_chars, nb.n_bpe
+             |      FROM documents d JOIN nb USING (doc_id))
+             |SELECT lang, CAST(sum(n_words) AS BIGINT) AS n_words,
+             | CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+             | round(CAST(sum(n_bpe) AS DOUBLE)
+             |   / CAST(sum(n_words) AS DOUBLE), 6) AS fertility,
+             | round(CAST(sum(n_chars) AS DOUBLE)
+             |   / CAST(sum(n_bpe) AS DOUBLE), 6) AS chars_per_token
+             |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
         "q_sequence_packing" ->
           s"""WITH RECURSIVE ${Bpe.bpeCteSql(merges)},
              |d AS (SELECT d0.doc_id, d0.source, nb.n_bpe AS n_tokens

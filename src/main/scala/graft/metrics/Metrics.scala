@@ -235,6 +235,57 @@ object Metrics {
     else (rankSum - p * (p + 1) / 2) / (p * neg)
   }
 
+  /** Average precision (PR-AUC) in sklearn's step form
+    * AP = Σ_n (R_n − R_{n−1})·P_n over DESCENDING score thresholds,
+    * tie groups collapsed into one threshold — computed like
+    * [[rocAuc]]: scores aggregate to (cnt, pos) per distinct value
+    * first, the cumulative window runs over that aggregate frame only,
+    * and AP = Σ_g pos_g·(cumtp_g/cumall_g) / P. No corpus sort.
+    * NaN when no positives exist.
+    */
+  def averagePrecision(df: DataFrame, yTrue: String, scoreCol: String): Double = {
+    val g = df.groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).cast("double").as("cnt"),
+        sum(col(yTrue).cast("double")).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val r = g.withColumn("cumtp", sum(col("pos")).over(w))
+      .withColumn("cumall", sum(col("cnt")).over(w))
+      .agg(sum(col("pos") * col("cumtp") / col("cumall")).as("num"),
+        sum(col("pos")).as("p")).head()
+    val (num, p) = (r.getDouble(0), r.getDouble(1))
+    if (p == 0) Double.NaN else num / p
+  }
+
+  /** Calibration reliability bins for a probability column: bin
+    * b = min(floor(p·nBins), nBins−1), per-bin count / mean predicted
+    * probability / empirical positive rate / absolute gap — ONE hash
+    * aggregate over ≤ nBins keys (the expected-calibration-error sum
+    * Σ n_b/N·|conf_b − acc_b| is a trivial second pass over the bin
+    * frame, [[expectedCalibrationError]]). Doubles rounded to 6.
+    */
+  def calibrationBins(df: DataFrame, yTrue: String, probCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val b = least(floor(col(probCol) * nBins), lit(nBins - 1)).cast("int")
+    df.groupBy(b.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col(probCol)), 6).as("mean_p"),
+        round(avg(col(yTrue).cast("double")), 6).as("frac_pos"))
+      .withColumn("gap", round(abs(col("mean_p") - col("frac_pos")), 6))
+  }
+
+  /** ECE over [[calibrationBins]]' ROUNDED per-bin stats (so the
+    * scalar is the exact weighted sum of the frame a caller inspects).
+    */
+  def expectedCalibrationError(df: DataFrame, yTrue: String, probCol: String,
+      nBins: Int = 10): Double = {
+    val bins = calibrationBins(df, yTrue, probCol, nBins)
+    val r = bins.agg(sum(col("n") * col("gap")).as("num"),
+      sum(col("n")).as("n")).head()
+    r.getDouble(0) / r.getLong(1)
+  }
+
   // ---- r2 without a window (exposed for the query pack) ----
   /** Two-aggregate single-pass r2: E[y], E[y²], E[(y-p)²]. */
   def r2Expr(yTrue: Column, yPred: Column): Column = {

@@ -139,6 +139,26 @@ object MetricsQueries extends QueryPack {
         "auc_dense" -> Metrics.rocAuc(df, "is_r", "l_extendedprice")))
     }),
 
+    // PR-AUC (sklearn average_precision step form) over the same
+    // per-score-aggregate shape as q_roc_auc — ties and near-unique.
+    "q_pr_auc" -> ((s, dir) => {
+      val df = Tables.lineitem(s, dir)
+        .withColumn("is_r", (col("l_returnflag") === "R").cast("double"))
+      rounded(s, Seq(
+        "ap_ties" -> Metrics.averagePrecision(df, "is_r", "l_discount"),
+        "ap_dense" -> Metrics.averagePrecision(df, "is_r", "l_extendedprice")))
+    }),
+
+    // Calibration reliability bins: one ≤ nBins-key hash aggregate;
+    // p = 10·l_discount spans [0,1] with mass at both edge bins.
+    "q_calibration" -> ((s, dir) =>
+      Metrics.calibrationBins(
+        Tables.lineitem(s, dir)
+          .withColumn("is_r", (col("l_returnflag") === "R").cast("double"))
+          .withColumn("p", col("l_discount") * 10),
+        "is_r", "p", nBins = 10)
+        .orderBy("bin")),
+
     "q_gnb_fit" -> ((s, dir) => {
       val m = new GaussianNB(Seq("l_quantity", "l_extendedprice"), "l_returnflag")
         .fit(Tables.lineitem(s, dir))
@@ -238,6 +258,39 @@ object MetricsQueries extends QueryPack {
         |SELECT 'auc_ties', round((rank_sum - p * (p + 1) / 2)
         |  / (p * (n - p)), 6) FROM a1
         |ORDER BY metric""".stripMargin,
+
+    "q_pr_auc" ->
+      """WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END
+        |    AS is_r, l_discount AS s1, l_extendedprice AS s2 FROM lineitem),
+        |g1 AS (SELECT s1, CAST(count(*) AS DOUBLE) AS cnt,
+        |         sum(is_r) AS pos FROM d GROUP BY s1),
+        |c1 AS (SELECT *,
+        |         sum(pos) OVER (ORDER BY s1 DESC
+        |           ROWS UNBOUNDED PRECEDING) AS cumtp,
+        |         sum(cnt) OVER (ORDER BY s1 DESC
+        |           ROWS UNBOUNDED PRECEDING) AS cumall FROM g1),
+        |a1 AS (SELECT sum(pos * cumtp / cumall) AS num, sum(pos) AS p
+        |       FROM c1),
+        |g2 AS (SELECT s2, CAST(count(*) AS DOUBLE) AS cnt,
+        |         sum(is_r) AS pos FROM d GROUP BY s2),
+        |c2 AS (SELECT *,
+        |         sum(pos) OVER (ORDER BY s2 DESC
+        |           ROWS UNBOUNDED PRECEDING) AS cumtp,
+        |         sum(cnt) OVER (ORDER BY s2 DESC
+        |           ROWS UNBOUNDED PRECEDING) AS cumall FROM g2),
+        |a2 AS (SELECT sum(pos * cumtp / cumall) AS num, sum(pos) AS p
+        |       FROM c2)
+        |SELECT 'ap_dense' AS metric, round(num / p, 6) AS value FROM a2
+        |UNION ALL SELECT 'ap_ties', round(num / p, 6) FROM a1
+        |ORDER BY metric""".stripMargin,
+
+    "q_calibration" ->
+      """WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END
+        |    AS is_r, l_discount * 10 AS p FROM lineitem)
+        |SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin, count(*) AS n,
+        | round(avg(p), 6) AS mean_p, round(avg(is_r), 6) AS frac_pos,
+        | round(abs(round(avg(p), 6) - round(avg(is_r), 6)), 6) AS gap
+        |FROM d GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q_metrics_regression" ->
       """WITH d AS (SELECT l_extendedprice AS y,

@@ -124,4 +124,34 @@ class MetricsSpec extends SparkSpec {
     val oneClass = Seq((1.0, 2.0), (1.0, 3.0)).toDF("y", "s")
     assert(Metrics.rocAuc(oneClass, "y", "s").isNaN)
   }
+
+  test("averagePrecision matches the hand-computed step form, ties collapsed") {
+    import spark.implicits._
+    // desc thresholds: 0.9 (1 pos) → P=1, R=1/3; 0.5 (1 pos of 3 rows,
+    // tie group) → P=2/4, R=2/3; 0.2 (1 pos) → P=3/6, R=1
+    val d = Seq((1.0, 0.9), (1.0, 0.5), (0.0, 0.5), (0.0, 0.5),
+      (0.0, 0.3), (1.0, 0.2)).toDF("y", "s")
+    val expected = (1.0 / 3) * 1.0 + (1.0 / 3) * (2.0 / 4) + (1.0 / 3) * (3.0 / 6)
+    assert(Metrics.averagePrecision(d, "y", "s") ~== expected)
+    // perfect ranking → AP 1; no positives → NaN
+    val perfect = Seq((1.0, 3.0), (1.0, 2.0), (0.0, 1.0)).toDF("y", "s")
+    assert(Metrics.averagePrecision(perfect, "y", "s") ~== 1.0)
+    assert(Metrics.averagePrecision(
+      Seq((0.0, 1.0)).toDF("y", "s"), "y", "s").isNaN)
+  }
+
+  test("calibrationBins: p=1.0 clamps into the last bin; ECE is the weighted gap sum") {
+    import spark.implicits._
+    val d = Seq((1.0, 1.0), (1.0, 0.95), (0.0, 0.91), // bin 9: conf ~.953, acc 2/3
+      (0.0, 0.05), (0.0, 0.01), (1.0, 0.02))          // bin 0: conf ~.027, acc 1/3
+      .toDF("y", "p")
+    val bins = Metrics.calibrationBins(d, "y", "p")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(bins.keySet == Set(0, 9), "p=1.0 lands in bin 9, not a phantom bin 10")
+    assert(bins(9)._1 == 3 && bins(0)._1 == 3)
+    val ece = Metrics.expectedCalibrationError(d, "y", "p")
+    val expected = (3 * bins(0)._4 + 3 * bins(9)._4) / 6
+    assert(ece ~== expected)
+  }
 }
