@@ -293,6 +293,44 @@ object Metrics {
     val ssTot = sum(pow(yTrue, 2)) - pow(sum(yTrue), 2) / count(lit(1))
     lit(1.0) - ssRes / ssTot
   }
+
+  /** Multiclass agreement statistics from ONE confusion aggregate —
+    * the Gorodkin (2004) R_K generalization of Matthews' correlation
+    * plus Cohen's kappa, both closed forms over the class marginals:
+    *
+    *   MCC   = (c·s − Σ_k t_k·p_k) / sqrt((s² − Σp_k²)(s² − Σt_k²))
+    *   kappa = (p_o − p_e)/(1 − p_e),  p_o = c/s,  p_e = Σ t_k·p_k / s²
+    *
+    * where s = total, c = diagonal sum, t_k / p_k = per-class true /
+    * predicted counts. The corpus is reduced to a ≤|classes|² confusion
+    * frame first; everything after runs on that tiny frame (full-outer
+    * marginal join — a class never predicted, or never true, still
+    * contributes its t_k or p_k). Degenerate denominators (single-class
+    * truth or prediction) return 0.0, sklearn's convention.
+    * Returns (mcc, kappa).
+    */
+  def agreementStats(df: DataFrame, yTrue: String, yPred: String): (Double, Double) = {
+    val cm = confusionMatrix(df, yTrue, yPred).cache()
+    try {
+      val tot = cm.agg(sum(col("n")).as("s"),
+        sum(when(col("label") === col("pred"), col("n")).otherwise(0L)).as("c")).head()
+      val s = tot.getLong(0).toDouble; val c = tot.getLong(1).toDouble
+      val marg = cm.groupBy(col("label").as("clazz")).agg(sum(col("n")).as("t"))
+        .join(cm.groupBy(col("pred").as("clazz")).agg(sum(col("n")).as("p")),
+          Seq("clazz"), "full_outer")
+        .select(coalesce(col("t"), lit(0L)).cast("double").as("t"),
+          coalesce(col("p"), lit(0L)).cast("double").as("p"))
+        .agg(sum(col("t") * col("p")).as("tp"),
+          sum(col("t") * col("t")).as("tt"),
+          sum(col("p") * col("p")).as("pp")).head()
+      val (tp, tt, pp) = (marg.getDouble(0), marg.getDouble(1), marg.getDouble(2))
+      val mccDen = math.sqrt((s * s - pp) * (s * s - tt))
+      val mcc = if (mccDen == 0.0) 0.0 else (c * s - tp) / mccDen
+      val pe = tp / (s * s)
+      val kappa = if (pe == 1.0) 0.0 else (c / s - pe) / (1.0 - pe)
+      (mcc, kappa)
+    } finally { cm.unpersist(); () }
+  }
 }
 
 /** Ref: dask_ml.metrics.scorer (metrics/scorer.py:8-77): name → scorer

@@ -149,6 +149,24 @@ object MetricsQueries extends QueryPack {
         "ap_dense" -> Metrics.averagePrecision(df, "is_r", "l_extendedprice")))
     }),
 
+    // MCC (Gorodkin R_K) + Cohen's kappa from one confusion aggregate —
+    // multiclass over the q_confusion 3-way pred, binary over a
+    // discount threshold; all four scalars are closed forms over the
+    // same ≤|classes|² marginal frame the oracle rebuilds in SQL.
+    "q_mcc_kappa" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("p3",
+          when(col("l_quantity") > 35, "R")
+            .when(col("l_quantity") > 15, "N").otherwise("A"))
+        .withColumn("yb", (col("l_returnflag") === "R").cast("int").cast("string"))
+        .withColumn("pb", (col("l_discount") > 0.05).cast("int").cast("string"))
+      val (mccM, kapM) = Metrics.agreementStats(li, "l_returnflag", "p3")
+      val (mccB, kapB) = Metrics.agreementStats(li, "yb", "pb")
+      rounded(s, Seq(
+        "mcc_multi" -> mccM, "kappa_multi" -> kapM,
+        "mcc_binary" -> mccB, "kappa_binary" -> kapB))
+    }),
+
     // Calibration reliability bins: one ≤ nBins-key hash aggregate;
     // p = 10·l_discount spans [0,1] with mass at both edge bins.
     "q_calibration" -> ((s, dir) =>
@@ -257,6 +275,46 @@ object MetricsQueries extends QueryPack {
         |UNION ALL
         |SELECT 'auc_ties', round((rank_sum - p * (p + 1) / 2)
         |  / (p * (n - p)), 6) FROM a1
+        |ORDER BY metric""".stripMargin,
+
+    "q_mcc_kappa" ->
+      """WITH d AS (SELECT l_returnflag AS y3,
+        |    CASE WHEN l_quantity > 35 THEN 'R'
+        |         WHEN l_quantity > 15 THEN 'N' ELSE 'A' END AS p3,
+        |    CASE WHEN l_returnflag = 'R' THEN '1' ELSE '0' END AS yb,
+        |    CASE WHEN l_discount > 0.05 THEN '1' ELSE '0' END AS pb
+        |  FROM lineitem),
+        |cm3 AS (SELECT y3 AS label, p3 AS pred, count(*) AS n FROM d GROUP BY 1, 2),
+        |m3 AS (SELECT coalesce(t.t, 0) AS t, coalesce(p.p, 0) AS p FROM
+        |    (SELECT label AS clazz, CAST(sum(n) AS DOUBLE) AS t FROM cm3 GROUP BY 1) t
+        |  FULL OUTER JOIN
+        |    (SELECT pred AS clazz, CAST(sum(n) AS DOUBLE) AS p FROM cm3 GROUP BY 1) p
+        |  USING (clazz)),
+        |s3 AS (SELECT (SELECT CAST(sum(n) AS DOUBLE) FROM cm3) AS s,
+        |    (SELECT CAST(sum(CASE WHEN label = pred THEN n ELSE 0 END) AS DOUBLE)
+        |       FROM cm3) AS c,
+        |    sum(t * p) AS tp, sum(t * t) AS tt, sum(p * p) AS pp FROM m3),
+        |cmb AS (SELECT yb AS label, pb AS pred, count(*) AS n FROM d GROUP BY 1, 2),
+        |mb AS (SELECT coalesce(t.t, 0) AS t, coalesce(p.p, 0) AS p FROM
+        |    (SELECT label AS clazz, CAST(sum(n) AS DOUBLE) AS t FROM cmb GROUP BY 1) t
+        |  FULL OUTER JOIN
+        |    (SELECT pred AS clazz, CAST(sum(n) AS DOUBLE) AS p FROM cmb GROUP BY 1) p
+        |  USING (clazz)),
+        |sb AS (SELECT (SELECT CAST(sum(n) AS DOUBLE) FROM cmb) AS s,
+        |    (SELECT CAST(sum(CASE WHEN label = pred THEN n ELSE 0 END) AS DOUBLE)
+        |       FROM cmb) AS c,
+        |    sum(t * p) AS tp, sum(t * t) AS tt, sum(p * p) AS pp FROM mb)
+        |SELECT 'kappa_binary' AS metric, round((c / s - tp / (s * s))
+        |  / (1 - tp / (s * s)), 6) AS value FROM sb
+        |UNION ALL
+        |SELECT 'kappa_multi', round((c / s - tp / (s * s))
+        |  / (1 - tp / (s * s)), 6) FROM s3
+        |UNION ALL
+        |SELECT 'mcc_binary', round((c * s - tp)
+        |  / sqrt((s * s - pp) * (s * s - tt)), 6) FROM sb
+        |UNION ALL
+        |SELECT 'mcc_multi', round((c * s - tp)
+        |  / sqrt((s * s - pp) * (s * s - tt)), 6) FROM s3
         |ORDER BY metric""".stripMargin,
 
     "q_pr_auc" ->

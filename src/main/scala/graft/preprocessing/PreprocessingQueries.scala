@@ -207,10 +207,41 @@ object PreprocessingQueries extends QueryPack {
           round(col("l_quantity"), 6).as("qty_rt"),
           round(col("l_extendedprice"), 6).as("price_rt"))
         .orderBy("l_orderkey", "l_linenumber")
-    })
+    }),
+
+    // Out-of-fold smoothed target encoding + frequency encoding
+    // (TargetEncoder.scala): md5-fold assignment, one (cat, fold)
+    // aggregate, broadcast join back — the high-cardinality-categorical
+    // scale path one-hot can't take. Verified per-row.
+    "q_target_encoder" -> ((s, dir) =>
+      TargetEncoder.encode(Tables.customer(s, dir),
+        "c_mktsegment", "c_acctbal", "c_custkey",
+        nFolds = 4, smoothing = 20.0, salt = "te")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_mktsegment_te"), col("c_mktsegment_freq"))
+        .orderBy("c_custkey"))
   )
 
   def oracles: Map[String, String] = Map(
+    "q_target_encoder" ->
+      """WITH f AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    (('0x' || substr(md5('te' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+        |     % 4) AS fold
+        |  FROM customer),
+        |pf AS (SELECT c_mktsegment, fold, sum(c_acctbal) AS s, count(*) AS c
+        |  FROM f GROUP BY 1, 2),
+        |pc AS (SELECT c_mktsegment, sum(s) AS cat_s, sum(c) AS cat_c
+        |  FROM pf GROUP BY 1),
+        |tot AS (SELECT sum(s) AS tot_s, sum(c) AS tot_c FROM pf)
+        |SELECT f.c_custkey, f.c_mktsegment,
+        |  round((pc.cat_s - pf.s + 20.0 * tot.tot_s / tot.tot_c)
+        |    / (pc.cat_c - pf.c + 20.0), 6) AS c_mktsegment_te,
+        |  round(CAST(pc.cat_c AS DOUBLE) / tot.tot_c, 6) AS c_mktsegment_freq
+        |FROM f
+        |JOIN pf ON f.c_mktsegment = pf.c_mktsegment AND f.fold = pf.fold
+        |JOIN pc ON f.c_mktsegment = pc.c_mktsegment
+        |CROSS JOIN tot
+        |ORDER BY f.c_custkey""".stripMargin,
     "q_standard_scaler_fit" ->
       """SELECT * FROM (
         |  SELECT 'l_quantity' AS feature, round(avg(l_quantity),6) AS mean,

@@ -154,4 +154,37 @@ class MetricsSpec extends SparkSpec {
     val expected = (3 * bins(0)._4 + 3 * bins(9)._4) / 6
     assert(ece ~== expected)
   }
+
+  test("agreementStats: binary MCC/kappa match the closed forms") {
+    import spark.implicits._
+    // y=[1,1,0,0,1], p=[1,0,0,0,1] → tp=2 tn=2 fp=0 fn=1
+    val d = Seq(("1", "1"), ("1", "0"), ("0", "0"), ("0", "0"), ("1", "1"))
+      .toDF("y", "p")
+    val (mcc, kappa) = Metrics.agreementStats(d, "y", "p")
+    // MCC = (2·2 − 0·1)/sqrt(2·3·2·3) = 4/6
+    assert(mcc ~== 4.0 / 6.0)
+    // po=0.8, pe=(3·2 + 2·3)/25=0.48 → (0.8−0.48)/0.52
+    assert(kappa ~== 0.32 / 0.52)
+  }
+
+  test("agreementStats: perfect agreement is 1/1; constant prediction is 0/0") {
+    import spark.implicits._
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c")).toDF("y", "p")
+    val (m1, k1) = Metrics.agreementStats(perfect, "y", "p")
+    assert(m1 ~== 1.0); assert(k1 ~== 1.0)
+    // constant pred: MCC denominator s²−Σp² = 0 → 0; kappa po=pe → 0
+    val const = Seq(("a", "a"), ("b", "a")).toDF("y", "p")
+    val (m2, k2) = Metrics.agreementStats(const, "y", "p")
+    assert(m2 == 0.0); assert(k2 ~== 0.0)
+  }
+
+  test("agreementStats: class never predicted still counts in the marginals") {
+    import spark.implicits._
+    // 'c' never predicted: p-marginal for c is 0 but t_c=1 joins via full-outer
+    val d = Seq(("a", "a"), ("b", "b"), ("c", "a")).toDF("y", "p")
+    val (mcc, kappa) = Metrics.agreementStats(d, "y", "p")
+    // s=3 c=2, t=[1,1,1], p=[2,1,0]: Σtp=3, Σtt=3, Σpp=5
+    assert(mcc ~== (2 * 3 - 3) / math.sqrt((9.0 - 5) * (9.0 - 3)))
+    assert(kappa ~== (2.0 / 3 - 3.0 / 9) / (1 - 3.0 / 9))
+  }
 }

@@ -149,4 +149,50 @@ class PreprocessingSpec extends SparkSpec {
     assert(t.schema("l_returnflag").metadata.getStringArray("categories").toSeq ==
       Seq("A", "N", "R"))
   }
+
+  test("TargetEncoder: out-of-fold means match a driver-side recomputation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 60
+    val df = (0 until n).map(i => (i.toLong, if (i % 3 == 0) "x" else "y", i.toDouble))
+      .toDF("id", "cat", "t")
+    val m = 5.0; val k = 4
+    val enc = TargetEncoder.encode(df, "cat", "t", "id", nFolds = k,
+      smoothing = m, salt = "s").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("cat_te"), r.getAs[Double]("cat_freq")))).toMap
+    // recompute folds with the identical md5 expression, then the oof
+    // arithmetic in plain Scala
+    val folds = df.select(col("id"),
+        pmod(conv(substring(md5(concat(lit("s"), col("id").cast("string"))), 1, 15),
+          16, 10).cast("long"), lit(k.toLong)).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    val rows = (0 until n).map(i => (i.toLong, if (i % 3 == 0) "x" else "y",
+      i.toDouble, folds(i.toLong)))
+    val prior = rows.map(_._3).sum / n
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((id, cat, _, f) <- rows) {
+      val inCat = rows.filter(_._2 == cat)
+      val oof = inCat.filter(_._4 != f)
+      val expTe = (oof.map(_._3).sum + m * prior) / (oof.size + m)
+      assert(enc(id)._1 ~== (r6(expTe), 1e-6), s"te mismatch for id=$id")
+      assert(enc(id)._2 ~== (r6(inCat.size.toDouble / n), 1e-6))
+    }
+  }
+
+  test("TargetEncoder: a category confined to one fold falls back to the prior") {
+    import spark.implicits._
+    // 'solo' appears only at ids whose fold we don't control — force the
+    // confinement by using a single row for the category
+    val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0), (4L, "solo", 99.0))
+      .toDF("id", "cat", "t")
+    val prior = (10.0 + 20 + 30 + 99) / 4
+    val enc = TargetEncoder.encode(df, "cat", "t", "id", nFolds = 2,
+      smoothing = 7.0, salt = "z")
+    val solo = enc.filter(org.apache.spark.sql.functions.col("id") === 4L)
+      .select("cat_te").head().getDouble(0)
+    // oof slice empty → (0 + m·prior)/(0 + m) = prior
+    assert(solo ~== (BigDecimal(prior).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, 1e-6))
+  }
 }
