@@ -1696,7 +1696,40 @@ object LlmDataQueries extends QueryPack {
       Ann.sqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id",
         "embedding", k = 3, mins, scales)
         .orderBy("query_id", "rank")
-    })
+    }),
+
+    // In-batch negative pairs for contrastive training: md5 batch
+    // assignment (64 batches ≈ expected size 8 on 500 docs), pairs only
+    // within a batch across different langs — the per-batch equi-join
+    // shape that stays linear at corpus scale.
+    "q_inbatch_negatives" -> ((s, dir) =>
+      Contrastive.inBatchNegatives(Tables.documents(s, dir),
+        "doc_id", "lang", nBatches = 64)
+        .orderBy("batch", "anchor_id", "neg_id")),
+
+    // Hard-negative mining: per anchor (vec_id < 8), top-3 cosine
+    // neighbors with a DIFFERENT class label, ranked on round(cos,6)
+    // with id tiebreak in both engines.
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Contrastive.hardNegatives(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "label", k = 3)
+        .orderBy("anchor_id", "rank")
+    }),
+
+    // Shard manifest: deterministic md5 shard assignment + per-shard
+    // count / byte sum / order-independent bit_xor content checksum.
+    "q_shard_manifest" -> ((s, dir) =>
+      Contrastive.shardManifest(Tables.documents(s, dir),
+        "doc_id", "n_chars", nShards = 8)
+        .orderBy("shard")),
+
+    // Source-concentration report: Gini / HHI / top-share over per-source
+    // char mass — one corpus aggregate, window only over the tiny
+    // per-source frame.
+    "q_source_gini" -> ((s, dir) =>
+      TextStats.concentrationReport(Tables.documents(s, dir),
+        "source", col("n_chars")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -3135,7 +3168,58 @@ object LlmDataQueries extends QueryPack {
          |      JOIN n nb ON nb.vec_id = p.id_b)
          |SELECT cluster, id_a, id_b, round(cos, 6) AS cos
          |FROM c WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
-    }
+    },
+
+    "q_inbatch_negatives" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    (('0x' || substr(md5('ibn' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |     % 64) AS batch
+        |  FROM documents)
+        |SELECT a.batch, a.doc_id AS anchor_id, n.doc_id AS neg_id
+        |FROM b a JOIN b n ON a.batch = n.batch
+        |WHERE a.doc_id != n.doc_id AND a.lang != n.lang
+        |ORDER BY a.batch, anchor_id, neg_id""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS anchor_id, embedding AS qe, label AS albl
+        |           FROM embeddings WHERE vec_id < 8),
+        |x AS (SELECT anchor_id, vec_id,
+        |        unnest(qe)::DOUBLE AS a, unnest(embedding)::DOUBLE AS b
+        |      FROM q, embeddings WHERE vec_id != anchor_id AND label != albl),
+        |c AS (SELECT anchor_id, vec_id,
+        |        round(sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))), 6) AS cos
+        |      FROM x GROUP BY 1, 2),
+        |r AS (SELECT anchor_id, vec_id, cos,
+        |        row_number() OVER (PARTITION BY anchor_id
+        |          ORDER BY cos DESC, vec_id) AS rank FROM c)
+        |SELECT anchor_id, rank, vec_id AS neg_id, cos
+        |FROM r WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
+
+    "q_shard_manifest" ->
+      """SELECT (('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 8) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_size,
+        |  bit_xor(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+        |    AS checksum
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "q_source_gini" ->
+      """WITH pk AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS w
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT source, w,
+        |        row_number() OVER (ORDER BY w, source) AS i,
+        |        row_number() OVER (ORDER BY w DESC, source) AS rd FROM pk),
+        |a AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(w) AS tot,
+        |        sum(w*w) AS ww, sum(i*w) AS iw,
+        |        sum(CASE WHEN rd = 1 THEN w ELSE 0 END) AS top1,
+        |        sum(CASE WHEN rd <= 3 THEN w ELSE 0 END) AS top3 FROM r)
+        |SELECT 'gini' AS metric, round(2*iw/(n*tot) - (n+1)/n, 6) AS value FROM a
+        |UNION ALL SELECT 'hhi', round(ww/(tot*tot), 6) FROM a
+        |UNION ALL SELECT 'n_keys', n FROM a
+        |UNION ALL SELECT 'top1_share', round(top1/tot, 6) FROM a
+        |UNION ALL SELECT 'top3_share', round(top3/tot, 6) FROM a
+        |ORDER BY metric""".stripMargin
   ) ++ trainedIvfOracle ++ trainedPqOracle ++ trainedIvfPqOracle ++
     trainedBpeOracle ++ trainedQualityOracle ++ trainedSqOracle ++
     trainedLangIdOracle

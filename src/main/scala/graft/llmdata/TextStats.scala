@@ -919,6 +919,46 @@ object TextStats {
       .distinct()
   }
 
+  /** Corpus concentration report over a grouping key (source, host,
+    * domain, …): per-key share of the total weight plus the scalar
+    * concentration statistics a mixture designer watches — Gini
+    * coefficient, Herfindahl–Hirschman index (Σ share²), and top-1 /
+    * top-3 cumulative shares. The corpus reduces to a |keys|-row frame
+    * in ONE hash aggregate; the rank window then runs over that tiny
+    * frame only (the same per-aggregate-window shape as the ROC/Zipf
+    * queries — never a window over the corpus).
+    *
+    * Gini over ascending per-key weights x_1..x_n:
+    *   G = 2·Σ i·x_i / (n·Σx) − (n+1)/n
+    * Output: (metric, value) rows, value rounded to 6.
+    */
+  def concentrationReport(df: DataFrame, keyCol: String,
+      weightCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perKey = df.groupBy(col(keyCol))
+      .agg(sum(weightCol.cast("double")).as("__w"))
+    val asc = Window.orderBy(col("__w"), col(keyCol))
+    val desc = Window.orderBy(col("__w").desc, col(keyCol))
+    val ranked = perKey
+      .withColumn("__i", row_number().over(asc))
+      .withColumn("__rd", row_number().over(desc))
+    val agg = ranked.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("__w")).as("tot"),
+      sum(col("__w") * col("__w")).as("ww"),
+      sum(col("__i") * col("__w")).as("iw"),
+      sum(when(col("__rd") === 1, col("__w")).otherwise(0.0)).as("top1"),
+      sum(when(col("__rd") <= 3, col("__w")).otherwise(0.0)).as("top3"))
+    agg.select(explode(map(
+      lit("gini"), round(lit(2.0) * col("iw") / (col("n") * col("tot"))
+        - (col("n") + 1) / col("n"), 6),
+      lit("hhi"), round(col("ww") / (col("tot") * col("tot")), 6),
+      lit("top1_share"), round(col("top1") / col("tot"), 6),
+      lit("top3_share"), round(col("top3") / col("tot"), 6),
+      lit("n_keys"), col("n"))).as(Seq("metric", "value")))
+      .orderBy("metric")
+  }
+
   /** Convenience: attach the full stat block to a DataFrame. */
   def withTextStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

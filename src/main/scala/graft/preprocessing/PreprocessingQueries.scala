@@ -209,6 +209,19 @@ object PreprocessingQueries extends QueryPack {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // VarianceThreshold selector: one aggregate row of per-column
+    // population variances; kept = strictly greater (sklearn).
+    "q_variance_threshold" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val m = new VarianceThreshold(cols, threshold = 1.0)
+        .fit(Tables.lineitem(s, dir))
+      import s.implicits._
+      m.variances.map { case (c, v) => (c,
+          BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          m.kept.contains(c))
+        }.toDF("feature", "variance", "kept").orderBy("feature")
+    }),
+
     // Out-of-fold smoothed target encoding + frequency encoding
     // (TargetEncoder.scala): md5-fold assignment, one (cat, fold)
     // aggregate, broadcast join back — the high-cardinality-categorical
@@ -223,6 +236,20 @@ object PreprocessingQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_variance_threshold" ->
+      """SELECT * FROM (
+        |  SELECT 'l_quantity' AS feature, round(var_pop(l_quantity), 6) AS variance,
+        |    var_pop(l_quantity) > 1.0 AS kept FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', round(var_pop(l_extendedprice), 6),
+        |    var_pop(l_extendedprice) > 1.0 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', round(var_pop(l_discount), 6),
+        |    var_pop(l_discount) > 1.0 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', round(var_pop(l_tax), 6),
+        |    var_pop(l_tax) > 1.0 FROM lineitem
+        |) ORDER BY feature""".stripMargin,
     "q_target_encoder" ->
       """WITH f AS (SELECT c_custkey, c_mktsegment, c_acctbal,
         |    (('0x' || substr(md5('te' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT

@@ -1,0 +1,38 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy self-join (entity resolution / record linkage): find
+  * near-identical string pairs without the O(n²) cross product.
+  *
+  * The classic blocking scheme: candidate pairs are generated ONLY
+  * within a block (equi-join on the blocking key — a plain shuffle
+  * hash join that scales linearly in block count), then the expensive
+  * edit-distance predicate runs on the candidates. At 100 TB the
+  * blocking key choice bounds the quadratic term to per-block sizes;
+  * skewed blocks are AQE-splittable because the join is a standard
+  * equi-join, never a cartesian.
+  */
+object EntityResolution {
+
+  /** Pairs (id_a < id_b) within the same block whose `nameCol` values
+    * are within `maxDistance` Levenshtein edits. Output:
+    * (id_a, id_b, name_a, name_b, distance).
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockKey: Column, maxDistance: Int): DataFrame = {
+    require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
+    val a = df.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
+      blockKey.as("__blk"))
+    val b = df.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
+      blockKey.as("__blk"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      // cheap guard first: |len difference| > maxDistance can never match
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDistance)
+      .withColumn("distance", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("distance") <= maxDistance)
+      .select("id_a", "id_b", "name_a", "name_b", "distance")
+  }
+}

@@ -483,7 +483,36 @@ object RelationalQueries extends QueryPack {
           "metric", "val")
         .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
           round(col("val"), 4).as("val"))
-        .orderBy("l_orderkey", "l_linenumber", "metric"))
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+
+    // Blocked fuzzy self-join (entity resolution): candidate pairs only
+    // within a nation block (plain equi-join — linear in block count,
+    // AQE-splittable), then levenshtein <= 1 on the candidates. Both
+    // engines implement standard edit distance.
+    "q_fuzzy_join" -> ((s, dir) =>
+      EntityResolution.fuzzyPairs(
+        Tables.customer(s, dir), "c_custkey", "c_name",
+        col("c_nationkey"), maxDistance = 1)
+        .orderBy("id_a", "id_b")),
+
+    // Exponential-decay-weighted aggregate (7-day half-life anchored at
+    // the global max event time): per-user recency-weighted value mass —
+    // one scalar subquery + one hash aggregate, the streaming-decay
+    // batch analog.
+    "q_decay_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val tmax = ev.agg(max(col("ts")).as("__tmax"))
+      // µs-exact age (unix_timestamp would floor to seconds and
+      // diverge from the oracle's epoch_us)
+      val ageDays = (unix_micros(col("__tmax")) - unix_micros(col("ts")))
+        .cast("double") / lit(86400.0e6)
+      ev.crossJoin(broadcast(tmax))
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value") * exp(lit(-math.log(2) / 7.0) * ageDays)), 4)
+          .as("decayed_value"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    })
   )
 
   /** Generated PageRank oracle: the full 10-iteration trajectory as
@@ -531,6 +560,28 @@ object RelationalQueries extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracleSql(),
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  a.c_name AS name_a, b.c_name AS name_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_decay_agg" -> {
+      // the identical double constant the Spark plan embeds (shortest
+      // round-trip decimal → same IEEE bits in both engines)
+      val lam = -math.log(2) / 7.0
+      s"""WITH tm AS (SELECT max(ts) AS tmax FROM events)
+         |SELECT user_id,
+         |  round(sum(value * exp(($lam) *
+         |    (CAST(epoch_us(tm.tmax) - epoch_us(ts) AS DOUBLE) / 86400000000.0))), 4)
+         |    AS decayed_value,
+         |  count(*) AS n_events
+         |FROM events CROSS JOIN tm
+         |GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
     "q_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         | round(l_extendedprice, 2) AS price

@@ -58,7 +58,10 @@ class PlanRegressionSpec extends SparkSpec {
     "q_budget_select",       // ordered prefix WITHIN the single boundary
                              // score group only (the corpus path is a
                              // scan-fused filter; see Curriculum doc)
-    "q_anneal_phases"        // same boundary-group-only window
+    "q_anneal_phases",       // same boundary-group-only window
+    "q_source_gini"          // rank window strictly over the ≤|sources|
+                             // aggregate frame (Gini needs the ascending
+                             // rank), never over the corpus
     // (q_dedup_substr's gaps-and-islands span-merge windows — per-doc
     // partitions — run inside the operator's eager span materialization
     // and surface to the gate plan as an InMemoryTableScan, so no

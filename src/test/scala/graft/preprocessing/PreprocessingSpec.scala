@@ -150,6 +150,20 @@ class PreprocessingSpec extends SparkSpec {
       Seq("A", "N", "R"))
   }
 
+  test("VarianceThreshold: drops constant and low-variance columns; transform projects") {
+    import spark.implicits._
+    val df = Seq((1.0, 5.0, 0.0), (2.0, 5.0, 0.1), (9.0, 5.0, 0.2))
+      .toDF("a", "const", "tiny")
+    val m = new VarianceThreshold(Seq("a", "const", "tiny")).fit(df)
+    assert(m.kept == Seq("a", "tiny"), "threshold 0 keeps nonconstant only")
+    assert(m.transform(df).columns.toSeq == Seq("a", "tiny"))
+    val m2 = new VarianceThreshold(Seq("a", "const", "tiny"), threshold = 0.01).fit(df)
+    assert(m2.kept == Seq("a"), "tiny variance (~0.0067) under 0.01 is dropped")
+    intercept[IllegalArgumentException] {
+      new VarianceThreshold(Seq("const"), threshold = 1.0).fit(df)
+    }
+  }
+
   test("TargetEncoder: out-of-fold means match a driver-side recomputation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
