@@ -285,6 +285,14 @@ object EstimatorQueries extends QueryPack {
         .orderBy("o_orderkey")
     }),
 
+    // Group-aware fold assignment (GroupKFold contract): every order of
+    // a customer lands in one fold — gated per ROW so a single straying
+    // order would hash-fail, not just a summary.
+    "q_group_split" -> ((s, dir) =>
+      Splits.withGroupFold(Tables.orders(s, dir), "o_custkey", k = 5)
+        .select(col("o_orderkey"), col("o_custkey"), col("fold"))
+        .orderBy("o_orderkey")),
+
     // Deterministic content-hash sampling: membership is a pure
     // function of the key (md5-bucket < rate·1e6), so the oracle
     // reproduces the EXACT member set — not just sizes. The complement
@@ -641,6 +649,11 @@ object EstimatorQueries extends QueryPack {
         |  round(CASE WHEN capped THEN CAST(cap AS DOUBLE) ELSE theta END
         |    / CAST(n AS DOUBLE), 6) AS rate
         |FROM f CROSS JOIN th ORDER BY lang""".stripMargin,
+    "q_group_split" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST((('0x' || substr(md5('gkf' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+        |    % 5) AS INT) AS fold
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_hash_sample" ->
       """SELECT doc_id,
         | (SELECT count(*) FROM documents) AS n_total

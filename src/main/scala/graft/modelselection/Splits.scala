@@ -126,6 +126,25 @@ object Splits {
     indexed.withColumn("fold", fold)
   }
 
+  /** Group-aware fold assignment (sklearn GroupKFold's contract — "the
+    * same group will not appear in two different folds" — via the
+    * hash-partition form that scales): fold = md5-hash(group) mod k, a
+    * pure map over the rows. No group ever straddles folds, fold sizes
+    * are hash-balanced in GROUP mass (not exactly equal like sklearn's
+    * greedy bin-pack, which needs a global per-group-size sort — a
+    * driver bottleneck at 10⁹ groups), and the assignment is stable
+    * under corpus growth: adding documents never moves an existing
+    * group's fold, which is the property an incremental 100 TB
+    * pipeline actually needs from a grouped split.
+    */
+  def withGroupFold(df: DataFrame, groupCol: String, k: Int,
+      salt: String = "gkf"): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds, got $k")
+    df.withColumn("fold",
+      pmod(conv(substring(md5(concat(lit(salt), col(groupCol).cast("string"))),
+        1, 15), 16, 10).cast("long"), lit(k.toLong)).cast("int"))
+  }
+
   def kfold(df: DataFrame, k: Int): Seq[(DataFrame, DataFrame)] = {
     val folded = withFold(df, k)
     (0 until k).map { f =>

@@ -19,18 +19,29 @@ object EntityResolution {
   /** Pairs (id_a < id_b) within the same block whose `nameCol` values
     * are within `maxDistance` Levenshtein edits. Output:
     * (id_a, id_b, name_a, name_b, distance).
+    *
+    * The quadratic probe dominates everything else, so the plan is
+    * tuned around it: (1) the build side broadcasts (3 narrow columns);
+    * (2) the probe side is round-robin-spread to the session's shuffle
+    * parallelism first — the probe work is embarrassingly parallel and
+    * a narrow-row shuffle is ~free next to the per-pair edit-distance
+    * loop, which would otherwise run on however few partitions the
+    * scan produced; (3) the cheap prunes (id order, length gap — an
+    * edit-distance lower bound) sit BEFORE the levenshtein conjunct in
+    * the join condition, so the O(|a|·|b|) DP runs only on pairs that
+    * survive them.
     */
   def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
       blockKey: Column, maxDistance: Int): DataFrame = {
     require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val a = df.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
-      blockKey.as("__blk"))
-    val b = df.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
-      blockKey.as("__blk"))
-    a.join(b, Seq("__blk"))
-      .filter(col("id_a") < col("id_b"))
-      // cheap guard first: |len difference| > maxDistance can never match
-      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDistance)
+      blockKey.as("__blk")).repartition(nParts)
+    val b = broadcast(df.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
+      blockKey.as("__blkb")))
+    a.join(b, col("__blk") === col("__blkb") &&
+        col("id_a") < col("id_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= maxDistance)
       .withColumn("distance", levenshtein(col("name_a"), col("name_b")))
       .filter(col("distance") <= maxDistance)
       .select("id_a", "id_b", "name_a", "name_b", "distance")

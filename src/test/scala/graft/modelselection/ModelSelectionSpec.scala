@@ -455,4 +455,23 @@ class ModelSelectionSpec extends SparkSpec {
     }
     assert(scores.forall(_ > 0.999999))
   }
+
+  test("withGroupFold: groups never straddle folds; assignment stable under growth") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, i % 37)).toDF("id", "grp")
+    val folded = Splits.withGroupFold(df, "grp", k = 4)
+    val perGroup = folded.groupBy("grp")
+      .agg(org.apache.spark.sql.functions.countDistinct("fold").as("nf"))
+      .collect()
+    assert(perGroup.forall(_.getAs[Long]("nf") == 1L))
+    val folds = folded.select("fold").distinct().collect().map(_.getInt(0)).toSet
+    assert(folds.subsetOf((0 until 4).toSet) && folds.size > 1)
+    // stability: a subset corpus assigns every surviving group identically
+    val sub = Splits.withGroupFold(df.filter($"id" < 50), "grp", k = 4)
+      .select("grp", "fold").distinct().collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val full = folded.select("grp", "fold").distinct().collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sub.forall { case (g, f) => full(g) == f })
+  }
 }
