@@ -35,7 +35,9 @@ object SparkEntry {
     // benchmark decontamination → fingerprint dedup → exact-substring
     // duplication filter → LM-perplexity scoring → DSIR importance
     // selection → domain-mixture sampling → per-shard sequence packing
-    queries("q_llm_pipeline_v5")(spark, dir)
+    // → shard MANIFESTS (counts / token sums / order-independent
+    // checksums — the write-ready audit artifact)
+    queries("q_llm_pipeline_v6")(spark, dir)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

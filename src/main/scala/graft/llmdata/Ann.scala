@@ -647,4 +647,43 @@ object Ann {
       .select(col("key_a"), col("key_b"),
         (dotExpr(col("ca"), col("cb")) / (col("na") * col("nb"))).as("cos"))
   }
+
+  /** Per-label embedding outlier flags — the training-data hygiene scan
+    * that drops mislabeled / corrupted vectors before contrastive or
+    * classifier training: distance of every vector to its LABEL
+    * CENTROID, flagged when it exceeds mean + `sigmas`·stddev of its
+    * label's distance distribution.
+    *
+    * Three passes, all shuffle-light at 100 TB: (1) centroids — one
+    * (label, dim-index) hash aggregate over the exploded coordinates
+    * (|labels|·dim keys, map-side combined) repacked to arrays;
+    * (2) distances — centroid frame BROADCAST, per-row left-fold
+    * Σ(x_i − c_i)² (the same accumulation order the SQL oracle uses);
+    * (3) per-label mean/std — a |labels|-key aggregate joined back
+    * broadcast. The flag compares ROUNDED distance against the rounded
+    * threshold so a cross-engine ulp can't flip a boundary row.
+    * Output: (idCol, labelCol, dist rounded 6, outlier).
+    */
+  def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, sigmas: Double = 2.0): DataFrame = {
+    val x = df.select(col(idCol), col(labelCol),
+      posexplode(col(vecCol)).as(Seq("__i", "__e")))
+    val centroids = x.groupBy(col(labelCol), col("__i"))
+      .agg(avg(col("__e").cast("double")).as("__c"))
+      .groupBy(col(labelCol))
+      .agg(transform(array_sort(collect_list(struct(col("__i"), col("__c")))),
+        s => s.getField("__c")).as("__cv"))
+    val dists = df.join(broadcast(centroids), Seq(labelCol))
+      .withColumn("dist",
+        sqrt(aggregate(zip_with(col(vecCol), col("__cv"),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0.0), (acc, v) => acc + v)))
+    val stats = dists.groupBy(col(labelCol))
+      .agg(avg(col("dist")).as("__mu"), stddev_pop(col("dist")).as("__sd"))
+    dists.join(broadcast(stats), Seq(labelCol))
+      .select(col(idCol), col(labelCol),
+        round(col("dist"), 6).as("dist"),
+        (round(col("dist"), 6) >
+          round(col("__mu") + lit(sigmas) * col("__sd"), 6)).as("outlier"))
+  }
 }

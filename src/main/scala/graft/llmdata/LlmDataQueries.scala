@@ -1157,6 +1157,23 @@ object LlmDataQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // FLAGSHIP v6 (SparkEntry.entry): v5's packed corpus reduced to the
+    // WRITE-READY artifact — per-(source, pack) shard manifests with
+    // doc counts, token sums, and the order-independent bit_xor id-hash
+    // checksum (Contrastive.shardManifest's audit convention). The
+    // pipeline now ends exactly where a 100 TB run ends: sequences
+    // packed, manifests emitted for the consumer to audit without
+    // re-reading data. One extra ≤|packs|-key aggregate over v5.
+    "q_llm_pipeline_v6" -> ((s, dir) =>
+      queries("q_llm_pipeline_v5")(s, dir)
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("pack_tokens"),
+          expr("bit_xor(cast(conv(substring(md5(concat('v6', " +
+            "cast(doc_id as string))), 1, 15), 16, 10) as bigint))")
+            .as("checksum"))
+        .orderBy("source", "pack_id")),
+
     // FLAGSHIP v2: the round-6 production pipeline — Gopher repetition
     // + quality filter (scan-fused signals) → benchmark decontamination
     // (broadcast 3-gram semi-join vs the doc 0-2 "eval set") → exact
@@ -1729,7 +1746,15 @@ object LlmDataQueries extends QueryPack {
     // per-source frame.
     "q_source_gini" -> ((s, dir) =>
       TextStats.concentrationReport(Tables.documents(s, dir),
-        "source", col("n_chars")))
+        "source", col("n_chars"))),
+
+    // Per-label embedding outliers: distance to label centroid flagged
+    // at mean + 2σ — broadcast centroids, index-ordered fold matching
+    // the oracle's ordered sum, rounded-boundary flag.
+    "q_embedding_outliers" -> ((s, dir) =>
+      Ann.embeddingOutliers(Tables.embeddings(s, dir),
+        "vec_id", "embedding", "label")
+        .orderBy("vec_id"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -3219,7 +3244,23 @@ object LlmDataQueries extends QueryPack {
         |UNION ALL SELECT 'n_keys', n FROM a
         |UNION ALL SELECT 'top1_share', round(top1/tot, 6) FROM a
         |UNION ALL SELECT 'top3_share', round(top3/tot, 6) FROM a
-        |ORDER BY metric""".stripMargin
+        |ORDER BY metric""".stripMargin,
+
+    "q_embedding_outliers" ->
+      """WITH x AS (SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS e
+        |  FROM embeddings),
+        |c AS (SELECT label, i, avg(e) AS c FROM x GROUP BY 1, 2),
+        |d AS (SELECT x.vec_id, x.label,
+        |    sqrt(sum((x.e - c.c) * (x.e - c.c) ORDER BY x.i)) AS dist
+        |  FROM x JOIN c ON x.label = c.label AND x.i = c.i
+        |  GROUP BY 1, 2),
+        |st AS (SELECT label, avg(dist) AS mu, stddev_pop(dist) AS sd
+        |  FROM d GROUP BY 1)
+        |SELECT d.vec_id, d.label, round(d.dist, 6) AS dist,
+        |  (round(d.dist, 6) > round(st.mu + 2 * st.sd, 6)) AS outlier
+        |FROM d JOIN st USING (label)
+        |ORDER BY vec_id""".stripMargin
   ) ++ trainedIvfOracle ++ trainedPqOracle ++ trainedIvfPqOracle ++
     trainedBpeOracle ++ trainedQualityOracle ++ trainedSqOracle ++
     trainedLangIdOracle
@@ -3484,7 +3525,18 @@ object LlmDataQueries extends QueryPack {
              | CAST(floor(CAST(cum - n_tokens AS DOUBLE) / CAST(512 AS DOUBLE))
              |   AS INT) AS pack_id
              |FROM pk ORDER BY doc_id""".stripMargin)
-        base + ("q_llm_pipeline_v5" -> v5FromV4(base("q_llm_pipeline_v4")))
+        val withV5 =
+          base + ("q_llm_pipeline_v5" -> v5FromV4(base("q_llm_pipeline_v4")))
+        // v6 = v5's packed rows reduced to per-(source, pack) shard
+        // manifests — the whole v5 mirror rides along as a derived table
+        withV5 + ("q_llm_pipeline_v6" ->
+          s"""SELECT source, pack_id, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+             |  bit_xor(('0x' || substr(md5('v6' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+             |    AS checksum
+             |FROM ( ${withV5("q_llm_pipeline_v5")} ) v5out
+             |GROUP BY source, pack_id
+             |ORDER BY source, pack_id""".stripMargin)
       case _ => Map.empty
     }
 

@@ -44,6 +44,8 @@ class PlanRegressionSpec extends SparkSpec {
                              // inside eager/cached construction)
     "q_llm_pipeline_v5",     // same final packing stage, plus the DSIR
                              // selection join (window-free itself)
+    "q_llm_pipeline_v6",     // v5's packing window + the manifest
+                             // aggregate on top (itself window-free)
     "q_asof_join",           // the as-of operator IS a per-key running
                              // last() window (one shuffle + sort — the
                              // alternative is a banned theta-join)

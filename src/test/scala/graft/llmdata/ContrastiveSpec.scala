@@ -60,6 +60,17 @@ class ContrastiveSpec extends SparkSpec {
     assert(m1.count { case (s, c) => m2.get(s).contains(c) } == 3)
   }
 
+  test("embeddingOutliers: the planted far vector is the label's only outlier") {
+    val vecs = (
+      (0 until 9).map(i => (i.toLong, Array(1.0f + 0.01f * i, 0.0f), 0)) :+
+        (9L, Array(50.0f, 50.0f), 0) // planted outlier, label 0
+      ).toSeq.toDF("id", "v", "lbl")
+    val out = Ann.embeddingOutliers(vecs, "id", "v", "lbl", sigmas = 2.0)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("outlier")).toMap
+    assert(out(9L), "planted vector must flag")
+    assert((0L until 9L).forall(i => !out(i)), "inliers must not flag")
+  }
+
   test("concentrationReport: Gini/HHI/top-shares match the closed form") {
     val df = Seq(("a", 1), ("b", 1), ("c", 2), ("d", 4)).toDF("k", "w")
     val r = TextStats.concentrationReport(df, "k", col("w"))
