@@ -19,6 +19,72 @@ object LlmDataQueries extends QueryPack {
   private val pipelineMixTargets: Map[String, Double] = Map(
     "en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1)
 
+  /** The v5 flagship's packed output, built once per dir and persisted
+    * (fit-once/gate-twice convention — q_llm_pipeline_v5 orders it,
+    * q_llm_pipeline_v6 aggregates it into shard manifests; without the
+    * memo v6 would re-run the entire five-stage pipeline). Cleared by
+    * Memos.clearAll between Bench passes.
+    */
+  private val v5Memo =
+    graft.core.Memos.register(new graft.core.Memos.CachedFrameMap())
+  private def v5Packed(s: SparkSession, dir: String): DataFrame =
+    v5Memo.computeIfAbsent(dir, _ => {
+      val t = col("text")
+      val (wts, b) = QualityClassifier.trained(s, dir)
+      val margin = QualityClassifier.marginExpr(t, wts, b)
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), t, col("source"),
+        (lit(1.0) / (lit(1.0) + exp(margin * lit(-1.0)))).as("p_quality"),
+        margin.as("qmargin"),
+        TextStats.languageId(t).as("lang"),
+        TextStats.fingerprint(t).as("fp"),
+        TextStats.dupNgramCharFrac(t, 2).as("dup2"),
+        TextStats.tokenCount(t).as("n_tokens"),
+        length(t).as("n_chars"))
+        .filter(col("qmargin") > 0 && col("dup2") <= 0.15)
+      val eval3 = Tables.documents(s, dir).filter(col("doc_id") < 3)
+      val clean = Dedup.decontaminate(scored, "text", "doc_id", eval3, "text", n = 3)
+      val deduped = clean.groupBy(col("fp"))
+        .agg(min_by(struct(col("doc_id"), col("source"), col("lang"),
+          col("p_quality"), col("n_tokens"), col("n_chars")), col("doc_id")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+          col("r.lang").as("lang"), col("r.p_quality").as("p_quality"),
+          col("r.n_tokens").as("n_tokens"), col("r.n_chars").as("n_chars"))
+      val lowDup = Dedup.exactSubstrStats(Tables.documents(s, dir),
+          "text", "doc_id")
+        .filter(col("dup_frac") <= 0.5).select("doc_id")
+      val substrFiltered = deduped.join(lowDup, Seq("doc_id"), "left_semi")
+      val nll = NgramLm.perplexityScore(Tables.documents(s, dir), "text",
+          "doc_id", col("lang") === "en")
+        .select(col("doc_id"), col("nll"))
+      val withNll = substrFiltered.join(broadcast(nll), Seq("doc_id"))
+      // DSIR selection: corpus-wide weights, off-distribution tail out
+      val ratios = Dsir.bucketLogRatios(
+        Tables.documents(s, dir).filter(col("lang") === "en"),
+        Tables.documents(s, dir), "text")
+      val dweights = Dsir.importanceWeights(Tables.documents(s, dir),
+          "text", "doc_id", ratios)
+        .select(col("doc_id"), col("logw"))
+      val selected = withNll.join(broadcast(dweights), Seq("doc_id"))
+        .filter(round(col("logw"), 6) > lit(-0.5))
+      val rates = Splits.mixtureRates(selected, "lang", "n_chars",
+        pipelineMixTargets, unitBudget = 30000)
+      val sampled = Splits.mixtureSample(selected, "doc_id", "lang", rates,
+        salt = "mix5")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      sampled
+        .withColumn("__cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id",
+          floor((col("__cum") - col("n_tokens")) / lit(512)).cast("int"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          round(col("p_quality"), 6).as("p_quality"),
+          round(col("nll"), 6).as("nll"),
+          round(col("logw"), 6).as("logw"), col("n_tokens"),
+          col("pack_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Shared BM25 term set and oracle CTE block (q_bm25, q_bm25_topk):
     * `bm(doc_id, lang, dl, bm25)` with the score already rounded to 6.
     */
@@ -1100,62 +1166,7 @@ object LlmDataQueries extends QueryPack {
     // the mixture re-derives its rates from the cleaner pool. The DSIR
     // pass adds one B-row broadcast join + one groupBy(doc) to the
     // plan; every other stage keeps its v4 shape.
-    "q_llm_pipeline_v5" -> ((s, dir) => {
-      val t = col("text")
-      val (wts, b) = QualityClassifier.trained(s, dir)
-      val margin = QualityClassifier.marginExpr(t, wts, b)
-      val scored = Tables.documents(s, dir).select(
-        col("doc_id"), t, col("source"),
-        (lit(1.0) / (lit(1.0) + exp(margin * lit(-1.0)))).as("p_quality"),
-        margin.as("qmargin"),
-        TextStats.languageId(t).as("lang"),
-        TextStats.fingerprint(t).as("fp"),
-        TextStats.dupNgramCharFrac(t, 2).as("dup2"),
-        TextStats.tokenCount(t).as("n_tokens"),
-        length(t).as("n_chars"))
-        .filter(col("qmargin") > 0 && col("dup2") <= 0.15)
-      val eval3 = Tables.documents(s, dir).filter(col("doc_id") < 3)
-      val clean = Dedup.decontaminate(scored, "text", "doc_id", eval3, "text", n = 3)
-      val deduped = clean.groupBy(col("fp"))
-        .agg(min_by(struct(col("doc_id"), col("source"), col("lang"),
-          col("p_quality"), col("n_tokens"), col("n_chars")), col("doc_id")).as("r"))
-        .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
-          col("r.lang").as("lang"), col("r.p_quality").as("p_quality"),
-          col("r.n_tokens").as("n_tokens"), col("r.n_chars").as("n_chars"))
-      val lowDup = Dedup.exactSubstrStats(Tables.documents(s, dir),
-          "text", "doc_id")
-        .filter(col("dup_frac") <= 0.5).select("doc_id")
-      val substrFiltered = deduped.join(lowDup, Seq("doc_id"), "left_semi")
-      val nll = NgramLm.perplexityScore(Tables.documents(s, dir), "text",
-          "doc_id", col("lang") === "en")
-        .select(col("doc_id"), col("nll"))
-      val withNll = substrFiltered.join(broadcast(nll), Seq("doc_id"))
-      // DSIR selection: corpus-wide weights, off-distribution tail out
-      val ratios = Dsir.bucketLogRatios(
-        Tables.documents(s, dir).filter(col("lang") === "en"),
-        Tables.documents(s, dir), "text")
-      val dweights = Dsir.importanceWeights(Tables.documents(s, dir),
-          "text", "doc_id", ratios)
-        .select(col("doc_id"), col("logw"))
-      val selected = withNll.join(broadcast(dweights), Seq("doc_id"))
-        .filter(round(col("logw"), 6) > lit(-0.5))
-      val rates = Splits.mixtureRates(selected, "lang", "n_chars",
-        pipelineMixTargets, unitBudget = 30000)
-      val sampled = Splits.mixtureSample(selected, "doc_id", "lang", rates,
-        salt = "mix5")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-      sampled
-        .withColumn("__cum", sum(col("n_tokens")).over(w))
-        .withColumn("pack_id",
-          floor((col("__cum") - col("n_tokens")) / lit(512)).cast("int"))
-        .select(col("doc_id"), col("source"), col("lang"),
-          round(col("p_quality"), 6).as("p_quality"),
-          round(col("nll"), 6).as("nll"),
-          round(col("logw"), 6).as("logw"), col("n_tokens"),
-          col("pack_id"))
-        .orderBy("doc_id")
-    }),
+    "q_llm_pipeline_v5" -> ((s, dir) => v5Packed(s, dir).orderBy("doc_id")),
 
     // FLAGSHIP v6 (SparkEntry.entry): v5's packed corpus reduced to the
     // WRITE-READY artifact — per-(source, pack) shard manifests with
@@ -1165,7 +1176,7 @@ object LlmDataQueries extends QueryPack {
     // packed, manifests emitted for the consumer to audit without
     // re-reading data. One extra ≤|packs|-key aggregate over v5.
     "q_llm_pipeline_v6" -> ((s, dir) =>
-      queries("q_llm_pipeline_v5")(s, dir)
+      v5Packed(s, dir)
         .groupBy(col("source"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("pack_tokens"),

@@ -495,6 +495,14 @@ object RelationalQueries extends QueryPack {
         col("c_nationkey"), maxDistance = 1)
         .orderBy("id_a", "id_b")),
 
+    // Hourly resample + forward fill per user (pandas resample.ffill):
+    // dense per-user hour grid, event counts, last-observation carry —
+    // per-key grid windows only, the corpus never globally sorts.
+    "q_resample_ffill" -> ((s, dir) =>
+      Temporal.resampleHourlyFfill(Tables.events(s, dir),
+        "user_id", "ts", "value", "event_id")
+        .orderBy("user_id", "hour")),
+
     // Exponential-decay-weighted aggregate (7-day half-life anchored at
     // the global max event time): per-user recency-weighted value mass —
     // one scalar subquery + one hash aggregate, the streaming-decay
@@ -569,6 +577,28 @@ object RelationalQueries extends QueryPack {
         |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_resample_ffill" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hour, ts,
+        |    event_id, value FROM events),
+        |r AS (SELECT user_id, hour, value, row_number() OVER (
+        |    PARTITION BY user_id, hour ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e),
+        |agg AS (SELECT user_id, hour, count(*) AS n_events FROM e GROUP BY 1, 2),
+        |lastv AS (SELECT user_id, hour, value AS lv FROM r WHERE rn = 1),
+        |spans AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |  FROM e GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM spans),
+        |j AS (SELECT g.user_id, g.hour,
+        |    coalesce(a.n_events, 0) AS n_events, l.lv
+        |  FROM grid g
+        |  LEFT JOIN agg a ON g.user_id = a.user_id AND g.hour = a.hour
+        |  LEFT JOIN lastv l ON g.user_id = l.user_id AND g.hour = l.hour)
+        |SELECT user_id, strftime(hour, '%Y-%m-%d %H') AS hour,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  last_value(lv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+        |FROM j ORDER BY user_id, hour""".stripMargin,
     "q_decay_agg" -> {
       // the identical double constant the Spark plan embeds (shortest
       // round-trip decimal → same IEEE bits in both engines)

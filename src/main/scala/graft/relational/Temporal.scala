@@ -216,4 +216,41 @@ object Temporal {
         col("session_window.end") - expr(s"INTERVAL '$gap'"))
       .drop("session_window")
   }
+
+  /** Hourly resample + forward fill per key (the pandas
+    * `resample('H').last().ffill()` shape): every key gets a dense
+    * hour grid over ITS OWN [min, max] span; each grid hour carries
+    * the event count and the last observed value at-or-before that
+    * hour (ties within an hour broken by (ts, tiebreak) descending —
+    * a total order, so both engines pick the same row).
+    *
+    * Plan shape: one (key, hour) hash aggregate over the events
+    * (map-side combined — the corpus never shuffles raw), a per-key
+    * span aggregate whose `sequence()` explode generates the grid
+    * (grid size = Σ spans, independent of event count), a left join
+    * of grid against the hourly aggregate on (key, hour), and the
+    * forward-fill window PARTITIONED BY KEY over grid rows — the
+    * operator's own semantics, never a global sort. Output:
+    * (keyCol, hour 'yyyy-MM-dd HH', n_events, value_ffill).
+    */
+  def resampleHourlyFfill(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tiebreakCol: String): DataFrame = {
+    val hour = date_trunc("hour", col(tsCol))
+    val hourly = df.groupBy(col(keyCol), hour.as("__hour"))
+      .agg(count(lit(1)).as("n_events"),
+        max_by(col(valueCol),
+          struct(col(tsCol), col(tiebreakCol))).as("__last"))
+    val grid = df.groupBy(col(keyCol))
+      .agg(min(hour).as("__h0"), max(hour).as("__h1"))
+      .select(col(keyCol),
+        explode(sequence(col("__h0"), col("__h1"),
+          expr("interval 1 hour"))).as("__hour"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq(keyCol, "__hour"), "left")
+      .select(col(keyCol),
+        date_format(col("__hour"), "yyyy-MM-dd HH").as("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("__last"), ignoreNulls = true).over(w).as("value_ffill"))
+  }
 }

@@ -42,10 +42,10 @@ class PlanRegressionSpec extends SparkSpec {
     "q_llm_pipeline_v4",     // same final packing stage, plus substr-dedup
                              // filter + LM scoring (their own windows stay
                              // inside eager/cached construction)
-    "q_llm_pipeline_v5",     // same final packing stage, plus the DSIR
-                             // selection join (window-free itself)
-    "q_llm_pipeline_v6",     // v5's packing window + the manifest
-                             // aggregate on top (itself window-free)
+    // (q_llm_pipeline_v5 / _v6: the packing window now lives inside the
+    // shared fit-once v5Packed persisted frame, so the gate plans
+    // surface as InMemoryTableScan + orderBy / manifest aggregate —
+    // no whitelist entries needed, same convention as q_dedup_substr.)
     "q_asof_join",           // the as-of operator IS a per-key running
                              // last() window (one shuffle + sort — the
                              // alternative is a banned theta-join)
@@ -61,9 +61,12 @@ class PlanRegressionSpec extends SparkSpec {
                              // score group only (the corpus path is a
                              // scan-fused filter; see Curriculum doc)
     "q_anneal_phases",       // same boundary-group-only window
-    "q_source_gini"          // rank window strictly over the ≤|sources|
+    "q_source_gini",         // rank window strictly over the ≤|sources|
                              // aggregate frame (Gini needs the ascending
                              // rank), never over the corpus
+    "q_resample_ffill"       // forward-fill IS a per-key running last()
+                             // window over the generated hour grid —
+                             // partitioned by user, never a global sort
     // (q_dedup_substr's gaps-and-islands span-merge windows — per-doc
     // partitions — run inside the operator's eager span materialization
     // and surface to the gate plan as an InMemoryTableScan, so no

@@ -66,4 +66,18 @@ class SourcesSpec extends SparkSpec {
       assert(en.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
     }
   }
+
+  test("ORC round-trip preserves values; predicate pushes to the ORC scan") {
+    withTmp { dir =>
+      val df = rows.toDF("id", "name", "score", "lang")
+      df.write.orc(s"$dir/orc")
+      val back = spark.read.orc(s"$dir/orc")
+      assert(back.orderBy("id").as[(Long, String, Double, String)]
+        .collect().toSeq == rows)
+      val filtered = back.filter(col("id") > 2L)
+      val plan = filtered.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"), plan)
+      assert(filtered.count() == 2)
+    }
+  }
 }

@@ -212,4 +212,26 @@ class TemporalSpec extends SparkSpec {
       (1L, us("2024-01-01T10:20:01Z"), us("2024-01-01T10:20:01Z"), 1L, 4.0),
       (2L, us("2024-01-01T09:00:00Z"), us("2024-01-01T09:00:00Z"), 1L, 8.0)))
   }
+
+  test("resampleHourlyFfill: dense grid, gap hours forward-fill, in-hour tie by (ts, id)") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      // user 1: events at 10:xx (two, same hour — later one wins), gap
+      // at 11, then 12:05
+      (1L, ts("2024-01-01 10:05:00"), 100L, 1.0),
+      (1L, ts("2024-01-01 10:40:00"), 101L, 2.0),
+      (1L, ts("2024-01-01 12:05:00"), 102L, 9.0),
+      // user 2: single event → single-hour grid
+      (2L, ts("2024-01-01 08:30:00"), 103L, 5.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = Temporal.resampleHourlyFfill(df, "user_id", "ts", "value", "event_id")
+      .orderBy("user_id", "hour")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, "2024-01-01 10", 2L, 2.0), // in-hour tie: ts-desc → value 2.0
+      (1L, "2024-01-01 11", 0L, 2.0), // gap hour forward-fills
+      (1L, "2024-01-01 12", 1L, 9.0),
+      (2L, "2024-01-01 08", 1L, 5.0)))
+  }
 }
