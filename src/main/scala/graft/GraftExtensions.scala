@@ -127,6 +127,15 @@ object GraftExtensions {
         RepetitionStats(args(0), foldedInt("repetition_stats", args(1)),
           foldedString("repetition_stats", args(2)))
       }),
+    ("winnowing_fp",
+      info("winnowing_fp",
+        "winnowing_fp(text, k, w) - array<struct<pos,fp>>: winnowed " +
+          "k-gram fingerprints (SIGMOD'03), rightmost-tie rolling min"),
+      args => {
+        arity("winnowing_fp", args, 3)
+        WinnowingFp(args(0), foldedInt("winnowing_fp", args(1)),
+          foldedInt("winnowing_fp", args(2)))
+      }),
     ("freq_items",
       info("freq_items",
         "freq_items(item, k) - aggregate: Misra-Gries heavy hitters, count-desc"),

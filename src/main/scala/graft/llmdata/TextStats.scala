@@ -899,24 +899,15 @@ object TextStats {
   def winnowingFingerprints(df: DataFrame, textCol: String, idCol: String,
       k: Int = 12, w: Int = 8): DataFrame = {
     require(k > 0 && w > 0, s"k=$k and w=$w must be positive")
-    import org.apache.spark.sql.expressions.Window
-    val grams = df.filter(length(col(textCol)) >= k)
+    // one native pass per document (graft.functions.WinnowingFp:
+    // k-gram md5s + monotonic-deque rolling min, rightmost ties) —
+    // no per-position explode, no per-document windows, no shuffle;
+    // the exploded output is already distinct and position-ordered.
+    df.filter(length(col(textCol)) >= k)
       .select(col(idCol),
-        explode(sequence(lit(0), length(col(textCol)) - k)).as("p"),
-        col(textCol))
-      .select(col(idCol), col("p"),
-        conv(substring(md5(col(textCol).substr(col("p") + 1, lit(k))),
-          1, 15), 16, 10).cast("long").as("h"))
-    val frame = Window.partitionBy(idCol).orderBy("p")
-      .rowsBetween(Window.currentRow, w - 1)
-    val sel = grams
-      .withColumn("__m", min(struct(col("h"), (-col("p")).as("np"))).over(frame))
-      .withColumn("__cnt", count(lit(1)).over(frame))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(idCol).orderBy("p")))
-      .filter(col("__cnt") === w || (col("__rn") === 1 && col("__cnt") < w))
-    sel.select(col(idCol), (-col("__m.np")).as("pos"), col("__m.h").as("fp"))
-      .distinct()
+        explode(graft.functions.WinnowingFp(col(textCol), k, w)).as("__s"))
+      .select(col(idCol), col("__s.pos").cast("int").as("pos"),
+        col("__s.fp").as("fp"))
   }
 
   /** Corpus concentration report over a grouping key (source, host,

@@ -94,6 +94,21 @@ class GraftExtensionsSpec extends SparkSpec {
       graft.functions.HashedLinearScore.compute("join the join", w, 1.0))
   }
 
+  test("winnowing_fp evaluates from SQL and matches the library operator") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    Seq((1L, text)).toDF("doc_id", "text").createOrReplaceTempView("r7_win")
+    val viaSql = spark.sql(
+      "SELECT s.pos, s.fp FROM r7_win " +
+        "LATERAL VIEW explode(winnowing_fp(text, 12, 8)) t AS s")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaOp = graft.llmdata.TextStats.winnowingFingerprints(
+      Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id", k = 12, w = 8)
+      .orderBy("pos")
+      .collect().map(r => (r.getInt(1).toLong, r.getLong(2))).toSeq
+    assert(viaSql == viaOp && viaSql.nonEmpty)
+  }
+
   test("top_k_by_score works as a SQL aggregate with partial merge") {
     import spark.implicits._
     (for (g <- 0 until 3; i <- 0 until 50)
@@ -120,7 +135,7 @@ class GraftExtensionsSpec extends SparkSpec {
       Set("vec_dot", "normal_ppf", "interp1d", "token_stats", "top_k_by_score",
         "freq_items", "vec_normalize", "repetition_stats",
         "dhash64", "bpe_token_count", "bpe_encode", "hashed_linear_score",
-        "unicode_normalize"))
+        "unicode_normalize", "winnowing_fp"))
     assert(exts.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
 }

@@ -51,9 +51,9 @@ class PlanRegressionSpec extends SparkSpec {
                              // alternative is a banned theta-join)
     "q_asof_forward",        // same operator, forward direction
     "q_asof_tolerance",      // same operator, tolerance bound
-    "q_winnowing",           // winnowing's rolling min IS a per-DOC
-                             // [p, p+w) frame window — partitioned by
-                             // document, never a global sort
+    // (q_winnowing: the rolling min moved into the native WinnowingFp
+    // expression — the gate plan is now a scan-fused Generate with no
+    // Window node, so no whitelist entry.)
     "q_pack_length_buckets", // per-(shard, length-bucket) running token
                              // sum — packing semantics, windows strictly
                              // narrower than q_sequence_packing's
