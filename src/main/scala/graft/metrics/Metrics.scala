@@ -294,6 +294,31 @@ object Metrics {
     lit(1.0) - ssRes / ssTot
   }
 
+  /** NDCG per query over a ranked candidate frame (queryCol, rankCol
+    * 1-based, relCol ≥ 0) — the retrieval-quality number behind
+    * BM25/ANN evaluation:  DCG = Σ rel_i / log2(rank_i + 1), IDCG the
+    * same sum under the ideal (rel-descending) permutation, computed
+    * with ONE row_number window over the per-query candidate set
+    * (k rows per query — never the corpus). log2 is ln/ln2 in both
+    * engines (identical operand order). Zero-relevance queries return
+    * 0 (the sklearn convention). Output: (queryCol, ndcg rounded 6).
+    */
+  def ndcgPerQuery(df: DataFrame, queryCol: String, rankCol: String,
+      relCol: String): DataFrame = {
+    val ln2 = log(lit(2.0))
+    val ideal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol))
+      .orderBy(col(relCol).desc, col(rankCol))
+    df.withColumn("__ir", row_number().over(ideal))
+      .groupBy(col(queryCol))
+      .agg(
+        sum(col(relCol).cast("double") / (log(col(rankCol) + 1) / ln2)).as("__dcg"),
+        sum(col(relCol).cast("double") / (log(col("__ir") + 1) / ln2)).as("__idcg"))
+      .select(col(queryCol),
+        round(when(col("__idcg") === 0, 0.0)
+          .otherwise(col("__dcg") / col("__idcg")), 6).as("ndcg"))
+  }
+
   /** Multiclass agreement statistics from ONE confusion aggregate —
     * the Gorodkin (2004) R_K generalization of Matthews' correlation
     * plus Cohen's kappa, both closed forms over the class marginals:

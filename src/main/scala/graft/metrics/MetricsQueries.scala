@@ -167,6 +167,24 @@ object MetricsQueries extends QueryPack {
         "mcc_binary" -> mccB, "kappa_binary" -> kapB))
     }),
 
+    // NDCG@5 for embedding retrieval: cosine top-5 per query (the
+    // q_ann_topk candidate set), relevance = label match, ideal
+    // permutation via one per-query window over k rows.
+    "q_ndcg" -> ((s, dir) => {
+      val emb = graft.core.Tables.embeddings(s, dir)
+      val cands = graft.llmdata.Ann.cosineTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val rel = cands
+        .join(broadcast(lbl.select(col("vec_id").as("query_id"),
+          col("label").as("__lq"))), Seq("query_id"))
+        .join(lbl.select(col("vec_id").as("neighbor_id"),
+          col("label").as("__ln")), Seq("neighbor_id"))
+        .withColumn("rel", (col("__lq") === col("__ln")).cast("int"))
+      Metrics.ndcgPerQuery(rel, "query_id", "rank", "rel")
+        .orderBy("query_id")
+    }),
+
     // Calibration reliability bins: one ≤ nBins-key hash aggregate;
     // p = 10·l_discount spans [0,1] with mass at both edge bins.
     "q_calibration" -> ((s, dir) =>
@@ -276,6 +294,32 @@ object MetricsQueries extends QueryPack {
         |SELECT 'auc_ties', round((rank_sum - p * (p + 1) / 2)
         |  / (p * (n - p)), 6) FROM a1
         |ORDER BY metric""".stripMargin,
+
+    "q_ndcg" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS lq
+        |           FROM embeddings WHERE vec_id < 10),
+        |x AS (SELECT query_id, vec_id, lq, label AS lbl_n,
+        |        unnest(qe)::DOUBLE AS a, unnest(embedding)::DOUBLE AS b
+        |      FROM q, embeddings WHERE vec_id != query_id),
+        |c AS (SELECT query_id, vec_id, any_value(lq) AS lq,
+        |        any_value(lbl_n) AS lbl_n,
+        |        sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) AS cos
+        |      FROM x GROUP BY 1, 2),
+        |r AS (SELECT query_id, vec_id, lq, lbl_n, cos,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC, vec_id) AS rank FROM c),
+        |k AS (SELECT query_id, rank,
+        |        CASE WHEN lq = lbl_n THEN 1 ELSE 0 END AS rel
+        |      FROM r WHERE rank <= 5),
+        |i AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rel DESC, rank) AS ir FROM k),
+        |s AS (SELECT query_id,
+        |        sum(CAST(rel AS DOUBLE) / (ln(rank + 1) / ln(2.0))) AS dcg,
+        |        sum(CAST(rel AS DOUBLE) / (ln(ir + 1) / ln(2.0))) AS idcg
+        |      FROM i GROUP BY 1)
+        |SELECT query_id,
+        |  round(CASE WHEN idcg = 0 THEN 0.0 ELSE dcg / idcg END, 6) AS ndcg
+        |FROM s ORDER BY query_id""".stripMargin,
 
     "q_mcc_kappa" ->
       """WITH d AS (SELECT l_returnflag AS y3,

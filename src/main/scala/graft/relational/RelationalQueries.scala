@@ -495,6 +495,21 @@ object RelationalQueries extends QueryPack {
         col("c_nationkey"), maxDistance = 1)
         .orderBy("id_a", "id_b")),
 
+    // SCD2 validity intervals: per-user event_type change history —
+    // gaps-and-islands change flags, one (user, segment) aggregate,
+    // lead over the segment frame for valid_to. Timestamps rendered
+    // at µs precision so both engines hash the same strings.
+    "q_scd2" -> ((s, dir) =>
+      Temporal.scd2History(Tables.events(s, dir),
+        "user_id", "ts", "event_type", "event_id")
+        .select(col("user_id"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("valid_to"),
+          col("n_events"))
+        .orderBy("user_id", "valid_from")),
+
     // Funnel conversion: first signup per user anchors a 7-day window;
     // converted = any purchase inside it. Two filtered aggregates + one
     // user-keyed join — no window, no corpus sort; µs-exact interval
@@ -622,6 +637,25 @@ object RelationalQueries extends QueryPack {
         |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_scd2" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR prev != event_type
+        |    THEN 1 ELSE 0 END AS chg FROM o),
+        |g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS seg FROM f),
+        |iv AS (SELECT user_id, seg, min(event_type) AS event_type,
+        |    min(ts) AS valid_from, count(*) AS n_events
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, event_type,
+        |  strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  strftime(lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg),
+        |    '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |  n_events
+        |FROM iv ORDER BY user_id, valid_from""".stripMargin,
+
     "q_funnel" ->
       """WITH su AS (SELECT user_id, min(ts) AS su FROM events
         |  WHERE event_type = 'signup' GROUP BY 1),

@@ -217,6 +217,40 @@ object Temporal {
       .drop("session_window")
   }
 
+  /** SCD2 history build (slowly-changing-dimension type 2): collapse a
+    * per-key event stream into value VALIDITY INTERVALS — a new
+    * interval opens whenever the tracked value differs from the key's
+    * previous event, closes when the next interval opens (the last
+    * interval per key stays open / null valid_to). The gaps-and-islands
+    * change-flag form: lag-compare per key, running change count as
+    * the segment id, one (key, segment) aggregate, and a lead over the
+    * SEGMENT frame (|segments| rows, not events) for valid_to.
+    * Windows are all PARTITIONED BY KEY — the operator's semantics;
+    * nothing global. Ties at one timestamp break by `tiebreakCol`,
+    * keeping both engines on one total order. Output: (keyCol,
+    * valueCol, valid_from, valid_to, n_events).
+    */
+  def scd2History(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tiebreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val seg = df
+      .withColumn("__chg",
+        when(lag(col(valueCol), 1).over(w).isNull ||
+          lag(col(valueCol), 1).over(w) =!= col(valueCol), 1).otherwise(0))
+      .withColumn("__seg", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val intervals = seg.groupBy(col(keyCol), col("__seg"))
+      .agg(min(col(valueCol)).as(valueCol), // constant within a segment
+        min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val ws = Window.partitionBy(col(keyCol)).orderBy(col("__seg"))
+    intervals
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(ws))
+      .select(col(keyCol), col(valueCol), col("valid_from"),
+        col("valid_to"), col("n_events"))
+  }
+
   /** Hourly resample + forward fill per key (the pandas
     * `resample('H').last().ffill()` shape): every key gets a dense
     * hour grid over ITS OWN [min, max] span; each grid hour carries

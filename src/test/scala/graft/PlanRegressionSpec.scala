@@ -64,9 +64,15 @@ class PlanRegressionSpec extends SparkSpec {
     "q_source_gini",         // rank window strictly over the ≤|sources|
                              // aggregate frame (Gini needs the ascending
                              // rank), never over the corpus
-    "q_resample_ffill"       // forward-fill IS a per-key running last()
+    "q_resample_ffill",      // forward-fill IS a per-key running last()
                              // window over the generated hour grid —
                              // partitioned by user, never a global sort
+    "q_scd2",                // change-flag lag + running segment sum per
+                             // key IS the SCD2 semantics; the valid_to
+                             // lead runs over the segment frame only
+    "q_ndcg"                 // ideal-permutation row_number strictly over
+                             // the per-query top-k candidate frame
+                             // (|queries|·k rows), never the corpus
     // (q_dedup_substr's gaps-and-islands span-merge windows — per-doc
     // partitions — run inside the operator's eager span materialization
     // and surface to the gate plan as an InMemoryTableScan, so no

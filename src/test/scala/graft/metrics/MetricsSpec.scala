@@ -178,6 +178,22 @@ class MetricsSpec extends SparkSpec {
     assert(m2 == 0.0); assert(k2 ~== 0.0)
   }
 
+  test("ndcgPerQuery matches hand-computed DCG/IDCG; zero relevance -> 0") {
+    import spark.implicits._
+    // q1: rels by rank [0,1,1] → DCG = 1/log2(3) + 1/log2(4);
+    //     ideal [1,1,0] → IDCG = 1/log2(2) + 1/log2(3)
+    // q2: all zero → 0
+    val d = Seq((1L, 1, 0), (1L, 2, 1), (1L, 3, 1),
+      (2L, 1, 0), (2L, 2, 0)).toDF("q", "rank", "rel")
+    val r = Metrics.ndcgPerQuery(d, "q", "rank", "rel")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val log2 = (v: Double) => math.log(v) / math.log(2.0)
+    val expected = (1 / log2(3) + 1 / log2(4)) / (1 / log2(2) + 1 / log2(3))
+    assert(r(1L) ~== (BigDecimal(expected).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, 1e-9))
+    assert(r(2L) == 0.0)
+  }
+
   test("agreementStats: class never predicted still counts in the marginals") {
     import spark.implicits._
     // 'c' never predicted: p-marginal for c is 0 but t_c=1 joins via full-outer

@@ -235,6 +235,27 @@ class TemporalSpec extends SparkSpec {
       (2L, "2024-01-01 08", 1L, 5.0)))
   }
 
+  test("scd2History: change points open intervals, last interval stays open") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 01:00:00"), 2L, "a"), // same value → same interval
+      (1L, ts("2024-01-01 02:00:00"), 3L, "b"), // change
+      (1L, ts("2024-01-01 03:00:00"), 4L, "a"), // back to a = NEW interval
+      (2L, ts("2024-01-01 05:00:00"), 5L, "x"))
+      .toDF("user_id", "ts", "event_id", "v")
+    val out = Temporal.scd2History(ev, "user_id", "ts", "v", "event_id")
+      .orderBy("user_id", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, "a", ts("2024-01-01 00:00:00"), Some(ts("2024-01-01 02:00:00")), 2L),
+      (1L, "b", ts("2024-01-01 02:00:00"), Some(ts("2024-01-01 03:00:00")), 1L),
+      (1L, "a", ts("2024-01-01 03:00:00"), None, 1L), // re-entry, open-ended
+      (2L, "x", ts("2024-01-01 05:00:00"), None, 1L)))
+  }
+
   test("funnel window edges: pre-signup purchase excluded, day-7 boundary included") {
     import spark.implicits._
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
