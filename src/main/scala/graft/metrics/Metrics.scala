@@ -319,6 +319,31 @@ object Metrics {
           .otherwise(col("__dcg") / col("__idcg")), 6).as("ndcg"))
   }
 
+  /** Per-query retrieval report over a ranked candidate frame
+    * (queryCol, rankCol 1-based, relCol 0/1) with a per-query count of
+    * relevant corpus items (`totalRelCol`, for recall's denominator):
+    * MRR contribution = 1/first-relevant-rank (0 when none),
+    * precision@k = hits/k, recall@k = hits/totalRel. One grouped
+    * aggregate over the k-row-per-query frame — min() picks the first
+    * relevant rank, no window at all. Output: (queryCol, mrr, p_at_k,
+    * r_at_k), rounded 6.
+    */
+  def retrievalReport(df: DataFrame, queryCol: String, rankCol: String,
+      relCol: String, totalRelCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.groupBy(col(queryCol))
+      .agg(
+        min(when(col(relCol) === 1, col(rankCol))).as("__fr"),
+        sum(col(relCol).cast("long")).as("__hits"),
+        max(col(totalRelCol)).as("__tot"))
+      .select(col(queryCol),
+        round(coalesce(lit(1.0) / col("__fr"), lit(0.0)), 6).as("mrr"),
+        round(col("__hits").cast("double") / k, 6).as(s"p_at_$k"),
+        round(when(col("__tot") === 0, 0.0)
+          .otherwise(col("__hits").cast("double") / col("__tot")), 6)
+          .as(s"r_at_$k"))
+  }
+
   /** Multiclass agreement statistics from ONE confusion aggregate —
     * the Gorodkin (2004) R_K generalization of Matthews' correlation
     * plus Cohen's kappa, both closed forms over the class marginals:

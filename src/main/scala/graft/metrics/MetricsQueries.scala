@@ -185,6 +185,28 @@ object MetricsQueries extends QueryPack {
         .orderBy("query_id")
     }),
 
+    // Retrieval report (MRR / P@5 / R@5) over the same cosine top-5
+    // candidates as q_ndcg; recall's denominator = same-label corpus
+    // vectors excluding the query itself.
+    "q_retrieval_report" -> ((s, dir) => {
+      val emb = graft.core.Tables.embeddings(s, dir)
+      val cands = graft.llmdata.Ann.cosineTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val perLabel = emb.groupBy(col("label")).agg(count(lit(1)).as("__n"))
+      val rel = cands
+        .join(broadcast(lbl.select(col("vec_id").as("query_id"),
+          col("label").as("__lq"))), Seq("query_id"))
+        .join(lbl.select(col("vec_id").as("neighbor_id"),
+          col("label").as("__ln")), Seq("neighbor_id"))
+        .withColumn("rel", (col("__lq") === col("__ln")).cast("int"))
+        .join(broadcast(perLabel.select(col("label").as("__lq"),
+          (col("__n") - 1).as("total_rel"))), Seq("__lq"))
+      Metrics.retrievalReport(rel, "query_id", "rank", "rel",
+        "total_rel", k = 5)
+        .orderBy("query_id")
+    }),
+
     // Calibration reliability bins: one ≤ nBins-key hash aggregate;
     // p = 10·l_discount spans [0,1] with mass at both edge bins.
     "q_calibration" -> ((s, dir) =>
@@ -294,6 +316,35 @@ object MetricsQueries extends QueryPack {
         |SELECT 'auc_ties', round((rank_sum - p * (p + 1) / 2)
         |  / (p * (n - p)), 6) FROM a1
         |ORDER BY metric""".stripMargin,
+
+    "q_retrieval_report" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS lq
+        |           FROM embeddings WHERE vec_id < 10),
+        |x AS (SELECT query_id, vec_id, lq, label AS lbl_n,
+        |        unnest(qe)::DOUBLE AS a, unnest(embedding)::DOUBLE AS b
+        |      FROM q, embeddings WHERE vec_id != query_id),
+        |c AS (SELECT query_id, vec_id, any_value(lq) AS lq,
+        |        any_value(lbl_n) AS lbl_n,
+        |        sum(a*b)/(sqrt(sum(a*a))*sqrt(sum(b*b))) AS cos
+        |      FROM x GROUP BY 1, 2),
+        |r AS (SELECT query_id, vec_id, lq, lbl_n, cos,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC, vec_id) AS rank FROM c),
+        |pl AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |k AS (SELECT query_id, rank,
+        |        CASE WHEN lq = lbl_n THEN 1 ELSE 0 END AS rel,
+        |        pl.n - 1 AS total_rel
+        |      FROM r JOIN pl ON r.lq = pl.label WHERE rank <= 5),
+        |s AS (SELECT query_id,
+        |        min(CASE WHEN rel = 1 THEN rank END) AS fr,
+        |        sum(rel) AS hits, max(total_rel) AS tot
+        |      FROM k GROUP BY 1)
+        |SELECT query_id,
+        |  round(coalesce(1.0 / fr, 0.0), 6) AS mrr,
+        |  round(CAST(hits AS DOUBLE) / 5, 6) AS p_at_5,
+        |  round(CASE WHEN tot = 0 THEN 0.0
+        |        ELSE CAST(hits AS DOUBLE) / tot END, 6) AS r_at_5
+        |FROM s ORDER BY query_id""".stripMargin,
 
     "q_ndcg" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS lq

@@ -194,6 +194,19 @@ class MetricsSpec extends SparkSpec {
     assert(r(2L) == 0.0)
   }
 
+  test("retrievalReport: MRR uses first relevant rank; zero-hit query scores 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 1, 0, 4L), (1L, 2, 1, 4L), (1L, 3, 1, 4L), // first hit at rank 2
+      (2L, 1, 0, 3L), (2L, 2, 0, 3L))                 // no hits
+      .toDF("q", "rank", "rel", "total_rel")
+    val r = Metrics.retrievalReport(d, "q", "rank", "rel", "total_rel", k = 5)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getDouble(1), x.getDouble(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((0.5, 0.4, 0.5)))  // 1/2, 2/5, 2/4
+    assert(r(2L) == ((0.0, 0.0, 0.0)))
+  }
+
   test("agreementStats: class never predicted still counts in the marginals") {
     import spark.implicits._
     // 'c' never predicted: p-marginal for c is 0 but t_c=1 joins via full-outer
