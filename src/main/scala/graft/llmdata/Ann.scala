@@ -664,6 +664,10 @@ object Ann {
     * threshold so a cross-engine ulp can't flip a boundary row.
     * Output: (idCol, labelCol, dist rounded 6, outlier).
     */
+  private val distCache =
+    graft.core.Memos.register(new graft.core.Memos.CachedFrameMap)
+  private val distCacheSeq = new java.util.concurrent.atomic.AtomicLong()
+
   def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String, sigmas: Double = 2.0): DataFrame = {
     val x = df.select(col(idCol), col(labelCol),
@@ -673,11 +677,16 @@ object Ann {
       .groupBy(col(labelCol))
       .agg(transform(array_sort(collect_list(struct(col("__i"), col("__c")))),
         s => s.getField("__c")).as("__cv"))
+    // persisted: consumed twice (the per-label stats aggregate AND the
+    // flag join-back) — without it the centroid join + per-row distance
+    // fold would re-run over the whole corpus
     val dists = df.join(broadcast(centroids), Seq(labelCol))
       .withColumn("dist",
         sqrt(aggregate(zip_with(col(vecCol), col("__cv"),
           (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
           lit(0.0), (acc, v) => acc + v)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    distCache.put(s"outliers-${distCacheSeq.incrementAndGet()}", dists)
     val stats = dists.groupBy(col(labelCol))
       .agg(avg(col("dist")).as("__mu"), stddev_pop(col("dist")).as("__sd"))
     dists.join(broadcast(stats), Seq(labelCol))

@@ -22,10 +22,9 @@ import graft.llmdata.Ann.{dotExpr, normExpr}
   */
 object Contrastive {
 
-  /** 60-bit md5 content hash (repo-wide oracle-reproducible convention). */
+  /** 60-bit md5 content hash — the shared repo convention. */
   private def h60(key: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
-      .cast("long")
+    graft.core.Hashing.h60(key, salt)
 
   /** In-batch negative pairs: rows are hashed into `nBatches` batches;
     * within a batch every (anchor, other) pair with DIFFERENT labels

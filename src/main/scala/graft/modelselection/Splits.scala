@@ -141,8 +141,7 @@ object Splits {
       salt: String = "gkf"): DataFrame = {
     require(k >= 2, s"need k >= 2 folds, got $k")
     df.withColumn("fold",
-      pmod(conv(substring(md5(concat(lit(salt), col(groupCol).cast("string"))),
-        1, 15), 16, 10).cast("long"), lit(k.toLong)).cast("int"))
+      graft.core.Hashing.bucket(col(groupCol), salt, k.toLong).cast("int"))
   }
 
   def kfold(df: DataFrame, k: Int): Seq[(DataFrame, DataFrame)] = {

@@ -34,13 +34,11 @@ import org.apache.spark.sql.functions._
   */
 object TargetEncoder {
 
-  /** 60-bit md5 hash of (salt ++ key) — identical to Splits.hashBucket's
-    * base value; DuckDB mirror: ('0x'||substr(md5(salt||CAST(k AS
-    * VARCHAR)),1,15))::BIGINT.
+  /** 60-bit md5 hash of (salt ++ key) — the shared repo convention
+    * ([[graft.core.Hashing.h60]]).
     */
   private def h60(key: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
-      .cast("long")
+    graft.core.Hashing.h60(key, salt)
 
   /** Adds `<catCol>_te` (out-of-fold smoothed target mean, rounded to 6)
     * and `<catCol>_freq` (category frequency in [0,1], rounded to 6) to
@@ -63,10 +61,17 @@ object TargetEncoder {
 
     // encoding table: (category, fold) → oof mean; joined to the global
     // prior via a 1-row cross (both sides are already aggregates)
+    val prior = col("__tot_s") / col("__tot_c")
     val enc = perFold.join(perCat, Seq(catCol)).crossJoin(tot)
       .select(col(catCol), col("__fold"),
-        round((col("__cat_s") - col("__s") + lit(smoothing) * col("__tot_s") / col("__tot_c"))
-          / (col("__cat_c") - col("__c") + lit(smoothing)), 6).as(s"${catCol}_te"),
+        // try_divide + coalesce(prior): with smoothing = 0 a fully
+        // absent oof slice is 0/0 (an ANSI-mode error under plain
+        // Divide) — the documented fallback makes it the prior
+        round(coalesce(
+          try_divide(
+            col("__cat_s") - col("__s") + lit(smoothing) * prior,
+            col("__cat_c") - col("__c") + lit(smoothing)),
+          prior), 6).as(s"${catCol}_te"),
         round(col("__cat_c").cast("double") / col("__tot_c"), 6).as(s"${catCol}_freq"))
 
     withFold.join(broadcast(enc), Seq(catCol, "__fold"))

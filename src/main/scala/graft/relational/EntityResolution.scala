@@ -21,24 +21,35 @@ object EntityResolution {
     * (id_a, id_b, name_a, name_b, distance).
     *
     * The quadratic probe dominates everything else, so the plan is
-    * tuned around it: (1) the build side broadcasts (3 narrow columns);
-    * (2) the probe side is round-robin-spread to the session's shuffle
-    * parallelism first — the probe work is embarrassingly parallel and
-    * a narrow-row shuffle is ~free next to the per-pair edit-distance
-    * loop, which would otherwise run on however few partitions the
-    * scan produced; (3) the cheap prunes (id order, length gap — an
-    * edit-distance lower bound) sit BEFORE the levenshtein conjunct in
-    * the join condition, so the O(|a|·|b|) DP runs only on pairs that
-    * survive them.
+    * tuned around it: (1) with `broadcastBuild` (default) the build
+    * side broadcasts (3 narrow columns) and the probe side is
+    * round-robin-spread to the session's shuffle parallelism — the
+    * probe work is embarrassingly parallel and a narrow-row shuffle is
+    * ~free next to the per-pair edit-distance loop, which would
+    * otherwise run on however few partitions the scan produced;
+    * (2) the cheap prunes (id order, length gap — an edit-distance
+    * lower bound) sit BEFORE the levenshtein conjunct in the join
+    * condition, so the O(|a|·|b|) DP runs only on pairs that survive
+    * them.
+    *
+    * `broadcastBuild = false` is the LARGE-table form: both sides
+    * shuffle on the block key as a plain equi-join — no driver-side
+    * broadcast materialization (which hard-caps at Spark's broadcast
+    * limit), and skewed blocks become AQE-splittable. Use it whenever
+    * the deduplicated (id, name, block) projection would not
+    * comfortably broadcast.
     */
   def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
-      blockKey: Column, maxDistance: Int): DataFrame = {
+      blockKey: Column, maxDistance: Int,
+      broadcastBuild: Boolean = true): DataFrame = {
     require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val a = df.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
-      blockKey.as("__blk")).repartition(nParts)
-    val b = broadcast(df.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
-      blockKey.as("__blkb")))
+    val a0 = df.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
+      blockKey.as("__blk"))
+    val a = if (broadcastBuild) a0.repartition(nParts) else a0
+    val b0 = df.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
+      blockKey.as("__blkb"))
+    val b = if (broadcastBuild) broadcast(b0) else b0
     a.join(b, col("__blk") === col("__blkb") &&
         col("id_a") < col("id_b") &&
         abs(length(col("name_a")) - length(col("name_b"))) <= maxDistance)

@@ -208,5 +208,13 @@ class PreprocessingSpec extends SparkSpec {
     // oof slice empty → (0 + m·prior)/(0 + m) = prior
     assert(solo ~== (BigDecimal(prior).setScale(6,
       BigDecimal.RoundingMode.HALF_UP).toDouble, 1e-6))
+    // smoothing = 0: the 0/0 case coalesces to the prior instead of null
+    val enc0 = TargetEncoder.encode(df, "cat", "t", "id", nFolds = 2,
+      smoothing = 0.0, salt = "z")
+    val solo0 = enc0.filter(org.apache.spark.sql.functions.col("id") === 4L)
+      .select("cat_te").head()
+    assert(!solo0.isNullAt(0), "empty oof with m=0 must not be null")
+    assert(solo0.getDouble(0) ~== (BigDecimal(prior).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, 1e-6))
   }
 }
