@@ -368,6 +368,33 @@ object RelationalQueries extends QueryPack {
           round(expr("percentile(l_extendedprice, 0.9)"), 6).as("price_p90"))
         .orderBy("l_returnflag")),
 
+    // Robust statistics per group: median, MAD, 5%-winsorized mean,
+    // 10%-trimmed mean — quantile thresholds from one exact-percentile
+    // aggregate (|groups| rows) broadcast back, then one clip/filter
+    // aggregate. The outlier-resistant profile a quality pipeline
+    // monitors where mean/std lie.
+    "q_robust_stats" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val qs = li.groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, 0.05)").as("__p05"),
+        expr("percentile(l_extendedprice, 0.10)").as("__p10"),
+        expr("percentile(l_extendedprice, 0.50)").as("__med"),
+        expr("percentile(l_extendedprice, 0.90)").as("__p90"),
+        expr("percentile(l_extendedprice, 0.95)").as("__p95"))
+      li.join(broadcast(qs), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(
+          round(first(col("__med")), 6).as("median"),
+          round(expr("percentile(abs(l_extendedprice - __med), 0.5)"), 6)
+            .as("mad"),
+          round(avg(least(greatest(col("l_extendedprice"), col("__p05")),
+            col("__p95"))), 6).as("winsorized_mean"),
+          round(avg(when(col("l_extendedprice").between(
+            col("__p10"), col("__p90")), col("l_extendedprice"))), 6)
+            .as("trimmed_mean"))
+        .orderBy("l_returnflag")
+    }),
+
     // Correlation / covariance / dispersion aggregates (one-pass
     // co-moment accumulation both engines; round(6) absorbs merge-order
     // ulps).
@@ -913,6 +940,23 @@ object RelationalQueries extends QueryPack {
         | round(quantile_cont(l_quantity, 0.75), 6) AS p75,
         | round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_robust_stats" ->
+      """WITH qs AS (SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS p05,
+        |    quantile_cont(l_extendedprice, 0.10) AS p10,
+        |    quantile_cont(l_extendedprice, 0.50) AS med,
+        |    quantile_cont(l_extendedprice, 0.90) AS p90,
+        |    quantile_cont(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  round(any_value(qs.med), 6) AS median,
+        |  round(quantile_cont(abs(l.l_extendedprice - qs.med), 0.5), 6) AS mad,
+        |  round(avg(least(greatest(l.l_extendedprice, qs.p05), qs.p95)), 6)
+        |    AS winsorized_mean,
+        |  round(avg(CASE WHEN l.l_extendedprice BETWEEN qs.p10 AND qs.p90
+        |    THEN l.l_extendedprice END), 6) AS trimmed_mean
+        |FROM lineitem l JOIN qs ON l.l_returnflag = qs.l_returnflag
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_corr_stats" ->
       """SELECT l_returnflag,
         | round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
