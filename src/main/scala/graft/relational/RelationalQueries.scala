@@ -375,12 +375,17 @@ object RelationalQueries extends QueryPack {
     // monitors where mean/std lie.
     "q_robust_stats" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
+      // one percentile buffer per group for all five cut points (the
+      // array form), not five independent sort buffers
       val qs = li.groupBy("l_returnflag").agg(
-        expr("percentile(l_extendedprice, 0.05)").as("__p05"),
-        expr("percentile(l_extendedprice, 0.10)").as("__p10"),
-        expr("percentile(l_extendedprice, 0.50)").as("__med"),
-        expr("percentile(l_extendedprice, 0.90)").as("__p90"),
-        expr("percentile(l_extendedprice, 0.95)").as("__p95"))
+        expr("percentile(l_extendedprice, array(0.05, 0.10, 0.50, 0.90, 0.95))")
+          .as("__q"))
+        .select(col("l_returnflag"),
+          element_at(col("__q"), 1).as("__p05"),
+          element_at(col("__q"), 2).as("__p10"),
+          element_at(col("__q"), 3).as("__med"),
+          element_at(col("__q"), 4).as("__p90"),
+          element_at(col("__q"), 5).as("__p95"))
       li.join(broadcast(qs), Seq("l_returnflag"))
         .groupBy("l_returnflag")
         .agg(
