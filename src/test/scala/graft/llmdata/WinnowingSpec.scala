@@ -56,6 +56,25 @@ class WinnowingSpec extends SparkSpec {
     assert(got(5L).size == 1, "single short-doc window selects one print")
   }
 
+  test("property: native expression matches the paper replay on seeded random docs") {
+    // deterministic pseudo-random corpus over a tiny alphabet (forces
+    // hash ties and repeated grams) across several (k, w) shapes
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcd "
+    val docs = (1L to 20L).map { id =>
+      val len = 5 + rnd.nextInt(60)
+      id -> (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    for ((k, w) <- Seq((3, 4), (5, 2), (2, 7))) {
+      val got = run(docs, k, w)
+      docs.foreach { case (id, text) =>
+        val want = winnow(text, k, w)
+        assert(got.getOrElse(id, Set.empty) == want,
+          s"doc $id k=$k w=$w: got ${got.get(id)} want $want (text=$text)")
+      }
+    }
+  }
+
   test("guarantee: docs sharing a substring >= w+k-1 share a fingerprint") {
     val shared = "zqxwvutsrqponmlk"  // 16 chars >= w+k-1 = 15
     val (k, w) = (8, 8)

@@ -256,6 +256,64 @@ class TemporalSpec extends SparkSpec {
       (2L, "x", ts("2024-01-01 05:00:00"), None, 1L)))
   }
 
+  test("resampleHourlyFfill properties: dense grid, counts partition the input") {
+    import spark.implicits._
+    // seeded pseudo-random events over a 3-day span for 5 users
+    val rnd = new scala.util.Random(7)
+    val base = java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime
+    val ev = (1 to 400).map { i =>
+      (rnd.nextInt(5).toLong,
+        new java.sql.Timestamp(base + rnd.nextInt(3 * 24 * 3600) * 1000L),
+        i.toLong, rnd.nextDouble())
+    }.toDF("user_id", "ts", "event_id", "value")
+    val out = Temporal.resampleHourlyFfill(ev, "user_id", "ts", "value", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.get(3))).toSeq
+    // counts partition the input exactly
+    assert(out.map(_._3).sum == 400L)
+    // per-user grid is DENSE: hours count == span between min and max + 1
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val hours = rows.map(_._2).sorted
+      val h0 = java.time.LocalDateTime.parse(hours.head + ":00:00",
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      val h1 = java.time.LocalDateTime.parse(hours.last + ":00:00",
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      val span = java.time.Duration.between(h0, h1).toHours + 1
+      assert(hours.length.toLong == span, s"grid not dense: ${hours.length} vs $span")
+      assert(hours.distinct.length == hours.length)
+    }
+    // forward fill never leaves a null after the first observation
+    assert(out.forall(_._4 != null))
+  }
+
+  test("scd2History properties: intervals partition events; valid_from increases") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val vals = Seq("a", "b", "c")
+    val ev = (1 to 300).map { i =>
+      (rnd.nextInt(4).toLong,
+        new java.sql.Timestamp(base + i * 60000L),
+        i.toLong, vals(rnd.nextInt(3)))
+    }.toDF("user_id", "ts", "event_id", "v")
+    val out = Temporal.scd2History(ev, "user_id", "ts", "v", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getLong(4))).toSeq
+    assert(out.map(_._5).sum == 300L, "interval event counts partition the input")
+    out.groupBy(_._1).foreach { case (_, ivs) =>
+      val sorted = ivs.sortBy(_._3.getTime)
+      // exactly one open interval per key, and it is the last one
+      assert(sorted.count(_._4.isEmpty) == 1 && sorted.last._4.isEmpty)
+      // each interval closes exactly where the next opens
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4.contains(b._3), "valid_to must equal next valid_from")
+          assert(a._2 != b._2, "adjacent intervals must change value")
+        case _ =>
+      }
+    }
+  }
+
   test("funnel window edges: pre-signup purchase excluded, day-7 boundary included") {
     import spark.implicits._
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
