@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -42,6 +43,12 @@ case class WinnowingFp(child: Expression, k: Int, w: Int)
       StructField("fp", LongType, nullable = false))),
     containsNull = false)
   override def prettyName: String = "winnowing_fp"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"winnowing_fp needs a string column, got ${child.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
 
   override protected def nullSafeEval(input: Any): Any =
     WinnowingFp.compute(input.asInstanceOf[UTF8String].toString, k, w)

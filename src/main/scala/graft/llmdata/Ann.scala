@@ -679,12 +679,14 @@ object Ann {
         s => s.getField("__c")).as("__cv"))
     // persisted: consumed twice (the per-label stats aggregate AND the
     // flag join-back) — without it the centroid join + per-row distance
-    // fold would re-run over the whole corpus
+    // fold would re-run over the whole corpus. Projected to the narrow
+    // (id, label, dist) triple BEFORE the persist: both consumers only
+    // need those, so the cache never holds the embedding arrays.
     val dists = df.join(broadcast(centroids), Seq(labelCol))
-      .withColumn("dist",
+      .select(col(idCol), col(labelCol),
         sqrt(aggregate(zip_with(col(vecCol), col("__cv"),
           (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
-          lit(0.0), (acc, v) => acc + v)))
+          lit(0.0), (acc, v) => acc + v)).as("dist"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     distCache.put(s"outliers-${distCacheSeq.incrementAndGet()}", dists)
     val stats = dists.groupBy(col(labelCol))

@@ -61,10 +61,13 @@ object LangIdClassifier {
   def train(docs: DataFrame, textCol: String, idCol: String,
       labelCol: String, d: Int = D, iters: Int = 1000,
       maxTrainRows: Int = 2000): Seq[(String, Array[Double], Double)] = {
-    val classes = docs.select(col(labelCol)).distinct()
+    // limit(1001) bounds the collect BEFORE it runs: an accidentally
+    // high-cardinality label column fails the require below instead of
+    // pulling the whole inventory through the driver first.
+    val classes = docs.select(col(labelCol)).distinct().limit(1001)
       .collect().map(_.getString(0)).sorted
     require(classes.nonEmpty && classes.length <= 1000,
-      s"class inventory must be small/bounded, got ${classes.length}")
+      s"class inventory must be small/bounded, got ${classes.length}+")
     val k = classes.length
     val idx = classes.zipWithIndex.toMap
     // content-hash-ranked uniform sample (the spectral-landmark

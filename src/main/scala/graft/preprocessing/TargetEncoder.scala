@@ -62,7 +62,7 @@ object TargetEncoder {
     // encoding table: (category, fold) → oof mean; joined to the global
     // prior via a 1-row cross (both sides are already aggregates)
     val prior = col("__tot_s") / col("__tot_c")
-    val enc = perFold.join(perCat, Seq(catCol)).crossJoin(tot)
+    val enc = perFold.join(perCat, Seq(catCol)).crossJoin(broadcast(tot))
       .select(col(catCol), col("__fold"),
         // try_divide + coalesce(prior): with smoothing = 0 a fully
         // absent oof slice is 0/0 (an ANSI-mode error under plain

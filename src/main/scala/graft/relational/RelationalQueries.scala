@@ -527,6 +527,18 @@ object RelationalQueries extends QueryPack {
         col("c_nationkey"), maxDistance = 1)
         .orderBy("id_a", "id_b")),
 
+    // Same fuzzy join forced onto the LARGE-table path: both sides
+    // shuffle on the block key as a plain equi-join, zero driver-side
+    // broadcast — the form the auto-default picks once the corpus
+    // projection outgrows the broadcast threshold. Same oracle as
+    // q_fuzzy_join: routing must not change the answer.
+    "q_fuzzy_join_shuffled" -> ((s, dir) =>
+      EntityResolution.fuzzyPairs(
+        Tables.customer(s, dir), "c_custkey", "c_name",
+        col("c_nationkey"), maxDistance = 1,
+        broadcastBuild = Some(false))
+        .orderBy("id_a", "id_b")),
+
     // SCD2 validity intervals: per-user event_type change history —
     // gaps-and-islands change flags, one (user, segment) aggregate,
     // lead over the segment frame for valid_to. Timestamps rendered
@@ -661,6 +673,15 @@ object RelationalQueries extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracleSql(),
     "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  a.c_name AS name_a, b.c_name AS name_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_fuzzy_join_shuffled" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |  a.c_name AS name_a, b.c_name AS name_b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance

@@ -8,33 +8,100 @@ class EntityResolutionSpec extends SparkSpec {
 
   import spark.implicits._
 
-  test("fuzzyPairs: only in-block pairs within the edit budget, id_a < id_b") {
-    val df = Seq(
-      (1L, "smith", 1), (2L, "smyth", 1), (3L, "smith", 2),
-      (4L, "jones", 1), (5L, "jonas", 1), (6L, "wildly-different", 1))
-      .toDF("id", "name", "blk")
-    val pairs = EntityResolution.fuzzyPairs(df, "id", "name", col("blk"),
-      maxDistance = 1).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))
-    // (1,2) smith~smyth d=1; (4,5) jones~jonas d=1. (1,3) identical but
-    // different blocks -> excluded by blocking, the documented trade-off.
-    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (4L, 5L)))
-    assert(pairs.forall(_._3 <= 1))
-    assert(pairs.forall(p => p._1 < p._2))
+  // Every semantic case runs under BOTH physical routings: the
+  // broadcast-build form and the large-table shuffled equi-join —
+  // routing must never change the answer.
+  private val forms =
+    Seq("broadcast" -> Some(true), "shuffled" -> Some(false))
+
+  for ((label, form) <- forms) {
+    test(s"fuzzyPairs($label): only in-block pairs within the edit budget, id_a < id_b") {
+      val df = Seq(
+        (1L, "smith", 1), (2L, "smyth", 1), (3L, "smith", 2),
+        (4L, "jones", 1), (5L, "jonas", 1), (6L, "wildly-different", 1))
+        .toDF("id", "name", "blk")
+      val pairs = EntityResolution.fuzzyPairs(df, "id", "name", col("blk"),
+        maxDistance = 1, broadcastBuild = form).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))
+      // (1,2) smith~smyth d=1; (4,5) jones~jonas d=1. (1,3) identical but
+      // different blocks -> excluded by blocking, the documented trade-off.
+      assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (4L, 5L)))
+      assert(pairs.forall(_._3 <= 1))
+      assert(pairs.forall(p => p._1 < p._2))
+    }
+
+    test(s"fuzzyPairs($label): identical strings pair at distance 0") {
+      val df = Seq((1L, "abc", 1), (2L, "abc", 1)).toDF("id", "name", "blk")
+      val p = EntityResolution.fuzzyPairs(df, "id", "name", col("blk"), 2,
+        broadcastBuild = form).collect()
+      assert(p.length == 1 && p.head.getInt(4) == 0)
+    }
+
+    test(s"fuzzyPairs($label): length guard never drops a within-budget pair") {
+      // lengths differ by exactly maxDistance — must survive the guard
+      val df = Seq((1L, "abcd", 1), (2L, "abc", 1)).toDF("id", "name", "blk")
+      val p = EntityResolution.fuzzyPairs(df, "id", "name", col("blk"), 1,
+        broadcastBuild = form).collect()
+      assert(p.length == 1 && p.head.getInt(4) == 1)
+    }
   }
 
-  test("fuzzyPairs: identical strings pair at distance 0") {
-    val df = Seq((1L, "abc", 1), (2L, "abc", 1)).toDF("id", "name", "blk")
-    val p = EntityResolution.fuzzyPairs(df, "id", "name", col("blk"), 2)
-      .collect()
-    assert(p.length == 1 && p.head.getInt(4) == 0)
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("fuzzyPairs: shuffled form adds no broadcast hint") {
+    // With the planner's auto-broadcast disabled, the ONLY way a
+    // BroadcastExchange could appear is a forced broadcast() hint —
+    // which would override the threshold. Its absence proves the
+    // shuffled form leaves the build side unhinted.
+    val df = Seq((1L, "smith", 1), (2L, "smyth", 1)).toDF("id", "name", "blk")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = physicalPlan(EntityResolution.fuzzyPairs(
+        df, "id", "name", col("blk"), 1, broadcastBuild = Some(false)))
+      assert(!plan.contains("BroadcastExchange"),
+        s"shuffled form must not broadcast:\n$plan")
+      // sanity: the forced broadcast form still broadcasts under the
+      // same disabled threshold (the hint is what routes it)
+      val forced = physicalPlan(EntityResolution.fuzzyPairs(
+        df, "id", "name", col("blk"), 1, broadcastBuild = Some(true)))
+      assert(forced.contains("BroadcastExchange"))
+    } finally spark.conf.set(key, prev)
   }
 
-  test("fuzzyPairs: length guard never drops a within-budget pair") {
-    // lengths differ by exactly maxDistance — must survive the guard
-    val df = Seq((1L, "abcd", 1), (2L, "abc", 1)).toDF("id", "name", "blk")
-    val p = EntityResolution.fuzzyPairs(df, "id", "name", col("blk"), 1)
-      .collect()
-    assert(p.length == 1 && p.head.getInt(4) == 1)
+  test("fuzzyPairs: auto default broadcasts small inputs, shuffles past the threshold") {
+    val df = Seq((1L, "smith", 1), (2L, "smyth", 1)).toDF("id", "name", "blk")
+    // Small input under the default 10 MB threshold -> broadcast form.
+    val small = physicalPlan(EntityResolution.fuzzyPairs(
+      df, "id", "name", col("blk"), 1))
+    assert(small.contains("BroadcastExchange"),
+      s"auto should broadcast a tiny input:\n$small")
+    // Same input with the threshold squeezed to 1 byte models the
+    // corpus-sized case: the estimate exceeds it -> plain equi-join.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1")
+      val large = physicalPlan(EntityResolution.fuzzyPairs(
+        df, "id", "name", col("blk"), 1))
+      assert(!large.contains("BroadcastExchange"),
+        s"auto must not broadcast past the threshold:\n$large")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("fuzzyPairs: broadcast and shuffled forms agree on a 300-row corpus") {
+    val df = spark.range(300).select(
+      col("id"),
+      concat(lit("name-"), (col("id") % 40).cast("string"),
+        when(col("id") % 7 === 0, lit("x")).otherwise(lit(""))).as("name"),
+      (col("id") % 5).cast("int").as("blk"))
+    def run(form: Option[Boolean]) =
+      EntityResolution.fuzzyPairs(df, "id", "name", col("blk"), 1,
+        broadcastBuild = form)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(run(Some(true)) == run(Some(false)))
+    assert(run(Some(false)).nonEmpty)
   }
 }
