@@ -176,6 +176,22 @@ object TextFeatureQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Multimodal sequence packing: image slots cost a fixed 64-token
+    // budget each on top of the text tokens; greedy first-fit per
+    // source shard on the combined cost (the VLM training-sequence
+    // assembly step). n_images = doc_id % 4 is the deterministic
+    // stand-in for a media-manifest count (testdata ships no real
+    // manifests) — pure integer arithmetic both engines replay.
+    "q_multimodal_pack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("n_images", pmod(col("doc_id"), lit(4)).cast("int"))
+      Multimodal.packMultimodal(docs, "text", "doc_id", "source",
+        "n_images", budget = 512, imageTokens = 64)
+        .select(col("doc_id"), col("source"), col("n_images"),
+          col("n_text_tokens"), col("n_mm_tokens"), col("pack_id"))
+        .orderBy("doc_id")
+    }),
+
     // Decode-stub feature extraction: JVM-side fake decoder → rows-only;
     // schema/shape are the point.
     "q_multimodal_features" -> ((s, dir) => {
@@ -393,6 +409,22 @@ object TextFeatureQueries extends QueryPack {
     "q_image_phash" ->
       s"""WITH ${phashCteSql("documents")}
          |SELECT doc_id, phash_hi, phash_lo FROM ph ORDER BY doc_id""".stripMargin,
+    // multimodal packing mirror: same combined cost (text tokens +
+    // 64/image) and the same per-shard cumulative first-fit arithmetic
+    // as the q_sequence_packing oracle.
+    "q_multimodal_pack" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS nt,
+        |    CAST(doc_id % 4 AS INT) AS ni
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, nt, ni, nt + ni * 64 AS cost,
+        |    sum(nt + ni * 64) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT doc_id, source, ni AS n_images, nt AS n_text_tokens,
+        |  CAST(cost AS INT) AS n_mm_tokens,
+        |  CAST(floor(CAST(cum - cost AS DOUBLE) / CAST(512 AS DOUBLE))
+        |    AS INT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_image_phash_neardups" ->
       s"""WITH srcu AS (SELECT doc_id, text FROM documents
          |       WHERE strlen(text) = length(text)

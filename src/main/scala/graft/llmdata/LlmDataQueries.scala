@@ -1579,6 +1579,17 @@ object LlmDataQueries extends QueryPack {
         "doc_id", "w", k = 100, salt = "aes")
         .orderBy("doc_id")),
 
+    // Deterministic epoch shuffle: doc → (epoch, shard, pos) via a
+    // 4-round Feistel bijection on the 60-bit id domain — the
+    // trainer-side global reshuffle as a pure scan-fused projection
+    // (no sort, no shuffle; order reproducible from (salt, epoch)).
+    "q_epoch_shuffle" -> ((s, dir) =>
+      Splits.epochShuffle(
+        Tables.documents(s, dir).select(col("doc_id")),
+        "doc_id", epochs = 2, nShards = 8, salt = "es8")
+        .select(col("doc_id"), col("epoch"), col("shard"), col("pos"))
+        .orderBy("epoch", "shard", "pos")),
+
     // Token-budget corpus selection: best-quality documents until the
     // budget fills — two-stage plan (score-group aggregate finds the
     // boundary; the corpus pays a scan-fused filter, only the single
@@ -2418,6 +2429,41 @@ object LlmDataQueries extends QueryPack {
         |        OVER (ORDER BY aes_key DESC, doc_id) AS rn FROM k)
         |SELECT doc_id, w, aes_key FROM r WHERE rn <= 100
         |ORDER BY doc_id""".stripMargin,
+
+    // Feistel epoch-shuffle mirror: the same 4 rounds replayed in
+    // integer arithmetic — md5-60-bit round function masked to 30
+    // bits, xor/shift recombination, perm % 8 sharding.
+    "q_epoch_shuffle" ->
+      """WITH e AS (SELECT d.doc_id, t.epoch
+        |           FROM documents d
+        |           CROSS JOIN (SELECT unnest([0, 1]) AS epoch) t),
+        |r0 AS (SELECT doc_id, epoch,
+        |         (doc_id >> 30) & 1073741823 AS l,
+        |         doc_id & 1073741823 AS r FROM e),
+        |r1 AS (SELECT doc_id, epoch, r AS l,
+        |         xor(l, ('0x' || substr(md5('es8:' ||
+        |             CAST(epoch AS VARCHAR) || ':0:' ||
+        |             CAST(r AS VARCHAR)), 1, 15))::BIGINT
+        |           & 1073741823) AS r FROM r0),
+        |r2 AS (SELECT doc_id, epoch, r AS l,
+        |         xor(l, ('0x' || substr(md5('es8:' ||
+        |             CAST(epoch AS VARCHAR) || ':1:' ||
+        |             CAST(r AS VARCHAR)), 1, 15))::BIGINT
+        |           & 1073741823) AS r FROM r1),
+        |r3 AS (SELECT doc_id, epoch, r AS l,
+        |         xor(l, ('0x' || substr(md5('es8:' ||
+        |             CAST(epoch AS VARCHAR) || ':2:' ||
+        |             CAST(r AS VARCHAR)), 1, 15))::BIGINT
+        |           & 1073741823) AS r FROM r2),
+        |r4 AS (SELECT doc_id, epoch, r AS l,
+        |         xor(l, ('0x' || substr(md5('es8:' ||
+        |             CAST(epoch AS VARCHAR) || ':3:' ||
+        |             CAST(r AS VARCHAR)), 1, 15))::BIGINT
+        |           & 1073741823) AS r FROM r3)
+        |SELECT doc_id, CAST(epoch AS INT) AS epoch,
+        |  CAST(((l << 30) | r) % 8 AS INT) AS shard,
+        |  (l << 30) | r AS pos
+        |FROM r4 ORDER BY epoch, shard, pos""".stripMargin,
 
     // budget-prefix mirror: the naive global-window form of the
     // two-stage selection — sum(tokens) OVER (ORDER BY score DESC, id)

@@ -108,6 +108,41 @@ object Multimodal {
       maxBucketSize = maxBucketSize)
   }
 
+  /** Multimodal sequence packing: [[TextStats.packSequences]] extended
+    * to interleaved image+text documents. An image slot costs a FIXED
+    * `imageTokens` budget — the vision-encoder patch count the trainer
+    * will splice in per image (public VLM recipes use a constant per
+    * image, e.g. a 24×24-patch encoder's 576) — so a document's pack
+    * cost is `text tokens + n_images · imageTokens` and the greedy
+    * first-fit runs on that combined cost. Same per-shard window
+    * contract as [[TextStats.packSequences]]: each shard packs
+    * independently in (shard, id) order, one running sum of window
+    * state, no corpus-wide ordering — the scale posture is unchanged
+    * by the extra arithmetic, which fuses into the scan.
+    *
+    * `nImagesCol` is the per-document image count from the media
+    * manifest (join [[withByteStats]]/[[extractFeatures]] output per
+    * doc upstream). Output adds (n_text_tokens, n_mm_tokens, pack_id);
+    * pack ids local to the shard.
+    */
+  def packMultimodal(df: DataFrame, textCol: String, idCol: String,
+      shardCol: String, nImagesCol: String, budget: Int,
+      imageTokens: Int = 64): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(imageTokens >= 0,
+      s"imageTokens must be >= 0, got $imageTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+    df.withColumn("n_text_tokens", TextStats.tokenCount(col(textCol)))
+      .withColumn("n_mm_tokens",
+        col("n_text_tokens") +
+          col(nImagesCol).cast("int") * lit(imageTokens))
+      .withColumn("__cum", sum(col("n_mm_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("__cum") - col("n_mm_tokens")) / lit(budget)).cast("int"))
+      .drop("__cum")
+  }
+
   /** Frame sampling for video-like content: n deterministic offsets per
     * row exploded to (media_id, frame_no, frame_bytes) — the shape of a
     * video→frames stage; the "frame" is a byte slice in the stub.

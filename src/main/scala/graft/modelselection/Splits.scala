@@ -1,6 +1,6 @@
 package graft.modelselection
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -415,6 +415,56 @@ object Splits {
       .orderBy(col("__aes_key").desc, col(keyCol))
       .limit(k)
       .select(col(keyCol), col(weightCol), col("__aes_key").as("aes_key"))
+  }
+
+  /** Deterministic epoch shuffle — the training-side global reshuffle
+    * WITHOUT a sort: doc → (epoch, shard, pos) as a pure scan-fused
+    * projection (the manifests→trainer handoff: every epoch's read
+    * order is fixed at plan time, reproducible from (salt, epoch)
+    * alone, and costs zero shuffles to compute).
+    *
+    * A 4-round balanced Feistel network over the 60-bit id domain
+    * makes `pos = perm_epoch(id)` a TRUE BIJECTION on [0, 2^60) — not
+    * merely collision-unlikely like a raw hash: the round function
+    * (the house md5-60-bit integer hash of "salt:epoch:round:half",
+    * masked to 30 bits) can be arbitrary, the Feistel structure is
+    * what guarantees invertibility. So distinct docs can never collide
+    * on (epoch, shard, pos). `shard = perm mod nShards` balances
+    * because the permutation output is uniform over the domain; `pos`
+    * orders rows WITHIN a shard — a trainer streams shard files and
+    * sorts each locally by pos (bounded per shard, never a corpus
+    * sort). Per-epoch round keys differ, so epoch orders decorrelate.
+    *
+    * Entirely md5 + integer arithmetic ⇒ engine-independent (the
+    * DuckDB oracle replays it exactly). Contract: ids must lie in
+    * [0, 2^60) — bits above 60 are discarded by the halving and would
+    * break injectivity.
+    *
+    * Output: input row × epochs, with (epoch, shard, pos) appended.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int,
+      nShards: Int, salt: String = "es"): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val mask30 = (1L << 30) - 1
+    def f30(half: Column, epoch: Column, round: Int): Column =
+      conv(substring(md5(concat_ws(":", lit(salt), epoch.cast("string"),
+        lit(round.toString), half.cast("string"))), 1, 15), 16, 10)
+        .cast("long").bitwiseAND(lit(mask30))
+    val withEpoch = df.withColumn("epoch",
+      explode(sequence(lit(0), lit(epochs - 1))))
+    val id = col(idCol).cast("long")
+    var l: Column = shiftright(id, 30).bitwiseAND(lit(mask30))
+    var r: Column = id.bitwiseAND(lit(mask30))
+    for (round <- 0 until 4) {
+      val t = r
+      r = l.bitwiseXOR(f30(r, col("epoch"), round))
+      l = t
+    }
+    val perm = shiftleft(l, 30).bitwiseOR(r)
+    withEpoch
+      .withColumn("shard", pmod(perm, lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", perm)
   }
 
   /** round, not truncate: 0.29·1e6 is 289999.99999999994 in binary —

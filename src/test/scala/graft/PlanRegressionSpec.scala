@@ -57,6 +57,9 @@ class PlanRegressionSpec extends SparkSpec {
     "q_pack_length_buckets", // per-(shard, length-bucket) running token
                              // sum — packing semantics, windows strictly
                              // narrower than q_sequence_packing's
+    "q_multimodal_pack",     // the same per-SHARD packing window on the
+                             // combined text+image token cost — identical
+                             // scale posture to q_sequence_packing
     "q_budget_select",       // ordered prefix WITHIN the single boundary
                              // score group only (the corpus path is a
                              // scan-fused filter; see Curriculum doc)
