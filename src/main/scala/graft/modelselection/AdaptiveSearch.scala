@@ -29,15 +29,22 @@ import graft.wrappers.{LocalModel, OnlineEstimator, OnlineState}
   * _incremental.py:194-201 — same "small by design" contract), so
   * scoring is local and free of per-round job overhead.
   *
-  * On the reference's SPECULATIVE pre-launch (_incremental.py:244-248,
-  * 323-327 — next-round partial_fits submitted at low priority before
-  * the policy decides, canceled for culled models): that optimization
-  * exists because dask's scoring and policy hops are themselves remote
-  * round-trips the speculation can hide. Here scoring is a driver-local
-  * array pass and the policy is pure arithmetic — there is no latency
-  * window between a model's score returning and its next partial_fit
-  * job being submitted, so speculation would only burn cluster slots on
-  * soon-culled models. Deliberately omitted.
+  * The reference's SPECULATIVE pre-launch (_incremental.py:244-248,
+  * 323-327) has full parity here: right after a model's round of
+  * partial_fits — BEFORE its driver-local scoring and the policy
+  * decision — its likely-next partial_fit is launched on a separate
+  * driver pool, tagged with a per-launch Spark job group and the
+  * "graft-speculation" scheduler pool (under FAIR scheduling that pool
+  * yields to on-policy work — the `priority=-1` analog; under FIFO the
+  * tag is inert). A surviving model consumes the speculative state as
+  * its round's first call; a culled model's launch is canceled through
+  * `cancelJobGroup` (the reference cancels by dropping the future,
+  * _incremental.py:299-303). Scores are BYTE-IDENTICAL with
+  * speculation on or off because the training-block sequence is the
+  * reference's deterministic shared `order` (_incremental.py:210-229):
+  * block = order(model's call index), extended by seeded shuffles — a
+  * model's trajectory depends only on its call count, never on thread
+  * timing or on whether a call ran speculatively.
   */
 object AdaptiveSearch {
 
@@ -160,7 +167,8 @@ class IncrementalSearchCV(
     val nInitialParameters: Int = 10,
     val testSize: Double = 0.15,
     val parallelism: Int = 8,
-    val seed: Long = 42
+    val seed: Long = 42,
+    val speculate: Boolean = true
 ) {
   import AdaptiveSearch._
 
@@ -185,6 +193,19 @@ class IncrementalSearchCV(
     val sc = df.sparkSession.sparkContext
     val rnd = new scala.util.Random(seed)
 
+    // the reference's shared deterministic block order
+    // (_incremental.py:210-229): a seeded shuffle of the block ids,
+    // re-shuffled and appended whenever a model's call count outruns
+    // it. A model's training block depends ONLY on its call index, so
+    // trajectories are identical whether a call ran speculatively, in
+    // which thread, or in which round.
+    val order = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def blockFor(callIdx: Int): Int = order.synchronized {
+      while (callIdx >= order.length)
+        order ++= rnd.shuffle((0 until nParts).toVector)
+      order(callIdx)
+    }
+
     val candidates = ParamGrid.sample(paramGrid, nInitialParameters, seed)
     val estimators = candidates.map(makeEstimator)
     var records = candidates.zipWithIndex.map { case (params, i) =>
@@ -194,12 +215,61 @@ class IncrementalSearchCV(
     val policy = makePolicy(records.size)
     val pool = Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // speculative futures run on their OWN pool: a round future blocks
+    // on its model's speculative result, so sharing one pool could
+    // queue the awaited future behind its awaiter (deadlock)
+    val specPool = Executors.newFixedThreadPool(math.max(parallelism, 1))
+    val specEc: ExecutionContext = ExecutionContext.fromExecutor(specPool)
+    val speculative =
+      scala.collection.concurrent.TrieMap.empty[Int, (String, Future[ModelRecord])]
     var totalPartialFits = 0
+    var specLaunched = 0
+    val specConsumed = new java.util.concurrent.atomic.AtomicInteger(0)
+    var specCanceled = 0
+
+    def partialFitOnce(id: Int, rec: ModelRecord): ModelRecord = {
+      val est = estimators(id)
+      val pid = blockFor(rec.calls)
+      val cur = rec.state
+      val newState = sc.runJob(train,
+        (it: Iterator[(Array[Double], Double)]) => {
+          val rows = it.toArray
+          if (rows.isEmpty) cur
+          else est.partialFit(cur, rows.map(_._1), rows.map(_._2))
+        }, Seq(pid)).head
+      rec.copy(state = newState, calls = rec.calls + 1)
+    }
+
+    /** Pre-launch the model's likely-next partial_fit
+      * (_incremental.py:244-248): its own job group (the cancel
+      * handle) + the "graft-speculation" FAIR pool (the priority=-1
+      * analog). Thread-locals are cleared in finally — the pool thread
+      * is reused.
+      */
+    def launchSpeculative(id: Int, rec: ModelRecord): Unit = {
+      val group = s"graft-spec-$seed-$id-${rec.calls}"
+      speculative.put(id, (group, Future {
+        sc.setLocalProperty("spark.scheduler.pool", "graft-speculation")
+        sc.setJobGroup(group, "speculative partial_fit", true)
+        try partialFitOnce(id, rec)
+        finally {
+          sc.clearJobGroup()
+          sc.setLocalProperty("spark.scheduler.pool", null)
+        }
+      }(specEc)))
+    }
+
+    def cancelSpeculative(id: Int): Unit =
+      speculative.remove(id).foreach { case (group, fut) =>
+        sc.cancelJobGroup(group)
+        fut.failed.foreach(_ => ())(specEc) // swallow the cancellation
+        specCanceled += 1
+      }
 
     try {
       // initial: one call each, then policy-controlled rounds; a model
-      // absent from the policy's return is culled (its speculative work
-      // would be canceled in the reference, _incremental.py:299-303)
+      // absent from the policy's return is culled and its speculative
+      // launch canceled (_incremental.py:299-303)
       var instructions: Map[Int, Int] = records.keys.map(_ -> 1).toMap
       var continue = instructions.nonEmpty
       while (continue) {
@@ -207,46 +277,68 @@ class IncrementalSearchCV(
         val updated = Await.result(Future.sequence(work.toSeq.map { case (id, nCalls) =>
           Future {
             var rec = records(id)
-            val est = estimators(id)
-            (0 until nCalls).foreach { _ =>
-              val pid = rnd.synchronized(rnd.nextInt(nParts))
-              val cur = rec.state
-              val newState = sc.runJob(train,
-                (it: Iterator[(Array[Double], Double)]) => {
-                  val rows = it.toArray
-                  if (rows.isEmpty) cur
-                  else est.partialFit(cur, rows.map(_._1), rows.map(_._2))
-                }, Seq(pid)).head
-              rec = rec.copy(state = newState, calls = rec.calls + 1)
+            // a pending speculative launch IS this round's first call.
+            // The launch was cut before last round's score was appended,
+            // so graft its state/calls onto the SCORED record — history
+            // must not lose a score to speculation.
+            val consumed = speculative.remove(id) match {
+              case Some((_, fut)) =>
+                val spec = Await.result(fut, Duration.Inf)
+                rec = spec.copy(scores = rec.scores)
+                specConsumed.incrementAndGet()
+                1
+              case None => 0
             }
-            val score = scorer(est.model(rec.state), testX, testY)
+            (consumed until nCalls).foreach { _ =>
+              rec = partialFitOnce(id, rec)
+            }
+            // launch the next speculative call BEFORE scoring: the
+            // driver-local score pass is exactly the latency window the
+            // reference's priority=-1 submit hides
+            if (speculate) launchSpeculative(id, rec)
+            val score = scorer(estimators(id).model(rec.state), testX, testY)
             rec.copy(scores = rec.scores :+ score)
           }
         }), Duration.Inf)
         totalPartialFits += work.values.sum
+        if (speculate) specLaunched += work.size
         records = records ++ updated.map(r => r.id -> r)
         val alive = work.keySet
         instructions = policy.additionalCalls(
           records.filter { case (id, _) => alive(id) })
+        // culled models (absent) and stopped models (0 calls): their
+        // pre-launched work is dead — cancel the job group
+        speculative.keys.foreach { id =>
+          if (instructions.getOrElse(id, 0) <= 0) cancelSpeculative(id)
+        }
         continue = instructions.values.exists(_ > 0)
       }
       val best = records.values.maxBy(_.lastScore)
       AdaptiveResult(records.values.toSeq.sortBy(_.id),
         best.params, best.lastScore,
-        estimators(best.id).model(best.state), totalPartialFits)
+        estimators(best.id).model(best.state), totalPartialFits,
+        SpeculationStats(specLaunched, specConsumed.get(), specCanceled))
     } finally {
+      speculative.keys.foreach(cancelSpeculative)
       pool.shutdown()
+      specPool.shutdown()
       train.unpersist(blocking = false)
     }
   }
 }
+
+/** Speculative pre-launch accounting: launched ≥ consumed + canceled
+  * (a launch still in flight at loop end is canceled by cleanup).
+  */
+case class SpeculationStats(launched: Int, consumed: Int, canceled: Int)
 
 case class AdaptiveResult(
     history: Seq[AdaptiveSearch.ModelRecord],
     bestParams: Map[String, Any],
     bestScore: Double,
     bestModel: LocalModel,
-    totalPartialFits: Int)
+    totalPartialFits: Int,
+    speculation: SpeculationStats = SpeculationStats(0, 0, 0))
 
 /** SuccessiveHalvingSearchCV facade (_successive_halving.py). */
 class SuccessiveHalvingSearchCV(
@@ -255,12 +347,13 @@ class SuccessiveHalvingSearchCV(
     featureCols: Seq[String], labelCol: String,
     scorer: (LocalModel, Array[Array[Double]], Array[Double]) => Double,
     val nInitial: Int = 9, val r: Int = 1, val eta: Double = 3.0,
-    testSize: Double = 0.15, seed: Long = 42
+    testSize: Double = 0.15, seed: Long = 42,
+    speculate: Boolean = true
 ) {
   def fit(df: DataFrame): AdaptiveResult =
     new IncrementalSearchCV(makeEstimator, paramGrid, featureCols, labelCol,
       scorer, _ => new AdaptiveSearch.SuccessiveHalving(nInitial, r, eta),
-      nInitial, testSize, seed = seed).fit(df)
+      nInitial, testSize, seed = seed, speculate = speculate).fit(df)
 }
 
 /** HyperbandSearchCV (_hyperband.py:58-664): all SHA brackets run
@@ -279,7 +372,8 @@ class HyperbandSearchCV(
     scorer: (LocalModel, Array[Array[Double]], Array[Double]) => Double,
     val maxIter: Int = 9, val eta: Double = 3.0,
     testSize: Double = 0.15, seed: Long = 42,
-    val concurrentBrackets: Boolean = true
+    val concurrentBrackets: Boolean = true,
+    val speculate: Boolean = true
 ) {
   def metadata: Seq[(Int, Int, Int)] = AdaptiveSearch.hyperbandMetadata(maxIter, eta)
 
@@ -291,7 +385,7 @@ class HyperbandSearchCV(
       sc.setLocalProperty("spark.scheduler.pool", s"hyperband-bracket-$i")
       try new IncrementalSearchCV(makeEstimator, paramGrid, featureCols, labelCol,
         scorer, _ => new AdaptiveSearch.SuccessiveHalving(n, math.max(r, 1), eta),
-        n, testSize, seed = seed + i).fit(df)
+        n, testSize, seed = seed + i, speculate = speculate).fit(df)
       finally sc.setLocalProperty("spark.scheduler.pool", null)
     }
     val results =
@@ -306,6 +400,10 @@ class HyperbandSearchCV(
       }
     val best = results.maxBy(_.bestScore)
     AdaptiveResult(results.flatMap(_.history), best.bestParams, best.bestScore,
-      best.bestModel, results.map(_.totalPartialFits).sum)
+      best.bestModel, results.map(_.totalPartialFits).sum,
+      SpeculationStats(
+        results.map(_.speculation.launched).sum,
+        results.map(_.speculation.consumed).sum,
+        results.map(_.speculation.canceled).sum))
   }
 }

@@ -25,8 +25,16 @@ import graft.core.{Estimator, Model}
   * analog, methods.py:83-153) and unpersisted when the search ends.
   */
 object ParamGrid {
-  /** Cartesian product in stable (sklearn) order. */
+  /** Cartesian product in stable (sklearn) order. An empty value list
+    * is rejected up front (sklearn's "parameter array should not be
+    * empty" check, test_grid_search_bad_param_grid) — otherwise the
+    * product silently collapses to zero candidates.
+    */
   def expand(grid: Map[String, Seq[Any]]): Seq[Map[String, Any]] = {
+    grid.foreach { case (k, vs) =>
+      require(vs.nonEmpty,
+        s"parameter values for '$k' need to be a non-empty sequence")
+    }
     val keys = grid.keys.toSeq.sorted
     keys.foldLeft(Seq(Map.empty[String, Any])) { (acc, k) =>
       for (m <- acc; v <- grid(k)) yield m + (k -> v)
@@ -97,6 +105,18 @@ case class SearchResult[M <: Model](
     bestParams: Map[String, Any],
     bestScore: Double,
     bestModel: M) {
+  /** best_estimator_ with the reference's refit=False contract
+    * (test_no_refit, _search.py): a search fitted for model selection
+    * alone has no refitted estimator, and asking for one fails with
+    * the reference's message rather than handing back null.
+    */
+  def bestEstimator: M = {
+    if (bestModel == null) throw new IllegalStateException(
+      "This search was initialized with refit=False. best_estimator_ is " +
+        "available only after refitting on the best parameters.")
+    bestModel
+  }
+
   /** cv_results_ as a DataFrame: masked `param_*` columns (null where a
     * candidate's grid lacks the key), per-metric mean/std/rank and
     * per-split columns, and timing — the _search.py:1180-1319 table.
@@ -121,7 +141,11 @@ case class SearchResult[M <: Model](
           StructField("mean_score_time", DoubleType))
     val rows = cvResults.map { r =>
       Row.fromSeq(
-        paramKeys.map(k => r.params.get(k).map(_.toString).orNull) ++
+        // flatMap(Option(_)): a present-but-null param value (sklearn's
+        // None entries, test_search_cv_results_none_param) renders as
+        // SQL null, same as a masked absent key
+        paramKeys.map(k =>
+          r.params.get(k).flatMap(Option(_)).map(_.toString).orNull) ++
           metricNames.flatMap { m =>
             val mr = r.metrics(m)
             mr.splitScores.toSeq ++ Seq[Any](mr.mean, mr.std, mr.rank)
