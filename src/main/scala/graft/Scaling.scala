@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Empirical scaling-exponent harness: generates deterministic corpora
+  * at 1×/4×/16× of sf0.1 row counts ([[graft.datasets.ScaleData]] —
+  * pure xxhash64 projections under /tmp, the driver testdata is never
+  * touched), times a representative set of the most expensive gates at
+  * each size with the Bench methodology (noop sink, warmup,
+  * memo-cleared passes, min-of-reps — min because a scaling FIT wants
+  * the contention-free floor, not the load median), and fits the
+  * log-log slope  t ∝ size^β  per query. β ≈ 1 is the linear-scan
+  * ideal; β > 1.3 names a super-linear term that needs a documented
+  * reason (fixed-block quadratic probes, convergence-round growth).
+  * Writes SCALING.json.
+  *
+  * Known super-linear terms, asserted by the artifact rather than
+  * hidden (the `notes` field names each): q_fuzzy_join blocks on the
+  * FIXED 25-nation key, so within-block candidate pairs grow ∝
+  * factor² (the blocking-key-cardinality trade-off documented on
+  * EntityResolution) — capped at 4× to keep the harness minutes-sized,
+  * slope expected ≈ 2; q_resample_ffill's output grid is users ×
+  * hourly span and BOTH grow ∝ factor in this corpus family (users
+  * 2000f, fixed event cadence → span ∝ f — the driver testdata's own
+  * model), so the operator — linear in its OUTPUT — pays ∝ f² rows.
+  */
+object Scaling {
+
+  /** dev knobs: SPARK_GRAFT_SCALE_FACTORS=1,4 SPARK_GRAFT_SCALE_ONLY=q_a,q_b */
+  private val factors = sys.env.get("SPARK_GRAFT_SCALE_FACTORS")
+    .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16))
+
+  /** (query, maxFactor): cap super-linear gates at 4×. */
+  private val targets: Seq[(String, Int)] = Seq(
+    "q_dedup_containment" -> 16,
+    "q_dedup_minhash_default" -> 16,
+    "q_dedup_jaccard" -> 16,
+    "q_dedup_substr" -> 16,
+    "q_cc_largestar" -> 16,
+    "q_source_overlap" -> 16,
+    "q_langid_trained" -> 16,
+    "q_llm_pipeline_v3" -> 16,
+    "q_lm_perplexity" -> 16,
+    "q_distinct_ngrams" -> 16,
+    "q_winnowing" -> 16,
+    "q_resample_ffill" -> 16,
+    "q_kmeans_fit" -> 16,
+    "q_robust_stats" -> 16,
+    "q_pagerank" -> 16,
+    "q_ann_topk" -> 16,
+    "q_epoch_shuffle" -> 16,
+    "q_fuzzy_join" -> 4) // fixed-block quadratic — see scaladoc
+    .filter { case (q, _) =>
+      sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+        .forall(_.split(",").map(_.trim).contains(q))
+    }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scaling")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt.max(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    factors.foreach { f =>
+      val dir = s"$baseDir/x$f"
+      System.err.println(s"[scaling] generating $dir (factor $f)")
+      graft.datasets.ScaleData.generate(spark, dir, f)
+    }
+
+    def materialize(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[scaling] $name @ $dir FAILED: ${e.getMessage}")
+        Double.NaN
+      }
+    }
+
+    // warmup on the smallest corpus, untimed
+    materialize("q1_agg", s"$baseDir/x1")
+
+    // passes sweep (factor, query) so reps are comparable; memos
+    // cleared per pass so fit-once costs are re-paid like Bench
+    val cells = for {
+      f <- factors
+      (q, cap) <- targets if f <= cap
+    } yield (q, f)
+    val byPass = (1 to reps).map { pass =>
+      graft.core.Memos.clearAll()
+      val ts = cells.map { case (q, f) =>
+        val t = materialize(q, s"$baseDir/x$f")
+        System.err.println(f"[scaling] pass $pass $q x$f: $t%.2f s")
+        (q, f) -> t
+      }.toMap
+      ts
+    }
+    val best: Map[(String, Int), Double] =
+      cells.map(c => c -> {
+        val ok = byPass.map(_(c)).filterNot(_.isNaN)
+        if (ok.isEmpty) Double.NaN else ok.min
+      }).toMap
+
+    // least-squares slope of ln t on ln f
+    def slope(points: Seq[(Int, Double)]): Double = {
+      val xs = points.map(p => math.log(p._1.toDouble))
+      val ys = points.map(p => math.log(p._2))
+      val mx = xs.sum / xs.size
+      val my = ys.sum / ys.size
+      val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val den = xs.map(x => (x - mx) * (x - mx)).sum
+      num / den
+    }
+
+    val rows = targets.map { case (q, cap) =>
+      val pts = factors.filter(_ <= cap).map(f => f -> best((q, f)))
+        .filterNot(_._2.isNaN)
+      (q, pts, if (pts.size >= 2) slope(pts) else Double.NaN)
+    }
+
+    // every exponent > 1.3 must name its super-linear term here —
+    // an entry missing for a >1.3 slope is a harness bug by contract
+    val notes = Map(
+      "q_fuzzy_join" -> ("within-block pairs grow quadratically: the " +
+        "block key (25 nations) is FIXED while block size ∝ f; capped " +
+        "at 4x. The mitigation at real scale is a finer blocking key " +
+        "(see EntityResolution scaladoc)"),
+      "q_resample_ffill" -> ("output grid = users × hourly span, both " +
+        "∝ f in this corpus family — the operator is linear in its " +
+        "OUTPUT grid; slope reflects grid growth, not operator waste"))
+    def fmt(d: Double) = if (d.isNaN) "null" else f"$d%.3f"
+    val json = rows.map { case (q, pts, b) =>
+      val times = pts.map { case (f, t) => s""""x$f":${fmt(t)}""" }.mkString(",")
+      val note = notes.get(q)
+        .map(n => s""","note":"$n"""").getOrElse("")
+      s""""$q":{"exponent":${fmt(b)},"times":{$times}$note}"""
+    }.mkString("{\"reps\":" + reps + ",\"base\":\"sf0.1\",\"queries\":{", ",", "}}")
+
+    // dev-knob runs must not clobber the committed artifact (the
+    // BENCH_SUBSET.json convention)
+    val artifact =
+      if (sys.env.contains("SPARK_GRAFT_SCALE_ONLY") ||
+        sys.env.contains("SPARK_GRAFT_SCALE_FACTORS")) "SCALING_DEV.json"
+      else "SCALING.json"
+    val w = new java.io.PrintWriter(artifact)
+    try w.println(json) finally w.close()
+    System.err.println(json)
+    rows.sortBy(-_._3).foreach { case (q, pts, b) =>
+      System.err.println(f"[scaling] $q%-24s beta=$b%5.2f  " +
+        pts.map { case (f, t) => f"x$f=$t%.2fs" }.mkString(" "))
+    }
+    spark.stop()
+    println(json)
+  }
+}

@@ -31,13 +31,14 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    // the round-7 flagship: TRAINED quality-classifier filter →
+    // the round-8 flagship: TRAINED quality-classifier filter →
     // benchmark decontamination → fingerprint dedup → exact-substring
     // duplication filter → LM-perplexity scoring → DSIR importance
     // selection → domain-mixture sampling → per-shard sequence packing
-    // → shard MANIFESTS (counts / token sums / order-independent
-    // checksums — the write-ready audit artifact)
-    queries("q_llm_pipeline_v6")(spark, dir)
+    // → deterministic EPOCH SHUFFLE (Feistel bijection: every doc's
+    // (epoch, trainer shard, position) — the pipeline ends where
+    // training begins, read order reproducible from the salt alone)
+    queries("q_llm_pipeline_v7")(spark, dir)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

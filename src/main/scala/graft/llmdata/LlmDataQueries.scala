@@ -1185,6 +1185,22 @@ object LlmDataQueries extends QueryPack {
             .as("checksum"))
         .orderBy("source", "pack_id")),
 
+    // FLAGSHIP v7: the manifests→trainer HANDOFF — v5's packed corpus
+    // mapped through the deterministic epoch shuffle (Feistel
+    // bijection, Splits.epochShuffle): every surviving doc gets its
+    // (epoch, train_shard, pos) for 2 epochs × 4 trainer shards as a
+    // pure scan-fused projection over the memoized packed frame. The
+    // pipeline now ends where training BEGINS: shuffled, sharded,
+    // reproducible-from-salt read order, zero extra shuffles.
+    "q_llm_pipeline_v7" -> ((s, dir) =>
+      Splits.epochShuffle(
+        v5Packed(s, dir).select(col("doc_id"), col("source"),
+          col("pack_id")),
+        "doc_id", epochs = 2, nShards = 4, salt = "v7")
+        .select(col("doc_id"), col("source"), col("pack_id"),
+          col("epoch"), col("shard"), col("pos"))
+        .orderBy("epoch", "shard", "pos")),
+
     // FLAGSHIP v2: the round-6 production pipeline — Gopher repetition
     // + quality filter (scan-fused signals) → benchmark decontamination
     // (broadcast 3-gram semi-join vs the doc 0-2 "eval set") → exact
@@ -3375,6 +3391,29 @@ object LlmDataQueries extends QueryPack {
     s
   }
 
+  /** Feistel epoch-shuffle CTE chain for composition (the SAME
+    * integer arithmetic as the static q_epoch_shuffle oracle,
+    * parameterized): rows of `src` × epochs, `carry` columns ride
+    * along, final halves in fr4.(l, r) → perm = (l << 30) | r.
+    */
+  private def feistelCtesSql(src: String, carry: String, salt: String,
+      epochs: Int): String = {
+    val m = "1073741823"
+    val rounds = (0 until 4).map { round =>
+      s"""fr${round + 1} AS (SELECT $carry, epoch, r AS l,
+         |  xor(l, ('0x' || substr(md5('$salt:' ||
+         |      CAST(epoch AS VARCHAR) || ':$round:' ||
+         |      CAST(r AS VARCHAR)), 1, 15))::BIGINT
+         |    & $m) AS r FROM fr$round)""".stripMargin
+    }.mkString(",\n")
+    s"""es AS (SELECT $carry, t.epoch FROM ( $src ) __src
+       |  CROSS JOIN (SELECT unnest([${(0 until epochs).mkString(", ")}])
+       |    AS epoch) t),
+       |fr0 AS (SELECT $carry, epoch,
+       |  (doc_id >> 30) & $m AS l, doc_id & $m AS r FROM es),
+       |$rounds""".stripMargin
+  }
+
   private def trainedQualityOracle: Map[String, String] =
     QualityClassifier.memoized match {
       case (w, b) :: Nil =>
@@ -3586,7 +3625,7 @@ object LlmDataQueries extends QueryPack {
           base + ("q_llm_pipeline_v5" -> v5FromV4(base("q_llm_pipeline_v4")))
         // v6 = v5's packed rows reduced to per-(source, pack) shard
         // manifests — the whole v5 mirror rides along as a derived table
-        withV5 + ("q_llm_pipeline_v6" ->
+        val withV6 = withV5 + ("q_llm_pipeline_v6" ->
           s"""SELECT source, pack_id, count(*) AS n_docs,
              |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
              |  bit_xor(('0x' || substr(md5('v6' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
@@ -3594,6 +3633,16 @@ object LlmDataQueries extends QueryPack {
              |FROM ( ${withV5("q_llm_pipeline_v5")} ) v5out
              |GROUP BY source, pack_id
              |ORDER BY source, pack_id""".stripMargin)
+        // v7 = v5's packed rows through the Feistel epoch shuffle —
+        // the v5 mirror as the source table, the permutation replayed
+        // in integer arithmetic (2 epochs × 4 trainer shards)
+        withV6 + ("q_llm_pipeline_v7" ->
+          s"""WITH ${feistelCtesSql(withV5("q_llm_pipeline_v5"),
+                 "doc_id, source, pack_id", "v7", 2)}
+             |SELECT doc_id, source, pack_id, CAST(epoch AS INT) AS epoch,
+             |  CAST(((l << 30) | r) % 4 AS INT) AS shard,
+             |  (l << 30) | r AS pos
+             |FROM fr4 ORDER BY epoch, shard, pos""".stripMargin)
       case _ => Map.empty
     }
 
