@@ -65,7 +65,9 @@ object Scaling {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // NOTE: driver heap cannot be set here — this main runs inside an
+      // already-started JVM (sbt/spark-submit client mode), so size it
+      // at launch (e.g. `sbt -J-Xmx16g "runMain graft.Scaling"`)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -130,15 +132,19 @@ object Scaling {
 
     // every exponent > 1.3 must name its super-linear term here —
     // an entry missing for a >1.3 slope is a harness bug by contract
+    // ASCII only: the artifact must survive any consumer charset
     val notes = Map(
       "q_fuzzy_join" -> ("within-block pairs grow quadratically: the " +
-        "block key (25 nations) is FIXED while block size ∝ f; capped " +
-        "at 4x. The mitigation at real scale is a finer blocking key " +
-        "(see EntityResolution scaladoc)"),
-      "q_resample_ffill" -> ("output grid = users × hourly span, both " +
-        "∝ f in this corpus family — the operator is linear in its " +
-        "OUTPUT grid; slope reflects grid growth, not operator waste"))
-    def fmt(d: Double) = if (d.isNaN) "null" else f"$d%.3f"
+        "block key (25 nations) is FIXED while block size grows with " +
+        "f; capped at 4x. The mitigation at real scale is a finer " +
+        "blocking key (see EntityResolution scaladoc)"),
+      "q_resample_ffill" -> ("output grid = users x hourly span, both " +
+        "growing with f in this corpus family -- the operator is " +
+        "linear in its OUTPUT grid; slope reflects grid growth, not " +
+        "operator waste"))
+    def fmt(d: Double) = if (d.isNaN) "null"
+      else String.format(java.util.Locale.ROOT, "%.3f",
+        java.lang.Double.valueOf(d)) // locale-proof decimal point
     val json = rows.map { case (q, pts, b) =>
       val times = pts.map { case (f, t) => s""""x$f":${fmt(t)}""" }.mkString(",")
       val note = notes.get(q)
@@ -152,7 +158,7 @@ object Scaling {
       if (sys.env.contains("SPARK_GRAFT_SCALE_ONLY") ||
         sys.env.contains("SPARK_GRAFT_SCALE_FACTORS")) "SCALING_DEV.json"
       else "SCALING.json"
-    val w = new java.io.PrintWriter(artifact)
+    val w = new java.io.PrintWriter(new java.io.File(artifact), "UTF-8")
     try w.println(json) finally w.close()
     System.err.println(json)
     rows.sortBy(-_._3).foreach { case (q, pts, b) =>

@@ -171,7 +171,10 @@ object ScaleData {
       "embeddings" -> embeddings(spark, 2000L * f))
     tables.foreach { case (name, df) =>
       val path = s"$outDir/$name.parquet"
-      if (!new java.io.File(path).exists)
+      // reuse only a COMPLETE write: a dir without Spark's _SUCCESS
+      // marker is a killed run's partial output — regenerate it
+      // (mode overwrite), never silently time gates against it
+      if (!new java.io.File(s"$path/_SUCCESS").exists)
         df.write.mode("overwrite").parquet(path)
     }
   }

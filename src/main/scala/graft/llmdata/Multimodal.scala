@@ -1,6 +1,6 @@
 package graft.llmdata
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -122,25 +122,27 @@ object Multimodal {
     *
     * `nImagesCol` is the per-document image count from the media
     * manifest (join [[withByteStats]]/[[extractFeatures]] output per
-    * doc upstream). Output adds (n_text_tokens, n_mm_tokens, pack_id);
-    * pack ids local to the shard.
+    * doc upstream); a NULL count (manifest left-join miss) coalesces
+    * to 0 images — the natural semantics of an absent manifest row —
+    * rather than silently nulling the doc's pack cost. Output adds
+    * (n_text_tokens, n_mm_tokens, pack_id); pack ids local to the
+    * shard.
+    *
+    * Delegates to [[TextStats.packSequences]] through its
+    * `tokenCounter` hook — the window/cumulative-sum/pack arithmetic
+    * lives in exactly one place.
     */
   def packMultimodal(df: DataFrame, textCol: String, idCol: String,
       shardCol: String, nImagesCol: String, budget: Int,
       imageTokens: Int = 64): DataFrame = {
-    require(budget > 0, s"budget must be positive, got $budget")
     require(imageTokens >= 0,
       s"imageTokens must be >= 0, got $imageTokens")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(shardCol)).orderBy(col(idCol))
-    df.withColumn("n_text_tokens", TextStats.tokenCount(col(textCol)))
-      .withColumn("n_mm_tokens",
-        col("n_text_tokens") +
-          col(nImagesCol).cast("int") * lit(imageTokens))
-      .withColumn("__cum", sum(col("n_mm_tokens")).over(w))
-      .withColumn("pack_id",
-        floor((col("__cum") - col("n_mm_tokens")) / lit(budget)).cast("int"))
-      .drop("__cum")
+    val mmCost: Column => Column = t =>
+      TextStats.tokenCount(t) +
+        coalesce(col(nImagesCol).cast("int"), lit(0)) * lit(imageTokens)
+    TextStats.packSequences(df, textCol, idCol, shardCol, budget, mmCost)
+      .withColumnRenamed("n_tokens", "n_mm_tokens")
+      .withColumn("n_text_tokens", TextStats.tokenCount(col(textCol)))
   }
 
   /** Frame sampling for video-like content: n deterministic offsets per

@@ -220,8 +220,16 @@ class IncrementalSearchCV(
     // queue the awaited future behind its awaiter (deadlock)
     val specPool = Executors.newFixedThreadPool(math.max(parallelism, 1))
     val specEc: ExecutionContext = ExecutionContext.fromExecutor(specPool)
+    // (job group, canceled flag, result): the flag covers the window
+    // cancelJobGroup can't — a launch still QUEUED behind the pool has
+    // no Spark job to cancel yet, so it checks the flag at start and
+    // aborts without ever submitting one (otherwise a culled model's
+    // fit would run as a stray job, even after fit() returned)
+    final case class SpecEntry(group: String,
+        canceled: java.util.concurrent.atomic.AtomicBoolean,
+        fut: Future[ModelRecord])
     val speculative =
-      scala.collection.concurrent.TrieMap.empty[Int, (String, Future[ModelRecord])]
+      scala.collection.concurrent.TrieMap.empty[Int, SpecEntry]
     var totalPartialFits = 0
     var specLaunched = 0
     val specConsumed = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -248,7 +256,9 @@ class IncrementalSearchCV(
       */
     def launchSpeculative(id: Int, rec: ModelRecord): Unit = {
       val group = s"graft-spec-$seed-$id-${rec.calls}"
-      speculative.put(id, (group, Future {
+      val flag = new java.util.concurrent.atomic.AtomicBoolean(false)
+      speculative.put(id, SpecEntry(group, flag, Future {
+        if (flag.get()) throw new java.util.concurrent.CancellationException
         sc.setLocalProperty("spark.scheduler.pool", "graft-speculation")
         sc.setJobGroup(group, "speculative partial_fit", true)
         try partialFitOnce(id, rec)
@@ -260,9 +270,10 @@ class IncrementalSearchCV(
     }
 
     def cancelSpeculative(id: Int): Unit =
-      speculative.remove(id).foreach { case (group, fut) =>
-        sc.cancelJobGroup(group)
-        fut.failed.foreach(_ => ())(specEc) // swallow the cancellation
+      speculative.remove(id).foreach { e =>
+        e.canceled.set(true) // queued launch aborts before submitting
+        sc.cancelJobGroup(e.group) // in-flight launch's job is killed
+        e.fut.failed.foreach(_ => ())(specEc) // swallow the cancellation
         specCanceled += 1
       }
 
@@ -282,8 +293,8 @@ class IncrementalSearchCV(
             // so graft its state/calls onto the SCORED record — history
             // must not lose a score to speculation.
             val consumed = speculative.remove(id) match {
-              case Some((_, fut)) =>
-                val spec = Await.result(fut, Duration.Inf)
+              case Some(e) =>
+                val spec = Await.result(e.fut, Duration.Inf)
                 rec = spec.copy(scores = rec.scores)
                 specConsumed.incrementAndGet()
                 1

@@ -670,26 +670,24 @@ object RelationalQueries extends QueryPack {
        |ORDER BY node""".stripMargin
   }
 
+  /** ONE oracle for both fuzzy-join gates: routing (broadcast vs
+    * shuffled build) must never change the answer, so the gates share
+    * the string — an edit here updates both or neither.
+    */
+  private val fuzzyJoinOracleSql: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  a.c_name AS name_a, b.c_name AS name_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+      |FROM customer a JOIN customer b
+      |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+      |  AND levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracleSql(),
-    "q_fuzzy_join" ->
-      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-        |  a.c_name AS name_a, b.c_name AS name_b,
-        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
-        |FROM customer a JOIN customer b
-        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-        |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
-        |  AND levenshtein(a.c_name, b.c_name) <= 1
-        |ORDER BY id_a, id_b""".stripMargin,
-    "q_fuzzy_join_shuffled" ->
-      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-        |  a.c_name AS name_a, b.c_name AS name_b,
-        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
-        |FROM customer a JOIN customer b
-        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-        |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
-        |  AND levenshtein(a.c_name, b.c_name) <= 1
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q_fuzzy_join" -> fuzzyJoinOracleSql,
+    "q_fuzzy_join_shuffled" -> fuzzyJoinOracleSql,
     "q_scd2" ->
       """WITH o AS (SELECT user_id, ts, event_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id
