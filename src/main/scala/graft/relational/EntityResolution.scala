@@ -35,7 +35,15 @@ object EntityResolution {
     * `broadcastBuild = Some(false)` is the LARGE-table form: both
     * sides shuffle on the block key as a plain equi-join — no
     * driver-side broadcast materialization (which hard-caps at Spark's
-    * broadcast limit), and skewed blocks become AQE-splittable.
+    * broadcast limit). The probe side is SALTED (a salt column derived
+    * from the probe id, the build side replicated across all salts, the
+    * salt pair joining alongside the block key): join parallelism
+    * becomes |blocks| × |salts| tasks instead of |blocks|, with the
+    * total edit-distance work unchanged — essential when the block key
+    * has few distinct values, because a CPU-quadratic block is tiny in
+    * BYTES, so AQE's byte-threshold skew splitting never fires on it.
+    * Build-side shuffle volume pays ×|salts| on 3 narrow columns; at
+    * corpus scale prefer a finer block key over a larger salt.
     *
     * The default (`None`) AUTO-selects: it broadcasts only when
     * Catalyst's size estimate for the (id, name, block) projection
@@ -60,11 +68,34 @@ object EntityResolution {
       threshold > 0 &&
         b0.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)
     }
-    val a = if (useBroadcast) a0.repartition(nParts) else a0
-    val b = if (useBroadcast) broadcast(b0) else b0
-    a.join(b, col("__blk") === col("__blkb") &&
+    val joined = if (useBroadcast) {
+      a0.repartition(nParts).join(broadcast(b0),
+        col("__blk") === col("__blkb") &&
+          col("id_a") < col("id_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= maxDistance)
+    } else {
+      // salt: each probe row keeps ONE salt (a pure function of its
+      // id); the build side replicates across all salts — every
+      // (a, b) pair still meets exactly once, in the task owning
+      // (block, salt(a)). The probe side is explicitly repartitioned
+      // on (block, salt): that is the join's own co-partitioning when
+      // it runs as a shuffle join, and it keeps the quadratic probe
+      // loop spread across the cluster even when AQE re-plans the
+      // (narrow, replicated) build side into a broadcast join — a
+      // CPU-quadratic probe can be byte-tiny, and without this the
+      // whole pair loop would run at the scan's input parallelism.
+      val salts = math.max(nParts, 1)
+      val a = a0.withColumn("__salt",
+          pmod(xxhash64(col("id_a")), lit(salts.toLong)))
+        .repartition(nParts, col("__blk"), col("__salt"))
+      val b = b0.withColumn("__saltb",
+        explode(sequence(lit(0L), lit(salts.toLong - 1))))
+      a.join(b, col("__blk") === col("__blkb") &&
+        col("__salt") === col("__saltb") &&
         col("id_a") < col("id_b") &&
         abs(length(col("name_a")) - length(col("name_b"))) <= maxDistance)
+    }
+    joined
       .withColumn("distance", levenshtein(col("name_a"), col("name_b")))
       .filter(col("distance") <= maxDistance)
       .select("id_a", "id_b", "name_a", "name_b", "distance")
