@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * hash join that scales linearly in block count), then the expensive
   * edit-distance predicate runs on the candidates. At 100 TB the
   * blocking key choice bounds the quadratic term to per-block sizes;
-  * skewed blocks are AQE-splittable because the join is a standard
-  * equi-join, never a cartesian.
+  * the shuffled form additionally salts the probe side (see
+  * [[fuzzyPairs]]) because a CPU-quadratic block can be byte-tiny —
+  * too small for AQE's byte-threshold skew splitting to notice.
   */
 object EntityResolution {
 
