@@ -1595,6 +1595,26 @@ object LlmDataQueries extends QueryPack {
         "doc_id", "w", k = 100, salt = "aes")
         .orderBy("doc_id")),
 
+    // Trainer-contract packing: per-doc token OFFSET within its pack
+    // (the document-boundary/attention-mask info) — same per-shard
+    // running sum, pure arithmetic, whitespace counter.
+    "q_pack_offsets" -> ((s, dir) =>
+      TextStats.packSequences(Tables.documents(s, dir), "text",
+        "doc_id", "source", budget = 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("pack_id"), col("pack_offset"))
+        .orderBy("doc_id")),
+
+    // Padding-waste report: unused slots per source under the 512
+    // budget — the packing-efficiency number; ≤|packs| keys after the
+    // packing scan.
+    "q_padding_waste" -> ((s, dir) =>
+      TextStats.packPaddingWaste(
+        TextStats.packSequences(Tables.documents(s, dir), "text",
+          "doc_id", "source", budget = 512),
+        "source", budget = 512)
+        .orderBy("source")),
+
     // Deterministic epoch shuffle: doc → (epoch, shard, pos) via a
     // 4-round Feistel bijection on the 60-bit id domain — the
     // trainer-side global reshuffle as a pure scan-fused projection
@@ -2445,6 +2465,43 @@ object LlmDataQueries extends QueryPack {
         |        OVER (ORDER BY aes_key DESC, doc_id) AS rn FROM k)
         |SELECT doc_id, w, aes_key FROM r WHERE rn <= 100
         |ORDER BY doc_id""".stripMargin,
+
+    // pack offsets mirror: the same cumulative arithmetic, offset =
+    // cumBefore - pack_id * budget
+    "q_pack_offsets" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS nt
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, nt,
+        |    sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+        |p AS (SELECT doc_id, source, nt, cum,
+        |    CAST(floor(CAST(cum - nt AS DOUBLE) / CAST(512 AS DOUBLE))
+        |      AS INT) AS pack_id FROM c)
+        |SELECT doc_id, source, nt AS n_tokens, pack_id,
+        |  CAST(cum - nt - pack_id * 512 AS INT) AS pack_offset
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // padding waste mirror: greatest(0, budget - pack tokens) summed
+    // per source
+    "q_padding_waste" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS nt
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, nt,
+        |    sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+        |p AS (SELECT source,
+        |    CAST(floor(CAST(cum - nt AS DOUBLE) / CAST(512 AS DOUBLE))
+        |      AS INT) AS pack_id, nt FROM c),
+        |pk AS (SELECT source, pack_id, CAST(sum(nt) AS BIGINT) AS pt
+        |  FROM p GROUP BY source, pack_id)
+        |SELECT source, count(*) AS n_packs,
+        |  CAST(sum(pt) AS BIGINT) AS total_tokens,
+        |  CAST(sum(greatest(0, 512 - pt)) AS BIGINT) AS padding_waste,
+        |  round(CAST(sum(greatest(0, 512 - pt)) AS DOUBLE)
+        |    / CAST(count(*) * 512 AS DOUBLE), 6) AS waste_frac
+        |FROM pk GROUP BY source ORDER BY source""".stripMargin,
 
     // Feistel epoch-shuffle mirror: the same 4 rounds replayed in
     // integer arithmetic — md5-60-bit round function masked to 30

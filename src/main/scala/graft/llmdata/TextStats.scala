@@ -335,6 +335,12 @@ object TextStats {
   /** @param tokenCounter token-count expression per document — default
     *   whitespace tokens; pass `Bpe.countExpr(_, merges)` to pack on
     *   true learned-subword counts.
+    *
+    * Besides (n_tokens, pack_id), the output carries `pack_offset` —
+    * the doc's starting token position WITHIN its pack (cumBefore −
+    * pack_id·budget, pure arithmetic on the same running sum): the
+    * attention-boundary/document-mask info a trainer needs to not
+    * cross-attend over packed-together documents.
     */
   def packSequences(df: DataFrame, textCol: String, idCol: String,
       shardCol: String, budget: Int,
@@ -346,7 +352,33 @@ object TextStats {
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .withColumn("pack_id",
         floor((col("__cum") - col("n_tokens")) / lit(budget)).cast("int"))
+      .withColumn("pack_offset",
+        (col("__cum") - col("n_tokens") -
+          col("pack_id").cast("long") * lit(budget.toLong)).cast("int"))
       .drop("__cum")
+  }
+
+  /** Per-shard padding-waste report over [[packSequences]] output: how
+    * many of the shard's reserved `budget`-token slots go unused —
+    * the padding-efficiency number a batching recipe is judged by.
+    * A pack's waste is max(0, budget − its token sum) (an overfilled
+    * pack — the documented straddling-document spill — wastes
+    * nothing). Two tiny aggregations over ≤|packs| keys; the corpus
+    * pays only the packing scan.
+    */
+  def packPaddingWaste(packed: DataFrame, shardCol: String,
+      budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    packed.groupBy(col(shardCol), col("pack_id"))
+      .agg(sum(col("n_tokens")).cast("long").as("__pt"))
+      .groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("__pt")).as("total_tokens"),
+        sum(greatest(lit(0L), lit(budget.toLong) - col("__pt")))
+          .as("padding_waste"))
+      .withColumn("waste_frac",
+        round(col("padding_waste").cast("double") /
+          (col("n_packs") * lit(budget.toLong)).cast("double"), 6))
   }
 
   /** Length-bucketed sequence packing: [[packSequences]] with documents

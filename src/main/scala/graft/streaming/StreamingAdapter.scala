@@ -296,7 +296,7 @@ object StreamingAdapter {
   case class PackState(cum: Long)
 
   case class PackedDoc(doc_id: Long, shard: String, n_tokens: Int,
-      pack_id: Int)
+      pack_id: Int, pack_offset: Int)
 
   /** Streaming sequence packing — the ingestion-time analog of
     * [[graft.llmdata.TextStats.packSequences]], closing the last batch
@@ -345,8 +345,9 @@ object StreamingAdapter {
             var cum = state.getOption.map(_.cum).getOrElse(0L)
             val out = rows.toArray.sortBy(_._1).map { case (id, _, n) =>
               val packId = (cum / budget).toInt
+              val off = (cum - packId.toLong * budget).toInt
               cum += n
-              PackedDoc(id, shard, n, packId)
+              PackedDoc(id, shard, n, packId, off)
             }
             state.update(PackState(cum))
             expireAfter.foreach(state.setTimeoutDuration)

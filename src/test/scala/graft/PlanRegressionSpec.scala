@@ -60,6 +60,10 @@ class PlanRegressionSpec extends SparkSpec {
     "q_multimodal_pack",     // the same per-SHARD packing window on the
                              // combined text+image token cost — identical
                              // scale posture to q_sequence_packing
+    "q_pack_offsets",        // the same per-SHARD packing window; the
+                             // offset is pure arithmetic on its sum
+    "q_padding_waste",       // same packing window feeding two tiny
+                             // ≤|packs|-key aggregations
     "q_budget_select",       // ordered prefix WITHIN the single boundary
                              // score group only (the corpus path is a
                              // scan-fused filter; see Curriculum doc)

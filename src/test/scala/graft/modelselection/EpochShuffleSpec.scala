@@ -56,6 +56,16 @@ class EpochShuffleSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"must be scan-fused:\n$plan")
   }
 
+  test("epochShuffle: injective on SPARSE ids too (bijection on the full domain)") {
+    // the bijectivity claim is on [0, 2^60), not just contiguous
+    // ranges — large scattered ids must map to distinct (shard, pos)
+    val sparse = spark.range(2000).select(
+      (col("id") * lit(1099511627776L + 7919L)).as("id")) // 2^40-ish stride, no overflow
+    val out = Splits.epochShuffle(sparse, "id", epochs = 1, nShards = 16)
+    assert(out.select("pos").distinct().count() == 2000)
+    assert(out.select("shard", "pos").distinct().count() == 2000)
+  }
+
   test("epochShuffle: every epoch appears, ids in [0, 2^60) preserved") {
     val epochs = Splits.epochShuffle(ids.limit(10), "id", epochs = 3,
       nShards = 4).select("epoch").distinct()

@@ -31,15 +31,16 @@ class StreamingPackSpec extends SparkSpec {
       input.addData(rows.drop(3))
       q.processAllAvailable()
       val streamed = spark.table("pack_test")
-        .select("doc_id", "shard", "n_tokens", "pack_id")
-        .as[(Long, String, Int, Int)].collect().sortBy(_._1).toSeq
+        .select("doc_id", "shard", "n_tokens", "pack_id", "pack_offset")
+        .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1).toSeq
       // ids arrive monotonically per shard → must equal the batch
-      // operator on the concatenated corpus
+      // operator on the concatenated corpus (pack_offset included:
+      // the trainer boundary info must survive streaming too)
       val batch = TextStats.packSequences(
         rows.toDF("doc_id", "shard", "text"), "text", "doc_id", "shard",
         budget = 6)
-        .select("doc_id", "shard", "n_tokens", "pack_id")
-        .as[(Long, String, Int, Int)].collect().sortBy(_._1).toSeq
+        .select("doc_id", "shard", "n_tokens", "pack_id", "pack_offset")
+        .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1).toSeq
       assert(streamed == batch,
         s"stream/batch packing diverged:\n  stream=$streamed\n  batch=$batch")
       val byId = streamed.map(t => t._1 -> t._4).toMap
