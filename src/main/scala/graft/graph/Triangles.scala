@@ -1,0 +1,106 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Exact triangle counting + local clustering coefficient via
+  * degree-ordered wedge joins (Suri & Vassilvitskii, "Counting
+  * Triangles and the Curse of the Last Reducer", WWW'11) — the graph
+  * statistic that grades link/co-occurrence graphs a crawl pipeline
+  * builds (community density, spam-farm detection, co-purchase
+  * affinity).
+  *
+  * Scale shape: every edge is oriented from its lexicographically
+  * LOWER (degree, id) endpoint to its higher one, so each triangle is
+  * generated exactly once AND every node's oriented out-degree is
+  * O(√m) — the orientation, not salting, is what defuses the
+  * power-law hub ("last reducer") skew: wedges pivot at each
+  * triangle's lowest-degree corner, never at the hub. Total wedge
+  * volume is the provably optimal O(m^{3/2}). Three shuffles overall
+  * (degree aggregate, wedge self-join on the pivot, closing-edge
+  * equi-join); frames are edge-sized throughout — nothing is
+  * node-bounded on the driver and nothing is collected.
+  *
+  * Output: one row per node with degree ≥ 1 — (id, degree, triangles,
+  * clustering_coeff) where clustering_coeff = 2·T(v) / (deg(v)·(deg(v)−1))
+  * (Watts–Strogatz), 0.0 for degree-1 nodes, rounded to 6 for exact
+  * cross-engine replay.
+  */
+object Triangles {
+
+  /** Persisted intermediates, registered so Bench's between-pass
+    * Memos.clearAll() releases executor storage (PageRank pattern).
+    */
+  private val frameCache =
+    graft.core.Memos.register(new graft.core.Memos.CachedFrameMap)
+  private val frameSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def track(df: DataFrame): DataFrame = {
+    frameCache.put(s"tri-${frameSeq.incrementAndGet()}", df)
+    df
+  }
+
+  /** @param pairs undirected edge list, columns `id_a`, `id_b`
+    *   (integral); duplicates and self-loops tolerated (deduped /
+    *   dropped).
+    */
+  def nodeTriangles(pairs: DataFrame): DataFrame = {
+    // canonical undirected edge set (u < v), the only corpus-sized pass
+    val e = track(pairs
+      .select(least(col("id_a").cast("long"), col("id_b").cast("long")).as("u"),
+        greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK))
+
+    // true (undirected) degree — consumed by both orientation joins and
+    // the final report
+    val deg = track(e.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+
+    // orient each edge low-rank → high-rank, rank = (degree, id);
+    // carry the dst rank so wedge ordering needs no further join
+    val lowFirst = {
+      val du = deg.select(col("id").as("u"), col("degree").as("__du"))
+      val dv = deg.select(col("id").as("v"), col("degree").as("__dv"))
+      e.join(du, "u").join(dv, "v")
+    }
+    val uLow = col("__du") < col("__dv") ||
+      (col("__du") === col("__dv") && col("u") < col("v"))
+    val oriented = track(lowFirst.select(
+        when(uLow, col("u")).otherwise(col("v")).as("src"),
+        when(uLow, col("v")).otherwise(col("u")).as("dst"),
+        when(uLow, col("__dv")).otherwise(col("__du")).as("dstDeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+
+    // wedges pivoting at the lowest-rank corner; the two arms ordered
+    // by the same rank so the candidate closing edge (b, c) is already
+    // in oriented form
+    val w1 = oriented.select(col("src").as("a"), col("dst").as("b"),
+      col("dstDeg").as("db"))
+    val w2 = oriented.select(col("src").as("a"), col("dst").as("c"),
+      col("dstDeg").as("dc"))
+    val wedges = w1.join(w2, Seq("a"))
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("a"), col("b"), col("c"))
+
+    // close the wedge: {b, c} must be an edge (oriented b → c by rank)
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val triangles = wedges.join(closing, Seq("b", "c"))
+
+    // per-node membership counts → the standard local coefficient
+    val perNode = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+  }
+}

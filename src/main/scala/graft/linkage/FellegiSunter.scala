@@ -1,0 +1,168 @@
+package graft.linkage
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Fellegi–Sunter probabilistic record linkage (JASA 1969; Winkler's
+  * EM estimation, and the model behind the public Splink engine) —
+  * the principled upgrade of [[graft.relational.EntityResolution]]'s
+  * distance-threshold matching: per-field agreement probabilities
+  * under match (m_k) and non-match (u_k) learned by EM, combined into
+  * a log-likelihood-ratio match weight and a posterior match
+  * probability per candidate pair.
+  *
+  * Scale shape — the Splink insight: E- and M-steps depend on pairs
+  * only through their agreement PATTERN, of which there are ≤ 2^K.
+  * So the corpus-sized pair frame is aggregated ONCE into pattern
+  * counts (one groupBy), and every EM iteration is arithmetic over
+  * that ≤2^K-row frame crossed with a 1-row parameter frame — zero
+  * corpus passes per iteration, nothing collected, any pair count.
+  * Final scoring is a scan-fused projection over the pairs with the
+  * fitted parameters broadcast in (the weights-in-plan pattern the
+  * quality classifier uses).
+  *
+  * Determinism: parameters are quantized to `quantize` decimals and
+  * clamped to [1e-6, 1−1e-6] at every iteration handoff — the
+  * quantized-trajectory trick the KMeans/PageRank gates use — so an
+  * independent engine replaying the iterations (chained CTEs, same
+  * left-to-right product order) follows the identical trajectory.
+  * [[emOracleCtes]] GENERATES that replay from the same parameters.
+  */
+object FellegiSunter {
+
+  private val frameCache =
+    graft.core.Memos.register(new graft.core.Memos.CachedFrameMap)
+  private val frameSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def track(df: DataFrame): DataFrame = {
+    frameCache.put(s"fs-${frameSeq.incrementAndGet()}", df)
+    df
+  }
+
+  private val loClamp = 1e-6
+  private val hiClamp = 0.999999
+
+  /** λ · Π_k (γ_k ? m_k : 1−m_k) — built in field order so the SQL
+    * mirror multiplies in the same sequence.
+    */
+  private def likeProd(fields: Seq[String], prefix: String,
+      seed: Column): Column =
+    fields.foldLeft(seed) { (acc, f) =>
+      acc * when(col(f) === 1, col(s"${prefix}_$f"))
+        .otherwise(lit(1.0) - col(s"${prefix}_$f"))
+    }
+
+  /** EM fit over candidate pairs with binary 0/1 agreement columns
+    * `fields`. Returns the 1-row parameter frame
+    * (lam, m_&lt;field&gt;…, u_&lt;field&gt;…), quantized per iteration.
+    */
+  def emFit(pairs: DataFrame, fields: Seq[String], iters: Int = 5,
+      lambda0: Double = 0.1, m0: Double = 0.9, u0: Double = 0.1,
+      quantize: Int = 9): DataFrame = {
+    require(fields.nonEmpty, "emFit needs at least one comparison field")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = pairs.sparkSession
+    // the ONLY corpus-sized pass: pairs → ≤2^K pattern counts
+    val pat = track(pairs
+      .groupBy(fields.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .coalesce(1)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+
+    val init = lit(lambda0).cast("double").as("lam") +:
+      (fields.map(f => lit(m0).cast("double").as(s"m_$f")) ++
+        fields.map(f => lit(u0).cast("double").as(s"u_$f")))
+    var params = spark.range(1).select(init: _*)
+
+    def clampRound(c: Column): Column =
+      least(greatest(round(c, quantize), lit(loClamp)), lit(hiClamp))
+
+    for (_ <- 1 to iters) {
+      val wm = likeProd(fields, "m", col("lam"))
+      val wu = likeProd(fields, "u", lit(1.0) - col("lam"))
+      val e = pat.crossJoin(broadcast(params))
+        .withColumn("__p", wm / (wm + wu))
+      val aggs =
+        round(sum(col("cnt") * col("__p")) / sum(col("cnt")), quantize)
+          .as("lam") +:
+          (fields.map(f => clampRound(
+            sum(col("cnt") * col("__p") * col(f)) /
+              sum(col("cnt") * col("__p"))).as(s"m_$f")) ++
+            fields.map(f => clampRound(
+              sum(col("cnt") * (lit(1.0) - col("__p")) * col(f)) /
+                sum(col("cnt") * (lit(1.0) - col("__p")))).as(s"u_$f")))
+      params = e.agg(aggs.head, aggs.tail: _*)
+    }
+    params
+  }
+
+  /** Score pairs with a fitted (or fixed) parameter frame: appends
+    * `match_weight` = log2(Π m-terms / Π u-terms) — the classic FS
+    * log-likelihood-ratio — and `posterior` = P(match | γ). Pure
+    * projection; `params` is 1 row, broadcast.
+    */
+  def score(pairs: DataFrame, fields: Seq[String], params: DataFrame,
+      quantize: Int = 6): DataFrame = {
+    val pm = likeProd(fields, "m", lit(1.0))
+    val pu = likeProd(fields, "u", lit(1.0))
+    pairs.crossJoin(broadcast(params))
+      .withColumn("match_weight", round(log2(pm / pu), quantize))
+      .withColumn("posterior",
+        round(col("lam") * pm /
+          (col("lam") * pm + (lit(1.0) - col("lam")) * pu), quantize))
+      .drop("lam")
+      .drop(fields.map(f => s"m_$f") ++ fields.map(f => s"u_$f"): _*)
+  }
+
+  // ---- generated oracle mirror ----------------------------------------
+
+  private def sqlLikeProd(fields: Seq[String], prefix: String,
+      seed: String): String =
+    fields.foldLeft(seed) { (acc, f) =>
+      s"$acc*(CASE WHEN $f=1 THEN ${prefix}_$f ELSE 1.0-${prefix}_$f END)"
+    }
+
+  /** The EM replay as chained CTEs: `pat` (from `pairsRel`, which must
+    * expose the 0/1 `fields`), `it0` literals, then eT/itT per
+    * iteration with the identical product order, round, and clamp.
+    * The caller appends a final SELECT against `it&lt;iters&gt;` (params
+    * gate) or pairs × `it&lt;iters&gt;` (scored gate, [[scoreOracleSelect]]).
+    */
+  def emOracleCtes(pairsRel: String, fields: Seq[String], iters: Int,
+      lambda0: Double = 0.1, m0: Double = 0.9, u0: Double = 0.1,
+      quantize: Int = 9): String = {
+    val gs = fields.mkString(", ")
+    val pat = s"""pat AS (SELECT $gs, CAST(count(*) AS DOUBLE) AS cnt
+                 |  FROM $pairsRel GROUP BY $gs)""".stripMargin
+    val it0 = s"it0 AS (SELECT CAST($lambda0 AS DOUBLE) AS lam, " +
+      (fields.map(f => s"CAST($m0 AS DOUBLE) AS m_$f") ++
+        fields.map(f => s"CAST($u0 AS DOUBLE) AS u_$f")).mkString(", ") + ")"
+    def clampRound(x: String): String =
+      s"least(greatest(round($x, $quantize), CAST($loClamp AS DOUBLE)), " +
+        s"CAST($hiClamp AS DOUBLE))"
+    val its = (1 to iters).flatMap { t =>
+      val wm = sqlLikeProd(fields, "m", "lam")
+      val wu = sqlLikeProd(fields, "u", "(1.0-lam)")
+      val e = s"""e$t AS (SELECT cnt, $gs, ($wm)/(($wm)+($wu)) AS p
+                 |  FROM pat, it${t - 1})""".stripMargin
+      val ms = fields.map(f =>
+        clampRound(s"sum(cnt*p*$f)/sum(cnt*p)") + s" AS m_$f")
+      val us = fields.map(f =>
+        clampRound(s"sum(cnt*(1.0-p)*$f)/sum(cnt*(1.0-p))") + s" AS u_$f")
+      val it = s"it$t AS (SELECT round(sum(cnt*p)/sum(cnt), $quantize) " +
+        s"AS lam, ${(ms ++ us).mkString(", ")} FROM e$t)"
+      Seq(e, it)
+    }
+    (pat +: it0 +: its).mkString(",\n")
+  }
+
+  /** Final-scoring SELECT body mirroring [[score]] (append after the
+    * CTes, FROM &lt;pairsRel&gt;, it&lt;iters&gt;).
+    */
+  def scoreOracleSelect(fields: Seq[String], quantize: Int = 6): String = {
+    val pm = sqlLikeProd(fields, "m", "1.0")
+    val pu = sqlLikeProd(fields, "u", "1.0")
+    s"round(log2(($pm)/($pu)), $quantize) AS match_weight, " +
+      s"round(lam*($pm)/(lam*($pm)+(1.0-lam)*($pu)), $quantize) AS posterior"
+  }
+}

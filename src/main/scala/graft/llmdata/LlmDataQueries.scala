@@ -1799,6 +1799,19 @@ object LlmDataQueries extends QueryPack {
         "doc_id", "n_chars", nShards = 8)
         .orderBy("shard")),
 
+    // The sink itself, end to end: write the corpus as directory-
+    // partitioned parquet shards under /tmp, RE-READ the files, and
+    // manifest what came back — the oracle aggregates the original
+    // table, so any row the sink drops/duplicates/corrupts flips its
+    // shard's checksum. Idempotent overwrite; one writer per shard.
+    "q_shard_write_roundtrip" -> ((s, dir) => {
+      val out = "/tmp/graft_sink/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.sources.Sinks.writeShards(Tables.documents(s, dir), out,
+          shardCol = "source", idCol = "doc_id", sizeCol = "n_chars",
+          maxRecordsPerFile = 200)
+        .orderBy("source")
+    }),
+
     // Source-concentration report: Gini / HHI / top-share over per-source
     // char mass — one corpus aggregate, window only over the tiny
     // per-source frame.
@@ -3358,6 +3371,15 @@ object LlmDataQueries extends QueryPack {
         |  bit_xor(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
         |    AS checksum
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // roundtrip mirror: the manifest of the ORIGINAL table — written
+    // files must aggregate back to exactly this
+    "q_shard_write_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_size,
+        |  bit_xor(('0x' || substr(md5('sink' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+        |    AS checksum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_source_gini" ->
       """WITH pk AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS w

@@ -18,6 +18,49 @@ object RelationalQueries extends QueryPack {
 
   private def rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** Candidate pairs for the Fellegi–Sunter gates: documents blocked
+    * by power-of-two char-length bucket (the pack_length_buckets
+    * convention — near-dup lengths land in the same or adjacent
+    * bucket; standard blocking recall caveat applies), with four
+    * binary agreement fields. Blocking is a plain equi-join on the
+    * bucket key — the same candidate-generation shape as fuzzyPairs.
+    */
+  private val linkageFields = Seq("g_source", "g_lang", "g_len", "g_prefix")
+  private def linkagePairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+      col("lang"), col("source"), col("n_chars"),
+      length(bin(greatest(col("n_chars"), lit(1)).cast("long")))
+        .cast("int").as("blk"))
+    d.as("a").join(d.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        when(col("a.source") === col("b.source"), 1).otherwise(0)
+          .as("g_source"),
+        when(col("a.lang") === col("b.lang"), 1).otherwise(0).as("g_lang"),
+        when(abs(col("a.n_chars") - col("b.n_chars")) * 20 <=
+          greatest(col("a.n_chars"), col("b.n_chars")), 1).otherwise(0)
+          .as("g_len"),
+        when(substring(col("a.text"), 1, 32) ===
+          substring(col("b.text"), 1, 32), 1).otherwise(0).as("g_prefix"))
+  }
+
+  /** The identical pair construction as SQL CTEs (relations
+    * `linkdocs`, `linkpairs`) — shared by both linkage oracles.
+    */
+  private val linkagePairsSql =
+    """linkdocs AS (SELECT doc_id, text, lang, source, n_chars,
+      |    CAST(len(bin(CAST(greatest(n_chars, 1) AS BIGINT))) AS INT) AS blk
+      |  FROM documents),
+      |linkpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS g_source,
+      |    CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS g_lang,
+      |    CASE WHEN abs(a.n_chars - b.n_chars) * 20
+      |      <= greatest(a.n_chars, b.n_chars) THEN 1 ELSE 0 END AS g_len,
+      |    CASE WHEN substr(a.text, 1, 32) = substr(b.text, 1, 32)
+      |      THEN 1 ELSE 0 END AS g_prefix
+      |  FROM linkdocs a JOIN linkdocs b
+      |    ON a.blk = b.blk AND a.doc_id < b.doc_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Scan + projection + filter: predicate & column pruning reach parquet.
     "q_scan_filter" -> ((s, dir) =>
@@ -354,6 +397,52 @@ object RelationalQueries extends QueryPack {
         .orderBy("node")
     }),
 
+    // Fellegi–Sunter record linkage, EM-estimated (linkage/
+    // FellegiSunter.scala): length-bucket blocking → binary agreement
+    // vectors (source, lang, 5% length, 32-char prefix) → 5 EM
+    // iterations over the ≤2^4 agreement patterns (zero corpus passes
+    // per iteration) → per-pair log2 match weight + posterior as a
+    // scan-fused projection. The oracle replays the quantized EM
+    // trajectory via GENERATED chained CTEs with the identical
+    // product order.
+    "q_linkage_em_params" -> ((s, dir) =>
+      graft.linkage.FellegiSunter.emFit(
+        linkagePairs(s, dir), linkageFields, iters = 5)),
+
+    "q_record_linkage" -> ((s, dir) => {
+      val pairs = linkagePairs(s, dir)
+      graft.linkage.FellegiSunter.score(pairs, linkageFields,
+          graft.linkage.FellegiSunter.emFit(pairs, linkageFields, iters = 5))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Exact triangle counting + Watts–Strogatz local clustering
+    // coefficient over the part CO-PURCHASE graph (parts sharing an
+    // order) — degree-ordered wedge joins, each triangle generated
+    // once at its lowest-(degree,id) corner; see graph/Triangles.scala
+    // for the O(m^1.5) skew argument. The oracle enumerates the same
+    // triangles by plain id-ordered joins — orientation-invariance of
+    // the per-node counts is exactly what the cross-check pins.
+    "q_triangle_count" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("id_a"), col("b.pk").as("id_b"))
+      graft.graph.Triangles.nodeTriangles(pairs)
+        .orderBy("id")
+    }),
+
+    // Z-order (Morton) layout: interleave (l_partkey, l_suppkey) bits
+    // and report the per-quad-tree-cell bounding boxes — the min/max
+    // footer stats files would carry under this layout, i.e. the
+    // multi-dimensional file-skipping evidence. Pure scan-fused
+    // integer arithmetic; see relational/Layout.scala.
+    "q_zorder_layout" -> ((s, dir) =>
+      Layout.zOrderBucketStats(Tables.lineitem(s, dir),
+          Seq("l_partkey", "l_suppkey"), bits = 16, bucketBits = 6)
+        .orderBy("bucket")),
+
     // Exact grouped percentiles (linear interpolation — the same
     // definition DuckDB's quantile_cont uses). Exact percentile is the
     // small-group path; at 100 TB switch to percentile_approx (the
@@ -686,6 +775,56 @@ object RelationalQueries extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracleSql(),
+    // FS-EM mirrors: the quantized trajectory replayed via CTEs
+    // GENERATED from the same (fields, iters, init, quantize)
+    "q_linkage_em_params" ->
+      s"""WITH $linkagePairsSql,
+         |${graft.linkage.FellegiSunter.emOracleCtes("linkpairs", linkageFields, 5)}
+         |SELECT * FROM it5""".stripMargin,
+    "q_record_linkage" ->
+      s"""WITH $linkagePairsSql,
+         |${graft.linkage.FellegiSunter.emOracleCtes("linkpairs", linkageFields, 5)}
+         |SELECT id_a, id_b, g_source, g_lang, g_len, g_prefix,
+         |  ${graft.linkage.FellegiSunter.scoreOracleSelect(linkageFields)}
+         |FROM linkpairs, it5 ORDER BY id_a, id_b""".stripMargin,
+    // Morton mirror: the identical bit-interleave GENERATED from the
+    // same (cols, bits) parameters as the Spark key
+    "q_zorder_layout" -> {
+      val z = Layout.zOrderScaledSql(Seq("l_partkey", "l_suppkey"), 16)
+      s"""WITH b AS (SELECT CAST(min(l_partkey) AS BIGINT) AS mn_0,
+         |    CAST(max(l_partkey) AS BIGINT) AS mx_0,
+         |    CAST(min(l_suppkey) AS BIGINT) AS mn_1,
+         |    CAST(max(l_suppkey) AS BIGINT) AS mx_1 FROM lineitem),
+         |k AS (SELECT l_partkey, l_suppkey, $z AS z FROM lineitem, b)
+         |SELECT (z >> 26) AS bucket, count(*) AS n,
+         |  min(l_partkey) AS min_l_partkey, max(l_partkey) AS max_l_partkey,
+         |  min(l_suppkey) AS min_l_suppkey, max(l_suppkey) AS max_l_suppkey
+         |FROM k GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+    // triangle mirror: id-ordered enumeration (a<b<c); per-node counts
+    // are orientation-invariant, so this cross-checks the degree-
+    // ordered Spark plan with an independent formulation
+    "q_triangle_count" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT id, count(*) AS degree FROM (
+        |    SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+        |  GROUP BY id),
+        |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tn AS (SELECT id, CAST(count(*) AS BIGINT) AS tri FROM (
+        |    SELECT a AS id FROM t UNION ALL SELECT b FROM t
+        |    UNION ALL SELECT c FROM t) GROUP BY id)
+        |SELECT CAST(deg.id AS BIGINT) AS id, CAST(degree AS BIGINT) AS degree,
+        |  CAST(coalesce(tri, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN degree >= 2 THEN
+        |    round(2.0 * coalesce(tri, 0)
+        |      / CAST(degree * (degree - 1) AS DOUBLE), 6)
+        |  ELSE 0.0 END AS clustering_coeff
+        |FROM deg LEFT JOIN tn ON tn.id = deg.id
+        |ORDER BY deg.id""".stripMargin,
     "q_fuzzy_join" -> fuzzyJoinOracleSql,
     "q_fuzzy_join_shuffled" -> fuzzyJoinOracleSql,
     "q_scd2" ->

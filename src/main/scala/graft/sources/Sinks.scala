@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus shard writer — the LAST mile of the pipeline: materialize a
+  * cleaned/packed corpus as directory-partitioned parquet shards a
+  * trainer (or the next pipeline stage) consumes, and prove what was
+  * written.
+  *
+  * Layout choices are the 100 TB ones: `repartition(shardCol)` gives
+  * each shard to one task so a shard's files are written by one
+  * writer (no thousand-file-per-shard fragmentation across tasks);
+  * `maxRecordsPerFile` bounds individual files so a hot shard splits
+  * into trainer-friendly sizes instead of one giant file (for
+  * pathological shard skew, pre-salt the shard column —
+  * relational/SkewJoin conventions apply). The manifest is computed
+  * by RE-READING the written files, not from the input plan — it
+  * audits the sink, so a dropped, duplicated, or truncated file flips
+  * exactly its shard's checksum (the [[graft.llmdata.Contrastive]]
+  * manifest convention: order-independent bit_xor of 60-bit id
+  * hashes).
+  */
+object Sinks {
+
+  /** One aggregate pass over a (written or about-to-be-written) frame:
+    * per shard — row count, size sum, order-independent content
+    * checksum. Same h60 convention as Contrastive.shardManifest, so
+    * input-side and readback-side manifests are directly comparable.
+    */
+  def writtenManifest(df: DataFrame, shardCol: String, idCol: String,
+      sizeCol: String, salt: String = "sink"): DataFrame =
+    df.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(sizeCol).cast("long")).as("total_size"),
+        expr(s"bit_xor(cast(conv(substring(md5(concat('$salt', " +
+          s"cast($idCol as string))), 1, 15), 16, 10) as bigint))")
+          .as("checksum"))
+
+  /** Write `df` as parquet shards under `outDir/<shardCol>=…/` and
+    * return the readback manifest. Overwrites idempotently (re-runs
+    * converge to the same layout).
+    */
+  def writeShards(df: DataFrame, outDir: String, shardCol: String,
+      idCol: String, sizeCol: String,
+      maxRecordsPerFile: Int = 1 << 20): DataFrame = {
+    require(maxRecordsPerFile > 0,
+      s"maxRecordsPerFile must be positive, got $maxRecordsPerFile")
+    df.repartition(col(shardCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy(shardCol)
+      .parquet(outDir)
+    writtenManifest(df.sparkSession.read.parquet(outDir),
+      shardCol, idCol, sizeCol)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.linkage
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** FS-EM behavior on pairs drawn from a KNOWN generative model
+  * (parameter recovery), plus the scoring identities and invariances
+  * the gate's exact hash can't articulate on its own.
+  */
+class FellegiSunterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fields = Seq("f1", "f2")
+
+  /** pairs drawn from λ=0.2, m=(0.9, 0.8), u=(0.2, 0.1) */
+  private def synthetic(n: Int, seed: Int): Seq[(Int, Int)] = {
+    val rnd = new Random(seed)
+    Seq.fill(n) {
+      val isMatch = rnd.nextDouble() < 0.2
+      def draw(pm: Double, pu: Double) =
+        if (rnd.nextDouble() < (if (isMatch) pm else pu)) 1 else 0
+      (draw(0.9, 0.2), draw(0.8, 0.1))
+    }
+  }
+
+  test("EM recovers the generating parameters on synthetic pairs") {
+    val df = synthetic(20000, 3).toDF("f1", "f2")
+    val p = FellegiSunter.emFit(df, fields, iters = 30).collect()(0)
+    val (lam, m1, m2, u1, u2) = (p.getAs[Double]("lam"),
+      p.getAs[Double]("m_f1"), p.getAs[Double]("m_f2"),
+      p.getAs[Double]("u_f1"), p.getAs[Double]("u_f2"))
+    info(s"lam=$lam m=($m1,$m2) u=($u1,$u2)")
+    assert(math.abs(lam - 0.2) < 0.08, s"lambda off: $lam")
+    assert(math.abs(m1 - 0.9) < 0.1 && math.abs(m2 - 0.8) < 0.1)
+    assert(math.abs(u1 - 0.2) < 0.08 && math.abs(u2 - 0.1) < 0.08)
+  }
+
+  test("EM depends on pairs only through pattern frequencies") {
+    // doubling every pair leaves all ratios — hence the whole
+    // trajectory — unchanged
+    val base = synthetic(4000, 5)
+    val once = FellegiSunter.emFit(base.toDF("f1", "f2"), fields).collect()(0)
+    val twice = FellegiSunter.emFit((base ++ base).toDF("f1", "f2"),
+      fields).collect()(0)
+    assert(once == twice)
+  }
+
+  test("match_weight is the sum of per-field log2 likelihood ratios") {
+    val params = spark.range(1).select(lit(0.1).as("lam"),
+      lit(0.9).as("m_f1"), lit(0.6).as("m_f2"),
+      lit(0.3).as("u_f1"), lit(0.05).as("u_f2"))
+    val pairs = Seq((1, 1), (1, 0), (0, 1), (0, 0)).toDF("f1", "f2")
+    val got = FellegiSunter.score(pairs, fields, params)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        r.getAs[Double]("match_weight"))).toMap
+    def lr(g: Int, m: Double, u: Double) =
+      if (g == 1) math.log(m / u) / math.log(2.0)
+      else math.log((1 - m) / (1 - u)) / math.log(2.0)
+    for (((g1, g2), w) <- got) {
+      val expect = lr(g1, 0.9, 0.3) + lr(g2, 0.6, 0.05)
+      assert(math.abs(w - expect) < 1e-5, s"($g1,$g2): $w vs $expect")
+    }
+  }
+
+  test("posterior is monotone in agreement when every m_k > u_k") {
+    val params = spark.range(1).select(lit(0.1).as("lam"),
+      lit(0.9).as("m_f1"), lit(0.8).as("m_f2"),
+      lit(0.2).as("u_f1"), lit(0.1).as("u_f2"))
+    val pairs = Seq((0, 0), (0, 1), (1, 0), (1, 1)).toDF("f1", "f2")
+    val post = FellegiSunter.score(pairs, fields, params)
+      .collect().map(r => (r.getInt(0) + r.getInt(1), r.getInt(0),
+        r.getAs[Double]("posterior")))
+    assert(post.maxBy(_._1)._3 == post.map(_._3).max) // (1,1) highest
+    assert(post.minBy(_._1)._3 == post.map(_._3).min) // (0,0) lowest
+  }
+
+  test("degenerate field (always agrees) clamps instead of hitting 1.0") {
+    val pairs = Seq.fill(100)((1, 1)).toDF("f1", "f2")
+    val p = FellegiSunter.emFit(pairs, fields, iters = 3).collect()(0)
+    assert(p.getAs[Double]("m_f1") <= 0.999999)
+    assert(p.getAs[Double]("u_f1") <= 0.999999)
+  }
+
+  test("scoring is a broadcast projection — no shuffle of the pair frame") {
+    val params = FellegiSunter.emFit(synthetic(1000, 9).toDF("f1", "f2"),
+      fields)
+    val plan = FellegiSunter.score(synthetic(1000, 9).toDF("f1", "f2"),
+      fields, params).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    // the pairs side reaches the projection without an Exchange
+    // (aggregation exchanges inside the 16-row EM frame are fine)
+    assert(!plan.contains("Window"))
+  }
+}
