@@ -49,7 +49,12 @@ object Scaling {
     "q_pagerank" -> 16,
     "q_ann_topk" -> 16,
     "q_epoch_shuffle" -> 16,
-    "q_fuzzy_join" -> 4) // fixed-block quadratic — see scaladoc
+    "q_triangle_count" -> 16,
+    "q_zorder_layout" -> 16,
+    "q_neyman_sample" -> 16,
+    "q_shard_write_roundtrip" -> 16,
+    "q_fuzzy_join" -> 4, // fixed-block quadratic — see scaladoc
+    "q_record_linkage" -> 4) // fixed-block quadratic pairs — see notes
     .filter { case (q, _) =>
       sys.env.get("SPARK_GRAFT_SCALE_ONLY")
         .forall(_.split(",").map(_.trim).contains(q))
@@ -141,7 +146,12 @@ object Scaling {
       "q_resample_ffill" -> ("output grid = users x hourly span, both " +
         "growing with f in this corpus family -- the operator is " +
         "linear in its OUTPUT grid; slope reflects grid growth, not " +
-        "operator waste"))
+        "operator waste"),
+      "q_record_linkage" -> ("candidate pairs grow quadratically: the " +
+        "length-bucket blocking key has FIXED cardinality (~8 pow2 " +
+        "buckets) while bucket population grows with f; capped at 4x. " +
+        "EM itself stays O(2^K) regardless -- the mitigation at real " +
+        "scale is a finer blocking key, same trade-off as q_fuzzy_join"))
     def fmt(d: Double) = if (d.isNaN) "null"
       else String.format(java.util.Locale.ROOT, "%.3f",
         java.lang.Double.valueOf(d)) // locale-proof decimal point

@@ -417,6 +417,99 @@ object Splits {
       .select(col(keyCol), col(weightCol), col("__aes_key").as("aes_key"))
   }
 
+  /** Neyman-optimal stratified allocation (Neyman 1934; Cochran's
+    * classic survey-sampling design): sample-size share n_h ∝ N_h·σ_h
+    * — strata that are bigger OR more variable get proportionally
+    * more of the budget, which minimizes the variance of the
+    * stratified mean at fixed total k. Integerized by
+    * largest-remainder rounding so Σ n_h = k exactly (ties on the
+    * remainder break by stratum name); an allocation is capped at its
+    * stratum's row count (no redistribution — a saturated stratum
+    * leaves the total short, as in the textbook treatment).
+    *
+    * One tiny per-stratum aggregate (count + stddev_pop rounded to 6
+    * at the handoff — the cross-engine determinism convention), then
+    * arithmetic over |strata| rows; the only Window is the
+    * largest-remainder rank over that tiny frame. Zero-variance
+    * corpora (ΣN_h·σ_h = 0) fall back to proportional allocation.
+    *
+    * Output: (stratum, n_rows, sd, n_alloc).
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val strata = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_rows"),
+        round(coalesce(stddev_pop(col(valueCol).cast("double")), lit(0.0)), 6)
+          .as("sd"))
+      .withColumn("__wt", col("n_rows").cast("double") * col("sd"))
+    val tot = strata.agg(round(sum(col("__wt")), 6).as("__Wtot"),
+      sum(col("n_rows")).as("__N"))
+    val e = strata.crossJoin(broadcast(tot))
+      .withColumn("__e", when(col("__Wtot") > 0,
+          lit(k.toDouble) * col("__wt") / col("__Wtot"))
+        .otherwise(lit(k.toDouble) * col("n_rows").cast("double") /
+          col("__N").cast("double")))
+      .withColumn("__base", floor(col("__e")).cast("long"))
+      .withColumn("__rem", col("__e") - col("__base"))
+    // Σbase and the remainder rank both as windows over the SAME tiny
+    // |strata|-row frame (a second aggregate would self-join e with
+    // its own lineage and trip ambiguous-reference analysis)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col(stratumCol))
+    e.withColumn("__SB", sum(col("__base")).over(wAll))
+      .withColumn("__rk", row_number().over(w))
+      .select(col(stratumCol), col("n_rows"), col("sd"),
+        least(col("__base") +
+          when(col("__rk") <= lit(k.toLong) - col("__SB"), 1L).otherwise(0L),
+          col("n_rows")).as("n_alloc"))
+  }
+
+  /** Draw the [[neymanAllocation]] sample deterministically: rank each
+    * stratum's rows by a content hash (h60 mod 10^12 — exact in a
+    * double; ties by ascending id) and keep its top n_alloc. Ranking
+    * rides [[capPerGroup]]'s bounded-heap top-k — map-side partials
+    * carry ≤ max(n_alloc) rows per stratum into the shuffle, no
+    * stratum ever sorts its full stream (the host-cap scale shape,
+    * NOT a row_number window). The allocation frame is |strata| rows,
+    * broadcast; only its max is collected (one bounded value, to size
+    * the heap).
+    *
+    * Output: (stratum, rank, id) — rank 1-based within stratum.
+    */
+  def neymanSample(df: DataFrame, stratumCol: String, idCol: String,
+      valueCol: String, k: Int, salt: String = "neyman"): DataFrame = {
+    // persisted: consumed by the bounded capMax collect AND the lazy
+    // broadcast join — without it the corpus-sized stratum aggregate
+    // would run twice. Tracked so Bench's Memos.clearAll releases it.
+    val alloc = neymanAllocation(df, stratumCol, valueCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    allocCache.put(s"neyman-${allocSeq.incrementAndGet()}", alloc)
+    neymanSampleFrom(df, stratumCol, idCol, alloc, salt)
+  }
+
+  /** The draw against a PRECOMPUTED (persisted) allocation frame —
+    * split out so fit-once/gate-twice callers can share one allocation
+    * between the allocation report and the sample.
+    */
+  def neymanSampleFrom(df: DataFrame, stratumCol: String, idCol: String,
+      alloc: DataFrame, salt: String = "neyman"): DataFrame = {
+    val capMax = alloc.agg(max(col("n_alloc")).as("m"))
+      .collect()(0).getLong(0).toInt
+    val score = pmod(graft.core.Hashing.h60(col(idCol), salt),
+      lit(1000000000000L)).cast("double")
+    capPerGroup(df, stratumCol, idCol, score, math.max(capMax, 1))
+      .join(broadcast(alloc.select(col(stratumCol), col("n_alloc"))),
+        Seq(stratumCol))
+      .filter(col("rank") <= col("n_alloc"))
+      .select(col(stratumCol), col("rank"), col(idCol))
+  }
+
+  private val allocCache =
+    graft.core.Memos.register(new graft.core.Memos.CachedFrameMap)
+  private val allocSeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** Deterministic epoch shuffle — the training-side global reshuffle
     * WITHOUT a sort: doc → (epoch, shard, pos) as a pure scan-fused
     * projection (the manifests→trainer handoff: every epoch's read

@@ -397,6 +397,23 @@ object RelationalQueries extends QueryPack {
         .orderBy("node")
     }),
 
+    // Deequ-style declarative data-quality suite (quality/
+    // Constraints.scala): six named rules — completeness, uniqueness,
+    // range, set membership, regex, referential integrity — verified
+    // in ONE scan of orders (uniqueness rides the same aggregate;
+    // only the FK rule adds a second relation, as a left-anti count).
+    "q_data_quality" -> ((s, dir) => {
+      import graft.quality.Constraints._
+      suite(Tables.orders(s, dir),
+        Seq(notNull("o_orderkey"), unique("o_orderkey"),
+          inRange("o_totalprice", 0, 300000),
+          inSet("o_orderstatus", Seq("O", "F")),
+          matches("o_orderpriority", "^[1-3]-")),
+        fks = Seq(("fk(o_custkey->customer)", "o_custkey",
+          Tables.customer(s, dir), "c_custkey")))
+        .orderBy("rule")
+    }),
+
     // Fellegi–Sunter record linkage, EM-estimated (linkage/
     // FellegiSunter.scala): length-bucket blocking → binary agreement
     // vectors (source, lang, 5% length, 32-char prefix) → 5 EM
@@ -414,6 +431,22 @@ object RelationalQueries extends QueryPack {
       graft.linkage.FellegiSunter.score(pairs, linkageFields,
           graft.linkage.FellegiSunter.emFit(pairs, linkageFields, iters = 5))
         .orderBy("id_a", "id_b")
+    }),
+
+    // The ER endgame: FS-matched pairs (posterior ≥ 0.9) resolved
+    // into ENTITIES by transitive closure — the same O(log n)
+    // alternating-star components the dedup clusters use, so the two
+    // pipelines cross-validate. Output: doc → entity id (least doc_id
+    // reachable through match edges).
+    "q_entity_clusters" -> ((s, dir) => {
+      val pairs = linkagePairs(s, dir)
+      val matched = graft.linkage.FellegiSunter.score(pairs, linkageFields,
+          graft.linkage.FellegiSunter.emFit(pairs, linkageFields, iters = 5))
+        .filter(col("posterior") >= 0.9)
+        .select("id_a", "id_b")
+      graft.graph.ConnectedComponents.connectedComponents(matched)
+        .select(col("id").as("doc_id"), col("cluster").as("entity_id"))
+        .orderBy("doc_id")
     }),
 
     // Exact triangle counting + Watts–Strogatz local clustering
@@ -775,6 +808,57 @@ object RelationalQueries extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracleSql(),
+    // entity-resolution mirror: scored pairs thresholded, closed
+    // transitively by the same recursive CTE as the dedup clusters
+    "q_entity_clusters" ->
+      s"""WITH RECURSIVE $linkagePairsSql,
+         |${graft.linkage.FellegiSunter.emOracleCtes("linkpairs", linkageFields, 5)},
+         |scored AS (SELECT id_a, id_b,
+         |    ${graft.linkage.FellegiSunter.scoreOracleSelect(linkageFields)}
+         |  FROM linkpairs, it5),
+         |m AS (SELECT id_a, id_b FROM scored WHERE posterior >= 0.9),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM m
+         |          UNION SELECT id_b, id_a FROM m),
+         |cc(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, c.label FROM edges e JOIN cc c ON c.id = e.dst)
+         |SELECT id AS doc_id, min(label) AS entity_id
+         |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // constraint-suite mirror: every row rule one conditional count
+    // off a single aggregate; FK as a NOT IN anti count
+    "q_data_quality" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_nn,
+        |    CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+        |      AS BIGINT) AS v_uq,
+        |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND
+        |      NOT (o_totalprice >= 0 AND o_totalprice <= 300000)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_rg,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL AND
+        |      o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_set,
+        |    CAST(sum(CASE WHEN o_orderpriority IS NOT NULL AND
+        |      NOT regexp_matches(o_orderpriority, '^[1-3]-')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_re
+        |  FROM orders),
+        |fk AS (SELECT CAST(count(*) AS BIGINT) AS v FROM orders o
+        |  WHERE o.o_custkey IS NOT NULL
+        |    AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |r AS (SELECT 'not_null(o_orderkey)' AS rule, n, v_nn AS v FROM t
+        |  UNION ALL SELECT 'unique(o_orderkey)', n, v_uq FROM t
+        |  UNION ALL SELECT 'in_range(o_totalprice)', n, v_rg FROM t
+        |  UNION ALL SELECT 'in_set(o_orderstatus)', n, v_set FROM t
+        |  UNION ALL SELECT 'matches(o_orderpriority)', n, v_re FROM t
+        |  UNION ALL SELECT 'fk(o_custkey->customer)', n, v FROM fk, t)
+        |SELECT rule, n AS n_rows, v AS n_violations,
+        |  round(CAST(v AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS violation_frac,
+        |  v = 0 AS passed
+        |FROM r ORDER BY rule""".stripMargin,
+
     // FS-EM mirrors: the quantized trajectory replayed via CTEs
     // GENERATED from the same (fields, iters, init, quantize)
     "q_linkage_em_params" ->

@@ -71,6 +71,12 @@ class PlanRegressionSpec extends SparkSpec {
     "q_source_gini",         // rank window strictly over the ≤|sources|
                              // aggregate frame (Gini needs the ascending
                              // rank), never over the corpus
+    // (q_neyman_allocation / q_neyman_sample: the largest-remainder
+    // rank window — strictly over the |strata|-row aggregate — lives
+    // inside the fit-once persisted allocation memo, so both gate
+    // plans surface as InMemoryTableScan; no whitelist entries needed,
+    // the q_llm_pipeline_v5/v6 convention. The CORPUS ranking in the
+    // sample is the bounded-heap TopKByScore, never a window.)
     "q_resample_ffill",      // forward-fill IS a per-key running last()
                              // window over the generated hour grid —
                              // partitioned by user, never a global sort
