@@ -38,4 +38,17 @@ object Memos {
       super.clear()
     }
   }
+
+  /** Shared registry for fire-and-forget persisted intermediates:
+    * operators persist a bounded projection mid-plan and hand it here
+    * so [[clearAll]] releases the executor storage; the key (prefix +
+    * global sequence) is never looked up again. One registry instead
+    * of a copy-pasted cache/AtomicLong/track triple per operator.
+    */
+  private lazy val trackedFrames = register(new CachedFrameMap)
+  private val trackedSeq = new java.util.concurrent.atomic.AtomicLong()
+  def tracked(prefix: String, df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    trackedFrames.put(s"$prefix-${trackedSeq.incrementAndGet()}", df)
+    df
+  }
 }

@@ -38,13 +38,8 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
-  private val frameCache =
-    graft.core.Memos.register(new graft.core.Memos.CachedFrameMap)
-  private val frameSeq = new java.util.concurrent.atomic.AtomicLong()
-  private def track(df: DataFrame): DataFrame = {
-    frameCache.put(s"cc-${frameSeq.incrementAndGet()}", df)
-    df
-  }
+  private def track(df: DataFrame): DataFrame =
+    graft.core.Memos.tracked("cc", df)
 
   /** @param pairs columns id_a, id_b (integral); undirected, dupes and
     *   self-loops tolerated.

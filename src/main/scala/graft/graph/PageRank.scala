@@ -28,13 +28,8 @@ object PageRank {
   /** Persisted per-iteration frames, registered so Bench's between-pass
     * Memos.clearAll() releases executor storage (NgramLm pattern).
     */
-  private val frameCache =
-    graft.core.Memos.register(new graft.core.Memos.CachedFrameMap)
-  private val frameSeq = new java.util.concurrent.atomic.AtomicLong()
-  private def track(df: DataFrame): DataFrame = {
-    frameCache.put(s"pr-${frameSeq.incrementAndGet()}", df)
-    df
-  }
+  private def track(df: DataFrame): DataFrame =
+    graft.core.Memos.tracked("pr", df)
 
   /** @param edges (srcCol, dstCol, weightCol) — multi-edges allowed
     *   (weights add); self-loops allowed.

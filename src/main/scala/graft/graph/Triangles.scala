@@ -29,16 +29,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object Triangles {
 
-  /** Persisted intermediates, registered so Bench's between-pass
-    * Memos.clearAll() releases executor storage (PageRank pattern).
+  /** Persisted intermediates registered with [[graft.core.Memos.tracked]]
+    * so Bench's between-pass clearAll() releases executor storage.
     */
-  private val frameCache =
-    graft.core.Memos.register(new graft.core.Memos.CachedFrameMap)
-  private val frameSeq = new java.util.concurrent.atomic.AtomicLong()
-  private def track(df: DataFrame): DataFrame = {
-    frameCache.put(s"tri-${frameSeq.incrementAndGet()}", df)
-    df
-  }
+  private def track(df: DataFrame): DataFrame =
+    graft.core.Memos.tracked("tri", df)
 
   /** @param pairs undirected edge list, columns `id_a`, `id_b`
     *   (integral); duplicates and self-loops tolerated (deduped /

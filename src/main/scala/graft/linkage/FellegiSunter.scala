@@ -31,13 +31,8 @@ import org.apache.spark.storage.StorageLevel
   */
 object FellegiSunter {
 
-  private val frameCache =
-    graft.core.Memos.register(new graft.core.Memos.CachedFrameMap)
-  private val frameSeq = new java.util.concurrent.atomic.AtomicLong()
-  private def track(df: DataFrame): DataFrame = {
-    frameCache.put(s"fs-${frameSeq.incrementAndGet()}", df)
-    df
-  }
+  private def track(df: DataFrame): DataFrame =
+    graft.core.Memos.tracked("fs", df)
 
   private val loClamp = 1e-6
   private val hiClamp = 0.999999

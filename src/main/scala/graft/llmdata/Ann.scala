@@ -664,10 +664,6 @@ object Ann {
     * threshold so a cross-engine ulp can't flip a boundary row.
     * Output: (idCol, labelCol, dist rounded 6, outlier).
     */
-  private val distCache =
-    graft.core.Memos.register(new graft.core.Memos.CachedFrameMap)
-  private val distCacheSeq = new java.util.concurrent.atomic.AtomicLong()
-
   def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String, sigmas: Double = 2.0): DataFrame = {
     val x = df.select(col(idCol), col(labelCol),
@@ -688,7 +684,7 @@ object Ann {
           (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
           lit(0.0), (acc, v) => acc + v)).as("dist"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    distCache.put(s"outliers-${distCacheSeq.incrementAndGet()}", dists)
+    graft.core.Memos.tracked("outliers", dists)
     val stats = dists.groupBy(col(labelCol))
       .agg(avg(col("dist")).as("__mu"), stddev_pop(col("dist")).as("__sd"))
     dists.join(broadcast(stats), Seq(labelCol))

@@ -137,12 +137,17 @@ object Multimodal {
       imageTokens: Int = 64): DataFrame = {
     require(imageTokens >= 0,
       s"imageTokens must be >= 0, got $imageTokens")
-    val mmCost: Column => Column = t =>
-      TextStats.tokenCount(t) +
+    // materialize the text token count ONCE and let the pack cost read
+    // the column — tokenCount inside the window input AND again in a
+    // post-window projection would run the per-doc token scan twice
+    val withText = df.withColumn("n_text_tokens",
+      TextStats.tokenCount(col(textCol)))
+    val mmCost: Column => Column = _ =>
+      col("n_text_tokens") +
         coalesce(col(nImagesCol).cast("int"), lit(0)) * lit(imageTokens)
-    TextStats.packSequences(df, textCol, idCol, shardCol, budget, mmCost)
+    TextStats.packSequences(withText, textCol, idCol, shardCol, budget,
+        mmCost)
       .withColumnRenamed("n_tokens", "n_mm_tokens")
-      .withColumn("n_text_tokens", TextStats.tokenCount(col(textCol)))
   }
 
   /** Frame sampling for video-like content: n deterministic offsets per

@@ -154,6 +154,14 @@ object AdaptiveSearch {
     }
 }
 
+object IncrementalSearchCV {
+  /** JVM-global speculative-launch counter: job-group names must never
+    * repeat across fits sharing a SparkContext (see launchSpeculative).
+    */
+  private[modelselection] val specGroupSeq =
+    new java.util.concurrent.atomic.AtomicLong()
+}
+
 /** The adaptive-search driver loop shared by IncrementalSearchCV,
   * SuccessiveHalvingSearchCV and HyperbandSearchCV.
   */
@@ -233,6 +241,7 @@ class IncrementalSearchCV(
     var totalPartialFits = 0
     var specLaunched = 0
     val specConsumed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val specCanceledInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
     var specCanceled = 0
 
     def partialFitOnce(id: Int, rec: ModelRecord): ModelRecord = {
@@ -255,14 +264,28 @@ class IncrementalSearchCV(
       * is reused.
       */
     def launchSpeculative(id: Int, rec: ModelRecord): Unit = {
-      val group = s"graft-spec-$seed-$id-${rec.calls}"
+      // JVM-globally unique per LAUNCH (not per (model, call), and not
+      // per fit): cancelJobGroupAndFutureJobs poisons its group id
+      // forever in the shared SparkContext, so no later launch — in
+      // this fit or any other sharing the context (same seed included)
+      // — may ever re-mint a canceled group's name
+      val group =
+        s"graft-spec-$seed-$id-${rec.calls}-${IncrementalSearchCV.specGroupSeq.incrementAndGet()}"
       val flag = new java.util.concurrent.atomic.AtomicBoolean(false)
       speculative.put(id, SpecEntry(group, flag, Future {
         if (flag.get()) throw new java.util.concurrent.CancellationException
         sc.setLocalProperty("spark.scheduler.pool", "graft-speculation")
         sc.setJobGroup(group, "speculative partial_fit", true)
-        try partialFitOnce(id, rec)
-        finally {
+        try {
+          // re-check AFTER the group is set: a cancel that slipped past
+          // the first check has already called
+          // cancelJobGroupAndFutureJobs on this group, so either this
+          // check sees the flag or the submitted job is dead on arrival
+          // — no window remains for a stray job
+          if (flag.get())
+            throw new java.util.concurrent.CancellationException
+          partialFitOnce(id, rec)
+        } finally {
           sc.clearJobGroup()
           sc.setLocalProperty("spark.scheduler.pool", null)
         }
@@ -272,7 +295,10 @@ class IncrementalSearchCV(
     def cancelSpeculative(id: Int): Unit =
       speculative.remove(id).foreach { e =>
         e.canceled.set(true) // queued launch aborts before submitting
-        sc.cancelJobGroup(e.group) // in-flight launch's job is killed
+        // ...AndFutureJobs: also kills a job submitted under the group
+        // AFTER this call (the launch that passed the flag checks but
+        // hadn't reached runJob yet)
+        sc.cancelJobGroupAndFutureJobs(e.group)
         e.fut.failed.foreach(_ => ())(specEc) // swallow the cancellation
         specCanceled += 1
       }
@@ -294,10 +320,23 @@ class IncrementalSearchCV(
             // must not lose a score to speculation.
             val consumed = speculative.remove(id) match {
               case Some(e) =>
-                val spec = Await.result(e.fut, Duration.Inf)
-                rec = spec.copy(scores = rec.scores)
-                specConsumed.incrementAndGet()
-                1
+                // a speculative launch can die in flight when the
+                // group-cancel machinery races its submission
+                // (cancelJobGroupAndFutureJobs kills a job submitted
+                // under an already-canceled group). Speculation must
+                // NEVER be able to fail the search: fall back to the
+                // real call — block order is indexed by rec.calls, so
+                // the redone fit is byte-identical — and account the
+                // launch as canceled.
+                scala.util.Try(Await.result(e.fut, Duration.Inf)) match {
+                  case scala.util.Success(spec) =>
+                    rec = spec.copy(scores = rec.scores)
+                    specConsumed.incrementAndGet()
+                    1
+                  case scala.util.Failure(_) =>
+                    specCanceledInFlight.incrementAndGet()
+                    0
+                }
               case None => 0
             }
             (consumed until nCalls).foreach { _ =>
@@ -328,7 +367,8 @@ class IncrementalSearchCV(
       AdaptiveResult(records.values.toSeq.sortBy(_.id),
         best.params, best.lastScore,
         estimators(best.id).model(best.state), totalPartialFits,
-        SpeculationStats(specLaunched, specConsumed.get(), specCanceled))
+        SpeculationStats(specLaunched, specConsumed.get(),
+          specCanceled + specCanceledInFlight.get()))
     } finally {
       speculative.keys.foreach(cancelSpeculative)
       pool.shutdown()

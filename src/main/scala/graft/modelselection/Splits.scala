@@ -483,9 +483,9 @@ object Splits {
     // persisted: consumed by the bounded capMax collect AND the lazy
     // broadcast join — without it the corpus-sized stratum aggregate
     // would run twice. Tracked so Bench's Memos.clearAll releases it.
-    val alloc = neymanAllocation(df, stratumCol, valueCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    allocCache.put(s"neyman-${allocSeq.incrementAndGet()}", alloc)
+    val alloc = graft.core.Memos.tracked("neyman",
+      neymanAllocation(df, stratumCol, valueCol, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     neymanSampleFrom(df, stratumCol, idCol, alloc, salt)
   }
 
@@ -495,8 +495,10 @@ object Splits {
     */
   def neymanSampleFrom(df: DataFrame, stratumCol: String, idCol: String,
       alloc: DataFrame, salt: String = "neyman"): DataFrame = {
-    val capMax = alloc.agg(max(col("n_alloc")).as("m"))
-      .collect()(0).getLong(0).toInt
+    // max() of an empty allocation frame is null — an empty input
+    // yields an empty sample, not an NPE
+    val capMax = Option(alloc.agg(max(col("n_alloc")).as("m"))
+      .collect()(0).get(0)).map(_.asInstanceOf[Long].toInt).getOrElse(0)
     val score = pmod(graft.core.Hashing.h60(col(idCol), salt),
       lit(1000000000000L)).cast("double")
     capPerGroup(df, stratumCol, idCol, score, math.max(capMax, 1))
@@ -505,10 +507,6 @@ object Splits {
       .filter(col("rank") <= col("n_alloc"))
       .select(col(stratumCol), col("rank"), col(idCol))
   }
-
-  private val allocCache =
-    graft.core.Memos.register(new graft.core.Memos.CachedFrameMap)
-  private val allocSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Deterministic epoch shuffle — the training-side global reshuffle
     * WITHOUT a sort: doc → (epoch, shard, pos) as a pure scan-fused

@@ -68,14 +68,22 @@ object Constraints {
   def suite(df: DataFrame, checks: Seq[Check],
       fks: Seq[(String, String, DataFrame, String)] = Nil): DataFrame = {
     require(checks.nonEmpty || fks.nonEmpty, "empty constraint suite")
+    val names = checks.map(_.name) ++ fks.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate rule names (rules on the same column need distinct " +
+        s"kinds): ${names.diff(names.distinct).distinct.mkString(", ")}")
     val rowAggs = violationAggs(checks)
     val one = df.agg(rowAggs.head, rowAggs.tail: _*)
 
-    val rowReport = one.select(col("__n"), explode(array(checks.map(c =>
-        struct(lit(c.name).as("rule"),
-          col(s"__v_${c.name}").as("n_violations"))): _*)).as("__r"))
-      .select(col("__r.rule").as("rule"), col("__n").as("n_rows"),
-        col("__r.n_violations").as("n_violations"))
+    // explode(array()) of zero structs is NullType — an FK-only suite
+    // must skip the row-report branch entirely
+    val rowReport =
+      if (checks.isEmpty) None
+      else Some(one.select(col("__n"), explode(array(checks.map(c =>
+          struct(lit(c.name).as("rule"),
+            col(s"__v_${c.name}").as("n_violations"))): _*)).as("__r"))
+        .select(col("__r.rule").as("rule"), col("__n").as("n_rows"),
+          col("__r.n_violations").as("n_violations")))
 
     val fkReports = fks.map { case (name, factKey, dim, dimKey) =>
       val viol = df.select(col(factKey)).filter(col(factKey).isNotNull)
@@ -86,7 +94,7 @@ object Constraints {
         .select(lit(name).as("rule"), col("n_rows"), col("n_violations"))
     }
 
-    fkReports.foldLeft(rowReport)(_ unionByName _)
+    (rowReport.toSeq ++ fkReports).reduce(_ unionByName _)
       .select(col("rule"), col("n_rows"), col("n_violations"),
         round(col("n_violations").cast("double") /
           col("n_rows").cast("double"), 6).as("violation_frac"),

@@ -48,6 +48,10 @@ object Sinks {
       s"maxRecordsPerFile must be positive, got $maxRecordsPerFile")
     df.repartition(col(shardCol))
       .write.mode("overwrite")
+      // force STATIC overwrite even if the session default is dynamic:
+      // dynamic mode would leave a shard the new input no longer has
+      // on disk, and the readback manifest would report it as written
+      .option("partitionOverwriteMode", "static")
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .partitionBy(shardCol)
       .parquet(outDir)

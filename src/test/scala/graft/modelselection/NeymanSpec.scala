@@ -47,6 +47,12 @@ class NeymanSpec extends SparkSpec {
     assert(a == Map("a" -> 30L, "b" -> 10L))
   }
 
+  test("empty input yields an empty sample, not an NPE") {
+    val empty = corpus(Nil)
+    assert(Splits.neymanSample(empty, "stratum", "id", "v", k = 10)
+      .count() == 0)
+  }
+
   test("sample honors the allocation per stratum, deterministically, as a subset") {
     val df = corpus(Seq(("lo", 200, 10.0), ("hi", 200, 30.0)))
     val alloc = Splits.neymanAllocation(df, "stratum", "v", k = 60)

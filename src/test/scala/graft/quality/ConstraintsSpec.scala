@@ -50,6 +50,21 @@ class ConstraintsSpec extends SparkSpec {
     assert(r("fk(k->dim)") == ((5L, 1L, false)))
   }
 
+  test("FK-only suite works (no row rules to explode)") {
+    val dim = Seq(1L, 2L).toDF("dk")
+    val r = suite(dirty, Nil, fks = Seq(("fk(k->dim)", "k", dim, "dk")))
+      .collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 5L && r(0).getLong(2) == 1L)
+  }
+
+  test("duplicate rule names are rejected up front") {
+    val ex = intercept[IllegalArgumentException] {
+      suite(dirty, Seq(matches("t", "^a"), matches("t", "b$")))
+    }
+    assert(ex.getMessage.contains("matches(t)"))
+  }
+
   test("all row-level rules share ONE scan of the table") {
     val plan = suite(dirty, Seq(notNull("k"), unique("k"),
         inRange("v", 0, 100), matches("t", "^[a-z]+$")))
