@@ -93,20 +93,43 @@ object FellegiSunter {
 
   /** Score pairs with a fitted (or fixed) parameter frame: appends
     * `match_weight` = log2(Π m-terms / Π u-terms) — the classic FS
-    * log-likelihood-ratio — and `posterior` = P(match | γ). Pure
-    * projection; `params` is 1 row, broadcast.
+    * log-likelihood-ratio — and `posterior` = P(match | γ).
+    *
+    * The 1-row frame is COLLECTED (9 bounded doubles — the
+    * weights-in-plan pattern the quality classifier uses) and embedded
+    * as literals: a broadcast-joined param row would put the scoring
+    * expression behind a BroadcastNestedLoopJoin, whose projection is
+    * NOT whole-stage-codegen'd — interpreted evaluation of the nested
+    * CASE products cost ~10 s over 4.5M pairs; as a literal scan
+    * projection it codegens and fuses.
     */
   def score(pairs: DataFrame, fields: Seq[String], params: DataFrame,
       quantize: Int = 6): DataFrame = {
-    val pm = likeProd(fields, "m", lit(1.0))
-    val pu = likeProd(fields, "u", lit(1.0))
-    pairs.crossJoin(broadcast(params))
+    val r = params.collect()(0)
+    scoreWithValues(pairs, fields, r.getAs[Double]("lam"),
+      fields.map(f => f -> r.getAs[Double](s"m_$f")).toMap,
+      fields.map(f => f -> r.getAs[Double](s"u_$f")).toMap, quantize)
+  }
+
+  /** The literal-parameter scoring projection (see [[score]]). Values
+    * embed bit-exactly, so the SQL mirror computing the same products
+    * from its replayed it-CTE row matches hash-for-hash.
+    */
+  def scoreWithValues(pairs: DataFrame, fields: Seq[String], lam: Double,
+      m: Map[String, Double], u: Map[String, Double],
+      quantize: Int = 6): DataFrame = {
+    def prod(vals: Map[String, Double]): Column =
+      fields.foldLeft(lit(1.0): Column) { (acc, f) =>
+        acc * when(col(f) === 1, lit(vals(f)))
+          .otherwise(lit(1.0) - lit(vals(f)))
+      }
+    val pm = prod(m)
+    val pu = prod(u)
+    pairs
       .withColumn("match_weight", round(log2(pm / pu), quantize))
       .withColumn("posterior",
-        round(col("lam") * pm /
-          (col("lam") * pm + (lit(1.0) - col("lam")) * pu), quantize))
-      .drop("lam")
-      .drop(fields.map(f => s"m_$f") ++ fields.map(f => s"u_$f"): _*)
+        round(lit(lam) * pm /
+          (lit(lam) * pm + (lit(1.0) - lit(lam)) * pu), quantize))
   }
 
   // ---- generated oracle mirror ----------------------------------------

@@ -299,7 +299,10 @@ class IncrementalSearchCV(
         // AFTER this call (the launch that passed the flag checks but
         // hadn't reached runJob yet)
         sc.cancelJobGroupAndFutureJobs(e.group)
-        e.fut.failed.foreach(_ => ())(specEc) // swallow the cancellation
+        // parasitic: the swallow must not submit to specPool — at
+        // loop-end cleanup the pool is shutting down and would reject
+        // the callback (noisy, though harmless)
+        e.fut.failed.foreach(_ => ())(ExecutionContext.parasitic)
         specCanceled += 1
       }
 

@@ -27,12 +27,35 @@ object RelationalQueries extends QueryPack {
     */
   private val linkageFields = Seq("g_source", "g_lang", "g_len", "g_prefix")
   private def linkagePairs(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+    // (1) project the 32-char prefix BEFORE the self-join: the blocked
+    // join fans out to ~n²/|blocks| pairs, and carrying (and
+    // comparing) full document text through that fan-out would
+    // dominate — the five narrow columns are all the agreement
+    // vectors need. (2) SALT the probe side (the fuzzyPairs pattern):
+    // the block key has only ~8 distinct pow2 length buckets, so an
+    // unsalted equi-join runs the whole quadratic fan-out on ≤8 tasks
+    // — each probe row keeps one id-derived salt, the build side
+    // replicates across all salts, every pair still meets exactly
+    // once, and parallelism becomes |blocks| × |salts|. The salt only
+    // routes rows; the oracle mirror stays salt-free.
+    val salts = 16L
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      substring(col("text"), 1, 32).as("pfx"),
       col("lang"), col("source"), col("n_chars"),
       length(bin(greatest(col("n_chars"), lit(1)).cast("long")))
         .cast("int").as("blk"))
-    d.as("a").join(d.as("b"),
-        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+    // explicit co-partitioning (the fuzzyPairs trick): the pair fan-out
+    // is CPU-heavy but byte-tiny, so AQE's byte-threshold coalescing
+    // would squeeze the (blk, salt) cells back onto a few tasks
+    val nParts = s.sparkContext.defaultParallelism
+    val a = d.withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(salts)))
+      .repartition(nParts, col("blk"), col("__salt"))
+    val b = d.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1))))
+    a.as("a").join(b.as("b"),
+        col("a.blk") === col("b.blk") &&
+        col("a.__salt") === col("b.__salt") &&
+        col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         when(col("a.source") === col("b.source"), 1).otherwise(0)
           .as("g_source"),
@@ -40,9 +63,33 @@ object RelationalQueries extends QueryPack {
         when(abs(col("a.n_chars") - col("b.n_chars")) * 20 <=
           greatest(col("a.n_chars"), col("b.n_chars")), 1).otherwise(0)
           .as("g_len"),
-        when(substring(col("a.text"), 1, 32) ===
-          substring(col("b.text"), 1, 32), 1).otherwise(0).as("g_prefix"))
+        when(col("a.pfx") === col("b.pfx"), 1).otherwise(0).as("g_prefix"))
   }
+
+  /** Fit-once memos for the linkage family: the blocked pair join is
+    * the corpus-sized cost and THREE gates consume it (params, scored
+    * pairs, entity clusters) — pairs (a narrow 6-column projection)
+    * and the 1-row EM params are persisted once per dir and shared,
+    * the v5Packed/neymanAllocMemo convention. Cleared by
+    * Memos.clearAll between Bench passes.
+    */
+  private val linkageMemo =
+    graft.core.Memos.register(new graft.core.Memos.CachedFrameMap())
+  private def linkagePairsMemo(s: SparkSession, dir: String): DataFrame =
+    linkageMemo.computeIfAbsent(s"pairs:$dir", _ => {
+      val p = linkagePairs(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    })
+  private def linkageParamsMemo(s: SparkSession, dir: String): DataFrame =
+    linkageMemo.computeIfAbsent(s"params:$dir", _ => {
+      val pm = graft.linkage.FellegiSunter.emFit(
+          linkagePairsMemo(s, dir), linkageFields, iters = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pm.count()
+      pm
+    })
 
   /** The identical pair construction as SQL CTEs (relations
     * `linkdocs`, `linkpairs`) — shared by both linkage oracles.
@@ -422,16 +469,12 @@ object RelationalQueries extends QueryPack {
     // scan-fused projection. The oracle replays the quantized EM
     // trajectory via GENERATED chained CTEs with the identical
     // product order.
-    "q_linkage_em_params" -> ((s, dir) =>
-      graft.linkage.FellegiSunter.emFit(
-        linkagePairs(s, dir), linkageFields, iters = 5)),
+    "q_linkage_em_params" -> ((s, dir) => linkageParamsMemo(s, dir)),
 
-    "q_record_linkage" -> ((s, dir) => {
-      val pairs = linkagePairs(s, dir)
-      graft.linkage.FellegiSunter.score(pairs, linkageFields,
-          graft.linkage.FellegiSunter.emFit(pairs, linkageFields, iters = 5))
-        .orderBy("id_a", "id_b")
-    }),
+    "q_record_linkage" -> ((s, dir) =>
+      graft.linkage.FellegiSunter.score(linkagePairsMemo(s, dir),
+          linkageFields, linkageParamsMemo(s, dir))
+        .orderBy("id_a", "id_b")),
 
     // The ER endgame: FS-matched pairs (posterior ≥ 0.9) resolved
     // into ENTITIES by transitive closure — the same O(log n)
@@ -439,9 +482,9 @@ object RelationalQueries extends QueryPack {
     // pipelines cross-validate. Output: doc → entity id (least doc_id
     // reachable through match edges).
     "q_entity_clusters" -> ((s, dir) => {
-      val pairs = linkagePairs(s, dir)
-      val matched = graft.linkage.FellegiSunter.score(pairs, linkageFields,
-          graft.linkage.FellegiSunter.emFit(pairs, linkageFields, iters = 5))
+      val matched = graft.linkage.FellegiSunter.score(
+          linkagePairsMemo(s, dir), linkageFields,
+          linkageParamsMemo(s, dir))
         .filter(col("posterior") >= 0.9)
         .select("id_a", "id_b")
       graft.graph.ConnectedComponents.connectedComponents(matched)

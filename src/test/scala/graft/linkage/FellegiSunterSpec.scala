@@ -84,14 +84,22 @@ class FellegiSunterSpec extends SparkSpec {
     assert(p.getAs[Double]("u_f1") <= 0.999999)
   }
 
-  test("scoring is a broadcast projection — no shuffle of the pair frame") {
+  test("scoring is a literal scan projection — no join, no shuffle, codegen'd") {
     val params = FellegiSunter.emFit(synthetic(1000, 9).toDF("f1", "f2"),
       fields)
     val plan = FellegiSunter.score(synthetic(1000, 9).toDF("f1", "f2"),
       fields, params).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"))
-    // the pairs side reaches the projection without an Exchange
-    // (aggregation exchanges inside the 16-row EM frame are fine)
+    // weights-in-plan: the fitted params embed as literals, so the
+    // pair frame flows through one fused projection — a broadcast
+    // param row would hide the expression behind a non-codegen
+    // BroadcastNestedLoopJoin
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("Exchange"))
     assert(!plan.contains("Window"))
+    // on a parquet-backed corpus this is a *(1) codegen'd scan
+    // projection; on in-memory test data Catalyst goes further and
+    // constant-folds the whole thing into the LocalTableScan
+    assert(plan.contains("*(1)") || plan.contains("LocalTableScan"),
+      s"projection must fuse:\n$plan")
   }
 }
