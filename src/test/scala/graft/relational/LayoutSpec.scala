@@ -86,6 +86,41 @@ class LayoutSpec extends SparkSpec {
     stats.foreach(r => assert(r.getAs[Int]("min_y") == 7))
   }
 
+  test("REAL parquet skipping: z-layout prunes row groups on the non-sort dim, x-sort cannot") {
+    // write the same 2-D table under both layouts, query the dimension
+    // a single-column sort does NOT cover, and read the scan's actual
+    // output-row metric: parquet row-group stats prune under the
+    // z-order layout, while every x-sorted file spans the full y range
+    // and must be read end to end
+    val grid = (for (x <- 0 until 128; y <- 0 until 128) yield (x, y))
+    val df = grid.toDF("x", "y")
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val xDir = java.nio.file.Files.createTempDirectory("graft_x").toString
+    Layout.zOrdered(df, Seq("x", "y"), bits = 7, numFiles = 16)
+      .write.mode("overwrite").option("parquet.block.size", 4096).parquet(zDir)
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").option("parquet.block.size", 4096).parquet(xDir)
+    def scanRows(dir: String): (Long, Long) = {
+      val q = spark.read.parquet(dir).filter(col("y") < 8)
+      // collect() so the metrics land on THIS QueryExecution (count()
+      // would plan and execute a separate one with its own metrics)
+      val n = q.collect().length.toLong
+      val scanned = q.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      (n, scanned)
+    }
+    val (nZ, readZ) = scanRows(zDir)
+    val (nX, readX) = scanRows(xDir)
+    assert(nZ == 128 * 8 && nX == 128 * 8) // same answer either way
+    info(s"rows read from parquet: z-layout $readZ, x-sort $readX")
+    // x-sort reads (essentially) everything — a stray boundary row
+    // group may prune by luck; z-order skips the row groups whose
+    // y-range can't match
+    assert(readX >= (128L * 128L * 95) / 100,
+      s"x-sort should read ~all rows, read $readX")
+    assert(readZ <= readX / 2, s"z-layout must skip: read $readZ of $readX")
+  }
+
   test("zOrdered: requested file count, disjoint sorted key ranges per partition") {
     val rnd = new Random(17)
     val df = Seq.fill(4096)((rnd.nextInt(1000), rnd.nextInt(1000)))
