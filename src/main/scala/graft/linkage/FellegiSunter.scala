@@ -17,10 +17,11 @@ import org.apache.spark.storage.StorageLevel
   * So the corpus-sized pair frame is aggregated ONCE into pattern
   * counts (one groupBy), and every EM iteration is arithmetic over
   * that ≤2^K-row frame crossed with a 1-row parameter frame — zero
-  * corpus passes per iteration, nothing collected, any pair count.
-  * Final scoring is a scan-fused projection over the pairs with the
-  * fitted parameters broadcast in (the weights-in-plan pattern the
-  * quality classifier uses).
+  * corpus passes per iteration, any pair count. Final scoring
+  * collects the single fitted parameter row (2K+1 bounded doubles)
+  * and embeds it as LITERALS in one scan-fused projection — the
+  * weights-in-plan pattern the quality classifier uses; see [[score]]
+  * for why a broadcast param row would be slower.
   *
   * Determinism: parameters are quantized to `quantize` decimals and
   * clamped to [1e-6, 1−1e-6] at every iteration handoff — the
@@ -105,7 +106,17 @@ object FellegiSunter {
     */
   def score(pairs: DataFrame, fields: Seq[String], params: DataFrame,
       quantize: Int = 6): DataFrame = {
-    val r = params.collect()(0)
+    // degenerate params (0-row frame; or emFit over ZERO pairs, whose
+    // single aggregate row holds null lam/m/u) score as all-null —
+    // the same null-propagating result the lazy broadcast-join form
+    // produced, instead of a driver unboxing crash
+    val rows = params.collect()
+    val nullScores = pairs
+      .withColumn("match_weight", lit(null).cast("double"))
+      .withColumn("posterior", lit(null).cast("double"))
+    if (rows.isEmpty) return nullScores.limit(0)
+    val r = rows(0)
+    if (r.isNullAt(r.fieldIndex("lam"))) return nullScores
     scoreWithValues(pairs, fields, r.getAs[Double]("lam"),
       fields.map(f => f -> r.getAs[Double](s"m_$f")).toMap,
       fields.map(f => f -> r.getAs[Double](s"u_$f")).toMap, quantize)

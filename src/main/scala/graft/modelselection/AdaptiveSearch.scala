@@ -336,9 +336,20 @@ class IncrementalSearchCV(
                     rec = spec.copy(scores = rec.scores)
                     specConsumed.incrementAndGet()
                     1
-                  case scala.util.Failure(_) =>
+                  case scala.util.Failure(
+                      _: java.util.concurrent.CancellationException) =>
                     specCanceledInFlight.incrementAndGet()
                     0
+                  case scala.util.Failure(ex: org.apache.spark.SparkException)
+                      if ex.getMessage != null &&
+                        ex.getMessage.contains("cancelled") =>
+                    specCanceledInFlight.incrementAndGet()
+                    0
+                  case scala.util.Failure(ex) =>
+                    // anything else is a GENUINE fit failure — the
+                    // non-speculative path would have thrown it too;
+                    // masking it would hide real errors
+                    throw ex
                 }
               case None => 0
             }

@@ -70,8 +70,9 @@ object Constraints {
     require(checks.nonEmpty || fks.nonEmpty, "empty constraint suite")
     val names = checks.map(_.name) ++ fks.map(_._1)
     require(names.distinct.size == names.size,
-      s"duplicate rule names (rules on the same column need distinct " +
-        s"kinds): ${names.diff(names.distinct).distinct.mkString(", ")}")
+      "duplicate rule names — two rules of the same kind on one column " +
+        "collide on the default name; rename one via Check.copy(name = " +
+        s"...): ${names.diff(names.distinct).distinct.mkString(", ")}")
     val rowAggs = violationAggs(checks)
     val one = df.agg(rowAggs.head, rowAggs.tail: _*)
 

@@ -82,14 +82,20 @@ object RelationalQueries extends QueryPack {
       p.count()
       p
     })
-  private def linkageParamsMemo(s: SparkSession, dir: String): DataFrame =
+  private def linkageParamsMemo(s: SparkSession, dir: String): DataFrame = {
+    // resolve the pairs memo BEFORE entering computeIfAbsent: a
+    // mapping function must not modify the same ConcurrentHashMap
+    // (nested computeIfAbsent on one map risks a "Recursive update"
+    // IllegalStateException when the keys share a bin)
+    val pairs = linkagePairsMemo(s, dir)
     linkageMemo.computeIfAbsent(s"params:$dir", _ => {
-      val pm = graft.linkage.FellegiSunter.emFit(
-          linkagePairsMemo(s, dir), linkageFields, iters = 5)
+      val pm = graft.linkage.FellegiSunter.emFit(pairs, linkageFields,
+          iters = 5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pm.count()
       pm
     })
+  }
 
   /** The identical pair construction as SQL CTEs (relations
     * `linkdocs`, `linkpairs`) — shared by both linkage oracles.

@@ -84,6 +84,19 @@ class FellegiSunterSpec extends SparkSpec {
     assert(p.getAs[Double]("u_f1") <= 0.999999)
   }
 
+  test("degenerate params score as nulls, not a driver crash") {
+    val pairs = Seq((1, 0), (0, 1)).toDF("f1", "f2")
+    // emFit over ZERO pairs: one aggregate row, all-null params
+    val nullParams = FellegiSunter.emFit(
+      pairs.limit(0), fields, iters = 2)
+    val scored = FellegiSunter.score(pairs, fields, nullParams).collect()
+    assert(scored.length == 2)
+    assert(scored.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+    // a caller-supplied empty frame yields an empty result
+    assert(FellegiSunter.score(pairs, fields, nullParams.limit(0))
+      .count() == 0)
+  }
+
   test("scoring is a literal scan projection — no join, no shuffle, codegen'd") {
     val params = FellegiSunter.emFit(synthetic(1000, 9).toDF("f1", "f2"),
       fields)

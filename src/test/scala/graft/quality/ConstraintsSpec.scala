@@ -58,11 +58,18 @@ class ConstraintsSpec extends SparkSpec {
     assert(r(0).getLong(1) == 5L && r(0).getLong(2) == 1L)
   }
 
-  test("duplicate rule names are rejected up front") {
+  test("duplicate rule names are rejected up front; renaming makes them coexist") {
     val ex = intercept[IllegalArgumentException] {
       suite(dirty, Seq(matches("t", "^a"), matches("t", "b$")))
     }
     assert(ex.getMessage.contains("matches(t)"))
+    // the documented escape hatch: same kind, same column, one renamed
+    val r = suite(dirty, Seq(matches("t", "^[a-z]"),
+        matches("t", "[a-z]$").copy(name = "matches(t, suffix)")))
+      .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+    assert(r.size == 2)
+    assert(r("matches(t)") == 0L)          // every t starts lowercase
+    assert(r("matches(t, suffix)") == 1L)  // "bad!" fails the suffix rule
   }
 
   test("all row-level rules share ONE scan of the table") {
