@@ -1630,6 +1630,34 @@ object LlmDataQueries extends QueryPack {
         "doc_id", neymanAllocMemo(s, dir))
         .orderBy("source", "rank")),
 
+    // Blocking-quality report (Christen's two numbers for judging a
+    // blocking scheme): REDUCTION RATIO — what fraction of the n²/2
+    // comparison space the length-bucket blocking avoids — and PAIRS
+    // COMPLETENESS — what fraction of TRUE near-dup pairs (the
+    // minhash ground truth the dedup gates verify) the candidates
+    // retain. Candidates ride the linkage fit-once pair memo; truth
+    // rides the minhash oracle-pairs memo; four tiny aggregates.
+    "q_blocking_quality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cand = graft.relational.RelationalQueries
+        .linkagePairsMemo(s, dir).select("id_a", "id_b")
+      val truth = oracleMinhashPairs(s, dir).select("id_a", "id_b")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val c = cand.agg(count(lit(1)).as("n_candidates"))
+      val t = truth.agg(count(lit(1)).as("n_truth"))
+      val f = truth.join(cand, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("truth_found"))
+      n.crossJoin(broadcast(c)).crossJoin(broadcast(t))
+        .crossJoin(broadcast(f))
+        .select(col("n_docs"), col("n_candidates"),
+          round(lit(1.0) - col("n_candidates").cast("double") /
+            ((col("n_docs") * (col("n_docs") - 1)).cast("double") / lit(2.0)),
+            6).as("reduction_ratio"),
+          col("n_truth"), col("truth_found"),
+          round(col("truth_found").cast("double") /
+            col("n_truth").cast("double"), 6).as("pair_completeness"))
+    }),
+
     // Poisson-bootstrap CI for per-source mean doc length: exact
     // integer inverse-CDF weights from the house hash (no sampling,
     // no resample materialization — metrics/Bootstrap.scala), one
@@ -2575,6 +2603,27 @@ object LlmDataQueries extends QueryPack {
         |FROM rnk r JOIN alloc a ON r.source = a.source
         |WHERE r.rk <= a.n_alloc
         |ORDER BY r.source, rank""".stripMargin,
+
+    // blocking-quality mirror: candidates from the SAME linkage pair
+    // CTEs, truth from the SAME minhash pair CTEs the dedup gates use
+    "q_blocking_quality" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |${graft.relational.RelationalQueries.linkagePairsSql},
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM linkpairs),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM pairs),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS truth_found
+         |  FROM pairs p JOIN linkpairs l
+         |    ON p.id_a = l.id_a AND p.id_b = l.id_b)
+         |SELECT n_docs, n_candidates,
+         |  round(1.0 - CAST(n_candidates AS DOUBLE)
+         |    / (CAST(n_docs * (n_docs - 1) AS DOUBLE) / 2.0), 6)
+         |    AS reduction_ratio,
+         |  n_truth, truth_found,
+         |  round(CAST(truth_found AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+         |    AS pair_completeness
+         |FROM n, c, t, f""".stripMargin,
 
     // bootstrap mirror: identical integer thresholds (generated from
     // the same list), same rounded replica-mean handoff, quantile_cont

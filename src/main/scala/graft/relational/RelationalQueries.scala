@@ -75,7 +75,7 @@ object RelationalQueries extends QueryPack {
     */
   private val linkageMemo =
     graft.core.Memos.register(new graft.core.Memos.CachedFrameMap())
-  private def linkagePairsMemo(s: SparkSession, dir: String): DataFrame =
+  private[graft] def linkagePairsMemo(s: SparkSession, dir: String): DataFrame =
     linkageMemo.computeIfAbsent(s"pairs:$dir", _ => {
       val p = linkagePairs(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -100,7 +100,7 @@ object RelationalQueries extends QueryPack {
   /** The identical pair construction as SQL CTEs (relations
     * `linkdocs`, `linkpairs`) — shared by both linkage oracles.
     */
-  private val linkagePairsSql =
+  private[graft] val linkagePairsSql =
     """linkdocs AS (SELECT doc_id, text, lang, source, n_chars,
       |    CAST(len(bin(CAST(greatest(n_chars, 1) AS BIGINT))) AS INT) AS blk
       |  FROM documents),
