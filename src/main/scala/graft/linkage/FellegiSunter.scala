@@ -70,16 +70,23 @@ object FellegiSunter {
         fields.map(f => lit(u0).cast("double").as(s"u_$f")))
     var params = spark.range(1).select(init: _*)
 
-    def clampRound(c: Column): Column =
-      least(greatest(round(c, quantize), lit(loClamp)), lit(hiClamp))
+    // null-preserving: Spark's greatest/least SKIP nulls, which would
+    // turn a zero-pairs fit's null aggregates into 1e-6 and hide the
+    // no-data condition from score()'s null-params guard
+    def clampRound(c: Column): Column = when(c.isNull, lit(null))
+      .otherwise(least(greatest(round(c, quantize), lit(loClamp)),
+        lit(hiClamp)))
 
     for (_ <- 1 to iters) {
       val wm = likeProd(fields, "m", col("lam"))
       val wu = likeProd(fields, "u", lit(1.0) - col("lam"))
       val e = pat.crossJoin(broadcast(params))
         .withColumn("__p", wm / (wm + wu))
+      // lam is clamped like m/u: a degenerate corpus (all patterns
+      // identical) can drive it to exactly 0/1, which would zero wm or
+      // wu and null every later iteration's params
       val aggs =
-        round(sum(col("cnt") * col("__p")) / sum(col("cnt")), quantize)
+        clampRound(sum(col("cnt") * col("__p")) / sum(col("cnt")))
           .as("lam") +:
           (fields.map(f => clampRound(
             sum(col("cnt") * col("__p") * col(f)) /
@@ -178,8 +185,9 @@ object FellegiSunter {
         clampRound(s"sum(cnt*p*$f)/sum(cnt*p)") + s" AS m_$f")
       val us = fields.map(f =>
         clampRound(s"sum(cnt*(1.0-p)*$f)/sum(cnt*(1.0-p))") + s" AS u_$f")
-      val it = s"it$t AS (SELECT round(sum(cnt*p)/sum(cnt), $quantize) " +
-        s"AS lam, ${(ms ++ us).mkString(", ")} FROM e$t)"
+      val it = s"it$t AS (SELECT " +
+        clampRound("sum(cnt*p)/sum(cnt)") +
+        s" AS lam, ${(ms ++ us).mkString(", ")} FROM e$t)"
       Seq(e, it)
     }
     (pat +: it0 +: its).mkString(",\n")

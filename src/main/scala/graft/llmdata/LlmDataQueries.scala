@@ -2635,7 +2635,9 @@ object LlmDataQueries extends QueryPack {
          |    $w AS w
          |  FROM documents d CROSS JOIN reps r),
          |m AS (SELECT source, rep,
-         |    round(sum(w * v) / CAST(sum(w) AS DOUBLE), 6) AS mm
+         |    CASE WHEN sum(w) = 0 THEN NULL
+         |      ELSE round(sum(w * v) / CAST(sum(w) AS DOUBLE), 6)
+         |    END AS mm
          |  FROM e GROUP BY source, rep),
          |p AS (SELECT source, round(quantile_cont(mm, 0.025), 6) AS ci_lo,
          |    round(quantile_cont(mm, 0.975), 6) AS ci_hi,

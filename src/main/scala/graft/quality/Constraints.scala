@@ -23,13 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object Constraints {
 
-  /** A named row-level rule: `violation` is true on rows that break it. */
-  final case class Check(name: String, violation: Column)
+  /** A named row-level rule: `violation` is true on rows that break it.
+    * `uniqueOn` marks uniqueness rules by the checked column (not by
+    * name-parsing), so a rule renamed via `Check.copy(name = ...)`
+    * keeps its semantics.
+    */
+  final case class Check(name: String, violation: Column,
+      uniqueOn: Option[String] = None)
 
   def notNull(c: String): Check = Check(s"not_null($c)", col(c).isNull)
 
-  def unique(c: String): Check =
-    Check(s"unique($c)", lit(false)) // counted via the distinct delta
+  def unique(c: String): Check = // counted via the distinct delta
+    Check(s"unique($c)", lit(false), uniqueOn = Some(c))
 
   def inRange(c: String, lo: Double, hi: Double): Check =
     Check(s"in_range($c)",
@@ -53,17 +58,12 @@ object Constraints {
     * are mergeable across micro-batches; `unique` is the exception —
     * exact distinct doesn't stream, so keep it batch-side).
     */
-  def violationAggs(checks: Seq[Check]): Seq[Column] = {
-    val uniqueCols = checks.collect {
-      case Check(n, _) if n.startsWith("unique(") =>
-        n -> n.stripPrefix("unique(").stripSuffix(")")
-    }
+  def violationAggs(checks: Seq[Check]): Seq[Column] =
     count(lit(1)).as("__n") +:
-      (checks.filterNot(c => c.name.startsWith("unique(")).map(c =>
+      (checks.filter(_.uniqueOn.isEmpty).map(c =>
         sum(when(c.violation, 1L).otherwise(0L)).as(s"__v_${c.name}")) ++
-        uniqueCols.map { case (n, c) =>
+        checks.collect { case Check(n, _, Some(c)) =>
           (count(col(c)) - countDistinct(col(c))).as(s"__v_$n") })
-  }
 
   def suite(df: DataFrame, checks: Seq[Check],
       fks: Seq[(String, String, DataFrame, String)] = Nil): DataFrame = {
@@ -87,9 +87,11 @@ object Constraints {
           col("__r.n_violations").as("n_violations")))
 
     val fkReports = fks.map { case (name, factKey, dim, dimKey) =>
+      // alias the dim key: when fact and dim share the key's column
+      // name the raw reference is ambiguous at analysis time
       val viol = df.select(col(factKey)).filter(col(factKey).isNotNull)
-        .join(dim.select(col(dimKey)).distinct(),
-          col(factKey) === col(dimKey), "left_anti")
+        .join(dim.select(col(dimKey).as("__dim_key")).distinct(),
+          col(factKey) === col("__dim_key"), "left_anti")
         .agg(count(lit(1)).as("n_violations"))
       viol.crossJoin(broadcast(one.select(col("__n").as("n_rows"))))
         .select(lit(name).as("rule"), col("n_rows"), col("n_violations"))

@@ -55,7 +55,13 @@ object Sinks {
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .partitionBy(shardCol)
       .parquet(outDir)
-    writtenManifest(df.sparkSession.read.parquet(outDir),
-      shardCol, idCol, sizeCol)
+    // partition-column type inference reads numeric-looking shard
+    // values back as integers; cast back to the input side's type so
+    // the readback manifest's shard column (and groupBy semantics)
+    // match writtenManifest(df, ...) exactly
+    val shardType = df.schema(shardCol).dataType
+    val readback = df.sparkSession.read.parquet(outDir)
+      .withColumn(shardCol, col(shardCol).cast(shardType))
+    writtenManifest(readback, shardCol, idCol, sizeCol)
   }
 }

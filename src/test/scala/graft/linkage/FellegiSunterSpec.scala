@@ -84,6 +84,19 @@ class FellegiSunterSpec extends SparkSpec {
     assert(p.getAs[Double]("u_f1") <= 0.999999)
   }
 
+  test("degenerate corpus cannot drive lam to exactly 0/1 — params stay finite") {
+    // every pattern identical + extreme init pushes the E-step posterior
+    // to round to exactly 1.0 at quantize=9; unclamped, lam=1.0 zeroes
+    // wu and the next iteration's u-aggregates evaluate 0/0
+    val allOnes = Seq.fill(50)((1, 1)).toDF("f1", "f2")
+    val p = FellegiSunter.emFit(allOnes, fields, iters = 4,
+      lambda0 = 0.9, m0 = 0.9, u0 = 1e-6).collect()(0)
+    Seq("lam", "m_f1", "m_f2", "u_f1", "u_f2").foreach { c =>
+      val v = p.getAs[Double](c)
+      assert(!v.isNaN && v > 0.0 && v < 1.0, s"$c degenerate: $v")
+    }
+  }
+
   test("degenerate params score as nulls, not a driver crash") {
     val pairs = Seq((1, 0), (0, 1)).toDF("f1", "f2")
     // emFit over ZERO pairs: one aggregate row, all-null params

@@ -72,6 +72,19 @@ class ConstraintsSpec extends SparkSpec {
     assert(r("matches(t, suffix)") == 1L)  // "bad!" fails the suffix rule
   }
 
+  test("a RENAMED unique rule still counts duplicates (kind is a field, not name-parsing)") {
+    val r = suite(dirty, Seq(unique("k").copy(name = "pk_unique")))
+      .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+    assert(r("pk_unique") == 1L) // k=2 duplicated once
+  }
+
+  test("FK rule works when fact and dim share the key column name") {
+    val dim = Seq(1L, 2L).toDF("k") // same name as the fact column
+    val r = suite(dirty, Nil, fks = Seq(("fk(k->dim.k)", "k", dim, "k")))
+      .collect()
+    assert(r.length == 1 && r(0).getLong(2) == 1L) // k=4 unmatched
+  }
+
   test("all row-level rules share ONE scan of the table") {
     val plan = suite(dirty, Seq(notNull("k"), unique("k"),
         inRange("v", 0, 100), matches("t", "^[a-z]+$")))
