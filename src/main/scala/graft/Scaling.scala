@@ -15,14 +15,17 @@ import org.apache.spark.sql.SparkSession
   * Writes SCALING.json.
   *
   * Known super-linear terms, asserted by the artifact rather than
-  * hidden (the `notes` field names each): q_fuzzy_join blocks on the
-  * FIXED 25-nation key, so within-block candidate pairs grow ∝
-  * factor² (the blocking-key-cardinality trade-off documented on
-  * EntityResolution) — capped at 4× to keep the harness minutes-sized,
-  * slope expected ≈ 2; q_resample_ffill's output grid is users ×
-  * hourly span and BOTH grow ∝ factor in this corpus family (users
-  * 2000f, fixed event cadence → span ∝ f — the driver testdata's own
-  * model), so the operator — linear in its OUTPUT — pays ∝ f² rows.
+  * hidden (the `notes` field names each): q_resample_ffill's output
+  * grid is users × hourly span and BOTH grow ∝ factor in this corpus
+  * family (users 2000f, fixed event cadence → span ∝ f — the driver
+  * testdata's own model), so the operator — linear in its OUTPUT —
+  * pays ∝ f² rows. The round-8 super-linear entries (q_fuzzy_join
+  * 1.571, q_record_linkage 1.124 on fixed-cardinality blocking keys)
+  * are RETIRED: both gates now generate candidates through
+  * EntityResolution.blockingUnion — a union of fine blocking rules
+  * (deletion neighborhood / content prefix+suffix) whose block sizes
+  * are bounded by match-cluster size instead of growing with the
+  * corpus — and run uncapped to 16×.
   */
 object Scaling {
 
@@ -53,8 +56,9 @@ object Scaling {
     "q_zorder_layout" -> 16,
     "q_neyman_sample" -> 16,
     "q_shard_write_roundtrip" -> 16,
-    "q_fuzzy_join" -> 4, // fixed-block quadratic — see scaladoc
-    "q_record_linkage" -> 4) // fixed-block quadratic pairs — see notes
+    "q_blocking_quality" -> 16,
+    "q_fuzzy_join" -> 16, // union-of-rules blocking (round 9) — uncapped
+    "q_record_linkage" -> 16) // union-of-rules blocking (round 9) — uncapped
     .filter { case (q, _) =>
       sys.env.get("SPARK_GRAFT_SCALE_ONLY")
         .forall(_.split(",").map(_.trim).contains(q))
@@ -139,19 +143,20 @@ object Scaling {
     // an entry missing for a >1.3 slope is a harness bug by contract
     // ASCII only: the artifact must survive any consumer charset
     val notes = Map(
-      "q_fuzzy_join" -> ("within-block pairs grow quadratically: the " +
-        "block key (25 nations) is FIXED while block size grows with " +
-        "f; capped at 4x. The mitigation at real scale is a finer " +
-        "blocking key (see EntityResolution scaladoc)"),
+      "q_fuzzy_join" -> ("round 9: re-blocked on the order-1 deletion " +
+        "neighborhood via blockingUnion -- recall-exact for lev<=1 by " +
+        "theorem, block sizes bounded by the ~90-parent variant " +
+        "cluster, fan-out x(len+1) linear. Retires the round-8 " +
+        "exponent 1.571 measured on the fixed 25-nation key"),
       "q_resample_ffill" -> ("output grid = users x hourly span, both " +
         "growing with f in this corpus family -- the operator is " +
         "linear in its OUTPUT grid; slope reflects grid growth, not " +
         "operator waste"),
-      "q_record_linkage" -> ("candidate pairs grow quadratically: the " +
-        "length-bucket blocking key has FIXED cardinality (~8 pow2 " +
-        "buckets) while bucket population grows with f; capped at 4x. " +
-        "EM itself stays O(2^K) regardless -- the mitigation at real " +
-        "scale is a finer blocking key, same trade-off as q_fuzzy_join"))
+      "q_record_linkage" -> ("round 9: candidates from a union of fine " +
+        "blocking rules (text prefix-24, suffix-24, exact (lang, " +
+        "source, n_chars)) -- content-key cardinality grows WITH the " +
+        "corpus so blocks stay bounded; EM stays O(2^K). Retires the " +
+        "round-8 exponent 1.124 measured on the ~8 pow2 length buckets"))
     def fmt(d: Double) = if (d.isNaN) "null"
       else String.format(java.util.Locale.ROOT, "%.3f",
         java.lang.Double.valueOf(d)) // locale-proof decimal point

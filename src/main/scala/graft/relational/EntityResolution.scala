@@ -54,6 +54,105 @@ object EntityResolution {
     * shuffled equi-join, the broadcast form an automatic small-input
     * optimization, the same contract Spark's own join planning gives.
     */
+  /** Splink-style UNION-OF-BLOCKING-RULES candidate generation — the
+    * scale-safe composition a single blocking key can't give: each
+    * rule is FINE (bounds its block sizes), and the union of the
+    * per-rule pair sets preserves recall (a true pair survives if ANY
+    * rule catches it). This is how production linkage engines square
+    * the blocking dilemma: one key fine enough to bound blocks loses
+    * recall; one key coarse enough to keep recall grows quadratic
+    * blocks — several fine keys UNIONED keep both.
+    *
+    * Each rule is a Column producing a blocking key for the row —
+    * scalar, or ARRAY-typed for multi-key rules (e.g. a deletion
+    * neighborhood, q-gram keys); null (or null array elements) opt
+    * the row out of that rule. Two rows are candidates iff some rule
+    * index yields the same non-null key for both.
+    *
+    * Plan shape: one narrow projection exploded to (id, payload…,
+    * rule#, key) — a ×Σ|keys| fan-out of a FEW columns, linear in the
+    * corpus — then ONE self-equi-join on (rule#, key) and a distinct
+    * on the pair. No cross product anywhere; within-block pair counts
+    * are bounded by construction (that's the caller's contract when
+    * picking rules: every rule fine). Keys are normalized to string
+    * so heterogeneous rules coexist in one join column.
+    *
+    * `payload` columns ride along (as `<name>_a` / `<name>_b`) so
+    * consumers don't need two more corpus joins to recover the
+    * compared attributes — they're functions of the ids, so the
+    * distinct stays a pure pair-dedup.
+    */
+  def blockingUnion(df: DataFrame, idCol: String,
+      rules: Seq[Column], payload: Seq[String] = Nil): DataFrame = {
+    require(rules.nonEmpty, "blockingUnion needs at least one rule")
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    // normalize every rule to array<string>, tag with its rule index
+    // (rule dataTypes resolve against the frame — a bare Column's
+    // expression is unresolved until analyzed)
+    val ruleTypes = df.select(rules: _*).schema.map(_.dataType)
+    val tagged = rules.zip(ruleTypes).zipWithIndex.map {
+      case ((r, t), i) =>
+        val arr =
+          if (t.isInstanceOf[org.apache.spark.sql.types.ArrayType]) r
+          else array(r)
+        transform(arr, k => struct(lit(i).as("r"), k.cast("string").as("k")))
+    }
+    val keyed = df.select(
+        (col(idCol) +: payload.map(col)) :+
+          explode(flatten(array(tagged: _*))).as("__rk"): _*)
+      .filter(col("__rk.k").isNotNull)
+    val a = keyed.select(
+      (col(idCol).as("id_a") +: payload.map(c => col(c).as(s"${c}_a"))) :+
+        col("__rk").as("__rka"): _*)
+    val b = keyed.select(
+      (col(idCol).as("id_b") +: payload.map(c => col(c).as(s"${c}_b"))) :+
+        col("__rk").as("__rkb"): _*)
+    // explicit co-partitioning on the key (the fuzzyPairs convention):
+    // the fan-out is CPU-shaped but byte-narrow, so AQE's byte
+    // thresholds under-parallelize it if left to the defaults
+    a.repartition(nParts, col("__rka"))
+      .join(b, col("__rka") === col("__rkb") && col("id_a") < col("id_b"))
+      .select(col("id_a") +: col("id_b") +:
+        payload.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
+      .distinct()
+  }
+
+  /** The order-1 deletion neighborhood of `s`: the string itself plus
+    * every single-character deletion — `lev(a, b) <= 1` implies the
+    * two neighborhoods intersect (a substitution at p deletes to the
+    * same string from both sides; an insertion/deletion means one IS
+    * a deletion variant of the other). Used as an ARRAY rule for
+    * [[blockingUnion]], it makes edit-distance-1 joins fully
+    * recall-preserving with blocks bounded by the true-match cluster
+    * size — the SymSpell blocking scheme — instead of quadratic
+    * attribute blocks. |keys| = len(s)+1 per row: linear fan-out.
+    */
+  def deletionVariants(s: Column): Column =
+    transform(sequence(lit(0), length(s)), i =>
+      when(i === 0, s).otherwise(concat(
+        s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
+
+  /** [[fuzzyPairs]] semantics (same-block pairs within `maxDistance`
+    * edits) over a [[blockingUnion]] candidate set: the scale-safe
+    * form when no single fine key preserves recall. The caller's
+    * rules must guarantee candidate recall for the distance bound —
+    * [[deletionVariants]] (optionally concatenated with a partition
+    * attribute) gives that guarantee for `maxDistance = 1`.
+    */
+  def fuzzyPairsUnion(df: DataFrame, idCol: String, nameCol: String,
+      rules: Seq[Column], maxDistance: Int): DataFrame = {
+    require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
+    blockingUnion(df, idCol, rules, payload = Seq(nameCol))
+      .filter(abs(length(col(s"${nameCol}_a")) -
+        length(col(s"${nameCol}_b"))) <= maxDistance)
+      .withColumn("distance",
+        levenshtein(col(s"${nameCol}_a"), col(s"${nameCol}_b")))
+      .filter(col("distance") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col(s"${nameCol}_a").as("name_a"),
+        col(s"${nameCol}_b").as("name_b"), col("distance"))
+  }
+
   def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
       blockKey: Column, maxDistance: Int,
       broadcastBuild: Option[Boolean] = None): DataFrame = {

@@ -27,43 +27,47 @@ object RelationalQueries extends QueryPack {
     */
   private val linkageFields = Seq("g_source", "g_lang", "g_len", "g_prefix")
   private def linkagePairs(s: SparkSession, dir: String): DataFrame = {
-    // (1) project the 32-char prefix BEFORE the self-join: the blocked
-    // join fans out to ~n²/|blocks| pairs, and carrying (and
-    // comparing) full document text through that fan-out would
-    // dominate — the five narrow columns are all the agreement
-    // vectors need. (2) SALT the probe side (the fuzzyPairs pattern):
-    // the block key has only ~8 distinct pow2 length buckets, so an
-    // unsalted equi-join runs the whole quadratic fan-out on ≤8 tasks
-    // — each probe row keeps one id-derived salt, the build side
-    // replicates across all salts, every pair still meets exactly
-    // once, and parallelism becomes |blocks| × |salts|. The salt only
-    // routes rows; the oracle mirror stays salt-free.
-    val salts = 16L
+    // Candidates come from a UNION OF FINE BLOCKING RULES
+    // (EntityResolution.blockingUnion — the Splink deployment
+    // pattern), replacing the single pow2-length bucket whose ~8
+    // fixed blocks grew quadratically with the corpus (measured
+    // exponent 1.124 in round-8 SCALING.json):
+    //   r0 text prefix-24  — content key, cardinality grows WITH the
+    //      corpus, so blocks stay bounded by the true dup-cluster
+    //      size; carries the recall (every minhash-truth pair at the
+    //      gate SFs shares its first 24 chars)
+    //   r1 text suffix-24  — symmetric content key catching
+    //      head-edited near-dups the prefix misses
+    //   r2 (lang, source, exact n_chars) — attribute key supplying
+    //      the non-match candidate mass the EM's u-estimates need;
+    //      exact length (not a bucket) keeps its cells ~singleton at
+    //      gate scale
+    // The union is recall-preserving (a pair survives if ANY rule
+    // fires) while every rule bounds its own blocks — the blocking
+    // dilemma a single key can't square. (1) The 32-char agreement
+    // prefix and the rule keys are projected BEFORE the fan-out:
+    // five narrow columns are all the candidate join and agreement
+    // vectors need. (2) blockingUnion co-partitions the exploded
+    // keys itself; no salt is needed because no rule has coarse
+    // blocks — that was the point.
     val d = Tables.documents(s, dir).select(col("doc_id"),
       substring(col("text"), 1, 32).as("pfx"),
       col("lang"), col("source"), col("n_chars"),
-      length(bin(greatest(col("n_chars"), lit(1)).cast("long")))
-        .cast("int").as("blk"))
-    // explicit co-partitioning (the fuzzyPairs trick): the pair fan-out
-    // is CPU-heavy but byte-tiny, so AQE's byte-threshold coalescing
-    // would squeeze the (blk, salt) cells back onto a few tasks
-    val nParts = s.sparkContext.defaultParallelism
-    val a = d.withColumn("__salt", pmod(xxhash64(col("doc_id")), lit(salts)))
-      .repartition(nParts, col("blk"), col("__salt"))
-    val b = d.withColumn("__salt",
-      explode(sequence(lit(0L), lit(salts - 1))))
-    a.as("a").join(b.as("b"),
-        col("a.blk") === col("b.blk") &&
-        col("a.__salt") === col("b.__salt") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        when(col("a.source") === col("b.source"), 1).otherwise(0)
+      substring(col("text"), 1, 24).as("r_pfx"),
+      col("text").substr(
+        greatest(length(col("text")) - 23, lit(1)), lit(24)).as("r_sfx"))
+    EntityResolution.blockingUnion(d, "doc_id",
+        rules = Seq(col("r_pfx"), col("r_sfx"),
+          concat_ws("|", col("lang"), col("source"), col("n_chars"))),
+        payload = Seq("pfx", "lang", "source", "n_chars"))
+      .select(col("id_a"), col("id_b"),
+        when(col("source_a") === col("source_b"), 1).otherwise(0)
           .as("g_source"),
-        when(col("a.lang") === col("b.lang"), 1).otherwise(0).as("g_lang"),
-        when(abs(col("a.n_chars") - col("b.n_chars")) * 20 <=
-          greatest(col("a.n_chars"), col("b.n_chars")), 1).otherwise(0)
+        when(col("lang_a") === col("lang_b"), 1).otherwise(0).as("g_lang"),
+        when(abs(col("n_chars_a") - col("n_chars_b")) * 20 <=
+          greatest(col("n_chars_a"), col("n_chars_b")), 1).otherwise(0)
           .as("g_len"),
-        when(col("a.pfx") === col("b.pfx"), 1).otherwise(0).as("g_prefix"))
+        when(col("pfx_a") === col("pfx_b"), 1).otherwise(0).as("g_prefix"))
   }
 
   /** Fit-once memos for the linkage family: the blocked pair join is
@@ -102,17 +106,32 @@ object RelationalQueries extends QueryPack {
     */
   private[graft] val linkagePairsSql =
     """linkdocs AS (SELECT doc_id, text, lang, source, n_chars,
-      |    CAST(len(bin(CAST(greatest(n_chars, 1) AS BIGINT))) AS INT) AS blk
+      |    substr(text, 1, 24) AS r_pfx,
+      |    substr(text, CAST(greatest(n_chars - 23, 1) AS INT)) AS r_sfx
       |  FROM documents),
-      |linkpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |linkcand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM linkdocs a JOIN linkdocs b
+      |    ON a.r_pfx = b.r_pfx AND a.doc_id < b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id
+      |  FROM linkdocs a JOIN linkdocs b
+      |    ON a.r_sfx = b.r_sfx AND a.doc_id < b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id
+      |  FROM linkdocs a JOIN linkdocs b
+      |    ON a.lang = b.lang AND a.source = b.source
+      |      AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+      |linkpairs AS (SELECT c.id_a, c.id_b,
       |    CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS g_source,
       |    CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS g_lang,
       |    CASE WHEN abs(a.n_chars - b.n_chars) * 20
       |      <= greatest(a.n_chars, b.n_chars) THEN 1 ELSE 0 END AS g_len,
       |    CASE WHEN substr(a.text, 1, 32) = substr(b.text, 1, 32)
       |      THEN 1 ELSE 0 END AS g_prefix
-      |  FROM linkdocs a JOIN linkdocs b
-      |    ON a.blk = b.blk AND a.doc_id < b.doc_id)""".stripMargin
+      |  FROM linkcand c
+      |    JOIN linkdocs a ON c.id_a = a.doc_id
+      |    JOIN linkdocs b ON c.id_b = b.doc_id)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Scan + projection + filter: predicate & column pruning reach parquet.
@@ -688,14 +707,23 @@ object RelationalQueries extends QueryPack {
           round(col("val"), 4).as("val"))
         .orderBy("l_orderkey", "l_linenumber", "metric")),
 
-    // Blocked fuzzy self-join (entity resolution): candidate pairs only
-    // within a nation block (plain equi-join — linear in block count,
-    // AQE-splittable), then levenshtein <= 1 on the candidates. Both
-    // engines implement standard edit distance.
+    // Blocked fuzzy self-join (entity resolution) on the SCALE-SAFE
+    // path: candidates from blockingUnion over the order-1 DELETION
+    // NEIGHBORHOOD of (nation, name) — lev(a,b) <= 1 implies the two
+    // neighborhoods intersect, so recall is exact BY THEOREM, and
+    // block sizes are bounded by the true-match cluster size (~90
+    // parent strings share a deletion variant) instead of growing
+    // with the corpus the way nation-only blocks did (round-8
+    // SCALING exponent 1.571). Fan-out is ×(len+1) of three narrow
+    // columns — linear. Oracle unchanged: the semantic result (same
+    // nation, distance <= 1) is blocking-scheme-free.
     "q_fuzzy_join" -> ((s, dir) =>
-      EntityResolution.fuzzyPairs(
+      EntityResolution.fuzzyPairsUnion(
         Tables.customer(s, dir), "c_custkey", "c_name",
-        col("c_nationkey"), maxDistance = 1)
+        rules = Seq(transform(
+          EntityResolution.deletionVariants(col("c_name")),
+          v => concat(col("c_nationkey").cast("string"), lit(":"), v))),
+        maxDistance = 1)
         .orderBy("id_a", "id_b")),
 
     // Same fuzzy join forced onto the LARGE-table path: both sides

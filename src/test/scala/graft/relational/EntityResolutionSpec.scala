@@ -91,6 +91,83 @@ class EntityResolutionSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("deletionVariants: the string plus every single-char deletion") {
+    val v = spark.range(1).select(
+      EntityResolution.deletionVariants(lit("abc")).as("v"))
+      .collect()(0).getSeq[String](0)
+    assert(v == Seq("abc", "bc", "ac", "ab"))
+  }
+
+  test("deletion-neighborhood theorem: lev <= 1 implies shared variant (exhaustive over short strings)") {
+    // brute-force over all pairs from a small alphabet: every pair at
+    // edit distance <= 1 must share a deletion-neighborhood key
+    val strs = (for {
+      a <- Seq("a", "b"); b <- Seq("", "a", "b"); c <- Seq("", "a", "b")
+    } yield a + b + c).distinct
+    def variants(s: String): Set[String] =
+      Set(s) ++ s.indices.map(i => s.take(i) + s.drop(i + 1))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (x <- strs; y <- strs if x < y && lev(x, y) <= 1)
+      assert(variants(x).intersect(variants(y)).nonEmpty, s"($x, $y)")
+  }
+
+  test("blockingUnion: union of rule pair-sets, deduped, nulls opt out") {
+    val df = Seq(
+      (1L, "aa", "x"), (2L, "aa", "y"), (3L, "ab", "x"),
+      (4L, "zz", null.asInstanceOf[String]), (5L, "zz", null.asInstanceOf[String]))
+      .toDF("id", "k1", "k2")
+    val pairs = EntityResolution.blockingUnion(df, "id",
+        rules = Seq(col("k1"), col("k2")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // k1 pairs: (1,2) on "aa", (4,5) on "zz"; k2 pairs: (1,3) on "x";
+    // nulls (4,5 on k2) opt out of that rule but still pair via k1
+    assert(pairs == Set((1L, 2L), (4L, 5L), (1L, 3L)))
+  }
+
+  test("blockingUnion: a pair caught by two rules appears once (dedup)") {
+    val df = Seq((1L, "a", "b"), (2L, "a", "b")).toDF("id", "k1", "k2")
+    val out = EntityResolution.blockingUnion(df, "id",
+      rules = Seq(col("k1"), col("k2")), payload = Seq("k1")).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
+    assert(out(0).getString(2) == "a" && out(0).getString(3) == "a")
+  }
+
+  test("fuzzyPairsUnion(deletion neighborhood) equals the quadratic truth on a 400-row corpus") {
+    val df = spark.range(400).select(
+      col("id"),
+      concat(lit("name-"), (col("id") % 40).cast("string"),
+        when(col("id") % 7 === 0, lit("x")).otherwise(lit(""))).as("name"),
+      (col("id") % 5).cast("int").as("blk"))
+    val union = EntityResolution.fuzzyPairsUnion(df, "id", "name",
+        rules = Seq(transform(
+          EntityResolution.deletionVariants(col("name")),
+          v => concat(col("blk").cast("string"), lit(":"), v))),
+        maxDistance = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    // ground truth from the existing (within-block exhaustive) form
+    val truth = EntityResolution.fuzzyPairs(df, "id", "name", col("blk"), 1,
+        broadcastBuild = Some(false))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(union == truth)
+    assert(union.nonEmpty)
+  }
+
+  test("blockingUnion plan: no cartesian product, single equi-join on the exploded keys") {
+    val df = Seq((1L, "aa", "x"), (2L, "aa", "y")).toDF("id", "k1", "k2")
+    val plan = physicalPlan(EntityResolution.blockingUnion(df, "id",
+      rules = Seq(col("k1"), col("k2"))))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("fuzzyPairs: broadcast and shuffled forms agree on a 300-row corpus") {
     val df = spark.range(300).select(
       col("id"),
