@@ -99,6 +99,146 @@ object FellegiSunter {
     params
   }
 
+  /** Splink's `estimate_u_using_random_sampling`, made deterministic
+    * and oracle-mirrorable: u_k — the probability field k agrees on a
+    * RANDOM (non-match-dominated) pair — estimated from pairs drawn by
+    * blocking on a pseudo-random key: bucket = h60(id, salt) mod B
+    * with B ≈ n / bucketSize, so buckets hold ~bucketSize rows and
+    * within-bucket pairs are ~uniform random pairs (≈ n·(bucketSize−1)/2
+    * of them — LINEAR in the corpus, vs the true n²/2 pair space).
+    *
+    * Why it exists: blocked candidates from FINE rules are
+    * match-dominated by construction — an EM run on them starves its
+    * u-estimates (they pin at the clamps). The production pattern is
+    * u from random pairs + EM for (lam, m) with u FIXED
+    * ([[emFitFixedU]]) — this pair of functions is that pattern.
+    *
+    * `pairsOf` maps the bucketed self-join (columns `<f>_a`/`<f>_b`
+    * per attribute) to the 0/1 agreement columns, so callers reuse
+    * the exact agreement definitions their candidate pairs use.
+    * Returns one row: u_<field> per field (quantized, clamped).
+    */
+  def uFromRandomPairs(df: DataFrame, idCol: String,
+      attrs: Seq[String], pairsOf: DataFrame => DataFrame,
+      fields: Seq[String], nBuckets: Long, salt: String = "urand",
+      quantize: Int = 9): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val keyed = df.select((col(idCol) +: attrs.map(col)) :+
+      pmod(graft.core.Hashing.h60(col(idCol).cast("string"), salt),
+        lit(nBuckets)).as("__ub"): _*)
+    val a = keyed.select(col("__ub").as("__uba") +:
+      (col(idCol).as(s"${idCol}_a") +: attrs.map(c => col(c).as(s"${c}_a"))): _*)
+    val b = keyed.select(col("__ub").as("__ubb") +:
+      (col(idCol).as(s"${idCol}_b") +: attrs.map(c => col(c).as(s"${c}_b"))): _*)
+    val pairs = pairsOf(a.join(b, col("__uba") === col("__ubb") &&
+      col(s"${idCol}_a") < col(s"${idCol}_b")))
+    val aggs = fields.map(f =>
+      least(greatest(round(avg(col(f).cast("double")), quantize),
+        lit(loClamp)), lit(hiClamp)).as(s"u_$f"))
+    pairs.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The u-estimator's SQL mirror: the same h60 bucket join, the same
+    * agreement expressions (caller-supplied, aliased to the field
+    * names), the same clamped rounded averages. `rel` must expose
+    * `idCol` and the attribute columns.
+    */
+  def uFromRandomPairsSql(rel: String, idCol: String,
+      agreeExprs: Seq[(String, String)], nBucketsExpr: String,
+      salt: String = "urand", quantize: Int = 9): String = {
+    val h = s"(('0x' || substr(md5('$salt' || CAST($idCol AS VARCHAR))" +
+      s", 1, 15))::BIGINT)"
+    val us = agreeExprs.map { case (f, _) =>
+      s"least(greatest(round(avg(CAST($f AS DOUBLE)), $quantize), " +
+        s"CAST($loClamp AS DOUBLE)), CAST($hiClamp AS DOUBLE)) AS u_$f"
+    }
+    val gs = agreeExprs.map { case (f, e) => s"$e AS $f" }.mkString(", ")
+    s"""ub AS (SELECT *, $h % ($nBucketsExpr) AS __ub FROM $rel),
+       |upairs AS (SELECT $gs
+       |  FROM ub a JOIN ub b
+       |    ON a.__ub = b.__ub AND a.$idCol < b.$idCol),
+       |uparams AS (SELECT ${us.mkString(", ")} FROM upairs)""".stripMargin
+  }
+
+  /** EM with u FIXED (the Splink loop after random-sampling u): only
+    * lam and m update; every iteration is still arithmetic over the
+    * ≤2^K pattern frame. `uFixed` values embed as literals.
+    */
+  def emFitFixedU(pairs: DataFrame, fields: Seq[String],
+      uFixed: Map[String, Double], iters: Int = 5, lambda0: Double = 0.1,
+      m0: Double = 0.9, quantize: Int = 9): DataFrame = {
+    require(fields.nonEmpty, "emFitFixedU needs at least one field")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(fields.forall(uFixed.contains), "uFixed must cover every field")
+    val spark = pairs.sparkSession
+    val pat = track(pairs
+      .groupBy(fields.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .coalesce(1)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val init = lit(lambda0).cast("double").as("lam") +:
+      fields.map(f => lit(m0).cast("double").as(s"m_$f"))
+    var params = spark.range(1).select(init: _*)
+    def clampRound(c: Column): Column = when(c.isNull, lit(null))
+      .otherwise(least(greatest(round(c, quantize), lit(loClamp)),
+        lit(hiClamp)))
+    val wuProd = fields.foldLeft(lit(1.0) - col("lam")) { (acc, f) =>
+      acc * when(col(f) === 1, lit(uFixed(f)))
+        .otherwise(lit(1.0) - lit(uFixed(f)))
+    }
+    for (_ <- 1 to iters) {
+      val wm = likeProd(fields, "m", col("lam"))
+      val e = pat.crossJoin(broadcast(params))
+        .withColumn("__p", wm / (wm + wuProd))
+      val aggs =
+        clampRound(sum(col("cnt") * col("__p")) / sum(col("cnt")))
+          .as("lam") +:
+          fields.map(f => clampRound(
+            sum(col("cnt") * col("__p") * col(f)) /
+              sum(col("cnt") * col("__p"))).as(s"m_$f"))
+      params = e.agg(aggs.head, aggs.tail: _*)
+    }
+    // emit the full (lam, m…, u…) surface so score() consumes it as-is
+    params.select(col("lam") +: (fields.map(f => col(s"m_$f")) ++
+      fields.map(f => lit(uFixed(f)).cast("double").as(s"u_$f"))): _*)
+  }
+
+  /** Fixed-u EM replay as chained CTEs (mirrors [[emFitFixedU]]):
+    * `pat` from `pairsRel`, then eT/itT per iteration. The u values
+    * are read from `uRel` (one row, u_&lt;field&gt; columns — normally
+    * the `uparams` CTE from [[uFromRandomPairsSql]]): the Scala side
+    * embeds the COLLECTED u row as literals, the SQL side references
+    * the CTE that computes the identical quantized values — same
+    * doubles either way, so the replay stays bit-exact. Caller
+    * appends the final SELECT (against it&lt;iters&gt;, uRel).
+    */
+  def emFixedUOracleCtes(pairsRel: String, fields: Seq[String],
+      uRel: String, iters: Int, lambda0: Double = 0.1,
+      m0: Double = 0.9, quantize: Int = 9): String = {
+    val gs = fields.mkString(", ")
+    val pat = s"""pat AS (SELECT $gs, CAST(count(*) AS DOUBLE) AS cnt
+                 |  FROM $pairsRel GROUP BY $gs)""".stripMargin
+    val it0 = s"it0 AS (SELECT CAST($lambda0 AS DOUBLE) AS lam, " +
+      fields.map(f => s"CAST($m0 AS DOUBLE) AS m_$f").mkString(", ") + ")"
+    def clampRound(x: String): String =
+      s"least(greatest(round($x, $quantize), CAST($loClamp AS DOUBLE)), " +
+        s"CAST($hiClamp AS DOUBLE))"
+    val wu = fields.foldLeft("(1.0-lam)") { (acc, f) =>
+      s"$acc*(CASE WHEN $f=1 THEN u_$f ELSE 1.0-u_$f END)"
+    }
+    val its = (1 to iters).flatMap { t =>
+      val wm = sqlLikeProd(fields, "m", "lam")
+      val e = s"""e$t AS (SELECT cnt, $gs, ($wm)/(($wm)+($wu)) AS p
+                 |  FROM pat, it${t - 1}, $uRel)""".stripMargin
+      val ms = fields.map(f =>
+        clampRound(s"sum(cnt*p*$f)/sum(cnt*p)") + s" AS m_$f")
+      val it = s"it$t AS (SELECT " + clampRound("sum(cnt*p)/sum(cnt)") +
+        s" AS lam, ${ms.mkString(", ")} FROM e$t)"
+      Seq(e, it)
+    }
+    (pat +: it0 +: its).mkString(",\n")
+  }
+
   /** Score pairs with a fitted (or fixed) parameter frame: appends
     * `match_weight` = log2(Π m-terms / Π u-terms) — the classic FS
     * log-likelihood-ratio — and `posterior` = P(match | γ).

@@ -1650,15 +1650,18 @@ object LlmDataQueries extends QueryPack {
       val t = truth.agg(count(lit(1)).as("n_truth"))
       val f = truth.join(cand, Seq("id_a", "id_b"))
         .agg(count(lit(1)).as("truth_found"))
+      // try_divide: a corpus with no true near-dups (or <2 docs) gets
+      // a null PC/RR rather than an ANSI divide-by-zero — the scaling
+      // corpora are dup-free by construction
       n.crossJoin(broadcast(c)).crossJoin(broadcast(t))
         .crossJoin(broadcast(f))
         .select(col("n_docs"), col("n_candidates"),
-          round(lit(1.0) - col("n_candidates").cast("double") /
-            ((col("n_docs") * (col("n_docs") - 1)).cast("double") / lit(2.0)),
+          round(lit(1.0) - try_divide(col("n_candidates").cast("double"),
+            (col("n_docs") * (col("n_docs") - 1)).cast("double") / lit(2.0)),
             6).as("reduction_ratio"),
           col("n_truth"), col("truth_found"),
-          round(col("truth_found").cast("double") /
-            col("n_truth").cast("double"), 6).as("pair_completeness"))
+          round(try_divide(col("truth_found").cast("double"),
+            col("n_truth").cast("double")), 6).as("pair_completeness"))
     }),
 
     // Poisson-bootstrap CI for per-source mean doc length: exact
@@ -2620,12 +2623,14 @@ object LlmDataQueries extends QueryPack {
          |  FROM pairs p JOIN linkpairs l
          |    ON p.id_a = l.id_a AND p.id_b = l.id_b)
          |SELECT n_docs, n_candidates,
-         |  round(1.0 - CAST(n_candidates AS DOUBLE)
-         |    / (CAST(n_docs * (n_docs - 1) AS DOUBLE) / 2.0), 6)
+         |  round(1.0 - CASE WHEN n_docs < 2 THEN NULL
+         |    ELSE CAST(n_candidates AS DOUBLE)
+         |      / (CAST(n_docs * (n_docs - 1) AS DOUBLE) / 2.0) END, 6)
          |    AS reduction_ratio,
          |  n_truth, truth_found,
-         |  round(CAST(truth_found AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
-         |    AS pair_completeness
+         |  round(CASE WHEN n_truth = 0 THEN NULL
+         |    ELSE CAST(truth_found AS DOUBLE) / CAST(n_truth AS DOUBLE)
+         |    END, 6) AS pair_completeness
          |FROM n, c, t, f""".stripMargin,
 
     // bootstrap mirror: identical integer thresholds (generated from

@@ -60,15 +60,22 @@ object RelationalQueries extends QueryPack {
         rules = Seq(col("r_pfx"), col("r_sfx"),
           concat_ws("|", col("lang"), col("source"), col("n_chars"))),
         payload = Seq("pfx", "lang", "source", "n_chars"))
-      .select(col("id_a"), col("id_b"),
-        when(col("source_a") === col("source_b"), 1).otherwise(0)
-          .as("g_source"),
-        when(col("lang_a") === col("lang_b"), 1).otherwise(0).as("g_lang"),
-        when(abs(col("n_chars_a") - col("n_chars_b")) * 20 <=
-          greatest(col("n_chars_a"), col("n_chars_b")), 1).otherwise(0)
-          .as("g_len"),
-        when(col("pfx_a") === col("pfx_b"), 1).otherwise(0).as("g_prefix"))
+      .select(col("id_a") +: col("id_b") +: linkageAgreementCols: _*)
   }
+
+  /** The four binary agreement fields over a paired frame with
+    * `<attr>_a`/`<attr>_b` columns — shared by the blocked candidate
+    * pairs and the random-pair u-estimator, so both score the SAME
+    * comparison definitions.
+    */
+  private def linkageAgreementCols: Seq[Column] = Seq(
+    when(col("source_a") === col("source_b"), 1).otherwise(0)
+      .as("g_source"),
+    when(col("lang_a") === col("lang_b"), 1).otherwise(0).as("g_lang"),
+    when(abs(col("n_chars_a") - col("n_chars_b")) * 20 <=
+      greatest(col("n_chars_a"), col("n_chars_b")), 1).otherwise(0)
+      .as("g_len"),
+    when(col("pfx_a") === col("pfx_b"), 1).otherwise(0).as("g_prefix"))
 
   /** Fit-once memos for the linkage family: the blocked pair join is
     * the corpus-sized cost and THREE gates consume it (params, scored
@@ -86,6 +93,46 @@ object RelationalQueries extends QueryPack {
       p.count()
       p
     })
+  /** Per-dir u-estimates from DETERMINISTIC random pairs (Splink's
+    * estimate_u_using_random_sampling; FellegiSunter.uFromRandomPairs)
+    * — the counterpart the union-blocked candidates need: fine
+    * blocking rules make candidates match-dominated, so u estimated
+    * ON them starves (pins at the clamps); random pairs are
+    * non-match-dominated by construction. Stores the collected 1-row
+    * map (4 bounded doubles — the weights-in-plan convention).
+    */
+  private val linkageUMemo = graft.core.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Double]]())
+  private def linkageU(s: SparkSession, dir: String): Map[String, Double] =
+    linkageUMemo.computeIfAbsent(dir, d => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 32).as("pfx"),
+        col("lang"), col("source"), col("n_chars"))
+      val n = docs.count()
+      val row = graft.linkage.FellegiSunter.uFromRandomPairs(
+        docs, "doc_id", Seq("pfx", "lang", "source", "n_chars"),
+        j => j.select(linkageAgreementCols: _*), linkageFields,
+        nBuckets = math.max(n / 4, 1L)).collect()(0)
+      linkageFields.map(f => f -> row.getAs[Double](s"u_$f")).toMap
+    })
+
+  /** The u-estimator CTEs as SQL (relations `ub`, `upairs`,
+    * `uparams`) — the same h60 bucket draw, agreement expressions,
+    * and clamped rounding.
+    */
+  private val linkageUSql: String =
+    graft.linkage.FellegiSunter.uFromRandomPairsSql(
+      "(SELECT doc_id, substr(text, 1, 32) AS pfx, lang, source, " +
+        "n_chars FROM documents) urel",
+      "doc_id",
+      Seq(
+        "g_source" -> "CASE WHEN a.source = b.source THEN 1 ELSE 0 END",
+        "g_lang" -> "CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END",
+        "g_len" -> ("CASE WHEN abs(a.n_chars - b.n_chars) * 20 " +
+          "<= greatest(a.n_chars, b.n_chars) THEN 1 ELSE 0 END"),
+        "g_prefix" -> "CASE WHEN a.pfx = b.pfx THEN 1 ELSE 0 END"),
+      nBucketsExpr = "SELECT greatest(count(*) // 4, 1) FROM documents")
+
   private def linkageParamsMemo(s: SparkSession, dir: String): DataFrame = {
     // resolve the pairs memo BEFORE entering computeIfAbsent: a
     // mapping function must not modify the same ConcurrentHashMap
@@ -487,19 +534,38 @@ object RelationalQueries extends QueryPack {
     }),
 
     // Fellegi–Sunter record linkage, EM-estimated (linkage/
-    // FellegiSunter.scala): length-bucket blocking → binary agreement
-    // vectors (source, lang, 5% length, 32-char prefix) → 5 EM
-    // iterations over the ≤2^4 agreement patterns (zero corpus passes
-    // per iteration) → per-pair log2 match weight + posterior as a
-    // scan-fused projection. The oracle replays the quantized EM
-    // trajectory via GENERATED chained CTEs with the identical
-    // product order.
+    // FellegiSunter.scala): union-of-rules blocking (blockingUnion,
+    // round 9) → binary agreement vectors (source, lang, 5% length,
+    // 32-char prefix) → 5 EM iterations over the ≤2^4 agreement
+    // patterns (zero corpus passes per iteration) → per-pair log2
+    // match weight + posterior as a scan-fused projection. The oracle
+    // replays the quantized EM trajectory via GENERATED chained CTEs
+    // with the identical product order.
     "q_linkage_em_params" -> ((s, dir) => linkageParamsMemo(s, dir)),
 
     "q_record_linkage" -> ((s, dir) =>
       graft.linkage.FellegiSunter.score(linkagePairsMemo(s, dir),
           linkageFields, linkageParamsMemo(s, dir))
         .orderBy("id_a", "id_b")),
+
+    // Splink's estimate_u_using_random_sampling, deterministic: u_k
+    // from ~1.5n pseudo-random pairs (h60 bucket blocking, buckets of
+    // ~4) — linear in the corpus where the true pair space is n²/2.
+    // The 1-row output is what the fixed-u EM consumes.
+    "q_linkage_u_random" -> ((s, dir) => {
+      val u = linkageU(s, dir)
+      s.range(1).select(linkageFields.map(f =>
+        lit(u(f)).cast("double").as(s"u_$f")): _*)
+    }),
+
+    // The full Splink estimation loop: u from random pairs (held
+    // FIXED), then EM over the union-blocked candidates updating only
+    // (lam, m) — the production answer to match-dominated candidates
+    // starving the u-estimates. Oracle: the u CTEs feed the same
+    // fixed-u EM replay.
+    "q_linkage_em_fixed_u" -> ((s, dir) =>
+      graft.linkage.FellegiSunter.emFitFixedU(linkagePairsMemo(s, dir),
+        linkageFields, linkageU(s, dir), iters = 5)),
 
     // The ER endgame: FS-matched pairs (posterior ≥ 0.9) resolved
     // into ENTITIES by transitive closure — the same O(log n)
@@ -948,6 +1014,23 @@ object RelationalQueries extends QueryPack {
          |SELECT id_a, id_b, g_source, g_lang, g_len, g_prefix,
          |  ${graft.linkage.FellegiSunter.scoreOracleSelect(linkageFields)}
          |FROM linkpairs, it5 ORDER BY id_a, id_b""".stripMargin,
+    // u-estimator mirror: the same h60 bucket draw over the same
+    // attribute projection, identical agreement expressions
+    "q_linkage_u_random" ->
+      s"""WITH $linkageUSql
+         |SELECT u_g_source, u_g_lang, u_g_len, u_g_prefix
+         |FROM uparams""".stripMargin,
+    // fixed-u EM mirror: the u CTEs feed the generated replay; the
+    // Scala side embeds the collected u row as literals, the SQL side
+    // references the CTE computing the identical quantized doubles
+    "q_linkage_em_fixed_u" ->
+      s"""WITH $linkagePairsSql,
+         |$linkageUSql,
+         |${graft.linkage.FellegiSunter.emFixedUOracleCtes(
+             "linkpairs", linkageFields, "uparams", 5)}
+         |SELECT lam, ${linkageFields.map(f => s"m_$f").mkString(", ")},
+         |  ${linkageFields.map(f => s"u_$f").mkString(", ")}
+         |FROM it5, uparams""".stripMargin,
     // Morton mirror: the identical bit-interleave GENERATED from the
     // same (cols, bits) parameters as the Spark key
     "q_zorder_layout" -> {

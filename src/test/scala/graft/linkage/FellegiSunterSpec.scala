@@ -84,6 +84,38 @@ class FellegiSunterSpec extends SparkSpec {
     assert(p.getAs[Double]("u_f1") <= 0.999999)
   }
 
+  test("uFromRandomPairs recovers by-chance agreement rates on independent fields") {
+    // 2000 rows, two independent attributes: u_k should approach the
+    // collision probability sum(p_v^2) of each value distribution
+    val df = spark.range(2000).select(col("id"),
+      (col("id") % 4).cast("string").as("c4"),   // uniform-4: u ~ 0.25
+      (col("id") % 10).cast("string").as("c10")) // uniform-10: u ~ 0.10
+    val u = FellegiSunter.uFromRandomPairs(df, "id", Seq("c4", "c10"),
+      j => j.select(
+        when(col("c4_a") === col("c4_b"), 1).otherwise(0).as("g4"),
+        when(col("c10_a") === col("c10_b"), 1).otherwise(0).as("g10")),
+      Seq("g4", "g10"), nBuckets = 500).collect()(0)
+    assert(math.abs(u.getAs[Double]("u_g4") - 0.25) < 0.05)
+    assert(math.abs(u.getAs[Double]("u_g10") - 0.10) < 0.04)
+  }
+
+  test("emFitFixedU holds u fixed, fits (lam, m), and emits the full param surface") {
+    val df = synthetic(20000, 7).toDF("f1", "f2")
+    val uFixed = Map("f1" -> 0.2, "f2" -> 0.1) // the generating u
+    val p = FellegiSunter.emFitFixedU(df, fields, uFixed, iters = 30)
+      .collect()(0)
+    // u passes through verbatim
+    assert(p.getAs[Double]("u_f1") == 0.2 && p.getAs[Double]("u_f2") == 0.1)
+    // with the true u pinned, lam and m should recover the generator
+    assert(math.abs(p.getAs[Double]("lam") - 0.2) < 0.08)
+    assert(math.abs(p.getAs[Double]("m_f1") - 0.9) < 0.1)
+    assert(math.abs(p.getAs[Double]("m_f2") - 0.8) < 0.12)
+    // scoring consumes the emitted surface directly
+    val scored = FellegiSunter.score(df.limit(5),
+      fields, FellegiSunter.emFitFixedU(df, fields, uFixed, iters = 5))
+    assert(scored.collect().forall(r => !r.isNullAt(3)))
+  }
+
   test("degenerate corpus cannot drive lam to exactly 0/1 — params stay finite") {
     // every pattern identical + extreme init pushes the E-step posterior
     // to round to exactly 1.0 at quantize=9; unclamped, lam=1.0 zeroes
