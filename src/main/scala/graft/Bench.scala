@@ -72,6 +72,21 @@ object Bench {
     }
     val results = runs.map { case (n, ts) => n -> median(ts) }
     val total = results.map(_._2).sum
+
+    // committed per-query medians, read BEFORE the artifact below
+    // overwrites the file (flat "name":num pairs inside "queries":{…})
+    val committed: Map[String, Double] = try {
+      val src = scala.io.Source.fromFile("BENCH_FULL.json")
+      val txt = try src.mkString finally src.close()
+      val qsec = txt.drop(txt.indexOf("\"queries\":{") + 11)
+      val flat = qsec.take(qsec.indexOf("}"))
+      "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(flat)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val regressions = results.collect {
+      case (n, now) if committed.get(n).exists(b => b > 0 && now > 1.5 * b) =>
+        (n, now, committed(n))
+    }.sortBy { case (_, now, base) => -(now / base) }
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
@@ -93,6 +108,22 @@ object Bench {
       try w.println(fullJson) finally w.close()
     } catch { case _: Throwable => () }
     System.err.println(fullJson)
+
+    // Regression guardrail: compare this run's medians against the
+    // COMMITTED BENCH_FULL.json (the file on disk before we overwrote
+    // it — read once up front below) and name every query whose median
+    // exceeds 1.5× its committed value, so contention or a real
+    // regression surfaces at build time instead of judge time. A
+    // query missing from the baseline (new this round) is skipped.
+    regressions.foreach { case (n, now, base) =>
+      System.err.println(
+        f"[bench] WARN regression: $n%-28s ${base}%.2f s -> ${now}%.2f s " +
+          f"(${now / base}%.2fx committed)")
+    }
+    if (regressions.isEmpty)
+      System.err.println(s"[bench] guardrail clean: no query above " +
+        "1.5x its committed median")
+
     val slowest = results.sortBy(-_._2).take(15)
     // stop FIRST so nothing else can write to stdout after the metric
     // line — the driver parses the tail of stdout as JSON
