@@ -1218,6 +1218,31 @@ object LlmDataQueries extends QueryPack {
           col("epoch"), col("shard"), col("pos"))
         .orderBy("epoch", "shard", "pos")),
 
+    // FLAGSHIP v8: the LAYOUT-AWARE LAST MILE — v5's packed corpus
+    // written to disk Z-ORDERED: each row gets its fixed-width Morton
+    // CELL over (doc_id, n_tokens) (Layout.zBucketed — quad-tree
+    // cells, deterministic, no sampled split points) and the shard
+    // sink writes one directory per cell (Sinks.writeShards: one
+    // writer per shard, STATIC overwrite, readback-audited manifest).
+    // Every output directory then carries a bounded box in BOTH
+    // dimensions, so a trainer reading "docs in this id range with
+    // token counts in that band" prunes whole directories before
+    // parquet footers are consulted — ZOrderWriteSpec measures the
+    // actual rows-read win on the written files. The gate's result is
+    // the READBACK manifest, so a dropped/duplicated/corrupted row
+    // flips its cell's checksum vs the oracle computed on the input
+    // side. v7 (the epoch-shuffle handoff) stays gated alongside.
+    "q_llm_pipeline_v8" -> ((s, dir) => {
+      val out = "/tmp/graft_zsink/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val bucketed = graft.relational.Layout.zBucketed(
+        v5Packed(s, dir).select(col("doc_id"), col("n_tokens")),
+        Seq("doc_id", "n_tokens"), bits = 16, bucketBits = 4)
+      graft.sources.Sinks.writeShards(bucketed, out,
+          shardCol = "zbucket", idCol = "doc_id", sizeCol = "n_tokens",
+          maxRecordsPerFile = 200)
+        .orderBy("zbucket")
+    }),
+
     // FLAGSHIP v2: the round-6 production pipeline — Gopher repetition
     // + quality filter (scan-fused signals) → benchmark decontamination
     // (broadcast 3-gram semi-join vs the doc 0-2 "eval set") → exact
@@ -3893,13 +3918,34 @@ object LlmDataQueries extends QueryPack {
         // v7 = v5's packed rows through the Feistel epoch shuffle —
         // the v5 mirror as the source table, the permutation replayed
         // in integer arithmetic (2 epochs × 4 trainer shards)
-        withV6 + ("q_llm_pipeline_v7" ->
+        val withV7 = withV6 + ("q_llm_pipeline_v7" ->
           s"""WITH ${feistelCtesSql(withV5("q_llm_pipeline_v5"),
                  "doc_id, source, pack_id", "v7", 2)}
              |SELECT doc_id, source, pack_id, CAST(epoch AS INT) AS epoch,
              |  CAST(((l << 30) | r) % 4 AS INT) AS shard,
              |  (l << 30) | r AS pos
              |FROM fr4 ORDER BY epoch, shard, pos""".stripMargin)
+        // v8 = v5's packed rows bucketed on the (doc_id, n_tokens)
+        // Morton cell (the same generated interleave as q_zorder_
+        // layout's mirror) and manifested per cell on the INPUT side —
+        // the gate returns the sink's READBACK manifest, so equality
+        // proves write fidelity cell by cell
+        withV7 + ("q_llm_pipeline_v8" -> {
+          val z = graft.relational.Layout.zOrderScaledSql(
+            Seq("doc_id", "n_tokens"), 16)
+          s"""WITH v5out AS ( ${withV5("q_llm_pipeline_v5")} ),
+             |b AS (SELECT CAST(min(doc_id) AS BIGINT) AS mn_0,
+             |    CAST(max(doc_id) AS BIGINT) AS mx_0,
+             |    CAST(min(n_tokens) AS BIGINT) AS mn_1,
+             |    CAST(max(n_tokens) AS BIGINT) AS mx_1 FROM v5out),
+             |k AS (SELECT doc_id, n_tokens, ($z >> 28) AS zbucket
+             |  FROM v5out, b)
+             |SELECT zbucket, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_size,
+             |  bit_xor(('0x' || substr(md5('sink' ||
+             |    CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS checksum
+             |FROM k GROUP BY zbucket ORDER BY zbucket""".stripMargin
+        })
       case _ => Map.empty
     }
 

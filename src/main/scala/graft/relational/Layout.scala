@@ -121,12 +121,28 @@ object Layout {
     */
   def zOrderBucketStats(df: DataFrame, cols: Seq[String], bits: Int,
       bucketBits: Int): DataFrame = {
-    require(bucketBits > 0 && bucketBits <= bits * cols.size,
-      s"bucketBits must be in (0, ${bits * cols.size}], got $bucketBits")
-    val keyed = withScaledKey(df, cols, bits)
-    val bucket = shiftright(col("__zorder"), bits * cols.size - bucketBits)
+    val keyed = zBucketed(df, cols, bits, bucketBits)
     val aggs = count(lit(1)).as("n") +:
       cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    keyed.groupBy(bucket.as("bucket")).agg(aggs.head, aggs.tail: _*)
+    keyed.groupBy(col("zbucket").as("bucket")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Attach the fixed-width curve CELL id (`zbucket` = top `bucketBits`
+    * of the scaled Morton key) to every row — the deterministic
+    * DIRECTORY-layout form of [[zOrdered]]: partitioning the write on
+    * `zbucket` gives each output directory a bounded box in EVERY
+    * interleaved dimension (quad-tree cells, no sampled split points),
+    * so a multi-dimensional predicate prunes whole directories before
+    * parquet footers are even consulted. Feed it to a partitioned sink
+    * (e.g. Sinks.writeShards with shardCol = "zbucket").
+    */
+  def zBucketed(df: DataFrame, cols: Seq[String], bits: Int,
+      bucketBits: Int): DataFrame = {
+    require(bucketBits > 0 && bucketBits <= bits * cols.size,
+      s"bucketBits must be in (0, ${bits * cols.size}], got $bucketBits")
+    withScaledKey(df, cols, bits)
+      .withColumn("zbucket",
+        shiftright(col("__zorder"), bits * cols.size - bucketBits))
+      .drop("__zorder")
   }
 }
