@@ -120,7 +120,11 @@ object Bench {
         f"[bench] WARN regression: $n%-28s ${base}%.2f s -> ${now}%.2f s " +
           f"(${now / base}%.2fx committed)")
     }
-    if (regressions.isEmpty)
+    // an unreadable/absent baseline must NOT masquerade as a pass
+    if (committed.isEmpty)
+      System.err.println("[bench] guardrail SKIPPED: no committed " +
+        "BENCH_FULL.json baseline could be read — nothing was compared")
+    else if (regressions.isEmpty)
       System.err.println(s"[bench] guardrail clean: no query above " +
         "1.5x its committed median")
 

@@ -33,7 +33,10 @@ object Scaling {
   private val factors = sys.env.get("SPARK_GRAFT_SCALE_FACTORS")
     .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16))
 
-  /** (query, maxFactor): cap super-linear gates at 4×. */
+  /** (query, maxFactor) — every gate currently runs to 16×; the cap
+    * slot stays so a future super-linear gate can bound its harness
+    * cost (the retired round-8 convention for the fixed-block joins).
+    */
   private val targets: Seq[(String, Int)] = Seq(
     "q_dedup_containment" -> 16,
     "q_dedup_minhash_default" -> 16,

@@ -132,9 +132,14 @@ object FellegiSunter {
       (col(idCol).as(s"${idCol}_b") +: attrs.map(c => col(c).as(s"${c}_b"))): _*)
     val pairs = pairsOf(a.join(b, col("__uba") === col("__ubb") &&
       col(s"${idCol}_a") < col(s"${idCol}_b")))
-    val aggs = fields.map(f =>
-      least(greatest(round(avg(col(f).cast("double")), quantize),
-        lit(loClamp)), lit(hiClamp)).as(s"u_$f"))
+    // null-preserving (the emFit clampRound convention): zero drawn
+    // pairs must surface as null u, not a fabricated 1e-6 prior
+    val aggs = fields.map { f =>
+      val a = round(avg(col(f).cast("double")), quantize)
+      when(a.isNull, lit(null))
+        .otherwise(least(greatest(a, lit(loClamp)), lit(hiClamp)))
+        .as(s"u_$f")
+    }
     pairs.agg(aggs.head, aggs.tail: _*)
   }
 
@@ -149,8 +154,10 @@ object FellegiSunter {
     val h = s"(('0x' || substr(md5('$salt' || CAST($idCol AS VARCHAR))" +
       s", 1, 15))::BIGINT)"
     val us = agreeExprs.map { case (f, _) =>
-      s"least(greatest(round(avg(CAST($f AS DOUBLE)), $quantize), " +
-        s"CAST($loClamp AS DOUBLE)), CAST($hiClamp AS DOUBLE)) AS u_$f"
+      s"CASE WHEN round(avg(CAST($f AS DOUBLE)), $quantize) IS NULL " +
+        s"THEN NULL ELSE " +
+        s"least(greatest(round(avg(CAST($f AS DOUBLE)), $quantize), " +
+        s"CAST($loClamp AS DOUBLE)), CAST($hiClamp AS DOUBLE)) END AS u_$f"
     }
     val gs = agreeExprs.map { case (f, e) => s"$e AS $f" }.mkString(", ")
     s"""ub AS (SELECT *, $h % ($nBucketsExpr) AS __ub FROM $rel),
@@ -220,9 +227,11 @@ object FellegiSunter {
                  |  FROM $pairsRel GROUP BY $gs)""".stripMargin
     val it0 = s"it0 AS (SELECT CAST($lambda0 AS DOUBLE) AS lam, " +
       fields.map(f => s"CAST($m0 AS DOUBLE) AS m_$f").mkString(", ") + ")"
-    def clampRound(x: String): String =
-      s"least(greatest(round($x, $quantize), CAST($loClamp AS DOUBLE)), " +
-        s"CAST($hiClamp AS DOUBLE))"
+    def clampRound(x: String): String = // null-preserving like the
+      // Scala side: DuckDB's greatest/least also SKIP nulls
+      s"CASE WHEN ($x) IS NULL THEN NULL ELSE " +
+        s"least(greatest(round($x, $quantize), CAST($loClamp AS DOUBLE)), " +
+        s"CAST($hiClamp AS DOUBLE)) END"
     val wu = fields.foldLeft("(1.0-lam)") { (acc, f) =>
       s"$acc*(CASE WHEN $f=1 THEN u_$f ELSE 1.0-u_$f END)"
     }
@@ -313,9 +322,11 @@ object FellegiSunter {
     val it0 = s"it0 AS (SELECT CAST($lambda0 AS DOUBLE) AS lam, " +
       (fields.map(f => s"CAST($m0 AS DOUBLE) AS m_$f") ++
         fields.map(f => s"CAST($u0 AS DOUBLE) AS u_$f")).mkString(", ") + ")"
-    def clampRound(x: String): String =
-      s"least(greatest(round($x, $quantize), CAST($loClamp AS DOUBLE)), " +
-        s"CAST($hiClamp AS DOUBLE))"
+    def clampRound(x: String): String = // null-preserving like the
+      // Scala side: DuckDB's greatest/least also SKIP nulls
+      s"CASE WHEN ($x) IS NULL THEN NULL ELSE " +
+        s"least(greatest(round($x, $quantize), CAST($loClamp AS DOUBLE)), " +
+        s"CAST($hiClamp AS DOUBLE)) END"
     val its = (1 to iters).flatMap { t =>
       val wm = sqlLikeProd(fields, "m", "lam")
       val wu = sqlLikeProd(fields, "u", "(1.0-lam)")

@@ -96,7 +96,12 @@ object EntityResolution {
         val arr =
           if (t.isInstanceOf[org.apache.spark.sql.types.ArrayType]) r
           else array(r)
-        transform(arr, k => struct(lit(i).as("r"), k.cast("string").as("k")))
+        // coalesce per rule: flatten() nulls out if ANY element array
+        // is null, so one null ARRAY rule would otherwise opt the row
+        // out of EVERY rule instead of just its own
+        coalesce(
+          transform(arr, k => struct(lit(i).as("r"), k.cast("string").as("k"))),
+          expr("array()").cast("array<struct<r:int,k:string>>"))
     }
     val keyed = df.select(
         (col(idCol) +: payload.map(col)) :+

@@ -56,9 +56,14 @@ object RelationalQueries extends QueryPack {
       substring(col("text"), 1, 24).as("r_pfx"),
       col("text").substr(
         greatest(length(col("text")) - 23, lit(1)), lit(24)).as("r_sfx"))
+    // r2 uses plain concat (NULL-PROPAGATING, unlike concat_ws which
+    // skips nulls): a null component must opt the row out of the rule,
+    // matching the mirror's component-wise equality where NULL never
+    // matches. ('|' never occurs in lang/source values.)
     EntityResolution.blockingUnion(d, "doc_id",
         rules = Seq(col("r_pfx"), col("r_sfx"),
-          concat_ws("|", col("lang"), col("source"), col("n_chars"))),
+          concat(col("lang"), lit("|"), col("source"), lit("|"),
+            col("n_chars").cast("string"))),
         payload = Seq("pfx", "lang", "source", "n_chars"))
       .select(col("id_a") +: col("id_b") +: linkageAgreementCols: _*)
   }
@@ -154,7 +159,7 @@ object RelationalQueries extends QueryPack {
   private[graft] val linkagePairsSql =
     """linkdocs AS (SELECT doc_id, text, lang, source, n_chars,
       |    substr(text, 1, 24) AS r_pfx,
-      |    substr(text, CAST(greatest(n_chars - 23, 1) AS INT)) AS r_sfx
+      |    substr(text, CAST(greatest(len(text) - 23, 1) AS INT)) AS r_sfx
       |  FROM documents),
       |linkcand AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b

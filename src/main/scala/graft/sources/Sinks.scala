@@ -55,13 +55,12 @@ object Sinks {
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
       .partitionBy(shardCol)
       .parquet(outDir)
-    // partition-column type inference reads numeric-looking shard
-    // values back as integers; cast back to the input side's type so
-    // the readback manifest's shard column (and groupBy semantics)
-    // match writtenManifest(df, ...) exactly
-    val shardType = df.schema(shardCol).dataType
-    val readback = df.sparkSession.read.parquet(outDir)
-      .withColumn(shardCol, col(shardCol).cast(shardType))
+    // read back with the INPUT frame's schema: partition-column type
+    // inference would otherwise read numeric-looking shard values as
+    // integers (and a cast back cannot restore zero-padded strings —
+    // '07' becomes 7 becomes '7'), silently forking the readback
+    // manifest keys from writtenManifest(df, ...)
+    val readback = df.sparkSession.read.schema(df.schema).parquet(outDir)
     writtenManifest(readback, shardCol, idCol, sizeCol)
   }
 }

@@ -99,6 +99,14 @@ class FellegiSunterSpec extends SparkSpec {
     assert(math.abs(u.getAs[Double]("u_g10") - 0.10) < 0.04)
   }
 
+  test("uFromRandomPairs with zero drawn pairs reports null u, not a fabricated prior") {
+    val one = spark.range(1).selectExpr("id", "cast(id % 2 as string) as c")
+    val u = FellegiSunter.uFromRandomPairs(one, "id", Seq("c"),
+      j => j.select(when(col("c_a") === col("c_b"), 1).otherwise(0).as("g")),
+      Seq("g"), nBuckets = 10).collect()(0)
+    assert(u.isNullAt(u.fieldIndex("u_g")))
+  }
+
   test("emFitFixedU holds u fixed, fits (lam, m), and emits the full param surface") {
     val df = synthetic(20000, 7).toDF("f1", "f2")
     val uFixed = Map("f1" -> 0.2, "f2" -> 0.1) // the generating u

@@ -230,12 +230,20 @@ class IncrementalSemanticsSpec extends SparkSpec {
   test("test_high_performing_models_are_retained_with_patience") {
     // _remove_worst_performing_model (:508) with the reference's
     // embedded survivor-set asserts, composed with the plateau stop
-    // the way IncrementalSearchCV composes _adapt and _stop_on_plateau
+    // the way IncrementalSearchCV composes _adapt and _stop_on_plateau.
+    // Like the reference's, the level-4/5 assert branches are
+    // state-contingent and UNREACHABLE under patience: the constant
+    // high performers stop at 2 calls (that's the point), so
+    // max(calls) tops out at 3 — `levelsSeen` pins that trajectory
+    // explicitly, and the retention asserts after the fit are what
+    // the test is actually for.
+    val levelsSeen = scala.collection.mutable.ArrayBuffer.empty[Int]
     val policy = new Policy {
       private val patience = 2
       private val tol = 1e-3
       def additionalCalls(records: Map[Int, ModelRecord]): Map[Int, Int] = {
         val maxCalls = records.values.map(_.calls).max
+        levelsSeen += maxCalls
         val ests = records.values.map(
           _.params("final_score").asInstanceOf[Int]).toSet
         maxCalls match {
@@ -270,6 +278,17 @@ class IncrementalSemanticsSpec extends SparkSpec {
       Seq("a", "b"), "y", interceptScore, _ => policy,
       nInitialParameters = 5, seed = 29).fit(df)
     assert(res.bestParams == Map("final_score" -> 5))
+    // the trajectory the comment promises: worst dropped at level 1,
+    // the high performers plateaued at 2, the last improver stops the
+    // search at 3 — levels 4/5 never occur (as in the reference)
+    assert(levelsSeen.toSeq == Seq(1, 2, 3))
+    // RETENTION is the test's point: the plateaued high performers
+    // are still in the final records, stopped at exactly patience
+    // calls, and the best one wins
+    val byScore = res.history.map(r =>
+      r.params("final_score").asInstanceOf[Int] -> r).toMap
+    assert(byScore(4).calls == 2 && byScore(5).calls == 2)
+    assert(byScore(5).lastScore == 5.0)
   }
 
   // --- test_hyperband_mirrors_paper_and_metadata (test_hyperband.py:

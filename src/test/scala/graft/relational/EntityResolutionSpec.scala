@@ -131,6 +131,23 @@ class EntityResolutionSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (4L, 5L), (1L, 3L)))
   }
 
+  test("blockingUnion: a null ARRAY rule opts the row out of that rule only") {
+    // rows 1/2 have null names (null deletion neighborhood) but share
+    // city "x" — the scalar rule must still pair them; flatten()'s
+    // null-poisoning is coalesced away per rule
+    val df = Seq(
+      (1L, null.asInstanceOf[String], "x"),
+      (2L, null.asInstanceOf[String], "x"),
+      (3L, "ab", "y"), (4L, "ab", "z"))
+      .toDF("id", "name", "city")
+    val pairs = EntityResolution.blockingUnion(df, "id",
+        rules = Seq(EntityResolution.deletionVariants(col("name")),
+          col("city")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,2) via city; (3,4) via the name neighborhood
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+  }
+
   test("blockingUnion: a pair caught by two rules appears once (dedup)") {
     val df = Seq((1L, "a", "b"), (2L, "a", "b")).toDF("id", "k1", "k2")
     val out = EntityResolution.blockingUnion(df, "id",

@@ -29,6 +29,23 @@ class SinksSpec extends SparkSpec {
     assert(back.sameElements(in))
   }
 
+  test("zero-padded NUMERIC-LOOKING string shards round-trip the manifest exactly") {
+    // partition inference would read shard '07' back as int 7 (and a
+    // cast can't restore the padding); the explicit-schema readback
+    // must keep the raw string keys
+    val padded = (1L to 40L).map(i => (i, f"${i % 4}%02d", 5L))
+      .toDF("doc_id", "shard", "n_chars")
+    val out = Files.createTempDirectory("graft_sink_pad").toString
+    val readback = Sinks.writeShards(padded, out, "shard", "doc_id",
+      "n_chars", maxRecordsPerFile = 50)
+    val input = Sinks.writtenManifest(padded, "shard", "doc_id", "n_chars")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(rows(readback) == rows(input))
+    assert(rows(readback).map(_._1) == Seq("00", "01", "02", "03"))
+  }
+
   test("maxRecordsPerFile bounds every file; one writer per shard still splits") {
     val out = Files.createTempDirectory("graft_sink_spec").toString
     Sinks.writeShards(docs, out, "shard", "doc_id", "n_chars",
