@@ -1915,6 +1915,28 @@ object LlmDataQueries extends QueryPack {
         .orderBy("source")
     }),
 
+    // Incremental recomputation driver (Sinks.shardDelta): diff the
+    // previous run's shard manifest against the current corpus and
+    // name exactly the shards a re-run must touch. The "previous"
+    // snapshot is a deterministic projection of the same table (drops
+    // every 17th doc — the arrivals — and all of src0 — a whole new
+    // shard) plus one literal retired shard, so all four statuses
+    // occur. Manifests are ≤|shards| rows; the diff is a tiny
+    // full-outer join on the order-independent bit_xor checksums.
+    "q_shard_delta" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val cur = graft.sources.Sinks.writtenManifest(
+        docs, "source", "doc_id", "n_chars")
+      val prev = graft.sources.Sinks.writtenManifest(
+          docs.filter(col("doc_id") % 17 =!= 0 && col("source") =!= "src0"),
+          "source", "doc_id", "n_chars")
+        .unionByName(Seq(("src_retired", 5L, 999L, 123456789L))
+          .toDF("source", "n_docs", "total_size", "checksum"))
+      graft.sources.Sinks.shardDelta(prev, cur, "source")
+        .orderBy("source")
+    }),
+
     // Source-concentration report: Gini / HHI / top-share over per-source
     // char mass — one corpus aggregate, window only over the tiny
     // per-source frame.
@@ -2657,6 +2679,34 @@ object LlmDataQueries extends QueryPack {
          |    ELSE CAST(truth_found AS DOUBLE) / CAST(n_truth AS DOUBLE)
          |    END, 6) AS pair_completeness
          |FROM n, c, t, f""".stripMargin,
+
+    // manifest-diff mirror: the same two h60 bit_xor manifests, the
+    // same full-outer status CASE
+    "q_shard_delta" ->
+      """WITH curm AS (SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    bit_xor(('0x' || substr(md5('sink' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS checksum
+        |  FROM documents GROUP BY source),
+        |prevm AS (SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    bit_xor(('0x' || substr(md5('sink' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS checksum
+        |  FROM documents
+        |  WHERE doc_id % 17 <> 0 AND source <> 'src0' GROUP BY source
+        |  UNION ALL
+        |  SELECT 'src_retired', CAST(5 AS BIGINT), CAST(123456789 AS BIGINT)),
+        |d AS (SELECT coalesce(p.source, c.source) AS source,
+        |    CASE WHEN p.checksum IS NULL THEN 'added'
+        |      WHEN c.checksum IS NULL THEN 'removed'
+        |      WHEN p.checksum = c.checksum AND p.n_docs = c.n_docs
+        |        THEN 'unchanged'
+        |      ELSE 'changed' END AS status,
+        |    coalesce(p.n_docs, 0) AS n_prev,
+        |    coalesce(c.n_docs, 0) AS n_cur
+        |  FROM prevm p FULL OUTER JOIN curm c ON p.source = c.source)
+        |SELECT source, status, n_prev, n_cur FROM d
+        |ORDER BY source""".stripMargin,
 
     // bootstrap mirror: identical integer thresholds (generated from
     // the same list), same rounded replica-mean handoff, quantile_cont

@@ -63,4 +63,48 @@ object Sinks {
     val readback = df.sparkSession.read.schema(df.schema).parquet(outDir)
     writtenManifest(readback, shardCol, idCol, sizeCol)
   }
+
+  /** INCREMENTAL RECOMPUTATION driver — the 100 TB operations move: a
+    * pipeline re-run never reprocesses the whole corpus; it diffs the
+    * previous run's shard manifest against the current input's and
+    * touches only the shards whose content changed. Manifests are
+    * ≤|shards| rows, so the diff is a tiny full-outer join; the
+    * order-independent bit_xor checksum makes "changed" exact (any
+    * added/removed/modified id flips it) without comparing rows.
+    *
+    * Output per shard: status ∈ {added, removed, changed, unchanged},
+    * n_prev, n_cur. Rows needing recomputation = the current table
+    * semi-joined to the added/changed shards (directory-prunable when
+    * the shard is the partition column, e.g. the writeShards layout).
+    */
+  def shardDelta(prev: DataFrame, cur: DataFrame,
+      shardCol: String): DataFrame =
+    prev.select(col(shardCol), col("n_docs").as("n_prev"),
+        col("checksum").as("__ck_prev"))
+      .join(cur.select(col(shardCol), col("n_docs").as("n_cur"),
+        col("checksum").as("__ck_cur")), Seq(shardCol), "full_outer")
+      .select(col(shardCol),
+        when(col("__ck_prev").isNull, lit("added"))
+          .when(col("__ck_cur").isNull, lit("removed"))
+          .when(col("__ck_prev") === col("__ck_cur") &&
+            col("n_prev") === col("n_cur"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+
+  /** Splice a re-run: keep the previous RESULT rows for unchanged
+    * shards, take the fresh rows for added/changed shards, drop
+    * removed shards — the whole update costs two broadcast semi-joins
+    * against the ≤|shards|-row delta, never a corpus re-shuffle.
+    */
+  def spliceByDelta(prevResult: DataFrame, freshResult: DataFrame,
+      delta: DataFrame, shardCol: String): DataFrame = {
+    val keep = broadcast(
+      delta.filter(col("status") === "unchanged").select(col(shardCol)))
+    val redo = broadcast(
+      delta.filter(col("status").isin("added", "changed"))
+        .select(col(shardCol)))
+    prevResult.join(keep, Seq(shardCol), "left_semi")
+      .unionByName(freshResult.join(redo, Seq(shardCol), "left_semi"))
+  }
 }

@@ -29,6 +29,38 @@ class SinksSpec extends SparkSpec {
     assert(back.sameElements(in))
   }
 
+  test("shardDelta: identical manifests are all unchanged; each edit kind gets its status") {
+    val cur = Sinks.writtenManifest(docs, "shard", "doc_id", "n_chars")
+    val same = Sinks.shardDelta(cur, cur, "shard").collect()
+    assert(same.length == 4 && same.forall(_.getString(1) == "unchanged"))
+    // previous snapshot: shard1 missing a doc (changed), shard2 absent
+    // entirely (added), plus a retired shard (removed)
+    val prev = Sinks.writtenManifest(
+        docs.filter(col("doc_id") =!= 1L && col("shard") =!= "shard2"),
+        "shard", "doc_id", "n_chars")
+      .unionByName(Seq(("shard9", 3L, 30L, 42L))
+        .toDF("shard", "n_docs", "total_size", "checksum"))
+    val d = Sinks.shardDelta(prev, cur, "shard").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d == Map("shard0" -> "unchanged", "shard1" -> "changed",
+      "shard2" -> "added", "shard3" -> "unchanged", "shard9" -> "removed"))
+  }
+
+  test("spliceByDelta: unchanged kept from prev, added/changed from fresh, removed dropped") {
+    val prevResult = Seq(("shard0", "old0"), ("shard1", "old1"),
+      ("shard9", "old9")).toDF("shard", "payload")
+    val freshResult = Seq(("shard0", "new0"), ("shard1", "new1"),
+      ("shard2", "new2")).toDF("shard", "payload")
+    val delta = Seq(("shard0", "unchanged"), ("shard1", "changed"),
+      ("shard2", "added"), ("shard9", "removed"))
+      .toDF("shard", "status")
+      .withColumn("n_prev", lit(0L)).withColumn("n_cur", lit(0L))
+    val out = Sinks.spliceByDelta(prevResult, freshResult, delta, "shard")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("shard0", "old0"), ("shard1", "new1"),
+      ("shard2", "new2")))
+  }
+
   test("zero-padded NUMERIC-LOOKING string shards round-trip the manifest exactly") {
     // partition inference would read shard '07' back as int 7 (and a
     // cast can't restore the padding); the explicit-schema readback
