@@ -18,6 +18,7 @@ object SparkEntry {
     graft.preprocessing.PreprocessingQueries,
     graft.metrics.MetricsQueries,
     graft.llmdata.LlmDataQueries,
+    graft.llmdata.AnnQueries,
     graft.cluster.EstimatorQueries,
     graft.modelselection.AdaptiveSearchQueries,
     graft.featureextraction.TextFeatureQueries,

@@ -566,8 +566,12 @@ object RelationalQueries extends QueryPack {
     // The full Splink estimation loop: u from random pairs (held
     // FIXED), then EM over the union-blocked candidates updating only
     // (lam, m) — the production answer to match-dominated candidates
-    // starving the u-estimates. Oracle: the u CTEs feed the same
-    // fixed-u EM replay.
+    // starving the u-estimates. Note lam here fits near the TOP clamp
+    // by design: lam is P(match | candidate), and union-blocked
+    // candidates are match-dominated on purpose — that's the blocking
+    // quality (Splink's probability_two_random_records_match is a
+    // separate corpus-level prior for the same reason). Oracle: the u
+    // CTEs feed the same fixed-u EM replay.
     "q_linkage_em_fixed_u" -> ((s, dir) =>
       graft.linkage.FellegiSunter.emFitFixedU(linkagePairsMemo(s, dir),
         linkageFields, linkageU(s, dir), iters = 5)),
@@ -797,11 +801,14 @@ object RelationalQueries extends QueryPack {
         maxDistance = 1)
         .orderBy("id_a", "id_b")),
 
-    // Same fuzzy join forced onto the LARGE-table path: both sides
-    // shuffle on the block key as a plain equi-join, zero driver-side
-    // broadcast — the form the auto-default picks once the corpus
-    // projection outgrows the broadcast threshold. Same oracle as
-    // q_fuzzy_join: routing must not change the answer.
+    // fuzzyPairs (single-key blocking) forced onto the LARGE-table
+    // path: both sides shuffle on the block key as a plain equi-join,
+    // zero driver-side broadcast — the form fuzzyPairs' auto-default
+    // picks once the corpus projection outgrows the broadcast
+    // threshold. This gate pins ROUTING equivalence for the classic
+    // single-key operator (same oracle as q_fuzzy_join: routing must
+    // not change the answer); the scale-safe DEFAULT gate is
+    // q_fuzzy_join above, on the deletion-neighborhood blockingUnion.
     "q_fuzzy_join_shuffled" -> ((s, dir) =>
       EntityResolution.fuzzyPairs(
         Tables.customer(s, dir), "c_custkey", "c_name",

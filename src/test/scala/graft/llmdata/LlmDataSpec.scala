@@ -739,7 +739,7 @@ class LlmDataSpec extends SparkSpec {
   }
 
   test("semanticNearDupPairs matches brute-force within-cell cosine pairs") {
-    val cs = LlmDataQueries.fixedIvfCentroids
+    val cs = AnnQueries.fixedIvfCentroids
     val out = Ann.semanticNearDupPairs(emb, "vec_id", "embedding", cs,
       threshold = 0.4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -761,7 +761,7 @@ class LlmDataSpec extends SparkSpec {
   }
 
   test("semanticNearDupPairs cluster cap drops oversized cells, never invents pairs") {
-    val cs = LlmDataQueries.fixedIvfCentroids
+    val cs = AnnQueries.fixedIvfCentroids
     val uncapped = Ann.semanticNearDupPairs(emb, "vec_id", "embedding", cs,
       threshold = 0.4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
