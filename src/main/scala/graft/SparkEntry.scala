@@ -19,6 +19,7 @@ object SparkEntry {
     graft.metrics.MetricsQueries,
     graft.llmdata.LlmDataQueries,
     graft.llmdata.AnnQueries,
+    graft.llmdata.DedupQueries,
     graft.cluster.EstimatorQueries,
     graft.modelselection.AdaptiveSearchQueries,
     graft.featureextraction.TextFeatureQueries,
