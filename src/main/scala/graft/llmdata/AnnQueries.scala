@@ -140,6 +140,36 @@ object AnnQueries extends QueryPack {
     }),
 
 
+    // Coreset selection by k-center greedy / farthest-first (Gonzalez
+    // 1985; Sener & Savarese ICLR'18 as the training-set pruning
+    // rule): 8 centers over the embedding corpus, state = ONE
+    // persisted (id, vec, min-dist) frame updated per step against a
+    // broadcast 1-row newest center; output is the cover-radius
+    // trajectory. Oracle: generated chained CTEs replaying the
+    // identical quantized selections (llmdata/Coreset.scala).
+    "q_kcenter_coreset" -> ((s, dir) =>
+      Coreset.kCenterGreedy(Tables.embeddings(s, dir), "embedding",
+          "vec_id", k = 8)
+        .orderBy("step")),
+
+    // Margin-based bitext mining (Artetxe & Schwenk ACL'19, the
+    // LASER/CCMatrix recipe): en→de candidate cosines scored by the
+    // ratio margin (hubness-normalized by each side's top-4 mean),
+    // mutual margin-best pairs above threshold. Brute-force candidates
+    // at gate scale; the scorer consumes any candidate frame (ANN
+    // top-k join at volume). See llmdata/Bitext.scala.
+    "q_bitext_mine" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "lang")
+      val emb = Tables.embeddings(s, dir)
+      def side(l: String) =
+        emb.join(docs.filter(col("lang") === l),
+          col("vec_id") === col("doc_id"))
+      val pairs = Bitext.candidateCosines(side("en"), side("de"),
+        "embedding", "vec_id")
+      Bitext.mineMutualBest(pairs, k = 4, threshold = 1.0)
+        .orderBy("src_id")
+    }),
+
     // Map-only dimensionality reduction: projection onto the fixed
     // 3×64 literal basis (scan-fused VecDots); the standard front-end
     // of an ANN index at scale.
@@ -319,7 +349,91 @@ object AnnQueries extends QueryPack {
         .orderBy("vec_id"))
   )
 
+  /** Generated k-center-greedy oracle: the full farthest-first
+    * trajectory as chained CTEs — per step, squared-euclidean
+    * distances to the newest center (selected IN SQL by the same
+    * (round(d,6) DESC, id ASC) rule, so no literals are interpolated),
+    * folded into the running min with `least`.
+    */
+  private def kcenterOracleSql(k: Int): String = {
+    def distTo(sel: String): String =
+      s"""(SELECT a.vec_id, sum((a.e - b.e) * (a.e - b.e)) AS d
+         |   FROM x a JOIN (SELECT i, e FROM x JOIN $sel ON x.vec_id = $sel.cid)
+         |     b USING (i) GROUP BY a.vec_id)""".stripMargin
+    val steps = (1 until k).map { j =>
+      val m = if (j == 1)
+        s"""m1 AS MATERIALIZED (SELECT vec_id, d FROM ${distTo("c0")} t)"""
+      else
+        s"""m$j AS MATERIALIZED (SELECT m.vec_id, least(m.d, nd.d) AS d
+           |  FROM m${j - 1} m JOIN ${distTo(s"s${j - 1}")} nd
+           |    ON nd.vec_id = m.vec_id)""".stripMargin
+      s"""$m,
+         |s$j AS MATERIALIZED (SELECT vec_id AS cid, round(d, 6) AS radius
+         |  FROM m$j ORDER BY round(d, 6) DESC, vec_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 until k)
+      .map(j => s"UNION ALL SELECT $j, cid, radius FROM s$j").mkString("\n")
+    s"""WITH x AS MATERIALIZED (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+       |        generate_subscripts(embedding, 1) AS i FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT min(vec_id) AS cid FROM embeddings),
+       |$steps
+       |SELECT CAST(step AS INTEGER) AS step, center_id, radius FROM (
+       |  SELECT 0 AS step, cid AS center_id, 0.0 AS radius FROM c0
+       |  $rows) ORDER BY step""".stripMargin
+  }
+
+  /** Bitext-mining mirror: unit vectors, cross cosines, top-k means as
+    * ORDERED sums over the rank-filtered rows (the same
+    * (cos DESC, id ASC) fold order the Spark side fixes by sorting its
+    * collected array), ratio margin, mutual best via window ranks.
+    */
+  private def bitextOracleSql(k: Int, threshold: Double): String = {
+    def sideCtes(tag: String, lang: String): String =
+      s"""${tag}d AS MATERIALIZED (SELECT e.vec_id AS id, e.embedding
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE d.lang = '$lang'),
+         |x$tag AS MATERIALIZED (SELECT id, unnest(embedding)::DOUBLE AS e,
+         |  generate_subscripts(embedding, 1) AS i FROM ${tag}d),
+         |n$tag AS MATERIALIZED (SELECT id, sqrt(sum(e*e)) AS n FROM x$tag GROUP BY id),
+         |u$tag AS MATERIALIZED (SELECT x$tag.id, i, e / n AS u
+         |  FROM x$tag JOIN n$tag USING (id))""".stripMargin
+    s"""WITH ${sideCtes("a", "en")},
+       |${sideCtes("b", "de")},
+       |p AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib, sum(a.u * b.u) AS cos
+       |  FROM ua a JOIN ub b USING (i) GROUP BY 1, 2),
+       |ra AS (SELECT ia, ib, cos,
+       |    row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib ASC) AS rk,
+       |    count(*) OVER (PARTITION BY ia) AS nc
+       |  FROM p),
+       |ka AS (SELECT ia, sum(cos ORDER BY cos DESC, ib ASC)
+       |    / least($k, max(nc)) AS ma
+       |  FROM ra WHERE rk <= $k GROUP BY ia),
+       |rb AS (SELECT ia, ib, cos,
+       |    row_number() OVER (PARTITION BY ib ORDER BY cos DESC, ia ASC) AS rk,
+       |    count(*) OVER (PARTITION BY ib) AS nc
+       |  FROM p),
+       |kb AS (SELECT ib, sum(cos ORDER BY cos DESC, ia ASC)
+       |    / least($k, max(nc)) AS mb
+       |  FROM rb WHERE rk <= $k GROUP BY ib),
+       |m AS MATERIALIZED (SELECT ia, ib, cos,
+       |    cos / ((ma + mb) / 2.0) AS mg
+       |  FROM p JOIN ka USING (ia) JOIN kb USING (ib)),
+       |fwd AS (SELECT ia, ib, cos, mg FROM (SELECT *, row_number() OVER
+       |    (PARTITION BY ia ORDER BY round(mg, 6) DESC, ib ASC) AS rk FROM m)
+       |  WHERE rk = 1),
+       |bwd AS (SELECT ia, ib FROM (SELECT ia, ib, row_number() OVER
+       |    (PARTITION BY ib ORDER BY round(mg, 6) DESC, ia ASC) AS rk FROM m)
+       |  WHERE rk = 1)
+       |SELECT f.ia AS src_id, f.ib AS tgt_id, round(f.cos, 6) AS cos,
+       |  round(f.mg, 6) AS margin
+       |FROM fwd f JOIN bwd USING (ia, ib)
+       |WHERE round(f.mg, 6) >= $threshold
+       |ORDER BY src_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_kcenter_coreset" -> kcenterOracleSql(8),
+    "q_bitext_mine" -> bitextOracleSql(4, 1.0),
 
     // + 0.0 guards DuckDB's -0.0 from round() on near-zero components
     "q_embedding_truncate" ->

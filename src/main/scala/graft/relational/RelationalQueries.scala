@@ -609,6 +609,37 @@ object RelationalQueries extends QueryPack {
         .orderBy("id")
     }),
 
+    // Community detection by synchronous label propagation over the
+    // SAME part co-purchase graph, but weighted: pair multiplicity
+    // (number of shared orders) is the edge weight. 5 deterministic
+    // rounds — integer-weight argmax with min-label tie-break as one
+    // aggregate (no window); see graph/LabelPropagation.scala. The
+    // oracle replays the identical rounds via generated chained CTEs.
+    "q_label_prop" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("id_a"), col("b.pk").as("id_b"))
+      graft.graph.LabelPropagation.labelPropagation(pairs, iters = 5)
+        .orderBy("id")
+    }),
+
+    // Per-community Newman modularity of the LPA assignment — the
+    // community-quality report logged next to the detection pass.
+    // Integer internal/degree weights from the same symmetrized edge
+    // frame; one quantized division at the end.
+    "q_modularity" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("id_a"), col("b.pk").as("id_b"))
+      val labels = graft.graph.LabelPropagation.labelPropagation(pairs, 5)
+      graft.graph.LabelPropagation.modularity(pairs, labels)
+        .orderBy("community")
+    }),
+
     // Z-order (Morton) layout: interleave (l_partkey, l_suppkey) bits
     // and report the per-quad-tree-cell bounding boxes — the min/max
     // footer stats files would carry under this layout, i.e. the
@@ -947,6 +978,60 @@ object RelationalQueries extends QueryPack {
        |ORDER BY node""".stripMargin
   }
 
+  /** Generated label-propagation oracle: the full synchronous
+    * trajectory as chained CTEs. The per-round argmax is expressed as
+    * a window rank here (vs the Spark side's min-struct aggregate) —
+    * an independent formulation of the same integer-exact selection,
+    * which is precisely what the cross-check pins.
+    */
+  private def labelPropCtes(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT s AS n, l FROM (
+         |  SELECT e.s, lp.l, row_number() OVER (PARTITION BY e.s
+         |      ORDER BY CAST(sum(e.w) AS BIGINT) DESC, lp.l ASC) AS rk
+         |  FROM e JOIN l${i - 1} lp ON lp.n = e.t
+         |  GROUP BY e.s, lp.l) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""li AS MATERIALIZED (SELECT l_orderkey AS ok,
+       |    CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
+       |p AS MATERIALIZED (SELECT a.pk AS s0, b.pk AS t0
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |e AS MATERIALIZED (SELECT s, t, CAST(count(*) AS BIGINT) AS w
+       |  FROM (SELECT s0 AS s, t0 AS t FROM p
+       |        UNION ALL SELECT t0, s0 FROM p)
+       |  GROUP BY s, t),
+       |l0 AS MATERIALIZED (SELECT DISTINCT s AS n, s AS l FROM e),
+       |$steps""".stripMargin
+  }
+
+  private def labelPropOracleSql(iters: Int = 5): String =
+    s"""WITH ${labelPropCtes(iters)}
+       |SELECT n AS id, l AS community FROM l$iters ORDER BY id""".stripMargin
+
+  /** Modularity mirror composed over the SAME replayed LPA trajectory:
+    * integer internal/degree sums per community, one quantized
+    * division at the end (explicit DOUBLE casts — DuckDB '/' on
+    * integers truncates where Spark's is true division).
+    */
+  private def modularityOracleSql(iters: Int = 5): String =
+    s"""WITH ${labelPropCtes(iters)},
+       |lab AS MATERIALIZED (SELECT n AS id, l AS c FROM l$iters),
+       |deg AS (SELECT s, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY s),
+       |tot AS (SELECT c AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(d) AS BIGINT) AS degree_w
+       |  FROM deg JOIN lab ON lab.id = deg.s GROUP BY c),
+       |inw AS (SELECT la.c AS community, CAST(sum(e.w) AS BIGINT) AS iw
+       |  FROM e JOIN lab la ON la.id = e.s JOIN lab lb ON lb.id = e.t
+       |  WHERE la.c = lb.c GROUP BY la.c),
+       |m2 AS (SELECT CAST(sum(w) AS BIGINT) AS mm FROM e)
+       |SELECT t.community, t.n_nodes,
+       |  coalesce(iw, 0) AS internal_w, t.degree_w,
+       |  round(CAST(coalesce(iw, 0) AS DOUBLE) / mm
+       |    - (CAST(t.degree_w AS DOUBLE) / mm)
+       |      * (CAST(t.degree_w AS DOUBLE) / mm), 6) AS contribution
+       |FROM tot t LEFT JOIN inw ON inw.community = t.community
+       |CROSS JOIN m2 ORDER BY t.community""".stripMargin
+
   /** ONE oracle for both fuzzy-join gates: routing (broadcast vs
     * shuffled build) must never change the answer, so the gates share
     * the string — an edit here updates both or neither.
@@ -963,6 +1048,8 @@ object RelationalQueries extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracleSql(),
+    "q_label_prop" -> labelPropOracleSql(),
+    "q_modularity" -> modularityOracleSql(),
     // entity-resolution mirror: scored pairs thresholded, closed
     // transitively by the same recursive CTE as the dedup clusters
     "q_entity_clusters" ->
