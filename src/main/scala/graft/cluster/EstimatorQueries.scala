@@ -236,6 +236,17 @@ object EstimatorQueries extends QueryPack {
         .select(col("n"))
     }),
 
+    // Purged K-fold with embargo (López de Prado 2018 ch.7): the
+    // time-series CV manifest — contiguous time-ordered test blocks,
+    // train counts after dropping 100 embargo rows each side of the
+    // block. One global sort + k-row rollup (Splits.purgedKFoldReport);
+    // the oracle mirrors the fold arithmetic via ntile over the same
+    // (ts, event_id) total order.
+    "q_purged_kfold" -> ((s, dir) =>
+      Splits.purgedKFoldReport(Tables.events(s, dir), "ts",
+          Seq("ts", "event_id"), k = 5, embargoRows = 100)
+        .orderBy("fold")),
+
     // Precomputed-kernel CV slicing (CVCache pairwise=True,
     // methods.py:118-169): a 120×120 long-form RBF kernel over a
     // deterministic lineitem sample, sliced per fold as
@@ -749,6 +760,23 @@ object EstimatorQueries extends QueryPack {
     "q_kfold_sizes" ->
       """WITH t AS (SELECT ntile(5) OVER (ORDER BY o_orderkey) AS f FROM orders)
         |SELECT count(*) AS n FROM t GROUP BY f ORDER BY f""".stripMargin,
+    "q_purged_kfold" ->
+      """WITH o AS (SELECT ts,
+        |    ntile(5) OVER (ORDER BY ts, event_id) - 1 AS fold,
+        |    row_number() OVER (ORDER BY ts, event_id) - 1 AS idx
+        |  FROM events),
+        |n AS (SELECT count(*) AS n FROM events),
+        |per AS (SELECT fold, count(*) AS n_test, min(idx) AS s,
+        |    max(idx) AS e, min(ts) AS mnt, max(ts) AS mxt
+        |  FROM o GROUP BY fold)
+        |SELECT CAST(fold AS INTEGER) AS fold,
+        |  CAST(n_test AS BIGINT) AS n_test,
+        |  CAST(n - n_test - least(100, s) - least(100, n - (e + 1))
+        |    AS BIGINT) AS n_train,
+        |  CAST(least(100, s) + least(100, n - (e + 1)) AS BIGINT)
+        |    AS n_purged,
+        |  epoch_us(mnt) AS min_ts_us, epoch_us(mxt) AS max_ts_us
+        |FROM per CROSS JOIN n ORDER BY fold""".stripMargin,
     "q_train_test_split" ->
       "SELECT 'total' AS split, count(*) AS n FROM orders",
     "q_shuffle_split" ->

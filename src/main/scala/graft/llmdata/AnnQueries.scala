@@ -170,6 +170,23 @@ object AnnQueries extends QueryPack {
         .orderBy("src_id")
     }),
 
+    // The SCALE PATH of the same miner: candidates from an EQUI-join
+    // on the 4-plane LSH signature (2^4 buckets bound every join
+    // group; recall < 1 by design, the CCMatrix tradeoff), identical
+    // margin scoring downstream — brute force and LSH differ only in
+    // the candidate frame, which is exactly the swap a 100 TB run makes.
+    "q_bitext_mine_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "lang")
+      val emb = Tables.embeddings(s, dir)
+      def side(l: String) =
+        emb.join(docs.filter(col("lang") === l),
+          col("vec_id") === col("doc_id"))
+      val pairs = Bitext.lshCandidateCosines(side("en"), side("de"),
+        "embedding", "vec_id", nPlanes = 4, dim = 64)
+      Bitext.mineMutualBest(pairs, k = 4, threshold = 1.0)
+        .orderBy("src_id")
+    }),
+
     // Map-only dimensionality reduction: projection onto the fixed
     // 3×64 literal basis (scan-fused VecDots); the standard front-end
     // of an ANN index at scale.
@@ -387,21 +404,22 @@ object AnnQueries extends QueryPack {
     * (cos DESC, id ASC) fold order the Spark side fixes by sorting its
     * collected array), ratio margin, mutual best via window ranks.
     */
-  private def bitextOracleSql(k: Int, threshold: Double): String = {
-    def sideCtes(tag: String, lang: String): String =
-      s"""${tag}d AS MATERIALIZED (SELECT e.vec_id AS id, e.embedding
-         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
-         |  WHERE d.lang = '$lang'),
-         |x$tag AS MATERIALIZED (SELECT id, unnest(embedding)::DOUBLE AS e,
-         |  generate_subscripts(embedding, 1) AS i FROM ${tag}d),
-         |n$tag AS MATERIALIZED (SELECT id, sqrt(sum(e*e)) AS n FROM x$tag GROUP BY id),
-         |u$tag AS MATERIALIZED (SELECT x$tag.id, i, e / n AS u
-         |  FROM x$tag JOIN n$tag USING (id))""".stripMargin
-    s"""WITH ${sideCtes("a", "en")},
-       |${sideCtes("b", "de")},
-       |p AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib, sum(a.u * b.u) AS cos
-       |  FROM ua a JOIN ub b USING (i) GROUP BY 1, 2),
-       |ra AS (SELECT ia, ib, cos,
+  private def bitextSideCtes(tag: String, lang: String): String =
+    s"""${tag}d AS MATERIALIZED (SELECT e.vec_id AS id, e.embedding
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+       |  WHERE d.lang = '$lang'),
+       |x$tag AS MATERIALIZED (SELECT id, unnest(embedding)::DOUBLE AS e,
+       |  generate_subscripts(embedding, 1) AS i FROM ${tag}d),
+       |n$tag AS MATERIALIZED (SELECT id, sqrt(sum(e*e)) AS n FROM x$tag GROUP BY id),
+       |u$tag AS MATERIALIZED (SELECT x$tag.id, i, e / n AS u
+       |  FROM x$tag JOIN n$tag USING (id))""".stripMargin
+
+  /** Margin-mining mirror from a candidate CTE `p(ia, ib, cos)` down to
+    * the mined rows — shared verbatim by the brute-force and LSH gates
+    * (the two may only differ in how `p` is produced).
+    */
+  private def bitextMarginSql(k: Int, threshold: Double): String =
+    s"""ra AS (SELECT ia, ib, cos,
        |    row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib ASC) AS rk,
        |    count(*) OVER (PARTITION BY ia) AS nc
        |  FROM p),
@@ -429,11 +447,49 @@ object AnnQueries extends QueryPack {
        |FROM fwd f JOIN bwd USING (ia, ib)
        |WHERE round(f.mg, 6) >= $threshold
        |ORDER BY src_id""".stripMargin
+
+  private def bitextOracleSql(k: Int, threshold: Double): String =
+    s"""WITH ${bitextSideCtes("a", "en")},
+       |${bitextSideCtes("b", "de")},
+       |p AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib, sum(a.u * b.u) AS cos
+       |  FROM ua a JOIN ub b USING (i) GROUP BY 1, 2),
+       |${bitextMarginSql(k, threshold)}""".stripMargin
+
+  /** LSH-path mirror: buckets from the SAME literal ±1 planes the
+    * Spark plan bakes in (q_ann_lsh convention, raw-vector dots),
+    * candidates an equi-join on bucket, then the shared margin CTEs.
+    */
+  private def bitextLshOracleSql(k: Int, threshold: Double,
+      nPlanes: Int, dim: Int): String = {
+    val planes = Ann.hyperplanes(nPlanes, dim, seed = 42)
+    val planeRows = (for (j <- planes.indices; i <- 0 until dim)
+      yield s"($j,${i + 1},${if (planes(j)(i) > 0) 1 else -1})").mkString(",")
+    def bucketCte(tag: String): String =
+      s"""bx$tag AS (SELECT id, unnest(embedding)::DOUBLE AS e,
+         |  generate_subscripts(embedding, 1) AS i FROM ${tag}d),
+         |bd$tag AS (SELECT id, j, sum(e * w) AS d
+         |  FROM bx$tag JOIN planes USING (i) GROUP BY id, j),
+         |bk$tag AS (SELECT id,
+         |    sum(CASE WHEN d > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bkt
+         |  FROM bd$tag GROUP BY id)""".stripMargin
+    s"""WITH planes(j, i, w) AS (SELECT * FROM (VALUES $planeRows)),
+       |${bitextSideCtes("a", "en")},
+       |${bitextSideCtes("b", "de")},
+       |${bucketCte("a")},
+       |${bucketCte("b")},
+       |cand AS (SELECT ka.id AS ia, kb.id AS ib
+       |  FROM bka ka JOIN bkb kb ON ka.bkt = kb.bkt),
+       |p AS MATERIALIZED (SELECT c.ia, c.ib, sum(a.u * b.u) AS cos
+       |  FROM cand c JOIN ua a ON a.id = c.ia JOIN ub b
+       |    ON b.id = c.ib AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |${bitextMarginSql(k, threshold)}""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
     "q_kcenter_coreset" -> kcenterOracleSql(8),
     "q_bitext_mine" -> bitextOracleSql(4, 1.0),
+    "q_bitext_mine_lsh" -> bitextLshOracleSql(4, 1.0, 4, 64),
 
     // + 0.0 guards DuckDB's -0.0 from round() on near-zero components
     "q_embedding_truncate" ->

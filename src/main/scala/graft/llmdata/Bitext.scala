@@ -55,6 +55,26 @@ object Bitext {
       .select(col("id_a"), col("id_b"), dot(col("__ua"), col("__ub")).as("cos"))
   }
 
+  /** LSH-bucketed candidate pairs — the scale path: both sides get the
+    * same deterministic random-hyperplane signature (the ANN family's
+    * [[Ann.signatureExpr]]), candidates are an EQUI-join on the bucket
+    * (2^nPlanes buckets bound each join group; no cross product
+    * anywhere), cosines only within buckets. Recall < 1 by design —
+    * the standard CCMatrix-scale tradeoff; margin scoring downstream is
+    * identical to the exact path.
+    */
+  def lshCandidateCosines(src: DataFrame, tgt: DataFrame, vecCol: String,
+      idCol: String, nPlanes: Int, dim: Int, seed: Int = 42): DataFrame = {
+    val planes = Ann.hyperplanes(nPlanes, dim, seed)
+    def side(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).cast("long").as(id),
+        unit(col(vecCol).cast("array<double>")).as(s"__u$id"),
+        Ann.signatureExpr(col(vecCol), planes).as("bucket"))
+    side(src, "id_a").join(side(tgt, "id_b"), "bucket")
+      .select(col("id_a"), col("id_b"),
+        dot(col("__uid_a"), col("__uid_b")).as("cos"))
+  }
+
   /** Mean of the top-k cosines per key — a fold over the sorted
     * (cos DESC, other-id ASC) candidate array, truncated to k, so the
     * summation ORDER is pinned for cross-engine replay.

@@ -21,6 +21,18 @@ object MetricsQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Split conformal regression (Lei et al. JASA'18): OLS price~qty
+    // fit on h60-bucket train split, |residual| 0.9-quantile on the
+    // calibration split, empirical coverage on the test split — the
+    // distribution-free interval report (metrics/Conformal.scala; the
+    // asymptotic-level gate form, finite-sample level spec'd).
+    "q_conformal_interval" -> ((s, dir) =>
+      Conformal.splitConformalOls(Tables.lineitem(s, dir),
+        "l_quantity", "l_extendedprice",
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")),
+        salt = "conf", alpha = 0.1, finiteSample = false)),
+
     "q_metrics_regression" -> ((s, dir) => {
       val df = Tables.lineitem(s, dir)
         .withColumn("y", col("l_extendedprice"))
@@ -253,6 +265,24 @@ object MetricsQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_conformal_interval" ->
+      """WITH b AS (SELECT l_quantity AS x, l_extendedprice AS y,
+        |    ('0x' || substr(md5('conf' || CAST(l_orderkey AS VARCHAR)
+        |      || '-' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+        |      % 10 AS bk
+        |  FROM lineitem),
+        |tr AS (SELECT round(regr_slope(y, x), 6) AS m,
+        |    round(regr_intercept(y, x), 6) AS c
+        |  FROM b WHERE bk <= 7),
+        |q AS (SELECT CAST(count(*) AS BIGINT) AS n_calib,
+        |    round(quantile_cont(round(abs(y - (m * x + c)), 6), 0.9), 6)
+        |      AS qhat
+        |  FROM b, tr WHERE bk = 8)
+        |SELECT q.n_calib, CAST(count(*) AS BIGINT) AS n_test, q.qhat,
+        |  round(avg(CASE WHEN round(abs(y - (m * x + c)), 6) <= q.qhat
+        |    THEN 1 ELSE 0 END), 6) AS coverage
+        |FROM b, tr, q WHERE bk = 9
+        |GROUP BY q.n_calib, q.qhat""".stripMargin,
     "q_confusion" ->
       """SELECT l_returnflag AS label,
         | CASE WHEN l_quantity > 35 THEN 'R'

@@ -164,6 +164,44 @@ object Splits {
       salt: String = ""): DataFrame =
     withFold(df.orderBy(md5(concat(lit(salt), col(keyCol).cast("string")))), k)
 
+  /** Purged K-fold with embargo (López de Prado, "Advances in
+    * Financial Machine Learning", 2018, ch. 7) — the time-series CV
+    * that actually guards leakage: test folds are CONTIGUOUS blocks of
+    * the time-ordered corpus, and each fold's train set additionally
+    * drops `embargoRows` rows on each side of the test block, so
+    * temporally-overlapping information (labels computed over windows,
+    * serial correlation) cannot bleed across the boundary.
+    *
+    * Report form — (fold, n_test, n_train, n_purged, min_ts_us,
+    * max_ts_us): the fold manifest a pipeline materializes before
+    * training. One global (parallel range-partition) sort + the
+    * ±1-balanced contiguous fold arithmetic of [[withFold]], then a
+    * k-row rollup; the train/purge counts are integer arithmetic over
+    * each fold's [min, max] index span against the broadcast 1-row
+    * total — nothing corpus-sized moves after the fold assignment.
+    *
+    * @param orderCols total order (include a unique tie-break column —
+    *   timestamps alone are rarely unique)
+    */
+  def purgedKFoldReport(df: DataFrame, tsCol: String,
+      orderCols: Seq[String], k: Int, embargoRows: Long): DataFrame = {
+    require(embargoRows >= 0, s"embargoRows must be >= 0, got $embargoRows")
+    val folded = withFold(df.orderBy(orderCols.map(col): _*), k)
+    val per = folded.groupBy("fold").agg(
+      count(lit(1)).as("n_test"),
+      min(col("row_index")).as("__s"), max(col("row_index")).as("__e"),
+      unix_micros(min(col(tsCol))).as("min_ts_us"),
+      unix_micros(max(col(tsCol))).as("max_ts_us"))
+    val tot = per.agg(sum("n_test").as("__n"))
+    val pb = least(lit(embargoRows), col("__s"))
+    val pa = least(lit(embargoRows), col("__n") - (col("__e") + 1))
+    per.crossJoin(broadcast(tot))
+      .select(col("fold"), col("n_test"),
+        (col("__n") - col("n_test") - pb - pa).as("n_train"),
+        (pb + pa).as("n_purged"),
+        col("min_ts_us"), col("max_ts_us"))
+  }
+
   def kfoldShuffled(df: DataFrame, k: Int, keyCol: String,
       salt: String = ""): Seq[(DataFrame, DataFrame)] = {
     val folded = withShuffledFold(df, k, keyCol, salt)

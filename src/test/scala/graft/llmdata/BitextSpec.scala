@@ -79,6 +79,21 @@ class BitextSpec extends SparkSpec {
     assert(run(pairs, 4, 0.0) == brute(pairs, 4, 0.0))
   }
 
+  test("LSH candidates are a subset of brute force with identical cosines") {
+    val rnd = new Random(17)
+    def mk(n: Int, off: Long) = (0 until n).map(i =>
+      (off + i, Seq.fill(16)(rnd.nextGaussian())))
+    val src = mk(20, 0L).toDF("vec_id", "embedding")
+    val tgt = mk(15, 100L).toDF("vec_id", "embedding")
+    val brute = Bitext.candidateCosines(src, tgt, "embedding", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Bitext.lshCandidateCosines(src, tgt, "embedding", "vec_id",
+        nPlanes = 3, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty && lsh.size < brute.size)
+    lsh.foreach { case (k, c) => assert(math.abs(c - brute(k)) < 1e-12) }
+  }
+
   test("threshold filters on the rounded margin") {
     val pairs = for (a <- 0L until 5L; b <- 100L until 105L)
       yield (a, b, if (a + 100 == b) 0.95 else 0.3)

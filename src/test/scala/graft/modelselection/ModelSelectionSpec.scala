@@ -474,4 +474,39 @@ class ModelSelectionSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(sub.forall { case (g, f) => full(g) == f })
   }
+
+  test("purgedKFoldReport: counts partition the corpus per fold") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val n = 103; val k = 4; val emb = 7L
+    val rows = (0 until n).map(i =>
+      (new Timestamp(1700000000000L + i * 1000L), i.toLong))
+    val df = rows.toDF("ts", "event_id")
+    val got = Splits.purgedKFoldReport(df, "ts", Seq("ts", "event_id"),
+        k, emb).orderBy("fold").collect()
+    assert(got.length == k)
+    assert(got.map(_.getLong(1)).sum == n) // test blocks partition
+    // interior folds purge 2*emb; edge folds only one side
+    assert(got.head.getLong(3) == emb && got.last.getLong(3) == emb)
+    got.drop(1).dropRight(1).foreach(r => assert(r.getLong(3) == 2 * emb))
+    // per fold: test + train + purged == n
+    got.foreach(r => assert(r.getLong(1) + r.getLong(2) + r.getLong(3) == n))
+    // time blocks are contiguous and ordered
+    val spans = got.map(r => (r.getLong(4), r.getLong(5)))
+    spans.zip(spans.tail).foreach { case ((_, e1), (s2, _)) => assert(e1 < s2) }
+  }
+
+  test("purgedKFoldReport: oversized embargo clamps to the available rows") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rows = (0 until 10).map(i =>
+      (new Timestamp(1700000000000L + i * 1000L), i.toLong))
+    val got = Splits.purgedKFoldReport(rows.toDF("ts", "event_id"), "ts",
+        Seq("ts", "event_id"), 2, 100L).orderBy("fold").collect()
+    // everything outside the test block is purged, train is empty
+    got.foreach { r =>
+      assert(r.getLong(2) == 0L)
+      assert(r.getLong(1) + r.getLong(3) == 10L)
+    }
+  }
 }
