@@ -81,4 +81,80 @@ object PageRank {
     }
     ranks.select(col("__n").as("node"), col("__r").as("rank"))
   }
+
+  /** Personalized PageRank with a seed teleport set — TrustRank
+    * (Gyöngyi, Garcia-Molina & Pedersen, "Combating Web Spam with
+    * TrustRank", VLDB 2004): the production quality-propagation move a
+    * corpus pipeline runs on its link graph — hand-vet a small seed set
+    * of known-good hosts, teleport ONLY to seeds, and the stationary
+    * mass becomes a trust score that decays with link distance from the
+    * vetted set (spam farms far from seeds get ~0 even with dense
+    * internal linkage, which uniform PageRank rewards).
+    *
+    * Same per-iteration shape as [[pageRank]] (one edge⋈rank join, one
+    * groupBy(dst), a 1-row dangling frame); the only deltas are the
+    * teleport vector s(n) = 1/|S| on seeds else 0 (a node-sized
+    * persisted column, never a collect) and dangling mass restarting
+    * ∝ s(n) (the TrustRank convention — lost mass returns to the vetted
+    * set, not the whole graph):
+    *
+    * rank_{t+1}(n) = (1−d)·s(n) + d·( Σ_{e:m→n} rank_t(m)·w_e/outw_m
+    *                                  + dangling_t·s(n) )
+    *
+    * @param seeds 1-column frame of seed node ids; rows not present in
+    *   the graph are ignored (|S| counts the intersection). Must be
+    *   non-empty after the intersect.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, seeds: DataFrame,
+      damping: Double = 0.85, iters: Int = 10,
+      quantize: Int = 10): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__t"),
+      col(weightCol).cast("double").as("__w"))
+    val outw = e.groupBy("__s").agg(sum("__w").as("__ow"))
+    val ew = e.join(outw, Seq("__s"))
+      .select(col("__s"), col("__t"), (col("__w") / col("__ow")).as("__frac"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    track(ew)
+    val seedIds = seeds.select(seeds.columns.head).toDF("__n").distinct()
+    val nodes = e.select(col("__s").as("__n"))
+      .union(e.select(col("__t").as("__n"))).distinct()
+    // teleport vector: node-sized, persisted once; |S| is one bounded long
+    val seedNodes = nodes.join(seedIds, Seq("__n"), "left_semi")
+    val ns = seedNodes.count()
+    require(ns > 0, "no seed id is present in the graph")
+    val sv = nodes.join(seedIds.select(col("__n"), lit(1).as("__is")),
+        Seq("__n"), "left")
+      .select(col("__n"),
+        when(col("__is").isNotNull, lit(1.0) / ns).otherwise(lit(0.0))
+          .as("__sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    track(sv)
+    val danglingNodes = sv.join(outw.select(col("__s").as("__n")),
+        Seq("__n"), "left_anti")
+      .select(col("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    track(danglingNodes)
+    var ranks = sv.select(col("__n"), round(col("__sv"), quantize).as("__r"))
+    for (_ <- 1 to iters) {
+      val contrib = ew.join(ranks, col("__s") === col("__n"))
+        .groupBy(col("__t"))
+        .agg(sum(col("__frac") * col("__r")).as("__m"))
+      val dangling = ranks.join(danglingNodes, Seq("__n"), "left_semi")
+        .agg(coalesce(sum("__r"), lit(0.0)).as("__dm"))
+      ranks = sv
+        .join(contrib, col("__n") === col("__t"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("__n"),
+          round(lit(1.0 - damping) * col("__sv") + lit(damping) *
+            (coalesce(col("__m"), lit(0.0)) + col("__dm") * col("__sv")),
+            quantize).as("__r"))
+        // same lineage truncation as pageRank: each round references
+        // the previous twice
+        .localCheckpoint()
+    }
+    ranks.select(col("__n").as("node"), col("__r").as("rank"))
+  }
 }

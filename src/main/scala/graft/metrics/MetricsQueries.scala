@@ -33,6 +33,29 @@ object MetricsQueries extends QueryPack {
           col("l_linenumber").cast("string")),
         salt = "conf", alpha = 0.1, finiteSample = false)),
 
+    // CUPED A/B readout (Deng et al. WSDM'13; metrics/Experiment.scala):
+    // units are customers, variant = h60 bucket, y = post-1995 spend,
+    // x = pre-1995 spend (the pre-experiment covariate). One per-unit
+    // aggregate, one 1-row θ aggregate, one 2-row variant aggregate,
+    // then pure arithmetic — Welch t on raw and adjusted means.
+    "q_ab_cuped" -> ((s, dir) => {
+      val per = Tables.orders(s, dir).groupBy(col("o_custkey")).agg(
+        round(sum(when(col("o_orderdate") < lit("1995-01-01"),
+          col("o_totalprice")).otherwise(0.0)), 6).as("x"),
+        round(sum(when(col("o_orderdate") >= lit("1995-01-01"),
+          col("o_totalprice")).otherwise(0.0)), 6).as("y"))
+        .withColumn("variant", graft.core.Hashing.bucket(
+          col("o_custkey").cast("string"), "ab", 2))
+      Experiment.cupedReport(per, "variant", "y", "x")
+    }),
+
+    // k-anonymity / l-diversity release audit (quality/Anonymity.scala):
+    // QI = (nation, market segment), sensitive = account balance,
+    // k = 10 — one QI groupBy + a 1-row rollup.
+    "q_k_anonymity" -> ((s, dir) =>
+      graft.quality.Anonymity.kAnonymityReport(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10)),
+
     "q_metrics_regression" -> ((s, dir) => {
       val df = Tables.lineitem(s, dir)
         .withColumn("y", col("l_extendedprice"))
@@ -265,6 +288,56 @@ object MetricsQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ab_cuped" ->
+      """WITH per AS (SELECT o_custkey,
+        |    round(sum(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+        |      THEN o_totalprice ELSE 0 END), 6) AS x,
+        |    round(sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+        |      THEN o_totalprice ELSE 0 END), 6) AS y,
+        |    ('0x' || substr(md5('ab' || CAST(o_custkey AS VARCHAR)),
+        |      1, 15))::BIGINT % 2 AS v
+        |  FROM orders GROUP BY o_custkey),
+        |g AS (SELECT coalesce(round(regr_slope(y, x), 6), 0) AS th,
+        |    round(avg(x), 6) AS mx FROM per),
+        |pv AS (SELECT CAST(v AS VARCHAR) AS v, CAST(count(*) AS BIGINT) AS n,
+        |    round(avg(y), 6) AS my, round(avg(x), 6) AS mxv,
+        |    round(var_samp(y), 6) AS vy, round(var_samp(x), 6) AS vx,
+        |    round(covar_samp(x, y), 6) AS cxy
+        |  FROM per GROUP BY 1),
+        |adj AS (SELECT v, n, my, round(my - th * (mxv - mx), 6) AS ma, vy,
+        |    round(vy - 2 * th * cxy + th * th * vx, 6) AS va, th
+        |  FROM pv CROSS JOIN g),
+        |a AS (SELECT * FROM adj ORDER BY v LIMIT 1),
+        |b AS (SELECT * FROM adj ORDER BY v DESC LIMIT 1)
+        |SELECT a.v AS variant_a, b.v AS variant_b, a.n AS n_a, b.n AS n_b,
+        |  a.my AS mean_a, b.my AS mean_b,
+        |  round(b.my - a.my, 6) AS lift_raw,
+        |  round(b.ma - a.ma, 6) AS lift_cuped, a.th AS theta,
+        |  round(1 - ((a.n - 1) * a.va + (b.n - 1) * b.va)
+        |    / ((a.n - 1) * a.vy + (b.n - 1) * b.vy), 6) AS var_reduction,
+        |  round((b.my - a.my) / sqrt(a.vy / a.n + b.vy / b.n), 6) AS t_raw,
+        |  round((b.ma - a.ma) / sqrt(a.va / a.n + b.va / b.n), 6) AS t_cuped,
+        |  round(pow(a.va / a.n + b.va / b.n, 2)
+        |    / (pow(a.va / a.n, 2) / (a.n - 1)
+        |       + pow(b.va / b.n, 2) / (b.n - 1)), 6) AS df_cuped
+        |FROM a CROSS JOIN b""".stripMargin,
+    "q_k_anonymity" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |    count(DISTINCT c_acctbal) AS l
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(n) AS BIGINT) AS k_min,
+        |  CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_k,
+        |  CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  round(CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS DOUBLE)
+        |    / sum(n), 6) AS frac_at_risk,
+        |  CAST(min(l) AS BIGINT) AS l_min,
+        |  CAST(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_l
+        |FROM c""".stripMargin,
     "q_conformal_interval" ->
       """WITH b AS (SELECT l_quantity AS x, l_extendedprice AS y,
         |    ('0x' || substr(md5('conf' || CAST(l_orderkey AS VARCHAR)

@@ -451,6 +451,15 @@ object RelationalQueries extends QueryPack {
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "start_us")),
 
+    // First-order Markov transition matrix of the per-user event
+    // stream (Temporal.transitionMatrix): one per-user lag window (the
+    // operator's semantics, never global), a ≤|states|² aggregate, and
+    // a broadcast per-prev rollup for P(next | prev).
+    "q_event_transitions" -> ((s, dir) =>
+      Temporal.transitionMatrix(Tables.events(s, dir), "user_id",
+          "event_type", "ts", "event_id")
+        .orderBy("prev_state", "next_state")),
+
     // Bloom pre-filtered join: lineitem is screened by a 1-row broadcast
     // bloom of the high-value order keys BEFORE its shuffle; the exact
     // join drops the sketch's false positives, so the result is
@@ -519,6 +528,43 @@ object RelationalQueries extends QueryPack {
           damping = 0.85, iters = 10)
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy("node")
+    }),
+
+    // Personalized PageRank / TrustRank (Gyöngyi et al. VLDB'04) over
+    // the same trade graph: teleport restricted to the vetted seed set
+    // (nations 0-4), dangling mass restarts at seeds — the quality-
+    // propagation score a corpus pipeline attaches from hand-vetted
+    // hosts. Same quantized-trajectory oracle replay as q_pagerank.
+    "q_personalized_pagerank" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val seeds = Tables.nation(s, dir)
+        .filter(col("n_nationkey") < 5).select(col("n_nationkey"))
+      graft.graph.PageRank.personalizedPageRank(edges, "src", "dst", "w",
+          seeds, damping = 0.85, iters = 10)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    }),
+
+    // k-core decomposition of the part co-purchase graph by iterated
+    // neighborhood h-index (Lü et al. 2016 — converges to coreness;
+    // graph/KCore.scala): the corpus-graph density signal. 8 integer-
+    // exact rounds, each one edge-sized join + per-node aggregate; the
+    // oracle replays the identical rounds via generated chained CTEs.
+    "q_coreness" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("id_a"), col("b.pk").as("id_b"))
+      graft.graph.KCore.coreness(pairs, rounds = 8)
+        .orderBy("id")
     }),
 
     // Deequ-style declarative data-quality suite (quality/
@@ -978,6 +1024,78 @@ object RelationalQueries extends QueryPack {
        |ORDER BY node""".stripMargin
   }
 
+  /** Personalized-PageRank mirror: identical trade-graph CTEs, teleport
+    * vector 1/|S| on seed nations (< 5) else 0, dangling mass restarts
+    * ∝ the seed vector — the same quantized trajectory the Spark loop
+    * checkpoints (graph/PageRank.personalizedPageRank).
+    */
+  private def pprOracleSql(iters: Int = 10, damping: Double = 0.85,
+      q: Int = 10): String = {
+    val oneMinusD = 1.0 - damping
+    val steps = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""c$i AS MATERIALIZED (SELECT ew.t, sum(ew.frac * $p.rank) AS m
+         |       FROM ew JOIN $p ON $p.n = ew.s GROUP BY ew.t),
+         |d$i AS MATERIALIZED (SELECT coalesce(sum(rank), CAST(0 AS DOUBLE)) AS dm
+         |        FROM $p WHERE n NOT IN (SELECT s FROM outw)),
+         |r$i AS MATERIALIZED (SELECT sv.n,
+         |         round(CAST($oneMinusD AS DOUBLE) * sv.v
+         |           + CAST($damping AS DOUBLE) *
+         |             (coalesce(c$i.m, CAST(0 AS DOUBLE)) + d$i.dm * sv.v),
+         |           $q) AS rank
+         |        FROM sv LEFT JOIN c$i ON c$i.t = sv.n
+         |        CROSS JOIN d$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT c.c_nationkey AS s, su.s_nationkey AS t,
+       |             CAST(count(*) AS BIGINT) AS w
+       |           FROM lineitem l
+       |           JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |           JOIN customer c ON o.o_custkey = c.c_custkey
+       |           JOIN supplier su ON l.l_suppkey = su.s_suppkey
+       |           GROUP BY 1, 2),
+       |outw AS MATERIALIZED (SELECT s, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY s),
+       |ew AS MATERIALIZED (SELECT s, t, CAST(w AS DOUBLE) / CAST(ow AS DOUBLE) AS frac
+       |       FROM e JOIN outw USING (s)),
+       |nodes AS MATERIALIZED (SELECT DISTINCT n FROM (SELECT s AS n FROM e
+       |          UNION ALL SELECT t FROM e)),
+       |ns AS MATERIALIZED (SELECT count(*) AS c FROM nodes WHERE n < 5),
+       |sv AS MATERIALIZED (SELECT nodes.n,
+       |       CASE WHEN nodes.n < 5 THEN CAST(1 AS DOUBLE) / ns.c
+       |            ELSE CAST(0 AS DOUBLE) END AS v
+       |       FROM nodes CROSS JOIN ns),
+       |r0 AS MATERIALIZED (SELECT n, round(v, $q) AS rank FROM sv),
+       |$steps
+       |SELECT n AS node, round(rank, 6) AS rank FROM r$iters
+       |ORDER BY node""".stripMargin
+  }
+
+  /** Coreness mirror: the identical h-index rounds over the simple
+    * symmetrized co-purchase graph — h = max(min(rank, v)) over
+    * neighbor values sorted (v DESC, neighbor ASC), pure integer
+    * arithmetic (graph/KCore.coreness; early stop is idempotent so the
+    * fixed-round replay matches).
+    */
+  private def corenessOracleSql(rounds: Int = 8): String = {
+    val steps = (1 to rounds).map { i =>
+      val p = s"h${i - 1}"
+      s"""h$i AS MATERIALIZED (SELECT s AS n, max(least(rn, hv)) AS h FROM (
+         |    SELECT und.s, p.h AS hv,
+         |      CAST(row_number() OVER (PARTITION BY und.s
+         |        ORDER BY p.h DESC, und.t ASC) AS BIGINT) AS rn
+         |    FROM und JOIN $p p ON p.n = und.t) GROUP BY s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pe AS MATERIALIZED (SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+       |    FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |und AS MATERIALIZED (SELECT DISTINCT s, t FROM (
+       |    SELECT id_a AS s, id_b AS t FROM pe
+       |    UNION ALL SELECT id_b, id_a FROM pe)),
+       |h0 AS MATERIALIZED (SELECT s AS n, CAST(count(*) AS BIGINT) AS h
+       |    FROM und GROUP BY s),
+       |$steps
+       |SELECT n AS id, h AS coreness FROM h$rounds ORDER BY id""".stripMargin
+  }
+
   /** Generated label-propagation oracle: the full synchronous
     * trajectory as chained CTEs. The per-round argmax is expressed as
     * a window rank here (vs the Spark side's min-struct aggregate) —
@@ -1048,6 +1166,8 @@ object RelationalQueries extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracleSql(),
+    "q_personalized_pagerank" -> pprOracleSql(),
+    "q_coreness" -> corenessOracleSql(),
     "q_label_prop" -> labelPropOracleSql(),
     "q_modularity" -> modularityOracleSql(),
     // entity-resolution mirror: scored pairs thresholded, closed
@@ -1426,6 +1546,18 @@ object RelationalQueries extends QueryPack {
         | count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM m GROUP BY user_id, sess
         |ORDER BY user_id, start_us""".stripMargin,
+    "q_event_transitions" ->
+      """WITH t AS (SELECT event_type AS next_state,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_state
+        |  FROM events),
+        |c AS (SELECT prev_state, next_state, CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE prev_state IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_state, sum(n) AS tt FROM c GROUP BY 1)
+        |SELECT c.prev_state, c.next_state, c.n,
+        |  round(CAST(c.n AS DOUBLE) / tt, 6) AS p
+        |FROM c JOIN tot USING (prev_state)
+        |ORDER BY 1, 2""".stripMargin,
     "q_approx_quantile_bounds" ->
       """SELECT l_returnflag, TRUE AS within_bounds
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

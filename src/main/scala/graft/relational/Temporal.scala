@@ -287,4 +287,38 @@ object Temporal {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         last(col("__last"), ignoreNulls = true).over(w).as("value_ffill"))
   }
+
+  /** First-order Markov transition matrix of a per-key event stream —
+    * the behavioral-model readout next to sessionize/funnel: for every
+    * ordered pair of consecutive events of one key, count the
+    * (previous state, next state) transition and report the
+    * row-conditional probability P(next | prev). The standard inputs
+    * to churn models, anomaly detection on navigation flows, and
+    * synthetic-session generators.
+    *
+    * Scale shape: ONE lag window PARTITIONED BY KEY over the event
+    * stream (the operator's own semantics — never a global sort; ties
+    * at one timestamp break by `tiebreakCol` so both engines walk one
+    * total order), then a ≤|states|² aggregate and a per-prev rollup
+    * rejoined broadcast-sized. Each key's FIRST event has no
+    * predecessor and contributes no transition.
+    *
+    * @return (prev_state, next_state, n, p) with p rounded to 6,
+    *   p summing to 1 per prev_state.
+    */
+  def transitionMatrix(df: DataFrame, keyCol: String, stateCol: String,
+      tsCol: String, tiebreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val trans = df
+      .select(col(keyCol), col(stateCol).as("next_state"),
+        lag(col(stateCol), 1).over(w).as("prev_state"))
+      .filter(col("prev_state").isNotNull)
+      .groupBy("prev_state", "next_state")
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("prev_state").agg(sum("n").as("__tot"))
+    trans.join(broadcast(totals), Seq("prev_state"))
+      .select(col("prev_state"), col("next_state"), col("n"),
+        round(col("n") / col("__tot"), 6).as("p"))
+  }
 }

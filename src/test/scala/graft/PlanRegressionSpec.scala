@@ -83,6 +83,9 @@ class PlanRegressionSpec extends SparkSpec {
     "q_scd2",                // change-flag lag + running segment sum per
                              // key IS the SCD2 semantics; the valid_to
                              // lead runs over the segment frame only
+    "q_event_transitions",   // per-USER lag IS the Markov-transition
+                             // semantics — partitioned by key, never a
+                             // global sort; downstream is ≤|states|²
     "q_ndcg"                 // ideal-permutation row_number strictly over
                              // the per-query top-k candidate frame
                              // (|queries|·k rows), never the corpus

@@ -35,4 +35,49 @@ class PageRankSpec extends SparkSpec {
     assert(r(2L) > r(3L), r)
     assert(math.abs(r.values.sum - 1.0) < 1e-6)
   }
+
+  private def ppr(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+      iters: Int = 20) =
+    PageRank.personalizedPageRank(edges.toDF("s", "t", "w"), "s", "t", "w",
+        seeds.toDF("node"), iters = iters)
+      .as[(Long, Double)].collect().toMap
+
+  test("ppr: mass is conserved and concentrates near the seed") {
+    // two triangles bridged by one edge; seed in the left triangle
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L),
+      (3L, 4L, 1L), (4L, 5L, 1L), (5L, 6L, 1L), (6L, 4L, 1L))
+    val r = ppr(edges, Seq(1L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, r)
+    assert(r(1L) > r(4L) && r(2L) > r(5L), r)
+  }
+
+  test("ppr: node unreachable from seeds gets ~zero; uniform seeds = pagerank") {
+    // 9 -> 1 but nothing reaches 9
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (9L, 1L, 1L))
+    val r = ppr(edges, Seq(1L, 2L))
+    assert(r(9L) < 1e-9, r)
+    val all = ppr(edges, Seq(1L, 2L, 9L))
+    val pr = ranks(edges)
+    // uniform-seed ppr differs from pagerank only in dangling restart
+    // (none here: every node has out-edges), so the two coincide
+    assert(all.forall { case (n, v) => math.abs(v - pr(n)) < 1e-8 }, all)
+  }
+
+  test("ppr: dangling mass restarts at the seeds, not the whole graph") {
+    // 2 is a sink; its mass must flow back to seed 1 only
+    val edges = Seq((1L, 2L, 1L), (3L, 2L, 1L))
+    val r = ppr(edges, Seq(1L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, r)
+    assert(r(3L) == 0.0, r) // nothing ever teleports or links to 3
+    assert(r(1L) > 0 && r(2L) > 0)
+  }
+
+  test("ppr: seeds absent from the graph are ignored; empty intersect rejects") {
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L))
+    val r = ppr(edges, Seq(1L, 77L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, r) // |S| = 1, not 2
+    intercept[IllegalArgumentException] {
+      ppr(edges, Seq(77L))
+    }
+  }
 }

@@ -344,4 +344,34 @@ class TemporalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(conv(1L) == 0 && conv(2L) == 1 && conv(3L) == 0)
   }
+
+  test("transitionMatrix counts per-user consecutive pairs, P sums to 1 per prev") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val ev = Seq(
+      (1L, t(1), "a", 1L), (1L, t(2), "b", 2L), (1L, t(3), "a", 3L),
+      (1L, t(4), "b", 4L),
+      (2L, t(1), "a", 5L), (2L, t(2), "a", 6L),
+      (3L, t(9), "c", 7L)) // single event: no transition
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Temporal.transitionMatrix(ev, "user_id", "event_type",
+        "ts", "event_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == Map(
+      ("a", "b") -> (2L, 0.666667), ("a", "a") -> (1L, 0.333333),
+      ("b", "a") -> (1L, 1.0)))
+  }
+
+  test("transitionMatrix breaks timestamp ties by the tiebreak column") {
+    import java.sql.Timestamp
+    val ts = new Timestamp(1700000000000L)
+    val ev = Seq((1L, ts, "x", 2L), (1L, ts, "y", 1L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Temporal.transitionMatrix(ev, "user_id", "event_type",
+        "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("y", "x"))) // event_id 1 first
+  }
 }
