@@ -49,6 +49,28 @@ object MetricsQueries extends QueryPack {
       Experiment.cupedReport(per, "variant", "y", "x")
     }),
 
+    // Kaplan–Meier retention curve over the event log (metrics/
+    // Survival.scala): per-user durations in HOURS with 12-hour-gap
+    // censoring (the corpus is a ~30-day high-frequency log), one
+    // per-duration rollup, risk set + ordered survival product
+    // strictly over that tiny frame.
+    "q_kaplan_meier" -> ((s, dir) => {
+      val dur = Survival.durations(Tables.events(s, dir), "user_id",
+        "ts", churnGapUnits = 12, unitMicros = 3600000000L)
+      Survival.kaplanMeier(dur, "duration", "churned")
+        .orderBy("t")
+    }),
+
+    // Cumulative gains / lift by score decile (metrics/Gains.scala):
+    // exact decile boundaries from ONE aggregate, scan-fused binning
+    // against the broadcast boundary array (never a corpus ntile),
+    // cumulative windows over the 10-row frame.
+    "q_gains_chart" -> ((s, dir) =>
+      Gains.gainsChart(Tables.orders(s, dir)
+          .withColumn("hot", col("o_orderstatus") === "F"),
+        "o_totalprice", "hot")
+        .orderBy("decile")),
+
     // k-anonymity / l-diversity release audit (quality/Anonymity.scala):
     // QI = (nation, market segment), sensitive = account balance,
     // k = 10 — one QI groupBy + a 1-row rollup.
@@ -288,6 +310,62 @@ object MetricsQueries extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_kaplan_meier" ->
+      """WITH per AS (SELECT user_id,
+        |    epoch_us(min(ts)) AS f, epoch_us(max(ts)) AS l
+        |  FROM events GROUP BY user_id),
+        |cut AS (SELECT max(l) AS c FROM per),
+        |u AS (SELECT
+        |    CAST(floor((l - f) / CAST(3600000000 AS DOUBLE)) AS BIGINT)
+        |      AS t,
+        |    l < c - 12 * 3600000000 AS e
+        |  FROM per CROSS JOIN cut),
+        |g AS (SELECT t, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM u GROUP BY t),
+        |r AS (SELECT t, m, d,
+        |    sum(m) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+        |    round(1 - CAST(d AS DOUBLE)
+        |      / sum(m) OVER (ORDER BY t DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |      AS fct
+        |  FROM g),
+        |s AS (SELECT t, n, d, m,
+        |    round(product(fct) OVER (ORDER BY t ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |      AS surv
+        |  FROM r)
+        |SELECT t, CAST(n AS BIGINT) AS n_risk, d AS n_events,
+        |  m - d AS n_censored_at, surv
+        |FROM s WHERE d > 0 ORDER BY t""".stripMargin,
+    "q_gains_chart" ->
+      """WITH b AS (SELECT o_totalprice AS s,
+        |    o_orderstatus = 'F' AS y FROM orders),
+        |q AS (SELECT [round(quantile_cont(s, 0.1), 6),
+        |    round(quantile_cont(s, 0.2), 6), round(quantile_cont(s, 0.3), 6),
+        |    round(quantile_cont(s, 0.4), 6), round(quantile_cont(s, 0.5), 6),
+        |    round(quantile_cont(s, 0.6), 6), round(quantile_cont(s, 0.7), 6),
+        |    round(quantile_cont(s, 0.8), 6), round(quantile_cont(s, 0.9), 6)]
+        |    AS bs FROM b),
+        |binned AS (SELECT y,
+        |    1 + len(list_filter(bs, e -> s < e)) AS decile
+        |  FROM b CROSS JOIN q),
+        |per AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM binned GROUP BY decile),
+        |c AS (SELECT decile, n, pos,
+        |    sum(pos) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+        |    sum(n) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+        |    sum(pos) OVER () AS tp, sum(n) OVER () AS tn
+        |  FROM per)
+        |SELECT CAST(decile AS INTEGER) AS decile, n, pos,
+        |  round(CAST(cp AS DOUBLE) / tp, 6) AS cum_gain,
+        |  round((CAST(cp AS DOUBLE) / cn) / (CAST(tp AS DOUBLE) / tn), 6)
+        |    AS lift
+        |FROM c ORDER BY decile""".stripMargin,
     "q_ab_cuped" ->
       """WITH per AS (SELECT o_custkey,
         |    round(sum(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'

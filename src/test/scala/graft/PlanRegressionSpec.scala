@@ -71,6 +71,12 @@ class PlanRegressionSpec extends SparkSpec {
     "q_source_gini",         // rank window strictly over the ≤|sources|
                              // aggregate frame (Gini needs the ascending
                              // rank), never over the corpus
+    "q_kaplan_meier",        // risk-set reverse cumsum + ordered survival
+                             // product strictly over the ≤|durations|
+                             // aggregate frame, never the corpus
+    "q_gains_chart",         // cumulative windows strictly over the
+                             // 10-row decile frame; corpus binning is a
+                             // scan-fused fold on broadcast boundaries
     // (q_neyman_allocation / q_neyman_sample: the largest-remainder
     // rank window — strictly over the |strata|-row aggregate — lives
     // inside the fit-once persisted allocation memo, so both gate
