@@ -61,7 +61,11 @@ object Scaling {
     "q_shard_write_roundtrip" -> 16,
     "q_blocking_quality" -> 16,
     "q_fuzzy_join" -> 16, // union-of-rules blocking (round 9) — uncapped
-    "q_record_linkage" -> 16) // union-of-rules blocking (round 9) — uncapped
+    "q_record_linkage" -> 16, // union-of-rules blocking (round 9) — uncapped
+    "q_coreness" -> 16,   // h-index rounds: edge-sized joins + windows
+    "q_bitext_mine_lsh" -> 4, // fixed 4-plane buckets: see notes
+    "q_event_transitions" -> 16, // per-user lag + states² rollup
+    "q_kaplan_meier" -> 16) // per-user rollup + tiny-frame windows
     .filter { case (q, _) =>
       sys.env.get("SPARK_GRAFT_SCALE_ONLY")
         .forall(_.split(",").map(_.trim).contains(q))
@@ -159,7 +163,14 @@ object Scaling {
         "blocking rules (text prefix-24, suffix-24, exact (lang, " +
         "source, n_chars)) -- content-key cardinality grows WITH the " +
         "corpus so blocks stay bounded; EM stays O(2^K). Retires the " +
-        "round-8 exponent 1.124 measured on the ~8 pow2 length buckets"))
+        "round-8 exponent 1.124 measured on the ~8 pow2 length buckets"),
+      "q_bitext_mine_lsh" -> ("capped at 4x: the gate pins nPlanes=4 " +
+        "(16 buckets) for the oracle replay, so within-bucket " +
+        "candidates grow ~ f^2/2^planes BY CONSTRUCTION at fixed " +
+        "planes; the production knob is nPlanes ~ log2(corpus) -- " +
+        "buckets stay bounded and the miner stays ~linear. The " +
+        "deliberate recall<1 CCMatrix tradeoff is spec'd " +
+        "(LSH-subset-of-brute parity)"))
     def fmt(d: Double) = if (d.isNaN) "null"
       else String.format(java.util.Locale.ROOT, "%.3f",
         java.lang.Double.valueOf(d)) // locale-proof decimal point

@@ -552,6 +552,26 @@ object RelationalQueries extends QueryPack {
         .orderBy("node")
     }),
 
+    // HITS hubs & authorities over the directed trade graph (graph/
+    // Hits.scala): who routes trade (hubs) vs who receives it
+    // (authorities) — two edge⋈score joins per iteration, L1
+    // normalization against a broadcast 1-row total, quantized
+    // trajectory replayed by generated chained CTEs.
+    "q_hits" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.graph.Hits.hits(edges, "src", "dst", "w", iters = 10)
+        .select(col("node"), round(col("hub"), 6).as("hub"),
+          round(col("authority"), 6).as("authority"))
+        .orderBy("node")
+    }),
+
     // k-core decomposition of the part co-purchase graph by iterated
     // neighborhood h-index (Lü et al. 2016 — converges to coreness;
     // graph/KCore.scala): the corpus-graph density signal. 8 integer-
@@ -1069,6 +1089,46 @@ object RelationalQueries extends QueryPack {
        |ORDER BY node""".stripMargin
   }
 
+  /** HITS mirror: the identical L1-normalized hub/authority rounds
+    * over the trade graph, quantized at every handoff
+    * (graph/Hits.scala).
+    */
+  private def hitsOracleSql(iters: Int = 10, q: Int = 10): String = {
+    val steps = (1 to iters).map { i =>
+      val p = s"h${i - 1}"
+      s"""ar$i AS MATERIALIZED (SELECT e.t, sum(e.w * $p.h) AS r
+         |  FROM e JOIN $p ON $p.n = e.s GROUP BY e.t),
+         |at$i AS MATERIALIZED (SELECT sum(r) AS tot FROM ar$i),
+         |a$i AS MATERIALIZED (SELECT nodes.n,
+         |    round(coalesce(ar$i.r / at$i.tot, CAST(0 AS DOUBLE)), $q) AS a
+         |  FROM nodes LEFT JOIN ar$i ON ar$i.t = nodes.n CROSS JOIN at$i),
+         |hr$i AS MATERIALIZED (SELECT e.s, sum(e.w * a$i.a) AS r
+         |  FROM e JOIN a$i ON a$i.n = e.t GROUP BY e.s),
+         |ht$i AS MATERIALIZED (SELECT sum(r) AS tot FROM hr$i),
+         |h$i AS MATERIALIZED (SELECT nodes.n,
+         |    round(coalesce(hr$i.r / ht$i.tot, CAST(0 AS DOUBLE)), $q) AS h
+         |  FROM nodes LEFT JOIN hr$i ON hr$i.s = nodes.n CROSS JOIN ht$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT c.c_nationkey AS s, su.s_nationkey AS t,
+       |             CAST(count(*) AS DOUBLE) AS w
+       |           FROM lineitem l
+       |           JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |           JOIN customer c ON o.o_custkey = c.c_custkey
+       |           JOIN supplier su ON l.l_suppkey = su.s_suppkey
+       |           GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (SELECT DISTINCT n FROM (SELECT s AS n FROM e
+       |          UNION ALL SELECT t FROM e)),
+       |nn AS MATERIALIZED (SELECT count(*) AS cnt FROM nodes),
+       |h0 AS MATERIALIZED (SELECT n, round(CAST(1 AS DOUBLE) / nn.cnt, $q) AS h
+       |       FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT h$iters.n AS node, round(h$iters.h, 6) AS hub,
+       |  round(a$iters.a, 6) AS authority
+       |FROM h$iters JOIN a$iters ON a$iters.n = h$iters.n
+       |ORDER BY node""".stripMargin
+  }
+
   /** Coreness mirror: the identical h-index rounds over the simple
     * symmetrized co-purchase graph — h = max(min(rank, v)) over
     * neighbor values sorted (v DESC, neighbor ASC), pure integer
@@ -1168,6 +1228,7 @@ object RelationalQueries extends QueryPack {
     "q_pagerank" -> pageRankOracleSql(),
     "q_personalized_pagerank" -> pprOracleSql(),
     "q_coreness" -> corenessOracleSql(),
+    "q_hits" -> hitsOracleSql(),
     "q_label_prop" -> labelPropOracleSql(),
     "q_modularity" -> modularityOracleSql(),
     // entity-resolution mirror: scored pairs thresholded, closed
