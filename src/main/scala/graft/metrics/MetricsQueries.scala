@@ -49,6 +49,28 @@ object MetricsQueries extends QueryPack {
       Experiment.cupedReport(per, "variant", "y", "x")
     }),
 
+    // Weight-of-Evidence / Information Value table (preprocessing/
+    // WoeEncoder.scala): per-category smoothed class-conditional
+    // shares — one conditional groupBy + a broadcast 1-row total.
+    "q_woe_encoder" -> ((s, dir) =>
+      graft.preprocessing.WoeEncoder.fit(Tables.orders(s, dir),
+          "o_orderpriority", expr("o_orderstatus = 'F'"))
+        .orderBy("category")),
+
+    // Fairness slice table (metrics/Fairness.scala): confusion rates
+    // per group in ONE grouped aggregate; nulls where a cell is empty.
+    "q_fairness_slices" -> ((s, dir) =>
+      Fairness.sliceReport(Tables.lineitem(s, dir), "l_returnflag",
+          col("l_quantity") > 35, col("l_extendedprice") > 30000)
+        .orderBy("group")),
+
+    // The headline gaps off the same slice table: disparate-impact
+    // ratio + equalized-odds TPR/FPR gaps, one ≤|groups|-row aggregate.
+    "q_fairness_disparity" -> ((s, dir) =>
+      Fairness.disparity(
+        Fairness.sliceReport(Tables.lineitem(s, dir), "l_returnflag",
+          col("l_quantity") > 35, col("l_extendedprice") > 30000))),
+
     // Kaplan–Meier retention curve over the event log (metrics/
     // Survival.scala): per-user durations in HOURS with 12-hour-gap
     // censoring (the corpus is a ~30-day high-frequency log), one
@@ -309,7 +331,66 @@ object MetricsQueries extends QueryPack {
     })
   )
 
+  private val fairnessSliceSql: String =
+    """SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN l_quantity > 35 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos,
+      |    CAST(sum(CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS sel,
+      |    CAST(sum(CASE WHEN (l_quantity > 35)
+      |      = (l_extendedprice > 30000) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ok,
+      |    CAST(sum(CASE WHEN l_quantity > 35 AND l_extendedprice > 30000
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(sum(CASE WHEN NOT l_quantity > 35
+      |      AND l_extendedprice > 30000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS fp,
+      |    CAST(sum(CASE WHEN NOT l_quantity > 35 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS neg
+      |  FROM lineitem GROUP BY 1""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q_woe_encoder" ->
+      """WITH per AS (SELECT o_orderpriority AS category,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_neg
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
+        |    CAST(sum(n_neg) AS BIGINT) AS tn,
+        |    CAST(count(*) AS BIGINT) AS k FROM per)
+        |SELECT category, n_pos, n_neg,
+        |  round(ln(((n_pos + 0.5) / (tp + 0.5 * k))
+        |    / ((n_neg + 0.5) / (tn + 0.5 * k))), 6) AS woe,
+        |  round(((n_pos + 0.5) / (tp + 0.5 * k)
+        |      - (n_neg + 0.5) / (tn + 0.5 * k))
+        |    * round(ln(((n_pos + 0.5) / (tp + 0.5 * k))
+        |      / ((n_neg + 0.5) / (tn + 0.5 * k))), 6), 6) AS iv_term
+        |FROM per CROSS JOIN t ORDER BY category""".stripMargin,
+    "q_fairness_slices" ->
+      s"""WITH s AS ($fairnessSliceSql)
+         |SELECT grp AS "group", n,
+         |  round(CAST(pos AS DOUBLE) / n, 6) AS base_rate,
+         |  round(CAST(sel AS DOUBLE) / n, 6) AS selection_rate,
+         |  round(CAST(ok AS DOUBLE) / n, 6) AS accuracy,
+         |  round(CAST(tp AS DOUBLE) / pos, 6) AS tpr,
+         |  round(CAST(fp AS DOUBLE) / neg, 6) AS fpr,
+         |  round(CAST(tp AS DOUBLE) / sel, 6) AS "precision"
+         |FROM s ORDER BY grp""".stripMargin,
+    "q_fairness_disparity" ->
+      s"""WITH s AS ($fairnessSliceSql),
+         |r AS (SELECT
+         |    round(CAST(sel AS DOUBLE) / n, 6) AS selection_rate,
+         |    round(CAST(tp AS DOUBLE) / pos, 6) AS tpr,
+         |    round(CAST(fp AS DOUBLE) / neg, 6) AS fpr
+         |  FROM s)
+         |SELECT round(min(selection_rate) / max(selection_rate), 6)
+         |    AS disparate_impact,
+         |  round(max(tpr) - min(tpr), 6) AS tpr_gap,
+         |  round(max(fpr) - min(fpr), 6) AS fpr_gap
+         |FROM r""".stripMargin,
     "q_kaplan_meier" ->
       """WITH per AS (SELECT user_id,
         |    epoch_us(min(ts)) AS f, epoch_us(max(ts)) AS l
