@@ -179,6 +179,11 @@ object GraftExtensions {
           s"bpe_encode: merge arrays differ in length (${l.length} vs ${r.length})")
         BpeEncode(args(0), l.zip(r))
       }),
+    ("jaro_winkler",
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity over UTF-8 bytes " +
+          "(prefix boost 0.1 above 0.7, DuckDB-compatible)"),
+      args => { arity("jaro_winkler", args, 2); JaroWinkler(args(0), args(1)) }),
     ("hashed_linear_score",
       info("hashed_linear_score",
         "hashed_linear_score(text, weights, intercept) - hashed bag-of-words " +

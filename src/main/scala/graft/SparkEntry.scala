@@ -20,6 +20,7 @@ object SparkEntry {
     graft.llmdata.LlmDataQueries,
     graft.llmdata.AnnQueries,
     graft.llmdata.DedupQueries,
+    graft.quality.ProfilingQueries,
     graft.cluster.EstimatorQueries,
     graft.modelselection.AdaptiveSearchQueries,
     graft.featureextraction.TextFeatureQueries,

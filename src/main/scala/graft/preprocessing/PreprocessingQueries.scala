@@ -14,7 +14,29 @@ object PreprocessingQueries extends QueryPack {
 
   private val key = Seq("l_orderkey", "l_linenumber")
 
+  /** The q_feature_selection / q_select_kbest feature set: three
+    * discretized lineitem features scored against l_returnflag. */
+  private def fsScores(s: SparkSession, dir: String): DataFrame =
+    FeatureSelection.scores(Tables.lineitem(s, dir),
+      Seq(
+        "ship_year" -> year(col("l_shipdate")),
+        "quantity_bucket" -> floor(col("l_quantity") / 10).cast("int"),
+        "discount_pct" -> round(col("l_discount") * 100).cast("int")),
+      label = col("l_returnflag"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SelectKBest-family univariate scores (preprocessing/
+    // FeatureSelection.scala): mutual information + contingency chi2
+    // for all features in ONE exploded corpus pass; absent cells enter
+    // chi2 via the Σe identity, never materialized.
+    "q_feature_selection" -> ((s, dir) =>
+      fsScores(s, dir).orderBy("feature")),
+
+    // Top-k (k=2) by MI with name tiebreak — the SelectKBest surface;
+    // the ordered prefix runs over the ≤|features| score frame only.
+    "q_select_kbest" -> ((s, dir) =>
+      FeatureSelection.selectKBest(fsScores(s, dir), k = 2)),
 
     "q_standard_scaler_fit" -> ((s, dir) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
@@ -235,7 +257,54 @@ object PreprocessingQueries extends QueryPack {
         .orderBy("c_custkey"))
   )
 
+  /** Shared contingency + margins + scores SQL for the feature-selection
+    * gates (bin expressions mirror the Spark Columns exactly: floor
+    * before the int cast — DuckDB's double→int cast rounds where
+    * Spark's truncates). */
+  private val fsScoreSql =
+    """raw AS (SELECT f, bin, label, CAST(count(*) AS BIGINT) AS n_xy
+      |  FROM (
+      |    SELECT 'ship_year' AS f,
+      |      CAST(year(l_shipdate) AS VARCHAR) AS bin,
+      |      l_returnflag AS label FROM lineitem
+      |    UNION ALL
+      |    SELECT 'quantity_bucket',
+      |      CAST(CAST(floor(l_quantity / 10) AS INT) AS VARCHAR),
+      |      l_returnflag FROM lineitem
+      |    UNION ALL
+      |    SELECT 'discount_pct',
+      |      CAST(CAST(round(l_discount * 100) AS INT) AS VARCHAR),
+      |      l_returnflag FROM lineitem)
+      |  GROUP BY 1, 2, 3),
+      |rowm AS (SELECT f, bin, CAST(sum(n_xy) AS BIGINT) AS n_x
+      |  FROM raw GROUP BY 1, 2),
+      |colm AS (SELECT f, label, CAST(sum(n_xy) AS BIGINT) AS n_y
+      |  FROM raw GROUP BY 1, 2),
+      |tot AS (SELECT f, CAST(sum(n_xy) AS BIGINT) AS n FROM raw GROUP BY 1),
+      |j AS (SELECT r.f, r.bin, r.label, r.n_xy, rm.n_x, cm.n_y, t.n
+      |  FROM raw r
+      |  JOIN rowm rm ON r.f = rm.f AND r.bin = rm.bin
+      |  JOIN colm cm ON r.f = cm.f AND r.label = cm.label
+      |  JOIN tot t ON r.f = t.f),
+      |sc AS (SELECT f AS feature,
+      |    CAST(count(DISTINCT bin) AS BIGINT) AS n_bins,
+      |    CAST(count(DISTINCT label) AS BIGINT) AS n_classes,
+      |    round(sum((CAST(n_xy AS DOUBLE) / n)
+      |      * ln(CAST(n_xy * n AS DOUBLE) / (n_x * n_y))), 6) AS mi,
+      |    round(sum(power(n_xy - CAST(n_x * n_y AS DOUBLE) / n, 2)
+      |        / (CAST(n_x * n_y AS DOUBLE) / n))
+      |      - sum(CAST(n_x * n_y AS DOUBLE) / n) + min(n), 6) AS chi2,
+      |    CAST((count(DISTINCT bin) - 1) * (count(DISTINCT label) - 1)
+      |      AS BIGINT) AS dof
+      |  FROM j GROUP BY f)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q_feature_selection" ->
+      s"""WITH $fsScoreSql
+         |SELECT * FROM sc ORDER BY feature""".stripMargin,
+    "q_select_kbest" ->
+      s"""WITH $fsScoreSql
+         |SELECT * FROM sc ORDER BY mi DESC, feature LIMIT 2""".stripMargin,
     "q_variance_threshold" ->
       """SELECT * FROM (
         |  SELECT 'l_quantity' AS feature, round(var_pop(l_quantity), 6) AS variance,

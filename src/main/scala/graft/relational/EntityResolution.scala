@@ -158,6 +158,26 @@ object EntityResolution {
         col(s"${nameCol}_b").as("name_b"), col("distance"))
   }
 
+  /** Blocked similarity pairs scored with the native Jaro–Winkler
+    * comparator (functions/JaroWinkler.scala) instead of a Levenshtein
+    * bound — the Fellegi–Sunter-tradition name comparator, scored
+    * inside WholeStageCodegen on [[blockingUnion]] candidates. Same
+    * scale contract as [[fuzzyPairsUnion]]: the rules bound block
+    * sizes, the union preserves recall, no cross product anywhere.
+    * Scores are rounded to 6 before thresholding so the kept set is
+    * engine-reproducible.
+    */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, nameCol: String,
+      rules: Seq[Column], minSim: Double): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0, s"minSim out of range: $minSim")
+    blockingUnion(df, idCol, rules, payload = Seq(nameCol))
+      .withColumn("sim", round(graft.functions.JaroWinkler(
+        col(s"${nameCol}_a"), col(s"${nameCol}_b")), 6))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col(s"${nameCol}_a").as("name_a"),
+        col(s"${nameCol}_b").as("name_b"), col("sim"))
+  }
+
   def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
       blockKey: Column, maxDistance: Int,
       broadcastBuild: Option[Boolean] = None): DataFrame = {

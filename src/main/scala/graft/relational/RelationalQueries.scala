@@ -898,6 +898,20 @@ object RelationalQueries extends QueryPack {
         maxDistance = 1)
         .orderBy("id_a", "id_b")),
 
+    // Jaro–Winkler scored pairs (the FS-tradition name comparator as a
+    // native codegen expression, functions/JaroWinkler.scala) over
+    // blockingUnion candidates — blocks keyed on the first p_name word
+    // (~92 color blocks, bounded by the generator vocabulary). Scores
+    // rounded to 6 BEFORE thresholding; DuckDB's own
+    // jaro_winkler_similarity replays them bit-for-bit (byte
+    // semantics, strict 0.7 boost threshold — fuzz-pinned).
+    "q_jaro_winkler" -> ((s, dir) =>
+      EntityResolution.jaroWinklerPairs(
+        Tables.part(s, dir), "p_partkey", "p_name",
+        rules = Seq(split(col("p_name"), " ").getItem(0)),
+        minSim = 0.88)
+        .orderBy("id_a", "id_b")),
+
     // fuzzyPairs (single-key blocking) forced onto the LARGE-table
     // path: both sides shuffle on the block key as a plain equi-join,
     // zero driver-side broadcast — the form fuzzyPairs' auto-default
@@ -1351,6 +1365,15 @@ object RelationalQueries extends QueryPack {
         |ORDER BY deg.id""".stripMargin,
     "q_fuzzy_join" -> fuzzyJoinOracleSql,
     "q_fuzzy_join_shuffled" -> fuzzyJoinOracleSql,
+    "q_jaro_winkler" ->
+      """WITH k AS (SELECT p_partkey AS id, p_name AS name,
+        |    split_part(p_name, ' ', 1) AS blk FROM part)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  a.name AS name_a, b.name AS name_b,
+        |  round(jaro_winkler_similarity(a.name, b.name), 6) AS sim
+        |FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
+        |WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.88
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_scd2" ->
       """WITH o AS (SELECT user_id, ts, event_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id

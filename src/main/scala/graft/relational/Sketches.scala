@@ -1,0 +1,108 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Hashing
+
+/** Mergeable cardinality / frequency sketches — the 100 TB profiling
+  * primitives (Flajolet et al. AofA'07 HyperLogLog; Cormode &
+  * Muthukrishnan J.Alg'05 Count-Min). At cluster scale a COUNT(DISTINCT)
+  * or a per-key frequency table over a join column is itself a shuffle of
+  * the full key stream; both sketches here reduce the corpus to a tiny
+  * mergeable frame with ONE map-side-combinable aggregate:
+  *
+  *  - HLL: `registers` is a groupBy(register).max(rank) — partial max
+  *    merges on the map side, the reduce moves ≤ 2^p rows total, and two
+  *    sketches (shards, days, snapshots) merge by unioning register
+  *    frames and taking max again. No key stream ever crosses the wire.
+  *  - CMS: `cmsSketch` is a groupBy((row, bucket)).count over a
+  *    depth-way explode — partial sums combine map-side, the sketch is
+  *    ≤ depth·width rows, and sketches merge by adding counts.
+  *
+  * Everything derives from the house h60 content hash (core/Hashing),
+  * so every register index, rank, and bucket is reproducible in DuckDB
+  * integer arithmetic — the gates are hash-exact, not tolerance checks.
+  * Rank extraction stays in integer/string space (`bin`/`lpad`/`instr`,
+  * identical semantics in both engines) and the register power sum is
+  * computed as Σ 2^(maxRank − rank) — an exact BIGINT (≤ 2^61 at p=9) —
+  * so no float accumulation order can fork the estimate.
+  */
+object Sketches {
+
+  /** 60-bit house hash split: high p bits select the register, the
+    * remaining (60−p) bits feed the rank (leading-zero count + 1).
+    */
+  def hllRegisters(df: DataFrame, key: Column, salt: String, p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 16, s"p out of range: $p")
+    val lowBits = 60 - p
+    val maxRank = lowBits + 1
+    val h = Hashing.h60(key, salt)
+    val low = h.bitwiseAND(lit((1L << lowBits) - 1))
+    val rank = when(low === 0L, lit(maxRank))
+      .otherwise(instr(lpad(bin(low), lowBits, "0"), "1"))
+    df.select(shiftright(h, lowBits).as("register"),
+        rank.cast("int").as("rank"))
+      .groupBy("register").agg(max("rank").as("rank"))
+  }
+
+  /** Sketch union: max per register. Associative/commutative/idempotent —
+    * the distributed-merge contract. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("register").agg(max("rank").as("rank"))
+
+  /** The HLL estimate off a register frame: integer-exact power sum,
+    * then the Flajolet bias-corrected estimator with the small-range
+    * linear-counting fallback. Returns one row
+    * (m, zero_registers, raw_estimate, estimate). */
+  def hllEstimate(registers: DataFrame, p: Int = 9): DataFrame = {
+    val m = 1L << p
+    val maxRank = 60 - p + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    registers
+      .agg(count(lit(1)).as("__nz"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRank - rank)"))
+          .as("__psum"))
+      .select(lit(m).as("m"), (lit(m) - col("__nz")).as("zero_registers"),
+        // Σ 2^-rank = (psum + zeros·2^maxRank) / 2^maxRank, kept integer
+        (col("__psum") + (lit(m) - col("__nz")) * shiftleft(lit(1L), maxRank))
+          .as("__isum"))
+      .select(col("m"), col("zero_registers"),
+        round(lit(alpha) * lit(m.toDouble) * lit(m.toDouble)
+          * pow(lit(2.0), lit(maxRank)) / col("__isum"), 6).as("raw_estimate"))
+      .select(col("m"), col("zero_registers"), col("raw_estimate"),
+        round(when(col("raw_estimate") <= lit(2.5 * m)
+            && col("zero_registers") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zero_registers")))
+          .otherwise(col("raw_estimate")), 6).as("estimate"))
+  }
+
+  /** Count-Min sketch: depth independent h60 hash rows × width buckets.
+    * ONE pass — the depth-way explode is map-side; the rollup frame is
+    * ≤ depth·width rows regardless of corpus size. */
+  def cmsSketch(df: DataFrame, key: Column, salt: String,
+      depth: Int = 4, width: Long = 4096): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth out of range: $depth")
+    val rows = (0 until depth).map(i => Hashing.bucket(key, s"$salt$i", width))
+    df.select(posexplode(array(rows: _*)).as(Seq("row", "bucket")))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Sketch union: counts add per cell (missing cell = 0). */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** Point-query the sketch for each probe key: min over the depth rows
+    * of the cell counts (the one-sided CMS estimate — never below the
+    * true count). The sketch side is tiny, so the probe join broadcasts.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, key: Column,
+      salt: String, depth: Int = 4, width: Long = 4096): DataFrame = {
+    val rows = (0 until depth).map(i => Hashing.bucket(key, s"$salt$i", width))
+    probes
+      .select(key.as("key"), posexplode(array(rows: _*)).as(Seq("row", "bucket")))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
+  }
+}
