@@ -33,6 +33,18 @@ object MetricsQueries extends QueryPack {
           col("l_linenumber").cast("string")),
         salt = "conf", alpha = 0.1, finiteSample = false)),
 
+    // Bucketed isotonic regression (metrics/Isotonic.scala): P(return)
+    // vs ship time as a monotone step function — two corpus aggregates
+    // (range, bucket rollup), then the PAV minimax identity over the
+    // 20-bucket frame; binary labels keep every sum integral, so the
+    // whole fit replays bit-for-bit in DuckDB.
+    "q_isotonic_calibration" -> ((s, dir) =>
+      Isotonic.fitBuckets(Tables.lineitem(s, dir),
+        unix_micros(col("l_shipdate").cast("timestamp")),
+        col("l_returnflag") === "R",
+        nBuckets = 20)
+        .orderBy("bucket")),
+
     // CUPED A/B readout (Deng et al. WSDM'13; metrics/Experiment.scala):
     // units are customers, variant = h60 bucket, y = post-1995 spend,
     // x = pre-1995 spend (the pre-experiment covariate). One per-unit
@@ -351,6 +363,34 @@ object MetricsQueries extends QueryPack {
       |  FROM lineitem GROUP BY 1""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_isotonic_calibration" ->
+      """WITH base AS (SELECT CAST(epoch_us(l_shipdate) AS DOUBLE) AS s,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL),
+        |rg AS (SELECT min(s) AS lo, max(s) AS hi FROM base),
+        |bk AS (SELECT CAST(least(19, CASE WHEN hi = lo THEN 0
+        |    ELSE floor((s - lo) / (hi - lo) * 20) END) AS INT) AS bucket,
+        |    y
+        |  FROM base CROSS JOIN rg),
+        |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos FROM bk GROUP BY 1),
+        |p AS (SELECT a.bucket, CAST(sum(b.n) AS BIGINT) AS cn,
+        |    CAST(sum(b.pos) AS BIGINT) AS cp
+        |  FROM g a JOIN g b ON b.bucket <= a.bucket GROUP BY 1),
+        |pairs AS (SELECT pa.bucket AS a, pb.bucket AS b,
+        |    (pb.cp - pa.cp + ga.pos)
+        |      / CAST(pb.cn - pa.cn + ga.n AS DOUBLE) AS avg_ab
+        |  FROM p pa JOIN p pb ON pa.bucket <= pb.bucket
+        |  JOIN g ga ON ga.bucket = pa.bucket),
+        |im AS (SELECT i.bucket AS i, pr.a, min(pr.avg_ab) AS m
+        |  FROM pairs pr JOIN g i
+        |    ON pr.a <= i.bucket AND i.bucket <= pr.b
+        |  GROUP BY 1, 2),
+        |fit AS (SELECT i, max(m) AS f FROM im GROUP BY 1)
+        |SELECT g.bucket, g.n, g.pos,
+        |  round(CAST(g.pos AS DOUBLE) / g.n, 6) AS raw_rate,
+        |  round(f, 6) AS fitted
+        |FROM g JOIN fit ON fit.i = g.bucket ORDER BY g.bucket""".stripMargin,
     "q_woe_encoder" ->
       """WITH per AS (SELECT o_orderpriority AS category,
         |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)

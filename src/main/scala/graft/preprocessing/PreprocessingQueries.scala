@@ -38,6 +38,19 @@ object PreprocessingQueries extends QueryPack {
     "q_select_kbest" -> ((s, dir) =>
       FeatureSelection.selectKBest(fsScores(s, dir), k = 2)),
 
+    // Histogram decision-stump split finding (ensemble/Stump.scala):
+    // per-feature best Gini split from ONE exploded corpus pass + the
+    // XGBoost-style prefix evaluation over the bin histogram; decrease
+    // rounded before the argmax, ties to the smallest threshold.
+    "q_decision_stump" -> ((s, dir) =>
+      graft.ensemble.Stump.bestSplits(Tables.lineitem(s, dir),
+        Seq(
+          "ship_year" -> year(col("l_shipdate")),
+          "quantity_bucket" -> floor(col("l_quantity") / 10).cast("int"),
+          "discount_pct" -> round(col("l_discount") * 100).cast("int")),
+        label = col("l_returnflag") === "R")
+        .orderBy("feature")),
+
     "q_standard_scaler_fit" -> ((s, dir) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
       val m = new StandardScaler(cols).fit(Tables.lineitem(s, dir))
@@ -299,6 +312,58 @@ object PreprocessingQueries extends QueryPack {
       |  FROM j GROUP BY f)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_decision_stump" ->
+      """WITH hist AS (SELECT f, bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos
+        |  FROM (
+        |    SELECT 'ship_year' AS f, CAST(year(l_shipdate) AS INT) AS bin,
+        |      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |    FROM lineitem
+        |    UNION ALL
+        |    SELECT 'quantity_bucket', CAST(floor(l_quantity / 10) AS INT),
+        |      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+        |    FROM lineitem
+        |    UNION ALL
+        |    SELECT 'discount_pct', CAST(round(l_discount * 100) AS INT),
+        |      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+        |    FROM lineitem)
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT f, CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(pos) AS BIGINT) AS pt FROM hist GROUP BY 1),
+        |lft AS (SELECT a.f, a.bin AS threshold,
+        |    CAST(sum(b.n) AS BIGINT) AS nl,
+        |    CAST(sum(b.pos) AS BIGINT) AS pl
+        |  FROM hist a JOIN hist b ON a.f = b.f AND b.bin <= a.bin
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT l.f AS feature, l.threshold, l.nl,
+        |    t.nt - l.nl AS nr,
+        |    round(1.0 - power(CAST(t.pt AS DOUBLE) / t.nt, 2)
+        |      - power(CAST(t.nt - t.pt AS DOUBLE) / t.nt, 2), 6)
+        |      AS parent_gini,
+        |    round((1.0 - power(CAST(t.pt AS DOUBLE) / t.nt, 2)
+        |        - power(CAST(t.nt - t.pt AS DOUBLE) / t.nt, 2))
+        |      - ((CAST(l.nl AS DOUBLE) / t.nt)
+        |          * (1.0 - power(CAST(l.pl AS DOUBLE) / l.nl, 2)
+        |            - power(CAST(l.nl - l.pl AS DOUBLE) / l.nl, 2))
+        |        + (CAST(t.nt - l.nl AS DOUBLE) / t.nt)
+        |          * (1.0 - power(CAST(t.pt - l.pl AS DOUBLE)
+        |              / (t.nt - l.nl), 2)
+        |            - power(CAST((t.nt - l.nl) - (t.pt - l.pl) AS DOUBLE)
+        |              / (t.nt - l.nl), 2))), 6) AS gini_decrease
+        |  FROM lft l JOIN tot t ON l.f = t.f WHERE l.nl < t.nt),
+        |best AS (SELECT feature, max(gini_decrease) AS gini_decrease
+        |  FROM sc GROUP BY 1),
+        |bt AS (SELECT s.feature, s.gini_decrease,
+        |    min(s.threshold) AS threshold
+        |  FROM sc s JOIN best b ON s.feature = b.feature
+        |    AND s.gini_decrease = b.gini_decrease
+        |  GROUP BY 1, 2)
+        |SELECT s.feature, s.threshold, s.nl AS n_left, s.nr AS n_right,
+        |  s.parent_gini, s.gini_decrease
+        |FROM sc s JOIN bt ON s.feature = bt.feature
+        |  AND s.gini_decrease = bt.gini_decrease
+        |  AND s.threshold = bt.threshold
+        |ORDER BY s.feature""".stripMargin,
     "q_feature_selection" ->
       s"""WITH $fsScoreSql
          |SELECT * FROM sc ORDER BY feature""".stripMargin,
