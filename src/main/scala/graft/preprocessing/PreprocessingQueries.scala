@@ -24,7 +24,55 @@ object PreprocessingQueries extends QueryPack {
         "discount_pct" -> round(col("l_discount") * 100).cast("int")),
       label = col("l_returnflag"))
 
+  /** GBT fit memo (fit-once/gate-twice, Memos contract: driver-side
+    * summaries only — the trajectory plus the ≤Π|bins| cell frame
+    * collected as tuples). */
+  private val gbtMemo = graft.core.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Seq[graft.ensemble.Boosting.BoostRound],
+        Seq[(Int, Int, Int, Long, Long, Long)])]())
+
+  private def gbtFit(s: SparkSession, dir: String) =
+    gbtMemo.computeIfAbsent(dir, _ => {
+      val (traj, cells) = graft.ensemble.Boosting.fitBinned(
+        Tables.lineitem(s, dir),
+        Seq(
+          "ship_year" -> year(col("l_shipdate")),
+          "quantity_bucket" -> floor(col("l_quantity") / 10).cast("int"),
+          "discount_pct" -> round(col("l_discount") * 100).cast("int")),
+        label = col("l_returnflag") === "R", rounds = 3, eta = 0.5)
+      (traj, cells.collect().map(r => (
+        r.getAs[Int]("__b_ship_year"), r.getAs[Int]("__b_quantity_bucket"),
+        r.getAs[Int]("__b_discount_pct"), r.getAs[Long]("n"),
+        r.getAs[Long]("sy"), r.getAs[Long]("f_micro"))).toSeq)
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gradient-boosted stumps (ensemble/Boosting.scala): 3 rounds of
+    // squared-loss boosting over the binned-cell sufficient statistics
+    // — ONE corpus pass total; the trajectory (split choices, gains,
+    // integer micro-unit leaf deltas) replays in DuckDB's own
+    // chained-CTE arithmetic.
+    "q_gbt_trajectory" -> ((s, dir) => {
+      import s.implicits._
+      gbtFit(s, dir)._1
+        .map(r => (r.round, r.feature, r.threshold, r.gain,
+          r.leftMicro, r.rightMicro))
+        .toDF("round", "feature", "threshold", "gain",
+          "left_micro", "right_micro")
+        .orderBy("round")
+    }),
+
+    // The fitted model surface: final per-cell ensemble score in exact
+    // integer micro-units (same fit, memoized).
+    "q_gbt_cells" -> ((s, dir) => {
+      import s.implicits._
+      gbtFit(s, dir)._2
+        .toDF("ship_year", "quantity_bucket", "discount_pct",
+          "n", "sy", "f_micro")
+        .orderBy("ship_year", "quantity_bucket", "discount_pct")
+    }),
 
     // SelectKBest-family univariate scores (preprocessing/
     // FeatureSelection.scala): mutual information + contingency chi2
@@ -311,7 +359,74 @@ object PreprocessingQueries extends QueryPack {
       |      AS BIGINT) AS dof
       |  FROM j GROUP BY f)""".stripMargin
 
+  /** Generated round-by-round replay of the GBT fit: each round's CTEs
+    * recompute the per-feature prefix gains from the integer residual
+    * mass (1e6·sy − n·f), pick the argmax with the (gain DESC, feature
+    * position, threshold) tiebreak, and advance the cell scores by the
+    * rounded micro-unit deltas — mirroring Boosting.fitBinned exactly. */
+  private val gbtOracleCtes: String = {
+    val binsSrc = "SELECT CAST(year(l_shipdate) AS INT) AS b1, " +
+      "CAST(floor(l_quantity / 10) AS INT) AS b2, " +
+      "CAST(round(l_discount * 100) AS INT) AS b3, " +
+      "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem"
+    val sb = new StringBuilder
+    sb ++= s"""cells0 AS (SELECT b1, b2, b3, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(0 AS BIGINT) AS f
+      |  FROM ($binsSrc) GROUP BY 1, 2, 3)""".stripMargin
+    for (t <- 1 to 3) {
+      val c = s"cells${t - 1}"
+      sb ++= s""",
+        |r${t}s AS (SELECT fi, bin, CAST(sum(r) AS BIGINT) AS S,
+        |    CAST(sum(n) AS BIGINT) AS N
+        |  FROM (
+        |    SELECT 0 AS fi, b1 AS bin, 1000000 * sy - n * f AS r, n FROM $c
+        |    UNION ALL
+        |    SELECT 1, b2, 1000000 * sy - n * f, n FROM $c
+        |    UNION ALL
+        |    SELECT 2, b3, 1000000 * sy - n * f, n FROM $c)
+        |  GROUP BY 1, 2),
+        |r${t}t AS (SELECT CAST(sum(1000000 * sy - n * f) AS BIGINT) AS St,
+        |    CAST(sum(n) AS BIGINT) AS Nt FROM $c),
+        |r${t}p AS (SELECT a.fi, a.bin AS thr, CAST(sum(b.S) AS BIGINT) AS SL,
+        |    CAST(sum(b.N) AS BIGINT) AS NL
+        |  FROM r${t}s a JOIN r${t}s b ON a.fi = b.fi AND b.bin <= a.bin
+        |  GROUP BY 1, 2),
+        |r${t}b AS (SELECT fi, thr,
+        |    round(power(SL / 1000000.0, 2) / NL
+        |      + power((St - SL) / 1000000.0, 2) / (Nt - NL)
+        |      - power(St / 1000000.0, 2) / Nt, 6) AS gain,
+        |    CAST(round(0.5 * SL / NL) AS BIGINT) AS ld,
+        |    CAST(round(0.5 * (St - SL) / (Nt - NL)) AS BIGINT) AS rd
+        |  FROM r${t}p CROSS JOIN r${t}t WHERE NL < Nt
+        |  ORDER BY gain DESC, fi, thr LIMIT 1),
+        |cells$t AS (SELECT c.b1, c.b2, c.b3, c.n, c.sy,
+        |    c.f + CASE WHEN (CASE d.fi WHEN 0 THEN c.b1 WHEN 1 THEN c.b2
+        |        ELSE c.b3 END) <= d.thr THEN d.ld ELSE d.rd END AS f
+        |  FROM $c c CROSS JOIN r${t}b d)""".stripMargin
+    }
+    sb.toString
+  }
+
+  private val gbtFeatName = "CASE fi WHEN 0 THEN 'ship_year' " +
+    "WHEN 1 THEN 'quantity_bucket' ELSE 'discount_pct' END"
+
   def oracles: Map[String, String] = Map(
+    "q_gbt_trajectory" ->
+      s"""WITH $gbtOracleCtes
+         |SELECT * FROM (
+         |  SELECT 1 AS round, $gbtFeatName AS feature,
+         |    thr AS threshold, gain, ld AS left_micro, rd AS right_micro
+         |  FROM r1b
+         |  UNION ALL
+         |  SELECT 2, $gbtFeatName, thr, gain, ld, rd FROM r2b
+         |  UNION ALL
+         |  SELECT 3, $gbtFeatName, thr, gain, ld, rd FROM r3b)
+         |ORDER BY round""".stripMargin,
+    "q_gbt_cells" ->
+      s"""WITH $gbtOracleCtes
+         |SELECT b1 AS ship_year, b2 AS quantity_bucket,
+         |  b3 AS discount_pct, n, sy, f AS f_micro
+         |FROM cells3 ORDER BY 1, 2, 3""".stripMargin,
     "q_decision_stump" ->
       """WITH hist AS (SELECT f, bin, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(y) AS BIGINT) AS pos
