@@ -111,6 +111,24 @@ object AnnQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
 
+    // MMR diverse re-ranking (Retrieval.mmrSelect, SIGIR'98): query =
+    // vec 0, candidates = dot-product top-30 (TakeOrdered — bounded,
+    // never a window), then 5 greedy λ=0.7 picks with running-max
+    // redundancy; every sim/score rounded 6 with id-asc ties, replayed
+    // step-by-step in the generated oracle.
+    "q_mmr_select" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qvec = emb.where(col("vec_id") === 0).head()
+        .getAs[scala.collection.Seq[Float]]("embedding").toArray
+      val cands = emb.where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(graft.functions.VecDot(col("embedding"), lit(qvec)), 6)
+            .as("rel"),
+          col("embedding"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(30)
+      Retrieval.mmrSelect(cands, "vec_id", "rel", "embedding",
+        k = 5, lambda = 0.7).orderBy("step")
+    }),
 
     // L2 normalization (native VecNormalize codegen loop): first
     // component of the unit vector + its recomputed norm, both exactly
@@ -486,7 +504,54 @@ object AnnQueries extends QueryPack {
        |${bitextMarginSql(k, threshold)}""".stripMargin
   }
 
+  /** MMR replay: candidate top-30 + pairwise candidate sims once, then
+    * one (argmax, running-max-update) CTE pair per greedy step. The
+    * (1−λ) literal is printed from the Scala double so both engines
+    * subtract the same IEEE value (1.0 − 0.7 ≠ 0.3 exactly). */
+  private def mmrOracleSql(k: Int, lambda: Double): String = {
+    val lam = lambda.toString
+    val oneMinus = (1.0 - lambda).toString
+    val steps = (2 to k).map { j =>
+      s"""m${j - 1} AS MATERIALIZED (SELECT m.id, m.rel,
+         |    greatest(m.maxsim, cs.sim) AS maxsim
+         |  FROM m${j - 2} m JOIN s${j - 1} sj ON m.id <> sj.id
+         |  JOIN cs ON cs.ia = m.id AND cs.ib = sj.id),
+         |s$j AS MATERIALIZED (SELECT id,
+         |    round($lam * rel - $oneMinus * maxsim, 6) AS score
+         |  FROM m${j - 1} ORDER BY score DESC, id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val rows = (2 to k)
+      .map(j => s"UNION ALL SELECT $j, id, score FROM s$j").mkString("\n")
+    s"""WITH q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings
+       |  WHERE vec_id = 0),
+       |qx AS MATERIALIZED (SELECT unnest(qe)::DOUBLE AS qe_e,
+       |  generate_subscripts(qe, 1) AS i FROM q),
+       |x AS MATERIALIZED (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+       |  generate_subscripts(embedding, 1) AS i FROM embeddings
+       |  WHERE vec_id <> 0),
+       |rel AS MATERIALIZED (SELECT vec_id,
+       |  round(sum(e * qe_e), 6) AS rel FROM x JOIN qx USING (i)
+       |  GROUP BY vec_id),
+       |cand AS MATERIALIZED (SELECT vec_id AS id, rel FROM rel
+       |  ORDER BY rel DESC, vec_id LIMIT 30),
+       |cs AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib,
+       |    round(sum(xa.e * xb.e), 6) AS sim
+       |  FROM cand a JOIN cand b ON a.id <> b.id
+       |  JOIN x xa ON xa.vec_id = a.id
+       |  JOIN x xb ON xb.vec_id = b.id AND xb.i = xa.i
+       |  GROUP BY 1, 2),
+       |m0 AS MATERIALIZED (SELECT id, rel, 0.0 AS maxsim FROM cand),
+       |s1 AS MATERIALIZED (SELECT id,
+       |    round($lam * rel - $oneMinus * maxsim, 6) AS score
+       |  FROM m0 ORDER BY score DESC, id LIMIT 1),
+       |$steps
+       |SELECT CAST(step AS INT) AS step, id, score FROM (
+       |  SELECT 1 AS step, id, score FROM s1
+       |  $rows) ORDER BY step""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_mmr_select" -> mmrOracleSql(5, 0.7),
     "q_kcenter_coreset" -> kcenterOracleSql(8),
     "q_bitext_mine" -> bitextOracleSql(4, 1.0),
     "q_bitext_mine_lsh" -> bitextLshOracleSql(4, 1.0, 4, 64),

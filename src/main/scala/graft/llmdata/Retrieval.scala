@@ -63,4 +63,49 @@ object Retrieval {
     top.join(broadcast(fused), idCol)
       .select(col("rank"), col(idCol), col("rrf"), col("n_lists"))
   }
+
+  /** Maximal Marginal Relevance diverse re-ranking (Carbonell &
+    * Goldstein, SIGIR 1998): greedily pick k results maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) — the
+    * redundancy-penalized top-k used to de-duplicate retrieval results
+    * and diversify few-shot example selection.
+    *
+    * Scale shape: the candidate frame is ALREADY bounded (a retriever's
+    * top-N — here never the corpus), so each of the k greedy steps is a
+    * 1-row argmax over that persisted frame plus a running-max
+    * similarity update against the newest pick's literal vector — the
+    * Coreset farthest-first pattern with a relevance term. Similarities
+    * and scores are rounded to 6 at every handoff (id-ascending ties),
+    * so the trajectory replays exactly in generated SQL.
+    *
+    * @param cands (idCol: long, relCol: double ALREADY quantized,
+    *   vecCol: float/double array)
+    * @return (step, id, score) in pick order, 1-based
+    */
+  def mmrSelect(cands: DataFrame, idCol: String, relCol: String,
+      vecCol: String, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && lambda >= 0.0 && lambda <= 1.0)
+    val spark = cands.sparkSession
+    import spark.implicits._
+    var state = graft.core.Memos.tracked("mmr", cands.select(
+        col(idCol).cast("long").as("id"), col(relCol).as("rel"),
+        col(vecCol).as("vec"))
+      .withColumn("maxsim", lit(0.0)).persist())
+    val picks = (1 to k).map { step =>
+      val scored = state.withColumn("score",
+        round(lit(lambda) * col("rel")
+          - lit(1.0 - lambda) * col("maxsim"), 6))
+      val best = scored.orderBy(col("score").desc, col("id")).limit(1).head()
+      val bestId = best.getAs[Long]("id")
+      val bestVec = best.getAs[scala.collection.Seq[Float]]("vec").toSeq
+      state = graft.core.Memos.tracked("mmr", state
+        .where(col("id") =!= bestId)
+        .withColumn("maxsim", greatest(col("maxsim"),
+          round(graft.functions.VecDot(col("vec"),
+            lit(bestVec.toArray)), 6)))
+        .persist())
+      (step, bestId, best.getAs[Double]("score"))
+    }
+    picks.toDF("step", "id", "score")
+  }
 }

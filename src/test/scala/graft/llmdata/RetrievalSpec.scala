@@ -62,4 +62,33 @@ class RetrievalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"))
   }
+
+  // MMR candidates: two tight clusters of near-duplicates; cluster A
+  // slightly more relevant than cluster B
+  private def mmrCands = Seq(
+    (1L, 0.99, Array(1.0f, 0.0f)), (2L, 0.98, Array(0.999f, 0.01f)),
+    (3L, 0.97, Array(0.998f, 0.02f)),
+    (4L, 0.80, Array(0.0f, 1.0f)), (5L, 0.79, Array(0.01f, 0.999f)))
+    .toDF("id", "rel", "vec")
+
+  test("mmrSelect with lambda=1 reduces to pure relevance top-k") {
+    val got = Retrieval.mmrSelect(mmrCands, "id", "rel", "vec",
+      k = 3, lambda = 1.0).collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("mmrSelect diversifies: second pick jumps to the other cluster") {
+    val got = Retrieval.mmrSelect(mmrCands, "id", "rel", "vec",
+      k = 3, lambda = 0.5).collect().map(_.getLong(1)).toSeq
+    assert(got.head == 1L)
+    assert(got(1) == 4L, s"expected cross-cluster pick, got $got")
+    // third pick returns to cluster A's best remaining
+    assert(got(2) == 2L)
+  }
+
+  test("mmrSelect scores are monotone non-increasing in pick order") {
+    val scores = Retrieval.mmrSelect(mmrCands, "id", "rel", "vec",
+      k = 5, lambda = 0.7).collect().map(_.getDouble(2)).toSeq
+    assert(scores.zip(scores.tail).forall { case (a, b) => b <= a + 1e-9 })
+  }
 }
