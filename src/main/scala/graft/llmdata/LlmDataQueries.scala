@@ -469,6 +469,19 @@ object LlmDataQueries extends QueryPack {
 
     // KS statistic over the same contingency: where the two slices'
     // CDFs diverge most (the drift family's sup-norm scalar).
+    // Population Stability Index over the same probe/rest length
+    // contingency as q_corpus_drift — the scorecard drift scalar
+    // (per-bucket term table; Laplace +0.5-smoothed shares).
+    "q_psi" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val probe = Seq("src0", "src1", "src2", "src3", "src4")
+      TextStats.psi(
+        docs.filter(col("source").isin(probe: _*)),
+        docs.filter(!col("source").isin(probe: _*)),
+        floor(length(col("text")) / 100))
+        .orderBy("bucket")
+    }),
+
     "q_ks_statistic" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val probe = Seq("src0", "src1", "src2", "src3", "src4")
@@ -2391,6 +2404,23 @@ object LlmDataQueries extends QueryPack {
 
     // KS mirror: ordered cumulative window over the same contingency,
     // supremum via row_number(dk DESC, bucket ASC).
+    "q_psi" ->
+      """WITH c AS (SELECT CAST(floor(len(text) / 100) AS BIGINT) AS bucket,
+        |    CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        |      THEN 1 ELSE 0 END AS t
+        |  FROM documents),
+        |g AS (SELECT bucket, CAST(sum(t) AS BIGINT) AS ca,
+        |    CAST(count(*) - sum(t) AS BIGINT) AS cb FROM c GROUP BY 1),
+        |tt AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(count(*) AS BIGINT) AS k FROM g)
+        |SELECT bucket, ca, cb,
+        |  round((ca + 0.5) / (na + 0.5 * k), 6) AS p_a,
+        |  round((cb + 0.5) / (nb + 0.5 * k), 6) AS p_b,
+        |  round(((ca + 0.5) / (na + 0.5 * k) - (cb + 0.5) / (nb + 0.5 * k))
+        |    * ln(((ca + 0.5) / (na + 0.5 * k))
+        |      / ((cb + 0.5) / (nb + 0.5 * k))), 6) AS psi_term
+        |FROM g CROSS JOIN tt ORDER BY bucket""".stripMargin,
     "q_ks_statistic" ->
       """WITH c AS (SELECT CAST(floor(len(text) / 100) AS BIGINT) AS bucket,
         |   CAST(count(*) FILTER (WHERE source IN

@@ -600,6 +600,32 @@ object TextStats {
       .toDF("d_ks", "at_bucket", "na", "nb")
   }
 
+  /** Population Stability Index per bucket — the scorecard-world drift
+    * scalar (Siddiqi 2006 §8; the companion to [[distributionDrift]]'s
+    * chi-square and [[ksStatistic]]'s sup-norm):
+    * psi = Σ (p_a − p_b)·ln(p_a/p_b). Shares are Laplace-smoothed
+    * (+0.5 per bucket, the WoE convention) so a bucket empty on one
+    * side stays finite. Same one-pass tagged-union contingency; output
+    * is the per-bucket term table (the caller sums — conventional read:
+    * < 0.1 stable, 0.1–0.25 shifting, > 0.25 drifted).
+    */
+  def psi(a: DataFrame, b: DataFrame, bucket: Column): DataFrame = {
+    def counts(df: DataFrame, tag: Int) =
+      df.select(bucket.cast("long").as("bucket"), lit(tag.toLong).as("t"))
+        .groupBy("bucket").agg(sum(col("t")).as("ca"), count(lit(1)).as("n"))
+    val byBucket = counts(a, 1).unionByName(counts(b, 0))
+      .groupBy("bucket")
+      .agg(sum("ca").as("ca"), (sum("n") - sum("ca")).as("cb"))
+    val tot = byBucket.agg(sum("ca").as("__na"), sum("cb").as("__nb"),
+      count(lit(1)).as("__k"))
+    val pa = (col("ca") + lit(0.5)) / (col("__na") + lit(0.5) * col("__k"))
+    val pb = (col("cb") + lit(0.5)) / (col("__nb") + lit(0.5) * col("__k"))
+    byBucket.join(broadcast(tot))
+      .select(col("bucket"), col("ca"), col("cb"),
+        round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+        round((pa - pb) * log(pa / pb), 6).as("psi_term"))
+  }
+
   /** Word n-gram array built by zipping shifted slices — the array
     * binds ONCE per row (the DSIR lesson: indexing back into an
     * unbound split() inside a lambda re-evaluates it per element,

@@ -298,6 +298,20 @@ object MetricsQueries extends QueryPack {
         .orderBy("query_id")
     }),
 
+    // Expected/maximum calibration error off the same ROUNDED
+    // reliability bins as q_calibration — the one-row model-card
+    // scalar (ece = Σ n_b/N · |acc_b − conf_b|, mce = max gap).
+    "q_ece" -> ((s, dir) => {
+      val bins = Metrics.calibrationBins(
+        Tables.lineitem(s, dir)
+          .withColumn("is_r", (col("l_returnflag") === "R").cast("double"))
+          .withColumn("p", col("l_discount") * 10),
+        "is_r", "p", nBins = 10)
+      bins.agg(
+        round(sum(col("n") * col("gap")) / sum(col("n")), 6).as("ece"),
+        max(col("gap")).as("mce"), sum(col("n")).as("n"))
+    }),
+
     // Calibration reliability bins: one ≤ nBins-key hash aggregate;
     // p = 10·l_discount spans [0,1] with mass at both edge bins.
     "q_calibration" -> ((s, dir) =>
@@ -739,6 +753,15 @@ object MetricsQueries extends QueryPack {
         |UNION ALL SELECT 'ap_ties', round(num / p, 6) FROM a1
         |ORDER BY metric""".stripMargin,
 
+    "q_ece" ->
+      """WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END
+        |    AS is_r, l_discount * 10 AS p FROM lineitem),
+        |b AS (SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    round(abs(round(avg(p), 6) - round(avg(is_r), 6)), 6) AS gap
+        |  FROM d GROUP BY 1)
+        |SELECT round(sum(n * gap) / sum(n), 6) AS ece, max(gap) AS mce,
+        |  CAST(sum(n) AS BIGINT) AS n FROM b""".stripMargin,
     "q_calibration" ->
       """WITH d AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END
         |    AS is_r, l_discount * 10 AS p FROM lineitem)

@@ -691,6 +691,33 @@ object RelationalQueries extends QueryPack {
         .orderBy("id")
     }),
 
+    // Adamic–Adar link prediction (graph/LinkPrediction.scala) over a
+    // 5-NN embedding graph — the scale-correct base graph for
+    // common-neighbor scoring: out-degree is k BY CONSTRUCTION (a
+    // co-occurrence graph's degrees grow with the corpus; a kNN
+    // graph's don't), so wedge volume is ~n·k². The deterministic
+    // vec_id < 300 slice keeps the brute 5-NN bounded at any sf (the
+    // production swap is the gated IVF/LSH path); cosine rounded 6
+    // before the heap so ranks replay; pivots capped at 25 against
+    // in-degree hubs.
+    "q_adamic_adar" -> ((s, dir) => {
+      import graft.llmdata.Ann
+      val emb = Tables.embeddings(s, dir).where(col("vec_id") < 300)
+        .withColumn("__n", Ann.normExpr(col("embedding")))
+      val q = broadcast(emb.select(col("vec_id").as("qid"),
+        col("embedding").as("qv"), col("__n").as("qn")))
+      val knn = emb.join(q, col("vec_id") =!= col("qid"))
+        .withColumn("s", round(Ann.dotExpr(col("qv"), col("embedding"))
+          / (col("qn") * col("__n")), 6))
+        .groupBy("qid")
+        .agg(graft.functions.TopKByScore(col("s"), col("vec_id"), 5)
+          .as("__nn"))
+        .select(col("qid").as("id_a"),
+          explode(col("__nn.id")).as("id_b"))
+      graft.graph.LinkPrediction.adamicAdar(knn, k = 40,
+        maxDegree = Some(25))
+    }),
+
     // Per-community Newman modularity of the LPA assignment — the
     // community-quality report logged next to the detection pass.
     // Integer internal/degree weights from the same symmetrized edge
@@ -1244,6 +1271,38 @@ object RelationalQueries extends QueryPack {
     "q_coreness" -> corenessOracleSql(),
     "q_hits" -> hitsOracleSql(),
     "q_label_prop" -> labelPropOracleSql(),
+    "q_adamic_adar" ->
+      """WITH em AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id < 300),
+        |x AS MATERIALIZED (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+        |  generate_subscripts(embedding, 1) AS i FROM em),
+        |nv AS MATERIALIZED (SELECT vec_id, sqrt(sum(e * e)) AS n
+        |  FROM x GROUP BY 1),
+        |p AS (SELECT xa.vec_id AS qid, xb.vec_id AS cid,
+        |    round(sum(xa.e * xb.e) / (na.n * nb.n), 6) AS s
+        |  FROM x xa JOIN x xb ON xa.i = xb.i AND xa.vec_id <> xb.vec_id
+        |  JOIN nv na ON na.vec_id = xa.vec_id
+        |  JOIN nv nb ON nb.vec_id = xb.vec_id
+        |  GROUP BY 1, 2, na.n, nb.n),
+        |k5 AS (SELECT qid, cid FROM (SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid)
+        |      AS rk FROM p) WHERE rk <= 5),
+        |e AS (SELECT DISTINCT least(qid, cid) AS u,
+        |  greatest(qid, cid) AS v FROM k5),
+        |adj AS (SELECT u AS src, v AS dst FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |dg AS (SELECT src AS z, CAST(count(*) AS BIGINT) AS deg
+        |  FROM adj GROUP BY 1),
+        |hf AS (SELECT adj.src AS z, adj.dst, dg.deg
+        |  FROM adj JOIN dg ON adj.src = dg.z WHERE dg.deg <= 25),
+        |w AS (SELECT a.dst AS u, b.dst AS v, a.deg AS zdeg
+        |  FROM hf a JOIN hf b ON a.z = b.z AND a.dst < b.dst),
+        |nw AS (SELECT w.u, w.v, w.zdeg FROM w
+        |  LEFT JOIN e ON w.u = e.u AND w.v = e.v WHERE e.u IS NULL),
+        |sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
+        |    round(sum(1.0 / ln(zdeg)), 6) AS aa FROM nw GROUP BY 1, 2)
+        |SELECT u AS id_a, v AS id_b, common_neighbors, aa
+        |FROM sc ORDER BY aa DESC, u, v LIMIT 40""".stripMargin,
     "q_modularity" -> modularityOracleSql(),
     // entity-resolution mirror: scored pairs thresholded, closed
     // transitively by the same recursive CTE as the dedup clusters
