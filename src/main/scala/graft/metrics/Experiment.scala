@@ -98,6 +98,81 @@ object Experiment {
       .where(col("__ok")).drop("__ok")
   }
 
+  /** Difference-in-differences on the 2×2 (treated × post) design
+    * (Card & Krueger 1994 form): did = (ȳ_T,post − ȳ_T,pre) −
+    * (ȳ_C,post − ȳ_C,pre), with the unequal-cell OLS-interaction
+    * standard error √(Σ s²_cell/n_cell). ONE grouped corpus aggregate
+    * to the 4 cells, then arithmetic; cell stats rounded at the
+    * handoff so the readout replays exactly.
+    * @return one row: (n_/mean_ per cell: cpre cpost tpre tpost,
+    *   did, se, t) — cells keyed by boolean-castable columns.
+    */
+  def diffInDiff(df: DataFrame, treatedCol: org.apache.spark.sql.Column,
+      postCol: org.apache.spark.sql.Column, yCol: String,
+      quantize: Int = 6): DataFrame = {
+    val base = df.select(treatedCol.cast("boolean").as("__t"),
+      postCol.cast("boolean").as("__p"), col(yCol).cast("double").as("__y"))
+    val cells = base.groupBy("__t", "__p").agg(
+      count(lit(1)).as("__n"),
+      round(avg("__y"), quantize).as("__m"),
+      round(var_samp("__y"), quantize).as("__s2"))
+    def cell(t: Boolean, p: Boolean, c: String) =
+      max(when(col("__t") === t && col("__p") === p, col(c)))
+    val one = cells.agg(
+      cell(false, false, "__n").as("n_cpre"), cell(false, false, "__m").as("mean_cpre"),
+      cell(false, true, "__n").as("n_cpost"), cell(false, true, "__m").as("mean_cpost"),
+      cell(true, false, "__n").as("n_tpre"), cell(true, false, "__m").as("mean_tpre"),
+      cell(true, true, "__n").as("n_tpost"), cell(true, true, "__m").as("mean_tpost"),
+      cell(false, false, "__s2").as("__v_cpre"), cell(false, true, "__s2").as("__v_cpost"),
+      cell(true, false, "__s2").as("__v_tpre"), cell(true, true, "__s2").as("__v_tpost"))
+    val did = (col("mean_tpost") - col("mean_tpre")) -
+      (col("mean_cpost") - col("mean_cpre"))
+    val se = sqrt(col("__v_tpost") / col("n_tpost")
+      + col("__v_tpre") / col("n_tpre")
+      + col("__v_cpost") / col("n_cpost")
+      + col("__v_cpre") / col("n_cpre"))
+    one.select(col("n_cpre"), col("mean_cpre"), col("n_cpost"),
+      col("mean_cpost"), col("n_tpre"), col("mean_tpre"), col("n_tpost"),
+      col("mean_tpost"), round(did, quantize).as("did"),
+      round(se, quantize).as("se"),
+      round(try_divide(did, se), quantize).as("t"))
+  }
+
+  /** Two-proportion z-test for conversion metrics: pooled-variance z
+    * with absolute and relative lift. Counts stay integral, so
+    * everything up to the fixed-order scalar arithmetic is exact.
+    * @return one row: (variant_a, variant_b, n_a, n_b, conv_a, conv_b,
+    *   rate_a, rate_b, lift_abs, lift_rel, z) — variants in sort order.
+    */
+  def proportionsZTest(df: DataFrame, variantCol: String,
+      successCol: org.apache.spark.sql.Column,
+      quantize: Int = 6): DataFrame = {
+    val per = df.groupBy(col(variantCol).cast("string").as("__v")).agg(
+      count(lit(1)).as("__n"),
+      sum(successCol.cast("boolean").cast("long")).as("__c"))
+    val two = per
+      .select(struct(col("__v"), col("__n"), col("__c")).as("__s"))
+      .agg(count(lit(1)).as("__k"), min("__s").as("__a"), max("__s").as("__b"))
+    def f(s: String, c: String) = col(s + "." + c)
+    val (na, nb) = (f("__a", "__n"), f("__b", "__n"))
+    val (ca, cb) = (f("__a", "__c"), f("__b", "__c"))
+    val pa = ca / na
+    val pb = cb / nb
+    val pp = (ca + cb) / (na + nb)
+    val q = quantize
+    two.select(
+        when(col("__k") === 2, lit(true)).as("__ok"),
+        f("__a", "__v").as("variant_a"), f("__b", "__v").as("variant_b"),
+        na.as("n_a"), nb.as("n_b"), ca.as("conv_a"), cb.as("conv_b"),
+        round(pa, q).as("rate_a"), round(pb, q).as("rate_b"),
+        round(pb - pa, q).as("lift_abs"),
+        round(try_divide(pb - pa, pa), q).as("lift_rel"),
+        round(try_divide(pb - pa,
+          sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb))), q)
+          .as("z"))
+      .where(col("__ok")).drop("__ok")
+  }
+
   private def welchT(ma: org.apache.spark.sql.Column,
       mb: org.apache.spark.sql.Column, va: org.apache.spark.sql.Column,
       vb: org.apache.spark.sql.Column, na: org.apache.spark.sql.Column,

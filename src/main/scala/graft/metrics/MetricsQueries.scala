@@ -61,6 +61,24 @@ object MetricsQueries extends QueryPack {
       Experiment.cupedReport(per, "variant", "y", "x")
     }),
 
+    // Difference-in-differences on the 2×2 (hash-variant × pre/post
+    // 1995) design over order totals — one grouped aggregate to the 4
+    // cells, OLS-interaction SE, cell stats rounded at the handoff.
+    "q_diff_in_diff" -> ((s, dir) =>
+      Experiment.diffInDiff(Tables.orders(s, dir),
+        graft.core.Hashing.bucket(
+          col("o_custkey").cast("string"), "ab", 2) === 1,
+        col("o_orderdate") >= lit("1995-01-01"), "o_totalprice")),
+
+    // Two-proportion z-test (pooled variance) on order F-status
+    // conversion between the same hash variants — integer counts, so
+    // the z arithmetic is exact scalar math.
+    "q_ab_proportions" -> ((s, dir) =>
+      Experiment.proportionsZTest(Tables.orders(s, dir)
+          .withColumn("variant", graft.core.Hashing.bucket(
+            col("o_custkey").cast("string"), "ab", 2)),
+        "variant", col("o_orderstatus") === "F")),
+
     // Weight-of-Evidence / Information Value table (preprocessing/
     // WoeEncoder.scala): per-category smoothed class-conditional
     // shares — one conditional groupBy + a broadcast 1-row total.
@@ -377,6 +395,63 @@ object MetricsQueries extends QueryPack {
       |  FROM lineitem GROUP BY 1""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_diff_in_diff" ->
+      """WITH b AS (SELECT
+        |    (('0x' || substr(md5('ab' || CAST(o_custkey AS VARCHAR)),
+        |      1, 15))::BIGINT % 2) = 1 AS t,
+        |    o_orderdate >= TIMESTAMP '1995-01-01' AS p,
+        |    o_totalprice AS y FROM orders),
+        |c AS (SELECT t, p, CAST(count(*) AS BIGINT) AS n,
+        |    round(avg(y), 6) AS m, round(var_samp(y), 6) AS s2
+        |  FROM b GROUP BY 1, 2),
+        |o AS (SELECT
+        |    max(CASE WHEN NOT t AND NOT p THEN n END) AS n_cpre,
+        |    max(CASE WHEN NOT t AND NOT p THEN m END) AS mean_cpre,
+        |    max(CASE WHEN NOT t AND p THEN n END) AS n_cpost,
+        |    max(CASE WHEN NOT t AND p THEN m END) AS mean_cpost,
+        |    max(CASE WHEN t AND NOT p THEN n END) AS n_tpre,
+        |    max(CASE WHEN t AND NOT p THEN m END) AS mean_tpre,
+        |    max(CASE WHEN t AND p THEN n END) AS n_tpost,
+        |    max(CASE WHEN t AND p THEN m END) AS mean_tpost,
+        |    max(CASE WHEN NOT t AND NOT p THEN s2 END) AS v_cpre,
+        |    max(CASE WHEN NOT t AND p THEN s2 END) AS v_cpost,
+        |    max(CASE WHEN t AND NOT p THEN s2 END) AS v_tpre,
+        |    max(CASE WHEN t AND p THEN s2 END) AS v_tpost
+        |  FROM c)
+        |SELECT n_cpre, mean_cpre, n_cpost, mean_cpost, n_tpre,
+        |  mean_tpre, n_tpost, mean_tpost,
+        |  round((mean_tpost - mean_tpre) - (mean_cpost - mean_cpre), 6)
+        |    AS did,
+        |  round(sqrt(v_tpost / n_tpost + v_tpre / n_tpre
+        |    + v_cpost / n_cpost + v_cpre / n_cpre), 6) AS se,
+        |  round(((mean_tpost - mean_tpre) - (mean_cpost - mean_cpre))
+        |    / sqrt(v_tpost / n_tpost + v_tpre / n_tpre
+        |      + v_cpost / n_cpost + v_cpre / n_cpre), 6) AS t
+        |FROM o""".stripMargin,
+    "q_ab_proportions" ->
+      """WITH b AS (SELECT
+        |    CAST((('0x' || substr(md5('ab' || CAST(o_custkey AS VARCHAR)),
+        |      1, 15))::BIGINT % 2) AS VARCHAR) AS v,
+        |    o_orderstatus = 'F' AS s FROM orders),
+        |p AS (SELECT v, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM b GROUP BY 1),
+        |ab AS (SELECT min(v) AS va, max(v) AS vb FROM p)
+        |SELECT pa.v AS variant_a, pb.v AS variant_b,
+        |  pa.n AS n_a, pb.n AS n_b, pa.c AS conv_a, pb.c AS conv_b,
+        |  round(CAST(pa.c AS DOUBLE) / pa.n, 6) AS rate_a,
+        |  round(CAST(pb.c AS DOUBLE) / pb.n, 6) AS rate_b,
+        |  round(CAST(pb.c AS DOUBLE) / pb.n
+        |    - CAST(pa.c AS DOUBLE) / pa.n, 6) AS lift_abs,
+        |  round((CAST(pb.c AS DOUBLE) / pb.n
+        |      - CAST(pa.c AS DOUBLE) / pa.n)
+        |    / (CAST(pa.c AS DOUBLE) / pa.n), 6) AS lift_rel,
+        |  round((CAST(pb.c AS DOUBLE) / pb.n
+        |      - CAST(pa.c AS DOUBLE) / pa.n)
+        |    / sqrt((CAST(pa.c + pb.c AS DOUBLE) / (pa.n + pb.n))
+        |      * (1.0 - CAST(pa.c + pb.c AS DOUBLE) / (pa.n + pb.n))
+        |      * (1.0 / pa.n + 1.0 / pb.n)), 6) AS z
+        |FROM p pa, p pb, ab WHERE pa.v = ab.va AND pb.v = ab.vb""".stripMargin,
     "q_isotonic_calibration" ->
       """WITH base AS (SELECT CAST(epoch_us(l_shipdate) AS DOUBLE) AS s,
         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y

@@ -68,4 +68,44 @@ class ExperimentSpec extends SparkSpec {
       .toDF("variant", "y", "x")
     assert(Experiment.cupedReport(df, "variant", "y", "x").count() == 0)
   }
+
+  test("diff-in-diff recovers an injected effect under parallel trends") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    // base level differs by group, both drift +2.0 post; treatment
+    // adds +5.0 on top for (treated, post) only
+    val rows = for {
+      t <- Seq(false, true); p <- Seq(false, true); _ <- 1 to 800
+    } yield {
+      val base = (if (t) 10.0 else 3.0) + (if (p) 2.0 else 0.0)
+      val eff = if (t && p) 5.0 else 0.0
+      (t, p, base + eff + rnd.nextGaussian())
+    }
+    val r = Experiment.diffInDiff(rows.toDF("t", "p", "y"),
+      col("t"), col("p"), "y").head()
+    assert(r.getAs[Double]("did") ~== (5.0, 0.2))
+    assert(r.getAs[Double]("t") > 10.0) // strongly significant
+    assert(r.getAs[Long]("n_tpost") === 800L)
+  }
+
+  test("two-proportion z-test matches the hand formula and flags lift") {
+    import org.apache.spark.sql.functions._
+    // variant 0: 200/1000, variant 1: 260/1000
+    val rows = (1 to 1000).map(i => ("0", i <= 200)) ++
+      (1 to 1000).map(i => ("1", i <= 260))
+    val r = Experiment.proportionsZTest(rows.toDF("v", "s"), "v", col("s"))
+      .head()
+    assert(r.getAs[Long]("conv_a") === 200L)
+    assert(r.getAs[Double]("lift_abs") ~== (0.06, 1e-9))
+    val p = 460.0 / 2000
+    val z = 0.06 / math.sqrt(p * (1 - p) * (2.0 / 1000))
+    assert(r.getAs[Double]("z") ~== (BigDecimal(z).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, 1e-6))
+  }
+
+  test("proportions test with one variant yields an empty report") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("0", true), ("0", false)).toDF("v", "s")
+    assert(Experiment.proportionsZTest(df, "v", col("s")).count() == 0)
+  }
 }
