@@ -130,6 +130,20 @@ object AnnQueries extends QueryPack {
         k = 5, lambda = 0.7).orderBy("step")
     }),
 
+    // Grid-cell DBSCAN (cluster/GridDbscan.scala) on the 2D fixed-basis
+    // projection: eps=0.4 cells, minPts=6, dense-cell 8-neighborhood CC
+    // via the shared large-star engine; per-point labels (least dense
+    // cell id, −1 noise) replayed by a recursive-CTE oracle.
+    "q_grid_dbscan" -> ((s, dir) => {
+      val p = Ann.projectExpr(col("embedding"), fixedIvfCentroids.take(2))
+      val pts = Tables.embeddings(s, dir).select(col("vec_id"),
+        round(element_at(p, 1), 6).as("p0"),
+        round(element_at(p, 2), 6).as("p1"))
+      graft.cluster.GridDbscan.gridCluster(pts, "vec_id", "p0", "p1",
+        eps = 0.4, minPts = 6)
+        .orderBy("id")
+    }),
+
     // L2 normalization (native VecNormalize codegen loop): first
     // component of the unit vector + its recomputed norm, both exactly
     // mirrored (sequential element order on both engines).
@@ -550,7 +564,52 @@ object AnnQueries extends QueryPack {
        |  $rows) ORDER BY step""".stripMargin
   }
 
+  /** Grid-DBSCAN mirror: projection → eps cells → dense cells →
+    * 8-neighborhood edges → recursive-CTE least-label CC → 3×3 point
+    * labeling, all integer after the floor. */
+  private val gridDbscanOracleSql: String = {
+    val cs = fixedIvfCentroids.take(2)
+    val centRows = (for (j <- cs.indices; i <- 0 until 64)
+      yield s"($j,${i + 1},${cs(j)(i)})").mkString(",")
+    s"""WITH RECURSIVE cent(j, i, c) AS (SELECT * FROM (VALUES $centRows)),
+       |x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+       |  generate_subscripts(embedding, 1) AS i FROM embeddings),
+       |d AS (SELECT vec_id, j, round(sum(e * c), 6) AS p
+       |  FROM x JOIN cent USING (i) GROUP BY 1, 2),
+       |pv AS (SELECT vec_id,
+       |    CAST(floor(max(CASE WHEN j = 0 THEN p END) / 0.4) AS BIGINT)
+       |      AS cx,
+       |    CAST(floor(max(CASE WHEN j = 1 THEN p END) / 0.4) AS BIGINT)
+       |      AS cy
+       |  FROM d GROUP BY 1),
+       |dn AS (SELECT cx, cy,
+       |    (cx + 1048576) * 2097152 + (cy + 1048576) AS cell
+       |  FROM (SELECT cx, cy, count(*) AS n FROM pv GROUP BY 1, 2)
+       |  WHERE n >= 6),
+       |offs(dx, dy) AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),
+       |  (0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1))),
+       |eg AS (SELECT a.cell AS src, b.cell AS dst
+       |  FROM dn a CROSS JOIN offs
+       |  JOIN dn b ON b.cx = a.cx + dx AND b.cy = a.cy + dy),
+       |edges AS (SELECT src, dst FROM eg UNION SELECT dst, src FROM eg),
+       |cc(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e2.src, c.label FROM edges e2 JOIN cc c ON c.id = e2.dst),
+       |comp AS (SELECT id AS cell, min(label) AS cluster FROM cc
+       |  GROUP BY id),
+       |dl AS (SELECT dn.cx, dn.cy, comp.cluster FROM dn
+       |  JOIN comp USING (cell)),
+       |lab AS (SELECT pv.vec_id, min(dl.cluster) AS cluster
+       |  FROM pv CROSS JOIN offs
+       |  JOIN dl ON dl.cx = pv.cx + dx AND dl.cy = pv.cy + dy
+       |  GROUP BY 1)
+       |SELECT pv.vec_id AS id, coalesce(lab.cluster, -1) AS cluster
+       |FROM pv LEFT JOIN lab USING (vec_id) ORDER BY pv.vec_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_grid_dbscan" -> gridDbscanOracleSql,
     "q_mmr_select" -> mmrOracleSql(5, 0.7),
     "q_kcenter_coreset" -> kcenterOracleSql(8),
     "q_bitext_mine" -> bitextOracleSql(4, 1.0),
