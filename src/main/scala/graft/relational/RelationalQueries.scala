@@ -992,6 +992,12 @@ object RelationalQueries extends QueryPack {
           round(col("n_converted").cast("double") / col("n_signup_users"), 6))
     }),
 
+    // Single change-point on the daily event-count series (Temporal.
+    // changePoint): two-segment SSE scan from integer prefix sums over
+    // the ≤|days| frame — the Stump prefix pattern on the time axis.
+    "q_changepoint" -> ((s, dir) =>
+      Temporal.changePoint(Tables.events(s, dir), "ts")),
+
     // Retention cohorts: users grouped by first-activity ISO week;
     // retention_k = fraction active in cohort-week + k. Two aggregates
     // and a join on the user key; the cohort matrix is ≤ |weeks|² rows.
@@ -1469,6 +1475,28 @@ object RelationalQueries extends QueryPack {
         |  round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conversion_rate
         |FROM per_user""".stripMargin,
 
+    "q_changepoint" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        |p AS (SELECT a.d, CAST(count(*) AS BIGINT) AS n1,
+        |    CAST(sum(b.y) AS BIGINT) AS s1,
+        |    CAST(sum(b.y * b.y) AS BIGINT) AS q1
+        |  FROM daily a JOIN daily b ON b.d <= a.d GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS s,
+        |    CAST(sum(y * y) AS BIGINT) AS q FROM daily),
+        |c AS (SELECT d, n1, n - n1 AS n2,
+        |    round(CAST(s1 AS DOUBLE) / n1, 6) AS mean_before,
+        |    round(CAST(s - s1 AS DOUBLE) / (n - n1), 6) AS mean_after,
+        |    round((q - CAST(s * s AS DOUBLE) / n)
+        |      - ((q1 - CAST(s1 * s1 AS DOUBLE) / n1)
+        |        + ((q - q1)
+        |          - CAST((s - s1) * (s - s1) AS DOUBLE) / (n - n1))), 6)
+        |      AS gain
+        |  FROM p CROSS JOIN t WHERE n1 < n)
+        |SELECT strftime(d, '%Y-%m-%d') AS break_day, n1 AS n_before,
+        |  n2 AS n_after, mean_before, mean_after, gain
+        |FROM c ORDER BY gain DESC, d LIMIT 1""".stripMargin,
     "q_retention_cohorts" ->
       """WITH cohort AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
         |  FROM events GROUP BY 1),

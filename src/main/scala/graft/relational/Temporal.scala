@@ -321,4 +321,49 @@ object Temporal {
       .select(col("prev_state"), col("next_state"), col("n"),
         round(col("n") / col("__tot"), 6).as("p"))
   }
+
+  /** Single change-point detection on a per-day count series — the
+    * binary-segmentation base step (Scott & Knott 1974; the monitoring
+    * primitive behind "when did the event volume shift"): the break b
+    * minimizing two-segment SSE, equivalently maximizing
+    * gain(b) = SSE_total − SSE(≤b) − SSE(>b), evaluated for EVERY
+    * candidate day from integer prefix sums over the ≤|days| frame
+    * (the Stump prefix pattern on the time axis — counts keep S and
+    * Q = Σy² integral, so the scan replays exactly).
+    *
+    * Scale shape: ONE corpus aggregate to the daily frame; the
+    * candidate scan is a self-join over ≤|days| rows. Gain rounded 6
+    * before the argmax, ties to the earliest day.
+    * @return one row: (break_day, n_before, n_after, mean_before,
+    *   mean_after, gain)
+    */
+  def changePoint(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = df.groupBy(date_trunc("DAY", col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("y"))
+    val pref = daily.alias("a").join(daily.alias("b"),
+        col("b.d") <= col("a.d"))
+      .groupBy(col("a.d").as("d"))
+      .agg(count(lit(1)).as("n1"), sum(col("b.y")).as("s1"),
+        sum(col("b.y") * col("b.y")).as("q1"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum("y").as("s"),
+      sum(col("y") * col("y")).as("q"))
+    // null-guarded right-segment size (ANSI may evaluate the projection
+    // on the filtered n1 = n row)
+    val n2 = col("n") - col("n1")
+    val n2s = when(n2 =!= 0L, n2)
+    val sseTotal = col("q") - col("s") * col("s") / col("n")
+    val sseSplit = (col("q1") - col("s1") * col("s1") / col("n1")) +
+      ((col("q") - col("q1"))
+        - (col("s") - col("s1")) * (col("s") - col("s1")) / n2s)
+    val cand = pref.join(broadcast(tot))
+      .where(col("n1") < col("n"))
+      .select(col("d"), col("n1"), n2.as("n2"),
+        round(col("s1") / col("n1"), 6).as("mean_before"),
+        round((col("s") - col("s1")) / n2s, 6).as("mean_after"),
+        round(sseTotal - sseSplit, 6).as("gain"))
+    cand.orderBy(col("gain").desc, col("d")).limit(1)
+      .select(date_format(col("d"), "yyyy-MM-dd").as("break_day"),
+        col("n1").as("n_before"), col("n2").as("n_after"),
+        col("mean_before"), col("mean_after"), col("gain"))
+  }
 }

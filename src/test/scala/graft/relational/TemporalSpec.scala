@@ -374,4 +374,27 @@ class TemporalSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(got == Seq(("y", "x"))) // event_id 1 first
   }
+
+  test("changePoint recovers an injected volume step") {
+    import java.sql.Timestamp
+    // 10 days at ~5 events/day, then 10 days at ~50/day
+    val rows = (0 until 20).flatMap { day =>
+      val n = if (day < 10) 5 else 50
+      (0 until n).map(i =>
+        Timestamp.valueOf(f"2024-03-${day + 1}%02d 0${i % 9}:00:00"))
+    }
+    val got = Temporal.changePoint(rows.toDF("ts"), "ts").head()
+    assert(got.getAs[String]("break_day") === "2024-03-10")
+    assert(got.getAs[Double]("mean_before") === 5.0)
+    assert(got.getAs[Double]("mean_after") === 50.0)
+    assert(got.getAs[Long]("n_before") === 10L)
+  }
+
+  test("changePoint on a flat series reports ~zero gain") {
+    import java.sql.Timestamp
+    val rows = (0 until 15).flatMap(day => (0 until 7).map(i =>
+      Timestamp.valueOf(f"2024-03-${day + 1}%02d 0${i % 9}:30:00")))
+    val got = Temporal.changePoint(rows.toDF("ts"), "ts").head()
+    assert(math.abs(got.getAs[Double]("gain")) < 1e-6)
+  }
 }
