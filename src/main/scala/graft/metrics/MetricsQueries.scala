@@ -340,6 +340,21 @@ object MetricsQueries extends QueryPack {
         "is_r", "p", nBins = 10)
         .orderBy("bin")),
 
+    // Multinomial NB over hashed bag-of-words (naivebayes/
+    // MultinomialNB.scala): fit on the 75% h60 train split of
+    // documents, language prediction on the holdout — the full
+    // train→HashedLinearScore→struct-argmax path replayed in SQL.
+    "q_mnb_predict" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val b = graft.core.Hashing.bucket(col("doc_id"), "mnbsplit", 4)
+      val model = new graft.naivebayes.MultinomialNB("text", "lang")
+        .fit(docs.where(b < 3))
+      model.predict(docs.where(b === 3), "text")
+        .select(col("doc_id"), col("lang"), col("pred"),
+          (col("lang") === col("pred")).as("correct"))
+        .orderBy("doc_id")
+    }),
+
     "q_gnb_fit" -> ((s, dir) => {
       val m = new GaussianNB(Seq("l_quantity", "l_extendedprice"), "l_returnflag")
         .fit(Tables.lineitem(s, dir))
@@ -395,6 +410,40 @@ object MetricsQueries extends QueryPack {
       |  FROM lineitem GROUP BY 1""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_mnb_predict" ->
+      """WITH tr AS (SELECT text, lang FROM documents
+        |  WHERE ('0x' || substr(md5('mnbsplit' || CAST(doc_id AS VARCHAR)),
+        |    1, 15))::BIGINT % 4 < 3),
+        |te AS (SELECT doc_id, text, lang FROM documents
+        |  WHERE ('0x' || substr(md5('mnbsplit' || CAST(doc_id AS VARCHAR)),
+        |    1, 15))::BIGINT % 4 = 3),
+        |tb AS (SELECT lang AS c,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2048 AS b,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM tr) GROUP BY 1, 2),
+        |ct AS (SELECT c, CAST(sum(n) AS BIGINT) AS tot FROM tb GROUP BY 1),
+        |pri AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS dn
+        |  FROM tr GROUP BY 1),
+        |pt AS (SELECT CAST(sum(dn) AS BIGINT) AS dt FROM pri),
+        |xtok AS (SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2048 AS b
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM te)),
+        |sc AS (SELECT x.doc_id, ct.c,
+        |    sum(ln((coalesce(tb.n, 0) + 1.0) / (ct.tot + 2048.0))) AS sw
+        |  FROM xtok x CROSS JOIN ct
+        |  LEFT JOIN tb ON tb.c = ct.c AND tb.b = x.b
+        |  GROUP BY 1, 2),
+        |ts2 AS (SELECT sc.doc_id, sc.c,
+        |    round(sc.sw + ln(CAST(pri.dn AS DOUBLE) / pt.dt), 6) AS s
+        |  FROM sc JOIN pri ON pri.c = sc.c CROSS JOIN pt),
+        |pk AS (SELECT doc_id, c FROM (SELECT doc_id, c, s,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY s DESC, c DESC) AS rk FROM ts2) WHERE rk = 1)
+        |SELECT te.doc_id, te.lang, pk.c AS pred,
+        |  te.lang = pk.c AS correct
+        |FROM te JOIN pk USING (doc_id) ORDER BY te.doc_id""".stripMargin,
     "q_diff_in_diff" ->
       """WITH b AS (SELECT
         |    (('0x' || substr(md5('ab' || CAST(o_custkey AS VARCHAR)),
