@@ -992,6 +992,13 @@ object RelationalQueries extends QueryPack {
           round(col("n_converted").cast("double") / col("n_signup_users"), 6))
     }),
 
+    // Pairwise association rules on order baskets (relational/
+    // Association.scala): support ≥ 3 pairs ranked by lift, both
+    // confidences — integer supports, fixed-order metric arithmetic.
+    "q_assoc_rules" -> ((s, dir) =>
+      Association.pairRules(Tables.lineitem(s, dir),
+        "l_orderkey", "l_partkey", minSupport = 3, k = 30)),
+
     // Single change-point on the daily event-count series (Temporal.
     // changePoint): two-segment SSE scan from integer prefix sums over
     // the ≤|days| frame — the Stump prefix pattern on the time axis.
@@ -1475,6 +1482,24 @@ object RelationalQueries extends QueryPack {
         |  round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conversion_rate
         |FROM per_user""".stripMargin,
 
+    "q_assoc_rules" ->
+      """WITH bk AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it
+        |  FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bk),
+        |isup AS (SELECT it, CAST(count(*) AS BIGINT) AS sup
+        |  FROM bk GROUP BY 1),
+        |ps AS (SELECT a.it AS id_a, b2.it AS id_b,
+        |    CAST(count(*) AS BIGINT) AS sp
+        |  FROM bk a JOIN bk b2 ON a.b = b2.b AND a.it < b2.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT id_a, id_b, sp AS support_pair,
+        |  sa.sup AS support_a, sb.sup AS support_b,
+        |  round(CAST(sp AS DOUBLE) / sa.sup, 6) AS confidence_ab,
+        |  round(CAST(sp AS DOUBLE) / sb.sup, 6) AS confidence_ba,
+        |  round(CAST(sp * n AS DOUBLE) / (sa.sup * sb.sup), 6) AS lift
+        |FROM ps JOIN isup sa ON sa.it = ps.id_a
+        |JOIN isup sb ON sb.it = ps.id_b CROSS JOIN nb
+        |ORDER BY lift DESC, id_a, id_b LIMIT 30""".stripMargin,
     "q_changepoint" ->
       """WITH daily AS (SELECT date_trunc('day', ts) AS d,
         |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
