@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.relational.Sketches
+
+/** The sketches maintain INCREMENTALLY: HLL registers are a max-per-
+  * register aggregation and CMS cells a count — both mergeable
+  * streaming state, so a live distinct-count / frequency monitor runs
+  * the SAME operators as the batch profile with no recompute. The spec
+  * feeds the corpus in arbitrary micro-batch splits and requires the
+  * streamed complete-mode sketch to equal the batch sketch — the same
+  * contract the shard-manifest monitor pins.
+  */
+class StreamingSketchSpec extends SparkSpec {
+
+  test("streamed complete-mode HLL registers equal the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Long]
+    val reg = Sketches.hllRegisters(input.toDF.toDF("k"), col("k"), "shll")
+    val q = reg.writeStream.outputMode("complete")
+      .format("memory").queryName("hll_stream").start()
+    val keys = (0L until 400L).map(i => i % 157) // dups across batches
+    try {
+      input.addData(keys.take(130))
+      q.processAllAvailable()
+      input.addData(keys.drop(130))
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream")
+        .as[(Long, Int)].collect().sortBy(_._1).toSeq
+      val batch = Sketches.hllRegisters(
+        keys.toDF("k"), col("k"), "shll")
+        .as[(Long, Int)].collect().sortBy(_._1).toSeq
+      assert(streamed == batch)
+      // and the estimate off the streamed registers is the batch one
+      val estS = Sketches.hllEstimate(spark.table("hll_stream"))
+        .head().getAs[Double]("estimate")
+      val estB = Sketches.hllEstimate(
+        Sketches.hllRegisters(keys.toDF("k"), col("k"), "shll"))
+        .head().getAs[Double]("estimate")
+      assert(estS == estB)
+    } finally q.stop()
+  }
+
+  test("streamed complete-mode CMS cells equal the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Long]
+    val sk = Sketches.cmsSketch(input.toDF.toDF("k"), col("k"), "scms",
+      depth = 3, width = 512)
+    val q = sk.writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream").start()
+    val keys = (0L until 300L).map(i => i % 41)
+    try {
+      input.addData(keys.take(77))
+      q.processAllAvailable()
+      input.addData(keys.drop(77))
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream")
+        .as[(Int, Long, Long)].collect().sorted.toSeq
+      val batch = Sketches.cmsSketch(keys.toDF("k"), col("k"), "scms",
+          depth = 3, width = 512)
+        .as[(Int, Long, Long)].collect().sorted.toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
