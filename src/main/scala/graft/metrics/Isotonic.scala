@@ -42,15 +42,17 @@ object Isotonic {
         .cast("int").as("bucket"), col("__y"))
     val g = bucketed.groupBy("bucket")
       .agg(count(lit(1)).as("n"), sum("__y").as("pos"))
-    // prefix sums over the ≤B bucket frame (self-join, not a window)
+    // prefix sums over the ≤B bucket frame (self-join, not a window;
+    // the non-equi joins broadcast one tiny side explicitly — a
+    // BroadcastNestedLoopJoin over ≤B rows, never a CartesianProduct)
     val p = g.alias("a")
-      .join(g.alias("b"), col("b.bucket") <= col("a.bucket"))
+      .join(broadcast(g.alias("b")), col("b.bucket") <= col("a.bucket"))
       .groupBy(col("a.bucket").as("bucket"))
       .agg(sum(col("b.n")).as("cn"), sum(col("b.pos")).as("cp"))
     // interval means for every a ≤ b pair, from prefix differences
     // prefix(x) is inclusive of x, so the a..b interval subtracts
     // prefix(a) and adds bucket a's own mass back
-    val pairs = p.alias("pa").join(p.alias("pb"),
+    val pairs = p.alias("pa").join(broadcast(p.alias("pb")),
         col("pa.bucket") <= col("pb.bucket"))
       .select(col("pa.bucket").as("a"), col("pb.bucket").as("b"),
         col("pa.cp").as("cpa"), col("pa.cn").as("cna"),
@@ -62,7 +64,7 @@ object Isotonic {
           / (col("cnb") - col("cna") + col("na"))).as("avg_ab"))
     // fit(i) = max over a<=i of ( min over b>=i of avg(a,b) )
     val buckets = g.select(col("bucket").as("i"))
-    val inner = pairs.join(buckets,
+    val inner = pairs.join(broadcast(buckets),
         col("a") <= col("i") && col("i") <= col("b"))
       .groupBy("i", "a").agg(min("avg_ab").as("m"))
       .groupBy("i").agg(max("m").as("__fit"))

@@ -340,7 +340,9 @@ object Temporal {
   def changePoint(df: DataFrame, tsCol: String): DataFrame = {
     val daily = df.groupBy(date_trunc("DAY", col(tsCol)).as("d"))
       .agg(count(lit(1)).as("y"))
-    val pref = daily.alias("a").join(daily.alias("b"),
+    // non-equi prefix join over the ≤|days| frame: broadcast one side
+    // so the plan is a BNLJ, never a CartesianProduct
+    val pref = daily.alias("a").join(broadcast(daily.alias("b")),
         col("b.d") <= col("a.d"))
       .groupBy(col("a.d").as("d"))
       .agg(count(lit(1)).as("n1"), sum(col("b.y")).as("s1"),

@@ -135,7 +135,7 @@ class GraftExtensionsSpec extends SparkSpec {
       Set("vec_dot", "normal_ppf", "interp1d", "token_stats", "top_k_by_score",
         "freq_items", "vec_normalize", "repetition_stats",
         "dhash64", "bpe_token_count", "bpe_encode", "hashed_linear_score",
-        "unicode_normalize", "winnowing_fp"))
+        "unicode_normalize", "winnowing_fp", "jaro_winkler"))
     assert(exts.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
 }
