@@ -1,6 +1,7 @@
 package graft.modelselection
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, concat, lit}
 
 import graft.core.{QueryPack, Tables}
 import graft.wrappers.{LinearLocalModel, LocalModel, OnlineEstimator, OnlineState}
@@ -39,6 +40,18 @@ object AdaptiveSearchQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // OLS learning curve from ONE corpus pass (modelselection/
+    // LearningCurve.scala): per-fraction conditional moments → every
+    // point's fit + train/test MSE by the moment identities; nested
+    // content-hash training prefixes, fixed 20% test split.
+    "q_learning_curve" -> ((s, dir) =>
+      LearningCurve.olsCurve(
+        graft.core.Tables.lineitem(s, dir), "l_quantity",
+        "l_extendedprice",
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")),
+        fractions = Seq(0.1, 0.25, 0.5, 1.0))),
+
     // Planned bracket schedule for maxIter ∈ {9, 27, 81}: per bracket
     // the number of models and the total partial_fit calls if no early
     // stop (_hyperband.py:563-664 `metadata`).
@@ -76,7 +89,54 @@ object AdaptiveSearchQueries extends QueryPack {
     })
   )
 
+  /** Learning-curve mirror: the same one-aggregate conditional moments
+    * (rounded 6) and the same ROUNDED staging — slope, then intercept
+    * from the rounded slope, then both MSEs from the rounded pair. */
+  private val learningCurveOracleSql: String = {
+    val fracs = Seq(0.1, 0.25, 0.5, 1.0)
+    def mom(tag: String, cond: String) = Seq(
+      s"CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS n_$tag",
+      s"round(avg(CASE WHEN $cond THEN x END), 6) AS ax_$tag",
+      s"round(avg(CASE WHEN $cond THEN y END), 6) AS ay_$tag",
+      s"round(avg(CASE WHEN $cond THEN x * x END), 6) AS axx_$tag",
+      s"round(avg(CASE WHEN $cond THEN x * y END), 6) AS axy_$tag",
+      s"round(avg(CASE WHEN $cond THEN y * y END), 6) AS ayy_$tag")
+    val momCols = (fracs.zipWithIndex.flatMap { case (f, i) =>
+      mom(s"t$i", s"bk < ${(800000L * f).toLong}")
+    } ++ mom("te", "bk >= 800000")).mkString(",\n    ")
+    val blocks = fracs.zipWithIndex.map { case (f, i) =>
+      val t = s"t$i"
+      s"""c$i AS (SELECT m.*, round((axy_$t - ax_$t * ay_$t)
+         |    / (axx_$t - ax_$t * ax_$t), 6) AS sl FROM m),
+         |d$i AS (SELECT c$i.*, round(ay_$t - sl * ax_$t, 6) AS ic
+         |  FROM c$i),
+         |e$i AS (SELECT CAST($f AS DOUBLE) AS fraction, n_$t AS n_train,
+         |    sl AS slope, ic AS intercept,
+         |    round(ayy_$t - 2 * sl * axy_$t - 2 * ic * ay_$t
+         |      + sl * sl * axx_$t + 2 * sl * ic * ax_$t + ic * ic, 6)
+         |      AS train_mse,
+         |    round(ayy_te - 2 * sl * axy_te - 2 * ic * ay_te
+         |      + sl * sl * axx_te + 2 * sl * ic * ax_te + ic * ic, 6)
+         |      AS test_mse
+         |  FROM d$i)""".stripMargin
+    }.mkString(",\n")
+    val union = fracs.indices.map(i => s"SELECT * FROM e$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH b AS (SELECT l_quantity AS x, l_extendedprice AS y,
+       |    ('0x' || substr(md5('lc' || CAST(l_orderkey AS VARCHAR)
+       |      || '-' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+       |      % 1000000 AS bk
+       |  FROM lineitem),
+       |m AS (SELECT
+       |    $momCols
+       |  FROM b),
+       |$blocks
+       |$union
+       |ORDER BY fraction""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_learning_curve" -> learningCurveOracleSql,
     // Paper-derived schedule (verified to sum to the reference's pinned
     // per-maxIter totals: 17/69, 49/357, 143/1581).
     "q_hyperband_metadata" ->
