@@ -123,6 +123,17 @@ object MetricsQueries extends QueryPack {
         "o_totalprice", "hot")
         .orderBy("decile")),
 
+    // Uplift-by-decile targeting table (metrics/Uplift.scala): same
+    // exact-boundary scan-fused binning as the gains chart, but per
+    // decile the treated/control conversion cells and their difference
+    // — the incrementality readout.
+    "q_uplift_deciles" -> ((s, dir) =>
+      Uplift.upliftByDecile(Tables.orders(s, dir), "o_totalprice",
+        graft.core.Hashing.bucket(
+          col("o_custkey").cast("string"), "ab", 2) === 1,
+        col("o_orderstatus") === "F")
+        .orderBy("decile")),
+
     // k-anonymity / l-diversity release audit (quality/Anonymity.scala):
     // QI = (nation, market segment), sensitive = account balance,
     // k = 10 — one QI groupBy + a 1-row rollup.
@@ -598,6 +609,34 @@ object MetricsQueries extends QueryPack {
         |SELECT t, CAST(n AS BIGINT) AS n_risk, d AS n_events,
         |  m - d AS n_censored_at, surv
         |FROM s WHERE d > 0 ORDER BY t""".stripMargin,
+    "q_uplift_deciles" ->
+      """WITH b AS (SELECT o_totalprice AS s,
+        |    (('0x' || substr(md5('ab' || CAST(o_custkey AS VARCHAR)),
+        |      1, 15))::BIGINT % 2) = 1 AS t,
+        |    o_orderstatus = 'F' AS y FROM orders),
+        |q AS (SELECT [round(quantile_cont(s, 0.1), 6),
+        |    round(quantile_cont(s, 0.2), 6), round(quantile_cont(s, 0.3), 6),
+        |    round(quantile_cont(s, 0.4), 6), round(quantile_cont(s, 0.5), 6),
+        |    round(quantile_cont(s, 0.6), 6), round(quantile_cont(s, 0.7), 6),
+        |    round(quantile_cont(s, 0.8), 6), round(quantile_cont(s, 0.9), 6)]
+        |    AS bs FROM b),
+        |binned AS (SELECT t, y,
+        |    1 + len(list_filter(bs, e -> s < e)) AS decile
+        |  FROM b CROSS JOIN q),
+        |per AS (SELECT decile,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN t AND y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS conv_t,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(sum(CASE WHEN NOT t AND y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS conv_c
+        |  FROM binned GROUP BY 1)
+        |SELECT CAST(decile AS INTEGER) AS decile, n_t, conv_t, n_c, conv_c,
+        |  round(CAST(conv_t AS DOUBLE) / n_t, 6) AS rate_t,
+        |  round(CAST(conv_c AS DOUBLE) / n_c, 6) AS rate_c,
+        |  round(CAST(conv_t AS DOUBLE) / n_t
+        |    - CAST(conv_c AS DOUBLE) / n_c, 6) AS uplift
+        |FROM per ORDER BY decile""".stripMargin,
     "q_gains_chart" ->
       """WITH b AS (SELECT o_totalprice AS s,
         |    o_orderstatus = 'F' AS y FROM orders),

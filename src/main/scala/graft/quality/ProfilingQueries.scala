@@ -51,6 +51,24 @@ object ProfilingQueries extends QueryPack {
         .orderBy("key")
     }),
 
+    // Per-day distinct-user HLL (the grouped sketch — production's
+    // "daily actives without a daily distinct shuffle"): one grouped
+    // register rollup, per-day estimates vs exact.
+    "q_hll_daily" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val est = Sketches.hllGroupedEstimate(
+        Sketches.hllGroupedRegisters(ev, date_trunc("DAY", col("ts")),
+          col("user_id"), "dhll"))
+      val exact = ev.groupBy(date_trunc("DAY", col("ts")).as("g"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, Seq("g"))
+        .select(date_format(col("g"), "yyyy-MM-dd").as("day"),
+          col("zero_registers"), col("estimate"), col("exact_distinct"),
+          round(abs(col("estimate") - col("exact_distinct"))
+            / col("exact_distinct"), 6).as("rel_err"))
+        .orderBy("day")
+    }),
+
     // Benford first-digit conformance over order totals (quality/
     // Profiling.scala): digit shares vs log10(1+1/d) plus per-digit
     // chi-square terms — one corpus aggregate, 9-row output.
@@ -79,6 +97,40 @@ object ProfilingQueries extends QueryPack {
       |  FROM g)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_hll_daily" ->
+      """WITH h AS (SELECT date_trunc('day', ts) AS g,
+        |    CAST(('0x' || substr(md5('dhll' || CAST(user_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT g, h >> 51 AS register,
+        |    CASE WHEN (h & ((CAST(1 AS BIGINT) << 51) - 1)) = 0 THEN 52
+        |         ELSE instr(lpad(bin(h & ((CAST(1 AS BIGINT) << 51) - 1)),
+        |           51, '0'), '1')
+        |    END AS rank
+        |  FROM h),
+        |gr AS (SELECT g, register, max(rank) AS rank FROM r GROUP BY 1, 2),
+        |s AS (SELECT g, CAST(count(*) AS BIGINT) AS nz,
+        |    CAST(sum(CAST(1 AS BIGINT) << (52 - rank)) AS BIGINT) AS psum
+        |  FROM gr GROUP BY 1),
+        |e AS (SELECT g, CAST(512 - nz AS BIGINT) AS zero_registers,
+        |    round((0.7213 / (1.0 + 1.079 / 512)) * 512.0 * 512.0
+        |      * power(2.0, 52)
+        |      / (psum + (512 - nz) * (CAST(1 AS BIGINT) << 52)), 6)
+        |      AS raw_estimate
+        |  FROM s),
+        |f AS (SELECT g, zero_registers,
+        |    round(CASE WHEN raw_estimate <= 1280.0 AND zero_registers > 0
+        |      THEN 512.0 * ln(512.0 / zero_registers)
+        |      ELSE raw_estimate END, 6) AS estimate
+        |  FROM e),
+        |x AS (SELECT date_trunc('day', ts) AS g,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |  FROM events GROUP BY 1)
+        |SELECT strftime(f.g, '%Y-%m-%d') AS day, zero_registers,
+        |  estimate, exact_distinct,
+        |  round(abs(estimate - exact_distinct) / exact_distinct, 6)
+        |    AS rel_err
+        |FROM f JOIN x ON f.g = x.g ORDER BY day""".stripMargin,
     "q_hll_distinct" ->
       s"""$hllSql,
          |e AS (SELECT CAST(512 AS BIGINT) AS m,

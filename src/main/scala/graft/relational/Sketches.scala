@@ -51,6 +51,47 @@ object Sketches {
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("register").agg(max("rank").as("rank"))
 
+  /** Grouped sketches — one register frame PER group value (per day,
+    * per tenant, per shard): still ONE map-side-combinable groupBy, the
+    * realistic production form of the sketch. ≤ |groups|·2^p rows. */
+  def hllGroupedRegisters(df: DataFrame, group: Column, key: Column,
+      salt: String, p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 16, s"p out of range: $p")
+    val lowBits = 60 - p
+    val maxRank = lowBits + 1
+    val h = Hashing.h60(key, salt)
+    val low = h.bitwiseAND(lit((1L << lowBits) - 1))
+    val rank = when(low === 0L, lit(maxRank))
+      .otherwise(instr(lpad(bin(low), lowBits, "0"), "1"))
+    df.select(group.as("g"), shiftright(h, lowBits).as("register"),
+        rank.cast("int").as("rank"))
+      .groupBy("g", "register").agg(max("rank").as("rank"))
+  }
+
+  /** Per-group HLL estimates off a grouped register frame — the same
+    * integer-exact power sum and small-range correction as
+    * [[hllEstimate]], one output row per group. */
+  def hllGroupedEstimate(registers: DataFrame, p: Int = 9): DataFrame = {
+    val m = 1L << p
+    val maxRank = 60 - p + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    registers.groupBy("g")
+      .agg(count(lit(1)).as("__nz"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRank - rank)"))
+          .as("__psum"))
+      .select(col("g"), (lit(m) - col("__nz")).as("zero_registers"),
+        (col("__psum") + (lit(m) - col("__nz")) * shiftleft(lit(1L), maxRank))
+          .as("__isum"))
+      .select(col("g"), col("zero_registers"),
+        round(lit(alpha) * lit(m.toDouble) * lit(m.toDouble)
+          * pow(lit(2.0), lit(maxRank)) / col("__isum"), 6).as("raw_estimate"))
+      .select(col("g"), col("zero_registers"), col("raw_estimate"),
+        round(when(col("raw_estimate") <= lit(2.5 * m)
+            && col("zero_registers") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zero_registers")))
+          .otherwise(col("raw_estimate")), 6).as("estimate"))
+  }
+
   /** The HLL estimate off a register frame: integer-exact power sum,
     * then the Flajolet bias-corrected estimator with the small-range
     * linear-counting fallback. Returns one row

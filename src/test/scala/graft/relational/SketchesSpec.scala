@@ -59,6 +59,22 @@ class SketchesSpec extends SparkSpec {
     assert(joined.nonEmpty && joined.forall(_.getBoolean(0)))
   }
 
+  test("grouped HLL: per-group registers equal per-group standalone sketches") {
+    import graft.core.Tables
+    val ev = Tables.events(spark, sfDir)
+    val grouped = Sketches.hllGroupedRegisters(ev,
+      col("event_type"), col("user_id"), "ghll")
+    val types = ev.select(col("event_type")).distinct()
+      .collect().map(_.getString(0))
+    types.foreach { t =>
+      val solo = sortedRows(Sketches.hllRegisters(
+        ev.where(col("event_type") === t), col("user_id"), "ghll"))
+      val slice = sortedRows(grouped.where(col("g") === t)
+        .select(col("register"), col("rank")))
+      assert(slice.sameElements(solo), s"group $t diverged")
+    }
+  }
+
   test("Benford: digit shares sum to 1 and chi2 terms are non-negative") {
     val rows = Profiling.benfordReport(orders, col("o_totalprice")).collect()
     assert(rows.map(_.getAs[Int]("digit")).toSet.subsetOf((1 to 9).toSet))
