@@ -927,16 +927,19 @@ object RelationalQueries extends QueryPack {
 
     // Jaro–Winkler scored pairs (the FS-tradition name comparator as a
     // native codegen expression, functions/JaroWinkler.scala) over
-    // blockingUnion candidates — blocks keyed on the first p_name word
-    // (~92 color blocks, bounded by the generator vocabulary). Scores
+    // blockingUnion candidates keyed on the 17-char name prefix —
+    // digit-prefix blocks have SIZE bounded by construction (≤10 ids
+    // share a prefix) while block COUNT grows with the table, so
+    // candidate volume stays linear at any sf (the r8 lesson: never a
+    // fixed-cardinality key whose blocks grow with the corpus). Scores
     // rounded to 6 BEFORE thresholding; DuckDB's own
     // jaro_winkler_similarity replays them bit-for-bit (byte
     // semantics, strict 0.7 boost threshold — fuzz-pinned).
     "q_jaro_winkler" -> ((s, dir) =>
       EntityResolution.jaroWinklerPairs(
-        Tables.part(s, dir), "p_partkey", "p_name",
-        rules = Seq(split(col("p_name"), " ").getItem(0)),
-        minSim = 0.88)
+        Tables.customer(s, dir), "c_custkey", "c_name",
+        rules = Seq(substring(col("c_name"), 1, 17)),
+        minSim = 0.9)
         .orderBy("id_a", "id_b")),
 
     // fuzzyPairs (single-key blocking) forced onto the LARGE-table
@@ -1438,13 +1441,13 @@ object RelationalQueries extends QueryPack {
     "q_fuzzy_join" -> fuzzyJoinOracleSql,
     "q_fuzzy_join_shuffled" -> fuzzyJoinOracleSql,
     "q_jaro_winkler" ->
-      """WITH k AS (SELECT p_partkey AS id, p_name AS name,
-        |    split_part(p_name, ' ', 1) AS blk FROM part)
+      """WITH k AS (SELECT c_custkey AS id, c_name AS name,
+        |    substr(c_name, 1, 17) AS blk FROM customer)
         |SELECT a.id AS id_a, b.id AS id_b,
         |  a.name AS name_a, b.name AS name_b,
         |  round(jaro_winkler_similarity(a.name, b.name), 6) AS sim
         |FROM k a JOIN k b ON a.blk = b.blk AND a.id < b.id
-        |WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.88
+        |WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
     "q_scd2" ->
       """WITH o AS (SELECT user_id, ts, event_id, event_type,
