@@ -65,7 +65,17 @@ object Scaling {
     "q_coreness" -> 16,   // h-index rounds: edge-sized joins + windows
     "q_bitext_mine_lsh" -> 4, // fixed 4-plane buckets: see notes
     "q_event_transitions" -> 16, // per-user lag + states² rollup
-    "q_kaplan_meier" -> 16) // per-user rollup + tiny-frame windows
+    "q_kaplan_meier" -> 16, // per-user rollup + tiny-frame windows
+    // round-9 third-session gates
+    "q_jaro_winkler" -> 16, // bounded digit-prefix blocks: linear candidates
+    "q_gbt_cells" -> 16, // one corpus pass + cell-frame boosting rounds
+    "q_grid_dbscan" -> 16, // one cell groupBy + cell-graph CC
+    "q_adamic_adar" -> 16, // fixed 300-vec kNN slice: scan growth only
+    "q_isotonic_calibration" -> 16, // two corpus aggregates + B³ tiny rows
+    "q_assoc_rules" -> 16, // within-basket pair join, basket-size bounded
+    "q_mnb_predict" -> 16, // one exploded fit pass + scan-fused scoring
+    "q_learning_curve" -> 16, // the whole curve = one moment aggregate
+    "q_mmr_select" -> 16) // corpus top-30 scan + bounded greedy steps
     .filter { case (q, _) =>
       sys.env.get("SPARK_GRAFT_SCALE_ONLY")
         .forall(_.split(",").map(_.trim).contains(q))
