@@ -91,21 +91,24 @@ object Retrieval {
         col(idCol).cast("long").as("id"), col(relCol).as("rel"),
         col(vecCol).as("vec"))
       .withColumn("maxsim", lit(0.0)).persist())
-    val picks = (1 to k).map { step =>
+    // stops early when candidates run out (k larger than the list)
+    val picks = Iterator.from(1).takeWhile(_ <= k).map { step =>
       val scored = state.withColumn("score",
         round(lit(lambda) * col("rel")
           - lit(1.0 - lambda) * col("maxsim"), 6))
-      val best = scored.orderBy(col("score").desc, col("id")).limit(1).head()
-      val bestId = best.getAs[Long]("id")
-      val bestVec = best.getAs[scala.collection.Seq[Float]]("vec").toSeq
-      state = graft.core.Memos.tracked("mmr", state
-        .where(col("id") =!= bestId)
-        .withColumn("maxsim", greatest(col("maxsim"),
-          round(graft.functions.VecDot(col("vec"),
-            lit(bestVec.toArray)), 6)))
-        .persist())
-      (step, bestId, best.getAs[Double]("score"))
-    }
+      scored.orderBy(col("score").desc, col("id")).limit(1)
+        .collect().headOption.map { best =>
+          val bestId = best.getAs[Long]("id")
+          val bestVec = best.getAs[scala.collection.Seq[Float]]("vec").toSeq
+          state = graft.core.Memos.tracked("mmr", state
+            .where(col("id") =!= bestId)
+            .withColumn("maxsim", greatest(col("maxsim"),
+              round(graft.functions.VecDot(col("vec"),
+                lit(bestVec.toArray)), 6)))
+            .persist())
+          (step, bestId, best.getAs[Double]("score"))
+        }
+    }.takeWhile(_.isDefined).flatten.toSeq
     picks.toDF("step", "id", "score")
   }
 }

@@ -86,6 +86,13 @@ class RetrievalSpec extends SparkSpec {
     assert(got(2) == 2L)
   }
 
+  test("mmrSelect with k beyond the candidate count stops cleanly") {
+    val got = Retrieval.mmrSelect(mmrCands, "id", "rel", "vec",
+      k = 12, lambda = 0.7).collect()
+    assert(got.length === 5)
+    assert(got.map(_.getLong(1)).toSet === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("mmrSelect scores are monotone non-increasing in pick order") {
     val scores = Retrieval.mmrSelect(mmrCands, "id", "rel", "vec",
       k = 5, lambda = 0.7).collect().map(_.getDouble(2)).toSeq
