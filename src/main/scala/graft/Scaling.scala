@@ -66,7 +66,12 @@ object Scaling {
     "q_bitext_mine_lsh" -> 4, // fixed 4-plane buckets: see notes
     "q_event_transitions" -> 16, // per-user lag + states² rollup
     "q_kaplan_meier" -> 16, // per-user rollup + tiny-frame windows
-    // round-9 third-session gates
+    // round-9 third-session gates. NOTE: the committed SCALING.json
+    // predates these nine targets — the third session's host measured
+    // 50x above the artifact's quiet floors on identical gates
+    // (q_distinct_ngrams x1 24s vs the committed 0.397s floor), so a
+    // floor run there would have poisoned the artifact; the next quiet
+    // run picks these up automatically.
     "q_jaro_winkler" -> 16, // bounded digit-prefix blocks: linear candidates
     "q_gbt_cells" -> 16, // one corpus pass + cell-frame boosting rounds
     "q_grid_dbscan" -> 16, // one cell groupBy + cell-graph CC
