@@ -995,6 +995,15 @@ object RelationalQueries extends QueryPack {
           round(col("n_converted").cast("double") / col("n_signup_users"), 6))
     }),
 
+    // Multi-touch attribution (relational/Attribution.scala): per
+    // channel the first-touch / last-touch / linear credit over
+    // conversion groups — one per-user cumsum window (the operator's
+    // semantics), then per-(user, group) struct min/max aggregates.
+    "q_attribution" -> ((s, dir) =>
+      Attribution.multiTouch(Tables.events(s, dir), "user_id", "ts",
+        "event_type", "event_id", col("event_type") === "purchase")
+        .orderBy("channel")),
+
     // Pairwise association rules on order baskets (relational/
     // Association.scala): support ≥ 3 pairs ranked by lift, both
     // confidences — integer supports, fixed-order metric arithmetic.
@@ -1485,6 +1494,38 @@ object RelationalQueries extends QueryPack {
         |  round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conversion_rate
         |FROM per_user""".stripMargin,
 
+    "q_attribution" ->
+      """WITH t AS (SELECT user_id AS u, ts, event_id AS tb,
+        |    event_type AS channel, event_type = 'purchase' AS conv,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM events),
+        |tou AS (SELECT u, grp + 1 AS grp, ts, tb, channel FROM t
+        |  WHERE NOT conv),
+        |cv AS (SELECT u, grp FROM t WHERE conv),
+        |att AS (SELECT tou.u, tou.grp, tou.ts, tou.tb, tou.channel
+        |  FROM tou JOIN cv USING (u, grp)),
+        |pg AS (SELECT u, grp, CAST(count(*) AS BIGINT) AS n
+        |  FROM att GROUP BY 1, 2),
+        |fst AS (SELECT channel, CAST(count(*) AS BIGINT) AS first_touch
+        |  FROM (SELECT channel, row_number() OVER (PARTITION BY u, grp
+        |      ORDER BY ts, tb) AS rk FROM att) WHERE rk = 1 GROUP BY 1),
+        |lst AS (SELECT channel, CAST(count(*) AS BIGINT) AS last_touch
+        |  FROM (SELECT channel, row_number() OVER (PARTITION BY u, grp
+        |      ORDER BY ts DESC, tb DESC) AS rk FROM att)
+        |  WHERE rk = 1 GROUP BY 1),
+        |lin AS (SELECT att.channel,
+        |    round(sum(1.0 / pg.n), 6) AS linear_credit,
+        |    CAST(count(*) AS BIGINT) AS n_touches
+        |  FROM att JOIN pg USING (u, grp) GROUP BY 1)
+        |SELECT lin.channel,
+        |  coalesce(fst.first_touch, 0) AS first_touch,
+        |  coalesce(lst.last_touch, 0) AS last_touch,
+        |  lin.linear_credit, lin.n_touches
+        |FROM lin LEFT JOIN fst ON fst.channel = lin.channel
+        |LEFT JOIN lst ON lst.channel = lin.channel
+        |ORDER BY lin.channel""".stripMargin,
     "q_assoc_rules" ->
       """WITH bk AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it
         |  FROM lineitem),

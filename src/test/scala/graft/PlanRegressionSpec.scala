@@ -92,6 +92,9 @@ class PlanRegressionSpec extends SparkSpec {
     "q_event_transitions",   // per-USER lag IS the Markov-transition
                              // semantics — partitioned by key, never a
                              // global sort; downstream is ≤|states|²
+    "q_attribution",         // per-USER conversion-group cumsum IS the
+                             // attribution semantics; everything after
+                             // is per-(user, group) aggregates
     "q_ndcg"                 // ideal-permutation row_number strictly over
                              // the per-query top-k candidate frame
                              // (|queries|·k rows), never the corpus
