@@ -173,6 +173,34 @@ object Experiment {
       .where(col("__ok")).drop("__ok")
   }
 
+  /** Sample-ratio-mismatch check — the experimentation trust guardrail
+    * run BEFORE any effect readout (Fabijan et al. KDD'19: a skewed
+    * assignment invalidates the experiment regardless of the metric):
+    * per-variant observed vs expected counts with chi-square terms.
+    * One grouped count; everything else is arithmetic on ≤|variants|
+    * integers.
+    * @param expected variant → design ratio (must cover every observed
+    *   variant; ratios needn't sum to 1 — they're normalized)
+    */
+  def srmCheck(df: DataFrame, variantCol: String,
+      expected: Map[String, Double], quantize: Int = 6): DataFrame = {
+    require(expected.nonEmpty && expected.values.forall(_ > 0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val norm = expected.values.sum
+    val ratios = expected.map { case (k, v) => (k, v / norm) }.toSeq
+      .toDF("variant", "ratio")
+    val per = df.groupBy(col(variantCol).cast("string").as("variant"))
+      .agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum("n").as("__nt"))
+    per.join(broadcast(ratios), Seq("variant"))
+      .join(broadcast(tot))
+      .select(col("variant"), col("n"),
+        round(col("ratio") * col("__nt"), quantize).as("expected_n"),
+        round(pow(col("n") - col("ratio") * col("__nt"), 2)
+          / (col("ratio") * col("__nt")), quantize).as("chi2_term"))
+  }
+
   private def welchT(ma: org.apache.spark.sql.Column,
       mb: org.apache.spark.sql.Column, va: org.apache.spark.sql.Column,
       vb: org.apache.spark.sql.Column, na: org.apache.spark.sql.Column,

@@ -70,6 +70,16 @@ object MetricsQueries extends QueryPack {
           col("o_custkey").cast("string"), "ab", 2) === 1,
         col("o_orderdate") >= lit("1995-01-01"), "o_totalprice")),
 
+    // Sample-ratio-mismatch guardrail on the same hash variants
+    // (designed 50/50): per-variant observed vs expected with
+    // chi-square terms — the trust check before any effect readout.
+    "q_ab_srm" -> ((s, dir) =>
+      Experiment.srmCheck(Tables.orders(s, dir)
+          .withColumn("variant", graft.core.Hashing.bucket(
+            col("o_custkey").cast("string"), "ab", 2)),
+        "variant", Map("0" -> 0.5, "1" -> 0.5))
+        .orderBy("variant")),
+
     // Two-proportion z-test (pooled variance) on order F-status
     // conversion between the same hash variants — integer counts, so
     // the z arithmetic is exact scalar math.
@@ -488,6 +498,16 @@ object MetricsQueries extends QueryPack {
         |    / sqrt(v_tpost / n_tpost + v_tpre / n_tpre
         |      + v_cpost / n_cpost + v_cpre / n_cpre), 6) AS t
         |FROM o""".stripMargin,
+    "q_ab_srm" ->
+      """WITH b AS (SELECT
+        |    CAST((('0x' || substr(md5('ab' || CAST(o_custkey AS VARCHAR)),
+        |      1, 15))::BIGINT % 2) AS VARCHAR) AS variant FROM orders),
+        |p AS (SELECT variant, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM p)
+        |SELECT variant, n, round(0.5 * nt, 6) AS expected_n,
+        |  round(power(n - 0.5 * nt, 2) / (0.5 * nt), 6) AS chi2_term
+        |FROM p CROSS JOIN t ORDER BY variant""".stripMargin,
     "q_ab_proportions" ->
       """WITH b AS (SELECT
         |    CAST((('0x' || substr(md5('ab' || CAST(o_custkey AS VARCHAR)),

@@ -103,6 +103,26 @@ class ExperimentSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble, 1e-6))
   }
 
+  test("SRM check flags a skewed assignment and clears a balanced one") {
+    import org.apache.spark.sql.functions.col
+    val skewed = ((1 to 700).map(_ => "a") ++ (1 to 300).map(_ => "b"))
+      .toDF("v")
+    val terms = Experiment.srmCheck(skewed, "v",
+      Map("a" -> 0.5, "b" -> 0.5)).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("chi2_term")).toMap
+    // chi2 = (700-500)^2/500 + (300-500)^2/500 = 160 ≫ 3.84 (α=.05, df 1)
+    assert(terms.values.sum ~== (160.0, 1e-6))
+    val fair = ((1 to 500).map(_ => "a") ++ (1 to 500).map(_ => "b"))
+      .toDF("v")
+    val clean = Experiment.srmCheck(fair, "v",
+      Map("a" -> 0.5, "b" -> 0.5)).collect()
+    assert(clean.forall(_.getAs[Double]("chi2_term") == 0.0))
+    // un-normalized ratios behave identically
+    val clean2 = Experiment.srmCheck(fair, "v", Map("a" -> 2.0, "b" -> 2.0))
+      .collect()
+    assert(clean2.forall(_.getAs[Double]("chi2_term") == 0.0))
+  }
+
   test("proportions test with one variant yields an empty report") {
     import org.apache.spark.sql.functions._
     val df = Seq(("0", true), ("0", false)).toDF("v", "s")
