@@ -1017,6 +1017,13 @@ object RelationalQueries extends QueryPack {
     "q_changepoint" -> ((s, dir) =>
       Temporal.changePoint(Tables.events(s, dir), "ts")),
 
+    // Holt double exponential smoothing on the same daily series
+    // (Temporal.holtSmoothing): level/trend quantized per step, the
+    // recursion replayed by a recursive CTE.
+    "q_holt_forecast" -> ((s, dir) =>
+      Temporal.holtSmoothing(Tables.events(s, dir), "ts")
+        .orderBy("day")),
+
     // Retention cohorts: users grouped by first-activity ISO week;
     // retention_k = fraction active in cohort-week + k. Two aggregates
     // and a join on the user key; the cohort matrix is ≤ |weeks|² rows.
@@ -1544,6 +1551,34 @@ object RelationalQueries extends QueryPack {
         |FROM ps JOIN isup sa ON sa.it = ps.id_a
         |JOIN isup sb ON sb.it = ps.id_b CROSS JOIN nb
         |ORDER BY lift DESC, id_a, id_b LIMIT 30""".stripMargin,
+    "q_holt_forecast" -> {
+      // α/β and their complements printed from the Scala doubles so
+      // both engines smooth with the same IEEE values
+      val a = 0.3; val b = 0.1
+      val oma = (1.0 - a).toString
+      val omb = (1.0 - b).toString
+      s"""WITH RECURSIVE daily AS (SELECT date_trunc('day', ts) AS d,
+         |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+         |idx AS (SELECT d, y, row_number() OVER (ORDER BY d) AS i
+         |  FROM daily),
+         |hw(i, level, trend) AS (
+         |  SELECT 1, round(CAST(y AS DOUBLE), 6),
+         |    round(CAST((SELECT y FROM idx WHERE i = 2) - y AS DOUBLE), 6)
+         |  FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT x.i,
+         |    round($a * x.y + $oma * (h.level + h.trend), 6),
+         |    round($b * (round($a * x.y + $oma * (h.level + h.trend), 6)
+         |      - h.level) + $omb * h.trend, 6)
+         |  FROM hw h JOIN idx x ON x.i = h.i + 1)
+         |SELECT strftime(x.d, '%Y-%m-%d') AS day, x.y AS y, h.level,
+         |  h.trend,
+         |  CASE WHEN h.i = 1 THEN NULL
+         |    ELSE round(hp.level + hp.trend, 6) END AS fitted
+         |FROM hw h JOIN idx x ON x.i = h.i
+         |LEFT JOIN hw hp ON hp.i = h.i - 1
+         |ORDER BY day""".stripMargin
+    },
     "q_changepoint" ->
       """WITH daily AS (SELECT date_trunc('day', ts) AS d,
         |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),

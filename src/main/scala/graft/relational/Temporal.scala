@@ -337,6 +337,51 @@ object Temporal {
     * @return one row: (break_day, n_before, n_after, mean_before,
     *   mean_after, gain)
     */
+  /** Holt linear-trend (double) exponential smoothing over the per-day
+    * count series (Holt 1957; the operational forecasting primitive
+    * next to [[changePoint]]):
+    *   level_t = α·y_t + (1−α)(level_{t−1} + trend_{t−1})
+    *   trend_t = β·(level_t − level_{t−1}) + (1−β)·trend_{t−1}
+    * with level/trend QUANTIZED (round 6) at every step — the KM-curve
+    * convention — so the recursion replays exactly in a recursive CTE.
+    *
+    * Scale shape: ONE corpus aggregate to the ≤|days| frame; the
+    * sequential walk runs on the driver over that tiny frame (a
+    * recursion over 30 rows is not distributed work). `fitted` is the
+    * one-step-ahead forecast level_{t−1} + trend_{t−1} (null at t=1).
+    * Init: level₁ = y₁, trend₁ = y₂ − y₁.
+    */
+  def holtSmoothing(df: DataFrame, tsCol: String, alpha: Double = 0.3,
+      beta: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val daily = df.groupBy(date_trunc("DAY", col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("y"))
+      .orderBy("d")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    require(daily.length >= 2, "holtSmoothing needs at least 2 periods")
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val oneMinusA = 1.0 - alpha
+    val oneMinusB = 1.0 - beta
+    var level = r6(daily(0)._2.toDouble)
+    var trend = r6((daily(1)._2 - daily(0)._2).toDouble)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val rows = daily.zipWithIndex.map { case ((d, y), i) =>
+      val fitted: Option[Double] =
+        if (i == 0) None else Some(r6(level + trend))
+      if (i > 0) {
+        val nl = r6(alpha * y + oneMinusA * (level + trend))
+        trend = r6(beta * (nl - level) + oneMinusB * trend)
+        level = nl
+      }
+      (fmt.format(d), y, level, trend, fitted)
+    }
+    rows.toSeq.toDF("day", "y", "level", "trend", "fitted")
+  }
+
   def changePoint(df: DataFrame, tsCol: String): DataFrame = {
     val daily = df.groupBy(date_trunc("DAY", col(tsCol)).as("d"))
       .agg(count(lit(1)).as("y"))

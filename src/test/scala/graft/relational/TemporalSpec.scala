@@ -390,6 +390,33 @@ class TemporalSpec extends SparkSpec {
     assert(got.getAs[Long]("n_before") === 10L)
   }
 
+  test("holtSmoothing tracks a perfectly linear series exactly") {
+    import java.sql.Timestamp
+    // y_d = 4 + 3·d events on day d: level_t = y_t, trend_t = 3,
+    // fitted_t = y_t for t >= 2 (exact by induction)
+    val rows = (0 until 12).flatMap(day => (0 until 4 + 3 * day).map(i =>
+      Timestamp.valueOf(f"2024-03-${day + 1}%02d 0${i % 9}:15:00")))
+    val got = Temporal.holtSmoothing(rows.toDF("ts"), "ts")
+      .orderBy("day").collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("level") === (4.0 + 3 * i))
+      assert(r.getAs[Double]("trend") === 3.0)
+      if (i == 0) assert(r.isNullAt(r.fieldIndex("fitted")))
+      else assert(r.getAs[Double]("fitted") === (4.0 + 3 * i))
+    }
+  }
+
+  test("holtSmoothing damps a level shift gradually") {
+    import java.sql.Timestamp
+    val rows = (0 until 10).flatMap(day => (0 until (if (day < 5) 5 else 50))
+      .map(i => Timestamp.valueOf(f"2024-03-${day + 1}%02d 0${i % 9}:45:00")))
+    val got = Temporal.holtSmoothing(rows.toDF("ts"), "ts")
+      .orderBy("day").collect()
+    val fittedAtShift = got(5).getAs[Double]("fitted")
+    assert(fittedAtShift < 10.0) // forecast lags the jump
+    assert(got.last.getAs[Double]("level") > 30.0) // but converges up
+  }
+
   test("changePoint on a flat series reports ~zero gain") {
     import java.sql.Timestamp
     val rows = (0 until 15).flatMap(day => (0 until 7).map(i =>
