@@ -28,9 +28,19 @@ object GridDbscan {
   private val Off = 1L << 20
   private val Span = 1L << 21
 
-  /** Encode a cell coordinate pair as one long node id (|c| < 2^20). */
+  /** Encode a cell coordinate pair as one long node id. The |c| < 2^20
+    * precondition is ENFORCED, not just documented: a coordinate beyond
+    * the range would silently alias distinct cells to one node id and
+    * corrupt the component labels, so out-of-range cells raise instead
+    * (the guard runs on the ≤|cells| dense frame, never per point). */
   def cellId(cx: Column, cy: Column): Column =
-    (cx + lit(Off)) * lit(Span) + (cy + lit(Off))
+    (checked(cx) + lit(Off)) * lit(Span) + (checked(cy) + lit(Off))
+
+  private def checked(c: Column): Column =
+    when(abs(c) < lit(Off), c).otherwise(raise_error(concat(
+      lit("GridDbscan.cellId: |cell coordinate| must be < 2^20 "
+        + "(coordinate/eps out of supported range), got "),
+      c.cast("string"))))
 
   /** @param pts (idCol, xCol, yCol) — coordinates already quantized
     * @return (id, cluster): cluster = least reachable dense-cell id,

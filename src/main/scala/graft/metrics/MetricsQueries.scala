@@ -494,9 +494,13 @@ object MetricsQueries extends QueryPack {
         |    AS did,
         |  round(sqrt(v_tpost / n_tpost + v_tpre / n_tpre
         |    + v_cpost / n_cpost + v_cpre / n_cpre), 6) AS se,
-        |  round(((mean_tpost - mean_tpre) - (mean_cpost - mean_cpre))
+        |  CASE WHEN sqrt(v_tpost / n_tpost + v_tpre / n_tpre
+        |      + v_cpost / n_cpost + v_cpre / n_cpre) = 0
+        |    OR sqrt(v_tpost / n_tpost + v_tpre / n_tpre
+        |      + v_cpost / n_cpost + v_cpre / n_cpre) IS NULL THEN NULL
+        |  ELSE round(((mean_tpost - mean_tpre) - (mean_cpost - mean_cpre))
         |    / sqrt(v_tpost / n_tpost + v_tpre / n_tpre
-        |      + v_cpost / n_cpost + v_cpre / n_cpre), 6) AS t
+        |      + v_cpost / n_cpost + v_cpre / n_cpre), 6) END AS t
         |FROM o""".stripMargin,
     "q_ab_srm" ->
       """WITH b AS (SELECT

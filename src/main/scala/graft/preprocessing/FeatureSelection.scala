@@ -51,14 +51,20 @@ object FeatureSelection {
       .agg(
         countDistinct(col("bin")).as("n_bins"),
         countDistinct(col("label")).as("n_classes"),
+        // counts multiply as DOUBLE, not BIGINT: long×long wraps
+        // silently in non-ANSI mode once n_xy·n exceeds 2^63 (~3e9
+        // rows squared — certain at the 100 TB regime); double keeps
+        // exactness below 2^53 and degrades gracefully above
         round(sum((col("n_xy") / col("n"))
-          * log(col("n_xy") * col("n") / (col("n_x") * col("n_y")))), 6)
+          * log(col("n_xy").cast("double") * col("n")
+            / (col("n_x").cast("double") * col("n_y")))), 6)
           .as("mi"),
-        round(sum(pow(col("n_xy") - col("n_x") * col("n_y") / col("n"), 2)
-          / (col("n_x") * col("n_y") / col("n")))
+        round(sum(pow(col("n_xy")
+            - col("n_x").cast("double") * col("n_y") / col("n"), 2)
+          / (col("n_x").cast("double") * col("n_y") / col("n")))
           // absent cells (n_xy = 0) still contribute e to chi2:
           // Σ_present (o−e)²/e + Σ_absent e = Σ_present ((o−e)²/e − e) + N
-          - sum(col("n_x") * col("n_y") / col("n"))
+          - sum(col("n_x").cast("double") * col("n_y") / col("n"))
           + first(col("n")), 6).as("chi2"),
         ((countDistinct(col("bin")) - 1)
           * (countDistinct(col("label")) - 1)).as("dof"))

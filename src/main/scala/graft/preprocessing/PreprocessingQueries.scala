@@ -351,10 +351,11 @@ object PreprocessingQueries extends QueryPack {
       |    CAST(count(DISTINCT bin) AS BIGINT) AS n_bins,
       |    CAST(count(DISTINCT label) AS BIGINT) AS n_classes,
       |    round(sum((CAST(n_xy AS DOUBLE) / n)
-      |      * ln(CAST(n_xy * n AS DOUBLE) / (n_x * n_y))), 6) AS mi,
-      |    round(sum(power(n_xy - CAST(n_x * n_y AS DOUBLE) / n, 2)
-      |        / (CAST(n_x * n_y AS DOUBLE) / n))
-      |      - sum(CAST(n_x * n_y AS DOUBLE) / n) + min(n), 6) AS chi2,
+      |      * ln(CAST(n_xy AS DOUBLE) * n
+      |          / (CAST(n_x AS DOUBLE) * n_y))), 6) AS mi,
+      |    round(sum(power(n_xy - CAST(n_x AS DOUBLE) * n_y / n, 2)
+      |        / (CAST(n_x AS DOUBLE) * n_y / n))
+      |      - sum(CAST(n_x AS DOUBLE) * n_y / n) + min(n), 6) AS chi2,
       |    CAST((count(DISTINCT bin) - 1) * (count(DISTINCT label) - 1)
       |      AS BIGINT) AS dof
       |  FROM j GROUP BY f)""".stripMargin

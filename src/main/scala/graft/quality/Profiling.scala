@@ -26,7 +26,10 @@ object Profiling {
     // engines; zero/negative/null amounts are excluded (no first digit)
     val cents = round(amount * 100).cast("long")
     val digit = substring(cents.cast("string"), 1, 1).cast("int")
-    val perDigit = df.where(amount > 0)
+    // filter on the DERIVED cents, not the raw amount: amounts in
+    // (0, 0.005) pass amount > 0 but round to 0 cents, whose "digit"
+    // 0 would divide expected_p by zero
+    val perDigit = df.where(cents >= 1)
       .select(digit.as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
     val total = perDigit.agg(sum("n").as("__total"))

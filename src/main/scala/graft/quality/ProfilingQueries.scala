@@ -179,7 +179,8 @@ object ProfilingQueries extends QueryPack {
     "q_benford" ->
       """WITH fd AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
         |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
-        |  FROM orders WHERE o_totalprice > 0),
+        |  FROM orders
+        |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 1),
         |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
         |  FROM fd GROUP BY 1),
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g),

@@ -45,8 +45,11 @@ object Association {
           .as("confidence_ab"),
         round(col("support_pair") / col("support_b"), 6)
           .as("confidence_ba"),
-        round(col("support_pair") * col("nb")
-          / (col("support_a") * col("support_b")), 6).as("lift"))
+        // multiply in DOUBLE: support_pair·nb are BIGINTs that wrap
+        // silently past 2^63 at 100 TB basket counts (~6e11 rows)
+        round(col("support_pair").cast("double") * col("nb")
+          / (col("support_a").cast("double") * col("support_b")), 6)
+          .as("lift"))
       .orderBy(col("lift").desc, col("id_a"), col("id_b")).limit(k)
   }
 }

@@ -1547,7 +1547,8 @@ object RelationalQueries extends QueryPack {
         |  sa.sup AS support_a, sb.sup AS support_b,
         |  round(CAST(sp AS DOUBLE) / sa.sup, 6) AS confidence_ab,
         |  round(CAST(sp AS DOUBLE) / sb.sup, 6) AS confidence_ba,
-        |  round(CAST(sp * n AS DOUBLE) / (sa.sup * sb.sup), 6) AS lift
+        |  round(CAST(sp AS DOUBLE) * n
+        |    / (CAST(sa.sup AS DOUBLE) * sb.sup), 6) AS lift
         |FROM ps JOIN isup sa ON sa.it = ps.id_a
         |JOIN isup sb ON sb.it = ps.id_b CROSS JOIN nb
         |ORDER BY lift DESC, id_a, id_b LIMIT 30""".stripMargin,
@@ -1584,18 +1585,18 @@ object RelationalQueries extends QueryPack {
         |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
         |p AS (SELECT a.d, CAST(count(*) AS BIGINT) AS n1,
         |    CAST(sum(b.y) AS BIGINT) AS s1,
-        |    CAST(sum(b.y * b.y) AS BIGINT) AS q1
+        |    sum(CAST(b.y AS DOUBLE) * b.y) AS q1
         |  FROM daily a JOIN daily b ON b.d <= a.d GROUP BY 1),
         |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(y) AS BIGINT) AS s,
-        |    CAST(sum(y * y) AS BIGINT) AS q FROM daily),
+        |    sum(CAST(y AS DOUBLE) * y) AS q FROM daily),
         |c AS (SELECT d, n1, n - n1 AS n2,
         |    round(CAST(s1 AS DOUBLE) / n1, 6) AS mean_before,
         |    round(CAST(s - s1 AS DOUBLE) / (n - n1), 6) AS mean_after,
-        |    round((q - CAST(s * s AS DOUBLE) / n)
-        |      - ((q1 - CAST(s1 * s1 AS DOUBLE) / n1)
+        |    round((q - CAST(s AS DOUBLE) * s / n)
+        |      - ((q1 - CAST(s1 AS DOUBLE) * s1 / n1)
         |        + ((q - q1)
-        |          - CAST((s - s1) * (s - s1) AS DOUBLE) / (n - n1))), 6)
+        |          - CAST(s - s1 AS DOUBLE) * (s - s1) / (n - n1))), 6)
         |      AS gain
         |  FROM p CROSS JOIN t WHERE n1 < n)
         |SELECT strftime(d, '%Y-%m-%d') AS break_day, n1 AS n_before,

@@ -390,18 +390,22 @@ object Temporal {
     val pref = daily.alias("a").join(broadcast(daily.alias("b")),
         col("b.d") <= col("a.d"))
       .groupBy(col("a.d").as("d"))
+      // squares accumulate in DOUBLE: y and the prefix sums are
+      // BIGINTs that wrap silently past 2^63 at 100 TB event counts
       .agg(count(lit(1)).as("n1"), sum(col("b.y")).as("s1"),
-        sum(col("b.y") * col("b.y")).as("q1"))
+        sum(col("b.y").cast("double") * col("b.y")).as("q1"))
     val tot = daily.agg(count(lit(1)).as("n"), sum("y").as("s"),
-      sum(col("y") * col("y")).as("q"))
+      sum(col("y").cast("double") * col("y")).as("q"))
     // null-guarded right-segment size (ANSI may evaluate the projection
     // on the filtered n1 = n row)
     val n2 = col("n") - col("n1")
     val n2s = when(n2 =!= 0L, n2)
-    val sseTotal = col("q") - col("s") * col("s") / col("n")
-    val sseSplit = (col("q1") - col("s1") * col("s1") / col("n1")) +
+    val sseTotal = col("q") - col("s").cast("double") * col("s") / col("n")
+    val sseSplit =
+      (col("q1") - col("s1").cast("double") * col("s1") / col("n1")) +
       ((col("q") - col("q1"))
-        - (col("s") - col("s1")) * (col("s") - col("s1")) / n2s)
+        - (col("s") - col("s1")).cast("double")
+          * (col("s") - col("s1")) / n2s)
     val cand = pref.join(broadcast(tot))
       .where(col("n1") < col("n"))
       .select(col("d"), col("n1"), n2.as("n2"),
