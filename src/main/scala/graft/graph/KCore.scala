@@ -56,20 +56,29 @@ object KCore {
     * @return (id, coreness) — the value after the last round run.
     */
   def coreness(pairs: DataFrame, rounds: Int = 8,
+      earlyStop: Boolean = true): DataFrame =
+    corenessOn(track(EdgeFrames.symmetrizedWeighted(pairs)
+      .persist(StorageLevel.MEMORY_AND_DISK)), rounds, earlyStop)
+
+  /** [[coreness]] over a shared [[EdgeFrames.symmetrizedWeighted]]
+    * frame (weights ignored — coreness is a simple-graph notion and
+    * the frame's (__s, __t) set is exactly the distinct neighbor
+    * relation). */
+  def corenessOn(sym: DataFrame, rounds: Int = 8,
       earlyStop: Boolean = true): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val und = track(pairs
-      .select(col("id_a").cast("long").as("__s"),
-        col("id_b").cast("long").as("__t"))
-      .union(pairs.select(col("id_b").cast("long").as("__s"),
-        col("id_a").cast("long").as("__t")))
-      .filter(col("__s") =!= col("__t"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK))
+    val und = sym.select(col("__s"), col("__t"))
 
     var h = und.groupBy("__s").agg(count(lit(1)).as("__h"))
       .select(col("__s").as("__n"), col("__h"))
       .localCheckpoint()
+    // convergence by TOTAL h: the operator is non-increasing per node,
+    // so an unchanged integer total ⟺ no node changed — one scalar
+    // aggregate over the checkpointed node frame per round, replacing
+    // the old node-sized anti-join (which doubled the round's action
+    // cost). Sum ≤ 2m, no overflow below ~4.6e18 edge endpoints.
+    var prevSum =
+      if (earlyStop) h.agg(sum("__h")).head().getLong(0) else 0L
     var round = 0
     var converged = false
     while (round < rounds && !converged) {
@@ -83,10 +92,9 @@ object KCore {
         .select(col("__s").as("__n"), col("__h"))
         .localCheckpoint()
       if (earlyStop) {
-        // bounded: one long per round; node-sized anti-join on the two
-        // checkpointed frames
-        val changed = next.join(h, Seq("__n", "__h"), "left_anti").count()
-        converged = changed == 0L
+        val s = next.agg(sum("__h")).head().getLong(0)
+        converged = s == prevSum
+        prevSum = s
       }
       h = next
       round += 1

@@ -45,16 +45,16 @@ object LabelPropagation {
     *   last round; label ids are node ids, NOT canonicalized to the
     *   component minimum (communities are finer than components).
     */
-  def labelPropagation(pairs: DataFrame, iters: Int = 5): DataFrame = {
+  def labelPropagation(pairs: DataFrame, iters: Int = 5): DataFrame =
+    labelPropagationOn(track(EdgeFrames.symmetrizedWeighted(pairs)
+      .persist(StorageLevel.MEMORY_AND_DISK)), iters)
+
+  /** [[labelPropagation]] over an already-built (and ideally persisted)
+    * [[EdgeFrames.symmetrizedWeighted]] frame — the entry point for
+    * callers sharing ONE edge frame across the graph family. */
+  def labelPropagationOn(sym: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val und = pairs.select(col("id_a").cast("long").as("__s"),
-        col("id_b").cast("long").as("__t"))
-      .union(pairs.select(col("id_b").cast("long").as("__s"),
-        col("id_a").cast("long").as("__t")))
-      .filter(col("__s") =!= col("__t"))
-    val edges = track(und.groupBy("__s", "__t")
-      .agg(count(lit(1)).as("__w"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+    val edges = sym
 
     var labels = edges.select(col("__s").as("__n")).distinct()
       .select(col("__n"), col("__n").as("__l"))
@@ -97,15 +97,14 @@ object LabelPropagation {
     *   with contribution rounded to 6; Q = sum(contribution) up to
     *   rounding.
     */
-  def modularity(pairs: DataFrame, labels: DataFrame): DataFrame = {
-    val und = pairs.select(col("id_a").cast("long").as("__s"),
-        col("id_b").cast("long").as("__t"))
-      .union(pairs.select(col("id_b").cast("long").as("__s"),
-        col("id_a").cast("long").as("__t")))
-      .filter(col("__s") =!= col("__t"))
-    val e = track(und.groupBy("__s", "__t")
-      .agg(count(lit(1)).as("__w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  def modularity(pairs: DataFrame, labels: DataFrame): DataFrame =
+    modularityOn(track(EdgeFrames.symmetrizedWeighted(pairs)
+      .persist(StorageLevel.MEMORY_AND_DISK)), labels)
+
+  /** [[modularity]] over a shared [[EdgeFrames.symmetrizedWeighted]]
+    * frame. */
+  def modularityOn(sym: DataFrame, labels: DataFrame): DataFrame = {
+    val e = sym
     val la = labels.select(col("id").as("__s"), col("community").as("__cs"))
     val lb = labels.select(col("id").as("__t"), col("community").as("__ct"))
     val tot = e.groupBy("__s").agg(sum("__w").as("__d"))

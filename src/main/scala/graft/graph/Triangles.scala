@@ -39,19 +39,23 @@ object Triangles {
     *   (integral); duplicates and self-loops tolerated (deduped /
     *   dropped).
     */
-  def nodeTriangles(pairs: DataFrame): DataFrame = {
-    // canonical undirected edge set (u < v), the only corpus-sized pass
-    val e = track(pairs
-      .select(least(col("id_a").cast("long"), col("id_b").cast("long")).as("u"),
-        greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK))
+  def nodeTriangles(pairs: DataFrame): DataFrame =
+    nodeTrianglesOn(track(EdgeFrames.symmetrizedWeighted(pairs)
+      .persist(StorageLevel.MEMORY_AND_DISK)))
+
+  /** [[nodeTriangles]] over a shared [[EdgeFrames.symmetrizedWeighted]]
+    * frame: the canonical u < v edge set is its __s < __t half, and
+    * the true undirected degree is its per-__s row count (each
+    * unordered edge appears once per direction). */
+  def nodeTrianglesOn(sym: DataFrame): DataFrame = {
+    // canonical undirected edge set (u < v)
+    val e = sym.filter(col("__s") < col("__t"))
+      .select(col("__s").as("u"), col("__t").as("v"))
 
     // true (undirected) degree — consumed by both orientation joins and
     // the final report
-    val deg = track(e.select(explode(array(col("u"), col("v"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val deg = track(sym.groupBy("__s").agg(count(lit(1)).as("degree"))
+      .select(col("__s").as("id"), col("degree"))
       .persist(StorageLevel.MEMORY_AND_DISK))
 
     // orient each edge low-rank → high-rank, rank = (degree, id);

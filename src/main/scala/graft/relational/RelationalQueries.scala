@@ -89,8 +89,57 @@ object RelationalQueries extends QueryPack {
     * the v5Packed/neymanAllocMemo convention. Cleared by
     * Memos.clearAll between Bench passes.
     */
+  /** Per-dir shared frames for the graph family (VERDICT r9 nit #4):
+    * before round 10, KCore/LPA/modularity/Triangles each re-built and
+    * re-persisted their own symmetrized copy of the SAME part
+    * co-purchase graph, and the three trade-graph gates (pagerank, ppr,
+    * hits) each re-ran the same 4-table corpus join. One persisted
+    * [[graft.graph.EdgeFrames.symmetrizedWeighted]] frame (and one
+    * 25-node trade edge frame) now serves the family; LPA labels are
+    * memoized too because q_label_prop and q_modularity share them.
+    * Cleared by Memos.clearAll between Bench passes.
+    */
   private val linkageMemo =
     graft.core.Memos.register(new graft.core.Memos.CachedFrameMap())
+  private val graphMemo =
+    graft.core.Memos.register(new graft.core.Memos.CachedFrameMap())
+  private def coPurchaseSymMemo(s: SparkSession, dir: String): DataFrame =
+    graphMemo.computeIfAbsent(s"copurchase:$dir", _ => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("id_a"), col("b.pk").as("id_b"))
+      val sym = graft.graph.EdgeFrames.symmetrizedWeighted(pairs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sym.count()
+      sym
+    })
+  private def tradeEdgesMemo(s: SparkSession, dir: String): DataFrame =
+    graphMemo.computeIfAbsent(s"trade:$dir", _ => {
+      val e = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      e
+    })
+  private def lpaLabelsMemo(s: SparkSession, dir: String): DataFrame = {
+    // resolve the edge memo BEFORE computeIfAbsent (no nested updates
+    // on one map — the linkageParamsMemo convention)
+    val sym = coPurchaseSymMemo(s, dir)
+    graphMemo.computeIfAbsent(s"lpa:$dir", _ => {
+      val l = graft.graph.LabelPropagation.labelPropagationOn(sym, 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      l.count()
+      l
+    })
+  }
   private[graft] def linkagePairsMemo(s: SparkSession, dir: String): DataFrame =
     linkageMemo.computeIfAbsent(s"pairs:$dir", _ => {
       val p = linkagePairs(s, dir)
@@ -516,16 +565,8 @@ object RelationalQueries extends QueryPack {
     // iterations, ranks quantized at every handoff so the chained-CTE
     // oracle replays the identical trajectory.
     "q_pagerank" -> ((s, dir) => {
-      val edges = Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, dir)),
-          col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-        .agg(count(lit(1)).as("w"))
-      graft.graph.PageRank.pageRank(edges, "src", "dst", "w",
-          damping = 0.85, iters = 10)
+      graft.graph.PageRank.pageRank(tradeEdgesMemo(s, dir), "src", "dst",
+          "w", damping = 0.85, iters = 10)
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy("node")
     }),
@@ -536,18 +577,10 @@ object RelationalQueries extends QueryPack {
     // propagation score a corpus pipeline attaches from hand-vetted
     // hosts. Same quantized-trajectory oracle replay as q_pagerank.
     "q_personalized_pagerank" -> ((s, dir) => {
-      val edges = Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, dir)),
-          col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-        .agg(count(lit(1)).as("w"))
       val seeds = Tables.nation(s, dir)
         .filter(col("n_nationkey") < 5).select(col("n_nationkey"))
-      graft.graph.PageRank.personalizedPageRank(edges, "src", "dst", "w",
-          seeds, damping = 0.85, iters = 10)
+      graft.graph.PageRank.personalizedPageRank(tradeEdgesMemo(s, dir),
+          "src", "dst", "w", seeds, damping = 0.85, iters = 10)
         .select(col("node"), round(col("rank"), 6).as("rank"))
         .orderBy("node")
     }),
@@ -558,15 +591,8 @@ object RelationalQueries extends QueryPack {
     // normalization against a broadcast 1-row total, quantized
     // trajectory replayed by generated chained CTEs.
     "q_hits" -> ((s, dir) => {
-      val edges = Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, dir)),
-          col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-        .agg(count(lit(1)).as("w"))
-      graft.graph.Hits.hits(edges, "src", "dst", "w", iters = 10)
+      graft.graph.Hits.hits(tradeEdgesMemo(s, dir), "src", "dst", "w",
+          iters = 10)
         .select(col("node"), round(col("hub"), 6).as("hub"),
           round(col("authority"), 6).as("authority"))
         .orderBy("node")
@@ -577,15 +603,9 @@ object RelationalQueries extends QueryPack {
     // graph/KCore.scala): the corpus-graph density signal. 8 integer-
     // exact rounds, each one edge-sized join + per-node aggregate; the
     // oracle replays the identical rounds via generated chained CTEs.
-    "q_coreness" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("id_a"), col("b.pk").as("id_b"))
-      graft.graph.KCore.coreness(pairs, rounds = 8)
-        .orderBy("id")
-    }),
+    "q_coreness" -> ((s, dir) =>
+      graft.graph.KCore.corenessOn(coPurchaseSymMemo(s, dir), rounds = 8)
+        .orderBy("id")),
 
     // Deequ-style declarative data-quality suite (quality/
     // Constraints.scala): six named rules — completeness, uniqueness,
@@ -665,15 +685,9 @@ object RelationalQueries extends QueryPack {
     // for the O(m^1.5) skew argument. The oracle enumerates the same
     // triangles by plain id-ordered joins — orientation-invariance of
     // the per-node counts is exactly what the cross-check pins.
-    "q_triangle_count" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("id_a"), col("b.pk").as("id_b"))
-      graft.graph.Triangles.nodeTriangles(pairs)
-        .orderBy("id")
-    }),
+    "q_triangle_count" -> ((s, dir) =>
+      graft.graph.Triangles.nodeTrianglesOn(coPurchaseSymMemo(s, dir))
+        .orderBy("id")),
 
     // Community detection by synchronous label propagation over the
     // SAME part co-purchase graph, but weighted: pair multiplicity
@@ -681,15 +695,8 @@ object RelationalQueries extends QueryPack {
     // rounds — integer-weight argmax with min-label tie-break as one
     // aggregate (no window); see graph/LabelPropagation.scala. The
     // oracle replays the identical rounds via generated chained CTEs.
-    "q_label_prop" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("id_a"), col("b.pk").as("id_b"))
-      graft.graph.LabelPropagation.labelPropagation(pairs, iters = 5)
-        .orderBy("id")
-    }),
+    "q_label_prop" -> ((s, dir) =>
+      lpaLabelsMemo(s, dir).orderBy("id")),
 
     // Adamic–Adar link prediction (graph/LinkPrediction.scala) over a
     // 5-NN embedding graph — the scale-correct base graph for
@@ -722,16 +729,10 @@ object RelationalQueries extends QueryPack {
     // community-quality report logged next to the detection pass.
     // Integer internal/degree weights from the same symmetrized edge
     // frame; one quantized division at the end.
-    "q_modularity" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("id_a"), col("b.pk").as("id_b"))
-      val labels = graft.graph.LabelPropagation.labelPropagation(pairs, 5)
-      graft.graph.LabelPropagation.modularity(pairs, labels)
-        .orderBy("community")
-    }),
+    "q_modularity" -> ((s, dir) =>
+      graft.graph.LabelPropagation.modularityOn(coPurchaseSymMemo(s, dir),
+          lpaLabelsMemo(s, dir))
+        .orderBy("community")),
 
     // Z-order (Morton) layout: interleave (l_partkey, l_suppkey) bits
     // and report the per-quad-tree-cell bounding boxes — the min/max
