@@ -80,7 +80,15 @@ object Scaling {
     "q_assoc_rules" -> 16, // within-basket pair join, basket-size bounded
     "q_mnb_predict" -> 16, // one exploded fit pass + scan-fused scoring
     "q_learning_curve" -> 16, // the whole curve = one moment aggregate
-    "q_mmr_select" -> 16) // corpus top-30 scan + bounded greedy steps
+    "q_mmr_select" -> 16, // corpus top-30 scan + bounded greedy steps
+    // round-10 targets: the rest of the graph family (all riding the
+    // shared symmetrized-edge memo) — the r9 verdict flagged their
+    // 100 TB story as design-argued, not measured
+    "q_label_prop" -> 16, // 5 rounds: edge join + (node,label) rollup
+    "q_hits" -> 16, // 10 rounds: two edge joins + broadcast L1 norms
+    "q_modularity" -> 16, // shares LPA labels memo + 3 aggregates
+    "q_louvain_refine" -> 16, // one edge join + node-sized argmax
+    "q_ppr_push" -> 16) // frontier-bounded rounds on the trade graph
     .filter { case (q, _) =>
       sys.env.get("SPARK_GRAFT_SCALE_ONLY")
         .forall(_.split(",").map(_.trim).contains(q))

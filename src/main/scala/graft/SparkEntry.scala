@@ -40,7 +40,12 @@ object SparkEntry {
     // selection → domain-mixture sampling → per-shard sequence packing
     // → deterministic EPOCH SHUFFLE (Feistel bijection: every doc's
     // (epoch, trainer shard, position) — the pipeline ends where
-    // training begins, read order reproducible from the salt alone)
+    // training begins, read order reproducible from the salt alone).
+    // v8 (the SURVEY flagship) extends v7 by WRITING the packed corpus
+    // through the audited z-bucketed shard sink and proving parquet
+    // pruning on the written files — a side-effecting run, so the
+    // driver's read-only smoke entry deliberately stays on v7: same
+    // pipeline, no files written outside the driver's control.
     queries("q_llm_pipeline_v7")(spark, dir)
   }
 

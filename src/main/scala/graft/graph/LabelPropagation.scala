@@ -125,4 +125,69 @@ object LabelPropagation {
           (col("degree_w") / col("__m2")) * (col("degree_w") / col("__m2")),
           6).as("contribution"))
   }
+
+  /** One Louvain phase-1 refinement sweep (Blondel, Guillaume,
+    * Lambiotte & Lefebvre 2008, "Fast unfolding of communities in
+    * large networks") over an existing assignment — the
+    * modularity-greedy polish a pipeline runs on top of its cheap LPA
+    * labels: every node considers moving to one of its NEIGHBORS'
+    * communities and takes the one with the best modularity gain.
+    *
+    * For node i with weighted degree k_i, current community A, and
+    * candidate community C, the gain comparison reduces (dropping the
+    * shared 1/2m² factor) to the score
+    *
+    *   score(C) = 2m·k_{i,C} − k_i·(tot_C − k_i·[C = A])
+    *
+    * where k_{i,C} is i's weight into C and tot_C the community's
+    * summed degree — every term an integer off the symmetrized frame;
+    * the two count products are evaluated in DOUBLE (BIGINT×BIGINT
+    * wraps past 2^63 at 100 TB edge counts; exact below 2^53). The
+    * argmax over {A} ∪ neighbor communities, ties to the smallest
+    * community id, is ONE aggregate (min over a (−score, c) struct) —
+    * no window, no per-node sort. All moves apply SYNCHRONOUSLY (the
+    * deterministic distributed compromise — the paper's sequential
+    * sweep is engine-order-dependent); repeated damped sweeps are the
+    * production schedule, one sweep is the gated unit.
+    *
+    * Scale shape: one edge-sized join (edges ⋈ labels on the neighbor
+    * end), one (node, community) rollup, three node-sized joins, a
+    * broadcast 1-row total. Nothing iterates, nothing collects.
+    *
+    * @param sym [[EdgeFrames.symmetrizedWeighted]] frame
+    * @param labels (id, community) as produced by [[labelPropagation]]
+    * @return (id, community) — the assignment after one sweep
+    */
+  def louvainRefine(sym: DataFrame, labels: DataFrame): DataFrame = {
+    val la = labels.select(col("id").as("__s"), col("community").as("__cs"))
+    val lb = labels.select(col("id").as("__t"), col("community").as("__ct"))
+    val deg = sym.groupBy("__s").agg(sum("__w").as("__k"))
+    val tot = deg.join(la, Seq("__s"))
+      .groupBy(col("__cs").as("__c")).agg(sum("__k").as("__tot"))
+    val m2 = sym.agg(sum("__w").as("__m2"))
+    // i's weight into each NEIGHBOR community; the own community is
+    // always a candidate (weight-0 row unioned in, so an isolated-in-A
+    // node can still stay)
+    val kic = sym.join(lb, Seq("__t"))
+      .groupBy(col("__s"), col("__ct").as("__c"))
+      .agg(sum("__w").as("__kic"))
+    val cand = kic.select(col("__s"), col("__c"), col("__kic"))
+      .unionByName(la.select(col("__s"), col("__cs").as("__c"),
+        lit(0L).as("__kic")))
+      .groupBy("__s", "__c").agg(sum("__kic").as("__kic"))
+    val scored = cand
+      .join(la, Seq("__s"))
+      .join(deg, Seq("__s"))
+      .join(tot, Seq("__c"))
+      .crossJoin(broadcast(m2))
+      .select(col("__s"), col("__c"),
+        (col("__m2").cast("double") * col("__kic")
+          - col("__k").cast("double") * (col("__tot")
+            - when(col("__c") === col("__cs"), col("__k"))
+              .otherwise(lit(0L)))).as("__score"))
+    scored.groupBy("__s")
+      .agg(min(struct((-col("__score")).as("ns"), col("__c").as("c")))
+        .as("__m"))
+      .select(col("__s").as("id"), col("__m.c").as("community"))
+  }
 }

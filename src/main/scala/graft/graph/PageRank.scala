@@ -157,4 +157,97 @@ object PageRank {
     }
     ranks.select(col("__n").as("node"), col("__r").as("rank"))
   }
+
+  /** Approximate personalized PageRank by BATCH RESIDUAL PUSH
+    * (Andersen, Chung & Lang, "Local graph partitioning using PageRank
+    * vectors", FOCS 2006) — the seed-local alternative to full power
+    * iteration. Mass starts as residual on the seeds; a node pushes
+    * only once its residual crosses a degree-scaled threshold, so work
+    * is proportional to the seed NEIGHBORHOOD actually touched
+    * (O(1/(ε·α)) total pushes in the sequential analysis), never the
+    * whole graph. The 100 TB move: scoring a handful of vetted seeds'
+    * neighborhoods on a trillion-edge graph costs a few
+    * frontier-bounded rounds — each an `edges ⋈ frontier` SEMI-joined
+    * slice — instead of 10 global edge-sized iterations.
+    *
+    * Batch-synchronous rounds (the distributed compromise — the
+    * paper's one-node-at-a-time schedule is inherently sequential):
+    * every node u with r(u) ≥ ε·outw(u) (any r(u) > 0 for dangling u)
+    * pushes simultaneously:
+    *
+    *   p(u) += α·r(u);  r(v) += (1−α)·r(u)·w_uv/outw(u)  ∀ u→v;
+    *   dangling u returns (1−α)·r(u) to the seed vector
+    *   (the TrustRank restart convention, matching
+    *   [[personalizedPageRank]]); r(u) then resets to 0.
+    *
+    * Invariant: Σp + Σr = 1 up to quantization. Once every residual is
+    * below threshold the frontier is empty and further rounds are
+    * no-ops, so a fixed `rounds` replays deterministically. p and r
+    * are quantized at every handoff — the chained-CTE oracle replays
+    * the identical trajectory.
+    *
+    * @param alpha teleport probability (= 1 − damping; ACL's α).
+    * @param eps   push threshold relative to weighted out-degree.
+    * @return (node, rank_push, residual) — rank_push ≈ PPR with
+    *   per-node error ≤ ε·outw(node) worth of unp pushed residual.
+    */
+  def pushPersonalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, seeds: DataFrame,
+      alpha: Double = 0.15, eps: Double = 1e-6, rounds: Int = 6,
+      quantize: Int = 10): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    require(eps > 0, s"eps must be > 0, got $eps")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__t"),
+      col(weightCol).cast("double").as("__w"))
+    val outw = e.groupBy("__s").agg(sum("__w").as("__ow"))
+    val ew = e.join(outw, Seq("__s"))
+      .select(col("__s"), col("__t"), (col("__w") / col("__ow")).as("__frac"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    track(ew)
+    val seedIds = seeds.select(seeds.columns.head).toDF("__n").distinct()
+    val nodes = e.select(col("__s").as("__n"))
+      .union(e.select(col("__t").as("__n"))).distinct()
+    val ns = nodes.join(seedIds, Seq("__n"), "left_semi").count()
+    require(ns > 0, "no seed id is present in the graph")
+    // node-sized static frame: seed-vector value + weighted out-degree
+    // (null = dangling), persisted once across rounds
+    val base = nodes
+      .join(seedIds.select(col("__n"), lit(1).as("__is")), Seq("__n"), "left")
+      .join(outw.select(col("__s").as("__n"), col("__ow")), Seq("__n"), "left")
+      .select(col("__n"),
+        when(col("__is").isNotNull, lit(1.0) / ns).otherwise(lit(0.0))
+          .as("__sv"),
+        col("__ow"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    track(base)
+    val oneMinusA = 1.0 - alpha
+    var st = base.select(col("__n"), lit(0.0).as("__p"),
+      round(col("__sv"), quantize).as("__r")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val cur = base.join(st, Seq("__n"))
+      val isFrontier = col("__r") > 0 &&
+        col("__r") >= lit(eps) * coalesce(col("__ow"), lit(0.0))
+      val frontier = cur.filter(isFrontier)
+      val contrib = ew.join(frontier.select(col("__n").as("__fs"),
+            col("__r").as("__fr")), col("__s") === col("__fs"))
+        .groupBy(col("__t"))
+        .agg(sum(lit(oneMinusA) * col("__fr") * col("__frac")).as("__m"))
+      val dang = frontier.filter(col("__ow").isNull)
+        .agg(coalesce(sum(lit(oneMinusA) * col("__r")), lit(0.0))
+          .as("__dm"))
+      st = cur
+        .join(contrib, col("__n") === col("__t"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("__n"),
+          round(when(isFrontier, col("__p") + lit(alpha) * col("__r"))
+            .otherwise(col("__p")), quantize).as("__p"),
+          round(when(isFrontier, lit(0.0)).otherwise(col("__r"))
+            + coalesce(col("__m"), lit(0.0)) + col("__dm") * col("__sv"),
+            quantize).as("__r"))
+        .localCheckpoint()
+    }
+    st.select(col("__n").as("node"), round(col("__p"), 6).as("rank_push"),
+      round(col("__r"), 6).as("residual"))
+  }
 }

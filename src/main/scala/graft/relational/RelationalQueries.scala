@@ -590,6 +590,21 @@ object RelationalQueries extends QueryPack {
     // (authorities) — two edge⋈score joins per iteration, L1
     // normalization against a broadcast 1-row total, quantized
     // trajectory replayed by generated chained CTEs.
+    // ACL batch residual push (graph/PageRank.pushPersonalizedPageRank)
+    // — the seed-LOCAL approximate PPR: residual mass pushed outward
+    // only from above-threshold nodes, so each round's join touches the
+    // frontier slice of the edge frame, never the whole graph. Gate
+    // replays the quantized (p, r) trajectory via chained CTEs; on the
+    // 25-node trade graph the frontier empties within the fixed 6
+    // rounds, pinning the no-op-round fixpoint semantics too.
+    "q_ppr_push" -> ((s, dir) => {
+      val seeds = Tables.nation(s, dir)
+        .filter(col("n_nationkey") < 5).select(col("n_nationkey"))
+      graft.graph.PageRank.pushPersonalizedPageRank(tradeEdgesMemo(s, dir),
+          "src", "dst", "w", seeds, alpha = 0.15, eps = 1e-6, rounds = 6)
+        .orderBy("node")
+    }),
+
     "q_hits" -> ((s, dir) => {
       graft.graph.Hits.hits(tradeEdgesMemo(s, dir), "src", "dst", "w",
           iters = 10)
@@ -733,6 +748,18 @@ object RelationalQueries extends QueryPack {
       graft.graph.LabelPropagation.modularityOn(coPurchaseSymMemo(s, dir),
           lpaLabelsMemo(s, dir))
         .orderBy("community")),
+
+    // One Louvain phase-1 sweep over the LPA assignment (graph/
+    // LabelPropagation.louvainRefine): each node argmaxes the integer
+    // modularity-gain score over its neighbor communities, moves apply
+    // synchronously. Same shared edge frame + memoized labels as
+    // q_label_prop/q_modularity; the oracle recomputes the sweep from
+    // the replayed LPA trajectory with a window-rank argmax — an
+    // independent formulation of the same selection.
+    "q_louvain_refine" -> ((s, dir) =>
+      graft.graph.LabelPropagation.louvainRefine(coPurchaseSymMemo(s, dir),
+          lpaLabelsMemo(s, dir))
+        .orderBy("id")),
 
     // Z-order (Morton) layout: interleave (l_partkey, l_suppkey) bits
     // and report the per-quad-tree-cell bounding boxes — the min/max
@@ -1163,6 +1190,100 @@ object RelationalQueries extends QueryPack {
        |ORDER BY node""".stripMargin
   }
 
+  /** Push-PPR mirror: the identical batch-push (p, r) trajectory over
+    * the trade graph — per round, the frontier CTE (degree-scaled
+    * residual threshold), the pushed-mass aggregate, the dangling
+    * return to the seed vector, and the quantized state handoff
+    * (graph/PageRank.pushPersonalizedPageRank). Constants interpolate
+    * as Scala-printed doubles so both engines compute on identical
+    * IEEE values.
+    */
+  private def pprPushOracleSql(rounds: Int = 6, alpha: Double = 0.15,
+      eps: Double = 1e-6, q: Int = 10): String = {
+    val oneMinusA = (1.0 - alpha).toString
+    val steps = (1 to rounds).map { i =>
+      val p = s"st${i - 1}"
+      s"""f$i AS MATERIALIZED (SELECT st.n, st.r FROM $p st
+         |    LEFT JOIN outw ON outw.s = st.n
+         |    WHERE st.r > 0 AND st.r >= CAST($eps AS DOUBLE)
+         |      * coalesce(CAST(outw.ow AS DOUBLE), CAST(0 AS DOUBLE))),
+         |c$i AS MATERIALIZED (SELECT ew.t,
+         |    sum(CAST($oneMinusA AS DOUBLE) * f.r * ew.frac) AS m
+         |    FROM f$i f JOIN ew ON ew.s = f.n GROUP BY ew.t),
+         |d$i AS MATERIALIZED (SELECT
+         |    coalesce(sum(CAST($oneMinusA AS DOUBLE) * r),
+         |      CAST(0 AS DOUBLE)) AS dm
+         |    FROM f$i WHERE n NOT IN (SELECT s FROM outw)),
+         |st$i AS MATERIALIZED (SELECT sv.n,
+         |    round(CASE WHEN f.n IS NOT NULL
+         |      THEN st.p + CAST($alpha AS DOUBLE) * st.r
+         |      ELSE st.p END, $q) AS p,
+         |    round(CASE WHEN f.n IS NOT NULL THEN CAST(0 AS DOUBLE)
+         |        ELSE st.r END
+         |      + coalesce(c.m, CAST(0 AS DOUBLE)) + d.dm * sv.v, $q) AS r
+         |    FROM sv JOIN $p st ON st.n = sv.n
+         |    LEFT JOIN f$i f ON f.n = sv.n
+         |    LEFT JOIN c$i c ON c.t = sv.n
+         |    CROSS JOIN d$i d)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT c.c_nationkey AS s, su.s_nationkey AS t,
+       |             CAST(count(*) AS BIGINT) AS w
+       |           FROM lineitem l
+       |           JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |           JOIN customer c ON o.o_custkey = c.c_custkey
+       |           JOIN supplier su ON l.l_suppkey = su.s_suppkey
+       |           GROUP BY 1, 2),
+       |outw AS MATERIALIZED (SELECT s, CAST(sum(CAST(w AS DOUBLE)) AS DOUBLE) AS ow
+       |       FROM e GROUP BY s),
+       |ew AS MATERIALIZED (SELECT s, t, CAST(w AS DOUBLE) / ow AS frac
+       |       FROM e JOIN outw USING (s)),
+       |nodes AS MATERIALIZED (SELECT DISTINCT n FROM (SELECT s AS n FROM e
+       |          UNION ALL SELECT t FROM e)),
+       |ns AS MATERIALIZED (SELECT count(*) AS c FROM nodes WHERE n < 5),
+       |sv AS MATERIALIZED (SELECT nodes.n,
+       |       CASE WHEN nodes.n < 5 THEN CAST(1 AS DOUBLE) / ns.c
+       |            ELSE CAST(0 AS DOUBLE) END AS v
+       |       FROM nodes CROSS JOIN ns),
+       |st0 AS MATERIALIZED (SELECT n, CAST(0 AS DOUBLE) AS p,
+       |       round(v, $q) AS r FROM sv),
+       |$steps
+       |SELECT n AS node, round(p, 6) AS rank_push, round(r, 6) AS residual
+       |FROM st$rounds ORDER BY node""".stripMargin
+  }
+
+  /** Louvain-sweep mirror composed over the SAME replayed LPA
+    * trajectory: integer degree/total/into-community sums off the
+    * symmetrized frame, the 2m·k_{i,C} − k_i·(tot_C − k_i·[C=A]) score
+    * with the count products in DOUBLE (matching the Spark side's
+    * overflow-safe cast), argmax as a window rank vs the Spark side's
+    * min-struct aggregate.
+    */
+  private def louvainRefineOracleSql(iters: Int = 5): String =
+    s"""WITH ${labelPropCtes(iters)},
+       |lab AS MATERIALIZED (SELECT n AS id, l AS c FROM l$iters),
+       |deg AS (SELECT s, CAST(sum(w) AS BIGINT) AS k FROM e GROUP BY s),
+       |m2 AS (SELECT CAST(sum(w) AS BIGINT) AS mm FROM e),
+       |tot AS (SELECT c, CAST(sum(k) AS BIGINT) AS tot
+       |  FROM deg JOIN lab ON lab.id = deg.s GROUP BY c),
+       |kic AS (SELECT e.s, lt.c, CAST(sum(e.w) AS BIGINT) AS kic
+       |  FROM e JOIN lab lt ON lt.id = e.t GROUP BY e.s, lt.c),
+       |cand AS (SELECT s, c, CAST(sum(kic) AS BIGINT) AS kic FROM (
+       |    SELECT s, c, kic FROM kic
+       |    UNION ALL SELECT id AS s, c, CAST(0 AS BIGINT) FROM lab)
+       |  GROUP BY s, c),
+       |sc AS (SELECT cand.s, cand.c,
+       |    CAST(mm AS DOUBLE) * cand.kic
+       |      - CAST(dg.k AS DOUBLE) * (t.tot
+       |        - CASE WHEN cand.c = la.c THEN dg.k ELSE 0 END) AS score
+       |  FROM cand JOIN lab la ON la.id = cand.s
+       |  JOIN deg dg ON dg.s = cand.s
+       |  JOIN tot t ON t.c = cand.c
+       |  CROSS JOIN m2),
+       |pick AS (SELECT s, c FROM (SELECT s, c, row_number() OVER (
+       |    PARTITION BY s ORDER BY score DESC, c ASC) AS rk FROM sc)
+       |  WHERE rk = 1)
+       |SELECT s AS id, c AS community FROM pick ORDER BY id""".stripMargin
+
   /** HITS mirror: the identical L1-normalized hub/authority rounds
     * over the trade graph, quantized at every handoff
     * (graph/Hits.scala).
@@ -1301,6 +1422,8 @@ object RelationalQueries extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracleSql(),
     "q_personalized_pagerank" -> pprOracleSql(),
+    "q_ppr_push" -> pprPushOracleSql(),
+    "q_louvain_refine" -> louvainRefineOracleSql(),
     "q_coreness" -> corenessOracleSql(),
     "q_hits" -> hitsOracleSql(),
     "q_label_prop" -> labelPropOracleSql(),

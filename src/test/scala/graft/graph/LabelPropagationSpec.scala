@@ -138,4 +138,79 @@ class LabelPropagationSpec extends SparkSpec {
     val got = runQ(edges, 5)
     assert(math.abs(got - bruteQ(edges, labels)) < 1e-5)
   }
+
+  private def refine(edges: Seq[(Long, Long)],
+      labels: Map[Long, Long]): Map[Long, Long] = {
+    val sym = EdgeFrames.symmetrizedWeighted(edges.toDF("id_a", "id_b"))
+    val lf = labels.toSeq.toDF("id", "community")
+    LabelPropagation.louvainRefine(sym, lf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def cliquePair: Seq[(Long, Long)] = {
+    val a = 0L until 5L
+    val b = 10L until 15L
+    (for (x <- a; y <- a if x < y) yield (x, y)) ++
+      (for (x <- b; y <- b if x < y) yield (x, y)) ++ Seq((4L, 10L))
+  }
+
+  test("louvain: a mislabeled clique member moves home") {
+    // node 3 wrongly assigned to the right clique's community
+    val bad = (0L until 5L).map(n => n -> (if (n == 3L) 10L else 0L))
+      .toMap ++ (10L until 15L).map(n => n -> 10L).toMap
+    val got = refine(cliquePair, bad)
+    assert(got(3L) == 0L, got)
+  }
+
+  test("louvain: the ground-truth two-clique assignment is a fixpoint") {
+    val truth = (0L until 5L).map(_ -> 0L).toMap ++
+      (10L until 15L).map(_ -> 10L).toMap
+    assert(refine(cliquePair, truth) == truth)
+  }
+
+  test("louvain: all-singletons collapses toward merges, never worsens Q") {
+    val singles = (0L until 5L).map(n => n -> n).toMap ++
+      (10L until 15L).map(n => n -> n).toMap
+    val got = refine(cliquePair, singles)
+    // each node joins a neighbor's community: strictly fewer communities
+    assert(got.values.toSet.size < singles.values.toSet.size, got)
+  }
+
+  test("louvain: equal-gain candidates break ties to the smallest community id") {
+    // node 0 bridges two identical triangles — both moves tie, and
+    // staying (isolated community 99) is strictly worse
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (0L, 11L), (0L, 12L), (11L, 12L))
+    val labels = Map(0L -> 99L, 1L -> 1L, 2L -> 1L, 11L -> 11L, 12L -> 11L)
+    val got = refine(edges, labels)
+    assert(got(0L) == 1L, got)
+  }
+
+  test("louvain: matches a driver brute-force of the integer gain score") {
+    val rnd = new Random(41)
+    val edges = Seq.fill(120)((rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+      .filter(e => e._1 != e._2)
+    val w = edges.flatMap(e => Seq(e, (e._2, e._1)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val nodes = w.keys.map(_._1).toSet
+    val labels = nodes.map(n => n -> (n % 4)).toMap
+    val k = nodes.map(n => n -> w.collect {
+      case ((s, _), ww) if s == n => ww }.sum).toMap
+    val m2 = w.values.sum.toDouble
+    // toSeq before mapping to degrees: a Set would collapse equal
+    // degrees within one community and undercount the total
+    val tot = labels.groupBy(_._2).map { case (c, ns) =>
+      c -> ns.keys.toSeq.map(k).sum }
+    def kic(n: Long, c: Long) = w.collect {
+      case ((s, t), ww) if s == n && labels(t) == c => ww }.sum
+    val expect = nodes.map { n =>
+      val cands = w.keys.collect { case (s, t) if s == n => labels(t) }
+        .toSet + labels(n)
+      n -> cands.map { c =>
+        val adj = if (c == labels(n)) tot(c) - k(n) else tot(c)
+        (-(m2 * kic(n, c) - k(n).toDouble * adj), c)
+      }.min._2
+    }.toMap
+    assert(refine(edges, labels) == expect)
+  }
 }

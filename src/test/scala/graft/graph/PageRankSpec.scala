@@ -80,4 +80,66 @@ class PageRankSpec extends SparkSpec {
       ppr(edges, Seq(77L))
     }
   }
+
+  private def push(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+      eps: Double = 1e-9, rounds: Int = 40) =
+    PageRank.pushPersonalizedPageRank(edges.toDF("s", "t", "w"), "s", "t",
+        "w", seeds.toDF("node"), alpha = 0.15, eps = eps, rounds = rounds)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+
+  test("push ppr: p + r mass is conserved every run") {
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L), (3L, 4L, 1L),
+      (4L, 5L, 1L), (5L, 6L, 1L), (6L, 4L, 1L))
+    for (rounds <- Seq(1, 3, 8)) {
+      val st = push(edges, Seq(1L), eps = 1e-6, rounds = rounds)
+      val mass = st.values.map { case (p, r) => p + r }.sum
+      assert(math.abs(mass - 1.0) < 1e-6, (rounds, st))
+    }
+  }
+
+  test("push ppr: with a vanishing threshold it converges to power-iteration ppr") {
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 1L), (3L, 1L, 1L), (3L, 4L, 1L),
+      (4L, 1L, 1L), (2L, 1L, 1L))
+    val exact = ppr(edges, Seq(1L), iters = 80)
+    val st = push(edges, Seq(1L), eps = 1e-9, rounds = 80)
+    st.foreach { case (n, (p, r)) =>
+      assert(math.abs(p - exact(n)) < 1e-5, (n, p, exact(n)))
+      // residual decays geometrically (×(1−α) per push); after 80
+      // rounds ~1e-6 of mass is still in flight
+      assert(r < 1e-5, (n, r))
+    }
+  }
+
+  test("push ppr: work stays local — an unreached component keeps exact zero") {
+    // {5,6} is a separate component; no push can ever touch it
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (5L, 6L, 1L), (6L, 5L, 1L))
+    val st = push(edges, Seq(1L), eps = 1e-6, rounds = 10)
+    assert(st(5L) == ((0.0, 0.0)) && st(6L) == ((0.0, 0.0)), st)
+    assert(st(1L)._1 > 0 && st(2L)._1 > 0)
+  }
+
+  test("push ppr: empty frontier is a fixpoint — extra rounds change nothing") {
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+    // eps = 0.5 on unit degrees: the cycling mass decays ×0.85 per
+    // push and falls below the 0.5 threshold after 5 pushes, so from
+    // round 6 on every round is a no-op
+    val a = push(edges, Seq(1L), eps = 0.5, rounds = 6)
+    val b = push(edges, Seq(1L), eps = 0.5, rounds = 12)
+    assert(a == b, (a, b))
+    assert(b.values.map(_._2).max >= 0.4, b) // sub-threshold mass stays
+  }
+
+  test("push ppr: dangling frontier mass returns to the seeds") {
+    // 2 is a sink: every push from 2 restarts at seed 1
+    val edges = Seq((1L, 2L, 1L), (3L, 2L, 1L))
+    val st = push(edges, Seq(1L), eps = 1e-9, rounds = 60)
+    val mass = st.values.map { case (p, r) => p + r }.sum
+    assert(math.abs(mass - 1.0) < 1e-6, st)
+    assert(st(3L) == ((0.0, 0.0)), st) // unreachable from the seed
+    val exact = ppr(edges, Seq(1L), iters = 80)
+    // ~0.85^60 ≈ 6e-5 of mass is still in-flight residual at round 60
+    assert(math.abs(st(1L)._1 - exact(1L)) < 1e-4, (st(1L), exact(1L)))
+    assert(math.abs(st(2L)._1 - exact(2L)) < 1e-4, (st(2L), exact(2L)))
+  }
 }
