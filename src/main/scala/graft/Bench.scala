@@ -137,9 +137,14 @@ object Bench {
     }
 
     // validity floor: no real materialization finishes in one scheduler
-    // tick; a genuine optimization still clears 2% of committed
-    def floorFor(n: String) =
-      math.max(0.05, committed.get(n).fold(0.0)(_ * 0.02))
+    // tick; a genuine optimization still clears 2% of committed. The
+    // floor never exceeds 60% of the committed estimate, so a query
+    // that legitimately runs near (or under) 50 ms — a memo-served
+    // 1-row frame — keeps its honest reps
+    def floorFor(n: String) = committed.get(n) match {
+      case Some(c) if c > 0 => math.min(math.max(0.05, c * 0.02), c * 0.6)
+      case _ => 0.05
+    }
     val runs: Seq[(String, Seq[Double], Seq[Double])] = names.map { n =>
       val all = passes.map(_(n)).toSeq
       val (valid, invalid) = all.partition { case (t, ok) =>
