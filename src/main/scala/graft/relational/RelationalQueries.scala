@@ -1052,6 +1052,26 @@ object RelationalQueries extends QueryPack {
       Temporal.holtSmoothing(Tables.events(s, dir), "ts")
         .orderBy("day")),
 
+    // Holt–Winters additive triple smoothing (Temporal.holtWinters):
+    // the weekly-seasonal upgrade — the recursive-CTE oracle carries
+    // the 7-slot seasonal wheel as 7 rotating columns.
+    "q_holt_winters" -> ((s, dir) =>
+      Temporal.holtWinters(Tables.events(s, dir), "ts")
+        .orderBy("day")),
+
+    // Theil–Sen robust slope + Mann–Kendall trend test
+    // (Temporal.robustTrend): pairwise-slope median + tie-corrected S
+    // over the ≤|days| frame only.
+    "q_trend_robust" -> ((s, dir) =>
+      Temporal.robustTrend(Tables.events(s, dir), "ts")),
+
+    // Two-sided standardized CUSUM chart (Temporal.cusumChart):
+    // sequential drift alarms next to the retrospective q_changepoint;
+    // recursive-CTE replay of the quantized (S⁺, S⁻) walk.
+    "q_cusum" -> ((s, dir) =>
+      Temporal.cusumChart(Tables.events(s, dir), "ts")
+        .orderBy("day")),
+
     // Retention cohorts: users grouped by first-activity ISO week;
     // retention_k = fraction active in cohort-week + k. Two aggregates
     // and a join on the user key; the cohort matrix is ≤ |weeks|² rows.
@@ -1703,6 +1723,105 @@ object RelationalQueries extends QueryPack {
          |FROM hw h JOIN idx x ON x.i = h.i
          |LEFT JOIN hw hp ON hp.i = h.i - 1
          |ORDER BY day""".stripMargin
+    },
+    "q_holt_winters" -> {
+      // constants printed from the Scala doubles (holtWinters defaults)
+      val a = 0.3; val b = 0.1; val g = 0.2
+      val oma = (1.0 - a).toString
+      val omb = (1.0 - b).toString
+      val omg = (1.0 - g).toString
+      // the recursion carries the 7-slot seasonal wheel as columns
+      // s1..s7 (s1 = next to consume); each step rotates one slot.
+      // nl (the already-rounded new level) repeats inline because a
+      // recursive SELECT cannot reference its own aliases.
+      val nl = s"round($a * (x.y - h.s1) + $oma * (h.level + h.trend), 6)"
+      s"""WITH RECURSIVE daily AS (SELECT date_trunc('day', ts) AS d,
+         |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+         |idx AS (SELECT d, y, row_number() OVER (ORDER BY d) AS i
+         |  FROM daily),
+         |m1 AS (SELECT round(sum(y) / 7.0, 6) AS m FROM idx WHERE i <= 7),
+         |m2 AS (SELECT round(sum(y) / 7.0, 6) AS m FROM idx
+         |  WHERE i > 7 AND i <= 14),
+         |sv AS (SELECT i, round(y - m1.m, 6) AS s FROM idx CROSS JOIN m1
+         |  WHERE i <= 7),
+         |hw(i, level, trend, s1, s2, s3, s4, s5, s6, s7, fitted) AS (
+         |  SELECT 7, m1.m, round((m2.m - m1.m) / 7.0, 6),
+         |    (SELECT s FROM sv WHERE i = 1), (SELECT s FROM sv WHERE i = 2),
+         |    (SELECT s FROM sv WHERE i = 3), (SELECT s FROM sv WHERE i = 4),
+         |    (SELECT s FROM sv WHERE i = 5), (SELECT s FROM sv WHERE i = 6),
+         |    (SELECT s FROM sv WHERE i = 7), CAST(NULL AS DOUBLE)
+         |  FROM m1 CROSS JOIN m2
+         |  UNION ALL
+         |  SELECT h.i + 1,
+         |    $nl,
+         |    round($b * ($nl - h.level) + $omb * h.trend, 6),
+         |    h.s2, h.s3, h.s4, h.s5, h.s6, h.s7,
+         |    round($g * (x.y - $nl) + $omg * h.s1, 6),
+         |    round(h.level + h.trend + h.s1, 6)
+         |  FROM hw h JOIN idx x ON x.i = h.i + 1)
+         |SELECT strftime(x.d, '%Y-%m-%d') AS day, x.y AS y, h.fitted,
+         |  h.level, h.trend, h.s7 AS seasonal
+         |FROM hw h JOIN idx x ON x.i = h.i WHERE h.i > 7
+         |ORDER BY day""".stripMargin
+    },
+    "q_trend_robust" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+        |idx AS (SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+        |    AS i, y FROM daily),
+        |p AS (SELECT a.i AS i, b.i AS j, a.y AS yi, b.y AS yj
+        |  FROM idx a JOIN idx b ON b.i > a.i),
+        |sl AS (SELECT
+        |    round(quantile_cont((yj - yi) / CAST(j - i AS DOUBLE), 0.5), 6)
+        |      AS slope,
+        |    CAST(sum(CASE WHEN yj > yi THEN 1 WHEN yj < yi THEN -1
+        |      ELSE 0 END) AS BIGINT) AS s_stat FROM p),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+        |tt AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+        |    AS BIGINT) AS tie_term
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily
+        |        GROUP BY y)),
+        |ic AS (SELECT round(quantile_cont(y - slope * i, 0.5), 6)
+        |    AS intercept FROM idx CROSS JOIN sl)
+        |SELECT n AS n_days, slope, intercept, s_stat,
+        |  round(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+        |    / 18.0, 6) AS var_s,
+        |  round(CASE WHEN s_stat > 0 THEN (s_stat - 1)
+        |      / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+        |        / 18.0)
+        |    WHEN s_stat < 0 THEN (s_stat + 1)
+        |      / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+        |        / 18.0)
+        |    ELSE 0.0 END, 6) AS z
+        |FROM sl CROSS JOIN nn CROSS JOIN tt CROSS JOIN ic""".stripMargin,
+    "q_cusum" -> {
+      val k = 0.5; val h = 4.0
+      s"""WITH RECURSIVE daily AS (SELECT date_trunc('day', ts) AS d,
+         |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+         |idx AS (SELECT d, y, row_number() OVER (ORDER BY d) AS i
+         |  FROM daily),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    sum(CAST(y AS DOUBLE) * y) AS syy FROM daily),
+         |ms AS (SELECT round(CAST(sy AS DOUBLE) / n, 6) AS mu,
+         |    round(sqrt((syy - CAST(sy AS DOUBLE) * sy / n) / (n - 1)), 6)
+         |      AS sigma FROM st),
+         |zs AS (SELECT x.i, x.y, round((x.y - m.mu) / m.sigma, 6) AS z
+         |  FROM idx x CROSS JOIN ms m),
+         |cs(i, z, sp, sm) AS (
+         |  SELECT i, z,
+         |    round(greatest(CAST(0 AS DOUBLE), z - $k), 6),
+         |    round(greatest(CAST(0 AS DOUBLE), -z - $k), 6)
+         |  FROM zs WHERE i = 1
+         |  UNION ALL
+         |  SELECT q.i, q.z,
+         |    round(greatest(CAST(0 AS DOUBLE), c.sp + q.z - $k), 6),
+         |    round(greatest(CAST(0 AS DOUBLE), c.sm - q.z - $k), 6)
+         |  FROM cs c JOIN zs q ON q.i = c.i + 1)
+         |SELECT strftime(x.d, '%Y-%m-%d') AS day, x.y AS y, c.z,
+         |  c.sp AS s_plus, c.sm AS s_minus,
+         |  (c.sp > $h OR c.sm > $h) AS alarm
+         |FROM cs c JOIN idx x ON x.i = c.i ORDER BY day""".stripMargin
     },
     "q_changepoint" ->
       """WITH daily AS (SELECT date_trunc('day', ts) AS d,

@@ -382,6 +382,177 @@ object Temporal {
     rows.toSeq.toDF("day", "y", "level", "trend", "fitted")
   }
 
+  /** Holt–Winters ADDITIVE triple exponential smoothing over the
+    * per-day count series (Winters 1960) — [[holtSmoothing]] plus a
+    * length-`period` seasonal wheel, the standard ops-forecasting
+    * upgrade once the series has a weekly shape:
+    *
+    *   level_t = α(y_t − s_{t−p}) + (1−α)(level_{t−1} + trend_{t−1})
+    *   trend_t = β(level_t − level_{t−1}) + (1−β)trend_{t−1}
+    *   s_t     = γ(y_t − level_t) + (1−γ)s_{t−p}
+    *
+    * with every handoff QUANTIZED (round 6) so the recursion replays in
+    * a recursive CTE that carries the p-slot wheel as p explicit
+    * columns rotating one slot per step. Standard simple init over the
+    * first two seasons: level_p = mean(y_1..y_p), trend_p =
+    * (mean(y_{p+1}..y_{2p}) − mean(y_1..y_p))/p, s_i = y_i − level_p.
+    *
+    * Scale shape: ONE corpus aggregate to the ≤|days| frame; the
+    * sequential walk runs on the driver over that tiny frame.
+    * `fitted` is the one-step-ahead forecast level_{t−1} + trend_{t−1}
+    * + s_{t−p}; rows start at t = period+1 (the first forecastable
+    * step).
+    */
+  def holtWinters(df: DataFrame, tsCol: String, period: Int = 7,
+      alpha: Double = 0.3, beta: Double = 0.1,
+      gamma: Double = 0.2): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1 &&
+      gamma > 0 && gamma < 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val daily = df.groupBy(date_trunc("DAY", col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("y"))
+      .orderBy("d")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    require(daily.length >= 2 * period,
+      s"holtWinters needs at least 2*period=${2 * period} periods")
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mean1 = r6(daily.take(period).map(_._2).sum.toDouble / period)
+    val mean2 = r6(daily.slice(period, 2 * period).map(_._2).sum.toDouble
+      / period)
+    var level = mean1
+    var trend = r6((mean2 - mean1) / period)
+    // wheel(0) is the NEXT seasonal to consume (s_{t−p})
+    val wheel = scala.collection.mutable.Queue(
+      daily.take(period).map { case (_, y) => r6(y - mean1) }: _*)
+    val oneMinusA = 1.0 - alpha
+    val oneMinusB = 1.0 - beta
+    val oneMinusG = 1.0 - gamma
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val rows = daily.drop(period).map { case (d, y) =>
+      val sOld = wheel.dequeue()
+      val fitted = r6(level + trend + sOld)
+      val nl = r6(alpha * (y - sOld) + oneMinusA * (level + trend))
+      trend = r6(beta * (nl - level) + oneMinusB * trend)
+      level = nl
+      val sNew = r6(gamma * (y - level) + oneMinusG * sOld)
+      wheel.enqueue(sNew)
+      (fmt.format(d), y, fitted, level, trend, sNew)
+    }
+    rows.toSeq.toDF("day", "y", "fitted", "level", "trend", "seasonal")
+  }
+
+  /** Theil–Sen robust trend + Mann–Kendall monotonic-trend test over
+    * the per-day count series (Theil 1950 / Sen 1968; Mann 1945,
+    * Kendall 1975) — the outlier-proof replacement for an OLS slope on
+    * operational metrics, with the distribution-free significance test
+    * run alongside (the standard pairing in environmental/ops
+    * monitoring):
+    *
+    *   slope = median{ (y_j − y_i)/(j − i) : i < j }
+    *   intercept = median{ y_i − slope·i }
+    *   S = Σ_{i<j} sign(y_j − y_i);  Var(S) tie-corrected;
+    *   z = (S ∓ 1)/√Var(S)
+    *
+    * Scale shape: ONE corpus aggregate to the ≤|days| frame; the
+    * pairwise slope join is over that tiny frame with the broadcast
+    * side pinned (BNLJ, never a CartesianProduct at corpus scale).
+    * Day index = row_number over day order (integer gaps — robust to
+    * missing days as index steps, matching the oracle exactly).
+    *
+    * @return one row: (n_days, slope, intercept, s_stat, var_s, z)
+    */
+  def robustTrend(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = df.groupBy(date_trunc("DAY", col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.orderBy("d")
+    // tiny-frame global window: |days| rows by construction
+    val idx = daily.select(row_number().over(w).cast("long").as("i"),
+      col("y"))
+    val pairs = idx.alias("a").join(broadcast(idx.alias("b")),
+        col("b.i") > col("a.i"))
+      .select(col("a.i").as("i"), col("b.i").as("j"),
+        col("a.y").as("yi"), col("b.y").as("yj"))
+    val slopeF = pairs.agg(
+      round(expr("percentile((yj - yi) / CAST(j - i AS DOUBLE), 0.5)"), 6)
+        .as("slope"),
+      sum(signum((col("yj") - col("yi")).cast("double")).cast("long"))
+        .as("s_stat"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    // tie correction: groups of equal y values
+    val ties = daily.groupBy("y").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)),
+        lit(0L)).as("tie_term"))
+    val base = idx.crossJoin(broadcast(slopeF)).crossJoin(broadcast(n))
+      .crossJoin(broadcast(ties))
+    base.groupBy(col("n").as("n_days"), col("slope"), col("s_stat"),
+        col("tie_term"))
+      .agg(round(expr("percentile(y - slope * i, 0.5)"), 6).as("intercept"))
+      .select(col("n_days"), col("slope"), col("intercept"), col("s_stat"),
+        round((col("n_days") * (col("n_days") - 1)
+          * (col("n_days") * 2 + 5) - col("tie_term")).cast("double")
+          / 18.0, 6).as("var_s"))
+      .select(col("n_days"), col("slope"), col("intercept"), col("s_stat"),
+        col("var_s"),
+        round(when(col("s_stat") > 0,
+            (col("s_stat") - 1) / sqrt(col("var_s")))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1) / sqrt(col("var_s")))
+          .otherwise(lit(0.0)), 6).as("z"))
+  }
+
+  /** Two-sided standardized CUSUM control chart over the per-day count
+    * series (Page 1954) — the sequential drift detector ops pipelines
+    * run next to [[changePoint]] (which finds ONE retrospective break;
+    * CUSUM flags every day the cumulative drift exceeds the limit):
+    *
+    *   z_t = (y_t − μ)/σ          (μ, σ from the whole series)
+    *   S⁺_t = max(0, S⁺_{t−1} + z_t − k)
+    *   S⁻_t = max(0, S⁻_{t−1} − z_t − k)
+    *   alarm_t = S⁺_t > h ∨ S⁻_t > h
+    *
+    * μ, σ, every z and both sums QUANTIZED (round 6) so the recursion
+    * replays in a recursive CTE. Scale shape: one corpus aggregate to
+    * the ≤|days| frame, driver walk over it.
+    *
+    * @param k allowance (slack) in σ units — drift below k/day is
+    *   absorbed; @param h decision limit in σ units.
+    */
+  def cusumChart(df: DataFrame, tsCol: String, k: Double = 0.5,
+      h: Double = 4.0): DataFrame = {
+    require(k >= 0 && h > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val daily = df.groupBy(date_trunc("DAY", col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("y"))
+      .orderBy("d")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    require(daily.length >= 2, "cusumChart needs at least 2 periods")
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = daily.length
+    val mu = r6(daily.map(_._2).sum.toDouble / n)
+    // sample stddev off integer sums: sqrt((Σy² − (Σy)²/n)/(n−1))
+    val sy = daily.map(_._2.toDouble).sum
+    val syy = daily.map(y => y._2.toDouble * y._2).sum
+    val sigma = r6(math.sqrt((syy - sy * sy / n) / (n - 1)))
+    require(sigma > 0, "cusumChart needs a non-constant series")
+    var sPlus = 0.0
+    var sMinus = 0.0
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val rows = daily.map { case (d, y) =>
+      val z = r6((y - mu) / sigma)
+      sPlus = r6(math.max(0.0, sPlus + z - k))
+      sMinus = r6(math.max(0.0, sMinus - z - k))
+      (fmt.format(d), y, z, sPlus, sMinus, sPlus > h || sMinus > h)
+    }
+    rows.toSeq.toDF("day", "y", "z", "s_plus", "s_minus", "alarm")
+  }
+
   def changePoint(df: DataFrame, tsCol: String): DataFrame = {
     val daily = df.groupBy(date_trunc("DAY", col(tsCol)).as("d"))
       .agg(count(lit(1)).as("y"))

@@ -95,9 +95,12 @@ class PlanRegressionSpec extends SparkSpec {
     "q_attribution",         // per-USER conversion-group cumsum IS the
                              // attribution semantics; everything after
                              // is per-(user, group) aggregates
-    "q_ndcg"                 // ideal-permutation row_number strictly over
+    "q_ndcg",                // ideal-permutation row_number strictly over
                              // the per-query top-k candidate frame
                              // (|queries|·k rows), never the corpus
+    "q_trend_robust"         // day-index row_number strictly over the
+                             // ≤|days| daily aggregate (Theil–Sen needs
+                             // the integer x axis), never the corpus
     // (q_dedup_substr's gaps-and-islands span-merge windows — per-doc
     // partitions — run inside the operator's eager span materialization
     // and surface to the gate plan as an InMemoryTableScan, so no

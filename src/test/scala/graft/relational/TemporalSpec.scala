@@ -424,4 +424,99 @@ class TemporalSpec extends SparkSpec {
     val got = Temporal.changePoint(rows.toDF("ts"), "ts").head()
     assert(math.abs(got.getAs[Double]("gain")) < 1e-6)
   }
+
+  private def dayRows(counts: Seq[Int]): Seq[java.sql.Timestamp] =
+    counts.zipWithIndex.flatMap { case (n, day) =>
+      (0 until n).map(i => java.sql.Timestamp.valueOf(
+        f"2024-03-${day + 1}%02d 0${i % 9}:10:00"))
+    }
+
+  test("holtWinters nails an exact period-7 pattern: zero forecast error") {
+    // y repeats (10,20,30,40,30,20,10) — level flat, trend 0, seasonal
+    // exactly the pattern; every fitted value equals y
+    val pattern = Seq(10, 20, 30, 40, 30, 20, 10)
+    val got = Temporal.holtWinters(
+        dayRows(pattern ++ pattern ++ pattern).toDF("ts"), "ts")
+      .orderBy("day").collect()
+    assert(got.length == 14)
+    got.foreach { r =>
+      assert(r.getAs[Double]("fitted") === r.getAs[Long]("y").toDouble, r)
+      assert(math.abs(r.getAs[Double]("trend")) < 1e-9, r)
+    }
+  }
+
+  test("holtWinters beats plain Holt on a strongly seasonal series") {
+    val pattern = Seq(5, 9, 40, 44, 41, 8, 6)
+    val series = pattern ++ pattern ++ pattern ++ pattern
+    val df = dayRows(series).toDF("ts")
+    def sse(rows: Array[org.apache.spark.sql.Row]) = rows
+      .filter(r => !r.isNullAt(r.fieldIndex("fitted")))
+      .map { r =>
+        val e = r.getAs[Double]("fitted") - r.getAs[Long]("y")
+        e * e
+      }.sum
+    val hw = sse(Temporal.holtWinters(df, "ts").orderBy("day").collect())
+    val holt = sse(Temporal.holtSmoothing(df, "ts").orderBy("day")
+      .collect().drop(7)) // compare on the same forecastable tail
+    assert(hw < holt / 10, (hw, holt))
+  }
+
+  test("holtWinters requires two full seasons") {
+    intercept[IllegalArgumentException] {
+      Temporal.holtWinters(dayRows(Seq.fill(13)(5)).toDF("ts"), "ts")
+        .collect()
+    }
+  }
+
+  test("robustTrend recovers an exact linear slope with zero-variance pairs") {
+    // y = 7 + 3·i: every pairwise slope is 3, S = n(n-1)/2, no ties
+    val got = Temporal.robustTrend(
+        dayRows((0 until 12).map(d => 7 + 3 * d)).toDF("ts"), "ts").head()
+    assert(got.getAs[Double]("slope") === 3.0)
+    // index is 1-based: y = 7 + 3(i−1) = 4 + 3i, so y − 3i = 4
+    assert(got.getAs[Double]("intercept") === 4.0)
+    assert(got.getAs[Long]("s_stat") === 66L)       // 12*11/2
+    assert(got.getAs[Long]("n_days") === 12L)
+    assert(got.getAs[Double]("z") > 3.0) // strongly significant
+  }
+
+  test("robustTrend shrugs off an outlier that wrecks the OLS slope") {
+    // flat series with one huge spike: median slope stays 0
+    val counts = Seq(10, 10, 10, 10, 200, 10, 10, 10, 10)
+    val got = Temporal.robustTrend(dayRows(counts).toDF("ts"), "ts").head()
+    assert(got.getAs[Double]("slope") === 0.0)
+    assert(math.abs(got.getAs[Double]("z")) < 1.0) // not significant
+  }
+
+  test("robustTrend tie correction: a constant series has var 0 and z 0") {
+    val got = Temporal.robustTrend(dayRows(Seq.fill(8)(4)).toDF("ts"),
+      "ts").head()
+    assert(got.getAs[Long]("s_stat") === 0L)
+    assert(got.getAs[Double]("var_s") === 0.0) // all in one tie group
+    assert(got.getAs[Double]("z") === 0.0)
+  }
+
+  test("cusum stays silent on a stable series and alarms after a drift") {
+    // 20 stable days then 10 drifted days: alarms only after the drift
+    val counts = Seq.fill(20)(10) ++ Seq.fill(10)(14)
+    val got = Temporal.cusumChart(dayRows(counts).toDF("ts"), "ts",
+        k = 0.5, h = 4.0)
+      .orderBy("day").collect()
+    val alarms = got.map(_.getAs[Boolean]("alarm"))
+    assert(!alarms.take(20).exists(identity), "false alarm pre-drift")
+    assert(alarms.drop(20).exists(identity), "drift never flagged")
+    // one-sided drift: the negative sum never fires
+    assert(got.forall(_.getAs[Double]("s_minus") <= 4.0))
+  }
+
+  test("cusum sums are non-negative and reset under the allowance") {
+    val counts = Seq(10, 11, 9, 10, 12, 8, 10, 11, 9, 10)
+    val got = Temporal.cusumChart(dayRows(counts).toDF("ts"), "ts")
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[Double]("s_plus") >= 0.0)
+      assert(r.getAs[Double]("s_minus") >= 0.0)
+      assert(!r.getAs[Boolean]("alarm"))
+    }
+  }
 }
