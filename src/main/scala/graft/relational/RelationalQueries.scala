@@ -761,6 +761,18 @@ object RelationalQueries extends QueryPack {
           lpaLabelsMemo(s, dir))
         .orderBy("id")),
 
+    // BFS hop distance from a seed set (graph/SeedDistance.scala) —
+    // the crawl-depth label, relaxed over the SAME shared co-purchase
+    // frame; 4 integer rounds replayed by chained CTEs, unreached
+    // nodes null.
+    "q_seed_distance" -> ((s, dir) => {
+      val seeds = Tables.part(s, dir)
+        .filter(col("p_partkey") <= 5).select(col("p_partkey"))
+      graft.graph.SeedDistance.hopDistance(coPurchaseSymMemo(s, dir),
+          "__s", "__t", seeds, rounds = 4)
+        .orderBy("id")
+    }),
+
     // Z-order (Morton) layout: interleave (l_partkey, l_suppkey) bits
     // and report the per-quad-tree-cell bounding boxes — the min/max
     // footer stats files would carry under this layout, i.e. the
@@ -1304,6 +1316,36 @@ object RelationalQueries extends QueryPack {
        |  WHERE rk = 1)
        |SELECT s AS id, c AS community FROM pick ORDER BY id""".stripMargin
 
+  /** Seed-distance mirror: the identical integer BFS relaxation rounds
+    * over the co-purchase graph, with the null-skipping min merge
+    * spelled out as an explicit CASE (engine-proof null semantics).
+    */
+  private def seedDistanceOracleSql(rounds: Int = 4): String = {
+    val steps = (1 to rounds).map { i =>
+      val p = s"d${i - 1}"
+      s"""r$i AS MATERIALIZED (SELECT e.t, min(p.d) + 1 AS nd
+         |  FROM e JOIN $p p ON p.n = e.s AND p.d IS NOT NULL
+         |  GROUP BY e.t),
+         |d$i AS MATERIALIZED (SELECT p.n,
+         |    CASE WHEN p.d IS NULL THEN r.nd
+         |         WHEN r.nd IS NULL THEN p.d
+         |         WHEN p.d <= r.nd THEN p.d ELSE r.nd END AS d
+         |  FROM $p p LEFT JOIN r$i r ON r.t = p.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (SELECT l_orderkey AS ok,
+       |    CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
+       |pe AS MATERIALIZED (SELECT a.pk AS s0, b.pk AS t0
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |e AS MATERIALIZED (SELECT DISTINCT s, t FROM (
+       |    SELECT s0 AS s, t0 AS t FROM pe
+       |    UNION ALL SELECT t0, s0 FROM pe)),
+       |nodes AS MATERIALIZED (SELECT DISTINCT s AS n FROM e),
+       |d0 AS MATERIALIZED (SELECT n,
+       |    CASE WHEN n <= 5 THEN CAST(0 AS BIGINT) END AS d FROM nodes),
+       |$steps
+       |SELECT n AS id, d AS hops FROM d$rounds ORDER BY id""".stripMargin
+  }
+
   /** HITS mirror: the identical L1-normalized hub/authority rounds
     * over the trade graph, quantized at every handoff
     * (graph/Hits.scala).
@@ -1444,6 +1486,7 @@ object RelationalQueries extends QueryPack {
     "q_personalized_pagerank" -> pprOracleSql(),
     "q_ppr_push" -> pprPushOracleSql(),
     "q_louvain_refine" -> louvainRefineOracleSql(),
+    "q_seed_distance" -> seedDistanceOracleSql(),
     "q_coreness" -> corenessOracleSql(),
     "q_hits" -> hitsOracleSql(),
     "q_label_prop" -> labelPropOracleSql(),
