@@ -88,7 +88,9 @@ object Scaling {
     "q_hits" -> 16, // 10 rounds: two edge joins + broadcast L1 norms
     "q_modularity" -> 16, // shares LPA labels memo + 3 aggregates
     "q_louvain_refine" -> 16, // one edge join + node-sized argmax
-    "q_ppr_push" -> 16) // frontier-bounded rounds on the trade graph
+    "q_ppr_push" -> 16, // frontier-bounded rounds on the trade graph
+    "q_seed_distance" -> 16, // BFS rounds: edge join vs reached frontier
+    "q_trend_robust" -> 16) // corpus aggregate + |days|^2 tiny-pair join
     .filter { case (q, _) =>
       sys.env.get("SPARK_GRAFT_SCALE_ONLY")
         .forall(_.split(",").map(_.trim).contains(q))
