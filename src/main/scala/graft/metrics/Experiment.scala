@@ -182,6 +182,80 @@ object Experiment {
     * @param expected variant → design ratio (must cover every observed
     *   variant; ratios needn't sum to 1 — they're normalized)
     */
+  /** Mann–Whitney U / Wilcoxon rank-sum test (Mann & Whitney 1947) —
+    * the distribution-free A/B readout for skewed or ordinal metrics
+    * where a t-test's normality assumption fails (revenue, counts,
+    * latencies). Computed WITHOUT ranking the corpus: collapse to
+    * VALUE-LEVEL counts per variant (one grouped aggregate; the frame
+    * is ≤|distinct metric values| rows), then
+    *
+    *   U_b = Σ_v n_b(v)·(Σ_{w<v} n_a(w)) + n_b(v)·n_a(v)/2
+    *
+    * — each b-row beats every a-row with a smaller value and half-wins
+    * ties, which is exactly the midrank U without any rank column.
+    * Normal approximation with the tie correction:
+    *
+    *   μ_U = n_a·n_b/2
+    *   σ_U = √( n_a·n_b/12 · (N+1 − Σ(t³−t)/(N(N−1))) )
+    *   z   = (U_b − μ_U)/σ_U
+    *
+    * Count products evaluate in DOUBLE (BIGINT×BIGINT wraps past 2^63
+    * at 100 TB row counts; exact below 2^53). The prefix sum runs over
+    * the tiny value frame only (window whitelisted with that bound).
+    *
+    * @param valueCol integral-valued metric expression (cast your
+    *   metric to a stable integer grid first — ranks only need order).
+    * @return one row: (variant_a, variant_b, n_a, n_b, u_b, mu_u,
+    *   sigma_u, z) — a/b in variant sort order; z > 0 means b's values
+    *   are stochastically larger.
+    */
+  def mannWhitneyU(df: DataFrame, variantCol: String,
+      valueCol: org.apache.spark.sql.Column,
+      quantize: Int = 6): DataFrame = {
+    val base = df.select(col(variantCol).cast("string").as("__var"),
+      valueCol.cast("long").as("__v"))
+    val vs = base.agg(min("__var").as("__va"), max("__var").as("__vb"))
+    val perValue = base.crossJoin(broadcast(vs))
+      .groupBy("__v")
+      .agg(
+        sum(when(col("__var") === col("__va"), 1L).otherwise(0L))
+          .as("__na"),
+        sum(when(col("__var") === col("__vb"), 1L).otherwise(0L))
+          .as("__nb"))
+    // tiny-frame prefix sum: ≤|distinct values| rows by construction
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val scored = perValue.select(col("__na"), col("__nb"),
+      coalesce(sum("__na").over(w), lit(0L)).as("__cuma"))
+    val agg = scored.agg(
+      sum("__na").as("__n_a"),
+      sum("__nb").as("__n_b"),
+      sum(col("__nb").cast("double") * col("__cuma")
+        + col("__nb").cast("double") * col("__na") / 2.0).as("__u"),
+      sum((col("__na") + col("__nb")).cast("double")
+        * (col("__na") + col("__nb")) * (col("__na") + col("__nb"))
+        - (col("__na") + col("__nb"))).as("__ties"))
+    agg.crossJoin(broadcast(vs))
+      .select(col("__va").as("variant_a"), col("__vb").as("variant_b"),
+        col("__n_a").as("n_a"), col("__n_b").as("n_b"),
+        round(col("__u"), quantize).as("u_b"),
+        round(col("__n_a").cast("double") * col("__n_b") / 2.0, quantize)
+          .as("mu_u"),
+        round(sqrt(col("__n_a").cast("double") * col("__n_b") / 12.0
+          * ((col("__n_a") + col("__n_b") + 1)
+            - col("__ties") / ((col("__n_a") + col("__n_b")).cast("double")
+              * (col("__n_a") + col("__n_b") - 1)))), quantize)
+          .as("sigma_u"),
+        round(try_divide(
+          col("__u") - col("__n_a").cast("double") * col("__n_b") / 2.0,
+          sqrt(col("__n_a").cast("double") * col("__n_b") / 12.0
+            * ((col("__n_a") + col("__n_b") + 1)
+              - col("__ties") / ((col("__n_a") + col("__n_b"))
+                .cast("double") * (col("__n_a") + col("__n_b") - 1))))),
+          quantize).as("z"))
+  }
+
   def srmCheck(df: DataFrame, variantCol: String,
       expected: Map[String, Double], quantize: Int = 6): DataFrame = {
     require(expected.nonEmpty && expected.values.forall(_ > 0))

@@ -80,6 +80,16 @@ object MetricsQueries extends QueryPack {
         "variant", Map("0" -> 0.5, "1" -> 0.5))
         .orderBy("variant")),
 
+    // Mann–Whitney U on the quantity metric between hash variants
+    // (Experiment.mannWhitneyU): the distribution-free A/B readout,
+    // computed from value-level counts — U, tie-corrected sigma and z
+    // without ever ranking the corpus.
+    "q_ab_mannwhitney" -> ((s, dir) =>
+      Experiment.mannWhitneyU(Tables.lineitem(s, dir)
+          .withColumn("variant", graft.core.Hashing.bucket(
+            col("l_orderkey").cast("string"), "mw", 2)),
+        "variant", col("l_quantity"))),
+
     // Two-proportion z-test (pooled variance) on order F-status
     // conversion between the same hash variants — integer counts, so
     // the z arithmetic is exact scalar math.
@@ -502,6 +512,47 @@ object MetricsQueries extends QueryPack {
         |    / sqrt(v_tpost / n_tpost + v_tpre / n_tpre
         |      + v_cpost / n_cpost + v_cpre / n_cpre), 6) END AS t
         |FROM o""".stripMargin,
+    "q_ab_mannwhitney" ->
+      """WITH b AS (SELECT
+        |    CAST((('0x' || substr(md5('mw' || CAST(l_orderkey AS VARCHAR)),
+        |      1, 15))::BIGINT % 2) AS VARCHAR) AS v,
+        |    CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+        |pv AS (SELECT q,
+        |    CAST(sum(CASE WHEN v = '0' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN v = '1' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM b GROUP BY q),
+        |sc AS (SELECT na, nb,
+        |    coalesce(CAST(sum(na) OVER (ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cuma
+        |  FROM pv),
+        |ag AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+        |    CAST(sum(nb) AS BIGINT) AS n_b,
+        |    sum(CAST(nb AS DOUBLE) * cuma
+        |      + CAST(nb AS DOUBLE) * na / 2.0) AS u,
+        |    sum(CAST(na + nb AS DOUBLE) * (na + nb) * (na + nb)
+        |      - (na + nb)) AS ties
+        |  FROM sc)
+        |SELECT '0' AS variant_a, '1' AS variant_b, n_a, n_b,
+        |  round(u, 6) AS u_b,
+        |  round(CAST(n_a AS DOUBLE) * n_b / 2.0, 6) AS mu_u,
+        |  round(sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+        |    * ((n_a + n_b + 1)
+        |      - ties / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))), 6)
+        |    AS sigma_u,
+        |  CASE WHEN sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+        |      * ((n_a + n_b + 1)
+        |        - ties / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))) = 0
+        |    OR sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+        |      * ((n_a + n_b + 1)
+        |        - ties / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))))
+        |      IS NULL THEN NULL
+        |  ELSE round((u - CAST(n_a AS DOUBLE) * n_b / 2.0)
+        |    / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+        |      * ((n_a + n_b + 1)
+        |        - ties / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))),
+        |    6) END AS z
+        |FROM ag""".stripMargin,
     "q_ab_srm" ->
       """WITH b AS (SELECT
         |    CAST((('0x' || substr(md5('ab' || CAST(o_custkey AS VARCHAR)),

@@ -98,9 +98,13 @@ class PlanRegressionSpec extends SparkSpec {
     "q_ndcg",                // ideal-permutation row_number strictly over
                              // the per-query top-k candidate frame
                              // (|queries|·k rows), never the corpus
-    "q_trend_robust"         // day-index row_number strictly over the
+    "q_trend_robust",        // day-index row_number strictly over the
                              // ≤|days| daily aggregate (Theil–Sen needs
                              // the integer x axis), never the corpus
+    "q_ab_mannwhitney"       // prefix-sum window strictly over the
+                             // ≤|distinct metric values| frame (the
+                             // rank-free U construction), never the
+                             // corpus
     // (q_dedup_substr's gaps-and-islands span-merge windows — per-doc
     // partitions — run inside the operator's eager span materialization
     // and surface to the gate plan as an InMemoryTableScan, so no

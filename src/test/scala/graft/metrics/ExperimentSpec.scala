@@ -128,4 +128,44 @@ class ExperimentSpec extends SparkSpec {
     val df = Seq(("0", true), ("0", false)).toDF("v", "s")
     assert(Experiment.proportionsZTest(df, "v", col("s")).count() == 0)
   }
+
+  test("mann-whitney matches the hand-computed midrank U and tie-corrected z") {
+    import org.apache.spark.sql.functions._
+    // a = 1..6, b = 4..9: U_b = 31.5 (three half-won ties), ties
+    // term Σ(t³−t) = 18, σ = 6.212158, z = 2.173158 (hand-derived
+    // from the textbook formulas)
+    val rows = Seq(1, 2, 3, 4, 5, 6).map(("a", _)) ++
+      Seq(4, 5, 6, 7, 8, 9).map(("b", _))
+    val r = Experiment.mannWhitneyU(rows.toDF("v", "y"), "v", col("y"))
+      .head()
+    assert(r.getAs[String]("variant_a") == "a")
+    assert(r.getAs[Long]("n_a") === 6L && r.getAs[Long]("n_b") === 6L)
+    assert(r.getAs[Double]("u_b") === 31.5)
+    assert(r.getAs[Double]("mu_u") === 18.0)
+    assert(r.getAs[Double]("sigma_u") === 6.212158)
+    assert(r.getAs[Double]("z") === 2.173158)
+  }
+
+  test("mann-whitney: identical distributions give U = mu and z = 0") {
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 20).flatMap(i => Seq(("a", i % 5), ("b", i % 5)))
+    val r = Experiment.mannWhitneyU(rows.toDF("v", "y"), "v", col("y"))
+      .head()
+    assert(r.getAs[Double]("u_b") === r.getAs[Double]("mu_u"))
+    assert(r.getAs[Double]("z") === 0.0)
+  }
+
+  test("mann-whitney: direction — stochastically larger b gives z > 0, and swapping flips U") {
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 30).map(i => ("a", i)) ++ (1 to 30).map(i => ("b", i + 25))
+    val r = Experiment.mannWhitneyU(rows.toDF("v", "y"), "v", col("y"))
+      .head()
+    assert(r.getAs[Double]("z") > 3.0)
+    // relabel so the large sample becomes variant a: U_b' = n_a·n_b − U_b
+    val sw = (1 to 30).map(i => ("b", i)) ++ (1 to 30).map(i => ("a", i + 25))
+    val r2 = Experiment.mannWhitneyU(sw.toDF("v", "y"), "v", col("y"))
+      .head()
+    assert(r.getAs[Double]("u_b") + r2.getAs[Double]("u_b") === 900.0)
+    assert(r2.getAs[Double]("z") === -r.getAs[Double]("z"))
+  }
 }
