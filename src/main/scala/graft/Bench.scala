@@ -118,7 +118,10 @@ object Bench {
       val nFail = ts.count(!_._2._2)
       System.err.println(f"[bench] pass $pass/$reps: " +
         f"${ts.values.map(_._1).sum}%.1f s, $nFail failed")
-      if (nFail > names.size / 5) {
+      // ceiling-style threshold: a SPARK_GRAFT_ONLY subset of <5
+      // queries must tolerate one throw (recorded as a failed rep)
+      // rather than abort the whole run on pass 1
+      if (nFail > math.max(1, names.size / 5)) {
         System.err.println(s"[bench] pass $pass DROPPED: $nFail/" +
           s"${names.size} queries threw — broken-session signature")
         if (passes.isEmpty) {
@@ -158,11 +161,19 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    runs.filter(_._2.isEmpty).foreach { case (n, _, inv) =>
+    // a query with no valid rep must NOT enter the total (its -1.0
+    // sentinel would SHRINK the total, making a broken query read as
+    // an improvement) nor the queries map (the next run's baseline
+    // parse would silently drop it from the guardrail). It goes into
+    // an explicit no_valid_rep list in the artifact instead.
+    val (noValid, validRuns) = runs.partition(_._2.isEmpty)
+    noValid.foreach { case (n, _, inv) =>
       System.err.println(s"[bench] WARN $n: NO valid rep " +
         s"(invalid reps: ${inv.map(t => f"$t%.3f").mkString(",")})")
     }
-    val results = runs.map { case (n, valid, _) => n -> estimate(valid) }
+    val noValidJson =
+      noValid.map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
+    val results = validRuns.map { case (n, valid, _) => n -> estimate(valid) }
     val total = results.map(_._2).sum
 
     val regressions = results.collect {
@@ -182,7 +193,7 @@ object Bench {
     // parse. stdout carries ONE short line: the total plus the slowest
     // 15 queries, always inside the window.
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":${passes.size},"queries":${toJson(results)},"runs":${runsJson(_._2)},"invalid":${runsJson(_._3)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":${passes.size},"queries":${toJson(results)},"no_valid_rep":$noValidJson,"runs":${runsJson(_._2)},"invalid":${runsJson(_._3)},"sf":"$sfDir"}"""
     // subset runs (dev iteration) must not clobber the full artifact
     val artifact = if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_FULL.json"
     try {
@@ -213,7 +224,7 @@ object Bench {
     // stop FIRST so nothing else can write to stdout after the metric
     // line — the driver parses the tail of stdout as JSON
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":${passes.size},"queries":${toJson(slowest)},"n_queries":${results.size},"queries_file":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":${passes.size},"queries":${toJson(slowest)},"n_queries":${results.size},"n_no_valid_rep":${noValid.size},"queries_file":"BENCH_FULL.json","sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -183,7 +183,9 @@ object Scaling {
       "q_resample_ffill" -> ("output grid = users x hourly span, both " +
         "growing with f in this corpus family -- the operator is " +
         "linear in its OUTPUT grid; slope reflects grid growth, not " +
-        "operator waste"),
+        "operator waste. Scale path for sparse keys: scd2History " +
+        "(validity intervals, O(#changes) rows) + as-of join instead " +
+        "of a dense grid -- see resampleHourlyFfill scaladoc"),
       "q_record_linkage" -> ("round 9: candidates from a union of fine " +
         "blocking rules (text prefix-24, suffix-24, exact (lang, " +
         "source, n_chars)) -- content-key cardinality grows WITH the " +

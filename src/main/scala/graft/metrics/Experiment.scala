@@ -173,15 +173,6 @@ object Experiment {
       .where(col("__ok")).drop("__ok")
   }
 
-  /** Sample-ratio-mismatch check — the experimentation trust guardrail
-    * run BEFORE any effect readout (Fabijan et al. KDD'19: a skewed
-    * assignment invalidates the experiment regardless of the metric):
-    * per-variant observed vs expected counts with chi-square terms.
-    * One grouped count; everything else is arithmetic on ≤|variants|
-    * integers.
-    * @param expected variant → design ratio (must cover every observed
-    *   variant; ratios needn't sum to 1 — they're normalized)
-    */
   /** Mann–Whitney U / Wilcoxon rank-sum test (Mann & Whitney 1947) —
     * the distribution-free A/B readout for skewed or ordinal metrics
     * where a t-test's normality assumption fails (revenue, counts,
@@ -214,7 +205,18 @@ object Experiment {
       quantize: Int = 6): DataFrame = {
     val base = df.select(col(variantCol).cast("string").as("__var"),
       valueCol.cast("long").as("__v"))
-    val vs = base.agg(min("__var").as("__va"), max("__var").as("__vb"))
+    // two-sample semantics: min/max as a/b is only sound with EXACTLY
+    // two distinct variants — one variant would self-compare (every
+    // row counted into both n_a and n_b), three+ would silently drop
+    // middle variants from the counts but not the data. Fail the plan
+    // instead (the GridDbscan raise_error precondition convention).
+    val vs = base
+      .agg(min("__var").as("__va"), max("__var").as("__vb"),
+        count_distinct(col("__var")).as("__k"))
+      .select(col("__va"), col("__vb"),
+        when(col("__k") === 2, lit(true)).otherwise(raise_error(concat(
+          lit("mannWhitneyU requires exactly 2 distinct variants, got "),
+          col("__k").cast("string")))).as("__ok"))
     val perValue = base.crossJoin(broadcast(vs))
       .groupBy("__v")
       .agg(
@@ -236,7 +238,10 @@ object Experiment {
       sum((col("__na") + col("__nb")).cast("double")
         * (col("__na") + col("__nb")) * (col("__na") + col("__nb"))
         - (col("__na") + col("__nb"))).as("__ties"))
+    // the where on __ok keeps the guard column live through column
+    // pruning so raise_error actually evaluates
     agg.crossJoin(broadcast(vs))
+      .where(col("__ok"))
       .select(col("__va").as("variant_a"), col("__vb").as("variant_b"),
         col("__n_a").as("n_a"), col("__n_b").as("n_b"),
         round(col("__u"), quantize).as("u_b"),
@@ -256,6 +261,15 @@ object Experiment {
           quantize).as("z"))
   }
 
+  /** Sample-ratio-mismatch check — the experimentation trust guardrail
+    * run BEFORE any effect readout (Fabijan et al. KDD'19: a skewed
+    * assignment invalidates the experiment regardless of the metric):
+    * per-variant observed vs expected counts with chi-square terms.
+    * One grouped count; everything else is arithmetic on ≤|variants|
+    * integers.
+    * @param expected variant → design ratio (must cover every observed
+    *   variant; ratios needn't sum to 1 — they're normalized)
+    */
   def srmCheck(df: DataFrame, variantCol: String,
       expected: Map[String, Double], quantize: Int = 6): DataFrame = {
     require(expected.nonEmpty && expected.values.forall(_ > 0))

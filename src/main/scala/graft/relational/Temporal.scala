@@ -266,6 +266,15 @@ object Temporal {
     * forward-fill window PARTITIONED BY KEY over grid rows — the
     * operator's own semantics, never a global sort. Output:
     * (keyCol, hour 'yyyy-MM-dd HH', n_events, value_ffill).
+    *
+    * Scale note (the one >1.3 SCALING exponent in the repo): cost is
+    * linear in the OUTPUT grid Σ_key span-hours, which at 100 TB with
+    * long-lived sparse keys dwarfs the event count. For sparse keys
+    * prefer [[scd2History]] — the validity-interval form carries the
+    * same "value at any instant" information in O(#changes) rows (an
+    * as-of join against it replaces any grid lookup); materialize the
+    * dense grid only for bounded spans or downstream models that
+    * genuinely need fixed-step series.
     */
   def resampleHourlyFfill(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, tiebreakCol: String): DataFrame = {
@@ -492,15 +501,19 @@ object Temporal {
         col("tie_term"))
       .agg(round(expr("percentile(y - slope * i, 0.5)"), 6).as("intercept"))
       .select(col("n_days"), col("slope"), col("intercept"), col("s_stat"),
-        round((col("n_days") * (col("n_days") - 1)
+        ((col("n_days") * (col("n_days") - 1)
           * (col("n_days") * 2 + 5) - col("tie_term")).cast("double")
-          / 18.0, 6).as("var_s"))
+          / 18.0).as("__var_raw"))
+      // z divides by the UNROUNDED variance — identical provenance to
+      // the oracle, which also rounds var_s only for display; dividing
+      // by the rounded column would diverge when z's 6th decimal sits
+      // on a rounding boundary
       .select(col("n_days"), col("slope"), col("intercept"), col("s_stat"),
-        col("var_s"),
+        round(col("__var_raw"), 6).as("var_s"),
         round(when(col("s_stat") > 0,
-            (col("s_stat") - 1) / sqrt(col("var_s")))
+            (col("s_stat") - 1) / sqrt(col("__var_raw")))
           .when(col("s_stat") < 0,
-            (col("s_stat") + 1) / sqrt(col("var_s")))
+            (col("s_stat") + 1) / sqrt(col("__var_raw")))
           .otherwise(lit(0.0)), 6).as("z"))
   }
 

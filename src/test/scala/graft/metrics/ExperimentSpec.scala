@@ -168,4 +168,20 @@ class ExperimentSpec extends SparkSpec {
     assert(r.getAs[Double]("u_b") + r2.getAs[Double]("u_b") === 900.0)
     assert(r2.getAs[Double]("z") === -r.getAs[Double]("z"))
   }
+
+  test("mann-whitney rejects anything but exactly 2 distinct variants") {
+    import org.apache.spark.sql.functions._
+    // one variant: every row would self-compare into both n_a and n_b
+    val one = Seq(("a", 1), ("a", 2)).toDF("v", "y")
+    val e1 = intercept[Exception] {
+      Experiment.mannWhitneyU(one, "v", col("y")).collect()
+    }
+    assert(e1.getMessage.contains("exactly 2 distinct variants"))
+    // three variants: the middle one would silently vanish from counts
+    val three = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("v", "y")
+    val e3 = intercept[Exception] {
+      Experiment.mannWhitneyU(three, "v", col("y")).collect()
+    }
+    assert(e3.getMessage.contains("exactly 2 distinct variants"))
+  }
 }
