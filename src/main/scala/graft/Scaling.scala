@@ -90,7 +90,13 @@ object Scaling {
     "q_louvain_refine" -> 16, // one edge join + node-sized argmax
     "q_ppr_push" -> 16, // frontier-bounded rounds on the trade graph
     "q_seed_distance" -> 16, // BFS rounds: edge join vs reached frontier
-    "q_trend_robust" -> 16) // corpus aggregate + |days|^2 tiny-pair join
+    "q_trend_robust" -> 16, // corpus aggregate + |days|^2 tiny-pair join
+    // round-11 targets
+    "q_louvain_full" -> 16, // sweeps: edge join + node argmax; level 2+
+                            // community-sized; early stop at fixpoint
+    "q_kll_quantiles" -> 16, // one pass, mergeable bounded sketch state
+    "q_knn_graph" -> 16, // LSH-bucketed candidates + bounded top-k heap
+    "q_ann_ingest" -> 16) // scan-fused assign vs broadcast centroids
     .filter { case (q, _) =>
       sys.env.get("SPARK_GRAFT_SCALE_ONLY")
         .forall(_.split(",").map(_.trim).contains(q))

@@ -1,0 +1,211 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Full multi-level Louvain community detection (Blondel, Guillaume,
+  * Lambiotte & Lefebvre 2008, "Fast unfolding of communities in large
+  * networks"): repeat modularity-greedy refinement sweeps until no
+  * node moves (phase 1), contract each community to a super-node
+  * carrying its internal weight as a self-loop (phase 2), and recurse
+  * on the contracted graph. [[LabelPropagation.louvainRefine]] is the
+  * single-sweep polish; this is the production loop.
+  *
+  * Determinism (the distributed compromise, in the spirit of the
+  * Sotera/DGA distributed Louvain's alternating schedule): the paper's
+  * sequential node sweep is engine-order-dependent, so sweeps here are
+  * SYNCHRONOUS with two guards that kill the classic two-node swap
+  * oscillation:
+  *
+  *  - alternating direction — odd sweeps only allow moves to a
+  *    community id SMALLER than the current one, even sweeps only
+  *    LARGER (community labels are node ids, so the rule survives
+  *    contraction). A simultaneous swap needs one "down" and one "up"
+  *    move in the SAME sweep, so it is structurally impossible; any
+  *    beneficial move blocked this sweep is eligible next sweep;
+  *  - strict improvement — a node moves only if its best
+  *    allowed-direction candidate scores STRICTLY higher than staying
+  *    put (ties never churn).
+  *
+  * Phase 1 stops at the detected fixpoint: once two CONSECUTIVE sweeps
+  * (one down + one up) move zero nodes, every further sweep is
+  * provably a no-op (each direction's operator is deterministic and
+  * just re-ran unchanged), so stopping early is exact — the oracle
+  * replays the full fixed sweep schedule and lands on the same state.
+  *
+  * Self-loops after contraction: the symmetrized frame keeps
+  * inter-community edges only; per-node self weight (the community's
+  * internal symmetrized weight, both directions counted) rides a
+  * separate (node, weight) frame. It enters the degree k_i, the
+  * community totals and 2m — but NOT k_{i,C}: in the gain comparison
+  * the self-loop term is community-independent and cancels, exactly as
+  * in the paper. The score per candidate community C for node i is
+  *
+  *   score(C) = 2m·k_{i,C} − k_i·(tot_C − k_i·[C = A])
+  *
+  * with every term an integer off the edge frame and the two count
+  * products evaluated in DOUBLE (BIGINT×BIGINT wraps past 2^63 at
+  * 100 TB edge counts; exact below 2^53). 2m is level-invariant
+  * (contraction conserves total weight), so it is computed once.
+  *
+  * Scale shape per sweep: one edge-sized join (edges ⋈ labels on the
+  * neighbor end), one (node, community) rollup with map-side partial
+  * sums, argmax as ONE min-struct aggregate (no window, no per-node
+  * sort), three node-sized joins, a broadcast 1-row 2m. Per level the
+  * degree frame is computed once and persisted; contraction is one
+  * two-sided label join + groupBy, and every level above the base is
+  * community-sized. The only driver values are the per-sweep moved
+  * counts (one scalar each — the KCore convergence convention).
+  */
+object Louvain {
+
+  private def track(df: DataFrame): DataFrame =
+    graft.core.Memos.tracked("louvain", df)
+
+  /** One guarded synchronous sweep.
+    *
+    * @param sym inter-community symmetrized edges (__s, __t, __w)
+    * @param deg per-node weighted degree INCLUDING self weight
+    *   (__s, __k)
+    * @param m2 broadcast 1-row total symmetrized weight (__m2)
+    * @param labels current assignment (__n, __c)
+    * @param down odd sweeps move only toward smaller community ids;
+    *   even sweeps only toward larger
+    */
+  private def sweep(sym: DataFrame, deg: DataFrame, m2: DataFrame,
+      labels: DataFrame, down: Boolean): DataFrame = {
+    val la = labels.select(col("__n").as("__s"), col("__c").as("__cs"))
+    val lb = labels.select(col("__n").as("__t"), col("__c").as("__ct"))
+    val tot = deg.join(la, Seq("__s"))
+      .groupBy(col("__cs").as("__c")).agg(sum("__k").as("__tot"))
+    // i's weight into each neighbor community; the own community is
+    // always a candidate (weight-0 row unioned in) so an isolated
+    // super-node with only a self-loop still has a stay row
+    val kic = sym.join(lb, Seq("__t"))
+      .groupBy(col("__s"), col("__ct").as("__c"))
+      .agg(sum("__w").as("__kic"))
+    val cand = kic
+      .unionByName(la.select(col("__s"), col("__cs").as("__c"),
+        lit(0L).as("__kic")))
+      .groupBy("__s", "__c").agg(sum("__kic").as("__kic"))
+    val dirOk =
+      if (down) col("__c") < col("__cs") else col("__c") > col("__cs")
+    val scored = cand
+      .join(la, Seq("__s"))
+      .filter(col("__c") === col("__cs") || dirOk)
+      .join(deg, Seq("__s"))
+      .join(tot, Seq("__c"))
+      .crossJoin(broadcast(m2))
+      .select(col("__s"), col("__c"), col("__cs"),
+        (col("__m2").cast("double") * col("__kic")
+          - col("__k").cast("double") * (col("__tot")
+            - when(col("__c") === col("__cs"), col("__k"))
+              .otherwise(lit(0L)))).as("__score"))
+    // best candidate (min-struct argmax, ties to the smallest
+    // community id) and the stay score, fused in one aggregate pass
+    scored.groupBy("__s")
+      .agg(min(struct((-col("__score")).as("ns"), col("__c").as("c")))
+          .as("__m"),
+        max(when(col("__c") === col("__cs"), col("__score")))
+          .as("__stay"),
+        min(col("__cs")).as("__cs")) // constant per __s; min = the value
+      .select(col("__s").as("__n"),
+        when(-col("__m.ns") > col("__stay"), col("__m.c"))
+          .otherwise(col("__cs")).as("__c"))
+  }
+
+  /** Phase 1 at one level: guarded sweeps to the detected fixpoint
+    * (two consecutive zero-move sweeps) or the cap. Returns the final
+    * (__n, __c). */
+  private def phase1(sym: DataFrame, selfW: DataFrame, m2: DataFrame,
+      nodes: DataFrame, maxSweeps: Int): DataFrame = {
+    val symDeg = sym.groupBy("__s").agg(sum("__w").as("__kd"))
+    val sw = selfW.select(col("__n").as("__s"), col("__sw").as("__swv"))
+    val deg = track(nodes.select(col("__n").as("__s"))
+      .join(symDeg, Seq("__s"), "left")
+      .join(sw, Seq("__s"), "left")
+      .select(col("__s"),
+        (coalesce(col("__kd"), lit(0L))
+          + coalesce(col("__swv"), lit(0L))).as("__k"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    var labels = nodes.select(col("__n"), col("__n").as("__c"))
+      .localCheckpoint()
+    var zeroRun = 0
+    var t = 1
+    while (t <= maxSweeps && zeroRun < 2) {
+      val next = sweep(sym, deg, m2, labels, down = t % 2 == 1)
+        .localCheckpoint()
+      val moved = next.join(labels.withColumnRenamed("__c", "__p"), "__n")
+        .filter(col("__c") =!= col("__p")).count()
+      zeroRun = if (moved == 0L) zeroRun + 1 else 0
+      labels = next
+      t += 1
+    }
+    labels
+  }
+
+  /** @param pairs undirected edge list (`id_a`, `id_b`), multiplicity
+    *   = weight. */
+  def louvain(pairs: DataFrame, maxSweeps: Int = 4,
+      levels: Int = 2): DataFrame =
+    louvainOn(track(EdgeFrames.symmetrizedWeighted(pairs)
+      .persist(StorageLevel.MEMORY_AND_DISK)), maxSweeps, levels)
+
+  /** Full Louvain over a shared [[EdgeFrames.symmetrizedWeighted]]
+    * frame.
+    *
+    * @param maxSweeps phase-1 sweep cap per level (the fixed schedule
+    *   the oracle replays; the engine stops early at the detected
+    *   fixpoint, which is exact — see the class doc)
+    * @param levels contraction levels (2 = one contraction + refine)
+    * @return (id, community) for every ORIGINAL node; community ids
+    *   are node ids of the top level's representatives
+    */
+  def louvainOn(sym0: DataFrame, maxSweeps: Int = 4,
+      levels: Int = 2): DataFrame = {
+    require(maxSweeps >= 1 && levels >= 1,
+      s"need maxSweeps >= 1 and levels >= 1, got $maxSweeps, $levels")
+    val spark = sym0.sparkSession
+    import spark.implicits._
+    // 2m is level-invariant: contraction moves weight between the
+    // edge frame and the self-loop frame but conserves the total
+    val m2 = broadcast(sym0.agg(sum("__w").as("__m2")))
+    var sym = sym0
+    var selfW = Seq.empty[(Long, Long)].toDF("__n", "__sw")
+    var nodes = sym0.select(col("__s").as("__n")).distinct()
+    // composed assignment: original id -> current-level community
+    var assign: DataFrame = null
+    for (level <- 1 to levels) {
+      val lab = phase1(sym, selfW, m2, nodes, maxSweeps)
+      assign =
+        if (assign == null) lab.select(col("__n").as("id"),
+          col("__c").as("community"))
+        else assign.join(lab, assign("community") === lab("__n"))
+          .select(col("id"), col("__c").as("community"))
+      assign = assign.localCheckpoint()
+      if (level < levels) {
+        // phase 2: contract. Inter-community edges keep the
+        // symmetrized convention; internal weight (both directions)
+        // plus carried self weight becomes the super-node's self-loop
+        val la = lab.select(col("__n").as("__s"), col("__c").as("__cs"))
+        val lb = lab.select(col("__n").as("__t"), col("__c").as("__ct"))
+        val joined = sym.join(la, Seq("__s")).join(lb, Seq("__t"))
+        sym = track(joined.filter(col("__cs") =!= col("__ct"))
+          .groupBy(col("__cs").as("__s"), col("__ct").as("__t"))
+          .agg(sum("__w").as("__w"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+        val internal = joined.filter(col("__cs") === col("__ct"))
+          .groupBy(col("__cs").as("__n")).agg(sum("__w").as("__sw"))
+        val carried = selfW.join(lab, "__n")
+          .groupBy(col("__c").as("__n")).agg(sum("__sw").as("__sw"))
+        selfW = track(internal.unionByName(carried)
+          .groupBy("__n").agg(sum("__sw").as("__sw"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+        nodes = lab.select(col("__c").as("__n")).distinct()
+          .localCheckpoint()
+      }
+    }
+    assign
+  }
+}

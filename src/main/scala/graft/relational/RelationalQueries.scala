@@ -761,6 +761,21 @@ object RelationalQueries extends QueryPack {
           lpaLabelsMemo(s, dir))
         .orderBy("id")),
 
+    // Full multi-level Louvain (graph/Louvain.scala): alternating-
+    // direction strict-improvement sweeps to the detected fixpoint
+    // (odd sweeps move toward smaller community ids, even toward
+    // larger — simultaneous swaps structurally impossible), contract the
+    // community graph (internal weight -> super-node self-loops),
+    // refine again — 2 levels, sweep cap 4 per level. Same shared edge
+    // frame; the oracle replays the ENTIRE fixed schedule (both
+    // levels' sweeps + the contraction) as chained CTEs — the engine's
+    // early fixpoint stop is exact because further sweeps provably
+    // no-op (see Louvain.scala scaladoc).
+    "q_louvain_full" -> ((s, dir) =>
+      graft.graph.Louvain.louvainOn(coPurchaseSymMemo(s, dir),
+          maxSweeps = 6, levels = 2)
+        .orderBy("id")),
+
     // BFS hop distance from a seed set (graph/SeedDistance.scala) —
     // the crawl-depth label, relaxed over the SAME shared co-purchase
     // frame; 4 integer rounds replayed by chained CTEs, unreached
@@ -1316,6 +1331,94 @@ object RelationalQueries extends QueryPack {
        |  WHERE rk = 1)
        |SELECT s AS id, c AS community FROM pick ORDER BY id""".stripMargin
 
+  /** Sweep CTEs for one Louvain level (mirrors Louvain.sweep): per
+    * sweep i the community totals, i's weight into neighbor
+    * communities (own community as a weight-0 candidate), the
+    * 2m·k_{i,C} − k_i·(tot_C − k_i·[C=A]) score with count products in
+    * DOUBLE, argmax as a window rank (vs the Spark side's min-struct
+    * aggregate — independent formulations of the same selection), and
+    * the guarded apply: candidates restricted to the sweep's direction
+    * (odd sweeps toward smaller community ids, even toward larger),
+    * move only on a STRICTLY better-than-stay best candidate.
+    */
+  private def louvainSweepCtes(lv: Int, e: String, deg: String,
+      sweeps: Int): String =
+    (1 to sweeps).map { i =>
+      val prev = s"a${lv}_${i - 1}"
+      val dir = if (i % 2 == 1) "<" else ">"
+      s"""t${lv}_$i AS MATERIALIZED (SELECT a.c AS c,
+         |    CAST(sum(d.k) AS BIGINT) AS tot
+         |  FROM $deg d JOIN $prev a ON a.n = d.s GROUP BY a.c),
+         |k${lv}_$i AS MATERIALIZED (SELECT e.s, lt.c,
+         |    CAST(sum(e.w) AS BIGINT) AS kic
+         |  FROM $e e JOIN $prev lt ON lt.n = e.t GROUP BY e.s, lt.c),
+         |c${lv}_$i AS MATERIALIZED (SELECT s, c,
+         |    CAST(sum(kic) AS BIGINT) AS kic FROM (
+         |      SELECT s, c, kic FROM k${lv}_$i
+         |      UNION ALL SELECT n AS s, c, CAST(0 AS BIGINT) FROM $prev)
+         |  GROUP BY s, c),
+         |s${lv}_$i AS MATERIALIZED (SELECT cd.s, cd.c, la.c AS cs,
+         |    CAST(mm AS DOUBLE) * cd.kic - CAST(d.k AS DOUBLE) * (t.tot
+         |      - CASE WHEN cd.c = la.c THEN d.k ELSE 0 END) AS score
+         |  FROM c${lv}_$i cd JOIN $prev la ON la.n = cd.s
+         |  JOIN $deg d ON d.s = cd.s
+         |  JOIN t${lv}_$i t ON t.c = cd.c
+         |  CROSS JOIN m2
+         |  WHERE cd.c = la.c OR cd.c $dir la.c),
+         |b${lv}_$i AS MATERIALIZED (SELECT s, c, score FROM (
+         |    SELECT s, c, score, row_number() OVER (PARTITION BY s
+         |      ORDER BY score DESC, c ASC) AS rk FROM s${lv}_$i)
+         |  WHERE rk = 1),
+         |a${lv}_$i AS MATERIALIZED (SELECT la.n,
+         |    CASE WHEN b.score > st.score
+         |      THEN b.c ELSE la.c END AS c
+         |  FROM $prev la JOIN b${lv}_$i b ON b.s = la.n
+         |  JOIN (SELECT s, score FROM s${lv}_$i WHERE c = cs) st
+         |    ON st.s = la.n)""".stripMargin
+    }.mkString(",\n")
+
+  /** Full-Louvain mirror: the identical fixed schedule — `sweeps`
+    * guarded sweeps from singletons on the co-purchase frame, the
+    * contraction (inter-community edges + internal weight as
+    * super-node self-loops entering deg1 but never k_{i,C}), `sweeps`
+    * more sweeps on the contracted graph, composed back to original
+    * ids. 2m (`mm`) is computed once — contraction conserves it.
+    */
+  private def louvainFullOracleSql(sweeps: Int = 6): String = {
+    val a0 = s"a0_$sweeps"
+    s"""WITH li AS MATERIALIZED (SELECT l_orderkey AS ok,
+       |    CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
+       |p AS MATERIALIZED (SELECT a.pk AS s0, b.pk AS t0
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |e AS MATERIALIZED (SELECT s, t, CAST(count(*) AS BIGINT) AS w
+       |  FROM (SELECT s0 AS s, t0 AS t FROM p
+       |        UNION ALL SELECT t0, s0 FROM p)
+       |  GROUP BY s, t),
+       |m2 AS MATERIALIZED (SELECT CAST(sum(w) AS BIGINT) AS mm FROM e),
+       |deg0 AS MATERIALIZED (SELECT s, CAST(sum(w) AS BIGINT) AS k
+       |  FROM e GROUP BY s),
+       |a0_0 AS MATERIALIZED (SELECT DISTINCT s AS n, s AS c FROM e),
+       |${louvainSweepCtes(0, "e", "deg0", sweeps)},
+       |e1 AS MATERIALIZED (SELECT la.c AS s, lb.c AS t,
+       |    CAST(sum(e.w) AS BIGINT) AS w
+       |  FROM e JOIN $a0 la ON la.n = e.s JOIN $a0 lb ON lb.n = e.t
+       |  WHERE la.c <> lb.c GROUP BY 1, 2),
+       |sw1 AS MATERIALIZED (SELECT la.c AS n, CAST(sum(e.w) AS BIGINT) AS sw
+       |  FROM e JOIN $a0 la ON la.n = e.s JOIN $a0 lb ON lb.n = e.t
+       |  WHERE la.c = lb.c GROUP BY 1),
+       |n1 AS MATERIALIZED (SELECT DISTINCT c AS n FROM $a0),
+       |deg1 AS MATERIALIZED (SELECT n1.n AS s,
+       |    CAST(coalesce(sd.k, 0) + coalesce(sw1.sw, 0) AS BIGINT) AS k
+       |  FROM n1 LEFT JOIN (SELECT s, sum(w) AS k FROM e1 GROUP BY s) sd
+       |    ON sd.s = n1.n
+       |  LEFT JOIN sw1 ON sw1.n = n1.n),
+       |a1_0 AS MATERIALIZED (SELECT n, n AS c FROM n1),
+       |${louvainSweepCtes(1, "e1", "deg1", sweeps)}
+       |SELECT l0.n AS id, l1.c AS community
+       |FROM $a0 l0 JOIN a1_$sweeps l1 ON l1.n = l0.c
+       |ORDER BY id""".stripMargin
+  }
+
   /** Seed-distance mirror: the identical integer BFS relaxation rounds
     * over the co-purchase graph, with the null-skipping min merge
     * spelled out as an explicit CASE (engine-proof null semantics).
@@ -1486,6 +1589,7 @@ object RelationalQueries extends QueryPack {
     "q_personalized_pagerank" -> pprOracleSql(),
     "q_ppr_push" -> pprPushOracleSql(),
     "q_louvain_refine" -> louvainRefineOracleSql(),
+    "q_louvain_full" -> louvainFullOracleSql(),
     "q_seed_distance" -> seedDistanceOracleSql(),
     "q_coreness" -> corenessOracleSql(),
     "q_hits" -> hitsOracleSql(),
