@@ -94,7 +94,7 @@ object Scaling {
     // round-11 targets
     "q_louvain_full" -> 16, // sweeps: edge join + node argmax; level 2+
                             // community-sized; early stop at fixpoint
-    "q_kll_quantiles" -> 16, // one pass, mergeable bounded sketch state
+    "q_quantile_sketch" -> 16, // one pass, mergeable bounded sketch state
     "q_knn_graph" -> 16, // LSH-bucketed candidates + bounded top-k heap
     "q_ann_ingest" -> 16) // scan-fused assign vs broadcast centroids
     .filter { case (q, _) =>

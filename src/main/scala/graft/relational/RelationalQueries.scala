@@ -543,6 +543,49 @@ object RelationalQueries extends QueryPack {
             .as("within_bounds"))
         .orderBy("l_returnflag")),
 
+    // Mergeable streaming-parity quantile sketch (the r10 "KLL-style"
+    // directive, closed with DDSketch semantics — see
+    // Sketches.quantileSketch for why the deterministic log-bucket
+    // design beats KLL's randomized compaction here): grouped p50/p95/
+    // p99 of price per returnflag at α=0.01, the exact order statistic
+    // at the same rank ⌊p·(n−1)⌋+1 off a value-level count frame, and
+    // the α-relative-error guarantee as a boolean. EVERYTHING replays
+    // in DuckDB — the estimate itself is exact-gated, not just its
+    // bounds. Merge ≡ whole and stream ≡ batch are spec'd
+    // (QuantileSketchSpec / StreamingSketchSpec).
+    "q_quantile_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val alpha = 0.01
+      val ps = Seq(0.5, 0.95, 0.99)
+      val li = Tables.lineitem(s, dir)
+      val est = Sketches.quantileSketchEstimate(
+        Sketches.quantileSketch(li, col("l_returnflag"),
+          col("l_extendedprice"), alpha), ps, alpha)
+      val vals = li.groupBy(col("l_returnflag").as("g"),
+          col("l_extendedprice").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      // exact order statistic: cumulative count over the value-level
+      // frame (≤|distinct prices| rows per group), never a corpus sort
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val cum = vals.withColumn("__cum", sum("cnt").over(w))
+      val tot = vals.groupBy("g").agg(sum("cnt").as("__n"))
+      val exact = cum.join(tot, "g")
+        .crossJoin(broadcast(ps.toDF("p")))
+        .filter(col("__cum") >=
+          floor(col("p") * (col("__n") - 1)).cast("long") + 1)
+        .groupBy("g", "p").agg(min("v").as("__ex"))
+      est.join(exact, Seq("g", "p"))
+        .select(col("g").as("l_returnflag"), col("p"), col("estimate"),
+          round(col("__ex"), 6).as("exact_at_rank"),
+          (abs(col("estimate") - round(col("__ex"), 6))
+            <= lit(alpha) * round(col("__ex"), 6)).as("within_alpha"))
+        .orderBy("l_returnflag", "p")
+    }),
+
     // Full outer join with ALL three null patterns: every tenth order
     // gets its custkey shifted out of range in-plan (the corpus is
     // referentially intact, so 'order_only' would otherwise be empty).
@@ -1570,6 +1613,51 @@ object RelationalQueries extends QueryPack {
        |FROM tot t LEFT JOIN inw ON inw.community = t.community
        |CROSS JOIN m2 ORDER BY t.community""".stripMargin
 
+  /** Quantile-sketch mirror: the identical DDSketch bucket math
+    * (quantized log ratio → ceil → grouped counts → cumulative pick at
+    * rank ⌊p·(n−1)⌋+1 → midpoint 2γ^b/(γ+1)) plus the identical exact
+    * order statistic off the value-level count frame; γ and ln γ are
+    * the interpolated Scala doubles so both engines use the same
+    * constants.
+    */
+  private def quantileSketchOracleSql(alpha: Double = 0.01): String = {
+    val g = Sketches.ddGamma(alpha)
+    val lg = math.log(g)
+    s"""WITH b AS (SELECT l_returnflag AS g,
+       |    CAST(ceil(round(ln(l_extendedprice) / $lg, 6)) AS BIGINT)
+       |      AS bucket
+       |  FROM lineitem),
+       |sk AS (SELECT g, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM b GROUP BY 1, 2),
+       |cum AS (SELECT g, bucket,
+       |    CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS BIGINT)
+       |      AS cum FROM sk),
+       |tot AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM sk GROUP BY 1),
+       |ps AS (SELECT unnest([0.5, 0.95, 0.99]) AS p),
+       |pick AS (SELECT c.g, ps.p, min(c.bucket) AS bk
+       |  FROM cum c JOIN tot USING (g) CROSS JOIN ps
+       |  WHERE c.cum >= CAST(floor(ps.p * (tot.n - 1)) AS BIGINT) + 1
+       |  GROUP BY 1, 2),
+       |est AS (SELECT g, p,
+       |    round(2.0 * pow($g, bk) / ${g + 1.0}, 6) AS estimate
+       |  FROM pick),
+       |vals AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+       |    CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1, 2),
+       |vcum AS (SELECT g, v,
+       |    CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+       |      AS cum FROM vals),
+       |ex AS (SELECT vc.g, ps.p, min(vc.v) AS exv
+       |  FROM vcum vc JOIN tot USING (g) CROSS JOIN ps
+       |  WHERE vc.cum >= CAST(floor(ps.p * (tot.n - 1)) AS BIGINT) + 1
+       |  GROUP BY 1, 2)
+       |SELECT e.g AS l_returnflag, e.p AS p, e.estimate,
+       |  round(ex.exv, 6) AS exact_at_rank,
+       |  (abs(e.estimate - round(ex.exv, 6))
+       |    <= $alpha * round(ex.exv, 6)) AS within_alpha
+       |FROM est e JOIN ex ON ex.g = e.g AND ex.p = e.p
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** ONE oracle for both fuzzy-join gates: routing (broadcast vs
     * shuffled build) must never change the answer, so the gates share
     * the string — an edit here updates both or neither.
@@ -1590,6 +1678,7 @@ object RelationalQueries extends QueryPack {
     "q_ppr_push" -> pprPushOracleSql(),
     "q_louvain_refine" -> louvainRefineOracleSql(),
     "q_louvain_full" -> louvainFullOracleSql(),
+    "q_quantile_sketch" -> quantileSketchOracleSql(),
     "q_seed_distance" -> seedDistanceOracleSql(),
     "q_coreness" -> corenessOracleSql(),
     "q_hits" -> hitsOracleSql(),

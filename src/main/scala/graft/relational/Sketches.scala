@@ -133,6 +133,82 @@ object Sketches {
   def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
 
+  /** Mergeable relative-error quantile sketch (Masson, Rim & Lee,
+    * "DDSketch: a fast and fully-mergeable quantile sketch with
+    * relative-error guarantees", VLDB'19) — the grouped approximate
+    * quantile whose state merges, completing the sketch family
+    * (MG / HLL / CMS / GK). Chosen over KLL (Karnin–Lang–Liberty
+    * FOCS'16) deliberately: KLL's randomized compaction makes the
+    * sketch a function of partition/merge ORDER, so shard-merge ≡
+    * whole-sketch only holds in distribution and no engine-independent
+    * oracle can replay it; DDSketch's log-spaced buckets make the
+    * sketch a pure FUNCTION OF THE MULTISET — bit-identical under any
+    * partitioning, any merge tree, and in DuckDB integer/log
+    * arithmetic — with the α-relative-error guarantee a telemetry
+    * pipeline actually quotes (it is the production quantile sketch at
+    * Datadog for exactly this mergeability reason).
+    *
+    * Bucket index for v > 0: ceil(ln(v)/ln(γ)) with γ = (1+α)/(1−α);
+    * the log ratio is QUANTIZED (round 6) before ceil so a 1-ulp libm
+    * divergence between engines cannot flip a boundary bucket. State
+    * is ≤ ⌈ln(max/min)/ln(γ)⌉ buckets per group (~920 for α=0.01 over
+    * 8 decades) from ONE map-side-combinable groupBy; sketches merge
+    * by adding counts. The value at quantile p is read at rank
+    * ⌊p·(n−1)⌋+1 and estimated by the bucket midpoint 2γ^b/(γ+1),
+    * which is within α of the true order statistic by construction.
+    *
+    * Contract: values must be strictly positive (prices, latencies,
+    * sizes); callers with zero/negative domains shift or split first
+    * (the paper's zero-bucket/negative-mirror extensions).
+    */
+  def ddGamma(alpha: Double): Double = (1.0 + alpha) / (1.0 - alpha)
+
+  /** One grouped pass → (g, bucket, cnt); ≤ |groups|·|buckets| rows. */
+  def quantileSketch(df: DataFrame, group: Column, value: Column,
+      alpha: Double = 0.01): DataFrame = {
+    require(alpha > 0 && alpha < 0.5, s"alpha out of range: $alpha")
+    val lg = math.log(ddGamma(alpha))
+    df.select(group.as("g"),
+        ceil(round(log(value) / lg, 6)).cast("long").as("bucket"))
+      .groupBy("g", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Sketch union: counts add per (group, bucket). Associative and
+    * commutative — the distributed-merge contract (and, unlike KLL,
+    * the merged FRAME is bit-identical to the whole-corpus sketch). */
+  def quantileSketchMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("g", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** Quantile read-out: per (group, p) the first bucket whose
+    * cumulative count reaches rank ⌊p·(n−1)⌋+1, estimated at the
+    * bucket midpoint. The cumulative window runs over the TINY sketch
+    * frame (≤ |buckets| rows per group), never the corpus. */
+  def quantileSketchEstimate(sketch: DataFrame, ps: Seq[Double],
+      alpha: Double = 0.01): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
+    val g = ddGamma(alpha)
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = sketch.withColumn("__cum", sum("cnt").over(w))
+    // aliased grouping key: cum and tot share the sketch lineage, and
+    // a same-id equi-join trips the resolver when the sketch is a
+    // named (memory/stream) table
+    val tot = sketch.groupBy(col("g").as("__gt")).agg(sum("cnt").as("__n"))
+    cum.join(tot, col("g") === col("__gt")).drop("__gt")
+      .crossJoin(broadcast(ps.toDF("p")))
+      .filter(col("__cum") >=
+        floor(col("p") * (col("__n") - 1)).cast("long") + 1)
+      .groupBy(col("g"), col("p"))
+      .agg(min("bucket").as("__b"))
+      .select(col("g"), col("p"),
+        round(lit(2.0) * pow(lit(g), col("__b")) / lit(g + 1.0), 6)
+          .as("estimate"))
+  }
+
   /** Point-query the sketch for each probe key: min over the depth rows
     * of the cell counts (the one-sided CMS estimate — never below the
     * true count). The sketch side is tiny, so the probe join broadcasts.

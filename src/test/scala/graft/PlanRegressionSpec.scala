@@ -101,10 +101,15 @@ class PlanRegressionSpec extends SparkSpec {
     "q_trend_robust",        // day-index row_number strictly over the
                              // ≤|days| daily aggregate (Theil–Sen needs
                              // the integer x axis), never the corpus
-    "q_ab_mannwhitney"       // prefix-sum window strictly over the
+    "q_ab_mannwhitney",      // prefix-sum window strictly over the
                              // ≤|distinct metric values| frame (the
                              // rank-free U construction), never the
                              // corpus
+    "q_quantile_sketch"      // two cumulative windows: one over the
+                             // ≤|buckets| sketch frame (the read-out),
+                             // one over the ≤|distinct prices|
+                             // value-level frame (the gate's exact-
+                             // order-statistic check), never the corpus
     // (q_dedup_substr's gaps-and-islands span-merge windows — per-doc
     // partitions — run inside the operator's eager span materialization
     // and surface to the gate plan as an InMemoryTableScan, so no

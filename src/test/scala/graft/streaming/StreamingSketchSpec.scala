@@ -67,4 +67,39 @@ class StreamingSketchSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streamed complete-mode quantile sketch equals the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val sk = Sketches.quantileSketch(input.toDF.toDF("g", "v"),
+      col("g"), col("v"), alpha = 0.02)
+    val q = sk.writeStream.outputMode("complete")
+      .format("memory").queryName("qsk_stream").start()
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 600).map(i =>
+      (if (i % 2 == 0) "x" else "y", math.exp(rnd.nextGaussian() + 2.0)))
+    try {
+      input.addData(rows.take(201))
+      q.processAllAvailable()
+      input.addData(rows.drop(201))
+      q.processAllAvailable()
+      val streamed = spark.table("qsk_stream")
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      val batch = Sketches.quantileSketch(rows.toDF("g", "v"),
+          col("g"), col("v"), alpha = 0.02)
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      assert(streamed == batch)
+      // the live estimates read off the streamed state are the batch
+      // estimates — the monitor never recomputes the corpus
+      val estS = Sketches.quantileSketchEstimate(
+          spark.table("qsk_stream"), Seq(0.5, 0.9), alpha = 0.02)
+        .as[(String, Double, Double)].collect().sorted.toSeq
+      val estB = Sketches.quantileSketchEstimate(
+          Sketches.quantileSketch(rows.toDF("g", "v"), col("g"), col("v"),
+            alpha = 0.02), Seq(0.5, 0.9), alpha = 0.02)
+        .as[(String, Double, Double)].collect().sorted.toSeq
+      assert(estS == estB)
+    } finally q.stop()
+  }
 }
