@@ -152,6 +152,73 @@ object Ann {
     topKPerQuery(scored, idCol, k)
   }
 
+  /** First-class bounded-degree kNN graph over an embedding corpus —
+    * the base graph for common-neighbor link prediction
+    * (q_adamic_adar), SemDeDup-style clustering, and any graph
+    * algorithm that needs degrees independent of corpus growth (a
+    * co-occurrence graph's degrees grow with the corpus; a kNN graph's
+    * are k BY CONSTRUCTION, so wedge volume stays ~n·k²).
+    *
+    * This brute variant scores all pairs with the corpus side
+    * broadcast — exact, for bounded corpora and gate slices; the scale
+    * path is [[knnGraphLsh]]. Cosines are QUANTIZED (round 6) BEFORE
+    * the bounded top-k heap so neighbor ranks replay in any engine.
+    *
+    * @return (src, rank, dst, cos) — k rows per node, ties broken
+    *   (cos desc, dst asc)
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val base = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+      .withColumn("__nc", normExpr(col("__cv")))
+    val q = broadcast(base.select(col("__cid").as("query_id"),
+      col("__cv").as("qv"), col("__nc").as("__nq")))
+    val scored = base.join(q, col("__cid") =!= col("query_id"))
+      .withColumn("cos", round(
+        dotExpr(col("qv"), col("__cv")) / (col("__nq") * col("__nc")), 6))
+    topKPerQuery(scored, "__cid", k)
+      .select(col("query_id").as("src"), col("rank"),
+        col("neighbor_id").as("dst"), col("cos"))
+  }
+
+  /** [[knnGraph]] at scale: candidates from the hyperplane-LSH bucket
+    * join instead of all pairs. The corpus is bucketed ONCE and stays
+    * in one bucket per row; the probe side of the SAME corpus explodes
+    * to its own bucket plus the `multiProbe` Hamming-1 flips (Lv et
+    * al. VLDB'07), so the join is a bucket-keyed equi-join — NO
+    * broadcast of the corpus, no all-pairs blow-up; candidate volume
+    * is Σ_b |b|·|probes into b|. Per-node degree is still capped at k
+    * by the bounded heap, with the same round-6-before-heap rank
+    * replay. Recall < 1 (gated vs [[knnGraph]] in q_knn_graph).
+    */
+  def knnGraphLsh(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nPlanes: Int, dim: Int, seed: Int = 42,
+      multiProbe: Int = 1): DataFrame = {
+    require(multiProbe <= 1, "only Hamming-1 multi-probe is supported")
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val c = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+      .withColumn("bucket", signatureExpr(col("__cv"), planes))
+      .withColumn("__nc", normExpr(col("__cv")))
+    val q0 = corpus.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("__b0", signatureExpr(col("qv"), planes))
+      .withColumn("__nq", normExpr(col("qv")))
+    val q =
+      if (multiProbe == 0) q0.withColumn("bucket", col("__b0")).drop("__b0")
+      else {
+        val probes = array((col("__b0") +:
+          (0 until nPlanes).map(j =>
+            col("__b0").bitwiseXOR(lit(1L << j)))): _*)
+        q0.withColumn("bucket", explode(probes)).drop("__b0")
+      }
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("__cid") =!= col("query_id"))
+      .withColumn("cos", round(
+        dotExpr(col("qv"), col("__cv")) / (col("__nq") * col("__nc")), 6))
+    topKPerQuery(scored, "__cid", k)
+      .select(col("query_id").as("src"), col("rank"),
+        col("neighbor_id").as("dst"), col("cos"))
+  }
+
   /** IVF (inverted-file) ANN — the other standard scale path next to
     * sign-LSH: partition the corpus into `nList` Voronoi cells around
     * k-means centroids, then each query scores only the cells of its

@@ -305,6 +305,33 @@ object AnnQueries extends QueryPack {
     // random cell probing; gated at 0.6 for seed/data drift margin). A
     // centroid-quality regression (e.g. the r4 biased-sample defect)
     // shows up as a recall drop and flips the hash.
+    // First-class kNN-graph operator, scale path: Ann.knnGraphLsh
+    // (hyperplane buckets + Hamming-1 multi-probe + bounded top-k
+    // heap) recall-gated against the exact Ann.knnGraph on the same
+    // slice — the q_ann_ivf_recall pattern. rows_ok pins the degree
+    // bound (≤ k per node, no duplicate edges). Measured recall
+    // 0.62-0.65 across sf0.001/0.01/0.1 at 3 planes + Hamming-1 on
+    // the near-random synthetic embeddings (vs ~0.19 for random
+    // 4-of-8-bucket candidates); gated at 0.5 for seed/data drift
+    // margin — a bucketing regression flips the hash.
+    "q_knn_graph" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).where(col("vec_id") < 300)
+      val lsh = Ann.knnGraphLsh(emb, "vec_id", "embedding", k = 5,
+          nPlanes = 3, dim = 64, multiProbe = 1)
+        .select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val brute = Ann.knnGraph(emb, "vec_id", "embedding", k = 5)
+        .select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val n = emb.count()
+      val recall = lsh.count(brute.contains).toDouble / brute.size
+      val degOk = lsh.groupBy(_._1).values.map(_.size).max <= 5
+      import s.implicits._
+      Seq((n, 5, lsh.length <= 5 * n && lsh.distinct.length == lsh.length
+          && degOk, recall >= 0.5))
+        .toDF("n_nodes", "k", "rows_ok", "recall_ok")
+    }),
+
     "q_ann_ivf_recall" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") < 30)
@@ -670,6 +697,11 @@ object AnnQueries extends QueryPack {
       """SELECT count(*) AS n_queries, CAST(3 AS INT) AS k,
         | TRUE AS rows_ok, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 30""".stripMargin,
+
+    "q_knn_graph" ->
+      """SELECT count(*) AS n_nodes, CAST(5 AS INT) AS k,
+        | TRUE AS rows_ok, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 300""".stripMargin,
 
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -756,29 +756,20 @@ object RelationalQueries extends QueryPack {
     "q_label_prop" -> ((s, dir) =>
       lpaLabelsMemo(s, dir).orderBy("id")),
 
-    // Adamic–Adar link prediction (graph/LinkPrediction.scala) over a
-    // 5-NN embedding graph — the scale-correct base graph for
-    // common-neighbor scoring: out-degree is k BY CONSTRUCTION (a
-    // co-occurrence graph's degrees grow with the corpus; a kNN
-    // graph's don't), so wedge volume is ~n·k². The deterministic
-    // vec_id < 300 slice keeps the brute 5-NN bounded at any sf (the
-    // production swap is the gated IVF/LSH path); cosine rounded 6
-    // before the heap so ranks replay; pivots capped at 25 against
-    // in-degree hubs.
+    // Adamic–Adar link prediction (graph/LinkPrediction.scala) riding
+    // the FIRST-CLASS Ann.knnGraph operator — the scale-correct base
+    // graph for common-neighbor scoring: out-degree is k BY
+    // CONSTRUCTION (a co-occurrence graph's degrees grow with the
+    // corpus; a kNN graph's don't), so wedge volume is ~n·k². The
+    // deterministic vec_id < 300 slice keeps the exact variant bounded
+    // at any sf (the production swap is Ann.knnGraphLsh, recall-gated
+    // by q_knn_graph); knnGraph rounds cosines 6 before its heap so
+    // ranks replay; pivots capped at 25 against in-degree hubs.
     "q_adamic_adar" -> ((s, dir) => {
-      import graft.llmdata.Ann
-      val emb = Tables.embeddings(s, dir).where(col("vec_id") < 300)
-        .withColumn("__n", Ann.normExpr(col("embedding")))
-      val q = broadcast(emb.select(col("vec_id").as("qid"),
-        col("embedding").as("qv"), col("__n").as("qn")))
-      val knn = emb.join(q, col("vec_id") =!= col("qid"))
-        .withColumn("s", round(Ann.dotExpr(col("qv"), col("embedding"))
-          / (col("qn") * col("__n")), 6))
-        .groupBy("qid")
-        .agg(graft.functions.TopKByScore(col("s"), col("vec_id"), 5)
-          .as("__nn"))
-        .select(col("qid").as("id_a"),
-          explode(col("__nn.id")).as("id_b"))
+      val knn = graft.llmdata.Ann.knnGraph(
+          Tables.embeddings(s, dir).where(col("vec_id") < 300),
+          "vec_id", "embedding", k = 5)
+        .select(col("src").as("id_a"), col("dst").as("id_b"))
       graft.graph.LinkPrediction.adamicAdar(knn, k = 40,
         maxDegree = Some(25))
     }),
