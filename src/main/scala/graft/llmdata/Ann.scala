@@ -538,6 +538,30 @@ object Ann {
     (array_position(arr, array_min(arr)) - 1).cast("int")
   }
 
+  /** Incremental ingest against a TRAINED IVF/PQ index — the embedding
+    * analog of the dedup family's dropKnownFingerprints: new documents
+    * get their index entry (coarse cell, PQ code, norm) from ONE
+    * scan-fused projection against the broadcast-literal centroids and
+    * codebooks. No retrain, no read of the existing postings, no
+    * global state — which is exactly why incremental assignment ≡ full
+    * re-index on unchanged centroids holds frame-for-frame (spec'd in
+    * AnnIngestSpec): the entry is a pure per-row function. Appending
+    * the returned frame to the stored index (ideally bucketed by
+    * `cell`) is the whole ingest; [[ivfCosineTopK]]/[[ivfPqTopK]]
+    * searches are oblivious to WHEN a row was indexed.
+    *
+    * At 100 TB: the daily-shard ingest is a map-only scan of the new
+    * shard writing m-byte codes — the corpus-sized index never
+    * rewrites.
+    */
+  def ivfPqIndexEntries(batch: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    batch.select(col(idCol).as("id"),
+      cellExpr(col(vecCol), centroids).as("cell"),
+      pqCodeExpr(col(vecCol), codebooks).as("code"),
+      round(normExpr(col(vecCol)), 6).as("norm"))
+
   /** IVF-bucketed top-k cosine: queries probe their `nProbe` nearest
     * cells. Recall < 1 at cell boundaries (the IVF analog of the LSH
     * recall cliff); raise nProbe to trade cost for recall.

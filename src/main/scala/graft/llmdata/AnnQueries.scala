@@ -305,6 +305,21 @@ object AnnQueries extends QueryPack {
     // random cell probing; gated at 0.6 for seed/data drift margin). A
     // centroid-quality regression (e.g. the r4 biased-sample defect)
     // shows up as a recall drop and flips the hash.
+    // Incremental ANN ingest (Ann.ivfPqIndexEntries): the vec_id >= 450
+    // slice plays the fresh shard, assigned to the TRAINED IVF/PQ index
+    // (same memoized centroids/codebooks as q_ann_ivf/q_ann_ivfpq)
+    // without retraining — one scan-fused projection. EXACT oracle via
+    // the trained-literal-VALUES technique; code arrays exploded to
+    // (j, code) rows so every output cell is scalar.
+    "q_ann_ingest" -> ((s, dir) => {
+      val batch = Tables.embeddings(s, dir).where(col("vec_id") >= 450)
+      Ann.ivfPqIndexEntries(batch, "vec_id", "embedding",
+          trainedIvfCentroids(s, dir), trainedPqCodebooks(s, dir))
+        .select(col("id").as("vec_id"), col("cell"),
+          posexplode(col("code")).as(Seq("j", "code")), col("norm"))
+        .orderBy("vec_id", "j")
+    }),
+
     // First-class kNN-graph operator, scale path: Ann.knnGraphLsh
     // (hyperplane buckets + Hamming-1 multi-probe + bounded top-k
     // heap) recall-gated against the exact Ann.knnGraph on the same
@@ -908,9 +923,63 @@ object AnnQueries extends QueryPack {
     import scala.jdk.CollectionConverters._
     (ivfMemo.values.asScala.toList, pqMemo.values.asScala.toList) match {
       case (cents :: Nil, cbs :: Nil) =>
-        Map("q_ann_ivfpq" -> ivfPqOracleSql(cents, cbs, nProbe = 3, k = 3))
+        Map("q_ann_ivfpq" -> ivfPqOracleSql(cents, cbs, nProbe = 3, k = 3),
+          "q_ann_ingest" -> ingestOracleSql(cents, cbs))
       case _ => Map.empty
     }
+  }
+
+  /** EXACT oracle for the incremental-ingest projection: cell argmin
+    * and per-subspace code argmin replay the IVFPQ oracle's `cells` /
+    * `codes` fragments over the new-shard slice only; the norm is the
+    * q_embedding_norms construction.
+    */
+  private def ingestOracleSql(cents: Array[Array[Double]],
+      cbs: Array[Array[Array[Double]]]): String = {
+    val dim = cents(0).length
+    val dsub = cbs(0)(0).length
+    val centRows = (for (cl <- cents.indices; i <- 0 until dim)
+      yield s"($cl,${i + 1},${cents(cl)(i)})").mkString(",")
+    val norms = cents.map(_.map(v => v * v).sum)
+    val normCase = "CASE cl " + norms.init.zipWithIndex
+      .map { case (n, cl) => s"WHEN $cl THEN $n" }.mkString(" ") +
+      s" ELSE ${norms.last} END"
+    val cbRows = (for (j <- cbs.indices; cc <- cbs(j).indices; i <- 0 until dsub)
+      yield s"($j,$cc,${i + 1},${cbs(j)(cc)(i)})").mkString(",")
+    val cbnRows = (for (j <- cbs.indices; cc <- cbs(j).indices)
+      yield s"($j,$cc,${cbs(j)(cc).map(v => v * v).sum})").mkString(",")
+    s"""WITH cent(cl, i, c) AS (SELECT * FROM (VALUES $centRows)),
+       |cb(j, cc, i, v) AS (SELECT * FROM (VALUES $cbRows)),
+       |cbn(j, cc, n) AS (SELECT * FROM (VALUES $cbnRows)),
+       |x AS (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+       |        generate_subscripts(embedding, 1) AS gi
+       |      FROM embeddings WHERE vec_id >= 450),
+       |cd AS (SELECT vec_id, cl, sum(e * c) * (-2.0) + $normCase AS d
+       |       FROM x JOIN cent ON cent.i = x.gi GROUP BY vec_id, cl),
+       |cells AS (SELECT vec_id, cl AS cell
+       |          FROM (SELECT vec_id, cl,
+       |                  row_number() OVER (PARTITION BY vec_id
+       |                    ORDER BY d, cl) AS rn
+       |                FROM cd) t WHERE rn = 1),
+       |xs AS (SELECT vec_id, (gi - 1) // $dsub AS j,
+       |         ((gi - 1) % $dsub) + 1 AS i, e FROM x),
+       |cd0 AS (SELECT xs.vec_id, cb.j, cb.cc, sum(xs.e * cb.v) AS s
+       |        FROM xs JOIN cb ON cb.j = xs.j AND cb.i = xs.i
+       |        GROUP BY 1, 2, 3),
+       |pd AS (SELECT vec_id, cd0.j, cd0.cc, cd0.s * (-2.0) + cbn.n AS d
+       |       FROM cd0 JOIN cbn ON cbn.j = cd0.j AND cbn.cc = cd0.cc),
+       |codes AS (SELECT vec_id, j, cc
+       |          FROM (SELECT vec_id, j, cc,
+       |                  row_number() OVER (PARTITION BY vec_id, j
+       |                    ORDER BY d, cc) AS rn
+       |                FROM pd) t WHERE rn = 1),
+       |nrm AS (SELECT vec_id, round(sqrt(sum(e * e)), 6) AS norm
+       |        FROM x GROUP BY 1)
+       |SELECT co.vec_id, CAST(cells.cell AS INT) AS cell,
+       |  CAST(co.j AS INT) AS j, CAST(co.cc AS INT) AS code, nrm.norm
+       |FROM codes co JOIN cells ON cells.vec_id = co.vec_id
+       |JOIN nrm ON nrm.vec_id = co.vec_id
+       |ORDER BY co.vec_id, co.j""".stripMargin
   }
 
   private def ivfPqOracleSql(cents: Array[Array[Double]],
