@@ -34,6 +34,32 @@ object TextFeatureQueries extends QueryPack {
 
   private val nHashFeatures = 1 << 12
 
+  /** Fit-once persisted phash pair graph (VERDICT r10 nit #3): the
+    * q_image_phash_neardups and q_image_dedup_clusters gates share the
+    * SAME synthesized clone corpus and the same dHash + Hamming band
+    * join — before round 11 whichever gate ran first paid the pair
+    * construction, swinging per-query bench numbers ~3× with gate
+    * order. The v5Packed convention: build once per dir, persist,
+    * materialize, cleared by Memos between bench passes.
+    */
+  private val phashPairsMemo =
+    graft.core.Memos.register(new graft.core.Memos.CachedFrameMap())
+  private def phashPairs(s: SparkSession, dir: String): DataFrame =
+    phashPairsMemo.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+        .filter(octet_length(col("text")) === length(col("text")))
+      val base = docs.select(col("doc_id"), col("text"))
+      val clones = base.filter(col("doc_id") < 10 && length(col("text")) >= 5)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("xxxxx"), substring(col("text"), 6, Int.MaxValue))
+            .as("text"))
+      val media = Multimodal.binarize(base.union(clones), "text", "image")
+      val p = Multimodal.nearDuplicateMedia(media, "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count() // materialize so both gate plans see the cache
+      p
+    })
+
   /** murmur3 bucket of each probe word under MLlib HashingTF. */
   private[featureextraction] lazy val hashingTfBuckets: Map[String, Int] = {
     val htf = new org.apache.spark.ml.feature.HashingTF()
@@ -143,38 +169,22 @@ object TextFeatureQueries extends QueryPack {
     // covering those bytes, landing each clone within the Hamming band
     // of its source. EXACT vs a brute-force all-pairs oracle — sound
     // because the gate corpus fits under the skew cap, so banding
-    // loses nothing.
-    "q_image_phash_neardups" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .filter(octet_length(col("text")) === length(col("text")))
-      val base = docs.select(col("doc_id"), col("text"))
-      val clones = base.filter(col("doc_id") < 10 && length(col("text")) >= 5)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(lit("xxxxx"), substring(col("text"), 6, Int.MaxValue)).as("text"))
-      val media = Multimodal.binarize(base.union(clones), "text", "image")
-      Multimodal.nearDuplicateMedia(media, "doc_id")
-        .orderBy("id_a", "id_b")
-    }),
+    // loses nothing. Pair construction lives in the fit-once
+    // phashPairs memo shared with q_image_dedup_clusters.
+    "q_image_phash_neardups" -> ((s, dir) =>
+      phashPairs(s, dir).orderBy("id_a", "id_b")),
 
     // Composition: the phash near-dup pair graph fed into single-link
     // clustering — "group all variants of an image" (each clone joins
-    // its source's cluster). Same in-plan synthesis as the pairs gate;
-    // the oracle walks the same graph with a recursive CTE, so full
-    // component membership is hash-gated.
-    "q_image_dedup_clusters" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .filter(octet_length(col("text")) === length(col("text")))
-      val base = docs.select(col("doc_id"), col("text"))
-      val clones = base.filter(col("doc_id") < 10 && length(col("text")) >= 5)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(lit("xxxxx"), substring(col("text"), 6, Int.MaxValue)).as("text"))
-      val media = Multimodal.binarize(base.union(clones), "text", "image")
-      val pairs = Multimodal.nearDuplicateMedia(media, "doc_id")
-        .select(col("id_a"), col("id_b"))
-      graft.llmdata.Dedup.clusterNearDuplicates(pairs)
+    // its source's cluster). Rides the SAME memoized pair graph as the
+    // pairs gate (no per-gate rebuild); the oracle walks the same
+    // graph with a recursive CTE, so full component membership is
+    // hash-gated.
+    "q_image_dedup_clusters" -> ((s, dir) =>
+      graft.llmdata.Dedup.clusterNearDuplicates(
+          phashPairs(s, dir).select(col("id_a"), col("id_b")))
         .select(col("id").as("doc_id"), col("cluster"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // Multimodal sequence packing: image slots cost a fixed 64-token
     // budget each on top of the text tokens; greedy first-fit per
