@@ -822,6 +822,35 @@ object RelationalQueries extends QueryPack {
         .orderBy("id")
     }),
 
+    // Deterministic uniform random walks (graph/RandomWalks.scala —
+    // DeepWalk corpus generation): 2 walks × 4 hops per seed node over
+    // the SAME shared co-purchase frame, every hop an md5-draw over the
+    // ascending-id neighbor ranking — the whole trajectory set replays
+    // in DuckDB's own md5/row_number arithmetic. Per hop the engine
+    // moves O(|walkers|) rows through two node-keyed equi-joins.
+    "q_random_walks" -> ((s, dir) => {
+      val sym = coPurchaseSymMemo(s, dir)
+      val seeds = sym.select(col("__s")).distinct()
+        .filter(col("__s") <= 30).select(col("__s").as("__n"))
+      graft.graph.RandomWalks.uniformWalksOn(sym, seeds,
+          walksPerNode = 2, steps = 4, salt = "rw")
+        .orderBy("walk_id", "step")
+    }),
+
+    // node2vec biased walks (RandomWalks.biasedWalksOn): hop 1
+    // uniform, hops 2+ score each neighbor by the second-order
+    // return/local/explore bias (p=4, q=0.25 — strongly exploratory)
+    // as pre-scaled INTEGER weights; the per-walker cumulative pick
+    // replays in SQL windows. Same shared co-purchase frame.
+    "q_node2vec_walks" -> ((s, dir) => {
+      val sym = coPurchaseSymMemo(s, dir)
+      val seeds = sym.select(col("__s")).distinct()
+        .filter(col("__s") <= 20).select(col("__s").as("__n"))
+      graft.graph.RandomWalks.biasedWalksOn(sym, seeds,
+          walksPerNode = 2, steps = 4, p = 4.0, q = 0.25, salt = "n2v")
+        .orderBy("walk_id", "step")
+    }),
+
     // Z-order (Morton) layout: interleave (l_partkey, l_suppkey) bits
     // and report the per-quad-tree-cell bounding boxes — the min/max
     // footer stats files would carry under this layout, i.e. the
@@ -1483,6 +1512,115 @@ object RelationalQueries extends QueryPack {
        |SELECT n AS id, d AS hops FROM d$rounds ORDER BY id""".stripMargin
   }
 
+  /** Random-walk mirror: the identical md5-draw hop schedule over the
+    * co-purchase graph — neighbor rank via row_number, draw via the
+    * same 15-hex-digit md5 prefix, one chained CTE per hop
+    * (graph/RandomWalks.scala).
+    */
+  private def randomWalksOracleSql(steps: Int = 4, walksPerNode: Int = 2,
+      salt: String = "rw"): String = {
+    val hops = (1 to steps).map { i =>
+      val p = s"w${i - 1}"
+      s"""w$i AS MATERIALIZED (SELECT w.walk_id, r.t AS node
+         |  FROM $p w
+         |  JOIN dg ON dg.s = w.node
+         |  JOIN rk r ON r.s = w.node
+         |    AND r.r = ('0x' || substr(md5('$salt' ||
+         |      CAST(w.walk_id AS VARCHAR) || '-$i'), 1, 15))::BIGINT
+         |      % dg.deg)""".stripMargin
+    }.mkString(",\n")
+    val reps = (0 until walksPerNode)
+      .map(r => s"(CAST($r AS BIGINT))").mkString(", ")
+    val union = (0 to steps)
+      .map(i => s"SELECT walk_id, CAST($i AS INT) AS step, node FROM w$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH li AS MATERIALIZED (SELECT l_orderkey AS ok,
+       |    CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
+       |pe AS MATERIALIZED (SELECT a.pk AS s0, b.pk AS t0
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |e AS MATERIALIZED (SELECT DISTINCT s, t FROM (
+       |    SELECT s0 AS s, t0 AS t FROM pe
+       |    UNION ALL SELECT t0, s0 FROM pe)),
+       |rk AS MATERIALIZED (SELECT s, t,
+       |    CAST(row_number() OVER (PARTITION BY s ORDER BY t) - 1
+       |      AS BIGINT) AS r FROM e),
+       |dg AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS deg
+       |  FROM e GROUP BY s),
+       |w0 AS MATERIALIZED (SELECT sd.s * $walksPerNode + reps.rep AS walk_id,
+       |    sd.s AS node
+       |  FROM (SELECT DISTINCT s FROM e WHERE s <= 30) sd
+       |  CROSS JOIN (VALUES $reps) reps(rep)),
+       |$hops
+       |SELECT * FROM (
+       |  $union)
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
+  /** node2vec mirror: uniform hop 1, then per hop the candidate
+    * expansion, the LEFT edge-existence join, the integer α weights,
+    * and the per-walker cumulative interval pick — the identical
+    * integer arithmetic as RandomWalks.biasedWalksOn.
+    */
+  private def node2vecOracleSql(steps: Int = 4, walksPerNode: Int = 2,
+      p: Double = 4.0, q: Double = 0.25,
+      salt: String = "n2v"): String = {
+    val wReturn = math.round(1e6 / p)
+    val wOut = math.round(1e6 / q)
+    val hops = (2 to steps).map { i =>
+      val prev = s"w${i - 1}"
+      s"""c$i AS MATERIALIZED (SELECT w.walk_id, w.node AS cur,
+         |    w.prev, r.t AS cand,
+         |    CASE WHEN r.t = w.prev THEN CAST($wReturn AS BIGINT)
+         |         WHEN ee.s IS NOT NULL THEN CAST(1000000 AS BIGINT)
+         |         ELSE CAST($wOut AS BIGINT) END AS wt
+         |  FROM $prev w
+         |  JOIN rk r ON r.s = w.node
+         |  LEFT JOIN e ee ON ee.s = w.prev AND ee.t = r.t),
+         |s$i AS MATERIALIZED (SELECT walk_id, cur, cand, wt,
+         |    sum(wt) OVER (PARTITION BY walk_id ORDER BY cand
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+         |    ('0x' || substr(md5('$salt' ||
+         |      CAST(walk_id AS VARCHAR) || '-$i'), 1, 15))::BIGINT
+         |      % sum(wt) OVER (PARTITION BY walk_id) AS draw
+         |  FROM c$i),
+         |w$i AS MATERIALIZED (SELECT walk_id, cur AS prev,
+         |    cand AS node
+         |  FROM s$i WHERE draw >= hi - wt AND draw < hi)""".stripMargin
+    }.mkString(",\n")
+    val reps = (0 until walksPerNode)
+      .map(r => s"(CAST($r AS BIGINT))").mkString(", ")
+    val union = (0 to steps)
+      .map(i => s"SELECT walk_id, CAST($i AS INT) AS step, node FROM w$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH li AS MATERIALIZED (SELECT l_orderkey AS ok,
+       |    CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
+       |pe AS MATERIALIZED (SELECT a.pk AS s0, b.pk AS t0
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |e AS MATERIALIZED (SELECT DISTINCT s, t FROM (
+       |    SELECT s0 AS s, t0 AS t FROM pe
+       |    UNION ALL SELECT t0, s0 FROM pe)),
+       |rk AS MATERIALIZED (SELECT s, t,
+       |    CAST(row_number() OVER (PARTITION BY s ORDER BY t) - 1
+       |      AS BIGINT) AS r FROM e),
+       |dg AS MATERIALIZED (SELECT s, CAST(count(*) AS BIGINT) AS deg
+       |  FROM e GROUP BY s),
+       |w0 AS MATERIALIZED (SELECT sd.s * $walksPerNode + reps.rep AS walk_id,
+       |    sd.s AS node
+       |  FROM (SELECT DISTINCT s FROM e WHERE s <= 20) sd
+       |  CROSS JOIN (VALUES $reps) reps(rep)),
+       |w1 AS MATERIALIZED (SELECT w.walk_id, w.node AS prev, r.t AS node
+       |  FROM w0 w
+       |  JOIN dg ON dg.s = w.node
+       |  JOIN rk r ON r.s = w.node
+       |    AND r.r = ('0x' || substr(md5('$salt' ||
+       |      CAST(w.walk_id AS VARCHAR) || '-1'), 1, 15))::BIGINT
+       |      % dg.deg),
+       |$hops
+       |SELECT * FROM (
+       |  $union)
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   /** HITS mirror: the identical L1-normalized hub/authority rounds
     * over the trade graph, quantized at every handoff
     * (graph/Hits.scala).
@@ -1671,6 +1809,8 @@ object RelationalQueries extends QueryPack {
     "q_louvain_full" -> louvainFullOracleSql(),
     "q_quantile_sketch" -> quantileSketchOracleSql(),
     "q_seed_distance" -> seedDistanceOracleSql(),
+    "q_random_walks" -> randomWalksOracleSql(),
+    "q_node2vec_walks" -> node2vecOracleSql(),
     "q_coreness" -> corenessOracleSql(),
     "q_hits" -> hitsOracleSql(),
     "q_label_prop" -> labelPropOracleSql(),
