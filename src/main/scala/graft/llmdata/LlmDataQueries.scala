@@ -443,6 +443,21 @@ object LlmDataQueries extends QueryPack {
       TextStats.pmiCollocations(Tables.documents(s, dir), "text",
         k = 50, minCount = 5)),
 
+    // Skip-gram training pairs (llmdata/SkipGram.scala — word2vec
+    // examples): window-2 positives scan-fused per document, 1
+    // md5-drawn negative per positive from the count^0.75 noise
+    // distribution through the bucketed cumulative-weight equi-join.
+    // The doc_id < 40 slice keeps the gate output bounded (~12k rows);
+    // the noise table is still fit on the FULL corpus, so the gate
+    // exercises the real vocab-interval lookup. Oracle replays the
+    // window arithmetic, the smoothed weights, and every draw.
+    "q_skipgram_pairs" -> ((s, dir) =>
+      SkipGram.trainingPairs(
+          Tables.documents(s, dir), "text", "doc_id",
+          window = 2, negatives = 1)
+        .filter(col("doc") < 40)
+        .orderBy("doc", "pos", "label", "context", "center")),
+
     // Two-sample chi-square drift: char-length-bucket distribution of
     // sources src0-src4 vs the rest — per-bucket observed/expected/
     // contribution rows, integer counts collected bounded.
@@ -2334,6 +2349,45 @@ object LlmDataQueries extends QueryPack {
     // PMI collocations: integer uni/bi counts, the ratio computed
     // operand-for-operand as in Spark ((cb/Nbi) / ((ca/Nuni)·(cbu/Nuni))),
     // top-k on (rounded pmi DESC, bg) — a total order.
+    "q_skipgram_pairs" ->
+      """WITH d AS MATERIALIZED (SELECT doc_id,
+        |    string_split(text, ' ') AS t FROM documents),
+        |tk AS MATERIALIZED (SELECT doc_id, t,
+        |    unnest(range(len(t))) AS pos FROM d),
+        |pr AS MATERIALIZED (SELECT doc_id, t, pos, unnest(range(
+        |      CASE WHEN pos - 2 > 0 THEN pos - 2 ELSE 0 END,
+        |      CASE WHEN pos + 3 < len(t) THEN pos + 3 ELSE len(t) END))
+        |    AS cp
+        |  FROM tk),
+        |pos AS MATERIALIZED (SELECT doc_id AS doc, pos,
+        |    t[pos + 1] AS center, cp AS ctx_pos, t[cp + 1] AS context
+        |  FROM pr WHERE cp <> pos),
+        |uni AS MATERIALIZED (SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(t) AS w FROM d) GROUP BY w),
+        |wt AS MATERIALIZED (SELECT w,
+        |    CAST(round(power(CAST(c AS DOUBLE), 0.75) * 1000000)
+        |      AS BIGINT) AS wt FROM uni),
+        |cum AS MATERIALIZED (SELECT w,
+        |    sum(wt) OVER (ORDER BY w) - wt AS lo,
+        |    sum(wt) OVER (ORDER BY w) AS hi FROM wt),
+        |tot AS MATERIALIZED (SELECT CAST(sum(wt) AS BIGINT) AS tot
+        |  FROM wt),
+        |dr AS MATERIALIZED (SELECT doc, pos, center,
+        |    ('0x' || substr(md5('sg' || CAST(doc AS VARCHAR) || ':' ||
+        |      CAST(pos AS VARCHAR) || ':' || CAST(ctx_pos AS VARCHAR) ||
+        |      ':0'), 1, 15))::BIGINT % tot.tot AS draw
+        |  FROM pos CROSS JOIN tot WHERE doc < 40),
+        |neg AS MATERIALIZED (SELECT dr.doc, dr.pos, dr.center,
+        |    c.w AS context
+        |  FROM dr JOIN cum c ON dr.draw >= c.lo AND dr.draw < c.hi)
+        |SELECT doc, CAST(pos AS INT) AS pos, center, context, label
+        |FROM (
+        |  SELECT doc, pos, center, context, 1 AS label FROM pos
+        |  WHERE doc < 40
+        |  UNION ALL
+        |  SELECT doc, pos, center, context, 0 AS label FROM neg)
+        |ORDER BY doc, pos, label, context, center""".stripMargin,
+
     "q_token_pmi" ->
       """WITH dt AS (SELECT string_split(text, ' ') AS t FROM documents),
         |tot AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n_uni,
