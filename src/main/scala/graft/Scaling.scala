@@ -96,7 +96,14 @@ object Scaling {
                             // community-sized; early stop at fixpoint
     "q_quantile_sketch" -> 16, // one pass, mergeable bounded sketch state
     "q_knn_graph" -> 16, // LSH-bucketed candidates + bounded top-k heap
-    "q_ann_ingest" -> 16) // scan-fused assign vs broadcast centroids
+    "q_ann_ingest" -> 16, // scan-fused assign vs broadcast centroids
+    "q_random_walks" -> 16, // per hop: two walker-sized equi-joins
+                            // against the persisted rank/degree frames
+    "q_node2vec_walks" -> 16, // hops expand to the frontier's
+                              // neighborhood (Σ deg(cur)), never the graph
+    "q_skipgram_pairs" -> 16, // scan-fused window pairs + bucketed
+                              // noise-table equi-join (vocab-bounded)
+    "q_logrank" -> 16) // one corpus rollup; sums over <=|durations|
     .filter { case (q, _) =>
       sys.env.get("SPARK_GRAFT_SCALE_ONLY")
         .forall(_.split(",").map(_.trim).contains(q))

@@ -133,6 +133,20 @@ object MetricsQueries extends QueryPack {
         .orderBy("t")
     }),
 
+    // Two-sample log-rank test (metrics/Survival.logRank): the same
+    // per-user durations split into two md5-hash cohorts — observed vs
+    // hypergeometric-expected deaths summed over the ≤|durations|
+    // frame; χ² from the unrounded sums. The A/B readout for survival
+    // (does onboarding variant 1 retain longer?).
+    "q_logrank" -> ((s, dir) => {
+      val dur = Survival.durations(Tables.events(s, dir), "user_id",
+        "ts", churnGapUnits = 12, unitMicros = 3600000000L)
+      Survival.logRank(dur.withColumn("cohort",
+          graft.core.Hashing.bucket(col("unit").cast("string"), "lr", 2)
+            .cast("string")),
+        "duration", "churned", "cohort")
+    }),
+
     // Cumulative gains / lift by score decile (metrics/Gains.scala):
     // exact decile boundaries from ONE aggregate, scan-fused binning
     // against the broadcast boundary array (never a corpus ntile),
@@ -684,6 +698,45 @@ object MetricsQueries extends QueryPack {
         |SELECT t, CAST(n AS BIGINT) AS n_risk, d AS n_events,
         |  m - d AS n_censored_at, surv
         |FROM s WHERE d > 0 ORDER BY t""".stripMargin,
+    "q_logrank" ->
+      """WITH per AS (SELECT user_id,
+        |    epoch_us(min(ts)) AS f, epoch_us(max(ts)) AS l
+        |  FROM events GROUP BY user_id),
+        |cut AS (SELECT max(l) AS c FROM per),
+        |u AS (SELECT
+        |    CAST(floor((l - f) / CAST(3600000000 AS DOUBLE)) AS BIGINT)
+        |      AS t,
+        |    l < c - 12 * 3600000000 AS e,
+        |    (('0x' || substr(md5('lr' || CAST(user_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 2) = 0 AS a
+        |  FROM per CROSS JOIN cut),
+        |g AS (SELECT t, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ma,
+        |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN e AND a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS da
+        |  FROM u GROUP BY t),
+        |r AS (SELECT t, m, ma, d, da,
+        |    sum(m) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+        |    sum(ma) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS na
+        |  FROM g),
+        |agg AS (SELECT CAST(sum(da) AS BIGINT) AS oa,
+        |    CAST(sum(d) AS BIGINT) AS dt,
+        |    sum(CAST(d AS DOUBLE) * na / n) AS eat,
+        |    sum(CASE WHEN n > 1 THEN CAST(d AS DOUBLE)
+        |      * (CAST(na AS DOUBLE) / n)
+        |      * (1 - CAST(na AS DOUBLE) / n)
+        |      * (n - d) / (n - 1) ELSE 0 END) AS vt
+        |  FROM r WHERE d > 0)
+        |SELECT '0' AS group_a, oa AS o_a, round(eat, 6) AS e_a,
+        |  dt - oa AS o_b, round(CAST(dt AS DOUBLE) - eat, 6) AS e_b,
+        |  round(vt, 6) AS var_logrank,
+        |  CASE WHEN vt > 0 THEN
+        |    round((CAST(oa AS DOUBLE) - eat) * (CAST(oa AS DOUBLE) - eat)
+        |      / vt, 6) END AS chi2
+        |FROM agg""".stripMargin,
     "q_uplift_deciles" ->
       """WITH b AS (SELECT o_totalprice AS s,
         |    (('0x' || substr(md5('ab' || CAST(o_custkey AS VARCHAR)),

@@ -89,4 +89,71 @@ object Survival {
         (col("__l") < col("__cut") - lit(churnGapUnits * unitMicros))
           .as("churned"))
   }
+
+  /** Two-sample log-rank test (Mantel 1966; Peto & Peto 1972) — "are
+    * these two cohorts' survival curves the same?", the hypothesis
+    * test that belongs next to the [[kaplanMeier]] curves. At each
+    * event time t the observed group-A deaths d_{At} are compared to
+    * the hypergeometric expectation under H0 (no group difference):
+    *
+    *   E_{At} = d_t · n_{At} / n_t
+    *   V_t    = d_t · (n_{At}/n_t) · (1 − n_{At}/n_t) · (n_t − d_t)
+    *              / (n_t − 1)        (0 when n_t = 1)
+    *
+    * and χ² = (O_A − E_A)² / ΣV_t  ~  χ²(1) under H0.
+    *
+    * Scale shape: ONE corpus rollup to per-duration counts (total and
+    * group-A at-risk/deaths in the same pass), then the two reverse
+    * cumulative risk sets and the Σ run strictly over the
+    * ≤|distinct durations| frame — the [[kaplanMeier]] posture. Group
+    * A is the lexicographically smaller label; exactly two distinct
+    * labels are required (the Mann–Whitney two-sample contract).
+    *
+    * @return one row: (group_a, o_a, e_a, o_b, e_b, var_logrank,
+    *   chi2) — e/var rounded 6 for display, χ² computed from the
+    *   UNROUNDED sums (single-provenance rule) and NULL if ΣV = 0.
+    */
+  def logRank(df: DataFrame, durationCol: String, eventCol: String,
+      groupCol: String): DataFrame = {
+    val groups = df.select(col(groupCol).cast("string").as("__g"))
+      .distinct().orderBy("__g").collect().map(_.getString(0))
+    require(groups.length == 2,
+      s"log-rank is a two-sample test; got ${groups.length} groups")
+    val ga = groups(0)
+    val per = df.select(col(durationCol).cast("long").as("__t"),
+        col(eventCol).cast("boolean").as("__e"),
+        (col(groupCol).cast("string") === ga).as("__a"))
+      .groupBy("__t").agg(
+        count(lit(1)).as("__m"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__ma"),
+        sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
+        sum(when(col("__e") && col("__a"), 1L).otherwise(0L)).as("__da"))
+    val wRisk = Window.orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nD = col("__n").cast("double")
+    val naD = col("__na").cast("double")
+    val dD = col("__d").cast("double")
+    val agg = per
+      .withColumn("__n", sum("__m").over(wRisk))
+      .withColumn("__na", sum("__ma").over(wRisk))
+      .filter(col("__d") > 0)
+      .select(col("__da"), col("__d"),
+        (dD * naD / nD).as("__ea"),
+        when(col("__n") > 1,
+          dD * (naD / nD) * (lit(1.0) - naD / nD)
+            * (nD - dD) / (nD - lit(1.0)))
+          .otherwise(lit(0.0)).as("__v"))
+      .agg(sum("__da").as("__oa"), sum("__d").as("__dt"),
+        sum("__ea").as("__eat"), sum("__v").as("__vt"))
+    agg.select(lit(ga).as("group_a"),
+      col("__oa").as("o_a"),
+      round(col("__eat"), 6).as("e_a"),
+      (col("__dt") - col("__oa")).as("o_b"),
+      round(col("__dt").cast("double") - col("__eat"), 6).as("e_b"),
+      round(col("__vt"), 6).as("var_logrank"),
+      when(col("__vt") > 0,
+        round((col("__oa").cast("double") - col("__eat"))
+          * (col("__oa").cast("double") - col("__eat")) / col("__vt"), 6))
+        .as("chi2"))
+  }
 }

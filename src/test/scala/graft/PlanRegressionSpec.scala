@@ -74,6 +74,9 @@ class PlanRegressionSpec extends SparkSpec {
     "q_kaplan_meier",        // risk-set reverse cumsum + ordered survival
                              // product strictly over the ≤|durations|
                              // aggregate frame, never the corpus
+    "q_logrank",             // the same ≤|durations| risk-set cumsums
+                             // (total + group-A) feeding the
+                             // hypergeometric sums — never the corpus
     "q_gains_chart",         // cumulative windows strictly over the
                              // 10-row decile frame; corpus binning is a
                              // scan-fused fold on broadcast boundaries
