@@ -55,12 +55,24 @@ object SkipGram {
     * context). Bounded fan-out 2·window per token, scan-fused.
     */
   def positives(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 2): DataFrame =
+    sequencePositives(
+      df.select(col(idCol).as("__sid"), tokens(col(textCol)).as("__seq")),
+      "__seq", "__sid", window)
+
+  /** The same window-pair generation over an ALREADY-SEQUENCED array
+    * column — element type carries through (longs for the
+    * [[graft.graph.RandomWalks]] trajectories, strings for text), so
+    * this one body serves both word2vec and DeepWalk/node2vec
+    * training-pair generation.
+    */
+  def sequencePositives(df: DataFrame, seqCol: String, idCol: String,
       window: Int = 2): DataFrame = {
     require(window >= 1, s"need window >= 1, got $window")
     val winStart = greatest(lit(0), col("__pos") - window)
     val winLen =
       least(size(col("__t")) - 1, col("__pos") + window) - winStart + 1
-    df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+    df.select(col(idCol).as("__id"), col(seqCol).as("__t"))
       .select(col("__id"), col("__t"),
         posexplode(col("__t")).as(Seq("__pos", "__center")))
       .select(col("__id"), col("__pos"), col("__center"),

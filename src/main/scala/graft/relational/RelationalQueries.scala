@@ -837,6 +837,30 @@ object RelationalQueries extends QueryPack {
         .orderBy("walk_id", "step")
     }),
 
+    // Walk-corpus skip-gram pairs — the full graph-embedding
+    // training-set pipeline in one plan: the q_random_walks
+    // trajectories re-sequenced per walker (array_sort over a
+    // walk-sized collect_list) feeding SkipGram.sequencePositives —
+    // DeepWalk's training stage, (center node, context node) pairs.
+    // Oracle replays the walks AND the window arithmetic on the
+    // list form.
+    "q_walk_skipgram" -> ((s, dir) => {
+      val sym = coPurchaseSymMemo(s, dir)
+      val seeds = sym.select(col("__s")).distinct()
+        .filter(col("__s") <= 30).select(col("__s").as("__n"))
+      val walks = graft.graph.RandomWalks.uniformWalksOn(sym, seeds,
+        walksPerNode = 2, steps = 4, salt = "rw")
+      val seqs = walks
+        .groupBy("walk_id")
+        .agg(array_sort(collect_list(struct(col("step"), col("node"))))
+          .as("__st"))
+        .select(col("walk_id"),
+          transform(col("__st"), s => s.getField("node")).as("__seq"))
+      graft.llmdata.SkipGram.sequencePositives(seqs, "__seq", "walk_id",
+          window = 2)
+        .orderBy("doc", "pos", "ctx_pos")
+    }),
+
     // node2vec biased walks (RandomWalks.biasedWalksOn): hop 1
     // uniform, hops 2+ score each neighbor by the second-order
     // return/local/explore bias (p=4, q=0.25 — strongly exploratory)
@@ -1517,8 +1541,12 @@ object RelationalQueries extends QueryPack {
     * same 15-hex-digit md5 prefix, one chained CTE per hop
     * (graph/RandomWalks.scala).
     */
-  private def randomWalksOracleSql(steps: Int = 4, walksPerNode: Int = 2,
-      salt: String = "rw"): String = {
+  /** Shared CTE body for the uniform-walk oracles: the co-purchase
+    * edge/rank/degree frames plus the md5-draw hop chain w0..w{steps}
+    * and the per-step union `wall`.
+    */
+  private def uniformWalkCtes(steps: Int, walksPerNode: Int,
+      salt: String, seedBound: Int): String = {
     val hops = (1 to steps).map { i =>
       val p = s"w${i - 1}"
       s"""w$i AS MATERIALIZED (SELECT w.walk_id, r.t AS node
@@ -1534,7 +1562,7 @@ object RelationalQueries extends QueryPack {
     val union = (0 to steps)
       .map(i => s"SELECT walk_id, CAST($i AS INT) AS step, node FROM w$i")
       .mkString("\n  UNION ALL ")
-    s"""WITH li AS MATERIALIZED (SELECT l_orderkey AS ok,
+    s"""li AS MATERIALIZED (SELECT l_orderkey AS ok,
        |    CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
        |pe AS MATERIALIZED (SELECT a.pk AS s0, b.pk AS t0
        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
@@ -1548,13 +1576,40 @@ object RelationalQueries extends QueryPack {
        |  FROM e GROUP BY s),
        |w0 AS MATERIALIZED (SELECT sd.s * $walksPerNode + reps.rep AS walk_id,
        |    sd.s AS node
-       |  FROM (SELECT DISTINCT s FROM e WHERE s <= 30) sd
+       |  FROM (SELECT DISTINCT s FROM e WHERE s <= $seedBound) sd
        |  CROSS JOIN (VALUES $reps) reps(rep)),
-       |$hops
-       |SELECT * FROM (
-       |  $union)
-       |ORDER BY walk_id, step""".stripMargin
+       |$hops,
+       |wall AS MATERIALIZED (
+       |  $union)""".stripMargin
   }
+
+  private def randomWalksOracleSql(steps: Int = 4, walksPerNode: Int = 2,
+      salt: String = "rw"): String =
+    s"""WITH ${uniformWalkCtes(steps, walksPerNode, salt, 30)}
+       |SELECT walk_id, step, node FROM wall
+       |ORDER BY walk_id, step""".stripMargin
+
+  /** Walk→skip-gram mirror: the identical walk chain re-sequenced per
+    * walker (list(node ORDER BY step)) feeding the same window-pair
+    * arithmetic as the q_skipgram_pairs oracle, on BIGINT lists.
+    */
+  private def walkSkipgramOracleSql(steps: Int = 4, walksPerNode: Int = 2,
+      salt: String = "rw", window: Int = 2): String =
+    s"""WITH ${uniformWalkCtes(steps, walksPerNode, salt, 30)},
+       |sq AS MATERIALIZED (SELECT walk_id,
+       |    list(node ORDER BY step) AS t FROM wall GROUP BY walk_id),
+       |tk AS MATERIALIZED (SELECT walk_id, t,
+       |    unnest(range(len(t))) AS pos FROM sq),
+       |pr AS MATERIALIZED (SELECT walk_id, t, pos, unnest(range(
+       |      CASE WHEN pos - $window > 0 THEN pos - $window ELSE 0 END,
+       |      CASE WHEN pos + ${window + 1} < len(t) THEN pos + ${window + 1}
+       |        ELSE len(t) END)) AS cp
+       |  FROM tk)
+       |SELECT walk_id AS doc, CAST(pos AS INT) AS pos,
+       |  t[pos + 1] AS center, CAST(cp AS INT) AS ctx_pos,
+       |  t[cp + 1] AS context
+       |FROM pr WHERE cp <> pos
+       |ORDER BY doc, pos, ctx_pos""".stripMargin
 
   /** node2vec mirror: uniform hop 1, then per hop the candidate
     * expansion, the LEFT edge-existence join, the integer α weights,
@@ -1811,6 +1866,7 @@ object RelationalQueries extends QueryPack {
     "q_seed_distance" -> seedDistanceOracleSql(),
     "q_random_walks" -> randomWalksOracleSql(),
     "q_node2vec_walks" -> node2vecOracleSql(),
+    "q_walk_skipgram" -> walkSkipgramOracleSql(),
     "q_coreness" -> corenessOracleSql(),
     "q_hits" -> hitsOracleSql(),
     "q_label_prop" -> labelPropOracleSql(),

@@ -290,6 +290,18 @@ object StreamingAdapter {
     }
   }
 
+  /** Stateless skip-gram positives on a live stream: the window-pair
+    * generation ([[graft.llmdata.SkipGram.positives]]) is a pure
+    * per-document projection (two Generates + a filter, no aggregate,
+    * no state), so the SAME operator body runs under a streaming plan
+    * in append mode — ingest-time training-pair generation. Negative
+    * sampling needs the FIT noise table; at stream time draw against
+    * a batch-fit broadcast cum table (the trained-model convention).
+    */
+  def streamingSkipGramPositives(stream: DataFrame, textCol: String,
+      idCol: String, window: Int = 2): DataFrame =
+    graft.llmdata.SkipGram.positives(stream, textCol, idCol, window)
+
   /** Per-shard running token total carried across micro-batches by
     * [[streamingPackSequences]] — ONE long of state per shard.
     */

@@ -173,6 +173,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingSkipGramPositives: streamed pairs equal the batch pairs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq((1L, "a b c d"), (2L, "b e"), (3L, "x"))
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingAdapter.streamingSkipGramPositives(
+      input.toDF.toDF("doc_id", "text"), "text", "doc_id", window = 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sg_stream_test").start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*) // later micro-batch
+      q.processAllAvailable()
+      val streamed = spark.table("sg_stream_test").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getInt(3), r.getString(4))).toSeq.sorted
+      val batch = graft.llmdata.SkipGram.positives(
+          docs.toDF("doc_id", "text"), "text", "doc_id", window = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getInt(3), r.getString(4))).toSeq.sorted
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streamingIntervalJoin pairs events within the lookback, across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
