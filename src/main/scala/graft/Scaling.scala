@@ -103,7 +103,11 @@ object Scaling {
                               // neighborhood (Σ deg(cur)), never the graph
     "q_skipgram_pairs" -> 16, // scan-fused window pairs + bucketed
                               // noise-table equi-join (vocab-bounded)
-    "q_logrank" -> 16) // one corpus rollup; sums over <=|durations|
+    "q_walk_skipgram" -> 16, // walk frames + walker-sized resequence
+                             // + scan-fused pairs
+    "q_logrank" -> 16, // one corpus rollup; sums over <=|durations|
+    "q_mrmr_select" -> 16) // two one-pass contingency scans; greedy
+                           // over <=|F|^2 bounded rows
     .filter { case (q, _) =>
       sys.env.get("SPARK_GRAFT_SCALE_ONLY")
         .forall(_.split(",").map(_.trim).contains(q))

@@ -86,6 +86,21 @@ object PreprocessingQueries extends QueryPack {
     "q_select_kbest" -> ((s, dir) =>
       FeatureSelection.selectKBest(fsScores(s, dir), k = 2)),
 
+    // mRMR greedy selection (Peng 2005 MID): relevance from the same
+    // one-pass label-MI frame, redundancy from ONE pair-MI pass
+    // (FeatureSelection.pairScores), greedy over the two bounded
+    // frames with each step's score re-rounded before the argmax —
+    // the oracle replays the full greedy path with rank CTEs.
+    "q_mrmr_select" -> ((s, dir) =>
+      FeatureSelection.mrmrSelect(fsScores(s, dir),
+        FeatureSelection.pairScores(Tables.lineitem(s, dir),
+          Seq(
+            "ship_year" -> year(col("l_shipdate")),
+            "quantity_bucket" -> floor(col("l_quantity") / 10).cast("int"),
+            "discount_pct" -> round(col("l_discount") * 100).cast("int"))),
+        k = 3)
+        .orderBy("rnk")),
+
     // Histogram decision-stump split finding (ensemble/Stump.scala):
     // per-feature best Gini split from ONE exploded corpus pass + the
     // XGBoost-style prefix evaluation over the bin histogram; decrease
@@ -486,6 +501,66 @@ object PreprocessingQueries extends QueryPack {
     "q_select_kbest" ->
       s"""WITH $fsScoreSql
          |SELECT * FROM sc ORDER BY mi DESC, feature LIMIT 2""".stripMargin,
+    "q_mrmr_select" ->
+      s"""WITH $fsScoreSql,
+         |pmraw AS (SELECT p, ba, bb, CAST(count(*) AS BIGINT) AS n_xy
+         |  FROM (
+         |    SELECT 'ship_year|quantity_bucket' AS p,
+         |      CAST(year(l_shipdate) AS VARCHAR) AS ba,
+         |      CAST(CAST(floor(l_quantity / 10) AS INT) AS VARCHAR) AS bb
+         |    FROM lineitem
+         |    UNION ALL
+         |    SELECT 'ship_year|discount_pct',
+         |      CAST(year(l_shipdate) AS VARCHAR),
+         |      CAST(CAST(round(l_discount * 100) AS INT) AS VARCHAR)
+         |    FROM lineitem
+         |    UNION ALL
+         |    SELECT 'quantity_bucket|discount_pct',
+         |      CAST(CAST(floor(l_quantity / 10) AS INT) AS VARCHAR),
+         |      CAST(CAST(round(l_discount * 100) AS INT) AS VARCHAR)
+         |    FROM lineitem)
+         |  GROUP BY 1, 2, 3),
+         |pmrow AS (SELECT p, ba, CAST(sum(n_xy) AS BIGINT) AS n_x
+         |  FROM pmraw GROUP BY 1, 2),
+         |pmcol AS (SELECT p, bb, CAST(sum(n_xy) AS BIGINT) AS n_y
+         |  FROM pmraw GROUP BY 1, 2),
+         |pmtot AS (SELECT p, CAST(sum(n_xy) AS BIGINT) AS n
+         |  FROM pmraw GROUP BY 1),
+         |pm AS (SELECT j.p,
+         |    round(sum((CAST(n_xy AS DOUBLE) / n)
+         |      * ln(CAST(n_xy AS DOUBLE) * n
+         |          / (CAST(n_x AS DOUBLE) * n_y))), 6) AS mi
+         |  FROM (SELECT r.p, r.n_xy, rm.n_x, cm.n_y, t.n FROM pmraw r
+         |    JOIN pmrow rm ON r.p = rm.p AND r.ba = rm.ba
+         |    JOIN pmcol cm ON r.p = cm.p AND r.bb = cm.bb
+         |    JOIN pmtot t ON r.p = t.p) j
+         |  GROUP BY j.p),
+         |redd AS (SELECT string_split(p, '|')[1] AS f,
+         |    string_split(p, '|')[2] AS g, mi FROM pm
+         |  UNION ALL SELECT string_split(p, '|')[2],
+         |    string_split(p, '|')[1], mi FROM pm),
+         |rel AS (SELECT feature, mi FROM sc),
+         |r1 AS (SELECT feature, mi AS score FROM rel
+         |  ORDER BY mi DESC, feature LIMIT 1),
+         |c2 AS (SELECT rel.feature, round(rel.mi - rd.mi, 6) AS score
+         |  FROM rel, r1, redd rd
+         |  WHERE rel.feature <> r1.feature
+         |    AND rd.f = rel.feature AND rd.g = r1.feature),
+         |r2 AS (SELECT feature, score FROM c2
+         |  ORDER BY score DESC, feature LIMIT 1),
+         |c3 AS (SELECT rel.feature,
+         |    round(rel.mi - (rda.mi + rdb.mi) / 2, 6) AS score
+         |  FROM rel, r1, r2, redd rda, redd rdb
+         |  WHERE rel.feature <> r1.feature AND rel.feature <> r2.feature
+         |    AND rda.f = rel.feature AND rda.g = r1.feature
+         |    AND rdb.f = rel.feature AND rdb.g = r2.feature),
+         |r3 AS (SELECT feature, score FROM c3
+         |  ORDER BY score DESC, feature LIMIT 1)
+         |SELECT * FROM (
+         |  SELECT 1 AS rnk, feature, score FROM r1
+         |  UNION ALL SELECT 2, feature, score FROM r2
+         |  UNION ALL SELECT 3, feature, score FROM r3)
+         |ORDER BY rnk""".stripMargin,
     "q_variance_threshold" ->
       """SELECT * FROM (
         |  SELECT 'l_quantity' AS feature, round(var_pop(l_quantity), 6) AS variance,
