@@ -458,6 +458,16 @@ object LlmDataQueries extends QueryPack {
         .filter(col("doc") < 40)
         .orderBy("doc", "pos", "label", "context", "center")),
 
+    // GloVe distance-weighted co-occurrence (SkipGram.
+    // cooccurrenceCounts): X = sum(1/d) over window-2 co-occurrences —
+    // dyadic weights (1, 0.5) so the sums are float-exact; one
+    // (center, context) rollup, vocab-pair-bounded output, minX=1.5
+    // keeps the gate at the non-hapax pairs.
+    "q_glove_cooc" -> ((s, dir) =>
+      SkipGram.cooccurrenceCounts(Tables.documents(s, dir), "text",
+          "doc_id", window = 2, minX = 1.5)
+        .orderBy("center", "context")),
+
     // Two-sample chi-square drift: char-length-bucket distribution of
     // sources src0-src4 vs the rest — per-bucket observed/expected/
     // contribution rows, integer counts collected bounded.
@@ -2349,6 +2359,24 @@ object LlmDataQueries extends QueryPack {
     // PMI collocations: integer uni/bi counts, the ratio computed
     // operand-for-operand as in Spark ((cb/Nbi) / ((ca/Nuni)·(cbu/Nuni))),
     // top-k on (rounded pmi DESC, bg) — a total order.
+    "q_glove_cooc" ->
+      """WITH d AS MATERIALIZED (SELECT doc_id,
+        |    string_split(text, ' ') AS t FROM documents),
+        |tk AS MATERIALIZED (SELECT doc_id, t,
+        |    unnest(range(len(t))) AS pos FROM d),
+        |pr AS MATERIALIZED (SELECT doc_id, t, pos, unnest(range(
+        |      CASE WHEN pos - 2 > 0 THEN pos - 2 ELSE 0 END,
+        |      CASE WHEN pos + 3 < len(t) THEN pos + 3 ELSE len(t) END))
+        |    AS cp
+        |  FROM tk)
+        |SELECT t[pos + 1] AS center, t[cp + 1] AS context,
+        |  round(sum(CAST(1 AS DOUBLE) / abs(pos - cp)), 6) AS x,
+        |  CAST(count(*) AS BIGINT) AS n_cooc
+        |FROM pr WHERE cp <> pos
+        |GROUP BY 1, 2
+        |HAVING round(sum(CAST(1 AS DOUBLE) / abs(pos - cp)), 6) >= 1.5
+        |ORDER BY center, context""".stripMargin,
+
     "q_skipgram_pairs" ->
       """WITH d AS MATERIALIZED (SELECT doc_id,
         |    string_split(text, ' ') AS t FROM documents),

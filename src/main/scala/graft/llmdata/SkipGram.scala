@@ -86,6 +86,32 @@ object SkipGram {
         col("__context").as("context"))
   }
 
+  /** GloVe-style distance-weighted co-occurrence counts (Pennington,
+    * Socher & Manning EMNLP'14): X(center, context) = Σ 1/d over every
+    * window co-occurrence at token distance d — the sufficient
+    * statistic the GloVe objective trains on, and the third member of
+    * the embedding-data family beside the skip-gram pairs and the walk
+    * corpus. Same scan-fused window generation as [[positives]]
+    * followed by ONE (center, context) rollup with map-side partial
+    * sums; output is vocab-pair-bounded, never corpus-sized. The 1/d
+    * weights for window ≤ 2 are dyadic (1, 0.5) so the sums are
+    * float-exact; larger windows round at the gate boundary like every
+    * double surface.
+    *
+    * @param minX drop pairs with X below this (hapax pairs are noise —
+    *   GloVe's f(x) weighting effectively does the same)
+    */
+  def cooccurrenceCounts(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 2, minX: Double = 0.0): DataFrame =
+    positives(df, textCol, idCol, window)
+      .select(col("center"), col("context"),
+        (lit(1.0) / abs(col("pos") - col("ctx_pos")).cast("double"))
+          .as("__w"))
+      .groupBy("center", "context")
+      .agg(round(sum("__w"), 6).as("x"),
+        count(lit(1)).as("n_cooc"))
+      .filter(col("x") >= minX)
+
   /** Full training set: positives (label 1) plus `negatives` noise
     * pairs per positive (label 0, context drawn from the smoothed
     * unigram distribution). Output (doc, pos, center, context, label).

@@ -79,4 +79,22 @@ class SkipGramSpec extends SparkSpec {
   test("bucket count does not change the sample") {
     assert(pairs(2, nBuckets = 1) == pairs(2, nBuckets = 1 << 14))
   }
+
+  test("GloVe co-occurrence: hand-computed 1/d sums, symmetric X") {
+    val df = Seq((1L, "a b a b")).toDF("id", "txt")
+    val got = SkipGram.cooccurrenceCounts(df, "txt", "id", window = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    // [a b a b]: X(a,b) = 1 + (1+1) = 3 over 3 co-occurrences;
+    // X(a,a) = 0.5 + 0.5 at distance 2
+    assert(got(("a", "b")) == (3.0, 3L))
+    assert(got(("b", "a")) == (3.0, 3L))
+    assert(got(("a", "a")) == (1.0, 2L))
+    assert(got(("b", "b")) == (1.0, 2L))
+    // symmetric window => symmetric matrix
+    got.keys.foreach { case (c, x) =>
+      assert(got((c, x)) == got((x, c)))
+    }
+  }
 }
