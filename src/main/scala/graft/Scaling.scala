@@ -106,8 +106,11 @@ object Scaling {
     "q_walk_skipgram" -> 16, // walk frames + walker-sized resequence
                              // + scan-fused pairs
     "q_logrank" -> 16, // one corpus rollup; sums over <=|durations|
-    "q_mrmr_select" -> 16) // two one-pass contingency scans; greedy
+    "q_mrmr_select" -> 16, // two one-pass contingency scans; greedy
                            // over <=|F|^2 bounded rows
+    "q_glove_cooc" -> 16, // scan-fused window pairs + one
+                          // vocab-pair-bounded rollup
+    "q_ipw_ate" -> 16) // one corpus aggregate; arithmetic on 1 row
     .filter { case (q, _) =>
       sys.env.get("SPARK_GRAFT_SCALE_ONLY")
         .forall(_.split(",").map(_.trim).contains(q))

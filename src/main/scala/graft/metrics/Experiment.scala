@@ -306,4 +306,59 @@ object Experiment {
     round(try_divide((sa + sb) * (sa + sb),
       sa * sa / (na - 1) + sb * sb / (nb - 1)), q)
   }
+
+  /** Inverse-propensity-weighted average treatment effect (Horvitz &
+    * Thompson 1952; Hájek 1971 for the normalized form) — the
+    * OBSERVATIONAL complement to the randomized A/B readouts above:
+    * when assignment was not randomized, weight each treated unit by
+    * 1/e(x) and each control by 1/(1−e(x)) so both groups reweight to
+    * the covariate mix of the whole population.
+    *
+    * The propensity arrives as a COLUMN the caller scored (from the
+    * trained logistic surface, a broadcast opaque model via
+    * ParallelPostFit, or a literal design — the engine does not care),
+    * clipped into [clip, 1−clip] first (the standard
+    * positivity/overlap stabilization; unclipped tail weights make the
+    * HT estimator explode). Reported:
+    *
+    *  - `ate_ht`   — Horvitz–Thompson: Σ(t·y/e)/N − Σ((1−t)·y/(1−e))/N
+    *  - `ate_hajek`— Hájek: Σ(t·y/e)/Σ(t/e) − Σ((1−t)·y/(1−e))/Σ((1−t)/(1−e))
+    *    (normalized weights; bounded, the production default)
+    *  - per-arm counts and mean clipped weights (the overlap
+    *    diagnostic a causal pipeline monitors)
+    *
+    * ONE corpus aggregate; everything after is arithmetic on the
+    * 1-row moment frame, rounded at the output boundary only.
+    */
+  def ipwAte(df: DataFrame, outcomeCol: String, treatCol: String,
+      propensityCol: String, clip: Double = 0.01): DataFrame = {
+    require(clip >= 0 && clip < 0.5, s"need 0 <= clip < 0.5, got $clip")
+    val e = least(greatest(col(propensityCol).cast("double"), lit(clip)),
+      lit(1.0 - clip))
+    val t = col(treatCol).cast("boolean")
+    val y = col(outcomeCol).cast("double")
+    val m = df.select(
+      t.as("__t"), y.as("__y"), e.as("__e"))
+      .agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__nc"),
+        count(lit(1)).as("__n"),
+        sum(when(col("__t"), col("__y") / col("__e"))
+          .otherwise(lit(0.0))).as("__syt"),
+        sum(when(!col("__t"), col("__y") / (lit(1.0) - col("__e")))
+          .otherwise(lit(0.0))).as("__syc"),
+        sum(when(col("__t"), lit(1.0) / col("__e"))
+          .otherwise(lit(0.0))).as("__swt"),
+        sum(when(!col("__t"), lit(1.0) / (lit(1.0) - col("__e")))
+          .otherwise(lit(0.0))).as("__swc"))
+    m.select(
+      col("__nt").as("n_treated"),
+      col("__nc").as("n_control"),
+      round(try_divide(col("__swt"), col("__nt")), 6).as("mean_w_treated"),
+      round(try_divide(col("__swc"), col("__nc")), 6).as("mean_w_control"),
+      round(col("__syt") / col("__n") - col("__syc") / col("__n"), 6)
+        .as("ate_ht"),
+      round(try_divide(col("__syt"), col("__swt"))
+        - try_divide(col("__syc"), col("__swc")), 6).as("ate_hajek"))
+  }
 }

@@ -147,6 +147,24 @@ object MetricsQueries extends QueryPack {
         "duration", "churned", "cohort")
     }),
 
+    // IPW average treatment effect (metrics/Experiment.ipwAte): the
+    // observational complement to the randomized A/B gates —
+    // Horvitz–Thompson + Hájek estimates with clipped inverse weights
+    // and the overlap diagnostics, ONE corpus aggregate. Propensity
+    // here is a fixed literal logistic surface (the trained-model
+    // gate convention); treatment is the md5 bucket.
+    "q_ipw_ate" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val e = lit(1.0) / (lit(1.0)
+        + exp(-(lit(-0.2) + col("o_totalprice") * lit(0.00002))))
+      Experiment.ipwAte(
+        o.withColumn("__treat",
+            graft.core.Hashing.bucket(col("o_orderkey").cast("string"),
+              "ipw", 2) === 1)
+          .withColumn("__e", e),
+        "o_totalprice", "__treat", "__e", clip = 0.05)
+    }),
+
     // Cumulative gains / lift by score decile (metrics/Gains.scala):
     // exact decile boundaries from ONE aggregate, scan-fused binning
     // against the broadcast boundary array (never a corpus ntile),
@@ -737,6 +755,31 @@ object MetricsQueries extends QueryPack {
         |    round((CAST(oa AS DOUBLE) - eat) * (CAST(oa AS DOUBLE) - eat)
         |      / vt, 6) END AS chi2
         |FROM agg""".stripMargin,
+    "q_ipw_ate" ->
+      """WITH b AS (SELECT
+        |    CAST(o_totalprice AS DOUBLE) AS y,
+        |    (('0x' || substr(md5('ipw' || CAST(o_orderkey AS VARCHAR)),
+        |      1, 15))::BIGINT % 2) = 1 AS t,
+        |    least(greatest(
+        |      1.0 / (1.0 + exp(-((-0.2)
+        |        + (CAST(o_totalprice AS DOUBLE) * 0.00002)))),
+        |      0.05), 0.95) AS e
+        |  FROM orders),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CASE WHEN t THEN y / e ELSE 0 END) AS syt,
+        |    sum(CASE WHEN NOT t THEN y / (1.0 - e) ELSE 0 END) AS syc,
+        |    sum(CASE WHEN t THEN 1.0 / e ELSE 0 END) AS swt,
+        |    sum(CASE WHEN NOT t THEN 1.0 / (1.0 - e) ELSE 0 END) AS swc
+        |  FROM b)
+        |SELECT nt AS n_treated, nc AS n_control,
+        |  round(swt / nt, 6) AS mean_w_treated,
+        |  round(swc / nc, 6) AS mean_w_control,
+        |  round(syt / n - syc / n, 6) AS ate_ht,
+        |  round(syt / swt - syc / swc, 6) AS ate_hajek
+        |FROM m""".stripMargin,
     "q_uplift_deciles" ->
       """WITH b AS (SELECT o_totalprice AS s,
         |    (('0x' || substr(md5('ab' || CAST(o_custkey AS VARCHAR)),
