@@ -103,7 +103,9 @@ object Louvain {
             - when(col("__c") === col("__cs"), col("__k"))
               .otherwise(lit(0L)))).as("__score"))
     // best candidate (min-struct argmax, ties to the smallest
-    // community id) and the stay score, fused in one aggregate pass
+    // community id) and the stay score, fused in one aggregate pass;
+    // the moved flag rides along so the fixpoint check is a filter on
+    // this frame, not another node-sized join
     scored.groupBy("__s")
       .agg(min(struct((-col("__score")).as("ns"), col("__c").as("c")))
           .as("__m"),
@@ -112,7 +114,9 @@ object Louvain {
         min(col("__cs")).as("__cs")) // constant per __s; min = the value
       .select(col("__s").as("__n"),
         when(-col("__m.ns") > col("__stay"), col("__m.c"))
-          .otherwise(col("__cs")).as("__c"))
+          .otherwise(col("__cs")).as("__c"),
+        (-col("__m.ns") > col("__stay")
+          && col("__m.c") =!= col("__cs")).as("__moved"))
   }
 
   /** Phase 1 at one level: guarded sweeps to the detected fixpoint
@@ -136,10 +140,9 @@ object Louvain {
     while (t <= maxSweeps && zeroRun < 2) {
       val next = sweep(sym, deg, m2, labels, down = t % 2 == 1)
         .localCheckpoint()
-      val moved = next.join(labels.withColumnRenamed("__c", "__p"), "__n")
-        .filter(col("__c") =!= col("__p")).count()
+      val moved = next.filter(col("__moved")).count()
       zeroRun = if (moved == 0L) zeroRun + 1 else 0
-      labels = next
+      labels = next.drop("__moved")
       t += 1
     }
     labels
