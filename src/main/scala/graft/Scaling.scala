@@ -110,7 +110,9 @@ object Scaling {
                            // over <=|F|^2 bounded rows
     "q_glove_cooc" -> 16, // scan-fused window pairs + one
                           // vocab-pair-bounded rollup
-    "q_ipw_ate" -> 16) // one corpus aggregate; arithmetic on 1 row
+    "q_ipw_ate" -> 16, // one corpus aggregate; arithmetic on 1 row
+    "q_temp_scaling" -> 16, // |grid| fan-out, one <=|grid| aggregate
+    "q_sprt" -> 16) // one daily rollup; fold over <=|days| frame
     .filter { case (q, _) =>
       sys.env.get("SPARK_GRAFT_SCALE_ONLY")
         .forall(_.split(",").map(_.trim).contains(q))

@@ -307,6 +307,57 @@ object Experiment {
       sa * sa / (na - 1) + sb * sb / (nb - 1)), q)
   }
 
+  /** Wald sequential probability ratio test on a daily binomial
+    * metric (Wald, "Sequential Tests of Statistical Hypotheses",
+    * AoMS 1945) — the always-valid monitor an experimentation
+    * platform runs INSTEAD of peeking at a fixed-horizon test: after
+    * each day d with n_d trials and x_d successes the cumulative
+    * log-likelihood ratio of H1: p = p1 vs H0: p = p0,
+    *
+    *   Λ_D = Σ_{d≤D} [ x_d·ln(p1/p0) + (n_d−x_d)·ln((1−p1)/(1−p0)) ]
+    *
+    * is compared to Wald's boundaries ln(β/(1−α)) (accept H0) and
+    * ln((1−β)/α) (accept H1); in between the experiment continues.
+    *
+    * Scale shape: ONE corpus rollup to per-day (n, x), then the
+    * cumulative sum and decisions run strictly over the ≤|days|
+    * frame — an ORDERED window fold, so the accumulation order is
+    * pinned and the replay is engine-exact (the per-day LLR is
+    * x·c1 + (n−x)·c2 with c1, c2 driver-computed literals). Decisions
+    * compare the ROUNDED cumulative LLR to the literal boundaries —
+    * single provenance on both engines.
+    *
+    * @return one row per day: (day, n, x, llr, cum_llr, decision ∈
+    *   accept_h0 | accept_h1 | continue)
+    */
+  def sprtBinomial(df: DataFrame, dayCol: String, trialCol: String,
+      successCol: String, p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.2): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0,
+      s"need distinct p0, p1 in (0,1), got $p0, $p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"need alpha, beta in (0,1), got $alpha, $beta")
+    val c1 = math.log(p1 / p0)
+    val c2 = math.log((1 - p1) / (1 - p0))
+    val lo = math.log(beta / (1 - alpha))
+    val hi = math.log((1 - beta) / alpha)
+    val per = df.groupBy(col(dayCol).as("day"))
+      .agg(sum(col(trialCol).cast("long")).as("n"),
+        sum(col(successCol).cast("long")).as("x"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    per
+      .withColumn("__llr",
+        col("x") * lit(c1) + (col("n") - col("x")) * lit(c2))
+      .withColumn("cum_llr", round(sum("__llr").over(w), 6))
+      .select(col("day"), col("n"), col("x"),
+        round(col("__llr"), 6).as("llr"), col("cum_llr"),
+        when(col("cum_llr") >= lit(hi), lit("accept_h1"))
+          .when(col("cum_llr") <= lit(lo), lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+  }
+
   /** Inverse-propensity-weighted average treatment effect (Horvitz &
     * Thompson 1952; Hájek 1971 for the normalized form) — the
     * OBSERVATIONAL complement to the randomized A/B readouts above:

@@ -381,6 +381,47 @@ object Metrics {
       (mcc, kappa)
     } finally { cm.unpersist(); () }
   }
+  /** Temperature-scaling calibration scan (Guo, Pleiss, Sun &
+    * Weinberger ICML'17): binary NLL of the sigmoid at margin/T for
+    * every T in a literal grid, in ONE corpus pass — the post-hoc
+    * calibration fit a model-card pipeline runs after training (the
+    * continuous-optimizer form is this scan with a finer grid; the
+    * NLL in T is convex so a grid bracket is the standard production
+    * shortcut). Numerically via the softplus identities
+    *
+    *   −ln σ(z)     = ln(1 + e^{−z})
+    *   −ln(1−σ(z))  = z + ln(1 + e^{−z})
+    *
+    * so no probability is ever materialized near 0/1. Each row fans
+    * out to |grid| (T, term) pairs scan-fused; the aggregate is
+    * ≤|grid| rows. `is_best` marks the rounded-NLL argmin (ties to
+    * the smaller T) via a broadcast 1-row min-struct — no window.
+    *
+    * @param marginCol pre-sigmoid logit/margin column
+    * @param temps     temperature grid (must be non-empty, positive)
+    */
+  def temperatureScan(df: DataFrame, yTrue: String, marginCol: String,
+      temps: Seq[Double]): DataFrame = {
+    require(temps.nonEmpty && temps.forall(_ > 0),
+      s"need a non-empty positive temperature grid, got $temps")
+    val pairs = temps.map { t =>
+      val z = col(marginCol).cast("double") / lit(t)
+      val softplus = log(lit(1.0) + exp(-z))
+      struct(lit(t).as("t"),
+        (when(col(yTrue).cast("double") > 0, softplus)
+          .otherwise(z + softplus)).as("term"))
+    }
+    val scan = df
+      .select(explode(array(pairs: _*)).as("__e"))
+      .select(col("__e.t").as("t"), col("__e.term").as("__term"))
+      .groupBy("t")
+      .agg(round(avg("__term"), 6).as("nll"))
+    val best = broadcast(
+      scan.agg(min(struct(col("nll"), col("t"))).as("__b")))
+    scan.crossJoin(best)
+      .select(col("t"), col("nll"),
+        (col("t") === col("__b.t")).as("is_best"))
+  }
 }
 
 /** Ref: dask_ml.metrics.scorer (metrics/scorer.py:8-77): name → scorer
@@ -408,4 +449,5 @@ object Scorer {
     scorers.getOrElse(name,
       throw new IllegalArgumentException(
         s"unknown scorer $name; known: ${scorers.keys.mkString(", ")}"))
+
 }

@@ -393,6 +393,35 @@ object MetricsQueries extends QueryPack {
         max(col("gap")).as("mce"), sum(col("n")).as("n"))
     }),
 
+    // Temperature-scaling calibration scan (Metrics.temperatureScan):
+    // binary NLL at margin/T for a 5-point grid in ONE corpus pass
+    // (softplus identities — no probability near 0/1), argmin flagged
+    // via a broadcast min-struct. Margin is the fixed literal logistic
+    // surface (trained-model gate convention).
+    "q_temp_scaling" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("y", (col("l_returnflag") === "R").cast("double"))
+        .withColumn("m", lit(-2.0) + col("l_quantity") * lit(0.1)
+          - col("l_discount") * lit(5.0))
+      Metrics.temperatureScan(li, "y", "m",
+          Seq(0.25, 0.5, 1.0, 2.0, 4.0))
+        .orderBy("t")
+    }),
+
+    // Wald SPRT daily monitor (Experiment.sprtBinomial): cumulative
+    // binomial log-likelihood ratio of p1=0.21 vs p0=0.19 over the
+    // event log's daily purchase rate, Wald boundaries at
+    // alpha=0.05/beta=0.2 — the always-valid sequential decision per
+    // day, windows strictly over the ≤|days| frame.
+    "q_sprt" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), lit(1L).as("trial"),
+          (col("event_type") === "purchase").cast("long").as("succ"))
+      Experiment.sprtBinomial(e, "day", "trial", "succ",
+          p0 = 0.19, p1 = 0.21)
+        .orderBy("day")
+    }),
+
     // Calibration reliability bins: one ≤ nBins-key hash aggregate;
     // p = 10·l_discount spans [0,1] with mass at both edge bins.
     "q_calibration" -> ((s, dir) =>
@@ -755,6 +784,48 @@ object MetricsQueries extends QueryPack {
         |    round((CAST(oa AS DOUBLE) - eat) * (CAST(oa AS DOUBLE) - eat)
         |      / vt, 6) END AS chi2
         |FROM agg""".stripMargin,
+    "q_temp_scaling" -> {
+      val nllCte = Seq(0.25, 0.5, 1.0, 2.0, 4.0).map { t =>
+        s"""SELECT CAST('$t' AS DOUBLE) AS t,
+           |  round(avg(CASE WHEN y > 0 THEN ln(1 + exp(-(m / $t)))
+           |    ELSE (m / $t) + ln(1 + exp(-(m / $t))) END), 6) AS nll
+           |FROM base""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH base AS MATERIALIZED (SELECT
+         |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+         |    ((-2.0) + (l_quantity * 0.1)) - (l_discount * 5.0) AS m
+         |  FROM lineitem),
+         |g AS MATERIALIZED (
+         |  $nllCte),
+         |b AS (SELECT t FROM g ORDER BY nll, t LIMIT 1)
+         |SELECT g.t, g.nll, g.t = b.t AS is_best
+         |FROM g, b ORDER BY g.t""".stripMargin
+    },
+    "q_sprt" -> {
+      val (p0, p1, alpha, beta) = (0.19, 0.21, 0.05, 0.2)
+      val c1 = math.log(p1 / p0)
+      val c2 = math.log((1 - p1) / (1 - p0))
+      val lo = math.log(beta / (1 - alpha))
+      val hi = math.log((1 - beta) / alpha)
+      s"""WITH per AS (SELECT CAST(ts AS DATE) AS day,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |c AS (SELECT day, n, x,
+         |    x * CAST('$c1' AS DOUBLE) + (n - x) * CAST('$c2' AS DOUBLE)
+         |      AS llr FROM per),
+         |s AS (SELECT day, n, x, round(llr, 6) AS llr,
+         |    round(sum(llr) OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         |      AS cum_llr
+         |  FROM c)
+         |SELECT day, n, x, llr, cum_llr,
+         |  CASE WHEN cum_llr >= CAST('$hi' AS DOUBLE) THEN 'accept_h1'
+         |       WHEN cum_llr <= CAST('$lo' AS DOUBLE) THEN 'accept_h0'
+         |       ELSE 'continue' END AS decision
+         |FROM s ORDER BY day""".stripMargin
+    },
     "q_ipw_ate" ->
       """WITH b AS (SELECT
         |    CAST(o_totalprice AS DOUBLE) AS y,

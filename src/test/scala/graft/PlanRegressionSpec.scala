@@ -77,6 +77,9 @@ class PlanRegressionSpec extends SparkSpec {
     "q_logrank",             // the same ≤|durations| risk-set cumsums
                              // (total + group-A) feeding the
                              // hypergeometric sums — never the corpus
+    "q_sprt",                // cumulative LLR strictly over the
+                             // ≤|days| daily aggregate — the ordered
+                             // fold IS the sequential-test semantics
     "q_gains_chart",         // cumulative windows strictly over the
                              // 10-row decile frame; corpus binning is a
                              // scan-fused fold on broadcast boundaries

@@ -102,4 +102,27 @@ class StreamingSketchSpec extends SparkSpec {
       assert(estS == estB)
     } finally q.stop()
   }
+
+  test("streamed complete-mode GloVe co-occurrence equals the batch X") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq((1L, "a b a b"), (2L, "b c d"), (3L, "a c a"))
+    val input = MemoryStream[(Long, String)]
+    val cooc = graft.llmdata.SkipGram.cooccurrenceCounts(
+      input.toDF.toDF("doc_id", "text"), "text", "doc_id", window = 2)
+    val q = cooc.writeStream.outputMode("complete")
+      .format("memory").queryName("cooc_stream").start()
+    try {
+      input.addData(docs.take(1): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(1): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cooc_stream")
+        .as[(String, String, Double, Long)].collect().sorted.toSeq
+      val batch = graft.llmdata.SkipGram.cooccurrenceCounts(
+          docs.toDF("doc_id", "text"), "text", "doc_id", window = 2)
+        .as[(String, String, Double, Long)].collect().sorted.toSeq
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
 }
