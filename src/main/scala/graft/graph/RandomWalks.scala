@@ -52,7 +52,9 @@ object RandomWalks {
     *   unique. Hops are uniform over DISTINCT neighbors (the DeepWalk
     *   form; weight-proportional hops are the `__w`-cumulative variant).
     * @param seeds one column `__n` — walk start nodes (should be graph
-    *   nodes; ids must satisfy |id| < 2^62 / walksPerNode)
+    *   nodes; ids must satisfy |id| < 2^62 / walksPerNode). Deduped
+    *   inside the operator: duplicate seed rows would otherwise collide
+    *   on walk_id and duplicate trajectories.
     * @param walksPerNode walks started per seed; walk_id is
     *   `seed * walksPerNode + rep` (collision-free for distinct seeds)
     * @param steps hops per walk
@@ -77,7 +79,8 @@ object RandomWalks {
       .select(col("__s").as("__ds"), col("__deg"))
       .persist(StorageLevel.MEMORY_AND_DISK))
     var frontier = seeds
-      .select(col("__n").cast("long").as("__n"),
+      .select(col("__n").cast("long").as("__n")).distinct()
+      .select(col("__n"),
         explode(sequence(lit(0L), lit((walksPerNode - 1).toLong)))
           .as("__rep"))
       .select((col("__n") * walksPerNode + col("__rep")).as("walk_id"),
@@ -160,7 +163,8 @@ object RandomWalks {
       modulus)
     // hop 1: uniform over cur's neighbors (the paper's start)
     var frontier = seeds
-      .select(col("__n").cast("long").as("__n"),
+      .select(col("__n").cast("long").as("__n")).distinct()
+      .select(col("__n"),
         explode(sequence(lit(0L), lit((walksPerNode - 1).toLong)))
           .as("__rep"))
       .select((col("__n") * walksPerNode + col("__rep")).as("walk_id"),

@@ -144,9 +144,13 @@ object SkipGram {
     // each vocab interval → the draw-buckets it overlaps (≤ |vocab| +
     // nBuckets rows): hot tokens span many buckets, the join key is
     // uniform by construction
+    // bucket ids via integer `div` (BIGINT-exact to 2^63): double
+    // `/`+floor is only exact below 2^53 total smoothed weight, and a
+    // draw landing in an unexploded bucket would silently drop its
+    // negative
     val bucketed = cum.select(col("__w"), col("__lo"), col("__hi"),
-      explode(sequence(floor(col("__lo") / bucket),
-        floor((col("__hi") - 1) / bucket))).as("__b"))
+      explode(sequence(expr(s"__lo div ${bucket}L"),
+        expr(s"(__hi - 1) div ${bucket}L"))).as("__b"))
     val draw = pmod(
       conv(substring(md5(concat(lit(salt),
         col("doc").cast("string"), lit(":"),
@@ -158,7 +162,7 @@ object SkipGram {
       .withColumn("__j",
         explode(sequence(lit(0), lit(negatives - 1))))
       .withColumn("__draw", draw)
-      .withColumn("__b", floor(col("__draw") / bucket))
+      .withColumn("__b", expr(s"__draw div ${bucket}L"))
       .join(bucketed, Seq("__b"))
       .filter(col("__draw") >= col("__lo") && col("__draw") < col("__hi"))
       .select(col("doc"), col("pos"), col("center"),

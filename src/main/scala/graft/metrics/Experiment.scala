@@ -268,7 +268,9 @@ object Experiment {
     * One grouped count; everything else is arithmetic on ≤|variants|
     * integers.
     * @param expected variant → design ratio (must cover every observed
-    *   variant; ratios needn't sum to 1 — they're normalized)
+    *   variant — ENFORCED: an observed variant with no design ratio
+    *   fails the plan via raise_error; ratios needn't sum to 1 —
+    *   they're normalized)
     */
   def srmCheck(df: DataFrame, variantCol: String,
       expected: Map[String, Double], quantize: Int = 6): DataFrame = {
@@ -281,7 +283,16 @@ object Experiment {
     val per = df.groupBy(col(variantCol).cast("string").as("variant"))
       .agg(count(lit(1)).as("n"))
     val tot = per.agg(sum("n").as("__nt"))
-    per.join(broadcast(ratios), Seq("variant"))
+    // LEFT join + raise_error: a variant observed in the data but
+    // absent from the design is exactly the assignment anomaly an SRM
+    // guardrail exists to surface — an inner join would silently drop
+    // it from the report (the mannWhitneyU raise_error convention)
+    per.join(broadcast(ratios), Seq("variant"), "left")
+      .withColumn("ratio",
+        when(col("ratio").isNotNull, col("ratio"))
+          .otherwise(raise_error(concat(
+            lit("srmCheck: observed variant with no design ratio: "),
+            col("variant"))).cast("double")))
       .join(broadcast(tot))
       .select(col("variant"), col("n"),
         round(col("ratio") * col("__nt"), quantize).as("expected_n"),

@@ -406,7 +406,11 @@ object Metrics {
       s"need a non-empty positive temperature grid, got $temps")
     val pairs = temps.map { t =>
       val z = col(marginCol).cast("double") / lit(t)
-      val softplus = log(lit(1.0) + exp(-z))
+      // overflow-safe softplus: ln(1+e^{-z}) = max(-z,0) + ln(1+e^{-|z|})
+      // — the naive form hits exp-overflow (Inf) for z < -709; here the
+      // exponent is always ≤ 0 so exp never overflows and underflow
+      // degrades gracefully to 0
+      val softplus = greatest(-z, lit(0.0)) + log(lit(1.0) + exp(-abs(z)))
       struct(lit(t).as("t"),
         (when(col(yTrue).cast("double") > 0, softplus)
           .otherwise(z + softplus)).as("term"))

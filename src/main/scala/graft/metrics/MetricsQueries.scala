@@ -785,10 +785,14 @@ object MetricsQueries extends QueryPack {
         |      / vt, 6) END AS chi2
         |FROM agg""".stripMargin,
     "q_temp_scaling" -> {
+      // stable softplus on the oracle side too (max(-z,0)+ln(1+e^{-|z|}))
+      // so both engines evaluate the identical overflow-safe expression
       val nllCte = Seq(0.25, 0.5, 1.0, 2.0, 4.0).map { t =>
+        val sp = s"greatest(-(m / $t), CAST(0 AS DOUBLE))" +
+          s" + ln(1 + exp(-abs(m / $t)))"
         s"""SELECT CAST('$t' AS DOUBLE) AS t,
-           |  round(avg(CASE WHEN y > 0 THEN ln(1 + exp(-(m / $t)))
-           |    ELSE (m / $t) + ln(1 + exp(-(m / $t))) END), 6) AS nll
+           |  round(avg(CASE WHEN y > 0 THEN $sp
+           |    ELSE (m / $t) + $sp END), 6) AS nll
            |FROM base""".stripMargin
       }.mkString("\n  UNION ALL\n")
       s"""WITH base AS MATERIALIZED (SELECT
