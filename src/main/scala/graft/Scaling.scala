@@ -112,7 +112,10 @@ object Scaling {
                           // vocab-pair-bounded rollup
     "q_ipw_ate" -> 16, // one corpus aggregate; arithmetic on 1 row
     "q_temp_scaling" -> 16, // |grid| fan-out, one <=|grid| aggregate
-    "q_sprt" -> 16) // one daily rollup; fold over <=|days| frame
+    "q_sprt" -> 16, // one daily rollup; fold over <=|days| frame
+    // round-12 targets
+    "q_unigram_encode" -> 16) // bounded word-table train (driver EM)
+                              // + scan-fused per-row Viterbi kernel
     .filter { case (q, _) =>
       sys.env.get("SPARK_GRAFT_SCALE_ONLY")
         .forall(_.split(",").map(_.trim).contains(q))

@@ -1064,6 +1064,32 @@ object LlmDataQueries extends QueryPack {
             Bpe.trained(s, dir))).as(Seq("pos", "token")))
         .orderBy("doc_id", "pos")),
 
+    // Unigram-LM (SentencePiece-family) Viterbi segmentation from the
+    // in-repo EM-trained piece table (Kudo 1804.10959; Unigram.train):
+    // one codegen'd expression per row with the table as a reference
+    // object, integer micro-unit scores so the DP is exact
+    // cross-engine. EXACT oracle — the trained table embeds as literal
+    // VALUES and a recursive-CTE forward DP + backward longest-piece
+    // reconstruction mirrors the expression span for span
+    // (trainedUnigramOracle). Raw text: unlike BPE there is no
+    // delimiter-fallback branch, so no sanitization is needed.
+    "q_unigram_encode" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(Unigram.encodeExpr(col("text"),
+            Unigram.trained(s, dir))).as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos")),
+
+    // Per-document unigram token counts off the same expression (size
+    // of the encode array — count ≡ segmentation length by
+    // construction).
+    "q_unigram_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(Unigram.encodeExpr(col("text"),
+            Unigram.trained(s, dir))).as("n_unigram_tokens"))
+        .orderBy("doc_id")),
+
     // Cross-document sequence packing: greedy running-token-sum bins
     // per source shard (512-token budget) — the window is per-shard,
     // never a global orderBy. Budgets count LEARNED BPE subwords (what
@@ -1076,22 +1102,31 @@ object LlmDataQueries extends QueryPack {
         .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))
         .orderBy("doc_id")),
 
-    // Tokenizer fertility report: per-language BPE subwords per
-    // whitespace word and chars per subword — the tokenizer-QA numbers
-    // a multilingual corpus owner reads before fixing a merge table
-    // (fertility ≫ 1 on a language = the tokenizer fragments it).
-    // One aggregation; the BPE count is the scan-fused codegen kernel.
+    // Tokenizer fertility report comparing BOTH in-repo tokenizer
+    // families per language: BPE subwords and unigram-LM pieces per
+    // whitespace word, chars per subword — the side-by-side
+    // tokenizer-QA numbers a multilingual corpus owner reads before
+    // choosing a tokenizer (fertility ≫ 1 on a language = that
+    // tokenizer fragments it). One aggregation; both counts are
+    // scan-fused codegen kernels over the same pass.
     "q_bpe_fertility" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("lang"),
           TextStats.tokenCount(col("text")).cast("long").as("n_words"),
           length(col("text")).cast("long").as("n_chars"),
-          Bpe.countExpr(col("text"), Bpe.trained(s, dir)).cast("long").as("n_bpe"))
+          Bpe.countExpr(col("text"), Bpe.trained(s, dir)).cast("long").as("n_bpe"),
+          size(Unigram.encodeExpr(col("text"), Unigram.trained(s, dir)))
+            .cast("long").as("n_uni"))
         .groupBy("lang")
         .agg(sum("n_words").as("n_words"), sum("n_bpe").as("n_bpe"),
+          sum("n_uni").as("n_uni"),
           round(sum("n_bpe").cast("double") / sum("n_words").cast("double"), 6)
-            .as("fertility"),
+            .as("fertility_bpe"),
+          round(sum("n_uni").cast("double") / sum("n_words").cast("double"), 6)
+            .as("fertility_unigram"),
           round(sum("n_chars").cast("double") / sum("n_bpe").cast("double"), 6)
-            .as("chars_per_token"))
+            .as("chars_per_token_bpe"),
+          round(sum("n_chars").cast("double") / sum("n_uni").cast("double"), 6)
+            .as("chars_per_token_unigram"))
         .orderBy("lang")),
 
     // Length-bucketed packing: power-of-two token-length buckets
@@ -2746,7 +2781,8 @@ object LlmDataQueries extends QueryPack {
         |UNION ALL SELECT 'top1_share', round(top1/tot, 6) FROM a
         |UNION ALL SELECT 'top3_share', round(top3/tot, 6) FROM a
         |ORDER BY metric""".stripMargin,
-  ) ++ trainedBpeOracle ++ trainedQualityOracle ++ trainedLangIdOracle
+  ) ++ trainedBpeOracle ++ trainedUnigramOracle ++
+    trainedQualityOracle ++ trainedLangIdOracle
 
   /** EXACT oracle for q_langid_trained (trainedQualityOracle pattern):
     * all K one-vs-rest weight vectors embed as VALUES, prediction is
@@ -3098,19 +3134,6 @@ object LlmDataQueries extends QueryPack {
                  " AS text FROM documents)")}
              |SELECT doc_id, pos, token FROM btok
              |ORDER BY doc_id, pos""".stripMargin,
-        "q_bpe_fertility" ->
-          s"""WITH RECURSIVE ${Bpe.bpeCteSql(merges)},
-             |f AS (SELECT d.lang,
-             |        len(string_split(d.text, ' ')) AS n_words,
-             |        length(d.text) AS n_chars, nb.n_bpe
-             |      FROM documents d JOIN nb USING (doc_id))
-             |SELECT lang, CAST(sum(n_words) AS BIGINT) AS n_words,
-             | CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
-             | round(CAST(sum(n_bpe) AS DOUBLE)
-             |   / CAST(sum(n_words) AS DOUBLE), 6) AS fertility,
-             | round(CAST(sum(n_chars) AS DOUBLE)
-             |   / CAST(sum(n_bpe) AS DOUBLE), 6) AS chars_per_token
-             |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
         "q_sequence_packing" ->
           s"""WITH RECURSIVE ${Bpe.bpeCteSql(merges)},
              |d AS (SELECT d0.doc_id, d0.source, nb.n_bpe AS n_tokens
@@ -3124,4 +3147,52 @@ object LlmDataQueries extends QueryPack {
              |FROM c ORDER BY doc_id""".stripMargin)
       case _ => Map.empty
     }
+
+  /** EXACT oracles for the trained unigram-LM gates (the
+    * trainedBpeOracle technique — the piece table is in Unigram's memo
+    * by oracle-generation time and embeds as literal VALUES with
+    * integer scores; Unigram.unigramCteSql replays the Viterbi DP span
+    * for span). The fertility oracle needs BOTH trained tokenizers —
+    * the gate itself trains both, so both memos are populated whenever
+    * it ran.
+    */
+  private def trainedUnigramOracle: Map[String, String] = {
+    val uni = Unigram.memoized match {
+      case model :: Nil => Map(
+        "q_unigram_encode" ->
+          s"""WITH RECURSIVE ${Unigram.unigramCteSql(model)}
+             |SELECT doc_id, pos, token FROM utok
+             |ORDER BY doc_id, pos""".stripMargin,
+        "q_unigram_tokens" ->
+          s"""WITH RECURSIVE ${Unigram.unigramCteSql(model)}
+             |SELECT doc_id, n_uni AS n_unigram_tokens FROM un
+             |ORDER BY doc_id""".stripMargin)
+      case _ => Map.empty[String, String]
+    }
+    val fert = (Bpe.memoized, Unigram.memoized) match {
+      case (merges :: Nil, model :: Nil) => Map(
+        "q_bpe_fertility" ->
+          s"""WITH RECURSIVE ${Bpe.bpeCteSql(merges)},
+             |${Unigram.unigramCteSql(model)},
+             |f AS (SELECT d.lang,
+             |        len(string_split(d.text, ' ')) AS n_words,
+             |        length(d.text) AS n_chars, nb.n_bpe, un.n_uni
+             |      FROM documents d JOIN nb USING (doc_id)
+             |        JOIN un USING (doc_id))
+             |SELECT lang, CAST(sum(n_words) AS BIGINT) AS n_words,
+             | CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+             | CAST(sum(n_uni) AS BIGINT) AS n_uni,
+             | round(CAST(sum(n_bpe) AS DOUBLE)
+             |   / CAST(sum(n_words) AS DOUBLE), 6) AS fertility_bpe,
+             | round(CAST(sum(n_uni) AS DOUBLE)
+             |   / CAST(sum(n_words) AS DOUBLE), 6) AS fertility_unigram,
+             | round(CAST(sum(n_chars) AS DOUBLE)
+             |   / CAST(sum(n_bpe) AS DOUBLE), 6) AS chars_per_token_bpe,
+             | round(CAST(sum(n_chars) AS DOUBLE)
+             |   / CAST(sum(n_uni) AS DOUBLE), 6) AS chars_per_token_unigram
+             |FROM f GROUP BY lang ORDER BY lang""".stripMargin)
+      case _ => Map.empty[String, String]
+    }
+    uni ++ fert
+  }
 }
