@@ -114,8 +114,10 @@ object Scaling {
     "q_temp_scaling" -> 16, // |grid| fan-out, one <=|grid| aggregate
     "q_sprt" -> 16, // one daily rollup; fold over <=|days| frame
     // round-12 targets
-    "q_unigram_encode" -> 16) // bounded word-table train (driver EM)
+    "q_unigram_encode" -> 16, // bounded word-table train (driver EM)
                               // + scan-fused per-row Viterbi kernel
+    "q_glove_fit" -> 16) // per half-step: one vocab-pair-bounded
+                         // groupBy vs broadcast factors
     .filter { case (q, _) =>
       sys.env.get("SPARK_GRAFT_SCALE_ONLY")
         .forall(_.split(",").map(_.trim).contains(q))

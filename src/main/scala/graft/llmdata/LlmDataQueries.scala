@@ -468,6 +468,31 @@ object LlmDataQueries extends QueryPack {
           "doc_id", window = 2, minX = 1.5)
         .orderBy("center", "context")),
 
+    // GloVe ALS embedding fit (Glove.fit) on the q_glove_cooc frame:
+    // 2 alternations of closed-form ridge half-steps (one groupBy of
+    // the weighted normal equations vs the broadcast opposite factors
+    // per half-step), h60-hash init, round-6 trajectory handoffs —
+    // the quantized-trajectory convention, replayed by chained CTEs.
+    // Closes graph→walks→pairs→cooc→VECTORS in-engine.
+    "q_glove_fit" -> ((s, dir) =>
+      Glove.fit(SkipGram.cooccurrenceCounts(Tables.documents(s, dir),
+          "text", "doc_id", window = 2, minX = 1.5))
+        .orderBy("role", "token")),
+
+    // …and VECTORS→ANN: the fitted center factors feed the existing
+    // exact kNN-graph operator (Ann.knnGraph, k=3 over the 2-d learned
+    // embeddings) — the full loop proven in ONE plan, with the oracle
+    // chaining the fit CTEs into the brute-force cosine ranking.
+    "q_glove_knn" -> ((s, dir) => {
+      val cen = Glove.fit(SkipGram.cooccurrenceCounts(
+          Tables.documents(s, dir), "text", "doc_id",
+          window = 2, minX = 1.5))
+        .where(col("role") === "center")
+        .select(col("token"), array(col("f1"), col("f2")).as("vec"))
+      Ann.knnGraph(cen, "token", "vec", k = 3)
+        .orderBy("src", "rank")
+    }),
+
     // Two-sample chi-square drift: char-length-bucket distribution of
     // sources src0-src4 vs the rest — per-bucket observed/expected/
     // contribution rows, integer counts collected bounded.
@@ -2411,6 +2436,29 @@ object LlmDataQueries extends QueryPack {
         |GROUP BY 1, 2
         |HAVING round(sum(CAST(1 AS DOUBLE) / abs(pos - cp)), 6) >= 1.5
         |ORDER BY center, context""".stripMargin,
+
+    // ALS trajectory replay: chained normal-equation CTEs, every
+    // handoff rounded exactly where the engine rounds (Glove.fit doc).
+    "q_glove_fit" ->
+      s"""WITH ${Glove.gloveCteSql(alternations = 2)}
+         |SELECT token, role, f1, f2 FROM gfinal
+         |ORDER BY role, token""".stripMargin,
+
+    // fit CTEs chained into the brute-force cosine ranking (the
+    // q_ann_topk convention): rank on ROUND-6 cosine then token asc —
+    // Ann.knnGraph quantizes before its bounded heap.
+    "q_glove_knn" ->
+      s"""WITH ${Glove.gloveCteSql(alternations = 2)},
+         |gx AS (SELECT q.token AS src, c.token AS dst,
+         |    round((q.f1 * c.f1 + q.f2 * c.f2)
+         |      / (sqrt(q.f1 * q.f1 + q.f2 * q.f2)
+         |        * sqrt(c.f1 * c.f1 + c.f2 * c.f2)), 6) AS cos
+         |  FROM gw2 q JOIN gw2 c ON c.token != q.token),
+         |gr AS (SELECT src, dst, cos,
+         |    CAST(row_number() OVER (PARTITION BY src
+         |      ORDER BY cos DESC, dst) AS INT) AS rank FROM gx)
+         |SELECT src, rank, dst, cos FROM gr WHERE rank <= 3
+         |ORDER BY src, rank""".stripMargin,
 
     "q_skipgram_pairs" ->
       """WITH d AS MATERIALIZED (SELECT doc_id,
