@@ -116,8 +116,10 @@ object Scaling {
     // round-12 targets
     "q_unigram_encode" -> 16, // bounded word-table train (driver EM)
                               // + scan-fused per-row Viterbi kernel
-    "q_glove_fit" -> 16) // per half-step: one vocab-pair-bounded
+    "q_glove_fit" -> 16, // per half-step: one vocab-pair-bounded
                          // groupBy vs broadcast factors
+    "q_neighborhood_function" -> 16) // per round: |E|·2^p register
+                                     // rows through one edge join
     .filter { case (q, _) =>
       sys.env.get("SPARK_GRAFT_SCALE_ONLY")
         .forall(_.split(",").map(_.trim).contains(q))

@@ -822,6 +822,35 @@ object RelationalQueries extends QueryPack {
         .orderBy("id")
     }),
 
+    // HyperBall / ANF neighborhood function (graph/HyperBall.scala —
+    // Boldi–Vigna HyperANF): per-node HLL sketches max-merged along
+    // the shared co-purchase frame per round (|E|·2^p register rows
+    // moved per round, never a pair frame), integer-power-sum
+    // estimates, growth fraction + 90%-effective-diameter flag — the
+    // web-scale reachability readout, trajectory replayed exactly.
+    "q_neighborhood_function" -> ((s, dir) =>
+      graft.graph.HyperBall.neighborhoodFunction(
+          coPurchaseSymMemo(s, dir), rounds = 4, p = 6)
+        .orderBy("r")),
+
+    // The same sketch rounds on a bounded slice, gated against the
+    // EXACT per-round BFS ball totals (pair expansion — slice-only
+    // path) with the deterministic relative error emitted per round —
+    // the q_hll_distinct estimate-vs-truth convention.
+    "q_hyperball_truth" -> ((s, dir) => {
+      val sym = coPurchaseSymMemo(s, dir)
+        .filter(col("__s") <= 200 && col("__t") <= 200)
+      val est = graft.graph.HyperBall.neighborhoodFunction(sym,
+        rounds = 3, p = 6)
+      val truth = graft.graph.HyperBall.exactNeighborhoodFunction(sym,
+        rounds = 3)
+      est.join(broadcast(truth), Seq("r"))
+        .select(col("r"), col("nf"), col("nf_true"),
+          round(abs(col("nf") - col("nf_true")) / col("nf_true"), 6)
+            .as("rel_err"))
+        .orderBy("r")
+    }),
+
     // Deterministic uniform random walks (graph/RandomWalks.scala —
     // DeepWalk corpus generation): 2 walks × 4 hops per seed node over
     // the SAME shared co-purchase frame, every hop an md5-draw over the
@@ -1510,6 +1539,93 @@ object RelationalQueries extends QueryPack {
     * over the co-purchase graph, with the null-skipping min merge
     * spelled out as an explicit CASE (engine-proof null semantics).
     */
+  /** HyperBall oracle: the co-purchase edge CTEs (optionally sliced),
+    * the h60 register split (the q_hll convention — p=6, lowBits 54,
+    * maxRank 55), one max-merge CTE per round, per-round integer-
+    * power-sum estimates, and either the frac/effective-diameter
+    * readout (full gate) or the exact BFS pair-expansion truth join
+    * (slice gate). Mirrors graph/HyperBall.scala term for term.
+    */
+  private def hyperballOracleSql(rounds: Int, withTruth: Boolean,
+      sliceBound: Option[Int]): String = {
+    val slice = sliceBound.map(b =>
+      s" WHERE a.pk <= $b AND b.pk <= $b").getOrElse("")
+    val mergeSteps = (1 to rounds).map { i =>
+      s"""hr$i AS MATERIALIZED (SELECT g, register, max(rank) AS rank
+         |  FROM (SELECT g, register, rank FROM hr${i - 1}
+         |    UNION ALL
+         |    SELECT e.t AS g, r.register, r.rank
+         |    FROM e JOIN hr${i - 1} r ON r.g = e.s)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val estSteps = (0 to rounds).map { i =>
+      s"""hs$i AS (SELECT g, CAST(count(*) AS BIGINT) AS nz,
+         |    CAST(sum(CAST(1 AS BIGINT) << (55 - rank)) AS BIGINT) AS psum
+         |  FROM hr$i GROUP BY 1),
+         |he$i AS (SELECT g, CAST(64 - nz AS BIGINT) AS zero_registers,
+         |    round((0.7213 / (1.0 + 1.079 / 64)) * 64.0 * 64.0
+         |      * power(2.0, 55)
+         |      / (psum + (64 - nz) * (CAST(1 AS BIGINT) << 55)), 6)
+         |      AS raw_estimate
+         |  FROM hs$i),
+         |hf$i AS (SELECT g,
+         |    round(CASE WHEN raw_estimate <= 160.0 AND zero_registers > 0
+         |      THEN 64.0 * ln(64.0 / zero_registers)
+         |      ELSE raw_estimate END, 6) AS estimate
+         |  FROM he$i),
+         |hnf$i AS (SELECT CAST($i AS INT) AS r,
+         |    round(sum(estimate), 6) AS nf FROM hf$i)""".stripMargin
+    }.mkString(",\n")
+    val hall = (0 to rounds).map(i => s"SELECT * FROM hnf$i")
+      .mkString("\n  UNION ALL ")
+    val readout = if (!withTruth)
+      s"""hfin AS (SELECT nf AS nff FROM hall WHERE r = $rounds),
+         |hfrac AS (SELECT r, nf, round(nf / nff, 6) AS frac
+         |  FROM hall, hfin),
+         |heff AS (SELECT min(r) AS re FROM hfrac WHERE frac >= 0.9)
+         |SELECT r, nf, frac, (r = re) AS is_eff_diameter
+         |FROM hfrac, heff ORDER BY r""".stripMargin
+    else {
+      val truthSteps = (1 to rounds).map { i =>
+        s"""rb$i AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+           |    SELECT v, u FROM rb${i - 1}
+           |    UNION ALL
+           |    SELECT p.v, e.t AS u FROM rb${i - 1} p JOIN e ON p.u = e.s)),
+           |tn$i AS (SELECT CAST($i AS INT) AS r,
+           |    CAST(count(*) AS BIGINT) AS nf_true FROM rb$i)""".stripMargin
+      }.mkString(",\n")
+      val tall = (0 to rounds).map(i => s"SELECT * FROM tn$i")
+        .mkString("\n  UNION ALL ")
+      s"""rb0 AS (SELECT n AS v, n AS u FROM hn),
+         |tn0 AS (SELECT CAST(0 AS INT) AS r,
+         |    CAST(count(*) AS BIGINT) AS nf_true FROM rb0),
+         |$truthSteps,
+         |tall AS ($tall)
+         |SELECT h.r, h.nf, t.nf_true,
+         |  round(abs(h.nf - t.nf_true) / t.nf_true, 6) AS rel_err
+         |FROM hall h JOIN tall t ON h.r = t.r ORDER BY h.r""".stripMargin
+    }
+    s"""WITH li AS MATERIALIZED (SELECT l_orderkey AS ok,
+       |    CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
+       |pe AS MATERIALIZED (SELECT a.pk AS s0, b.pk AS t0
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk$slice),
+       |e AS MATERIALIZED (SELECT DISTINCT s, t FROM (
+       |    SELECT s0 AS s, t0 AS t FROM pe
+       |    UNION ALL SELECT t0, s0 FROM pe)),
+       |hn AS MATERIALIZED (SELECT DISTINCT s AS n FROM e),
+       |hr0 AS MATERIALIZED (SELECT n AS g,
+       |    h >> 54 AS register,
+       |    CAST(CASE WHEN (h & ((CAST(1 AS BIGINT) << 54) - 1)) = 0 THEN 55
+       |      ELSE instr(lpad(bin(h & ((CAST(1 AS BIGINT) << 54) - 1)),
+       |        54, '0'), '1') END AS INT) AS rank
+       |  FROM (SELECT n, CAST(('0x' || substr(md5('hb'
+       |      || CAST(n AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM hn)),
+       |$mergeSteps,
+       |$estSteps,
+       |hall AS ($hall),
+       |$readout""".stripMargin
+  }
+
   private def seedDistanceOracleSql(rounds: Int = 4): String = {
     val steps = (1 to rounds).map { i =>
       val p = s"d${i - 1}"
@@ -1864,6 +1980,11 @@ object RelationalQueries extends QueryPack {
     "q_louvain_full" -> louvainFullOracleSql(),
     "q_quantile_sketch" -> quantileSketchOracleSql(),
     "q_seed_distance" -> seedDistanceOracleSql(),
+    "q_neighborhood_function" ->
+      hyperballOracleSql(rounds = 4, withTruth = false, sliceBound = None),
+    "q_hyperball_truth" ->
+      hyperballOracleSql(rounds = 3, withTruth = true,
+        sliceBound = Some(200)),
     "q_random_walks" -> randomWalksOracleSql(),
     "q_node2vec_walks" -> node2vecOracleSql(),
     "q_walk_skipgram" -> walkSkipgramOracleSql(),
