@@ -118,8 +118,10 @@ object Scaling {
                               // + scan-fused per-row Viterbi kernel
     "q_glove_fit" -> 16, // per half-step: one vocab-pair-bounded
                          // groupBy vs broadcast factors
-    "q_neighborhood_function" -> 16) // per round: |E|·2^p register
+    "q_neighborhood_function" -> 16, // per round: |E|·2^p register
                                      // rows through one edge join
+    "q_scc_pivot" -> 16) // corpus-sized trade join, then two BFS
+                         // sweeps on the 25-node dominance graph
     .filter { case (q, _) =>
       sys.env.get("SPARK_GRAFT_SCALE_ONLY")
         .forall(_.split(",").map(_.trim).contains(q))

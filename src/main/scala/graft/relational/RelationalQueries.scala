@@ -822,6 +822,20 @@ object RelationalQueries extends QueryPack {
         .orderBy("id")
     }),
 
+    // Forward-backward pivot SCC (graph/Scc.scala — the
+    // Fleischer-Hendrickson-Pinar parallel-SCC primitive) on the
+    // net-dominance direction graph derived from the trade flows
+    // (keep s→t iff w(s,t) > w(t,s) — the deterministic sparsifier
+    // that leaves real asymmetric cycles): two SeedDistance BFS sweeps
+    // from nation 0, SCC = fwd ∩ bwd reach, integer hops replayed in
+    // chained CTEs.
+    "q_scc_pivot" -> ((s, dir) => {
+      val de = graft.graph.Scc.dominanceEdges(tradeEdgesMemo(s, dir),
+        "src", "dst", "w")
+      graft.graph.Scc.pivotScc(de, "src", "dst", pivot = 0L, rounds = 8)
+        .orderBy("id")
+    }),
+
     // HyperBall / ANF neighborhood function (graph/HyperBall.scala —
     // Boldi–Vigna HyperANF): per-node HLL sketches max-merged along
     // the shared co-purchase frame per round (|E|·2^p register rows
@@ -1539,6 +1553,50 @@ object RelationalQueries extends QueryPack {
     * over the co-purchase graph, with the null-skipping min merge
     * spelled out as an explicit CASE (engine-proof null semantics).
     */
+  /** Pivot-SCC oracle: the trade-flow CTE, the dominance sparsifier,
+    * and two seedDistance-shaped BFS chains (forward on de, backward
+    * on reversed de) intersected at the readout. Mirrors
+    * graph/Scc.scala + SeedDistance term for term.
+    */
+  private def sccPivotOracleSql(pivot: Long = 0L, rounds: Int = 8): String = {
+    def bfs(prefix: String, srcCol: String, dstCol: String): String =
+      (1 to rounds).map { i =>
+        val p = s"$prefix${i - 1}"
+        s"""${prefix}r$i AS MATERIALIZED (SELECT de.$dstCol AS t,
+           |    min(p.d) + 1 AS nd
+           |  FROM de JOIN $p p ON p.n = de.$srcCol AND p.d IS NOT NULL
+           |  GROUP BY de.$dstCol),
+           |$prefix$i AS MATERIALIZED (SELECT p.n,
+           |    CASE WHEN p.d IS NULL THEN r.nd
+           |         WHEN r.nd IS NULL THEN p.d
+           |         WHEN p.d <= r.nd THEN p.d ELSE r.nd END AS d
+           |  FROM $p p LEFT JOIN ${prefix}r$i r ON r.t = p.n)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH te AS MATERIALIZED (SELECT c.c_nationkey AS s,
+       |    su.s_nationkey AS t, CAST(count(*) AS BIGINT) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+       |  GROUP BY 1, 2),
+       |de AS MATERIALIZED (SELECT a.s AS src, a.t AS dst FROM te a
+       |  LEFT JOIN te b ON b.s = a.t AND b.t = a.s
+       |  WHERE a.w > coalesce(b.w, 0)),
+       |dn AS MATERIALIZED (SELECT DISTINCT n FROM (
+       |    SELECT CAST(src AS BIGINT) AS n FROM de
+       |    UNION ALL SELECT CAST(dst AS BIGINT) FROM de)),
+       |fw0 AS MATERIALIZED (SELECT n,
+       |    CASE WHEN n = $pivot THEN CAST(0 AS BIGINT) END AS d FROM dn),
+       |${bfs("fw", "src", "dst")},
+       |bw0 AS MATERIALIZED (SELECT n,
+       |    CASE WHEN n = $pivot THEN CAST(0 AS BIGINT) END AS d FROM dn),
+       |${bfs("bw", "dst", "src")}
+       |SELECT f.n AS id, f.d AS hops_fwd, b.d AS hops_bwd,
+       |  (f.d IS NOT NULL AND b.d IS NOT NULL) AS in_scc
+       |FROM fw$rounds f JOIN bw$rounds b ON b.n = f.n
+       |ORDER BY id""".stripMargin
+  }
+
   /** HyperBall oracle: the co-purchase edge CTEs (optionally sliced),
     * the h60 register split (the q_hll convention — p=6, lowBits 54,
     * maxRank 55), one max-merge CTE per round, per-round integer-
@@ -1980,6 +2038,7 @@ object RelationalQueries extends QueryPack {
     "q_louvain_full" -> louvainFullOracleSql(),
     "q_quantile_sketch" -> quantileSketchOracleSql(),
     "q_seed_distance" -> seedDistanceOracleSql(),
+    "q_scc_pivot" -> sccPivotOracleSql(),
     "q_neighborhood_function" ->
       hyperballOracleSql(rounds = 4, withTruth = false, sliceBound = None),
     "q_hyperball_truth" ->

@@ -79,9 +79,23 @@ class StreamingSketchSpec extends SparkSpec {
     val rnd = new scala.util.Random(11)
     val rows = (1 to 600).map(i =>
       (if (i % 2 == 0) "x" else "y", math.exp(rnd.nextGaussian() + 2.0)))
+    // the live readout after EVERY micro-batch must equal the batch
+    // estimate over the prefix ingested so far — the full telemetry
+    // loop (ingest → sketch → quantile) proven continuously, not just
+    // the final state
+    def liveEstimate() = Sketches.quantileSketchEstimate(
+        spark.table("qsk_stream"), Seq(0.5, 0.9), alpha = 0.02)
+      .as[(String, Double, Double)].collect().sorted.toSeq
+    def prefixEstimate(prefix: Seq[(String, Double)]) =
+      Sketches.quantileSketchEstimate(
+        Sketches.quantileSketch(prefix.toDF("g", "v"), col("g"),
+          col("v"), alpha = 0.02), Seq(0.5, 0.9), alpha = 0.02)
+      .as[(String, Double, Double)].collect().sorted.toSeq
     try {
       input.addData(rows.take(201))
       q.processAllAvailable()
+      assert(liveEstimate() == prefixEstimate(rows.take(201)),
+        "mid-stream readout must match the prefix batch estimate")
       input.addData(rows.drop(201))
       q.processAllAvailable()
       val streamed = spark.table("qsk_stream")
