@@ -1189,4 +1189,60 @@ object Dedup {
     labeled.filter(col("cluster").isNull).drop("cluster")
       .unionByName(winners.drop("cluster"))
   }
+
+  /** Leakage-safe train/val/test assignment: the split is hashed on
+    * the near-dup CLUSTER id, not the document id, so near-duplicates
+    * can never straddle splits — the contamination guard a training
+    * pipeline needs BEFORE the split touches an eval set (a doc-keyed
+    * hash split leaks every near-dup pair whose members land apart;
+    * see Lee et al. dedup → eval-overlap line of work). Unclustered
+    * documents are their own singleton cluster (cluster = doc id).
+    *
+    * `bounds` are (name, hi) CASE edges over pmod(h60(cluster), mod):
+    * bucket < hi₁ → name₁, else < hi₂ → name₂, …; the last name takes
+    * the remainder. Everything is h60 + integer CASE — exact
+    * cross-engine.
+    *
+    * @return (doc_id, cluster, split) one row per document
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      salt: String = "clsplit",
+      bounds: Seq[(String, Long)] = Seq(("train", 8L), ("val", 9L)),
+      lastName: String = "test", mod: Long = 10L): DataFrame = {
+    require(bounds.nonEmpty && bounds.map(_._2) == bounds.map(_._2).sorted
+      && bounds.last._2 <= mod, s"bad split bounds: $bounds / $mod")
+    val labels = broadcast(clusterNearDuplicates(pairs)
+      .select(col("id"), col("cluster")))
+    val b = graft.core.Hashing.bucket(col("cluster"), salt, mod)
+    val splitCol = bounds.foldRight(lit(lastName): Column) {
+      case ((nm, hi), acc) => when(b < lit(hi), lit(nm)).otherwise(acc)
+    }
+    docs.select(col(idCol).as("doc_id"))
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .select(col("doc_id"), col("cluster"), splitCol.as("split"))
+  }
+
+  /** Split audit: per-split document/cluster counts plus the global
+    * count of near-dup pairs straddling two splits — ZERO by
+    * construction under [[leakageSafeSplit]], and the row a pipeline
+    * alerts on if anyone swaps in a doc-keyed split. The pair frame
+    * joins the assignment twice (renamed — the self-join convention);
+    * the 1-row leak count broadcasts onto the ≤|splits| summary.
+    */
+  def splitLeakage(assign: DataFrame, pairs: DataFrame): DataFrame = {
+    val a = assign.select(col("doc_id").as("__pa"), col("split").as("__sa"))
+    val bb = assign.select(col("doc_id").as("__pb"), col("split").as("__sb"))
+    val leak = broadcast(pairs
+      .join(a, col("id_a") === col("__pa"))
+      .join(bb, col("id_b") === col("__pb"))
+      .agg(sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L))
+        .as("__raw"))
+      .select(coalesce(col("__raw"), lit(0L)).as("n_leaky_pairs")))
+    assign.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("cluster")).as("n_clusters"))
+      .crossJoin(leak)
+  }
 }

@@ -312,6 +312,26 @@ object DedupQueries extends QueryPack {
         .orderBy("doc_id")),
 
 
+    // Leakage-safe corpus split (Dedup.leakageSafeSplit): train/val/
+    // test hashed on the near-dup CLUSTER id so near-duplicates can
+    // never straddle splits — the contamination guard before an eval
+    // set exists. h60 + integer CASE on the recursive-CTE cluster
+    // labels; exact.
+    "q_cluster_split" -> ((s, dir) =>
+      Dedup.leakageSafeSplit(Tables.documents(s, dir), "doc_id",
+          oracleMinhashPairs(s, dir))
+        .orderBy("doc_id")),
+
+    // …and its audit: per-split doc/cluster counts plus the global
+    // straddling-pair count (zero by construction — the row a pipeline
+    // alerts on if anyone swaps in a doc-keyed split).
+    "q_split_leakage" -> ((s, dir) => {
+      val assign = Dedup.leakageSafeSplit(Tables.documents(s, dir),
+        "doc_id", oracleMinhashPairs(s, dir))
+      Dedup.splitLeakage(assign, oracleMinhashPairs(s, dir))
+        .orderBy("split")
+    }),
+
     // Quality-aware dedup END: one representative per near-dup cluster,
     // chosen by (max n_chars, min doc_id) rather than least-id — the
     // recursive-CTE labels + arg-max mirror gates membership AND the
@@ -497,6 +517,56 @@ object DedupQueries extends QueryPack {
          |  SELECT e.src, c.label FROM edges e JOIN cc c ON c.id = e.dst)
          |SELECT id AS doc_id, min(label) AS cluster
          |FROM cc GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q_cluster_split" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |cc(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, c.label FROM edges e JOIN cc c ON c.id = e.dst),
+         |cl AS (SELECT id, min(label) AS cluster FROM cc GROUP BY id),
+         |dc AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+         |sp AS (SELECT doc_id, cluster,
+         |    CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, cluster,
+         |      ('0x' || substr(md5('clsplit' || CAST(cluster AS VARCHAR)),
+         |        1, 15))::BIGINT % 10 AS b
+         |    FROM dc))
+         |SELECT doc_id, cluster, split FROM sp ORDER BY doc_id""".stripMargin,
+
+    "q_split_leakage" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |cc(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, c.label FROM edges e JOIN cc c ON c.id = e.dst),
+         |cl AS (SELECT id, min(label) AS cluster FROM cc GROUP BY id),
+         |dc AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+         |sp AS (SELECT doc_id, cluster,
+         |    CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, cluster,
+         |      ('0x' || substr(md5('clsplit' || CAST(cluster AS VARCHAR)),
+         |        1, 15))::BIGINT % 10 AS b
+         |    FROM dc)),
+         |leak AS (SELECT CAST(coalesce(sum(CASE WHEN a.split != b.split
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_leaky_pairs
+         |  FROM pairs p
+         |  JOIN sp a ON a.doc_id = p.id_a
+         |  JOIN sp b ON b.doc_id = p.id_b)
+         |SELECT s.split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT s.cluster) AS BIGINT) AS n_clusters,
+         |  l.n_leaky_pairs
+         |FROM sp s CROSS JOIN leak l
+         |GROUP BY s.split, l.n_leaky_pairs
+         |ORDER BY s.split""".stripMargin,
 
     // keep-best dedup mirror: recursive-CTE cluster labels + arg-max
     // (n_chars DESC, doc_id) winner per cluster; unclustered docs pass.

@@ -1105,6 +1105,32 @@ object LlmDataQueries extends QueryPack {
             Unigram.trained(s, dir))).as(Seq("pos", "token")))
         .orderBy("doc_id", "pos")),
 
+    // Cross-lingual tokenizer coverage: the unigram model trained on
+    // ENGLISH documents only, evaluated for out-of-vocabulary rate on
+    // every language — the coverage-gap report a multilingual corpus
+    // owner reads before trusting a tokenizer (a piece table that
+    // never saw a script emits unk singles for all of it). OOV test is
+    // a broadcast anti-join of the token stream against the trained
+    // piece table — no UDF. (The synthetic corpus shares one word list
+    // across its language labels, so the exact rate here is 0 at every
+    // SF; the disjoint-script case is spec'd in UnigramSpec.)
+    "q_tokenizer_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val m = Unigram.trainedEn(s, dir)
+      val pieces = broadcast(m.pieces.toSeq.toDF("piece"))
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(Unigram.encodeExpr(col("text"), m)).as("token"))
+        .join(pieces, col("token") === col("piece"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("piece").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("lang"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+            .as("oov_rate"))
+        .orderBy("lang")
+    }),
+
     // Per-document unigram token counts off the same expression (size
     // of the encode array — count ≡ segmentation length by
     // construction).
@@ -3217,6 +3243,21 @@ object LlmDataQueries extends QueryPack {
              |ORDER BY doc_id""".stripMargin)
       case _ => Map.empty[String, String]
     }
+    val cov = Unigram.memoizedEn match {
+      case model :: Nil => Map(
+        "q_tokenizer_coverage" ->
+          s"""WITH RECURSIVE ${Unigram.unigramCteSql(model)}
+             |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN p.piece IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_oov,
+             |  round(CAST(sum(CASE WHEN p.piece IS NULL THEN 1 ELSE 0 END)
+             |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+             |FROM utok t
+             |JOIN documents d USING (doc_id)
+             |LEFT JOIN upc p ON p.piece = t.token
+             |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
+      case _ => Map.empty[String, String]
+    }
     val fert = (Bpe.memoized, Unigram.memoized) match {
       case (merges :: Nil, model :: Nil) => Map(
         "q_bpe_fertility" ->
@@ -3241,6 +3282,6 @@ object LlmDataQueries extends QueryPack {
              |FROM f GROUP BY lang ORDER BY lang""".stripMargin)
       case _ => Map.empty[String, String]
     }
-    uni ++ fert
+    uni ++ cov ++ fert
   }
 }

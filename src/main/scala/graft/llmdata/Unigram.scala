@@ -207,6 +207,22 @@ object Unigram {
     uniMemo.values.asScala.toList
   }
 
+  /** English-only-trained variant (the coverage-gap probe: a tokenizer
+    * trained on one language is evaluated for out-of-vocabulary rate
+    * on every other — q_tokenizer_coverage). Same memo contract.
+    */
+  private val uniEnMemo = graft.core.Memos.register(
+    new java.util.concurrent.ConcurrentHashMap[String, UnigramModel]())
+  def trainedEn(s: SparkSession, dir: String): UnigramModel =
+    uniEnMemo.computeIfAbsent(dir, d =>
+      train(Tables.documents(s, d)
+        .filter(col("lang") === "en"), "text"))
+
+  def memoizedEn: List[UnigramModel] = {
+    import scala.jdk.CollectionConverters._
+    uniEnMemo.values.asScala.toList
+  }
+
   def encodeExpr(text: Column, model: UnigramModel): Column =
     UnigramEncode(text, model)
 

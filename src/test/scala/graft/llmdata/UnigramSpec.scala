@@ -98,6 +98,28 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("a model trained on one script flags another as pure OOV") {
+    import spark.implicits._
+    val latin = Seq("hola mundo hola bueno mundo").toDF("text")
+    val m = Unigram.train(latin, "text")
+    // cyrillic word: every code point is unseen → unk singles
+    val ps = UnigramEncode.wordPieces("мир", m)
+    assert(ps.toSeq == Seq("м", "и", "р"))
+    assert(ps.forall(p => !m.lookup.containsKey(p)),
+      "unseen-script pieces must be OOV")
+    // …and the coverage join counts them: 3 OOV of 5 tokens
+    val docs = Seq(("xx", "мир hola")).toDF("lang", "text")
+    val pieces = broadcast(m.pieces.toSeq.toDF("piece"))
+    val row = docs
+      .select(col("lang"), explode(Unigram.encodeExpr(col("text"), m))
+        .as("token"))
+      .join(pieces, col("token") === col("piece"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("piece").isNull, 1L).otherwise(0L)).as("oov"))
+      .head()
+    assert(row.getLong(1) == 3L, s"expected 3 OOV, got $row")
+  }
+
   test("encodeExpr through the codegen path matches the driver compute") {
     import spark.implicits._
     val m = model("a" -> -1000000L, "b" -> -2000000L, "ab" -> -2500000L,
