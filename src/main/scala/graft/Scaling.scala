@@ -120,8 +120,10 @@ object Scaling {
                          // groupBy vs broadcast factors
     "q_neighborhood_function" -> 16, // per round: |E|·2^p register
                                      // rows through one edge join
-    "q_scc_pivot" -> 16) // corpus-sized trade join, then two BFS
+    "q_scc_pivot" -> 16, // corpus-sized trade join, then two BFS
                          // sweeps on the 25-node dominance graph
+    "q_betweenness" -> 16) // 3 pivots × O(depth·|E|) level joins,
+                           // integer σ + round-6 δ handoffs
     .filter { case (q, _) =>
       sys.env.get("SPARK_GRAFT_SCALE_ONLY")
         .forall(_.split(",").map(_.trim).contains(q))

@@ -822,6 +822,17 @@ object RelationalQueries extends QueryPack {
         .orderBy("id")
     }),
 
+    // Sampled-pivot betweenness centrality (graph/Betweenness.scala —
+    // Brandes 2001 two-phase, Brandes-Pich pivot sampling): 3 pivots
+    // over the shared co-purchase frame, integer path counts forward,
+    // round-6 dependency handoffs backward — the whole two-phase
+    // trajectory replays in chained CTEs. Per pivot O(depth·|E|) joins,
+    // never a pair frame.
+    "q_betweenness" -> ((s, dir) =>
+      graft.graph.Betweenness.betweennessPivots(coPurchaseSymMemo(s, dir),
+          pivots = Seq(1L, 2L, 3L), maxDepth = 4)
+        .orderBy("node")),
+
     // Forward-backward pivot SCC (graph/Scc.scala — the
     // Fleischer-Hendrickson-Pinar parallel-SCC primitive) on the
     // net-dominance direction graph derived from the trade flows
@@ -1553,6 +1564,57 @@ object RelationalQueries extends QueryPack {
     * over the co-purchase graph, with the null-skipping min merge
     * spelled out as an explicit CASE (engine-proof null semantics).
     */
+  /** Brandes two-phase mirror per pivot: forward σ levels (integer
+    * path counts, anti-membership via NOT IN over the prior levels),
+    * backward δ levels (round-6 per handoff, childless nodes 0), then
+    * the cross-pivot dependency sum. Mirrors graph/Betweenness.scala
+    * level for level.
+    */
+  private def betweennessOracleSql(pivots: Seq[Long], maxDepth: Int = 4,
+      q: Int = 6): String = {
+    def pivotCtes(p: Long): String = {
+      val fwd = (1 to maxDepth).map { l =>
+        val prior = (0 until l).map(i => s"SELECT n FROM p${p}f$i")
+          .mkString(" UNION ")
+        s"""p${p}f$l AS MATERIALIZED (SELECT e.t AS n,
+           |    CAST(sum(f.sigma) AS BIGINT) AS sigma
+           |  FROM e JOIN p${p}f${l - 1} f ON f.n = e.s
+           |  WHERE e.t NOT IN ($prior)
+           |  GROUP BY e.t)""".stripMargin
+      }.mkString(",\n")
+      val bwd = (maxDepth - 1 to 1 by -1).map { l =>
+        s"""p${p}b$l AS MATERIALIZED (SELECT c.n,
+           |    round(coalesce(sum(CAST(c.sigma AS DOUBLE) / w.sigma
+           |      * (1 + w.delta)), CAST(0 AS DOUBLE)), $q) AS delta
+           |  FROM p${p}f$l c
+           |  LEFT JOIN e ON e.s = c.n
+           |  LEFT JOIN (SELECT f.n, f.sigma, b.delta
+           |      FROM p${p}f${l + 1} f JOIN p${p}b${l + 1} b ON b.n = f.n)
+           |    w ON w.n = e.t
+           |  GROUP BY c.n, c.sigma)""".stripMargin
+      }.mkString(",\n")
+      s"""p${p}f0 AS (SELECT CAST($p AS BIGINT) AS n,
+         |    CAST(1 AS BIGINT) AS sigma),
+         |$fwd,
+         |p${p}b$maxDepth AS (SELECT n, CAST(0 AS DOUBLE) AS delta
+         |  FROM p${p}f$maxDepth),
+         |$bwd""".stripMargin
+    }
+    val ball = pivots.flatMap(p => (1 to maxDepth).map(l =>
+      s"SELECT n, delta FROM p${p}b$l")).mkString("\n  UNION ALL ")
+    s"""WITH li AS MATERIALIZED (SELECT l_orderkey AS ok,
+       |    CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
+       |pe AS MATERIALIZED (SELECT a.pk AS s0, b.pk AS t0
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |e AS MATERIALIZED (SELECT DISTINCT s, t FROM (
+       |    SELECT s0 AS s, t0 AS t FROM pe
+       |    UNION ALL SELECT t0, s0 FROM pe)),
+       |${pivots.map(pivotCtes).mkString(",\n")},
+       |ball AS ($ball)
+       |SELECT n AS node, round(sum(delta), $q) AS betweenness
+       |FROM ball GROUP BY n ORDER BY node""".stripMargin
+  }
+
   /** Pivot-SCC oracle: the trade-flow CTE, the dominance sparsifier,
     * and two seedDistance-shaped BFS chains (forward on de, backward
     * on reversed de) intersected at the readout. Mirrors
@@ -2039,6 +2101,7 @@ object RelationalQueries extends QueryPack {
     "q_quantile_sketch" -> quantileSketchOracleSql(),
     "q_seed_distance" -> seedDistanceOracleSql(),
     "q_scc_pivot" -> sccPivotOracleSql(),
+    "q_betweenness" -> betweennessOracleSql(Seq(1L, 2L, 3L)),
     "q_neighborhood_function" ->
       hyperballOracleSql(rounds = 4, withTruth = false, sliceBound = None),
     "q_hyperball_truth" ->
