@@ -146,10 +146,17 @@ object Glove {
     * `gw{n}` (final center factors) addressable for downstream
     * oracles. Plain WITH (no recursion).
     */
-  def gloveCteSql(alternations: Int = 2): String = {
+  /** The ALS trajectory CTEs alone — h60 init draws, one pair of
+    * normal-equation solves per alternation, `gfinal(token, role, f1,
+    * f2)` — over a PRE-EXISTING `gb(center, context, f, y)` CTE, so
+    * any co-occurrence source (document windows, walk corpora) chains
+    * into the same replay. Token ids stringify via CAST AS VARCHAR,
+    * matching the engine's h60 key cast for both strings and longs.
+    */
+  def alsCtes(alternations: Int = 2): String = {
     def draw(saltDim: String) =
-      s"CAST((('0x' || substr(md5('$saltDim:' || token), 1, 15))::BIGINT" +
-        s" % 2001 - 1000) AS DOUBLE) / 10000.0"
+      s"CAST((('0x' || substr(md5('$saltDim:' || CAST(token AS VARCHAR))," +
+        s" 1, 15))::BIGINT % 2001 - 1000) AS DOUBLE) / 10000.0"
     def solve(out: String, key: String, other: String, fTab: String) =
       s"""$out AS MATERIALIZED (SELECT token,
          |  round((($Lambda + a22) * b1 - a12 * b2)
@@ -169,6 +176,18 @@ object Glove {
       solve(s"gw$t", "center", "context", prevCtx) + ",\n" +
         solve(s"gc$t", "context", "center", s"gw$t")
     }.mkString(",\n")
+    s"""gc0 AS MATERIALIZED (SELECT token,
+       |    ${draw("glove1")} AS f1,
+       |    ${draw("glove2")} AS f2
+       |  FROM (SELECT DISTINCT context AS token FROM gb)),
+       |$steps,
+       |gfinal AS (SELECT token, 'center' AS role, f1, f2
+       |    FROM gw$alternations
+       |  UNION ALL
+       |  SELECT token, 'context' AS role, f1, f2 FROM gc$alternations)""".stripMargin
+  }
+
+  def gloveCteSql(alternations: Int = 2): String = {
     s"""d AS MATERIALIZED (SELECT doc_id,
        |    string_split(text, ' ') AS t FROM documents),
        |tk AS MATERIALIZED (SELECT doc_id, t,
@@ -186,14 +205,6 @@ object Glove {
        |gb AS MATERIALIZED (SELECT center, context,
        |    round(least(power(x / $Xmax, $Alpha), 1.0), 6) AS f,
        |    round(ln(x), 6) AS y FROM cx),
-       |gc0 AS MATERIALIZED (SELECT token,
-       |    ${draw("glove1")} AS f1,
-       |    ${draw("glove2")} AS f2
-       |  FROM (SELECT DISTINCT context AS token FROM gb)),
-       |$steps,
-       |gfinal AS (SELECT token, 'center' AS role, f1, f2
-       |    FROM gw$alternations
-       |  UNION ALL
-       |  SELECT token, 'context' AS role, f1, f2 FROM gc$alternations)""".stripMargin
+       |${alsCtes(alternations)}""".stripMargin
   }
 }

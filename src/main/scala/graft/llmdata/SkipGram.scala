@@ -103,8 +103,18 @@ object SkipGram {
     */
   def cooccurrenceCounts(df: DataFrame, textCol: String, idCol: String,
       window: Int = 2, minX: Double = 0.0): DataFrame =
-    positives(df, textCol, idCol, window)
-      .select(col("center"), col("context"),
+    coocRollup(positives(df, textCol, idCol, window), minX)
+
+  /** The same distance-weighted X matrix over an ALREADY-SEQUENCED
+    * array column (walk corpora: node ids for tokens) — one body, both
+    * modalities, the [[sequencePositives]] contract.
+    */
+  def sequenceCooccurrence(df: DataFrame, seqCol: String, idCol: String,
+      window: Int = 2, minX: Double = 0.0): DataFrame =
+    coocRollup(sequencePositives(df, seqCol, idCol, window), minX)
+
+  private def coocRollup(pos: DataFrame, minX: Double): DataFrame =
+    pos.select(col("center"), col("context"),
         (lit(1.0) / abs(col("pos") - col("ctx_pos")).cast("double"))
           .as("__w"))
       .groupBy("center", "context")

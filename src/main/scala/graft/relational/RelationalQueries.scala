@@ -915,6 +915,29 @@ object RelationalQueries extends QueryPack {
         .orderBy("doc", "pos", "ctx_pos")
     }),
 
+    // The GRAPH-embedding loop end-to-end in ONE gate: DeepWalk corpus
+    // over the shared co-purchase frame → distance-weighted
+    // co-occurrence over the walk sequences → GloVe ALS factors — the
+    // node-embedding training a link pipeline runs, every stage
+    // (md5-draw hops, window pairs, round-6 ALS handoffs) replayed by
+    // one chained-CTE oracle.
+    "q_glove_walks" -> ((s, dir) => {
+      val sym = coPurchaseSymMemo(s, dir)
+      val seeds = sym.select(col("__s")).distinct()
+        .filter(col("__s") <= 30).select(col("__s").as("__n"))
+      val walks = graft.graph.RandomWalks.uniformWalksOn(sym, seeds,
+        walksPerNode = 2, steps = 4, salt = "rw")
+      val seqs = walks
+        .groupBy("walk_id")
+        .agg(array_sort(collect_list(struct(col("step"), col("node"))))
+          .as("__st"))
+        .select(col("walk_id"),
+          transform(col("__st"), x => x.getField("node")).as("__seq"))
+      graft.llmdata.Glove.fit(graft.llmdata.SkipGram
+          .sequenceCooccurrence(seqs, "__seq", "walk_id", window = 2))
+        .orderBy("role", "token")
+    }),
+
     // node2vec biased walks (RandomWalks.biasedWalksOn): hop 1
     // uniform, hops 2+ score each neighbor by the second-order
     // return/local/explore bias (p=4, q=0.25 — strongly exploratory)
@@ -1847,6 +1870,34 @@ object RelationalQueries extends QueryPack {
        |FROM pr WHERE cp <> pos
        |ORDER BY doc, pos, ctx_pos""".stripMargin
 
+  /** Walk-corpus GloVe mirror: the uniform-walk CTEs, the sequence
+    * window pairs, the distance-weighted X rollup, then the shared
+    * ALS chain (Glove.alsCtes) — one replay of the whole
+    * graph→walks→cooc→vectors path.
+    */
+  private def gloveWalksOracleSql(steps: Int = 4, walksPerNode: Int = 2,
+      salt: String = "rw", window: Int = 2): String =
+    s"""WITH ${uniformWalkCtes(steps, walksPerNode, salt, 30)},
+       |sq AS MATERIALIZED (SELECT walk_id,
+       |    list(node ORDER BY step) AS t FROM wall GROUP BY walk_id),
+       |tk AS MATERIALIZED (SELECT walk_id, t,
+       |    unnest(range(len(t))) AS pos FROM sq),
+       |pr AS MATERIALIZED (SELECT walk_id, t, pos, unnest(range(
+       |      CASE WHEN pos - $window > 0 THEN pos - $window ELSE 0 END,
+       |      CASE WHEN pos + ${window + 1} < len(t) THEN pos + ${window + 1}
+       |        ELSE len(t) END)) AS cp
+       |  FROM tk),
+       |cx AS MATERIALIZED (SELECT t[pos + 1] AS center, t[cp + 1] AS context,
+       |    round(sum(CAST(1 AS DOUBLE) / abs(pos - cp)), 6) AS x
+       |  FROM pr WHERE cp <> pos GROUP BY 1, 2),
+       |gb AS MATERIALIZED (SELECT center, context,
+       |    round(least(power(x / ${graft.llmdata.Glove.Xmax},
+       |      ${graft.llmdata.Glove.Alpha}), 1.0), 6) AS f,
+       |    round(ln(x), 6) AS y FROM cx),
+       |${graft.llmdata.Glove.alsCtes(2)}
+       |SELECT token, role, f1, f2 FROM gfinal
+       |ORDER BY role, token""".stripMargin
+
   /** node2vec mirror: uniform hop 1, then per hop the candidate
     * expansion, the LEFT edge-existence join, the integer α weights,
     * and the per-walker cumulative interval pick — the identical
@@ -2110,6 +2161,7 @@ object RelationalQueries extends QueryPack {
     "q_random_walks" -> randomWalksOracleSql(),
     "q_node2vec_walks" -> node2vecOracleSql(),
     "q_walk_skipgram" -> walkSkipgramOracleSql(),
+    "q_glove_walks" -> gloveWalksOracleSql(),
     "q_coreness" -> corenessOracleSql(),
     "q_hits" -> hitsOracleSql(),
     "q_label_prop" -> labelPropOracleSql(),
