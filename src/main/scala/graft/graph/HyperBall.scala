@@ -64,13 +64,36 @@ object HyperBall {
     */
   def neighborhoodFunction(sym: DataFrame, rounds: Int = 4, p: Int = 6,
       salt: String = "hb", effFrac: Double = 0.9): DataFrame = {
-    val perRound = registerRounds(sym, rounds, p, salt).zipWithIndex
-      .map { case (regs, i) =>
-        Sketches.hllGroupedEstimate(regs, p)
-          .agg(round(sum("estimate"), 6).as("nf"))
-          .select(lit(i).as("r"), col("nf"))
-      }
-    val all = perRound.reduce(_ unionByName _)
+    val spark = sym.sparkSession
+    import spark.implicits._
+    // Memory is O(1) in rounds, not O(rounds): each round's scalar
+    // N(r) is materialized EAGERLY off the live register frame and the
+    // previous round's checkpoint is released — retaining every
+    // round's |V|·2^p frame is exactly what OOMs a 16× scale run in
+    // one JVM (and wastes block-manager memory on a cluster). The
+    // collected values re-enter the plan as literals, so the readout
+    // arithmetic below is unchanged.
+    def nfOf(regs: DataFrame): Double =
+      Sketches.hllGroupedEstimate(regs, p)
+        .agg(round(sum("estimate"), 6).as("nf"))
+        .head().getDouble(0)
+    val nodes = sym.select(col("__s").as("g")).distinct()
+    var regs = Sketches.hllGroupedRegisters(nodes, col("g"), col("g"),
+      salt, p).localCheckpoint()
+    val nfs = scala.collection.mutable.ArrayBuffer(nfOf(regs))
+    for (_ <- 1 to rounds) {
+      val via = sym.join(regs, col("__s") === col("g"))
+        .select(col("__t").as("g"), col("register"), col("rank"))
+      val next = regs.unionByName(via)
+        .groupBy("g", "register").agg(max("rank").as("rank"))
+        .localCheckpoint()
+      nfs += nfOf(next)
+      regs.unpersist(blocking = false)
+      regs = next
+    }
+    regs.unpersist(blocking = false)
+    val all = nfs.toSeq.zipWithIndex
+      .map { case (nf, i) => (i, nf) }.toDF("r", "nf")
     val fin = broadcast(all.filter(col("r") === rounds)
       .select(col("nf").as("__nff")))
     val frac = all.crossJoin(fin)
