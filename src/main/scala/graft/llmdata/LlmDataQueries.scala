@@ -1141,6 +1141,25 @@ object LlmDataQueries extends QueryPack {
             Unigram.trained(s, dir))).as("n_unigram_tokens"))
         .orderBy("doc_id")),
 
+    // WordPiece greedy longest-match segmentation from the in-repo
+    // likelihood-merge-trained vocabulary (Schuster & Nakajima 2012;
+    // WordPiece.train) — the THIRD production tokenizer family beside
+    // BPE and unigram-LM: one codegen'd expression per row with the
+    // vocabulary as a reference object; greedy needs no scores, so
+    // cross-engine exactness needs no quantization. EXACT oracle — the
+    // trained vocabulary embeds as literal VALUES and a recursive-CTE
+    // greedy walk mirrors the expression step for step
+    // (trainedWordPieceOracle). Text sanitized of '#' on BOTH sides
+    // (the q_bpe_encode sanitization precedent — a raw '#' could alias
+    // the ## continuation marker in the lookup key).
+    "q_wordpiece_encode" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(WordPiece.encodeExpr(
+            regexp_replace(col("text"), "#", " "),
+            WordPiece.trained(s, dir))).as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos")),
+
     // Cross-document sequence packing: greedy running-token-sum bins
     // per source shard (512-token budget) — the window is per-shard,
     // never a global orderBy. Budgets count LEARNED BPE subwords (what
@@ -1153,31 +1172,38 @@ object LlmDataQueries extends QueryPack {
         .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))
         .orderBy("doc_id")),
 
-    // Tokenizer fertility report comparing BOTH in-repo tokenizer
-    // families per language: BPE subwords and unigram-LM pieces per
-    // whitespace word, chars per subword — the side-by-side
-    // tokenizer-QA numbers a multilingual corpus owner reads before
-    // choosing a tokenizer (fertility ≫ 1 on a language = that
-    // tokenizer fragments it). One aggregation; both counts are
-    // scan-fused codegen kernels over the same pass.
+    // Tokenizer fertility report comparing ALL THREE in-repo tokenizer
+    // families per language: BPE subwords, unigram-LM pieces and
+    // WordPiece tokens per whitespace word, chars per subword — the
+    // side-by-side tokenizer-QA numbers a multilingual corpus owner
+    // reads before choosing a tokenizer (fertility ≫ 1 on a language =
+    // that tokenizer fragments it). One aggregation; all three counts
+    // are scan-fused codegen kernels over the same pass. The WordPiece
+    // column reads the '#'-sanitized text (its oracle-parity contract).
     "q_bpe_fertility" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("lang"),
           TextStats.tokenCount(col("text")).cast("long").as("n_words"),
           length(col("text")).cast("long").as("n_chars"),
           Bpe.countExpr(col("text"), Bpe.trained(s, dir)).cast("long").as("n_bpe"),
           size(Unigram.encodeExpr(col("text"), Unigram.trained(s, dir)))
-            .cast("long").as("n_uni"))
+            .cast("long").as("n_uni"),
+          size(WordPiece.encodeExpr(regexp_replace(col("text"), "#", " "),
+            WordPiece.trained(s, dir))).cast("long").as("n_wp"))
         .groupBy("lang")
         .agg(sum("n_words").as("n_words"), sum("n_bpe").as("n_bpe"),
-          sum("n_uni").as("n_uni"),
+          sum("n_uni").as("n_uni"), sum("n_wp").as("n_wp"),
           round(sum("n_bpe").cast("double") / sum("n_words").cast("double"), 6)
             .as("fertility_bpe"),
           round(sum("n_uni").cast("double") / sum("n_words").cast("double"), 6)
             .as("fertility_unigram"),
+          round(sum("n_wp").cast("double") / sum("n_words").cast("double"), 6)
+            .as("fertility_wordpiece"),
           round(sum("n_chars").cast("double") / sum("n_bpe").cast("double"), 6)
             .as("chars_per_token_bpe"),
           round(sum("n_chars").cast("double") / sum("n_uni").cast("double"), 6)
-            .as("chars_per_token_unigram"))
+            .as("chars_per_token_unigram"),
+          round(sum("n_chars").cast("double") / sum("n_wp").cast("double"), 6)
+            .as("chars_per_token_wordpiece"))
         .orderBy("lang")),
 
     // Length-bucketed packing: power-of-two token-length buckets
@@ -3258,30 +3284,58 @@ object LlmDataQueries extends QueryPack {
              |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
       case _ => Map.empty[String, String]
     }
-    val fert = (Bpe.memoized, Unigram.memoized) match {
-      case (merges :: Nil, model :: Nil) => Map(
+    val fert = (Bpe.memoized, Unigram.memoized, WordPiece.memoized) match {
+      case (merges :: Nil, model :: Nil, wp :: Nil) => Map(
         "q_bpe_fertility" ->
           s"""WITH RECURSIVE ${Bpe.bpeCteSql(merges)},
              |${Unigram.unigramCteSql(model)},
+             |${WordPiece.wordPieceCteSql(wp,
+               "(SELECT doc_id, replace(text, '#', ' ') AS text" +
+                 " FROM documents)")},
              |f AS (SELECT d.lang,
              |        len(string_split(d.text, ' ')) AS n_words,
-             |        length(d.text) AS n_chars, nb.n_bpe, un.n_uni
+             |        length(d.text) AS n_chars, nb.n_bpe, un.n_uni,
+             |        wn.n_wp
              |      FROM documents d JOIN nb USING (doc_id)
-             |        JOIN un USING (doc_id))
+             |        JOIN un USING (doc_id)
+             |        JOIN wn USING (doc_id))
              |SELECT lang, CAST(sum(n_words) AS BIGINT) AS n_words,
              | CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
              | CAST(sum(n_uni) AS BIGINT) AS n_uni,
+             | CAST(sum(n_wp) AS BIGINT) AS n_wp,
              | round(CAST(sum(n_bpe) AS DOUBLE)
              |   / CAST(sum(n_words) AS DOUBLE), 6) AS fertility_bpe,
              | round(CAST(sum(n_uni) AS DOUBLE)
              |   / CAST(sum(n_words) AS DOUBLE), 6) AS fertility_unigram,
+             | round(CAST(sum(n_wp) AS DOUBLE)
+             |   / CAST(sum(n_words) AS DOUBLE), 6) AS fertility_wordpiece,
              | round(CAST(sum(n_chars) AS DOUBLE)
              |   / CAST(sum(n_bpe) AS DOUBLE), 6) AS chars_per_token_bpe,
              | round(CAST(sum(n_chars) AS DOUBLE)
-             |   / CAST(sum(n_uni) AS DOUBLE), 6) AS chars_per_token_unigram
+             |   / CAST(sum(n_uni) AS DOUBLE), 6) AS chars_per_token_unigram,
+             | round(CAST(sum(n_chars) AS DOUBLE)
+             |   / CAST(sum(n_wp) AS DOUBLE), 6) AS chars_per_token_wordpiece
              |FROM f GROUP BY lang ORDER BY lang""".stripMargin)
       case _ => Map.empty[String, String]
     }
-    uni ++ cov ++ fert
+    uni ++ cov ++ fert ++ trainedWordPieceOracle
   }
+
+  /** EXACT oracle for the trained WordPiece gate (the
+    * trainedUnigramOracle technique — the vocabulary is in WordPiece's
+    * memo by oracle-generation time and embeds as literal VALUES;
+    * WordPiece.wordPieceCteSql replays the greedy walk step for step
+    * over the same '#'-sanitized text the gate reads).
+    */
+  private def trainedWordPieceOracle: Map[String, String] =
+    WordPiece.memoized match {
+      case wp :: Nil => Map(
+        "q_wordpiece_encode" ->
+          s"""WITH RECURSIVE ${WordPiece.wordPieceCteSql(wp,
+               "(SELECT doc_id, replace(text, '#', ' ') AS text" +
+                 " FROM documents)")}
+             |SELECT doc_id, pos, token FROM wtok
+             |ORDER BY doc_id, pos""".stripMargin)
+      case _ => Map.empty[String, String]
+    }
 }

@@ -1,6 +1,6 @@
 package graft.metrics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** A/B experiment analysis with CUPED variance reduction (Deng, Xu,
@@ -422,5 +422,101 @@ object Experiment {
         .as("ate_ht"),
       round(try_divide(col("__syt"), col("__swt"))
         - try_divide(col("__syc"), col("__swc")), 6).as("ate_hajek"))
+  }
+
+  /** Augmented-IPW (doubly-robust) average treatment effect (Robins,
+    * Rotnitzky & Zhao, JASA 1994; the AIPW estimator surveyed by Glynn
+    * & Quinn 2010) — the estimator a causal pipeline graduates to after
+    * [[ipwAte]]: fit an outcome model per arm, weight only its
+    * RESIDUALS by inverse propensity, and the result is consistent if
+    * EITHER the outcome model OR the propensity model is right (double
+    * robustness), with strictly smaller variance than IPW when the
+    * outcome model explains anything.
+    *
+    *   τ̂ = mean[ μ̂₁(x) − μ̂₀(x) ]
+    *        + mean[ t·(y − μ̂₁(x))/e(x) ]
+    *        − mean[ (1−t)·(y − μ̂₀(x))/(1−e(x)) ]
+    *
+    * The outcome models here are per-arm simple OLS μ̂ₐ(x) = aₐ + bₐ·x
+    * on ONE covariate column — and that is what makes the whole
+    * estimator ONE corpus aggregate: every residual sum expands into
+    * weighted moments (Σt·y/e − a₁·Σt/e − b₁·Σt·x/e), so the plan is a
+    * single 16-column map-side-combined aggregate followed by 1-row
+    * arithmetic. No second pass, no driver loop. (A multivariate
+    * outcome model rides the same expansion with a normal-equation
+    * frame — the [[graft.llmdata.Glove]] shape.)
+    *
+    * Exactness: the fitted coefficients and each reported component are
+    * quantized round-6 at the 1-row boundary (the quantized-handoff
+    * convention), and the composite τ̂ is assembled FROM the rounded
+    * components — so the oracle replays bit-for-bit. Propensity arrives
+    * as a caller-scored COLUMN ([[ipwAte]]'s contract), clipped into
+    * [clip, 1−clip].
+    */
+  def aipwAte(df: DataFrame, outcomeCol: String, treatCol: String,
+      propensityCol: String, covariateCol: String,
+      clip: Double = 0.01): DataFrame = {
+    require(clip >= 0 && clip < 0.5, s"need 0 <= clip < 0.5, got $clip")
+    val e = least(greatest(col(propensityCol).cast("double"), lit(clip)),
+      lit(1.0 - clip))
+    val t = col(treatCol).cast("boolean")
+    val y = col(outcomeCol).cast("double")
+    val x = col(covariateCol).cast("double")
+    val m = df.select(t.as("__t"), y.as("__y"), x.as("__x"), e.as("__e"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("__x")).as("__sx"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
+        sum(when(col("__t"), col("__x")).otherwise(0.0)).as("__sxt"),
+        sum(when(col("__t"), col("__x") * col("__x")).otherwise(0.0)).as("__sxxt"),
+        sum(when(col("__t"), col("__y")).otherwise(0.0)).as("__syt"),
+        sum(when(col("__t"), col("__x") * col("__y")).otherwise(0.0)).as("__sxyt"),
+        sum(when(col("__t"), lit(1.0) / col("__e")).otherwise(0.0)).as("__swt"),
+        sum(when(col("__t"), col("__x") / col("__e")).otherwise(0.0)).as("__swxt"),
+        sum(when(col("__t"), col("__y") / col("__e")).otherwise(0.0)).as("__swyt"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__nc"),
+        sum(when(!col("__t"), col("__x")).otherwise(0.0)).as("__sxc"),
+        sum(when(!col("__t"), col("__x") * col("__x")).otherwise(0.0)).as("__sxxc"),
+        sum(when(!col("__t"), col("__y")).otherwise(0.0)).as("__syc"),
+        sum(when(!col("__t"), col("__x") * col("__y")).otherwise(0.0)).as("__sxyc"),
+        sum(when(!col("__t"), lit(1.0) / (lit(1.0) - col("__e")))
+          .otherwise(0.0)).as("__swc"),
+        sum(when(!col("__t"), col("__x") / (lit(1.0) - col("__e")))
+          .otherwise(0.0)).as("__swxc"),
+        sum(when(!col("__t"), col("__y") / (lit(1.0) - col("__e")))
+          .otherwise(0.0)).as("__swyc"))
+    // per-arm OLS: b = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²), a = (Σy − bΣx)/n —
+    // each coefficient quantized at the handoff
+    def bFit(n: Column, sx: Column, sxx: Column, sy: Column, sxy: Column) =
+      round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    def aFit(n: Column, sx: Column, sy: Column, b: Column) =
+      round((sy - b * sx) / n, 6)
+    val fit = m.select(col("*"),
+      bFit(col("__nt").cast("double"), col("__sxt"), col("__sxxt"),
+        col("__syt"), col("__sxyt")).as("__b1"),
+      bFit(col("__nc").cast("double"), col("__sxc"), col("__sxxc"),
+        col("__syc"), col("__sxyc")).as("__b0"))
+    val fit2 = fit.select(col("*"),
+      aFit(col("__nt").cast("double"), col("__sxt"), col("__syt"),
+        col("__b1")).as("__a1"),
+      aFit(col("__nc").cast("double"), col("__sxc"), col("__syc"),
+        col("__b0")).as("__a0"))
+    val comps = fit2.select(
+      col("__nt"), col("__nc"),
+      col("__a1"), col("__b1"), col("__a0"), col("__b0"),
+      round((col("__a1") - col("__a0")) + (col("__b1") - col("__b0"))
+        * (col("__sx") / col("__n")), 6).as("ate_outcome_model"),
+      round((col("__swyt") - col("__a1") * col("__swt")
+        - col("__b1") * col("__swxt")) / col("__n"), 6).as("resid_corr_treated"),
+      round((col("__swyc") - col("__a0") * col("__swc")
+        - col("__b0") * col("__swxc")) / col("__n"), 6).as("resid_corr_control"))
+    comps.select(
+      col("__nt").as("n_treated"), col("__nc").as("n_control"),
+      col("__a1").as("mu1_intercept"), col("__b1").as("mu1_slope"),
+      col("__a0").as("mu0_intercept"), col("__b0").as("mu0_slope"),
+      col("ate_outcome_model"), col("resid_corr_treated"),
+      col("resid_corr_control"),
+      round(col("ate_outcome_model") + col("resid_corr_treated")
+        - col("resid_corr_control"), 6).as("ate_aipw"))
   }
 }

@@ -165,6 +165,27 @@ object MetricsQueries extends QueryPack {
         "o_totalprice", "__treat", "__e", clip = 0.05)
     }),
 
+    // Doubly-robust AIPW ATE (Experiment.aipwAte) on a CONFOUNDED
+    // deterministic design: the propensity rises with order month
+    // (e(x) = σ(−1 + 0.15·x)) and assignment draws a hash uniform
+    // against it, so treated orders skew late-year and the naive
+    // difference is biased — the setting AIPW exists for. Per-arm OLS
+    // outcome models + residual IPW corrections, the WHOLE estimator
+    // one 18-column aggregate. EXACT oracle: same moments, same
+    // round-6 coefficient handoffs, same component assembly.
+    "q_aipw_ate" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val x = month(col("o_orderdate")).cast("double")
+      val e = lit(1.0) / (lit(1.0) + exp(-(lit(-1.0) + x * lit(0.15))))
+      val u = pmod(graft.core.Hashing.h60(
+          col("o_orderkey").cast("string"), "aipw"), lit(1000000L))
+        .cast("double") / lit(1000000.0)
+      Experiment.aipwAte(
+        o.withColumn("__x", x).withColumn("__e", e)
+          .withColumn("__treat", u < e),
+        "o_totalprice", "__treat", "__e", "__x", clip = 0.05)
+    }),
+
     // Cumulative gains / lift by score decile (metrics/Gains.scala):
     // exact decile boundaries from ONE aggregate, scan-fused binning
     // against the broadcast boundary array (never a corpus ntile),
@@ -855,6 +876,62 @@ object MetricsQueries extends QueryPack {
         |  round(syt / n - syc / n, 6) AS ate_ht,
         |  round(syt / swt - syc / swc, 6) AS ate_hajek
         |FROM m""".stripMargin,
+    "q_aipw_ate" ->
+      """WITH b0 AS (SELECT
+        |    CAST(o_totalprice AS DOUBLE) AS y,
+        |    CAST(month(o_orderdate) AS DOUBLE) AS x,
+        |    1.0 / (1.0 + exp(-((-1.0)
+        |      + (CAST(month(o_orderdate) AS DOUBLE) * 0.15)))) AS e0,
+        |    CAST(('0x' || substr(md5('aipw'
+        |        || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000000 AS DOUBLE) / 1000000.0 AS u
+        |  FROM orders),
+        |b AS (SELECT y, x, (u < e0) AS t,
+        |    least(greatest(e0, 0.05), 0.95) AS e FROM b0),
+        |m AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    sum(CASE WHEN t THEN x ELSE 0 END) AS sxt,
+        |    sum(CASE WHEN t THEN x * x ELSE 0 END) AS sxxt,
+        |    sum(CASE WHEN t THEN y ELSE 0 END) AS syt,
+        |    sum(CASE WHEN t THEN x * y ELSE 0 END) AS sxyt,
+        |    sum(CASE WHEN t THEN 1.0 / e ELSE 0 END) AS swt,
+        |    sum(CASE WHEN t THEN x / e ELSE 0 END) AS swxt,
+        |    sum(CASE WHEN t THEN y / e ELSE 0 END) AS swyt,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    sum(CASE WHEN NOT t THEN x ELSE 0 END) AS sxc,
+        |    sum(CASE WHEN NOT t THEN x * x ELSE 0 END) AS sxxc,
+        |    sum(CASE WHEN NOT t THEN y ELSE 0 END) AS syc,
+        |    sum(CASE WHEN NOT t THEN x * y ELSE 0 END) AS sxyc,
+        |    sum(CASE WHEN NOT t THEN 1.0 / (1.0 - e) ELSE 0 END) AS swc,
+        |    sum(CASE WHEN NOT t THEN x / (1.0 - e) ELSE 0 END) AS swxc,
+        |    sum(CASE WHEN NOT t THEN y / (1.0 - e) ELSE 0 END) AS swyc
+        |  FROM b),
+        |f1 AS (SELECT *,
+        |    round((CAST(nt AS DOUBLE) * sxyt - sxt * syt)
+        |      / (CAST(nt AS DOUBLE) * sxxt - sxt * sxt), 6) AS b1,
+        |    round((CAST(nc AS DOUBLE) * sxyc - sxc * syc)
+        |      / (CAST(nc AS DOUBLE) * sxxc - sxc * sxc), 6) AS b0c
+        |  FROM m),
+        |f2 AS (SELECT *,
+        |    round((syt - b1 * sxt) / CAST(nt AS DOUBLE), 6) AS a1,
+        |    round((syc - b0c * sxc) / CAST(nc AS DOUBLE), 6) AS a0
+        |  FROM f1),
+        |cm AS (SELECT nt, nc, a1, b1, a0, b0c,
+        |    round((a1 - a0) + (b1 - b0c) * (sx / n), 6)
+        |      AS ate_outcome_model,
+        |    round((swyt - a1 * swt - b1 * swxt) / n, 6)
+        |      AS resid_corr_treated,
+        |    round((swyc - a0 * swc - b0c * swxc) / n, 6)
+        |      AS resid_corr_control
+        |  FROM f2)
+        |SELECT nt AS n_treated, nc AS n_control,
+        |  a1 AS mu1_intercept, b1 AS mu1_slope,
+        |  a0 AS mu0_intercept, b0c AS mu0_slope,
+        |  ate_outcome_model, resid_corr_treated, resid_corr_control,
+        |  round(ate_outcome_model + resid_corr_treated
+        |    - resid_corr_control, 6) AS ate_aipw
+        |FROM cm""".stripMargin,
     "q_uplift_deciles" ->
       """WITH b AS (SELECT o_totalprice AS s,
         |    (('0x' || substr(md5('ab' || CAST(o_custkey AS VARCHAR)),

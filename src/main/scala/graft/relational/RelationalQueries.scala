@@ -586,6 +586,50 @@ object RelationalQueries extends QueryPack {
         .orderBy("l_returnflag", "p")
     }),
 
+    // KMV / theta distinct sketch (Sketches.kmvSketch — bottom-128
+    // distinct h60 hashes per ship year via the bounded
+    // BottomKDistinct aggregate, ≤ k values per partition before the
+    // shuffle): per-year distinct-part estimates off the k-th smallest
+    // hash, joined against the exact distinct counts so the gate
+    // carries its own error readout. EXACT oracle: same md5 hashes,
+    // same row_number bottom-k, same IEEE estimate arithmetic.
+    "q_kmv_sketch" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val k = 128
+      val est = Sketches.kmvEstimate(
+        Sketches.kmvSketch(li, year(col("l_shipdate")),
+          col("l_partkey"), "kmv", k), k)
+      val exact = li.groupBy(year(col("l_shipdate")).as("g"))
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+      est.join(exact, "g")
+        .select(col("g").as("ship_year"), col("n_seen"), col("estimate"),
+          col("exact_distinct"))
+        .orderBy("ship_year")
+    }),
+
+    // Theta-sketch set operations (Sketches.kmvSetOps) — the distinct
+    // algebra HLL cannot express: parts shipped in 1995 vs 1997 as two
+    // KMV samples, every estimate read off the cells below the common
+    // threshold θ = min(θ_A, θ_B) and scaled by 2^60/θ
+    // (union / intersection / difference / sampled-Jaccard), joined
+    // with the exact set sizes. One row; every frame ≤ k rows.
+    "q_kmv_setops" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val k = 128
+      val sk = Sketches.kmvSketch(li, year(col("l_shipdate")),
+        col("l_partkey"), "kmv", k)
+      val ests = Sketches.kmvSetOps(sk, 1995, 1997, k)
+      val a = li.filter(year(col("l_shipdate")) === 1995)
+        .select(col("l_partkey").as("pa")).distinct()
+      val b = li.filter(year(col("l_shipdate")) === 1997)
+        .select(col("l_partkey").as("pb")).distinct()
+      val exact = a.join(b, col("pa") === col("pb"), "full_outer")
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("pa").isNotNull && col("pb").isNotNull, 1L)
+            .otherwise(0L)).as("exact_intersection"))
+      ests.crossJoin(broadcast(exact))
+    }),
+
     // Full outer join with ALL three null patterns: every tenth order
     // gets its custkey shifted out of range in-plan (the corpus is
     // referentially intact, so 'order_only' would otherwise be empty).
@@ -2129,6 +2173,83 @@ object RelationalQueries extends QueryPack {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Shared bottom-k CTE prefix for the KMV gates: the same 60-bit md5
+    * hashes (the house h60 mirror), the same per-year bottom-128
+    * distinct frame via row_number over the distinct hash set — the
+    * sketch is a pure function of the distinct key set, so the replay
+    * is row-exact.
+    */
+  private def kmvFrameCtes(k: Int): String =
+    s"""khk AS (SELECT DISTINCT CAST(year(l_shipdate) AS INT) AS g,
+       |    ('0x' || substr(md5('kmv' || CAST(l_partkey AS VARCHAR)),
+       |      1, 15))::BIGINT AS h
+       |  FROM lineitem),
+       |ksk AS (SELECT g, h, pos FROM (SELECT g, h,
+       |    row_number() OVER (PARTITION BY g ORDER BY h) AS pos
+       |  FROM khk) WHERE pos <= $k)""".stripMargin
+
+  private def kmvSketchOracleSql(k: Int = 128): String =
+    s"""WITH ${kmvFrameCtes(k)},
+       |kest AS (SELECT g, CAST(count(*) AS BIGINT) AS n_seen,
+       |    max(CASE WHEN pos = $k THEN h END) AS hk
+       |  FROM ksk GROUP BY 1),
+       |kex AS (SELECT CAST(year(l_shipdate) AS INT) AS g,
+       |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+       |  FROM lineitem GROUP BY 1)
+       |SELECT e.g AS ship_year, e.n_seen,
+       |  round(CASE WHEN e.n_seen < $k THEN CAST(e.n_seen AS DOUBLE)
+       |    ELSE ${(k - 1).toDouble} * pow(2.0, 60) / CAST(e.hk AS DOUBLE)
+       |    END, 6) AS estimate,
+       |  x.exact_distinct
+       |FROM kest e JOIN kex x USING (g)
+       |ORDER BY ship_year""".stripMargin
+
+  private def kmvSetOpsOracleSql(k: Int = 128, yearA: Int = 1995,
+      yearB: Int = 1997): String =
+    s"""WITH ${kmvFrameCtes(k)},
+       |kta AS (SELECT CASE WHEN count(*) < $k
+       |      THEN CAST(1152921504606846976 AS BIGINT)
+       |      ELSE max(CASE WHEN pos = $k THEN h END) END AS theta_a
+       |  FROM ksk WHERE g = $yearA),
+       |ktb AS (SELECT CASE WHEN count(*) < $k
+       |      THEN CAST(1152921504606846976 AS BIGINT)
+       |      ELSE max(CASE WHEN pos = $k THEN h END) END AS theta_b
+       |  FROM ksk WHERE g = $yearB),
+       |kcells AS (SELECT coalesce(a.h, b.h) AS h,
+       |    a.h IS NOT NULL AS in_a, b.h IS NOT NULL AS in_b,
+       |    least(theta_a, theta_b) AS theta
+       |  FROM (SELECT h FROM ksk WHERE g = $yearA) a
+       |  FULL OUTER JOIN (SELECT h FROM ksk WHERE g = $yearB) b
+       |    ON a.h = b.h
+       |  CROSS JOIN kta CROSS JOIN ktb),
+       |kagg AS (SELECT max(theta) AS theta,
+       |    CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_both,
+       |    CAST(sum(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_only_a,
+       |    CAST(sum(CASE WHEN NOT in_a AND in_b THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_only_b
+       |  FROM kcells WHERE h < theta),
+       |kexa AS (SELECT DISTINCT l_partkey AS p FROM lineitem
+       |  WHERE CAST(year(l_shipdate) AS INT) = $yearA),
+       |kexb AS (SELECT DISTINCT l_partkey AS p FROM lineitem
+       |  WHERE CAST(year(l_shipdate) AS INT) = $yearB),
+       |kex AS (SELECT CAST(count(*) AS BIGINT) AS exact_union,
+       |    CAST(sum(CASE WHEN a.p IS NOT NULL AND b.p IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS exact_intersection
+       |  FROM kexa a FULL OUTER JOIN kexb b ON a.p = b.p)
+       |SELECT n_both, n_only_a, n_only_b,
+       |  round((n_both + n_only_a + n_only_b)
+       |    * (pow(2.0, 60) / CAST(theta AS DOUBLE)), 6) AS union_est,
+       |  round(n_both * (pow(2.0, 60) / CAST(theta AS DOUBLE)), 6)
+       |    AS intersection_est,
+       |  round(n_only_a * (pow(2.0, 60) / CAST(theta AS DOUBLE)), 6)
+       |    AS difference_a_est,
+       |  round(CAST(n_both AS DOUBLE)
+       |    / (n_both + n_only_a + n_only_b), 6) AS jaccard_est,
+       |  exact_union, exact_intersection
+       |FROM kagg CROSS JOIN kex""".stripMargin
+
   /** ONE oracle for both fuzzy-join gates: routing (broadcast vs
     * shuffled build) must never change the answer, so the gates share
     * the string — an edit here updates both or neither.
@@ -2150,6 +2271,8 @@ object RelationalQueries extends QueryPack {
     "q_louvain_refine" -> louvainRefineOracleSql(),
     "q_louvain_full" -> louvainFullOracleSql(),
     "q_quantile_sketch" -> quantileSketchOracleSql(),
+    "q_kmv_sketch" -> kmvSketchOracleSql(),
+    "q_kmv_setops" -> kmvSetOpsOracleSql(),
     "q_seed_distance" -> seedDistanceOracleSql(),
     "q_scc_pivot" -> sccPivotOracleSql(),
     "q_betweenness" -> betweennessOracleSql(Seq(1L, 2L, 3L)),

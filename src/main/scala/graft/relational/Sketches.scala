@@ -209,6 +209,99 @@ object Sketches {
           .as("estimate"))
   }
 
+  /** KMV / theta distinct sketch (Bar-Yossef et al. RANDOM'02 k-minimum
+    * values; Beyer et al. SIGMOD'07 unbiased estimator; the set-operation
+    * algebra is the Apache DataSketches theta-sketch design) — the
+    * distinct sketch that, unlike HLL, supports INTERSECTION and
+    * DIFFERENCE estimates: each sketch carries an actual uniform SAMPLE
+    * of the distinct keys (the k smallest h60 hashes), so any set
+    * expression evaluates over the samples below the common threshold
+    * θ = min(θ_A, θ_B) and scales by 2^60/θ.
+    *
+    * State is ≤ k rows per group from ONE map-side-combinable aggregate
+    * ([[graft.functions.BottomKDistinct]] — partials are ≤ k values per
+    * partition before the shuffle); sketches merge by re-taking the
+    * bottom-k of the union, and the merged frame is bit-identical to
+    * the whole-corpus sketch (a pure function of the distinct key set —
+    * the DDSketch mergeability argument), which is what lets the DuckDB
+    * oracle replay every row. Estimates are IEEE double arithmetic on
+    * integer-derived values, rounded at the output boundary only.
+    */
+  def kmvSketch(df: DataFrame, group: Column, key: Column, salt: String,
+      k: Int = 128): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    df.select(group.as("g"), Hashing.h60(key, salt).as("__h"))
+      .groupBy("g")
+      .agg(graft.functions.BottomKDistinct(col("__h"), k).as("__kmins"))
+      .select(col("g"), posexplode(col("__kmins")).as(Seq("__p", "h")))
+      .select(col("g"), (col("__p") + 1).as("pos"), col("h"))
+  }
+
+  /** Sketch union: bottom-k of the merged row sets, per group.
+    * Associative/commutative/idempotent — and frame-exact: merge of any
+    * shard split ≡ the whole-corpus sketch. */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int = 128): DataFrame =
+    a.unionByName(b)
+      .groupBy("g")
+      .agg(graft.functions.BottomKDistinct(col("h"), k).as("__kmins"))
+      .select(col("g"), posexplode(col("__kmins")).as(Seq("__p", "h")))
+      .select(col("g"), (col("__p") + 1).as("pos"), col("h"))
+
+  /** Per-group distinct estimate off a sketch frame: exact count when
+    * the group holds fewer than k distinct keys (the sketch IS the key
+    * set), else the unbiased (k−1)·2^60/h₍k₎ read-out. One aggregate
+    * over the ≤ |groups|·k sketch frame. */
+  def kmvEstimate(sketch: DataFrame, k: Int = 128): DataFrame =
+    sketch.groupBy("g")
+      .agg(count(lit(1)).as("n_seen"),
+        max(when(col("pos") === k, col("h"))).as("__hk"))
+      .select(col("g"), col("n_seen"),
+        round(when(col("n_seen") < k, col("n_seen").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * pow(lit(2.0), lit(60))
+            / col("__hk").cast("double")), 6).as("estimate"))
+
+  /** Set-operation estimates between two groups of one sketch frame
+    * (the theta-sketch algebra): with θ_X = 2^60 when group X holds
+    * fewer than k keys else its k-th smallest hash, every estimate
+    * evaluates the sample sets below θ = min(θ_A, θ_B) and scales by
+    * 2^60/θ. Returns ONE row: sampled cell counts, union / intersection
+    * / difference estimates and the sampled-Jaccard. A full outer join
+    * of two ≤ k-row frames — driver-free, broadcast-sized. */
+  def kmvSetOps(sketch: DataFrame, groupA: Any, groupB: Any,
+      k: Int = 128): DataFrame = {
+    val two60 = math.pow(2.0, 60)
+    val a = sketch.filter(col("g") === lit(groupA))
+      .select(col("h").as("ha"), col("pos").as("pa"))
+    val b = sketch.filter(col("g") === lit(groupB))
+      .select(col("h").as("hb"), col("pos").as("pb"))
+    val thetaA = a.agg(
+      when(count(lit(1)) < k, lit(1L << 60))
+        .otherwise(max(when(col("pa") === k, col("ha")))).as("theta_a"))
+    val thetaB = b.agg(
+      when(count(lit(1)) < k, lit(1L << 60))
+        .otherwise(max(when(col("pb") === k, col("hb")))).as("theta_b"))
+    val cells = a.join(b, col("ha") === col("hb"), "full_outer")
+      .crossJoin(broadcast(thetaA)).crossJoin(broadcast(thetaB))
+      .select(coalesce(col("ha"), col("hb")).as("h"),
+        col("ha").isNotNull.as("in_a"), col("hb").isNotNull.as("in_b"),
+        least(col("theta_a"), col("theta_b")).as("theta"))
+      .filter(col("h") < col("theta"))
+      .agg(max(col("theta")).as("theta"),
+        sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("in_a") && !col("in_b"), 1L).otherwise(0L)).as("n_only_a"),
+        sum(when(!col("in_a") && col("in_b"), 1L).otherwise(0L)).as("n_only_b"))
+    val scale = lit(two60) / col("theta").cast("double")
+    cells.select(
+      col("n_both"), col("n_only_a"), col("n_only_b"),
+      round((col("n_both") + col("n_only_a") + col("n_only_b")) * scale, 6)
+        .as("union_est"),
+      round(col("n_both") * scale, 6).as("intersection_est"),
+      round((col("n_only_a")) * scale, 6).as("difference_a_est"),
+      round(col("n_both").cast("double")
+        / (col("n_both") + col("n_only_a") + col("n_only_b")), 6)
+        .as("jaccard_est"))
+  }
+
   /** Point-query the sketch for each probe key: min over the depth rows
     * of the cell counts (the one-sided CMS estimate — never below the
     * true count). The sketch side is tiny, so the probe join broadcasts.
