@@ -630,6 +630,31 @@ object RelationalQueries extends QueryPack {
       ests.crossJoin(broadcast(exact))
     }),
 
+    // Implicit-feedback ALS (Hu–Koren–Volinsky ICDM'08,
+    // recommend/ImplicitAls.scala): rank-2 factors over the
+    // customer×part purchase matrix (confidence 1 + 0.1·Σquantity),
+    // each half-step ONE groupBy over the interaction frame + the
+    // broadcast 1-row Gram (the YᵀY trick — the quadratic cell space
+    // never materializes). Quantized trajectory (round-6 confidences,
+    // Gram entries and factors) → EXACT chained-CTE oracle.
+    "q_als_implicit" -> ((s, dir) =>
+      graft.recommend.ImplicitAls.fit(alsConfidences(s, dir), 2)
+        .orderBy("role", "id")),
+
+    // Top-5 part recommendations for the bounded custkey<30 probe set
+    // off the same fit: dot-product scores against every item,
+    // already-purchased pairs anti-joined away, per-user bounded-heap
+    // top-k (TopKByScore — never a corpus window). Full-catalog
+    // serving rides Ann.knnGraph on the item factors instead.
+    "q_als_recs" -> ((s, dir) => {
+      val conf = alsConfidences(s, dir)
+      val factors = graft.recommend.ImplicitAls.fit(conf, 2)
+      val probe = conf.select(col("user")).filter(col("user") < 30)
+        .distinct()
+      graft.recommend.ImplicitAls.recommendTopK(factors, conf, probe, 5)
+        .orderBy("user", "rank")
+    }),
+
     // Full outer join with ALL three null patterns: every tenth order
     // gets its custkey shifted out of range in-plan (the corpus is
     // referentially intact, so 'order_only' would otherwise be empty).
@@ -2173,6 +2198,53 @@ object RelationalQueries extends QueryPack {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Shared confidence frame for the ALS gates: customer×part purchase
+    * strengths off lineitem⋈orders, confidence quantized at
+    * construction (ImplicitAls.confidences).
+    */
+  private def alsConfidences(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.recommend.ImplicitAls.confidences(
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
+        .agg(sum(col("l_quantity")).as("x")),
+      "user", "item", "x")
+
+  /** The ALS confidence frame as a DuckDB CTE `ac(u_id, i_id, c)` —
+    * mirrors [[alsConfidences]] sum-then-round. */
+  private val alsConfCte: String =
+    """ac AS MATERIALIZED (SELECT o.o_custkey AS u_id,
+      |    l.l_partkey AS i_id,
+      |    round(1.0 + 0.1 * sum(l.l_quantity), 6) AS c
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private def alsImplicitOracleSql(): String =
+    s"""WITH $alsConfCte,
+       |${graft.recommend.ImplicitAls.alsCtes(2)}
+       |SELECT id, role, f1, f2 FROM afinal
+       |ORDER BY role, id""".stripMargin
+
+  private def alsRecsOracleSql(k: Int = 5): String =
+    s"""WITH $alsConfCte,
+       |${graft.recommend.ImplicitAls.alsCtes(2)},
+       |aprobe AS (SELECT DISTINCT u_id FROM ac WHERE u_id < 30),
+       |ascored AS (SELECT p.u_id,
+       |    i.id AS item, round(u.f1 * i.f1 + u.f2 * i.f2, 6) AS score
+       |  FROM aprobe p
+       |  JOIN au2 u ON u.id = p.u_id
+       |  CROSS JOIN ai2 i
+       |  WHERE NOT EXISTS (SELECT 1 FROM ac a
+       |    WHERE a.u_id = p.u_id AND a.i_id = i.id))
+       |SELECT u_id AS "user", CAST(rank AS INT) AS rank, item, score
+       |FROM (SELECT u_id, item, score, row_number() OVER
+       |    (PARTITION BY u_id ORDER BY score DESC, item) AS rank
+       |  FROM ascored)
+       |WHERE rank <= $k
+       |ORDER BY 1, 2""".stripMargin
+
   /** Shared bottom-k CTE prefix for the KMV gates: the same 60-bit md5
     * hashes (the house h60 mirror), the same per-year bottom-128
     * distinct frame via row_number over the distinct hash set — the
@@ -2273,6 +2345,8 @@ object RelationalQueries extends QueryPack {
     "q_quantile_sketch" -> quantileSketchOracleSql(),
     "q_kmv_sketch" -> kmvSketchOracleSql(),
     "q_kmv_setops" -> kmvSetOpsOracleSql(),
+    "q_als_implicit" -> alsImplicitOracleSql(),
+    "q_als_recs" -> alsRecsOracleSql(),
     "q_seed_distance" -> seedDistanceOracleSql(),
     "q_scc_pivot" -> sccPivotOracleSql(),
     "q_betweenness" -> betweennessOracleSql(Seq(1L, 2L, 3L)),
