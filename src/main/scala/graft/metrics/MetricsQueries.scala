@@ -147,6 +147,44 @@ object MetricsQueries extends QueryPack {
         "duration", "churned", "cohort")
     }),
 
+    // Offline policy evaluation (metrics/PolicyEval.scala — Li et al.
+    // WSDM'11 IPS replay, Swaminathan–Joachims SNIPS, Dudík et al.
+    // ICML'11 doubly-robust): events as logged bandit rounds
+    // (segment = user_id mod 10, action = event_type, reward = value,
+    // logging propensity = the corpus action share), target policy =
+    // per-segment greedy argmax of the round-6 reward model. All four
+    // estimators in ONE corpus aggregate against two broadcast tiny
+    // frames. EXACT oracle.
+    "q_policy_eval" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        pmod(col("user_id"), lit(10L)).as("seg"),
+        col("event_type").as("act"),
+        col("value").cast("double").as("r"))
+      val counts = ev.groupBy(col("act")).agg(count(lit(1)).as("__c"))
+      val total = counts.agg(sum("__c").as("__t"))
+      val share = counts.crossJoin(broadcast(total))
+        .select(col("act"),
+          round(col("__c").cast("double") / col("__t"), 6).as("p"))
+      PolicyEval.evaluateGreedy(ev.join(broadcast(share), "act"),
+        "seg", "act", "r", "p", clip = 0.01)
+    }),
+
+    // Cox proportional-hazards one-step estimator (Survival.coxOneStep):
+    // the same per-user durations with ACTIVITY (event count) as the
+    // covariate — "does activity level shift the churn hazard?", an
+    // effect size (log hazard ratio) beside the log-rank test. One
+    // rollup to per-duration moments, reverse-cumulative risk sets over
+    // the tiny frame, U/I from unrounded sums. EXACT oracle.
+    "q_cox_onestep" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dur = Survival.durations(ev, "user_id", "ts",
+        churnGapUnits = 12, unitMicros = 3600000000L)
+      val activity = ev.groupBy(col("user_id").as("unit"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      Survival.coxOneStep(dur.join(activity, "unit"),
+        "duration", "churned", "x")
+    }),
+
     // IPW average treatment effect (metrics/Experiment.ipwAte): the
     // observational complement to the randomized A/B gates —
     // Horvitz–Thompson + Hájek estimates with clipped inverse weights
@@ -804,6 +842,81 @@ object MetricsQueries extends QueryPack {
         |  CASE WHEN vt > 0 THEN
         |    round((CAST(oa AS DOUBLE) - eat) * (CAST(oa AS DOUBLE) - eat)
         |      / vt, 6) END AS chi2
+        |FROM agg""".stripMargin,
+    "q_policy_eval" ->
+      """WITH ev AS (SELECT user_id % 10 AS seg, event_type AS act,
+        |    CAST(value AS DOUBLE) AS r FROM events),
+        |cnt AS (SELECT act, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1),
+        |tot AS (SELECT sum(c) AS t FROM cnt),
+        |share AS (SELECT act, round(CAST(c AS DOUBLE) / t, 6) AS p
+        |  FROM cnt CROSS JOIN tot),
+        |lg AS (SELECT ev.seg, ev.act, ev.r, share.p
+        |  FROM ev JOIN share USING (act)),
+        |q AS (SELECT seg, act, round(avg(r), 6) AS q
+        |  FROM lg GROUP BY 1, 2),
+        |pi AS (SELECT seg, act AS pi_action FROM (SELECT seg, act,
+        |    row_number() OVER (PARTITION BY seg ORDER BY q DESC, act)
+        |      AS rk FROM q) WHERE rk = 1),
+        |j AS (SELECT l.r, greatest(l.p, 0.01) AS p, qa.q AS q_a,
+        |    qp.q AS q_pi, (l.act = pi.pi_action) AS mt
+        |  FROM lg l
+        |  JOIN q qa ON qa.seg = l.seg AND qa.act = l.act
+        |  JOIN pi ON pi.seg = l.seg
+        |  JOIN q qp ON qp.seg = l.seg AND qp.act = pi.pi_action),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN mt THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+        |    sum(r) AS sr,
+        |    sum(r * (CASE WHEN mt THEN 1.0 / p ELSE 0.0 END)) AS srw,
+        |    sum(CASE WHEN mt THEN 1.0 / p ELSE 0.0 END) AS sw,
+        |    sum(q_pi) AS sqpi,
+        |    sum(q_pi + (r - q_a)
+        |      * (CASE WHEN mt THEN 1.0 / p ELSE 0.0 END)) AS sdr
+        |  FROM j)
+        |SELECT n, nm AS n_match,
+        |  round(CAST(nm AS DOUBLE) / n, 6) AS match_rate,
+        |  round(sr / n, 6) AS v_logged,
+        |  round(srw / n, 6) AS v_ips,
+        |  round(srw / sw, 6) AS v_snips,
+        |  round(sqpi / n, 6) AS v_dm,
+        |  round(sdr / n, 6) AS v_dr
+        |FROM m""".stripMargin,
+    "q_cox_onestep" ->
+      """WITH per AS (SELECT user_id,
+        |    epoch_us(min(ts)) AS f, epoch_us(max(ts)) AS l,
+        |    CAST(count(*) AS DOUBLE) AS x
+        |  FROM events GROUP BY user_id),
+        |cut AS (SELECT max(l) AS c FROM per),
+        |u AS (SELECT
+        |    CAST(floor((l - f) / CAST(3600000000 AS DOUBLE)) AS BIGINT)
+        |      AS t,
+        |    l < c - 12 * 3600000000 AS e, x
+        |  FROM per CROSS JOIN cut),
+        |g AS (SELECT t, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    sum(x) AS sx, sum(x * x) AS sxx,
+        |    sum(CASE WHEN e THEN x ELSE 0 END) AS sex
+        |  FROM u GROUP BY t),
+        |r AS (SELECT t, m, d, sx, sxx, sex,
+        |    sum(m) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0,
+        |    sum(sx) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1,
+        |    sum(sxx) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2
+        |  FROM g),
+        |agg AS (SELECT CAST(sum(d) AS BIGINT) AS dt,
+        |    sum(sex - CAST(d AS DOUBLE) * (s1 / CAST(s0 AS DOUBLE)))
+        |      AS ut,
+        |    sum(CAST(d AS DOUBLE) * (s2 / CAST(s0 AS DOUBLE)
+        |      - (s1 / CAST(s0 AS DOUBLE)) * (s1 / CAST(s0 AS DOUBLE))))
+        |      AS it
+        |  FROM r WHERE d > 0)
+        |SELECT dt AS n_events, round(ut, 6) AS u_score,
+        |  round(it, 6) AS information,
+        |  CASE WHEN it > 0 THEN round(ut / it, 6) END AS beta_onestep,
+        |  CASE WHEN it > 0 THEN round(ut * ut / it, 6) END
+        |    AS score_chi2
         |FROM agg""".stripMargin,
     "q_temp_scaling" -> {
       // stable softplus on the oracle side too (max(-z,0)+ln(1+e^{-|z|}))

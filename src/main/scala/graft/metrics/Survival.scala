@@ -113,6 +113,68 @@ object Survival {
     *   chi2) — e/var rounded 6 for display, χ² computed from the
     *   UNROUNDED sums (single-provenance rule) and NULL if ΣV = 0.
     */
+  /** Cox proportional-hazards ONE-STEP estimator for a single covariate
+    * (Cox, "Regression models and life-tables", JRSS-B 1972; the
+    * one-step Newton / score statistic at β = 0, Breslow tie handling)
+    * — the regression companion to [[logRank]]: "does this covariate
+    * shift the hazard?", with an effect SIZE (log hazard ratio), not
+    * just a test.
+    *
+    * At β = 0 the partial-likelihood score and information are risk-set
+    * moments: with S0_t = |R_t|, S1_t = Σ_{R_t} x, S2_t = Σ_{R_t} x²,
+    *
+    *   U = Σ_events [ Σ_{deaths at t} x  −  d_t · S1_t/S0_t ]
+    *   I = Σ_events d_t · (S2_t/S0_t − (S1_t/S0_t)²)
+    *
+    * β̂₁ = U/I is the one-step Newton estimate from 0 (the standard
+    * large-sample first iterate) and U²/I the score test, which for a
+    * 0/1 covariate with no ties IS the log-rank χ² — the spec asserts
+    * that identity against [[logRank]].
+    *
+    * Scale shape — the [[kaplanMeier]] posture: ONE corpus rollup to
+    * per-duration moment rows (m, d, Σx, Σx², Σx over deaths), then
+    * the reverse cumulative risk-set sums and the two Σ run strictly
+    * over the ≤|distinct durations| frame. Sums stay unrounded into
+    * the final statistics (single-provenance rule); every reported
+    * column rounds at the output boundary.
+    */
+  def coxOneStep(df: DataFrame, durationCol: String, eventCol: String,
+      covariateCol: String): DataFrame = {
+    val x = col(covariateCol).cast("double")
+    val per = df.select(col(durationCol).cast("long").as("__t"),
+        col(eventCol).cast("boolean").as("__e"), x.as("__x"))
+      .groupBy("__t").agg(
+        count(lit(1)).as("__m"),
+        sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(when(col("__e"), col("__x")).otherwise(0.0)).as("__sex"))
+    val wRisk = Window.orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s0 = col("__s0").cast("double")
+    val dD = col("__d").cast("double")
+    val xbar = col("__s1") / s0
+    val agg = per
+      .withColumn("__s0", sum("__m").over(wRisk))
+      .withColumn("__s1", sum("__sx").over(wRisk))
+      .withColumn("__s2", sum("__sxx").over(wRisk))
+      .filter(col("__d") > 0)
+      .select(col("__d"),
+        (col("__sex") - dD * xbar).as("__u"),
+        (dD * (col("__s2") / s0 - xbar * xbar)).as("__i"))
+      .agg(sum("__d").as("__dt"), sum("__u").as("__ut"),
+        sum("__i").as("__it"))
+    agg.select(
+      col("__dt").as("n_events"),
+      round(col("__ut"), 6).as("u_score"),
+      round(col("__it"), 6).as("information"),
+      when(col("__it") > 0, round(col("__ut") / col("__it"), 6))
+        .as("beta_onestep"),
+      when(col("__it") > 0,
+        round(col("__ut") * col("__ut") / col("__it"), 6))
+        .as("score_chi2"))
+  }
+
   def logRank(df: DataFrame, durationCol: String, eventCol: String,
       groupCol: String): DataFrame = {
     val groups = df.select(col(groupCol).cast("string").as("__g"))

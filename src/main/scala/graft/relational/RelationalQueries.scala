@@ -843,6 +843,20 @@ object RelationalQueries extends QueryPack {
         maxDegree = Some(25))
     }),
 
+    // The full classic link-prediction score table (common neighbors /
+    // Jaccard / Adamic–Adar / resource allocation / preferential
+    // attachment — LinkPrediction.linkScores) on the SAME kNN graph:
+    // one degree-capped wedge pass + two tiny degree joins. The
+    // comparison table beside q_adamic_adar's single score.
+    "q_link_scores" -> ((s, dir) => {
+      val knn = graft.llmdata.Ann.knnGraph(
+          Tables.embeddings(s, dir).where(col("vec_id") < 300),
+          "vec_id", "embedding", k = 5)
+        .select(col("src").as("id_a"), col("dst").as("id_b"))
+      graft.graph.LinkPrediction.linkScores(knn, k = 40,
+        maxDegree = Some(25))
+    }),
+
     // Per-community Newman modularity of the LPA assignment — the
     // community-quality report logged next to the detection pass.
     // Integer internal/degree weights from the same symmetrized edge
@@ -2394,6 +2408,46 @@ object RelationalQueries extends QueryPack {
         |    round(sum(1.0 / ln(zdeg)), 6) AS aa FROM nw GROUP BY 1, 2)
         |SELECT u AS id_a, v AS id_b, common_neighbors, aa
         |FROM sc ORDER BY aa DESC, u, v LIMIT 40""".stripMargin,
+    "q_link_scores" ->
+      """WITH em AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id < 300),
+        |x AS MATERIALIZED (SELECT vec_id, unnest(embedding)::DOUBLE AS e,
+        |  generate_subscripts(embedding, 1) AS i FROM em),
+        |nv AS MATERIALIZED (SELECT vec_id, sqrt(sum(e * e)) AS n
+        |  FROM x GROUP BY 1),
+        |p AS (SELECT xa.vec_id AS qid, xb.vec_id AS cid,
+        |    round(sum(xa.e * xb.e) / (na.n * nb.n), 6) AS s
+        |  FROM x xa JOIN x xb ON xa.i = xb.i AND xa.vec_id <> xb.vec_id
+        |  JOIN nv na ON na.vec_id = xa.vec_id
+        |  JOIN nv nb ON nb.vec_id = xb.vec_id
+        |  GROUP BY 1, 2, na.n, nb.n),
+        |k5 AS (SELECT qid, cid FROM (SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid)
+        |      AS rk FROM p) WHERE rk <= 5),
+        |e AS (SELECT DISTINCT least(qid, cid) AS u,
+        |  greatest(qid, cid) AS v FROM k5),
+        |adj AS (SELECT u AS src, v AS dst FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |dg AS (SELECT src AS z, CAST(count(*) AS BIGINT) AS deg
+        |  FROM adj GROUP BY 1),
+        |hf AS (SELECT adj.src AS z, adj.dst, dg.deg
+        |  FROM adj JOIN dg ON adj.src = dg.z WHERE dg.deg <= 25),
+        |w AS (SELECT a.dst AS u, b.dst AS v, a.deg AS zdeg
+        |  FROM hf a JOIN hf b ON a.z = b.z AND a.dst < b.dst),
+        |nw AS (SELECT w.u, w.v, w.zdeg FROM w
+        |  LEFT JOIN e ON w.u = e.u AND w.v = e.v WHERE e.u IS NULL),
+        |sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
+        |    round(sum(1.0 / ln(zdeg)), 6) AS aa,
+        |    round(sum(1.0 / zdeg), 6) AS ra FROM nw GROUP BY 1, 2),
+        |sd AS (SELECT sc.u, sc.v, sc.common_neighbors, sc.aa, sc.ra,
+        |    round(CAST(sc.common_neighbors AS DOUBLE)
+        |      / CAST(du.deg + dv.deg - sc.common_neighbors AS DOUBLE), 6)
+        |      AS jaccard,
+        |    du.deg * dv.deg AS pa
+        |  FROM sc JOIN dg du ON du.z = sc.u JOIN dg dv ON dv.z = sc.v)
+        |SELECT u AS id_a, v AS id_b, common_neighbors, jaccard, aa, ra,
+        |  pa
+        |FROM sd ORDER BY aa DESC, u, v LIMIT 40""".stripMargin,
     "q_modularity" -> modularityOracleSql(),
     // entity-resolution mirror: scored pairs thresholded, closed
     // transitively by the same recursive CTE as the dedup clusters
