@@ -424,6 +424,71 @@ object Experiment {
         - try_divide(col("__syc"), col("__swc")), 6).as("ate_hajek"))
   }
 
+  /** Delta-method A/B readout for RATIO metrics (Deng, Knoblich & Lu,
+    * "Applying the Delta method in metric analytics", KDD 2018) — the
+    * reason naive per-event t-tests on CTR-style metrics are wrong:
+    * the metric is a ratio of per-UNIT totals R = Σy/Σn and events
+    * within a unit are correlated, so the variance must come from the
+    * unit-level joint moments:
+    *
+    *   Var(R̂) ≈ [Var(y) − 2R·Cov(y,n) + R²·Var(n)] / (n̄²·N)
+    *
+    * (first-order Taylor of ȳ/n̄ around the means). Reported per
+    * variant plus the difference z-test.
+    *
+    * Scale shape: `perUnit` is one row per unit (the caller's one
+    * corpus rollup); this is then ONE 14-column aggregate — per-variant
+    * counts and (Σy, Σn, Σy², Σn², Σyn) via conditional sums — and
+    * 1-row arithmetic. Unrounded sums flow into the statistics
+    * (single-provenance rule); every reported column rounds at the
+    * output boundary.
+    *
+    * @param perUnit one row per unit: numerator total, denominator
+    *   total, and a 0/1 variant column.
+    */
+  def ratioMetricDelta(perUnit: DataFrame, variantCol: String,
+      numCol: String, denCol: String): DataFrame = {
+    def arm(want: Long, suffix: String): Seq[Column] = {
+      val in = col("__v") === want
+      Seq(
+        sum(when(in, 1L).otherwise(0L)).as(s"__c$suffix"),
+        sum(when(in, col("__y")).otherwise(0.0)).as(s"__sy$suffix"),
+        sum(when(in, col("__n")).otherwise(0.0)).as(s"__sn$suffix"),
+        sum(when(in, col("__y") * col("__y")).otherwise(0.0))
+          .as(s"__syy$suffix"),
+        sum(when(in, col("__n") * col("__n")).otherwise(0.0))
+          .as(s"__snn$suffix"),
+        sum(when(in, col("__y") * col("__n")).otherwise(0.0))
+          .as(s"__syn$suffix"))
+    }
+    val aggs = arm(0L, "a") ++ arm(1L, "b")
+    val m = perUnit.select(col(variantCol).cast("long").as("__v"),
+        col(numCol).cast("double").as("__y"),
+        col(denCol).cast("double").as("__n"))
+      .agg(aggs.head, aggs.tail: _*)
+    // per-arm: R = Σy/Σn, n̄ = Σn/N, unbiased var/cov, delta variance
+    def nD(s: String) = col(s"__c$s").cast("double")
+    def r(s: String) = col(s"__sy$s") / col(s"__sn$s")
+    def nbar(s: String) = col(s"__sn$s") / nD(s)
+    def vy(s: String) = (col(s"__syy$s")
+      - col(s"__sy$s") * col(s"__sy$s") / nD(s)) / (nD(s) - 1.0)
+    def vn(s: String) = (col(s"__snn$s")
+      - col(s"__sn$s") * col(s"__sn$s") / nD(s)) / (nD(s) - 1.0)
+    def cyn(s: String) = (col(s"__syn$s")
+      - col(s"__sy$s") * col(s"__sn$s") / nD(s)) / (nD(s) - 1.0)
+    def varR(s: String) = (vy(s) - lit(2.0) * r(s) * cyn(s)
+      + r(s) * r(s) * vn(s)) / (nbar(s) * nbar(s)) / nD(s)
+    m.select(
+      col("__ca").as("n_a"), col("__cb").as("n_b"),
+      round(r("a"), 6).as("ratio_a"),
+      round(r("b"), 6).as("ratio_b"),
+      round(varR("a"), 6).as("var_a"),
+      round(varR("b"), 6).as("var_b"),
+      round(r("b") - r("a"), 6).as("diff"),
+      round(sqrt(varR("a") + varR("b")), 6).as("se"),
+      round((r("b") - r("a")) / sqrt(varR("a") + varR("b")), 6).as("z"))
+  }
+
   /** Augmented-IPW (doubly-robust) average treatment effect (Robins,
     * Rotnitzky & Zhao, JASA 1994; the AIPW estimator surveyed by Glynn
     * & Quinn 2010) — the estimator a causal pipeline graduates to after

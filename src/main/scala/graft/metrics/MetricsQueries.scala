@@ -147,6 +147,20 @@ object MetricsQueries extends QueryPack {
         "duration", "churned", "cohort")
     }),
 
+    // Delta-method ratio-metric A/B (Experiment.ratioMetricDelta, Deng
+    // et al. KDD'18): value-per-event as the ratio of per-USER totals,
+    // variance from the unit-level joint moments — the readout that is
+    // wrong as a per-event t-test. One per-user rollup + ONE 12-column
+    // conditional-moment aggregate. EXACT oracle.
+    "q_ab_ratio_delta" -> ((s, dir) => {
+      val per = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(col("value")).as("y"), count(lit(1)).as("n"))
+        .withColumn("variant", graft.core.Hashing.bucket(
+          col("user_id").cast("string"), "rd", 2))
+      Experiment.ratioMetricDelta(per, "variant", "y", "n")
+    }),
+
     // Offline policy evaluation (metrics/PolicyEval.scala — Li et al.
     // WSDM'11 IPS replay, Swaminathan–Joachims SNIPS, Dudík et al.
     // ICML'11 doubly-robust): events as logged bandit rounds
@@ -843,6 +857,55 @@ object MetricsQueries extends QueryPack {
         |    round((CAST(oa AS DOUBLE) - eat) * (CAST(oa AS DOUBLE) - eat)
         |      / vt, 6) END AS chi2
         |FROM agg""".stripMargin,
+    "q_ab_ratio_delta" ->
+      """WITH per AS (SELECT user_id, sum(value) AS y,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    ('0x' || substr(md5('rd' || CAST(user_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 2 AS v
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    sum(CASE WHEN v = 0 THEN y ELSE 0 END) AS sya,
+        |    sum(CASE WHEN v = 0 THEN n ELSE 0 END) AS sna,
+        |    sum(CASE WHEN v = 0 THEN y * y ELSE 0 END) AS syya,
+        |    sum(CASE WHEN v = 0 THEN n * n ELSE 0 END) AS snna,
+        |    sum(CASE WHEN v = 0 THEN y * n ELSE 0 END) AS syna,
+        |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+        |    sum(CASE WHEN v = 1 THEN y ELSE 0 END) AS syb,
+        |    sum(CASE WHEN v = 1 THEN n ELSE 0 END) AS snb,
+        |    sum(CASE WHEN v = 1 THEN y * y ELSE 0 END) AS syyb,
+        |    sum(CASE WHEN v = 1 THEN n * n ELSE 0 END) AS snnb,
+        |    sum(CASE WHEN v = 1 THEN y * n ELSE 0 END) AS synb
+        |  FROM per),
+        |st AS (SELECT ca, cb,
+        |    sya / sna AS ra, syb / snb AS rb,
+        |    sna / CAST(ca AS DOUBLE) AS nba, snb / CAST(cb AS DOUBLE)
+        |      AS nbb,
+        |    (syya - sya * sya / CAST(ca AS DOUBLE))
+        |      / (CAST(ca AS DOUBLE) - 1.0) AS vya,
+        |    (snna - sna * sna / CAST(ca AS DOUBLE))
+        |      / (CAST(ca AS DOUBLE) - 1.0) AS vna,
+        |    (syna - sya * sna / CAST(ca AS DOUBLE))
+        |      / (CAST(ca AS DOUBLE) - 1.0) AS cyna,
+        |    (syyb - syb * syb / CAST(cb AS DOUBLE))
+        |      / (CAST(cb AS DOUBLE) - 1.0) AS vyb,
+        |    (snnb - snb * snb / CAST(cb AS DOUBLE))
+        |      / (CAST(cb AS DOUBLE) - 1.0) AS vnb,
+        |    (synb - syb * snb / CAST(cb AS DOUBLE))
+        |      / (CAST(cb AS DOUBLE) - 1.0) AS cynb
+        |  FROM m),
+        |vr AS (SELECT ca, cb, ra, rb,
+        |    (vya - 2.0 * ra * cyna + ra * ra * vna) / (nba * nba)
+        |      / CAST(ca AS DOUBLE) AS va,
+        |    (vyb - 2.0 * rb * cynb + rb * rb * vnb) / (nbb * nbb)
+        |      / CAST(cb AS DOUBLE) AS vb
+        |  FROM st)
+        |SELECT ca AS n_a, cb AS n_b, round(ra, 6) AS ratio_a,
+        |  round(rb, 6) AS ratio_b, round(va, 6) AS var_a,
+        |  round(vb, 6) AS var_b, round(rb - ra, 6) AS diff,
+        |  round(sqrt(va + vb), 6) AS se,
+        |  round((rb - ra) / sqrt(va + vb), 6) AS z
+        |FROM vr""".stripMargin,
     "q_policy_eval" ->
       """WITH ev AS (SELECT user_id % 10 AS seg, event_type AS act,
         |    CAST(value AS DOUBLE) AS r FROM events),

@@ -1326,6 +1326,18 @@ object RelationalQueries extends QueryPack {
       Temporal.holtSmoothing(Tables.events(s, dir), "ts")
         .orderBy("day")),
 
+    // Rolling-origin backtest of the Holt forecaster (Tashman IJF'00
+    // design, Temporal.forecastBacktest): per (origin, horizon) cell
+    // the out-of-sample forecast with its APE and MASE-style scaled
+    // error (|err| / in-sample naive MAE — Hyndman–Koehler IJF'06).
+    // The evaluation harness that belongs beside q_holt_forecast: a
+    // forecaster nobody backtested is not an operator. EXACT oracle —
+    // one recursive CTE carrying (origin, j, level, trend) replays
+    // every origin's quantized fold.
+    "q_forecast_backtest" -> ((s, dir) =>
+      Temporal.forecastBacktest(Tables.events(s, dir), "ts")
+        .orderBy("origin_day", "h")),
+
     // Holt–Winters additive triple smoothing (Temporal.holtWinters):
     // the weekly-seasonal upgrade — the recursive-CTE oracle carries
     // the 7-slot seasonal wheel as 7 rotating columns.
@@ -2692,6 +2704,54 @@ object RelationalQueries extends QueryPack {
          |FROM hw h JOIN idx x ON x.i = h.i
          |LEFT JOIN hw hp ON hp.i = h.i - 1
          |ORDER BY day""".stripMargin
+    },
+    "q_forecast_backtest" -> {
+      val a = 0.3; val b = 0.1
+      val oma = (1.0 - a).toString
+      val omb = (1.0 - b).toString
+      val (horizon, nOrigins) = (3, 3)
+      s"""WITH RECURSIVE daily AS (SELECT date_trunc('day', ts) AS d,
+         |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+         |idx AS (SELECT d, y, row_number() OVER (ORDER BY d) AS i
+         |  FROM daily),
+         |dn AS (SELECT CAST(count(*) AS BIGINT) AS dc FROM idx),
+         |org AS (SELECT i AS o FROM idx CROSS JOIN dn
+         |  WHERE i >= dc - $horizon - $nOrigins + 2
+         |    AND i <= dc - $horizon + 1),
+         |bt(o, j, level, trend) AS (
+         |  SELECT org.o, CAST(1 AS BIGINT), round(CAST(y AS DOUBLE), 6),
+         |    round(CAST((SELECT y FROM idx WHERE i = 2) - y AS DOUBLE),
+         |      6)
+         |  FROM idx CROSS JOIN org WHERE idx.i = 1
+         |  UNION ALL
+         |  SELECT b.o, b.j + 1,
+         |    round($a * x.y + $oma * (b.level + b.trend), 6),
+         |    round($b * (round($a * x.y + $oma * (b.level + b.trend), 6)
+         |      - b.level) + $omb * b.trend, 6)
+         |  FROM bt b JOIN idx x ON x.i = b.j + 1
+         |  WHERE b.j + 1 <= b.o - 1),
+         |fin AS (SELECT o, level, trend FROM bt WHERE j = o - 1),
+         |nv AS (SELECT org.o,
+         |    round(CAST(sum(abs(b2.y - a2.y)) AS DOUBLE)
+         |      / (org.o - 2), 6) AS dnv
+         |  FROM org JOIN idx a2 ON a2.i >= 1
+         |  JOIN idx b2 ON b2.i = a2.i + 1
+         |  WHERE b2.i <= org.o - 1 GROUP BY 1),
+         |hz AS (SELECT unnest([1, 2, 3]) AS h),
+         |fc AS (SELECT f.o, hz.h,
+         |    round(f.level + hz.h * f.trend, 6) AS forecast
+         |  FROM fin f CROSS JOIN hz)
+         |SELECT strftime(od.d, '%Y-%m-%d') AS origin_day,
+         |  CAST(fc.h AS INT) AS h, fc.forecast, act.y AS actual,
+         |  round(abs(fc.forecast - CAST(act.y AS DOUBLE))
+         |    / CAST(act.y AS DOUBLE), 6) AS ape,
+         |  round(abs(fc.forecast - CAST(act.y AS DOUBLE)) / nv.dnv, 6)
+         |    AS ase
+         |FROM fc
+         |JOIN idx od ON od.i = fc.o - 1
+         |JOIN idx act ON act.i = fc.o + fc.h - 1
+         |JOIN nv ON nv.o = fc.o
+         |ORDER BY origin_day, h""".stripMargin
     },
     "q_holt_winters" -> {
       // constants printed from the Scala doubles (holtWinters defaults)

@@ -454,6 +454,72 @@ object Temporal {
     rows.toSeq.toDF("day", "y", "fitted", "level", "trend", "seasonal")
   }
 
+  /** Rolling-origin forecast backtest (Tashman, IJF 2000 — the
+    * standard out-of-sample evaluation design) over the per-day count
+    * series with the [[holtSmoothing]] model: for each of the last
+    * `nOrigins` feasible origins o, fit on days 1..o−1 (the SAME
+    * quantized recursion as holtSmoothing), forecast h = 1..horizon
+    * ahead (ŷ = level + h·trend), and score each forecast with
+    *
+    *  - APE  |ŷ − y|/y (the MAPE cell), and
+    *  - ASE  |ŷ − y| / MAE_naive(train) — the MASE cell (Hyndman &
+    *    Koehler, IJF 2006): scaled by the in-sample one-step NAIVE
+    *    error, so values < 1 beat "predict yesterday" and the metric
+    *    survives zero-valued days where MAPE explodes.
+    *
+    * Scale shape — the [[holtSmoothing]] posture: ONE corpus aggregate
+    * to the ≤|days| frame; the per-origin folds are driver arithmetic
+    * over that tiny frame. Every handoff (level, trend, naive MAE,
+    * forecast, scores) is quantized round-6, so a recursive CTE
+    * carrying (origin, j, level, trend) replays the whole grid.
+    *
+    * @return one row per (origin, h): (origin_day — last TRAINING day,
+    *   h, forecast, actual, ape, ase)
+    */
+  def forecastBacktest(df: DataFrame, tsCol: String, alpha: Double = 0.3,
+      beta: Double = 0.1, horizon: Int = 3,
+      nOrigins: Int = 3): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1)
+    require(horizon >= 1 && nOrigins >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val daily = df.groupBy(date_trunc("DAY", col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("y"))
+      .orderBy("d")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    val dCount = daily.length
+    require(dCount >= nOrigins + horizon + 2,
+      s"need >= ${nOrigins + horizon + 2} days, got $dCount")
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    // origins: first forecast day index (1-based); training is 1..o−1
+    val origins = (dCount - horizon - nOrigins + 2) to (dCount - horizon + 1)
+    val rows = origins.flatMap { o =>
+      var level = r6(daily(0)._2.toDouble)
+      var trend = r6((daily(1)._2 - daily(0)._2).toDouble)
+      for (j <- 2 to o - 1) {
+        val yj = daily(j - 1)._2.toDouble
+        val nl = r6(alpha * yj + (1.0 - alpha) * (level + trend))
+        trend = r6(beta * (nl - level) + (1.0 - beta) * trend)
+        level = nl
+      }
+      // in-sample one-step naive MAE over the training prefix
+      val naiveSum = (2 to o - 1).map(j =>
+        math.abs(daily(j - 1)._2 - daily(j - 2)._2)).sum
+      val dNaive = r6(naiveSum.toDouble / (o - 2))
+      (1 to horizon).map { h =>
+        val f = r6(level + h * trend)
+        val a = daily(o - 1 + h - 1)._2
+        val err = math.abs(f - a.toDouble)
+        (fmt.format(daily(o - 2)._1), h, f, a,
+          r6(err / a.toDouble), r6(err / dNaive))
+      }
+    }
+    rows.toDF("origin_day", "h", "forecast", "actual", "ape", "ase")
+  }
+
   /** Theil–Sen robust trend + Mann–Kendall monotonic-trend test over
     * the per-day count series (Theil 1950 / Sen 1968; Mann 1945,
     * Kendall 1975) — the outlier-proof replacement for an OLS slope on
