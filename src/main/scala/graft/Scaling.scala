@@ -124,8 +124,29 @@ object Scaling {
                          // sweeps on the 25-node dominance graph
     "q_betweenness" -> 16, // 3 pivots × O(depth·|E|) level joins,
                            // integer σ + round-6 δ handoffs
-    "q_glove_walks" -> 16) // walker-sized hops + vocab-pair cooc
+    "q_glove_walks" -> 16, // walker-sized hops + vocab-pair cooc
                            // + broadcast ALS half-steps
+    // round-12 second-session targets. NOT measured, with reasons:
+    // q_kmv_setops (<=2k-row frames downstream of the measured
+    // sketch), q_aipw_ate (the same single-aggregate shape as the
+    // measured q_ipw_ate), q_als_recs (bounded probe fan-out over the
+    // measured q_als_implicit fit), q_forecast_backtest (corpus work
+    // is ONE daily rollup; the folds are driver arithmetic over
+    // <=|days| rows)
+    "q_wordpiece_encode" -> 16, // bounded word-table train + scan-fused
+                                // greedy longest-match kernel
+    "q_kmv_sketch" -> 16, // one bounded BottomKDistinct aggregate
+                          // (<= k values per partition pre-shuffle)
+    "q_als_implicit" -> 16, // per half-step: one interaction-frame
+                            // groupBy vs broadcast factors + 1-row Gram
+    "q_cox_onestep" -> 16, // one rollup; risk-set windows over the
+                           // <=|durations| frame
+    "q_policy_eval" -> 16, // two corpus aggregates vs broadcast
+                           // (segment, action) frames
+    "q_link_scores" -> 16, // degree-capped wedge join + tiny degree
+                           // joins (the q_adamic_adar shape)
+    "q_ab_ratio_delta" -> 16) // per-user rollup + ONE 12-column
+                              // conditional-moment aggregate
     .filter { case (q, _) =>
       sys.env.get("SPARK_GRAFT_SCALE_ONLY")
         .forall(_.split(",").map(_.trim).contains(q))

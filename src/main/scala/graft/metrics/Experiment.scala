@@ -444,7 +444,9 @@ object Experiment {
     * output boundary.
     *
     * @param perUnit one row per unit: numerator total, denominator
-    *   total, and a 0/1 variant column.
+    *   total, and a 0/1 variant column. Each variant needs ≥ 2 units
+    *   (the N−1 sample moments) and a nonzero denominator total —
+    *   an empty arm nulls its columns rather than raising.
     */
   def ratioMetricDelta(perUnit: DataFrame, variantCol: String,
       numCol: String, denCol: String): DataFrame = {
@@ -517,6 +519,12 @@ object Experiment {
     * components — so the oracle replays bit-for-bit. Propensity arrives
     * as a caller-scored COLUMN ([[ipwAte]]'s contract), clipped into
     * [clip, 1−clip].
+    *
+    * Precondition: each arm needs ≥ 3 units and a covariate that VARIES
+    * within it — a constant-x or ≤2-point arm makes the OLS normal
+    * equation singular (det = nΣx² − (Σx)² = 0) and the coefficients
+    * null out. Callers with near-constant covariates should fall back
+    * to [[ipwAte]].
     */
   def aipwAte(df: DataFrame, outcomeCol: String, treatCol: String,
       propensityCol: String, covariateCol: String,

@@ -77,6 +77,9 @@ class PlanRegressionSpec extends SparkSpec {
     "q_logrank",             // the same ≤|durations| risk-set cumsums
                              // (total + group-A) feeding the
                              // hypergeometric sums — never the corpus
+    "q_cox_onestep",         // the same ≤|durations| risk-set cumsums
+                             // (S0/S1/S2 covariate moments) feeding the
+                             // score/information sums — never the corpus
     "q_sprt",                // cumulative LLR strictly over the
                              // ≤|days| daily aggregate — the ordered
                              // fold IS the sequential-test semantics
