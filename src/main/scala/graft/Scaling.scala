@@ -247,6 +247,14 @@ object Scaling {
         "source, n_chars)) -- content-key cardinality grows WITH the " +
         "corpus so blocks stay bounded; EM stays O(2^K). Retires the " +
         "round-8 exponent 1.124 measured on the ~8 pow2 length buckets"),
+      "q_neighborhood_function" -> ("frame sizes are linear by " +
+        "construction (rounds and p fixed; per round ONE edge join " +
+        "over |E| x 2^p register rows, all corpus cardinalities " +
+        "scale with f) -- the measured 1.19 comes from the x16 leg, " +
+        "where the register shuffle outgrows the fixed 32 shuffle " +
+        "partitions and spills; at cluster scale " +
+        "spark.sql.shuffle.partitions scales with the data and the " +
+        "per-partition frame stays constant"),
       "q_bitext_mine_lsh" -> ("capped at 4x: the gate pins nPlanes=4 " +
         "(16 buckets) for the oracle replay, so within-bucket " +
         "candidates grow ~ f^2/2^planes BY CONSTRUCTION at fixed " +
