@@ -444,9 +444,13 @@ object Experiment {
     * output boundary.
     *
     * @param perUnit one row per unit: numerator total, denominator
-    *   total, and a 0/1 variant column. Each variant needs ≥ 2 units
-    *   (the N−1 sample moments) and a nonzero denominator total —
-    *   an empty arm nulls its columns rather than raising.
+    *   total, and a STRICTLY 0/1 variant column (the [[ipwAte]] treat
+    *   contract) — rows whose variant is any other value belong to
+    *   NEITHER arm's conditional sums and are silently excluded, so a
+    *   mis-coded variant column truncates the arms; validate upstream.
+    *   Each variant needs ≥ 2 units (the N−1 sample moments) and a
+    *   nonzero denominator total — an empty arm nulls its columns
+    *   rather than raising.
     */
   def ratioMetricDelta(perUnit: DataFrame, variantCol: String,
       numCol: String, denCol: String): DataFrame = {

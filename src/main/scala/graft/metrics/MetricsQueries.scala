@@ -921,7 +921,8 @@ object MetricsQueries extends QueryPack {
         |pi AS (SELECT seg, act AS pi_action FROM (SELECT seg, act,
         |    row_number() OVER (PARTITION BY seg ORDER BY q DESC, act)
         |      AS rk FROM q) WHERE rk = 1),
-        |j AS (SELECT l.r, greatest(l.p, 0.01) AS p, qa.q AS q_a,
+        |j AS (SELECT l.r, least(greatest(l.p, 0.01), 1.0) AS p,
+        |    qa.q AS q_a,
         |    qp.q AS q_pi, (l.act = pi.pi_action) AS mt
         |  FROM lg l
         |  JOIN q qa ON qa.seg = l.seg AND qa.act = l.act

@@ -62,7 +62,8 @@ object PolicyEval {
       actionCol: String, rewardCol: String, propensityCol: String,
       clip: Double = 0.01): DataFrame = {
     require(clip > 0 && clip <= 1, s"need 0 < clip <= 1, got $clip")
-    val p = greatest(col(propensityCol).cast("double"), lit(clip))
+    val p = least(greatest(col(propensityCol).cast("double"), lit(clip)),
+      lit(1.0))
     val base = logged.select(col(segCol).as("segment"),
       col(actionCol).as("action"),
       col(rewardCol).cast("double").as("__r"), p.as("__p"))
