@@ -118,8 +118,8 @@ object Scaling {
                               // + scan-fused per-row Viterbi kernel
     "q_glove_fit" -> 16, // per half-step: one vocab-pair-bounded
                          // groupBy vs broadcast factors
-    "q_neighborhood_function" -> 16, // per round: |E|·2^p register
-                                     // rows through one edge join
+    "q_neighborhood_function" -> 16, // per round: |E|+|V| packed
+                                     // register rows through one edge join
     "q_scc_pivot" -> 16, // corpus-sized trade join, then two BFS
                          // sweeps on the 25-node dominance graph
     "q_betweenness" -> 16, // 3 pivots × O(depth·|E|) level joins,
@@ -135,6 +135,13 @@ object Scaling {
     // <=|days| rows)
     "q_wordpiece_encode" -> 16, // bounded word-table train + scan-fused
                                 // greedy longest-match kernel
+    // round-13 targets
+    "q_byte_bpe" -> 16, // bounded word-table train + scan-fused
+                        // byte-surrogate merge kernel
+    "q_glove_fit_d8" -> 16, // the measured q_glove_fit shape with
+                            // 44 agg columns + CholeskySolve kernel
+    "q_als_implicit_d8" -> 16, // the measured q_als_implicit shape,
+                               // wider agg row + CholeskySolve kernel
     "q_kmv_sketch" -> 16, // one bounded BottomKDistinct aggregate
                           // (<= k values per partition pre-shuffle)
     "q_als_implicit" -> 16, // per half-step: one interaction-frame
@@ -247,14 +254,13 @@ object Scaling {
         "source, n_chars)) -- content-key cardinality grows WITH the " +
         "corpus so blocks stay bounded; EM stays O(2^K). Retires the " +
         "round-8 exponent 1.124 measured on the ~8 pow2 length buckets"),
-      "q_neighborhood_function" -> ("frame sizes are linear by " +
-        "construction (rounds and p fixed; per round ONE edge join " +
-        "over |E| x 2^p register rows, all corpus cardinalities " +
-        "scale with f) -- the measured 1.19 comes from the x16 leg, " +
-        "where the register shuffle outgrows the fixed 32 shuffle " +
-        "partitions and spills; at cluster scale " +
-        "spark.sql.shuffle.partitions scales with the data and the " +
-        "per-partition frame stays constant"),
+      "q_neighborhood_function" -> ("round 13: registers PACKED into " +
+        "one array<int> row per node (2^p map-side max aggs, " +
+        "HyperBall.maxMerge) -- per round |E|+|V| rows through one " +
+        "edge join, no 2^p row multiplier on the shuffle. Retires " +
+        "the round-12 exponent 1.194 measured on the (node, " +
+        "register) row layout (x16 leg 527 s -> 49 s, re-measured " +
+        "exponent 0.55)"),
       "q_bitext_mine_lsh" -> ("capped at 4x: the gate pins nPlanes=4 " +
         "(16 buckets) for the oracle replay, so within-bucket " +
         "candidates grow ~ f^2/2^planes BY CONSTRUCTION at fixed " +

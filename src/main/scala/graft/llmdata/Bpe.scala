@@ -41,8 +41,18 @@ object Bpe {
       .orderBy(col("c").desc, col("w"))
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    var states: Array[(String, Long)] =
-      words.map { case (w, c) => (BpeTokenCount.initState(w), c) }
+    mergeLoop(words.map { case (w, c) => (BpeTokenCount.initState(w), c) },
+      numMerges)
+  }
+
+  /** The greedy merge loop over pre-initialized `|`-delimited symbol
+    * states — shared by the code-point ([[train]]) and byte-level
+    * ([[ByteBpe.train]]) learners so both families have ONE merge
+    * semantics (same tie-breaks, same bounded-pass replace).
+    */
+  def mergeLoop(states0: Array[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    var states = states0
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var go = true
     while (merges.length < numMerges && go) {

@@ -119,6 +119,135 @@ object Glove {
         col("f1"), col("f2")))
   }
 
+  // ---------------------------------------------------------------
+  // Dimension-generic fit (d > 2): the SAME normal-equation frame with
+  // the native CholeskySolve kernel in place of the closed-form 2×2
+  // inverse. d(d+1)/2 + d map-side-combined aggregate columns per
+  // half-step; everything else (broadcast opposite factors, round-6
+  // handoffs, h60 init draws) is the d = 2 convention unchanged.
+  // ---------------------------------------------------------------
+
+  /** Init factor frame at dimension d — per-dim h60 draws under the
+    * `${salt}${dim}:` salt family (dim 1-based, matching d = 2). */
+  private[llmdata] def initFactorsD(tokens: DataFrame, d: Int,
+      salt: String = "glove"): DataFrame =
+    tokens.select((col("token") +: (1 to d).map(i =>
+      initFactor(col("token"), s"$salt$i:").as(s"f$i"))): _*)
+
+  /** One d-dimensional ridge half-step: the weighted normal-equation
+    * rollup against the broadcast opposite factors, solved per token
+    * by [[graft.functions.CholeskySolve]], round-6 handoff. */
+  private[llmdata] def halfD(base: DataFrame, solveKey: String,
+      otherKey: String, factors: DataFrame, lambda: Double,
+      d: Int): DataFrame = {
+    val gSel = col("token").as(otherKey) +:
+      (1 to d).map(i => col(s"f$i").as(s"__g$i"))
+    val aAggs = for (i <- 0 until d; j <- i until d)
+      yield sum(col("__f") * col(s"__g${i + 1}") * col(s"__g${j + 1}"))
+        .as(s"__a_${i}_$j")
+    val bAggs = (0 until d).map(i =>
+      sum(col("__f") * col("__y") * col(s"__g${i + 1}")).as(s"__b_$i"))
+    val aggs = (aAggs ++ bAggs).toSeq
+    val sol = graft.functions.CholeskySolve(
+      array((for (i <- 0 until d; j <- i until d)
+        yield col(s"__a_${i}_$j")).toSeq: _*),
+      array((0 until d).map(i => col(s"__b_$i")): _*), lambda)
+    base
+      .join(broadcast(factors.select(gSel: _*)), Seq(otherKey))
+      .groupBy(col(solveKey).as("token"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((col("token") +: (0 until d).map(i =>
+        round(element_at(sol, i + 1), 6).as(s"f${i + 1}"))): _*)
+  }
+
+  /** Fit d-dimensional factors (token, role, f1..fd) — [[fit]] at an
+    * arbitrary rank. */
+  def fitD(cooc: DataFrame, d: Int, alternations: Int = 2,
+      xmax: Double = Xmax, alpha: Double = Alpha, lambda: Double = Lambda,
+      salt: String = "glove"): DataFrame = {
+    require(alternations >= 1, s"need alternations >= 1, got $alternations")
+    require(d >= 1, s"need d >= 1, got $d")
+    val base = track(weighted(cooc, xmax, alpha)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    var ctx = initFactorsD(
+        base.select(col("context").as("token")).distinct(), d, salt)
+      .localCheckpoint()
+    var cen: DataFrame = null
+    for (_ <- 1 to alternations) {
+      cen = halfD(base, "center", "context", ctx, lambda, d)
+        .localCheckpoint()
+      ctx = halfD(base, "context", "center", cen, lambda, d)
+        .localCheckpoint()
+    }
+    val fCols = (1 to d).map(i => col(s"f$i"))
+    cen.select((col("token") +: lit("center").as("role") +: fCols): _*)
+      .unionByName(
+        ctx.select((col("token") +: lit("context").as("role") +: fCols): _*))
+  }
+
+  /** [[loss]] at dimension d (spec surface). */
+  def lossD(base: DataFrame, cen: DataFrame, ctx: DataFrame, d: Int,
+      lambda: Double = Lambda): Double = {
+    val dot = (1 to d).map(i => col(s"__w$i") * col(s"__c$i"))
+      .reduce(_ + _)
+    val fitTerm = base
+      .join(cen.select((col("token").as("center") +: (1 to d).map(i =>
+        col(s"f$i").as(s"__w$i"))): _*), Seq("center"))
+      .join(ctx.select((col("token").as("context") +: (1 to d).map(i =>
+        col(s"f$i").as(s"__c$i"))): _*), Seq("context"))
+      .select((col("__f") * pow(dot - col("__y"), 2)).as("__t"))
+      .agg(sum("__t")).head().getDouble(0)
+    def ridge(df: DataFrame): Double = df
+      .select((1 to d).map(i => col(s"f$i") * col(s"f$i"))
+        .reduce(_ + _).as("__r"))
+      .agg(sum("__r")).head().getDouble(0)
+    fitTerm + lambda * (ridge(cen) + ridge(ctx))
+  }
+
+  /** [[alsCtes]] at dimension d: h60 per-dim init draws, one
+    * normal-equation + unrolled-Cholesky solve CTE per half-step
+    * ([[graft.core.CholeskySql]] emits the kernel's exact op sequence
+    * as lateral column aliases), `gfinal(token, role, f1..fd)`. */
+  def alsCtesD(d: Int, alternations: Int = 2): String = {
+    def draw(saltDim: String) =
+      s"CAST((('0x' || substr(md5('$saltDim:' || CAST(token AS VARCHAR))," +
+        s" 1, 15))::BIGINT % 2001 - 1000) AS DOUBLE) / 10000.0"
+    val fOut = (0 until d).map(i => s"round(x_$i, 6) AS f${i + 1}")
+      .mkString(",\n    ")
+    def solve(out: String, key: String, other: String, fTab: String) = {
+      val aSums = (for (i <- 0 until d; j <- i until d) yield
+        s"sum(b.f * g.f${i + 1} * g.f${j + 1}) AS a_${i}_$j")
+        .mkString(", ")
+      val bSums = (0 until d).map(i =>
+        s"sum(b.f * b.y * g.f${i + 1}) AS b_$i").mkString(", ")
+      val inner = s"(SELECT b.$key AS token, $aSums, $bSums " +
+        s"FROM gb b JOIN $fTab g ON g.token = b.$other GROUP BY 1)"
+      s"""$out AS MATERIALIZED (SELECT token,
+         |    $fOut
+         |  FROM ${graft.core.CholeskySql.nestedSolve(d, Lambda, inner)})""".stripMargin
+    }
+    val steps = (1 to alternations).map { t =>
+      val prevCtx = if (t == 1) "gc0" else s"gc${t - 1}"
+      solve(s"gw$t", "center", "context", prevCtx) + ",\n" +
+        solve(s"gc$t", "context", "center", s"gw$t")
+    }.mkString(",\n")
+    val drawCols = (1 to d).map(i => s"${draw(s"glove$i")} AS f$i")
+      .mkString(",\n    ")
+    val fList = (1 to d).map(i => s"f$i").mkString(", ")
+    s"""gc0 AS MATERIALIZED (SELECT token,
+       |    $drawCols
+       |  FROM (SELECT DISTINCT context AS token FROM gb)),
+       |$steps,
+       |gfinal AS (SELECT token, 'center' AS role, $fList
+       |    FROM gw$alternations
+       |  UNION ALL
+       |  SELECT token, 'context' AS role, $fList FROM gc$alternations)""".stripMargin
+  }
+
+  /** [[gloveCteSql]] at dimension d (same co-occurrence prefix). */
+  def gloveCteSqlD(d: Int, alternations: Int = 2): String =
+    s"$coocCteSql,\n${alsCtesD(d, alternations)}"
+
   /** Penalized objective on given factor frames (spec surface —
     * asserts ALS non-increase per half-step).
     */
@@ -187,7 +316,11 @@ object Glove {
        |  SELECT token, 'context' AS role, f1, f2 FROM gc$alternations)""".stripMargin
   }
 
-  def gloveCteSql(alternations: Int = 2): String = {
+  /** The q_glove_cooc-equivalent co-occurrence + weighted-frame CTEs
+    * (window 2, minX 1.5 on `documents`), ending in
+    * `gb(center, context, f, y)` — shared by the d = 2 and d > 2
+    * replays. */
+  private def coocCteSql: String =
     s"""d AS MATERIALIZED (SELECT doc_id,
        |    string_split(text, ' ') AS t FROM documents),
        |tk AS MATERIALIZED (SELECT doc_id, t,
@@ -204,7 +337,8 @@ object Glove {
        |  HAVING round(sum(CAST(1 AS DOUBLE) / abs(pos - cp)), 6) >= 1.5),
        |gb AS MATERIALIZED (SELECT center, context,
        |    round(least(power(x / $Xmax, $Alpha), 1.0), 6) AS f,
-       |    round(ln(x), 6) AS y FROM cx),
-       |${alsCtes(alternations)}""".stripMargin
-  }
+       |    round(ln(x), 6) AS y FROM cx)""".stripMargin
+
+  def gloveCteSql(alternations: Int = 2): String =
+    s"$coocCteSql,\n${alsCtes(alternations)}"
 }

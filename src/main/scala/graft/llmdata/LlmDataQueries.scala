@@ -479,6 +479,18 @@ object LlmDataQueries extends QueryPack {
           "text", "doc_id", window = 2, minX = 1.5))
         .orderBy("role", "token")),
 
+    // The same GloVe ALS fit at rank d = 8 — the dimension-generic
+    // path (Glove.fitD): identical normal-equation aggregation shape
+    // (d(d+1)/2 + d map-side-combined sums per half-step vs the
+    // broadcast opposite factors), with the native CholeskySolve
+    // codegen kernel in place of the closed-form 2×2 inverse. Round-6
+    // trajectory handoffs → EXACT oracle via CholeskySql's nested
+    // op-exact d×d factorization mirror.
+    "q_glove_fit_d8" -> ((s, dir) =>
+      Glove.fitD(SkipGram.cooccurrenceCounts(Tables.documents(s, dir),
+          "text", "doc_id", window = 2, minX = 1.5), d = 8)
+        .orderBy("role", "token")),
+
     // …and VECTORS→ANN: the fitted center factors feed the existing
     // exact kNN-graph operator (Ann.knnGraph, k=3 over the 2-d learned
     // embeddings) — the full loop proven in ONE plan, with the oracle
@@ -1089,6 +1101,22 @@ object LlmDataQueries extends QueryPack {
             Bpe.trained(s, dir))).as(Seq("pos", "token")))
         .orderBy("doc_id", "pos")),
 
+    // Byte-level BPE encode — the fourth tokenizer family (GPT-2 byte
+    // encoder; llmdata/ByteBpe.scala + functions/ByteBpeEncode.scala):
+    // UTF-8 bytes → reversible surrogate alphabet → the shared merge
+    // loop. RAW text, no sanitization and no fallback branch — '|',
+    // newlines and any script byte-encode, so OOV is zero BY
+    // CONSTRUCTION (the property the word-table families only get from
+    // a shared word list). EXACT oracle: the learned table embeds as
+    // VALUES and the byte expansion replays in pure code-point
+    // arithmetic against the embedded 256-char map (byteBpeCteSql).
+    "q_byte_bpe" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(ByteBpe.encodeExpr(col("text"),
+            ByteBpe.trained(s, dir))).as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos")),
+
     // Unigram-LM (SentencePiece-family) Viterbi segmentation from the
     // in-repo EM-trained piece table (Kudo 1804.10959; Unigram.train):
     // one codegen'd expression per row with the table as a reference
@@ -1172,13 +1200,15 @@ object LlmDataQueries extends QueryPack {
         .select(col("doc_id"), col("source"), col("n_tokens"), col("pack_id"))
         .orderBy("doc_id")),
 
-    // Tokenizer fertility report comparing ALL THREE in-repo tokenizer
-    // families per language: BPE subwords, unigram-LM pieces and
-    // WordPiece tokens per whitespace word, chars per subword — the
-    // side-by-side tokenizer-QA numbers a multilingual corpus owner
-    // reads before choosing a tokenizer (fertility ≫ 1 on a language =
-    // that tokenizer fragments it). One aggregation; all three counts
-    // are scan-fused codegen kernels over the same pass. The WordPiece
+    // Tokenizer fertility report comparing ALL FOUR in-repo tokenizer
+    // families per language: BPE subwords, unigram-LM pieces,
+    // WordPiece tokens and byte-level BPE tokens per whitespace word,
+    // chars per subword — the side-by-side tokenizer-QA numbers a
+    // multilingual corpus owner reads before choosing a tokenizer
+    // (fertility ≫ 1 on a language = that tokenizer fragments it; the
+    // byte column runs higher on non-Latin scripts, the price of its
+    // zero-OOV guarantee). One aggregation; all four counts are
+    // scan-fused codegen kernels over the same pass. The WordPiece
     // column reads the '#'-sanitized text (its oracle-parity contract).
     "q_bpe_fertility" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("lang"),
@@ -1188,22 +1218,29 @@ object LlmDataQueries extends QueryPack {
           size(Unigram.encodeExpr(col("text"), Unigram.trained(s, dir)))
             .cast("long").as("n_uni"),
           size(WordPiece.encodeExpr(regexp_replace(col("text"), "#", " "),
-            WordPiece.trained(s, dir))).cast("long").as("n_wp"))
+            WordPiece.trained(s, dir))).cast("long").as("n_wp"),
+          size(ByteBpe.encodeExpr(col("text"), ByteBpe.trained(s, dir)))
+            .cast("long").as("n_byte"))
         .groupBy("lang")
         .agg(sum("n_words").as("n_words"), sum("n_bpe").as("n_bpe"),
           sum("n_uni").as("n_uni"), sum("n_wp").as("n_wp"),
+          sum("n_byte").as("n_byte"),
           round(sum("n_bpe").cast("double") / sum("n_words").cast("double"), 6)
             .as("fertility_bpe"),
           round(sum("n_uni").cast("double") / sum("n_words").cast("double"), 6)
             .as("fertility_unigram"),
           round(sum("n_wp").cast("double") / sum("n_words").cast("double"), 6)
             .as("fertility_wordpiece"),
+          round(sum("n_byte").cast("double") / sum("n_words").cast("double"), 6)
+            .as("fertility_byte"),
           round(sum("n_chars").cast("double") / sum("n_bpe").cast("double"), 6)
             .as("chars_per_token_bpe"),
           round(sum("n_chars").cast("double") / sum("n_uni").cast("double"), 6)
             .as("chars_per_token_unigram"),
           round(sum("n_chars").cast("double") / sum("n_wp").cast("double"), 6)
-            .as("chars_per_token_wordpiece"))
+            .as("chars_per_token_wordpiece"),
+          round(sum("n_chars").cast("double") / sum("n_byte").cast("double"), 6)
+            .as("chars_per_token_byte"))
         .orderBy("lang")),
 
     // Length-bucketed packing: power-of-two token-length buckets
@@ -2496,6 +2533,12 @@ object LlmDataQueries extends QueryPack {
          |SELECT token, role, f1, f2 FROM gfinal
          |ORDER BY role, token""".stripMargin,
 
+    "q_glove_fit_d8" ->
+      s"""WITH ${Glove.gloveCteSqlD(d = 8, alternations = 2)}
+         |SELECT token, role, ${(1 to 8).map(i => s"f$i").mkString(", ")}
+         |FROM gfinal
+         |ORDER BY role, token""".stripMargin,
+
     // fit CTEs chained into the brute-force cosine ranking (the
     // q_ann_topk convention): rank on ROUND-6 cosine then token asc —
     // Ann.knnGraph quantizes before its bounded heap.
@@ -3284,42 +3327,66 @@ object LlmDataQueries extends QueryPack {
              |GROUP BY d.lang ORDER BY d.lang""".stripMargin)
       case _ => Map.empty[String, String]
     }
-    val fert = (Bpe.memoized, Unigram.memoized, WordPiece.memoized) match {
-      case (merges :: Nil, model :: Nil, wp :: Nil) => Map(
+    val fert = (Bpe.memoized, Unigram.memoized, WordPiece.memoized,
+        ByteBpe.memoized) match {
+      case (merges :: Nil, model :: Nil, wp :: Nil, bb :: Nil) => Map(
         "q_bpe_fertility" ->
           s"""WITH RECURSIVE ${Bpe.bpeCteSql(merges)},
              |${Unigram.unigramCteSql(model)},
              |${WordPiece.wordPieceCteSql(wp,
                "(SELECT doc_id, replace(text, '#', ' ') AS text" +
                  " FROM documents)")},
+             |${ByteBpe.byteBpeCteSql(bb)},
              |f AS (SELECT d.lang,
              |        len(string_split(d.text, ' ')) AS n_words,
              |        length(d.text) AS n_chars, nb.n_bpe, un.n_uni,
-             |        wn.n_wp
+             |        wn.n_wp, yn.n_byte
              |      FROM documents d JOIN nb USING (doc_id)
              |        JOIN un USING (doc_id)
-             |        JOIN wn USING (doc_id))
+             |        JOIN wn USING (doc_id)
+             |        JOIN yn USING (doc_id))
              |SELECT lang, CAST(sum(n_words) AS BIGINT) AS n_words,
              | CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
              | CAST(sum(n_uni) AS BIGINT) AS n_uni,
              | CAST(sum(n_wp) AS BIGINT) AS n_wp,
+             | CAST(sum(n_byte) AS BIGINT) AS n_byte,
              | round(CAST(sum(n_bpe) AS DOUBLE)
              |   / CAST(sum(n_words) AS DOUBLE), 6) AS fertility_bpe,
              | round(CAST(sum(n_uni) AS DOUBLE)
              |   / CAST(sum(n_words) AS DOUBLE), 6) AS fertility_unigram,
              | round(CAST(sum(n_wp) AS DOUBLE)
              |   / CAST(sum(n_words) AS DOUBLE), 6) AS fertility_wordpiece,
+             | round(CAST(sum(n_byte) AS DOUBLE)
+             |   / CAST(sum(n_words) AS DOUBLE), 6) AS fertility_byte,
              | round(CAST(sum(n_chars) AS DOUBLE)
              |   / CAST(sum(n_bpe) AS DOUBLE), 6) AS chars_per_token_bpe,
              | round(CAST(sum(n_chars) AS DOUBLE)
              |   / CAST(sum(n_uni) AS DOUBLE), 6) AS chars_per_token_unigram,
              | round(CAST(sum(n_chars) AS DOUBLE)
-             |   / CAST(sum(n_wp) AS DOUBLE), 6) AS chars_per_token_wordpiece
+             |   / CAST(sum(n_wp) AS DOUBLE), 6) AS chars_per_token_wordpiece,
+             | round(CAST(sum(n_chars) AS DOUBLE)
+             |   / CAST(sum(n_byte) AS DOUBLE), 6) AS chars_per_token_byte
              |FROM f GROUP BY lang ORDER BY lang""".stripMargin)
       case _ => Map.empty[String, String]
     }
-    uni ++ cov ++ fert ++ trainedWordPieceOracle
+    uni ++ cov ++ fert ++ trainedWordPieceOracle ++ trainedByteBpeOracle
   }
+
+  /** EXACT oracle for the byte-level BPE gate (the trainedBpeOracle
+    * technique — the learned table is in ByteBpe's memo by
+    * oracle-generation time; ByteBpe.byteBpeCteSql replays the UTF-8
+    * byte expansion in pure code-point arithmetic against the embedded
+    * 256-char surrogate map, then the same per-rank replace recursion).
+    */
+  private def trainedByteBpeOracle: Map[String, String] =
+    ByteBpe.memoized match {
+      case bb :: Nil => Map(
+        "q_byte_bpe" ->
+          s"""WITH RECURSIVE ${ByteBpe.byteBpeCteSql(bb)}
+             |SELECT doc_id, pos, token FROM ytok
+             |ORDER BY doc_id, pos""".stripMargin)
+      case _ => Map.empty[String, String]
+    }
 
   /** EXACT oracle for the trained WordPiece gate (the
     * trainedUnigramOracle technique — the vocabulary is in WordPiece's

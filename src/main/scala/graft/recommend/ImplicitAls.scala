@@ -110,9 +110,163 @@ object ImplicitAls {
       users = half(base, "user", "item", items, lambda).localCheckpoint()
       items = half(base, "item", "user", users, lambda).localCheckpoint()
     }
+    // factors are localCheckpoint'ed — lineage no longer needs the
+    // cached confidence frame, so release it (repeat fits in one
+    // session must not accumulate cached copies)
+    base.unpersist(blocking = false)
     users.select(col("id"), lit("user").as("role"), col("f1"), col("f2"))
       .unionByName(items.select(col("id"), lit("item").as("role"),
         col("f1"), col("f2")))
+  }
+
+  // ---------------------------------------------------------------
+  // Dimension-generic fit (d > 2): the SAME Gram-trick aggregation
+  // with the native CholeskySolve kernel in place of the closed-form
+  // 2×2 inverse (the graft.llmdata.Glove.fitD convention).
+  // ---------------------------------------------------------------
+
+  private[recommend] def initFactorsD(ids: DataFrame, d: Int,
+      salt: String): DataFrame =
+    ids.select((col("id") +: (1 to d).map(i =>
+      initFactor(col("id"), s"$salt$i:").as(s"f$i"))): _*)
+
+  /** One d-dimensional HKV half-step: round-6 Gram (d(d+1)/2 entries,
+    * broadcast as 1 row) + per-key observed corrections, solved by
+    * [[graft.functions.CholeskySolve]] over A = Gram + S (+λI inside
+    * the kernel), round-6 handoff.
+    */
+  private[recommend] def halfD(conf: DataFrame, solveKey: String,
+      otherKey: String, factors: DataFrame, lambda: Double,
+      d: Int): DataFrame = {
+    val gramAggs = (for (i <- 0 until d; j <- i until d) yield
+      round(sum(col(s"f${i + 1}") * col(s"f${j + 1}")), 6)
+        .as(s"__g_${i}_$j")).toSeq
+    val gram = factors.agg(gramAggs.head, gramAggs.tail: _*)
+    val ySel = col("id").as(otherKey) +:
+      (1 to d).map(i => col(s"f$i").as(s"__y$i"))
+    val sAggs = (for (i <- 0 until d; j <- i until d) yield
+      sum((col("c") - 1.0) * col(s"__y${i + 1}") * col(s"__y${j + 1}"))
+        .as(s"__s_${i}_$j")).toSeq
+    val bAggs = (0 until d).map(i =>
+      sum(col("c") * col(s"__y${i + 1}")).as(s"__b_$i"))
+    val aggs = sAggs ++ bAggs
+    val sol = graft.functions.CholeskySolve(
+      array((for (i <- 0 until d; j <- i until d) yield
+        col(s"__g_${i}_$j") + col(s"__s_${i}_$j")).toSeq: _*),
+      array((0 until d).map(i => col(s"__b_$i")): _*), lambda)
+    conf
+      .join(factors.select(ySel: _*), Seq(otherKey))
+      .groupBy(col(solveKey).as("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(gram))
+      .select((col("id") +: (0 until d).map(i =>
+        round(element_at(sol, i + 1), 6).as(s"f${i + 1}"))): _*)
+  }
+
+  /** Fit d-dimensional factors (id, role, f1..fd) — [[fit]] at an
+    * arbitrary rank. */
+  def fitD(conf: DataFrame, d: Int, alternations: Int = 2,
+      lambda: Double = Lambda, salt: String = "als"): DataFrame = {
+    require(alternations >= 1, s"need alternations >= 1, got $alternations")
+    require(d >= 1, s"need d >= 1, got $d")
+    val base = conf.persist(StorageLevel.MEMORY_AND_DISK)
+    var items = initFactorsD(
+        base.select(col("item").as("id")).distinct(), d, s"${salt}i")
+      .localCheckpoint()
+    var users: DataFrame = null
+    for (_ <- 1 to alternations) {
+      users = halfD(base, "user", "item", items, lambda, d)
+        .localCheckpoint()
+      items = halfD(base, "item", "user", users, lambda, d)
+        .localCheckpoint()
+    }
+    base.unpersist(blocking = false)
+    val fCols = (1 to d).map(i => col(s"f$i"))
+    users.select((col("id") +: lit("user").as("role") +: fCols): _*)
+      .unionByName(
+        items.select((col("id") +: lit("item").as("role") +: fCols): _*))
+  }
+
+  /** [[loss]] at dimension d (spec surface). */
+  def lossD(conf: DataFrame, users: DataFrame, items: DataFrame, d: Int,
+      lambda: Double = Lambda): Double = {
+    val gAggs = (for (i <- 1 to d; j <- 1 to d) yield
+      sum(col(s"f$i") * col(s"f$j")).as(s"g_${i}_$j")).toSeq
+    val g = items.agg(gAggs.head, gAggs.tail: _*).head()
+    val gv = (for (i <- 1 to d; j <- 1 to d) yield
+      (i, j) -> g.getDouble((i - 1) * d + (j - 1))).toMap
+    val allTerm = users.select(
+      (for (i <- 1 to d; j <- 1 to d) yield
+        col(s"f$i") * col(s"f$j") * gv((i, j))).reduce(_ + _).as("__q"))
+      .agg(sum("__q")).head().getDouble(0)
+    val uSel = col("id").as("user") +:
+      (1 to d).map(i => col(s"f$i").as(s"__u$i"))
+    val iSel = col("id").as("item") +:
+      (1 to d).map(i => col(s"f$i").as(s"__i$i"))
+    val dot = (1 to d).map(i => col(s"__u$i") * col(s"__i$i"))
+      .reduce(_ + _)
+    val obsTerm = conf
+      .join(users.select(uSel: _*), Seq("user"))
+      .join(items.select(iSel: _*), Seq("item"))
+      .select((col("c") * pow(lit(1.0) - dot, 2) - pow(dot, 2)).as("__t"))
+      .agg(sum("__t")).head().getDouble(0)
+    def ridge(df: DataFrame): Double = df
+      .select((1 to d).map(i => col(s"f$i") * col(s"f$i"))
+        .reduce(_ + _).as("__r"))
+      .agg(sum("__r")).head().getDouble(0)
+    allTerm + obsTerm + lambda * (ridge(users) + ridge(items))
+  }
+
+  /** [[alsCtes]] at dimension d — round-6 Gram CTEs and
+    * normal-equation + nested-Cholesky solve CTEs
+    * ([[graft.core.CholeskySql]]), `afinal(id, role, f1..fd)`. */
+  def alsCtesD(d: Int, alternations: Int = 2, lambda: Double = Lambda,
+      salt: String = "als"): String = {
+    def draw(saltDim: String) =
+      s"CAST((('0x' || substr(md5('$saltDim:' || CAST(id AS VARCHAR))," +
+        s" 1, 15))::BIGINT % 2001 - 1000) AS DOUBLE) / 10000.0"
+    val fOut = (0 until d).map(i => s"round(x_$i, 6) AS f${i + 1}")
+      .mkString(",\n    ")
+    val fList = (1 to d).map(i => s"f$i").mkString(", ")
+    def gram(out: String, fTab: String) = {
+      val entries = (for (i <- 0 until d; j <- i until d) yield
+        s"round(sum(f${i + 1} * f${j + 1}), 6) AS g_${i}_$j")
+        .mkString(", ")
+      s"$out AS (SELECT $entries FROM $fTab)"
+    }
+    def solve(out: String, key: String, other: String, fTab: String,
+        gTab: String) = {
+      val sSums = (for (i <- 0 until d; j <- i until d) yield
+        s"sum((c.c - 1.0) * y.f${i + 1} * y.f${j + 1}) AS s_${i}_$j")
+        .mkString(", ")
+      val bSums = (0 until d).map(i =>
+        s"sum(c.c * y.f${i + 1}) AS b_$i").mkString(", ")
+      val inner = s"(SELECT * FROM (SELECT c.$key AS id, $sSums, $bSums " +
+        s"FROM ac c JOIN $fTab y ON y.id = c.$other GROUP BY 1) " +
+        s"CROSS JOIN $gTab)"
+      val solved = graft.core.CholeskySql.nestedSolve(d, lambda, inner,
+        a = (i, j) => s"(g_${i}_$j + s_${i}_$j)")
+      s"""$out AS MATERIALIZED (SELECT id,
+         |    $fOut
+         |  FROM $solved)""".stripMargin
+    }
+    val steps = (1 to alternations).map { t =>
+      val prevItems = if (t == 1) "ai0" else s"ai${t - 1}"
+      gram(s"agu$t", prevItems) + ",\n" +
+        solve(s"au$t", "u_id", "i_id", prevItems, s"agu$t") + ",\n" +
+        gram(s"agi$t", s"au$t") + ",\n" +
+        solve(s"ai$t", "i_id", "u_id", s"au$t", s"agi$t")
+    }.mkString(",\n")
+    val drawCols = (1 to d).map(i => s"${draw(s"${salt}i$i")} AS f$i")
+      .mkString(",\n    ")
+    s"""ai0 AS MATERIALIZED (SELECT id,
+       |    $drawCols
+       |  FROM (SELECT DISTINCT i_id AS id FROM ac)),
+       |$steps,
+       |afinal AS (SELECT id, 'user' AS role, $fList
+       |    FROM au$alternations
+       |  UNION ALL
+       |  SELECT id, 'item' AS role, $fList FROM ai$alternations)""".stripMargin
   }
 
   /** The full HKV objective on given factor frames (spec surface —

@@ -641,6 +641,17 @@ object RelationalQueries extends QueryPack {
       graft.recommend.ImplicitAls.fit(alsConfidences(s, dir), 2)
         .orderBy("role", "id")),
 
+    // The same HKV fit at rank d = 8 — the dimension-generic path
+    // (ImplicitAls.fitD): identical Gram-trick aggregation shape, the
+    // native CholeskySolve codegen kernel in place of the closed-form
+    // 2×2 inverse. Round-6 trajectory (Gram entries, factor handoffs)
+    // → EXACT oracle; the DuckDB side replays the d×d factorization
+    // through CholeskySql's nested op-exact mirror.
+    "q_als_implicit_d8" -> ((s, dir) =>
+      graft.recommend.ImplicitAls.fitD(alsConfidences(s, dir), d = 8,
+          alternations = 2)
+        .orderBy("role", "id")),
+
     // Top-5 part recommendations for the bounded custkey<30 probe set
     // off the same fit: dot-product scores against every item,
     // already-purchased pairs anti-joined away, per-user bounded-heap
@@ -2253,6 +2264,14 @@ object RelationalQueries extends QueryPack {
        |SELECT id, role, f1, f2 FROM afinal
        |ORDER BY role, id""".stripMargin
 
+  private def alsImplicitD8OracleSql(): String = {
+    val fList = (1 to 8).map(i => s"f$i").mkString(", ")
+    s"""WITH $alsConfCte,
+       |${graft.recommend.ImplicitAls.alsCtesD(d = 8, alternations = 2)}
+       |SELECT id, role, $fList FROM afinal
+       |ORDER BY role, id""".stripMargin
+  }
+
   private def alsRecsOracleSql(k: Int = 5): String =
     s"""WITH $alsConfCte,
        |${graft.recommend.ImplicitAls.alsCtes(2)},
@@ -2372,6 +2391,7 @@ object RelationalQueries extends QueryPack {
     "q_kmv_sketch" -> kmvSketchOracleSql(),
     "q_kmv_setops" -> kmvSetOpsOracleSql(),
     "q_als_implicit" -> alsImplicitOracleSql(),
+    "q_als_implicit_d8" -> alsImplicitD8OracleSql(),
     "q_als_recs" -> alsRecsOracleSql(),
     "q_seed_distance" -> seedDistanceOracleSql(),
     "q_scc_pivot" -> sccPivotOracleSql(),

@@ -47,6 +47,41 @@ class GloveSpec extends SparkSpec {
     } finally { base.unpersist(); () }
   }
 
+  test("d=8 penalized loss is non-increasing across ALS half-steps " +
+      "(CholeskySolve path)") {
+    val d = 8
+    val base = Glove.weighted(cooc()).persist()
+    try {
+      var ctx = Glove.initFactorsD(
+        base.select(col("context").as("token")).distinct(), d)
+      var cen = Glove.initFactorsD(
+        base.select(col("center").as("token")).distinct(), d)
+      var prev = Glove.lossD(base, cen, ctx, d)
+      for (step <- 1 to 6) {
+        if (step % 2 == 1)
+          cen = Glove.halfD(base, "center", "context", ctx, Glove.Lambda, d)
+        else
+          ctx = Glove.halfD(base, "context", "center", cen, Glove.Lambda, d)
+        val cur = Glove.lossD(base, cen, ctx, d)
+        assert(cur <= prev + 1e-4,
+          s"half-step $step increased loss: $prev -> $cur")
+        prev = cur
+      }
+      assert(prev.isFinite && prev >= 0)
+    } finally { base.unpersist(); () }
+  }
+
+  test("fitD at d=2 matches the closed-form fit trajectory") {
+    val fit2 = Glove.fit(cooc()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    val fitD2 = Glove.fitD(cooc(), d = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(fit2 == fitD2,
+      "the d-generic path must reproduce the 2x2 closed form exactly")
+  }
+
   test("fit is deterministic and emits both factor roles") {
     val f1 = Glove.fit(cooc()).orderBy("role", "token").collect()
     val f2 = Glove.fit(cooc()).orderBy("role", "token").collect()
