@@ -142,6 +142,8 @@ object Scaling {
                             // 44 agg columns + CholeskySolve kernel
     "q_als_implicit_d8" -> 16, // the measured q_als_implicit shape,
                                // wider agg row + CholeskySolve kernel
+    "q_weighted_sssp" -> 16, // corpus-sized trade join, then bucketed
+                             // relaxation phases on the 25-node graph
     "q_kmv_sketch" -> 16, // one bounded BottomKDistinct aggregate
                           // (<= k values per partition pre-shuffle)
     "q_als_implicit" -> 16, // per half-step: one interaction-frame

@@ -1,0 +1,127 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Weighted single-source shortest paths by delta-stepping (Meyer &
+  * Sanders, "Δ-stepping: a parallelizable shortest path algorithm",
+  * J. Algorithms 2003) — the bucketed Dijkstra that makes weighted
+  * distance practical in bulk-synchronous frames, upgrading the
+  * hop-count machinery ([[SeedDistance]]) to latency- or cost-weighted
+  * link graphs.
+  *
+  * Tentative distances live in one node-sized frame. Buckets of width
+  * Δ settle in ascending order; inside bucket b, LIGHT edges (ℓ ≤ Δ —
+  * relaxing one can re-enter the bucket) relax iteratively from the
+  * frontier of nodes that newly entered or improved within the bucket,
+  * until the bucket stabilizes; HEAVY edges (ℓ > Δ — their targets
+  * land in strictly later buckets) relax exactly ONCE from the settled
+  * bucket membership. Work per relaxation is ONE edge-keyed equi-join
+  * + ONE per-target min rollup + a node-sized merge, the
+  * [[SeedDistance]] round shape; empty buckets are skipped by jumping
+  * to the minimum unsettled bucket (a 1-row aggregate readout, the
+  * HyperBall scalar convention). Driver state: the bucket index only.
+  *
+  * All distances are INTEGER sums of integer edge lengths, so the
+  * result replays exactly in DuckDB integer arithmetic — and because
+  * exact SSSP is schedule-independent, the oracle can verify the
+  * fixpoint by plain chained Bellman–Ford relaxation rounds without
+  * mirroring the bucket schedule.
+  *
+  * 100 TB shape: every relaxation joins the edge frame on the source
+  * id against a node-sized frontier; the number of bucket phases is
+  * bounded by the weighted diameter / Δ (not |V|), and nothing
+  * driver-side ever holds more than a scalar.
+  */
+object DeltaStepping {
+
+  /** @param edges directed (srcCol, dstCol, lenCol); lengths are cast
+    *   to long and must be ≥ 1.
+    * @param seeds 1-column frame of source node ids (distance 0).
+    * @param delta bucket width Δ (light/heavy threshold).
+    * @param maxBuckets hard cap on processed (non-empty) bucket phases
+    *   — at most one per node, so this is a runaway guard, not a
+    *   truncation knob; exceeding it raises.
+    * @return (id, dist) for every node on either edge end; null dist =
+    *   unreachable.
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      lenCol: String, seeds: DataFrame, delta: Long = 16L,
+      maxBuckets: Int = 256): DataFrame = {
+    require(delta >= 1, s"delta must be >= 1, got $delta")
+    val e = edges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__t"),
+      col(lenCol).cast("long").as("__l"))
+    val light = e.filter(col("__l") <= delta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val heavy = e.filter(col("__l") > delta)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Memos.tracked("dstep", light)
+    graft.core.Memos.tracked("dstep", heavy)
+    val nodes = e.select(col("__s").as("__n"))
+      .union(e.select(col("__t").as("__n"))).distinct()
+    val seedIds = seeds.select(seeds.columns.head).toDF("__n").distinct()
+    var dist = nodes.join(seedIds.select(col("__n"), lit(0L).as("__d")),
+        Seq("__n"), "left")
+      .localCheckpoint()
+
+    def bucketOf(d: Column): Column = floor(d / lit(delta)).cast("long")
+
+    // candidates from relaxing `edgeFrame` out of `frontier`, kept only
+    // where they IMPROVE the current tentative distance
+    def improvements(frontier: DataFrame, edgeFrame: DataFrame): DataFrame =
+      edgeFrame.join(frontier, col("__s") === col("__n"))
+        .groupBy(col("__t")).agg(min(col("__d") + col("__l")).as("__nd"))
+        .join(dist.select(col("__n"), col("__d").as("__od")),
+          col("__t") === col("__n"), "left")
+        .where(col("__od").isNull || col("__nd") < col("__od"))
+        .select(col("__t").as("__u"), col("__nd"))
+
+    def merged(imp: DataFrame): DataFrame =
+      dist.join(imp, col("__n") === col("__u"), "left")
+        .select(col("__n"), least(col("__d"), col("__nd")).as("__d"))
+
+    // first non-empty bucket at or above `fromBucket`; -1 when none
+    def nextBucket(fromBucket: Long): Long = {
+      val r = dist.where(col("__d").isNotNull
+          && col("__d") >= fromBucket * delta)
+        .agg(min(bucketOf(col("__d"))).as("__b")).head()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
+
+    var b = nextBucket(0L)
+    var phases = 0
+    while (b >= 0) {
+      phases += 1
+      require(phases <= maxBuckets,
+        s"delta-stepping exceeded $maxBuckets bucket phases (delta too small?)")
+      // light-edge inner loop: frontier = nodes newly in / improved
+      // within bucket b; stabilizes because integer distances strictly
+      // decrease on every improvement. Frontiers derive LAZILY off the
+      // checkpointed improvement frame — the only materializing
+      // actions per iteration are the improvement checkpoint and the
+      // merged-distance checkpoint.
+      var frontier = dist
+        .where(col("__d").isNotNull && bucketOf(col("__d")) === b)
+      var more = true
+      while (more) {
+        val imp = improvements(frontier, light).localCheckpoint()
+        if (imp.isEmpty) more = false
+        else {
+          dist = merged(imp).localCheckpoint()
+          frontier = imp.where(bucketOf(col("__nd")) === b)
+            .select(col("__u").as("__n"), col("__nd").as("__d"))
+        }
+      }
+      // heavy edges once, from the settled bucket membership
+      val settled = dist
+        .where(col("__d").isNotNull && bucketOf(col("__d")) === b)
+      val impH = improvements(settled, heavy).localCheckpoint()
+      if (!impH.isEmpty) dist = merged(impH).localCheckpoint()
+      b = nextBucket(b + 1)
+    }
+    light.unpersist(blocking = false)
+    heavy.unpersist(blocking = false)
+    dist.select(col("__n").as("id"), col("__d").as("dist"))
+  }
+}
