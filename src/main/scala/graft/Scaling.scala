@@ -122,7 +122,7 @@ object Scaling {
                                      // register rows through one edge join
     "q_scc_pivot" -> 16, // corpus-sized trade join, then two BFS
                          // sweeps on the 25-node dominance graph
-    "q_betweenness" -> 16, // 3 pivots × O(depth·|E|) level joins,
+    "q_betweenness" -> 16, // 2 pivots × O(depth·|E|) level joins,
                            // integer σ + round-6 δ handoffs
     "q_glove_walks" -> 16, // walker-sized hops + vocab-pair cooc
                            // + broadcast ALS half-steps

@@ -20,9 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Cross-engine exactness: the factorization is a FIXED sequence of
   * IEEE-754 double ops (left-associated subtraction chains, one sqrt
   * and one division per pivot — see [[CholeskySolve.compute]]), and
-  * the DuckDB oracle mirror ([[graft.llmdata.Glove.alsCtesD]]) emits
-  * the SAME expression tree via lateral column aliases, so both
-  * engines produce bit-identical solutions before the round-6 handoff.
+  * the DuckDB oracle mirror ([[graft.core.CholeskySql.nestedSolve]])
+  * emits the SAME expression tree as one nested subquery layer per
+  * factorization value, so both engines produce bit-identical
+  * solutions before the round-6 handoff.
   * One static call per row inside WholeStageCodegen, no UDF.
   */
 case class CholeskySolve(left: Expression, right: Expression,

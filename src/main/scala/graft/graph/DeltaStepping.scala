@@ -36,7 +36,11 @@ import org.apache.spark.sql.functions._
 object DeltaStepping {
 
   /** @param edges directed (srcCol, dstCol, lenCol); lengths are cast
-    *   to long and must be ≥ 1.
+    *   to long and MUST be ≥ 1 — a caller contract, not validated
+    *   (checking would cost a full edge-frame scan per call at 100 TB;
+    *   bucket-monotone settling silently returns non-optimal
+    *   distances on negative lengths, the classic Dijkstra
+    *   precondition).
     * @param seeds 1-column frame of source node ids (distance 0).
     * @param delta bucket width Δ (light/heavy threshold).
     * @param maxBuckets hard cap on processed (non-empty) bucket phases
@@ -101,23 +105,42 @@ object DeltaStepping {
       // checkpointed improvement frame — the only materializing
       // actions per iteration are the improvement checkpoint and the
       // merged-distance checkpoint.
+      // Superseded checkpoints are released as soon as their successor
+      // materializes (the HyperBall O(1)-in-rounds storage convention):
+      // a distance frame is dead once the merged successor exists, an
+      // improvement frame once the NEXT improvement frame exists (the
+      // live frontier derives lazily from it until then).
       var frontier = dist
         .where(col("__d").isNotNull && bucketOf(col("__d")) === b)
+      var prevImp: DataFrame = null
       var more = true
       while (more) {
         val imp = improvements(frontier, light).localCheckpoint()
-        if (imp.isEmpty) more = false
-        else {
+        if (prevImp != null) prevImp.unpersist(blocking = false)
+        if (imp.isEmpty) {
+          imp.unpersist(blocking = false)
+          prevImp = null
+          more = false
+        } else {
+          val prevDist = dist
           dist = merged(imp).localCheckpoint()
+          prevDist.unpersist(blocking = false)
           frontier = imp.where(bucketOf(col("__nd")) === b)
             .select(col("__u").as("__n"), col("__nd").as("__d"))
+          prevImp = imp
         }
       }
       // heavy edges once, from the settled bucket membership
       val settled = dist
         .where(col("__d").isNotNull && bucketOf(col("__d")) === b)
       val impH = improvements(settled, heavy).localCheckpoint()
-      if (!impH.isEmpty) dist = merged(impH).localCheckpoint()
+      if (prevImp != null) prevImp.unpersist(blocking = false)
+      if (!impH.isEmpty) {
+        val prevDist = dist
+        dist = merged(impH).localCheckpoint()
+        prevDist.unpersist(blocking = false)
+      }
+      impH.unpersist(blocking = false)
       b = nextBucket(b + 1)
     }
     light.unpersist(blocking = false)

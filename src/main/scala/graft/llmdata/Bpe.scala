@@ -34,16 +34,28 @@ object Bpe {
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
       maxWords: Int = 4096): Seq[(String, String)] = {
-    val words: Array[(String, Long)] = docs
+    val words = topWords(docs, textCol, maxWords,
+      extraFilter = !col("w").contains("|"))
+    mergeLoop(words.map { case (w, c) => (BpeTokenCount.initState(w), c) },
+      numMerges)
+  }
+
+  /** The frequency-weighted top-`maxWords` word table — ONE bounded
+    * aggregation on whitespace tokens with deterministic
+    * (count desc, word asc) tie-breaks, shared by all trainer families
+    * so they learn from the identical table (modulo each family's
+    * content filter).
+    */
+  private[llmdata] def topWords(docs: DataFrame, textCol: String,
+      maxWords: Int,
+      extraFilter: Column = lit(true)): Array[(String, Long)] =
+    docs
       .select(explode(split(col(textCol), " ")).as("w"))
-      .filter(length(col("w")) > 0 && !col("w").contains("|"))
+      .filter(length(col("w")) > 0 && extraFilter)
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w"))
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    mergeLoop(words.map { case (w, c) => (BpeTokenCount.initState(w), c) },
-      numMerges)
-  }
 
   /** The greedy merge loop over pre-initialized `|`-delimited symbol
     * states — shared by the code-point ([[train]]) and byte-level

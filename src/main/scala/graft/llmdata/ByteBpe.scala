@@ -30,13 +30,7 @@ object ByteBpe {
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
       maxWords: Int = 4096): Seq[(String, String)] = {
-    val words: Array[(String, Long)] = docs
-      .select(explode(split(col(textCol), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w"))
-      .limit(maxWords)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val words = Bpe.topWords(docs, textCol, maxWords)
     Bpe.mergeLoop(
       words.map { case (w, c) => (ByteBpeEncode.byteState(w), c) },
       numMerges)
@@ -80,9 +74,19 @@ object ByteBpe {
     */
   def byteBpeCteSql(merges: Seq[(String, String)],
       srcExpr: String = "documents"): String = {
-    val vals = merges.zipWithIndex.map { case ((l, r), i) =>
-      s"($i,'${esc(s"|$l|$r|")}','${esc(s"|$l$r|")}')"
-    }.mkString(",")
+    // a zero-merge table (corpus with no repeated adjacent byte pair)
+    // must still parse: an empty VALUES list is a syntax error, so emit
+    // an empty ym via WHERE FALSE — the recursion joins nothing, rk
+    // stays 0, exactly the engine's empty-patReps behavior
+    val ymCte =
+      if (merges.isEmpty)
+        "ym(rk, pat, rep) AS (SELECT 0, '', '' WHERE FALSE)"
+      else {
+        val vals = merges.zipWithIndex.map { case ((l, r), i) =>
+          s"($i,'${esc(s"|$l|$r|")}','${esc(s"|$l$r|")}')"
+        }.mkString(",")
+        s"ym(rk, pat, rep) AS (SELECT * FROM (VALUES $vals))"
+      }
     val m = merges.length
     val nested = (1 to graft.functions.BpeTokenCount.MaxPasses)
       .foldLeft("st")((e, _) => s"replace($e, ym.pat, ym.rep)")
@@ -100,7 +104,7 @@ object ByteBpe {
       s"${sl("128 + (u // 64) % 64")} || '|' || ${sl("128 + u % 64")} || '|'"
     // NOTE stripMargin trap: no generated line may start with '|' —
     // the '||' concatenations above stay at end-of-line positions.
-    s"""ym(rk, pat, rep) AS (SELECT * FROM (VALUES $vals)),
+    s"""$ymCte,
        |yw AS (SELECT doc_id,
        |         generate_subscripts(string_split(text, ' '), 1) AS wp,
        |         unnest(string_split(text, ' ')) AS w FROM $srcExpr),

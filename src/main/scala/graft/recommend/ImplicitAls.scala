@@ -97,6 +97,12 @@ object ImplicitAls {
     * (id, role['user'/'item'], f1, f2). The item side is what a
     * similar-items consumer feeds to [[graft.llmdata.Ann.knnGraph]];
     * scoring a bounded user probe set rides [[recommendTopK]].
+    *
+    * Cache lifecycle: fit caches `conf` for its own half-steps and
+    * RELEASES it before returning (repeat fits must not accumulate
+    * cached copies — see the unpersist below). A caller reusing the
+    * same `conf` frame afterwards re-pays its lineage (one scan +
+    * rollup) or should persist it itself.
     */
   def fit(conf: DataFrame, alternations: Int = 2,
       lambda: Double = Lambda, salt: String = "als"): DataFrame = {

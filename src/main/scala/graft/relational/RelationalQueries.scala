@@ -966,11 +966,12 @@ object RelationalQueries extends QueryPack {
     }),
 
     // HyperBall / ANF neighborhood function (graph/HyperBall.scala —
-    // Boldi–Vigna HyperANF): per-node HLL sketches max-merged along
-    // the shared co-purchase frame per round (|E|·2^p register rows
-    // moved per round, never a pair frame), integer-power-sum
-    // estimates, growth fraction + 90%-effective-diameter flag — the
-    // web-scale reachability readout, trajectory replayed exactly.
+    // Boldi–Vigna HyperANF): per-node HLL sketches PACKED into one
+    // array<int> row per node, max-merged along the shared co-purchase
+    // frame per round (|E|+|V| packed rows per round — no 2^p row
+    // multiplier, never a pair frame), integer-power-sum estimates,
+    // growth fraction + 90%-effective-diameter flag — the web-scale
+    // reachability readout, trajectory replayed exactly.
     "q_neighborhood_function" -> ((s, dir) =>
       graft.graph.HyperBall.neighborhoodFunction(
           coPurchaseSymMemo(s, dir), rounds = 4, p = 6)

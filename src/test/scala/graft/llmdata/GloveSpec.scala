@@ -72,14 +72,22 @@ class GloveSpec extends SparkSpec {
   }
 
   test("fitD at d=2 matches the closed-form fit trajectory") {
-    val fit2 = Glove.fit(cooc()).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
-        r.getDouble(3))).toSet
-    val fitD2 = Glove.fitD(cooc(), d = 2).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
-        r.getDouble(3))).toSet
-    assert(fit2 == fitD2,
-      "the d-generic path must reproduce the 2x2 closed form exactly")
+    def byKey(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val fit2 = byKey(Glove.fit(cooc()).collect())
+    val fitD2 = byKey(Glove.fitD(cooc(), d = 2).collect())
+    assert(fit2.keySet == fitD2.keySet)
+    // the Cholesky kernel and the closed-form 2x2 inverse are
+    // DIFFERENT IEEE op sequences that agree only up to ulps before
+    // the round-6 handoff — a value sitting on a rounding boundary
+    // may legitimately differ by one grid step, so compare with a
+    // one-grid-step tolerance rather than demanding bit equality
+    for ((k, (a1, a2)) <- fit2; (b1, b2) = fitD2(k)) {
+      assert(math.abs(a1 - b1) <= 1.0000001e-6
+        && math.abs(a2 - b2) <= 1.0000001e-6,
+        s"$k: closed-form ($a1,$a2) vs cholesky ($b1,$b2)")
+    }
   }
 
   test("fit is deterministic and emits both factor roles") {
