@@ -347,21 +347,14 @@ object Ann {
     * `-2·x_j·c + ‖c‖²` (the `‖x_j‖²` term is constant per subspace and
     * dropped, exactly like [[cellExpr]]). Map-only, scan-fused: the
     * one-off encode pass over a 100 TB corpus is a single scan writing
-    * m-byte codes.
+    * m-byte codes. One [[graft.functions.PqEncode]] codegen call — the
+    * codebooks are a reference object, not plan literals, so generated
+    * code stays constant-size at production dims (the old unrolled
+    * argmin overflowed janino's 64 KB limit when carried into another
+    * stage's projection).
     */
-  def pqCodeExpr(vecCol: Column, codebooks: Array[Array[Array[Double]]]): Column = {
-    val m = codebooks.length
-    val dsub = codebooks(0)(0).length
-    array((0 until m).map { j =>
-      val qs = slice(vecCol, j * dsub + 1, dsub)
-      val dists = codebooks(j).map { ctr =>
-        val ctrLit = array(ctr.map(lit).toIndexedSeq: _*)
-        dotExpr(qs, ctrLit) * lit(-2.0) + lit(ctr.map(v => v * v).sum)
-      }
-      val arr = array(dists.toIndexedSeq: _*)
-      (array_position(arr, array_min(arr)) - 1).cast("int")
-    }: _*)
-  }
+  def pqCodeExpr(vecCol: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqEncode(vecCol, codebooks)
 
   /** Asymmetric-distance (ADC) top-k: each query computes its m·ksub
     * distance table in-plan (`dt(j)(c) = ‖q_j − c‖²`, the exact PAMI'11
@@ -526,17 +519,16 @@ object Ann {
     topKPerQuery(scored, idCol, k)
   }
 
-  /** Squared-L2 argmin cell id over literal centroids — map-only. */
-  def cellExpr(vecCol: Column, centroids: Array[Array[Double]]): Column = {
-    val dists = centroids.map { ctr =>
-      val ctrLit = array(ctr.map(lit).toIndexedSeq: _*)
-      // ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²; ‖x‖² is common to all cells, so
-      // comparing −2x·c + ‖c‖² suffices — one VecDot per cell
-      dotExpr(vecCol, ctrLit) * lit(-2.0) + lit(ctr.map(v => v * v).sum)
-    }
-    val arr = array(dists.toIndexedSeq: _*)
-    (array_position(arr, array_min(arr)) - 1).cast("int")
-  }
+  /** Squared-L2 argmin cell id over the trained centroids — map-only.
+    * ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²; ‖x‖² is common to all cells, so
+    * comparing −2x·c + ‖c‖² suffices. One [[graft.functions.PqEncode]]
+    * call with a single whole-vector "subspace": the centroids ride as
+    * a codegen reference object, so generated-code size is constant in
+    * nList·dim (the unrolled per-centroid form grew linearly and
+    * tripped janino's 64 KB method limit at production dims).
+    */
+  def cellExpr(vecCol: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.PqEncode(vecCol, Array(centroids)).getItem(0)
 
   /** Incremental ingest against a TRAINED IVF/PQ index — the embedding
     * analog of the dedup family's dropKnownFingerprints: new documents
@@ -570,38 +562,15 @@ object Ann {
     * array — shared by the IVF and IVFPQ probe sides.
     */
   private def probeCellsExpr(centroids: Array[Array[Double]],
-      nProbe: Int): Column = {
-    val nList = centroids.length
-    val probeDists = centroids.map { ctr =>
-      val ctrLit = array(ctr.map(lit).toIndexedSeq: _*)
-      dotExpr(col("qv"), ctrLit) * lit(-2.0) + lit(ctr.map(v => v * v).sum)
-    }
-    val distArr = array(probeDists.toIndexedSeq: _*)
-    slice(
-      transform(
-        array_sort(zip_with(distArr,
-          sequence(lit(0), lit(nList - 1)).cast("array<double>"),
-          (d, i) => struct(d.as("d"), i.as("i")))),
-        s => s.getField("i").cast("int")),
-      1, nProbe)
-  }
+      nProbe: Int): Column =
+    graft.functions.ProbeCells(col("qv"), centroids, nProbe)
 
   /** The m·ksub ADC distance tables of the vector in column `qv`
     * (`dt(j)(c) = ‖q_j − c‖²`), as a nested array — shared by the PQ
     * and IVFPQ query sides.
     */
-  private def pqDistTablesExpr(codebooks: Array[Array[Array[Double]]]): Column = {
-    val m = codebooks.length
-    val dsub = codebooks(0)(0).length
-    array((0 until m).map { j =>
-      val qs = slice(col("qv"), j * dsub + 1, dsub)
-      array(codebooks(j).map { ctr =>
-        val ctrLit = array(ctr.map(lit).toIndexedSeq: _*)
-        dotExpr(qs, qs) + (dotExpr(qs, ctrLit) * lit(-2.0) +
-          lit(ctr.map(v => v * v).sum))
-      }.toIndexedSeq: _*)
-    }: _*)
-  }
+  private def pqDistTablesExpr(codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqDistTables(col("qv"), codebooks)
 
   /** Codegen'd ADC sum: Σ_j dt(j)(code_j) — static GetArrayItem per j
     * plus one dynamic element_at per lookup, no interpreted lambdas.
