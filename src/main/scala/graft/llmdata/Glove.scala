@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.core.Hashing
+import graft.core.{ExactAgg, Hashing}
 
 /** Distributed GloVe embedding fit by alternating least squares
   * (Pennington, Socher & Manning EMNLP'14 objective; ALS in place of
@@ -73,11 +73,11 @@ object Glove {
         col("f1").as("__g1"), col("f2").as("__g2"))), Seq(otherKey))
       .groupBy(col(solveKey).as("token"))
       .agg(
-        sum(col("__f") * col("__g1") * col("__g1")).as("__a11"),
-        sum(col("__f") * col("__g1") * col("__g2")).as("__a12"),
-        sum(col("__f") * col("__g2") * col("__g2")).as("__a22"),
-        sum(col("__f") * col("__y") * col("__g1")).as("__b1"),
-        sum(col("__f") * col("__y") * col("__g2")).as("__b2"))
+        ExactAgg.sumMicro(col("__f") * col("__g1") * col("__g1")).as("__a11"),
+        ExactAgg.sumMicro(col("__f") * col("__g1") * col("__g2")).as("__a12"),
+        ExactAgg.sumMicro(col("__f") * col("__g2") * col("__g2")).as("__a22"),
+        ExactAgg.sumMicro(col("__f") * col("__y") * col("__g1")).as("__b1"),
+        ExactAgg.sumMicro(col("__f") * col("__y") * col("__g2")).as("__b2"))
       .select(col("token"),
         round((a22 * col("__b1") - col("__a12") * col("__b2")) / det, 6)
           .as("f1"),
@@ -143,10 +143,12 @@ object Glove {
     val gSel = col("token").as(otherKey) +:
       (1 to d).map(i => col(s"f$i").as(s"__g$i"))
     val aAggs = for (i <- 0 until d; j <- i until d)
-      yield sum(col("__f") * col(s"__g${i + 1}") * col(s"__g${j + 1}"))
+      yield ExactAgg.sumMicro(
+        col("__f") * col(s"__g${i + 1}") * col(s"__g${j + 1}"))
         .as(s"__a_${i}_$j")
     val bAggs = (0 until d).map(i =>
-      sum(col("__f") * col("__y") * col(s"__g${i + 1}")).as(s"__b_$i"))
+      ExactAgg.sumMicro(col("__f") * col("__y") * col(s"__g${i + 1}"))
+        .as(s"__b_$i"))
     val aggs = (aAggs ++ bAggs).toSeq
     val sol = graft.functions.CholeskySolve(
       array((for (i <- 0 until d; j <- i until d)
@@ -216,10 +218,12 @@ object Glove {
       .mkString(",\n    ")
     def solve(out: String, key: String, other: String, fTab: String) = {
       val aSums = (for (i <- 0 until d; j <- i until d) yield
-        s"sum(b.f * g.f${i + 1} * g.f${j + 1}) AS a_${i}_$j")
+        s"${ExactAgg.sqlSumMicro(s"b.f * g.f${i + 1} * g.f${j + 1}")}" +
+          s" AS a_${i}_$j")
         .mkString(", ")
       val bSums = (0 until d).map(i =>
-        s"sum(b.f * b.y * g.f${i + 1}) AS b_$i").mkString(", ")
+        s"${ExactAgg.sqlSumMicro(s"b.f * b.y * g.f${i + 1}")} AS b_$i")
+        .mkString(", ")
       val inner = s"(SELECT b.$key AS token, $aSums, $bSums " +
         s"FROM gb b JOIN $fTab g ON g.token = b.$other GROUP BY 1)"
       s"""$out AS MATERIALIZED (SELECT token,
@@ -293,11 +297,11 @@ object Glove {
          |  round((($Lambda + a11) * b2 - a12 * b1)
          |    / (($Lambda + a11) * ($Lambda + a22) - a12 * a12), 6) AS f2
          |FROM (SELECT b.$key AS token,
-         |        sum(b.f * g.f1 * g.f1) AS a11,
-         |        sum(b.f * g.f1 * g.f2) AS a12,
-         |        sum(b.f * g.f2 * g.f2) AS a22,
-         |        sum(b.f * b.y * g.f1) AS b1,
-         |        sum(b.f * b.y * g.f2) AS b2
+         |        ${ExactAgg.sqlSumMicro("b.f * g.f1 * g.f1")} AS a11,
+         |        ${ExactAgg.sqlSumMicro("b.f * g.f1 * g.f2")} AS a12,
+         |        ${ExactAgg.sqlSumMicro("b.f * g.f2 * g.f2")} AS a22,
+         |        ${ExactAgg.sqlSumMicro("b.f * b.y * g.f1")} AS b1,
+         |        ${ExactAgg.sqlSumMicro("b.f * b.y * g.f2")} AS b2
          |      FROM gb b JOIN $fTab g ON g.token = b.$other
          |      GROUP BY 1))""".stripMargin
     val steps = (1 to alternations).map { t =>

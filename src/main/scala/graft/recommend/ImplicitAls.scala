@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.core.Hashing
+import graft.core.{ExactAgg, Hashing}
 
 /** Implicit-feedback matrix factorization by alternating least squares
   * (Hu, Koren & Volinsky, "Collaborative filtering for implicit
@@ -66,13 +66,21 @@ object ImplicitAls {
     * factors. Gram = one aggregate over the WHOLE opposite factor
     * frame (round-6 handoff, broadcast as 1 row); the per-key
     * correction is one groupBy over the confidence frame.
+    *
+    * Every trajectory sum goes through [[ExactAgg.sumMicro]]: these
+    * unrounded sums feed the solve and then a round-6 handoff, and a
+    * plain double sum's accumulation order is engine- AND run-
+    * nondeterministic (DuckDB's parallel aggregation flipped
+    * q_als_implicit_d8 across a .5e-6 boundary ~50% of check runs in
+    * r14) — micro-unit integer accumulation makes both engines compute
+    * the identical pre-rounding value by construction.
     */
   private[recommend] def half(conf: DataFrame, solveKey: String,
       otherKey: String, factors: DataFrame, lambda: Double): DataFrame = {
     val gram = factors.agg(
-      round(sum(col("f1") * col("f1")), 6).as("__g11"),
-      round(sum(col("f1") * col("f2")), 6).as("__g12"),
-      round(sum(col("f2") * col("f2")), 6).as("__g22"))
+      round(ExactAgg.sumMicro(col("f1") * col("f1")), 6).as("__g11"),
+      round(ExactAgg.sumMicro(col("f1") * col("f2")), 6).as("__g12"),
+      round(ExactAgg.sumMicro(col("f2") * col("f2")), 6).as("__g22"))
     val a11 = col("__g11") + col("__s11") + lit(lambda)
     val a12 = col("__g12") + col("__s12")
     val a22 = col("__g22") + col("__s22") + lit(lambda)
@@ -82,11 +90,11 @@ object ImplicitAls {
         col("f1").as("__y1"), col("f2").as("__y2")), Seq(otherKey))
       .groupBy(col(solveKey).as("id"))
       .agg(
-        sum((col("c") - 1.0) * col("__y1") * col("__y1")).as("__s11"),
-        sum((col("c") - 1.0) * col("__y1") * col("__y2")).as("__s12"),
-        sum((col("c") - 1.0) * col("__y2") * col("__y2")).as("__s22"),
-        sum(col("c") * col("__y1")).as("__b1"),
-        sum(col("c") * col("__y2")).as("__b2"))
+        ExactAgg.sumMicro((col("c") - 1.0) * col("__y1") * col("__y1")).as("__s11"),
+        ExactAgg.sumMicro((col("c") - 1.0) * col("__y1") * col("__y2")).as("__s12"),
+        ExactAgg.sumMicro((col("c") - 1.0) * col("__y2") * col("__y2")).as("__s22"),
+        ExactAgg.sumMicro(col("c") * col("__y1")).as("__b1"),
+        ExactAgg.sumMicro(col("c") * col("__y2")).as("__b2"))
       .crossJoin(broadcast(gram))
       .select(col("id"),
         round((a22 * col("__b1") - a12 * col("__b2")) / det, 6).as("f1"),
@@ -98,16 +106,21 @@ object ImplicitAls {
     * similar-items consumer feeds to [[graft.llmdata.Ann.knnGraph]];
     * scoring a bounded user probe set rides [[recommendTopK]].
     *
-    * Cache lifecycle: fit caches `conf` for its own half-steps and
-    * RELEASES it before returning (repeat fits must not accumulate
-    * cached copies — see the unpersist below). A caller reusing the
-    * same `conf` frame afterwards re-pays its lineage (one scan +
-    * rollup) or should persist it itself.
+    * Cache lifecycle: fit caches an ALIASED projection of `conf` for
+    * its own half-steps and RELEASES it before returning (repeat fits
+    * must not accumulate cached copies — see the unpersist below).
+    * The alias matters: persist/unpersist key on the analyzed plan, so
+    * persisting `conf` itself would make fit's release silently drop a
+    * cache entry the CALLER created on the same frame (the r13 ADVICE
+    * finding). The aliased copy still reads through a caller's cached
+    * `conf` if one exists; a caller with no cache of its own re-pays
+    * the conf lineage (one scan + rollup) after fit returns.
     */
   def fit(conf: DataFrame, alternations: Int = 2,
       lambda: Double = Lambda, salt: String = "als"): DataFrame = {
     require(alternations >= 1, s"need alternations >= 1, got $alternations")
-    val base = conf.persist(StorageLevel.MEMORY_AND_DISK)
+    val base = conf.select(conf.columns.map(col).toIndexedSeq: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var items = initFactors(
         base.select(col("item").as("id")).distinct(), s"${salt}i")
       .localCheckpoint()
@@ -145,16 +158,17 @@ object ImplicitAls {
       otherKey: String, factors: DataFrame, lambda: Double,
       d: Int): DataFrame = {
     val gramAggs = (for (i <- 0 until d; j <- i until d) yield
-      round(sum(col(s"f${i + 1}") * col(s"f${j + 1}")), 6)
+      round(ExactAgg.sumMicro(col(s"f${i + 1}") * col(s"f${j + 1}")), 6)
         .as(s"__g_${i}_$j")).toSeq
     val gram = factors.agg(gramAggs.head, gramAggs.tail: _*)
     val ySel = col("id").as(otherKey) +:
       (1 to d).map(i => col(s"f$i").as(s"__y$i"))
     val sAggs = (for (i <- 0 until d; j <- i until d) yield
-      sum((col("c") - 1.0) * col(s"__y${i + 1}") * col(s"__y${j + 1}"))
+      ExactAgg.sumMicro(
+        (col("c") - 1.0) * col(s"__y${i + 1}") * col(s"__y${j + 1}"))
         .as(s"__s_${i}_$j")).toSeq
     val bAggs = (0 until d).map(i =>
-      sum(col("c") * col(s"__y${i + 1}")).as(s"__b_$i"))
+      ExactAgg.sumMicro(col("c") * col(s"__y${i + 1}")).as(s"__b_$i"))
     val aggs = sAggs ++ bAggs
     val sol = graft.functions.CholeskySolve(
       array((for (i <- 0 until d; j <- i until d) yield
@@ -175,7 +189,9 @@ object ImplicitAls {
       lambda: Double = Lambda, salt: String = "als"): DataFrame = {
     require(alternations >= 1, s"need alternations >= 1, got $alternations")
     require(d >= 1, s"need d >= 1, got $d")
-    val base = conf.persist(StorageLevel.MEMORY_AND_DISK)
+    // aliased projection — same caller-cache-safety contract as [[fit]]
+    val base = conf.select(conf.columns.map(col).toIndexedSeq: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var items = initFactorsD(
         base.select(col("item").as("id")).distinct(), d, s"${salt}i")
       .localCheckpoint()
@@ -236,17 +252,20 @@ object ImplicitAls {
     val fList = (1 to d).map(i => s"f$i").mkString(", ")
     def gram(out: String, fTab: String) = {
       val entries = (for (i <- 0 until d; j <- i until d) yield
-        s"round(sum(f${i + 1} * f${j + 1}), 6) AS g_${i}_$j")
+        s"round(${ExactAgg.sqlSumMicro(s"f${i + 1} * f${j + 1}")}, 6)" +
+          s" AS g_${i}_$j")
         .mkString(", ")
       s"$out AS (SELECT $entries FROM $fTab)"
     }
     def solve(out: String, key: String, other: String, fTab: String,
         gTab: String) = {
       val sSums = (for (i <- 0 until d; j <- i until d) yield
-        s"sum((c.c - 1.0) * y.f${i + 1} * y.f${j + 1}) AS s_${i}_$j")
+        s"${ExactAgg.sqlSumMicro(s"(c.c - 1.0) * y.f${i + 1} * y.f${j + 1}")}" +
+          s" AS s_${i}_$j")
         .mkString(", ")
       val bSums = (0 until d).map(i =>
-        s"sum(c.c * y.f${i + 1}) AS b_$i").mkString(", ")
+        s"${ExactAgg.sqlSumMicro(s"c.c * y.f${i + 1}")} AS b_$i")
+        .mkString(", ")
       val inner = s"(SELECT * FROM (SELECT c.$key AS id, $sSums, $bSums " +
         s"FROM ac c JOIN $fTab y ON y.id = c.$other GROUP BY 1) " +
         s"CROSS JOIN $gTab)"
@@ -323,9 +342,9 @@ object ImplicitAls {
       s"CAST((('0x' || substr(md5('$saltDim:' || CAST(id AS VARCHAR))," +
         s" 1, 15))::BIGINT % 2001 - 1000) AS DOUBLE) / 10000.0"
     def gram(out: String, fTab: String) =
-      s"""$out AS (SELECT round(sum(f1 * f1), 6) AS g11,
-         |    round(sum(f1 * f2), 6) AS g12,
-         |    round(sum(f2 * f2), 6) AS g22 FROM $fTab)""".stripMargin
+      s"""$out AS (SELECT round(${ExactAgg.sqlSumMicro("f1 * f1")}, 6) AS g11,
+         |    round(${ExactAgg.sqlSumMicro("f1 * f2")}, 6) AS g12,
+         |    round(${ExactAgg.sqlSumMicro("f2 * f2")}, 6) AS g22 FROM $fTab)""".stripMargin
     def solve(out: String, key: String, other: String, fTab: String,
         gTab: String) = {
       val det = s"((g11 + s11 + $lambda) * (g22 + s22 + $lambda)" +
@@ -336,11 +355,11 @@ object ImplicitAls {
          |  round(((g11 + s11 + $lambda) * b2 - (g12 + s12) * b1)
          |    / $det, 6) AS f2
          |FROM (SELECT c.$key AS id,
-         |        sum((c.c - 1.0) * y.f1 * y.f1) AS s11,
-         |        sum((c.c - 1.0) * y.f1 * y.f2) AS s12,
-         |        sum((c.c - 1.0) * y.f2 * y.f2) AS s22,
-         |        sum(c.c * y.f1) AS b1,
-         |        sum(c.c * y.f2) AS b2
+         |        ${ExactAgg.sqlSumMicro("(c.c - 1.0) * y.f1 * y.f1")} AS s11,
+         |        ${ExactAgg.sqlSumMicro("(c.c - 1.0) * y.f1 * y.f2")} AS s12,
+         |        ${ExactAgg.sqlSumMicro("(c.c - 1.0) * y.f2 * y.f2")} AS s22,
+         |        ${ExactAgg.sqlSumMicro("c.c * y.f1")} AS b1,
+         |        ${ExactAgg.sqlSumMicro("c.c * y.f2")} AS b2
          |      FROM ac c JOIN $fTab y ON y.id = c.$other
          |      GROUP BY 1)
          |CROSS JOIN $gTab)""".stripMargin
