@@ -154,8 +154,15 @@ object Scaling {
                            // (segment, action) frames
     "q_link_scores" -> 16, // degree-capped wedge join + tiny degree
                            // joins (the q_adamic_adar shape)
-    "q_ab_ratio_delta" -> 16) // per-user rollup + ONE 12-column
+    "q_ab_ratio_delta" -> 16, // per-user rollup + ONE 12-column
                               // conditional-moment aggregate
+    // round-14 targets
+    "q_resample_sparse" -> 16, // the production resample: scd2
+                               // intervals + as-of probes — output
+                               // Θ(5·users), must hold β ≤ 1 where the
+                               // dense grid's β ≈ 1.4 is output-bound
+    "q_weighted_betweenness" -> 16) // 2 pivots × (Δ-stepping SSSP +
+                                    // DAG build + 2·maxHops wave joins)
     .filter { case (q, _) =>
       sys.env.get("SPARK_GRAFT_SCALE_ONLY")
         .forall(_.split(",").map(_.trim).contains(q))

@@ -102,4 +102,103 @@ object Betweenness {
       .groupBy(col("__n").as("node"))
       .agg(round(sum("__delta"), quantize).as("betweenness"))
   }
+
+  /** WEIGHTED per-pivot dependencies on the exact Δ-stepping distance
+    * field (the r13 gap: hop-BFS Brandes ranks a latency/cost graph
+    * wrong whenever a cheap 2-hop route beats an expensive direct
+    * edge).
+    *
+    * Brandes' backward recursion
+    * δ(v) = Σ_{(v,w)∈DAG} σ(v)/σ(w)·(1+δ(w)) unrolls to the LINEAR
+    * form δ(v) = σ(v)·Σ_k b_k(v) with b_0(t) = 1/σ(t) and
+    * b_k(v) = Σ_{(v,w)∈DAG} b_{k-1}(w) — b_k(v) is the sum of 1/σ(t)
+    * over k-hop DAG paths v→t. That form needs NO level frames: on a
+    * weighted DAG "levels" are distance values (unbounded many), but
+    * hop-indexed waves still terminate in DAG-depth rounds because
+    * every DAG edge strictly increases distance. Forward σ uses the
+    * same trick: c_k(v) = #k-hop DAG paths pivot→v, σ = Σ_k c_k —
+    * INTEGER, exact cross-engine.
+    *
+    * Frame shapes per pivot: one Δ-stepping SSSP, one edge-frame join
+    * to build the DAG (`d(s) + ℓ = d(t)` — exactness of the distances
+    * makes membership a pure equality test), then 2·maxHops
+    * edge-keyed joins + rollups. b_k handoffs round to `quantize`
+    * (the house quantized-trajectory convention) so the oracle
+    * replays bit-for-bit; σ is exact integers throughout.
+    *
+    * @param edges directed (srcCol, dstCol, lenCol), integer lengths
+    *   ≥ 1 ([[DeltaStepping]]'s caller contract)
+    * @param maxHops cap on DAG hop depth (waves beyond the true depth
+    *   are empty frames); must cover the deepest shortest path, like
+    *   betweennessPivots' maxDepth
+    * @return (node, betweenness): Σ over pivots of δ_pivot, reached
+    *   non-pivot nodes only (never-intermediate nodes score 0.0)
+    */
+  def weightedBetweennessPivots(edges: DataFrame, srcCol: String,
+      dstCol: String, lenCol: String, pivots: Seq[Long], maxHops: Int = 6,
+      delta: Long = 16L, quantize: Int = 6): DataFrame = {
+    require(pivots.nonEmpty && maxHops >= 1,
+      s"need pivots and maxHops >= 1, got $pivots / $maxHops")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__t"),
+      col(lenCol).cast("long").as("__l"))
+
+    def pivotDeltas(p: Long): DataFrame = {
+      val seed = Seq(p).toDF("__seed")
+      val dist = DeltaStepping.shortestPaths(e, "__s", "__t", "__l",
+        seed, delta = delta)
+      // shortest-path DAG: exact integer distances make membership a
+      // pure equality — one edge join against two node-sized sides
+      val dag = e
+        .join(dist.select(col("id").as("__ds_n"), col("dist").as("__ds")),
+          col("__s") === col("__ds_n"))
+        .join(dist.select(col("id").as("__dt_n"), col("dist").as("__dt")),
+          col("__t") === col("__dt_n"))
+        .where(col("__ds").isNotNull && col("__dt").isNotNull
+          && col("__ds") + col("__l") === col("__dt"))
+        .select(col("__s"), col("__t"))
+        .localCheckpoint()
+      // forward: c_k = #k-hop DAG paths from the pivot; σ = Σ_k c_k
+      val waves = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var c = Seq((p, 1L)).toDF("__n", "__c").localCheckpoint()
+      waves += c
+      for (_ <- 1 to maxHops) {
+        c = c.join(dag, col("__n") === col("__s"))
+          .groupBy(col("__t")).agg(sum("__c").as("__c"))
+          .select(col("__t").as("__n"), col("__c"))
+          .localCheckpoint()
+        waves += c
+      }
+      val sigma = waves.reduce(_ unionByName _)
+        .groupBy("__n").agg(sum("__c").as("__sigma"))
+        .localCheckpoint()
+      // backward: b_0 = 1/σ on every reached node, b_k rolls one DAG
+      // hop toward the pivot with a round-`quantize` handoff
+      val bWaves = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var b = sigma.select(col("__n"),
+        (lit(1.0) / col("__sigma")).as("__b"))
+        .localCheckpoint()
+      for (_ <- 1 to maxHops) {
+        b = b.join(dag, col("__n") === col("__t"))
+          .groupBy(col("__s")).agg(round(sum("__b"), quantize).as("__b"))
+          .select(col("__s").as("__n"), col("__b"))
+          .localCheckpoint()
+        bWaves += b
+      }
+      val phi = bWaves.reduce(_ unionByName _)
+        .groupBy("__n").agg(sum("__b").as("__phi"))
+      sigma.where(col("__n") =!= p)
+        .join(phi, Seq("__n"), "left")
+        .select(col("__n"),
+          round(col("__sigma").cast("double")
+            * coalesce(col("__phi"), lit(0.0)), quantize).as("__delta"))
+    }
+
+    pivots.map(pivotDeltas)
+      .reduce(_ unionByName _)
+      .groupBy(col("__n").as("node"))
+      .agg(round(sum("__delta"), quantize).as("betweenness"))
+  }
 }

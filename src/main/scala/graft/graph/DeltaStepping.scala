@@ -69,7 +69,11 @@ object DeltaStepping {
         Seq("__n"), "left")
       .localCheckpoint()
 
-    def bucketOf(d: Column): Column = floor(d / lit(delta)).cast("long")
+    // integer division on the long column (SQL `div` → IntegralDivide):
+    // distances are non-negative longs, so this IS floor division — and
+    // unlike floor(d / Δ) through a double quotient it stays exact past
+    // 2^53, which is the point of integer edge lengths at 100 TB
+    def bucketOf(d: Column): Column = call_function("div", d, lit(delta))
 
     // candidates from relaxing `edgeFrame` out of `frontier`, kept only
     // where they IMPROVE the current tentative distance

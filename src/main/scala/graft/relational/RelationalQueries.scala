@@ -965,6 +965,26 @@ object RelationalQueries extends QueryPack {
         .orderBy("id")
     }),
 
+    // Weighted betweenness centrality (graph/Betweenness.scala
+    // weightedBetweennessPivots): Brandes over the exact Δ-stepping
+    // distance field — the r13 weighted-centrality gap (hop-BFS
+    // Brandes ranks a latency/cost graph wrong whenever a cheap
+    // multi-hop route beats an expensive direct edge). Same
+    // inverse-volume trade lengths as q_weighted_sssp, 2 pivots; the
+    // shortest-path DAG is the pure equality d(s)+ℓ=d(t) on exact
+    // integer distances, σ and the linear b_k dependency unrolling
+    // replay as chained CTEs on Bellman–Ford distances (exact SSSP is
+    // schedule-independent, so the oracle never mirrors the bucket
+    // schedule).
+    "q_weighted_betweenness" -> ((s, dir) => {
+      val e = tradeEdgesMemo(s, dir).select(col("src"), col("dst"),
+        greatest(lit(1L), floor(lit(10000) / col("w")).cast("long"))
+          .as("len"))
+      graft.graph.Betweenness.weightedBetweennessPivots(e, "src", "dst",
+          "len", pivots = Seq(0L, 1L), maxHops = 6, delta = 4096L)
+        .orderBy("node")
+    }),
+
     // HyperBall / ANF neighborhood function (graph/HyperBall.scala —
     // Boldi–Vigna HyperANF): per-node HLL sketches PACKED into one
     // array<int> row per node, max-merged along the shared co-purchase
@@ -1423,6 +1443,54 @@ object RelationalQueries extends QueryPack {
       Temporal.resampleHourlyFfill(Tables.events(s, dir),
         "user_id", "ts", "value", "event_id")
         .orderBy("user_id", "hour")),
+
+    // SPARSE resample — the 100 TB path the dense gate's scaladoc
+    // prescribes for high-cardinality keys: scd2History validity
+    // intervals (O(#changes) rows) + one backward as-of join against
+    // probe instants, instead of materializing the per-key hour grid.
+    // Probes: 5 per user at h0 + k·(spanHours div 4) hours (exact
+    // integer-µs arithmetic, k kept as a column so degenerate spans
+    // stay distinct rows); the as-of ordinate is the probe hour's END
+    // (h+1h−1µs), matching the dense grid's "last value at-or-before
+    // end of hour" row semantics. The ORACLE builds the DENSE grid and
+    // samples it at the same probes — the gate is the semantic
+    // equivalence proof that the sparse formulation answers any grid
+    // lookup. Output is Θ(5·|users|): linear in keys, independent of
+    // span — the scale contract q_resample_ffill can't make.
+    "q_resample_sparse" -> ((s, dir) => {
+      val hourUs = 3600000000L
+      val ev = Tables.events(s, dir)
+      val intervals = Temporal.scd2History(ev, "user_id", "ts", "value",
+          "event_id")
+        // zero-width intervals (same-µs value flips) contain no instant
+        // and would tie on valid_from, making the as-of pick arbitrary;
+        // after dropping them valid_from is unique per key, so the
+        // backward as-of needs no tiebreak
+        .where(col("valid_to").isNull
+          || col("valid_to") =!= col("valid_from"))
+        .withColumn("__vfus", unix_micros(col("valid_from")))
+      val probes = ev.groupBy(col("user_id"))
+        .agg(unix_micros(min(date_trunc("hour", col("ts")))).as("__h0us"),
+          unix_micros(max(date_trunc("hour", col("ts")))).as("__h1us"))
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(4))).as("k"),
+          col("__h0us"), col("__h1us"))
+        .withColumn("__stepH",
+          floor(((col("__h1us") - col("__h0us")) / lit(hourUs)) / lit(4.0))
+            .cast("long"))
+        .withColumn("__pus",
+          col("__h0us") + col("k") * col("__stepH") * lit(hourUs))
+        .withColumn("__pend", col("__pus") + lit(hourUs - 1L))
+        .select(col("user_id"), col("k"), col("__pus"), col("__pend"))
+      Temporal.asofJoin(probes, intervals, Seq("user_id"),
+          leftOrd = "__pend", rightOrd = "__vfus",
+          rightPayload = Seq("value"))
+        .select(col("user_id"), col("k"),
+          date_format(timestamp_micros(col("__pus")), "yyyy-MM-dd HH")
+            .as("hour"),
+          col("asof.value").as("value_ffill"))
+        .orderBy("user_id", "k")
+    }),
 
     // Exponential-decay-weighted aggregate (7-day half-life anchored at
     // the global max event time): per-user recency-weighted value mass —
@@ -1934,6 +2002,92 @@ object RelationalQueries extends QueryPack {
        |    CASE WHEN n = 0 THEN CAST(0 AS BIGINT) END AS d FROM wn),
        |$steps
        |SELECT n AS id, d AS dist FROM sd$rounds ORDER BY id""".stripMargin
+  }
+
+  /** Weighted-betweenness oracle: per pivot, a Bellman–Ford distance
+    * chain (schedule-independent — lands on the same integer fixpoint
+    * as the engine's Δ-stepping), the shortest-path DAG via the
+    * d(s)+ℓ=d(t) equality, σ as hop-wave integer path-count sums, and
+    * the linear backward unrolling b_0 = 1/σ,
+    * b_k(v) = round(Σ_{(v,w)∈DAG} b_{k-1}(w), q),
+    * δ = round(σ·Σ_k b_k, q) — mirroring
+    * graph/Betweenness.weightedBetweennessPivots term for term.
+    */
+  private def weightedBetweennessOracleSql(pivots: Seq[Long],
+      maxHops: Int = 6, bfRounds: Int = 24, q: Int = 6): String = {
+    def pivotCtes(p: Long): String = {
+      val bf = (1 to bfRounds).map { i =>
+        val pr = s"p${p}d${i - 1}"
+        s"""p${p}r$i AS MATERIALIZED (SELECT e.dst AS t,
+           |    min(x.d + e.len) AS nd
+           |  FROM we e JOIN $pr x ON x.n = e.src AND x.d IS NOT NULL
+           |  GROUP BY e.dst),
+           |p${p}d$i AS MATERIALIZED (SELECT x.n,
+           |    CASE WHEN x.d IS NULL THEN r.nd
+           |         WHEN r.nd IS NULL THEN x.d
+           |         WHEN x.d <= r.nd THEN x.d ELSE r.nd END AS d
+           |  FROM $pr x LEFT JOIN p${p}r$i r ON r.t = x.n)""".stripMargin
+      }.mkString(",\n")
+      val fwd = (1 to maxHops).map { k =>
+        s"""p${p}c$k AS MATERIALIZED (SELECT g.t AS n,
+           |    CAST(sum(f.c) AS BIGINT) AS c
+           |  FROM p${p}g g JOIN p${p}c${k - 1} f ON f.n = g.s
+           |  GROUP BY g.t)""".stripMargin
+      }.mkString(",\n")
+      val cAll = (0 to maxHops).map(k => s"SELECT n, c FROM p${p}c$k")
+        .mkString("\n    UNION ALL ")
+      val bwd = (1 to maxHops).map { k =>
+        s"""p${p}b$k AS MATERIALIZED (SELECT g.s AS n,
+           |    round(sum(w.b), $q) AS b
+           |  FROM p${p}g g JOIN p${p}b${k - 1} w ON w.n = g.t
+           |  GROUP BY g.s)""".stripMargin
+      }.mkString(",\n")
+      val bAll = (1 to maxHops).map(k => s"SELECT n, b FROM p${p}b$k")
+        .mkString("\n    UNION ALL ")
+      s"""p${p}d0 AS MATERIALIZED (SELECT n,
+         |    CASE WHEN n = $p THEN CAST(0 AS BIGINT) END AS d FROM wn),
+         |$bf,
+         |p${p}g AS MATERIALIZED (SELECT e.src AS s, e.dst AS t
+         |  FROM we e
+         |  JOIN p${p}d$bfRounds a ON a.n = e.src AND a.d IS NOT NULL
+         |  JOIN p${p}d$bfRounds b ON b.n = e.dst AND b.d IS NOT NULL
+         |  WHERE a.d + e.len = b.d),
+         |p${p}c0 AS (SELECT CAST($p AS BIGINT) AS n,
+         |    CAST(1 AS BIGINT) AS c),
+         |$fwd,
+         |p${p}sg AS MATERIALIZED (SELECT n, CAST(sum(c) AS BIGINT) AS sigma
+         |  FROM ($cAll) GROUP BY n),
+         |p${p}b0 AS MATERIALIZED (SELECT n, CAST(1 AS DOUBLE) / sigma AS b
+         |  FROM p${p}sg),
+         |$bwd,
+         |p${p}ph AS MATERIALIZED (SELECT n, sum(b) AS phi
+         |  FROM ($bAll) GROUP BY n),
+         |p${p}dl AS (SELECT s.n,
+         |    round(CAST(s.sigma AS DOUBLE)
+         |      * coalesce(ph.phi, CAST(0 AS DOUBLE)), $q) AS delta
+         |  FROM p${p}sg s LEFT JOIN p${p}ph ph ON ph.n = s.n
+         |  WHERE s.n <> $p)""".stripMargin
+    }
+    val ball = pivots.map(p => s"SELECT n, delta FROM p${p}dl")
+      .mkString("\n  UNION ALL ")
+    s"""WITH te AS MATERIALIZED (SELECT c.c_nationkey AS s,
+       |    su.s_nationkey AS t, CAST(count(*) AS BIGINT) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+       |  GROUP BY 1, 2),
+       |we AS MATERIALIZED (SELECT CAST(s AS BIGINT) AS src,
+       |    CAST(t AS BIGINT) AS dst,
+       |    greatest(CAST(1 AS BIGINT),
+       |      CAST(floor(10000.0 / w) AS BIGINT)) AS len
+       |  FROM te),
+       |wn AS MATERIALIZED (SELECT DISTINCT n FROM (
+       |    SELECT src AS n FROM we UNION ALL SELECT dst FROM we)),
+       |${pivots.map(pivotCtes).mkString(",\n")},
+       |ball AS ($ball)
+       |SELECT n AS node, round(sum(delta), $q) AS betweenness
+       |FROM ball GROUP BY n ORDER BY node""".stripMargin
   }
 
   private def seedDistanceOracleSql(rounds: Int = 4): String = {
@@ -2457,6 +2611,7 @@ object RelationalQueries extends QueryPack {
     "q_seed_distance" -> seedDistanceOracleSql(),
     "q_scc_pivot" -> sccPivotOracleSql(),
     "q_weighted_sssp" -> weightedSsspOracleSql(),
+    "q_weighted_betweenness" -> weightedBetweennessOracleSql(Seq(0L, 1L)),
     "q_betweenness" -> betweennessOracleSql(Seq(1L, 2L)),
     "q_neighborhood_function" ->
       hyperballOracleSql(rounds = 4, withTruth = false, sliceBound = None),
@@ -2994,6 +3149,37 @@ object RelationalQueries extends QueryPack {
         |  last_value(lv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
         |FROM j ORDER BY user_id, hour""".stripMargin,
+
+    // the DENSE grid, sampled at the sparse gate's probe instants —
+    // deliberately the formulation the engine does NOT use
+    "q_resample_sparse" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hour, ts,
+        |    event_id, value FROM events),
+        |r AS (SELECT user_id, hour, value, row_number() OVER (
+        |    PARTITION BY user_id, hour ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e),
+        |lastv AS (SELECT user_id, hour, value AS lv FROM r WHERE rn = 1),
+        |spans AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |  FROM e GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM spans),
+        |j AS (SELECT g.user_id, g.hour, l.lv
+        |  FROM grid g
+        |  LEFT JOIN lastv l ON g.user_id = l.user_id AND g.hour = l.hour),
+        |f AS (SELECT user_id, hour,
+        |    last_value(lv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+        |  FROM j),
+        |pr AS (SELECT user_id, unnest(generate_series(0, 4)) AS k,
+        |    epoch_us(h0) AS h0us, epoch_us(h1) AS h1us FROM spans),
+        |pp AS (SELECT user_id, k,
+        |    h0us + k * ((h1us - h0us) // 3600000000 // 4) * 3600000000 AS pus
+        |  FROM pr)
+        |SELECT p.user_id, CAST(p.k AS INT) AS k,
+        |  strftime(make_timestamp(p.pus), '%Y-%m-%d %H') AS hour,
+        |  f.value_ffill
+        |FROM pp p JOIN f ON f.user_id = p.user_id AND epoch_us(f.hour) = p.pus
+        |ORDER BY 1, 2""".stripMargin,
     "q_decay_agg" -> {
       // the identical double constant the Spark plan embeds (shortest
       // round-trip decimal → same IEEE bits in both engines)

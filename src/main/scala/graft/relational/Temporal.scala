@@ -269,12 +269,15 @@ object Temporal {
     *
     * Scale note (the one >1.3 SCALING exponent in the repo): cost is
     * linear in the OUTPUT grid Σ_key span-hours, which at 100 TB with
-    * long-lived sparse keys dwarfs the event count. For sparse keys
-    * prefer [[scd2History]] — the validity-interval form carries the
-    * same "value at any instant" information in O(#changes) rows (an
-    * as-of join against it replaces any grid lookup); materialize the
-    * dense grid only for bounded spans or downstream models that
-    * genuinely need fixed-step series.
+    * long-lived sparse keys dwarfs the event count. THE DEFAULT FOR
+    * HIGH-CARDINALITY KEYS IS THE SPARSE PATH — [[scd2History]]
+    * validity intervals + [[asofJoin]] at the probe instants, gated
+    * end-to-end as q_resample_sparse (exact vs this dense grid sampled
+    * at the same probes, Θ(probes·keys) output, SCALING exponent ≤ 1):
+    * the interval form carries the same "value at any instant"
+    * information in O(#changes) rows. Materialize the dense grid only
+    * for bounded spans or downstream models that genuinely need
+    * fixed-step series.
     */
   def resampleHourlyFfill(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, tiebreakCol: String): DataFrame = {

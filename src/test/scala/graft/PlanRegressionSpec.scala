@@ -98,6 +98,12 @@ class PlanRegressionSpec extends SparkSpec {
     "q_scd2",                // change-flag lag + running segment sum per
                              // key IS the SCD2 semantics; the valid_to
                              // lead runs over the segment frame only
+    "q_resample_sparse",     // composes the two whitelisted shapes
+                             // above: scd2's per-key segment windows +
+                             // the as-of per-key running last() — all
+                             // partitioned by user_id; probe/interval
+                             // frames are Θ(5·users) / Θ(#changes),
+                             // never a global sort
     "q_event_transitions",   // per-USER lag IS the Markov-transition
                              // semantics — partitioned by key, never a
                              // global sort; downstream is ≤|states|²
