@@ -41,6 +41,17 @@ object EstimatorQueries extends QueryPack {
     * data or a DataFrame); keys assume the dir's data is immutable for
     * the JVM session (see [[graft.core.Memos]]; Bench clears between
     * passes).
+    *
+    * Bench rep-spread note (r13 directive #6, measured r14): the
+    * first bench rep of both k-means gates is reliably hot and later
+    * reps keep improving — q_kmeans_fit 3.93/2.53/2.47/2.36 s,
+    * q_kmeans_fit_invariants 9.60/7.56/7.31/6.84 s over 4
+    * memo-cleared passes at sf0.1. The shared projection memo IS
+    * rebuilt every pass by design (each pass re-pays real fit cost),
+    * so the spread is JVM C2 warm-up of the MLlib k-means‖ + codegen
+    * paths, which the single q1_agg bench warmup doesn't touch — not
+    * rebuilt state, not contention. The min-of-reps estimator absorbs
+    * it; the r13 11.9/9.6 uptick was this plus suite-order load.
     */
   private val fitFeatures = Seq("l_quantity", "l_extendedprice", "l_discount")
 

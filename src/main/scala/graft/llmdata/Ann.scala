@@ -473,26 +473,21 @@ object Ann {
 
   /** SQ8 encode: `array<int>` of per-dim codes
     * `clamp(round((x_d − min_d)/scale_d), 0, 255)` — map-only,
-    * scan-fused (the grid is plan literals), 1 byte of information per
-    * dimension instead of a 4-byte float.
+    * scan-fused, 1 byte of information per dimension instead of a
+    * 4-byte float. Native codegen kernel
+    * ([[graft.functions.SqEncode]] — grids as reference objects, one
+    * fused loop) replacing the interpreted `transform` HOF lambda;
+    * bit-exact Spark round(_, 0) semantics (see SqQuantize scaladoc).
     */
   def sqCodeExpr(vecCol: Column, mins: Array[Double],
-      scales: Array[Double]): Column = {
-    val mn = array(mins.map(lit).toIndexedSeq: _*)
-    val sc = array(scales.map(lit).toIndexedSeq: _*)
-    transform(vecCol, (x, i) =>
-      least(greatest(round((x.cast("double") - element_at(mn, i + 1)) /
-        element_at(sc, i + 1), 0), lit(0.0)), lit(255.0)).cast("int"))
-  }
+      scales: Array[Double]): Column =
+    graft.functions.SqEncode(vecCol, mins, scales)
 
-  /** SQ8 decode: x̂_d = min_d + code_d·scale_d (map-only). */
+  /** SQ8 decode: x̂_d = min_d + code_d·scale_d (map-only, native
+    * codegen loop). */
   def sqReconstructExpr(codeCol: Column, mins: Array[Double],
-      scales: Array[Double]): Column = {
-    val mn = array(mins.map(lit).toIndexedSeq: _*)
-    val sc = array(scales.map(lit).toIndexedSeq: _*)
-    transform(codeCol, (c, i) =>
-      element_at(mn, i + 1) + c.cast("double") * element_at(sc, i + 1))
-  }
+      scales: Array[Double]): Column =
+    graft.functions.SqDecode(codeCol, mins, scales)
 
   /** Asymmetric SQ8 search: corpus rows are scored from their
     * RECONSTRUCTED vectors (encode → decode fused into the scan — at
@@ -506,9 +501,12 @@ object Ann {
   def sqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, mins: Array[Double],
       scales: Array[Double]): DataFrame = {
+    // fused encode→decode: one codegen loop per row, no intermediate
+    // code array (graft.functions.SqRoundTrip) — bit-identical to the
+    // sqReconstructExpr(sqCodeExpr(..)) composition it replaces
     val c = corpus
       .withColumn("__xhat",
-        sqReconstructExpr(sqCodeExpr(col(vecCol), mins, scales), mins, scales))
+        graft.functions.SqRoundTrip(col(vecCol), mins, scales))
       .select(col(idCol), col("__xhat"), normExpr(col("__xhat")).as("__nc"))
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
