@@ -201,4 +201,36 @@ object Betweenness {
       .groupBy(col("__n").as("node"))
       .agg(round(sum("__delta"), quantize).as("betweenness"))
   }
+
+  /** Pivot-sampled WEIGHTED harmonic centrality (Boldi & Vigna,
+    * "Axioms for centrality", Internet Math. 2014 — the closeness
+    * variant that handles disconnection natively):
+    * Ĥ(v) = Σ_{p∈pivots} 1/d(p, v), d the exact Δ-stepping weighted
+    * distance; scale by |V|/|pivots| for the absolute estimate
+    * (reported raw, the [[betweennessPivots]] convention). Unreached
+    * (p, v) pairs contribute nothing — exactly the property that makes
+    * harmonic the principled closeness on disconnected/directed
+    * graphs. One SSSP per pivot + one rollup; the per-node sum runs
+    * through [[graft.core.ExactAgg.sumMicro]] so the reciprocal sum is
+    * accumulation-order-independent on both engines.
+    */
+  def weightedHarmonicPivots(edges: DataFrame, srcCol: String,
+      dstCol: String, lenCol: String, pivots: Seq[Long],
+      delta: Long = 16L, quantize: Int = 6): DataFrame = {
+    require(pivots.nonEmpty, "need pivots")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__t"),
+      col(lenCol).cast("long").as("__l"))
+    pivots.map { p =>
+      DeltaStepping.shortestPaths(e, "__s", "__t", "__l",
+          Seq(p).toDF("__seed"), delta = delta)
+        .where(col("dist").isNotNull && col("id") =!= p)
+        .select(col("id"), (lit(1.0) / col("dist")).as("__h"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("id").as("node"))
+      .agg(round(graft.core.ExactAgg.sumMicro(col("__h")), quantize)
+        .as("harmonic"))
+  }
 }

@@ -985,6 +985,23 @@ object RelationalQueries extends QueryPack {
         .orderBy("node")
     }),
 
+    // Pivot-sampled weighted harmonic centrality (Boldi–Vigna 2014;
+    // Betweenness.weightedHarmonicPivots): Σ_pivots 1/d(p,v) on the
+    // exact Δ-stepping distances — the principled closeness on
+    // directed/disconnected graphs (unreached pairs contribute 0, no
+    // ∞ to dodge). 3 pivots on the inverse-volume trade graph; the
+    // reciprocal sum goes through ExactAgg so accumulation order can't
+    // flip a round-6 boundary; oracle = chained Bellman–Ford distances
+    // + the same micro-unit readout.
+    "q_weighted_harmonic" -> ((s, dir) => {
+      val e = tradeEdgesMemo(s, dir).select(col("src"), col("dst"),
+        greatest(lit(1L), floor(lit(10000) / col("w")).cast("long"))
+          .as("len"))
+      graft.graph.Betweenness.weightedHarmonicPivots(e, "src", "dst",
+          "len", pivots = Seq(0L, 1L, 2L), delta = 4096L)
+        .orderBy("node")
+    }),
+
     // HyperBall / ANF neighborhood function (graph/HyperBall.scala —
     // Boldi–Vigna HyperANF): per-node HLL sketches PACKED into one
     // array<int> row per node, max-merged along the shared co-purchase
@@ -2090,6 +2107,54 @@ object RelationalQueries extends QueryPack {
        |FROM ball GROUP BY n ORDER BY node""".stripMargin
   }
 
+  /** Harmonic-centrality oracle: per-pivot Bellman–Ford distance
+    * chains (the weightedBetweennessOracleSql prefix) + the
+    * Σ 1/d micro-unit readout mirroring
+    * Betweenness.weightedHarmonicPivots.
+    */
+  private def weightedHarmonicOracleSql(pivots: Seq[Long],
+      bfRounds: Int = 24, q: Int = 6): String = {
+    def pivotCtes(p: Long): String = {
+      val bf = (1 to bfRounds).map { i =>
+        val pr = s"h${p}d${i - 1}"
+        s"""h${p}r$i AS MATERIALIZED (SELECT e.dst AS t,
+           |    min(x.d + e.len) AS nd
+           |  FROM we e JOIN $pr x ON x.n = e.src AND x.d IS NOT NULL
+           |  GROUP BY e.dst),
+           |h${p}d$i AS MATERIALIZED (SELECT x.n,
+           |    CASE WHEN x.d IS NULL THEN r.nd
+           |         WHEN r.nd IS NULL THEN x.d
+           |         WHEN x.d <= r.nd THEN x.d ELSE r.nd END AS d
+           |  FROM $pr x LEFT JOIN h${p}r$i r ON r.t = x.n)""".stripMargin
+      }.mkString(",\n")
+      s"""h${p}d0 AS MATERIALIZED (SELECT n,
+         |    CASE WHEN n = $p THEN CAST(0 AS BIGINT) END AS d FROM wn),
+         |$bf""".stripMargin
+    }
+    val contrib = pivots.map(p =>
+      s"SELECT n, CAST(1 AS DOUBLE) / d AS h FROM h${p}d$bfRounds " +
+        s"WHERE d IS NOT NULL AND n <> $p").mkString("\n  UNION ALL ")
+    s"""WITH te AS MATERIALIZED (SELECT c.c_nationkey AS s,
+       |    su.s_nationkey AS t, CAST(count(*) AS BIGINT) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+       |  GROUP BY 1, 2),
+       |we AS MATERIALIZED (SELECT CAST(s AS BIGINT) AS src,
+       |    CAST(t AS BIGINT) AS dst,
+       |    greatest(CAST(1 AS BIGINT),
+       |      CAST(floor(10000.0 / w) AS BIGINT)) AS len
+       |  FROM te),
+       |wn AS MATERIALIZED (SELECT DISTINCT n FROM (
+       |    SELECT src AS n FROM we UNION ALL SELECT dst FROM we)),
+       |${pivots.map(pivotCtes).mkString(",\n")},
+       |hall AS ($contrib)
+       |SELECT n AS node, round(${graft.core.ExactAgg.sqlSumMicro("h")}, $q)
+       |    AS harmonic
+       |FROM hall GROUP BY n ORDER BY node""".stripMargin
+  }
+
   private def seedDistanceOracleSql(rounds: Int = 4): String = {
     val steps = (1 to rounds).map { i =>
       val p = s"d${i - 1}"
@@ -2612,6 +2677,7 @@ object RelationalQueries extends QueryPack {
     "q_scc_pivot" -> sccPivotOracleSql(),
     "q_weighted_sssp" -> weightedSsspOracleSql(),
     "q_weighted_betweenness" -> weightedBetweennessOracleSql(Seq(0L, 1L)),
+    "q_weighted_harmonic" -> weightedHarmonicOracleSql(Seq(0L, 1L, 2L)),
     "q_betweenness" -> betweennessOracleSql(Seq(1L, 2L)),
     "q_neighborhood_function" ->
       hyperballOracleSql(rounds = 4, withTruth = false, sliceBound = None),

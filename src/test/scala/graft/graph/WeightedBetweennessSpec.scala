@@ -98,6 +98,39 @@ class WeightedBetweennessSpec extends SparkSpec {
     check(g, pivots = Seq(0L, 3L, 7L), maxHops = 12, delta = 4L)
   }
 
+  test("weighted harmonic centrality matches the driver Σ 1/d on a random digraph") {
+    val rnd = new Random(77)
+    val raw = Seq.fill(30)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong,
+      (1 + rnd.nextInt(7)).toLong)).filter(e => e._1 != e._2)
+    val g = raw.groupBy(e => (e._1, e._2)).values
+      .map(_.minBy(_._3)).toSeq.sortBy(e => (e._1, e._2))
+    val pivots = Seq(0L, 2L, 5L)
+    val got = Betweenness.weightedHarmonicPivots(
+        g.toDF("src", "dst", "len"), "src", "dst", "len", pivots,
+        delta = 3L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver reference: Floyd–Warshall distances, Σ over pivots of 1/d
+    val nodes = g.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.size
+    val inf = Long.MaxValue / 4
+    val d = Array.tabulate(n, n)((i, j) => if (i == j) 0L else inf)
+    g.foreach { case (a, b, l) =>
+      if (l < d(idx(a))(idx(b))) d(idx(a))(idx(b)) = l
+    }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (d(i)(k) + d(k)(j) < d(i)(j)) d(i)(j) = d(i)(k) + d(k)(j)
+    nodes.foreach { v =>
+      val want = pivots.filter(p => p != v && idx.contains(p)
+          && d(idx(p))(idx(v)) < inf)
+        .map(p => 1.0 / d(idx(p))(idx(v))).sum
+      if (want > 0)
+        assert(math.abs(got.getOrElse(v, 0.0) - want) < 1e-5,
+          s"node $v: got ${got.get(v)}, want $want")
+      else assert(!got.contains(v) || got(v) == 0.0)
+    }
+  }
+
   test("unreachable nodes are absent; never-intermediate nodes score 0") {
     val g = Seq((0L, 1L, 5L), (1L, 2L, 5L), (7L, 8L, 1L))
     val got = Betweenness.weightedBetweennessPivots(
