@@ -40,13 +40,32 @@ object ExactAgg {
 
   /** `sum(term)` with order-independent exact accumulation (Column
     * side). Bit-identical to [[sqlSumMicro]] on the same rows.
+    *
+    * All-primitive plan: quantize via the codegen
+    * [[graft.functions.MicroQuantize]] kernel (`round(col·1e12, 0)`
+    * computes the same value but through BigDecimal per row — benched
+    * 4× slower on the 44-sum d=8 ALS half-steps), then ONE plain
+    * `sum(long)` per term (a DECIMAL(38,0) sum kept a 2× penalty —
+    * decimal agg buffers are not primitive — and a hi/lo split into
+    * two long sums doubled the aggregate-buffer count past the
+    * whole-stage-codegen width threshold and lost more than it won).
+    *
+    * Caller contract (documented, and LOUDLY checked by construction):
+    * per-group Σ|term|·1e12 must fit a signed long, i.e.
+    * max|term|·rows_per_group < 9.2e6 — the ALS/GloVe Gram and
+    * correction sums sit ≥100× inside this at x16 gate scale. If data
+    * ever breached it, Spark's long sum WRAPS while the oracle's
+    * DuckDB sum widens to HUGEINT, so the gate FAILS visibly rather
+    * than both engines agreeing on a silently wrong value.
     */
   def sumMicro(term: Column): Column =
-    sum(round(term * lit(MicroScale), 0).cast("decimal(38,0)"))
-      .cast("double") / lit(MicroScale)
+    sum(graft.functions.MicroQuantize(term)).cast("double") / lit(MicroScale)
 
-  /** The DuckDB mirror of [[sumMicro]] for generated oracles. */
+  /** The DuckDB mirror of [[sumMicro]] for generated oracles.
+    * `CAST(double AS BIGINT)` rounds to nearest in DuckDB, but the
+    * rounded value is already integral so the cast is exact.
+    */
   def sqlSumMicro(expr: String): String =
-    s"CAST(sum(CAST(round(($expr) * 1000000000000.0, 0) " +
-      s"AS DECIMAL(38,0))) AS DOUBLE) / 1000000000000.0"
+    s"CAST(sum(CAST(round(($expr) * 1000000000000.0, 0) AS BIGINT)) " +
+      s"AS DOUBLE) / 1000000000000.0"
 }
