@@ -28,10 +28,21 @@ import org.apache.spark.sql.functions._
   * fixpoint by plain chained Bellman–Ford relaxation rounds without
   * mirroring the bucket schedule.
   *
-  * 100 TB shape: every relaxation joins the edge frame on the source
-  * id against a node-sized frontier; the number of bucket phases is
-  * bounded by the weighted diameter / Δ (not |V|), and nothing
-  * driver-side ever holds more than a scalar.
+  * MULTI-SOURCE batching (r14 optimization round): the pivot-sampled
+  * centralities run one SSSP per pivot, and each bucketed SSSP is a
+  * long chain of SMALL jobs (per bucket: a 1-row min readout plus 2–3
+  * frame materializations) — running k pivots as k independent chains
+  * multiplies the job count, which is pure scheduling overhead locally
+  * and k separate synchronization barriers at cluster scale.
+  * [[shortestPathsMulti]] keys every frame by (seed, node) and settles
+  * ONE global ascending bucket schedule: per seed this is exactly the
+  * single-seed schedule with extra no-op phases interleaved, and exact
+  * SSSP is schedule-independent, so each seed's distance column is
+  * bit-identical to its own [[shortestPaths]] run (spec-pinned). The
+  * relaxation joins stay edge-keyed equi-joins — the frames just carry
+  * k·|V| rows instead of |V| — so the 100 TB shape is unchanged while
+  * the job count divides by k. [[shortestPaths]] is the 1-seed slice
+  * of the same engine.
   */
 object DeltaStepping {
 
@@ -51,6 +62,19 @@ object DeltaStepping {
     */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
       lenCol: String, seeds: DataFrame, delta: Long = 16L,
+      maxBuckets: Int = 256): DataFrame =
+    shortestPathsMulti(edges, srcCol, dstCol, lenCol, seeds,
+      delta = delta, maxBuckets = maxBuckets)
+      .select(col("id"), col("dist"))
+
+  /** All-seeds batched SSSP — (seed, id, dist) with each seed's dist
+    * column identical to a [[shortestPaths]] run from that seed alone
+    * (exact SSSP is schedule-independent; see class doc). The caller's
+    * seed frame is deduplicated; every (seed, node-on-either-end) pair
+    * gets a row, null dist = unreachable from that seed.
+    */
+  def shortestPathsMulti(edges: DataFrame, srcCol: String, dstCol: String,
+      lenCol: String, seeds: DataFrame, delta: Long = 16L,
       maxBuckets: Int = 256): DataFrame = {
     require(delta >= 1, s"delta must be >= 1, got $delta")
     val e = edges.select(col(srcCol).cast("long").as("__s"),
@@ -64,9 +88,15 @@ object DeltaStepping {
     graft.core.Memos.tracked("dstep", heavy)
     val nodes = e.select(col("__s").as("__n"))
       .union(e.select(col("__t").as("__n"))).distinct()
-    val seedIds = seeds.select(seeds.columns.head).toDF("__n").distinct()
-    var dist = nodes.join(seedIds.select(col("__n"), lit(0L).as("__d")),
-        Seq("__n"), "left")
+    val seedIds = seeds.select(col(seeds.columns.head).cast("long")
+      .as("__seed")).distinct()
+    // (seed, node) tentative distances: 0 on the diagonal, else null.
+    // The seed set is bounded by caller contract (pivot sampling), so
+    // the cross join broadcasts it and the frame is k·|V| rows.
+    var dist = nodes.crossJoin(broadcast(seedIds))
+      .select(col("__seed"), col("__n"),
+        when(col("__n") === col("__seed"), lit(0L))
+          .otherwise(lit(null).cast("long")).as("__d"))
       .localCheckpoint()
 
     // integer division on the long column (SQL `div` → IntegralDivide):
@@ -75,21 +105,31 @@ object DeltaStepping {
     // 2^53, which is the point of integer edge lengths at 100 TB
     def bucketOf(d: Column): Column = call_function("div", d, lit(delta))
 
-    // candidates from relaxing `edgeFrame` out of `frontier`, kept only
-    // where they IMPROVE the current tentative distance
+    // candidates from relaxing `edgeFrame` out of `frontier` (keyed
+    // (__seed, __n, __d)), kept only where they IMPROVE the current
+    // tentative distance of the SAME seed
     def improvements(frontier: DataFrame, edgeFrame: DataFrame): DataFrame =
       edgeFrame.join(frontier, col("__s") === col("__n"))
-        .groupBy(col("__t")).agg(min(col("__d") + col("__l")).as("__nd"))
-        .join(dist.select(col("__n"), col("__d").as("__od")),
-          col("__t") === col("__n"), "left")
+        .groupBy(col("__seed"), col("__t"))
+        .agg(min(col("__d") + col("__l")).as("__nd"))
+        .join(dist.select(col("__seed").as("__sd2"), col("__n"),
+            col("__d").as("__od")),
+          col("__seed") === col("__sd2") && col("__t") === col("__n"),
+          "left")
         .where(col("__od").isNull || col("__nd") < col("__od"))
-        .select(col("__t").as("__u"), col("__nd"))
+        .select(col("__seed"), col("__t").as("__u"), col("__nd"))
 
     def merged(imp: DataFrame): DataFrame =
-      dist.join(imp, col("__n") === col("__u"), "left")
-        .select(col("__n"), least(col("__d"), col("__nd")).as("__d"))
+      dist.join(imp.select(col("__seed").as("__sd2"), col("__u"),
+          col("__nd")),
+        col("__seed") === col("__sd2") && col("__n") === col("__u"),
+        "left")
+        .select(col("__seed"), col("__n"),
+          least(col("__d"), col("__nd")).as("__d"))
 
-    // first non-empty bucket at or above `fromBucket`; -1 when none
+    // first non-empty bucket at or above `fromBucket` ACROSS all seeds;
+    // -1 when none. Per seed the resulting schedule is its own
+    // single-seed schedule plus skipped no-op phases.
     def nextBucket(fromBucket: Long): Long = {
       val r = dist.where(col("__d").isNotNull
           && col("__d") >= fromBucket * delta)
@@ -103,10 +143,10 @@ object DeltaStepping {
       phases += 1
       require(phases <= maxBuckets,
         s"delta-stepping exceeded $maxBuckets bucket phases (delta too small?)")
-      // light-edge inner loop: frontier = nodes newly in / improved
-      // within bucket b; stabilizes because integer distances strictly
-      // decrease on every improvement. Frontiers derive LAZILY off the
-      // checkpointed improvement frame — the only materializing
+      // light-edge inner loop: frontier = (seed, node) pairs newly in /
+      // improved within bucket b; stabilizes because integer distances
+      // strictly decrease on every improvement. Frontiers derive LAZILY
+      // off the checkpointed improvement frame — the only materializing
       // actions per iteration are the improvement checkpoint and the
       // merged-distance checkpoint.
       // Superseded checkpoints are released as soon as their successor
@@ -130,7 +170,8 @@ object DeltaStepping {
           dist = merged(imp).localCheckpoint()
           prevDist.unpersist(blocking = false)
           frontier = imp.where(bucketOf(col("__nd")) === b)
-            .select(col("__u").as("__n"), col("__nd").as("__d"))
+            .select(col("__seed"), col("__u").as("__n"),
+              col("__nd").as("__d"))
           prevImp = imp
         }
       }
@@ -149,6 +190,7 @@ object DeltaStepping {
     }
     light.unpersist(blocking = false)
     heavy.unpersist(blocking = false)
-    dist.select(col("__n").as("id"), col("__d").as("dist"))
+    dist.select(col("__seed").as("seed"), col("__n").as("id"),
+      col("__d").as("dist"))
   }
 }

@@ -45,33 +45,46 @@ object Hits {
       .union(e.select(col("__t").as("__n"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK))
     val n = nodes.count() // bounded: one long
+    // r14 optimization round, two output-identical restructures:
+    //  1. score frames in the LOOP are sparse — a node absent from a
+    //     raw sum frame scores exactly 0.0 after normalize+quantize,
+    //     and a 0.0 score contributes 0.0·w terms to the next round's
+    //     sums (x + 0.0 == x in IEEE for the non-negative sums here),
+    //     so the per-iteration nodes left-join that materialized the
+    //     zero rows was two node-sized joins per iteration of pure
+    //     plan weight; zeros are re-attached ONCE at the readout;
+    //  2. one localCheckpoint per ITERATION (on hub, whose plan
+    //     contains auth's) instead of one per half-step — same total
+    //     compute, half the materialization barriers; the final auth
+    //     readout recomputes one edge join off the last checkpointed
+    //     hub.
     var hub = nodes.select(col("__n"),
       round(lit(1.0) / n, quantize).as("__h"))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       val aRaw = e.join(hub, col("__s") === col("__n"))
         .groupBy(col("__t")).agg(sum(col("__w") * col("__h")).as("__r"))
-      auth = l1(nodes, aRaw, "__t", quantize).localCheckpoint()
+      auth = l1(aRaw, "__t", quantize)
       val hRaw = e.join(auth.select(col("__n"), col("__a")),
           col("__t") === col("__n"))
         .groupBy(col("__s")).agg(sum(col("__w") * col("__a")).as("__r"))
-      hub = l1(nodes, hRaw, "__s", quantize)
+      hub = l1(hRaw, "__s", quantize)
         .select(col("__n"), col("__a").as("__h")).localCheckpoint()
     }
-    nodes.join(hub, Seq("__n")).join(auth, Seq("__n"))
-      .select(col("__n").as("node"), col("__h").as("hub"),
-        col("__a").as("authority"))
+    nodes.join(hub, Seq("__n"), "left").join(auth, Seq("__n"), "left")
+      .select(col("__n").as("node"),
+        coalesce(col("__h"), lit(0.0)).as("hub"),
+        coalesce(col("__a"), lit(0.0)).as("authority"))
   }
 
-  /** Left-join raw sums onto all nodes (missing = 0), L1-normalize
-    * against the broadcast 1-row total, quantize. Returns (__n, __a).
+  /** L1-normalize raw sums against the broadcast 1-row total, quantize.
+    * SPARSE: nodes with no raw row (score exactly 0) stay absent — see
+    * the loop comment in [[hits]]. Returns (__n, __a).
     */
-  private def l1(nodes: DataFrame, raw: DataFrame, key: String,
-      quantize: Int): DataFrame = {
+  private def l1(raw: DataFrame, key: String, quantize: Int): DataFrame = {
     val tot = raw.agg(coalesce(sum("__r"), lit(0.0)).as("__tot"))
-    nodes.join(raw, col("__n") === col(key), "left")
-      .crossJoin(broadcast(tot))
-      .select(col("__n"),
+    raw.crossJoin(broadcast(tot))
+      .select(col(key).as("__n"),
         round(coalesce(try_divide(col("__r"), col("__tot")), lit(0.0)),
           quantize).as("__a"))
   }

@@ -171,10 +171,11 @@ object LabelPropagation {
     val kic = sym.join(lb, Seq("__t"))
       .groupBy(col("__s"), col("__ct").as("__c"))
       .agg(sum("__w").as("__kic"))
+    // stay row unioned WITHOUT re-aggregating — argmax-neutral
+    // duplicate, see Louvain.sweep (r14 optimization)
     val cand = kic.select(col("__s"), col("__c"), col("__kic"))
       .unionByName(la.select(col("__s"), col("__cs").as("__c"),
         lit(0L).as("__kic")))
-      .groupBy("__s", "__c").agg(sum("__kic").as("__kic"))
     val scored = cand
       .join(la, Seq("__s"))
       .join(deg, Seq("__s"))

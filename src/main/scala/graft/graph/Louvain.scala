@@ -85,10 +85,17 @@ object Louvain {
     val kic = sym.join(lb, Seq("__t"))
       .groupBy(col("__s"), col("__ct").as("__c"))
       .agg(sum("__w").as("__kic"))
+    // stay row unioned WITHOUT re-aggregating (r14 optimization: the
+    // old groupBy(__s, __c) re-shuffle per sweep merged the 0-weight
+    // stay row into a kic row when i had edges into its own community
+    // — but the un-merged duplicate is argmax-neutral: the 0-kic stay
+    // row scores ≤ the true-kic stay row (score is increasing in
+    // k_{i,C}) with the SAME community id, so neither __m, __stay
+    // (a max), nor the tie-breaks can change; one fewer Exchange per
+    // sweep)
     val cand = kic
       .unionByName(la.select(col("__s"), col("__cs").as("__c"),
         lit(0L).as("__kic")))
-      .groupBy("__s", "__c").agg(sum("__kic").as("__kic"))
     val dirOk =
       if (down) col("__c") < col("__cs") else col("__c") > col("__cs")
     val scored = cand

@@ -129,6 +129,37 @@ object RelationalQueries extends QueryPack {
       e.count()
       e
     })
+  /** Inverse-volume trade edge frame (src, dst, len) — the weighted
+    * graph the q_weighted_* family ranks; one projection shared so the
+    * three gates provably score the SAME lengths. */
+  private def tradeWeightedEdges(s: SparkSession, dir: String): DataFrame =
+    tradeEdgesMemo(s, dir).select(col("src"), col("dst"),
+      greatest(lit(1L), floor(lit(10000) / col("w")).cast("long"))
+        .as("len"))
+
+  /** Per-dir multi-seed Δ-stepping distances (seed, id, dist) for the
+    * weighted-centrality pivot set {0, 1, 2} — ONE batched SSSP
+    * ([[graft.graph.DeltaStepping.shortestPathsMulti]]) serving three
+    * gates that each re-ran their own bucketed SSSP chains before the
+    * r14 optimization round (q_weighted_sssp: seed 0;
+    * q_weighted_betweenness: pivots 0, 1; q_weighted_harmonic: pivots
+    * 0, 1, 2). Exact SSSP is schedule-independent, so each seed's
+    * slice is bit-identical to its own single-seed run — the oracles
+    * (chained Bellman–Ford CTEs) are unchanged. Fit-once memo under
+    * the [[lpaLabelsMemo]] convention; cleared between Bench passes.
+    */
+  private def tradeWeightedDistMemo(s: SparkSession, dir: String): DataFrame = {
+    val e = tradeWeightedEdges(s, dir)
+    graphMemo.computeIfAbsent(s"wsssp:$dir", _ => {
+      import s.implicits._
+      val d = graft.graph.DeltaStepping.shortestPathsMulti(e,
+          "src", "dst", "len", Seq(0L, 1L, 2L).toDF("__seed"),
+          delta = 4096L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      d
+    })
+  }
   private def lpaLabelsMemo(s: SparkSession, dir: String): DataFrame = {
     // resolve the edge memo BEFORE computeIfAbsent (no nested updates
     // on one map — the linkageParamsMemo convention)
@@ -954,16 +985,15 @@ object RelationalQueries extends QueryPack {
     // inner-loop work and never changes the result). Exact SSSP is
     // schedule-independent, so the oracle verifies the integer
     // fixpoint with chained Bellman–Ford relaxation rounds.
-    "q_weighted_sssp" -> ((s, dir) => {
-      val e = tradeEdgesMemo(s, dir).select(col("src"), col("dst"),
-        greatest(lit(1L), floor(lit(10000) / col("w")).cast("long"))
-          .as("len"))
-      val seeds = Tables.nation(s, dir)
-        .filter(col("n_nationkey") === 0).select(col("n_nationkey"))
-      graft.graph.DeltaStepping.shortestPaths(e, "src", "dst", "len",
-          seeds, delta = 4096L)
-        .orderBy("id")
-    }),
+    // r14 optimization: served as the seed-0 slice of the SHARED
+    // 3-pivot batched SSSP (tradeWeightedDistMemo) — identical
+    // distances (exact SSSP is schedule-independent), one bucketed
+    // job chain instead of three across the q_weighted_* family.
+    "q_weighted_sssp" -> ((s, dir) =>
+      tradeWeightedDistMemo(s, dir)
+        .where(col("seed") === 0L)
+        .select(col("id"), col("dist"))
+        .orderBy("id")),
 
     // Weighted betweenness centrality (graph/Betweenness.scala
     // weightedBetweennessPivots): Brandes over the exact Δ-stepping
@@ -976,12 +1006,17 @@ object RelationalQueries extends QueryPack {
     // replay as chained CTEs on Bellman–Ford distances (exact SSSP is
     // schedule-independent, so the oracle never mirrors the bucket
     // schedule).
+    // r14 optimization: pivots batched through pivot-keyed frames
+    // (Betweenness.weightedBetweennessOnDists) over the SHARED 3-pivot
+    // SSSP memo, sliced to this gate's pivot set {0, 1}.
     "q_weighted_betweenness" -> ((s, dir) => {
-      val e = tradeEdgesMemo(s, dir).select(col("src"), col("dst"),
-        greatest(lit(1L), floor(lit(10000) / col("w")).cast("long"))
-          .as("len"))
-      graft.graph.Betweenness.weightedBetweennessPivots(e, "src", "dst",
-          "len", pivots = Seq(0L, 1L), maxHops = 6, delta = 4096L)
+      val e = tradeWeightedEdges(s, dir).select(
+        col("src").cast("long").as("__s"),
+        col("dst").cast("long").as("__t"),
+        col("len").cast("long").as("__l"))
+      graft.graph.Betweenness.weightedBetweennessOnDists(e,
+          tradeWeightedDistMemo(s, dir).where(col("seed").isin(0L, 1L)),
+          maxHops = 6)
         .orderBy("node")
     }),
 
@@ -993,14 +1028,12 @@ object RelationalQueries extends QueryPack {
     // reciprocal sum goes through ExactAgg so accumulation order can't
     // flip a round-6 boundary; oracle = chained Bellman–Ford distances
     // + the same micro-unit readout.
-    "q_weighted_harmonic" -> ((s, dir) => {
-      val e = tradeEdgesMemo(s, dir).select(col("src"), col("dst"),
-        greatest(lit(1L), floor(lit(10000) / col("w")).cast("long"))
-          .as("len"))
-      graft.graph.Betweenness.weightedHarmonicPivots(e, "src", "dst",
-          "len", pivots = Seq(0L, 1L, 2L), delta = 4096L)
-        .orderBy("node")
-    }),
+    // r14 optimization: pure readout over the SHARED 3-pivot SSSP memo
+    // (its pivot set IS this gate's).
+    "q_weighted_harmonic" -> ((s, dir) =>
+      graft.graph.Betweenness.weightedHarmonicOnDists(
+          tradeWeightedDistMemo(s, dir))
+        .orderBy("node")),
 
     // HyperBall / ANF neighborhood function (graph/HyperBall.scala —
     // Boldi–Vigna HyperANF): per-node HLL sketches PACKED into one
