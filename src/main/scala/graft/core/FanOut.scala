@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Input-split fan-out for compute-heavy per-row stages (guide §2.5
+  * "input skew" / §6 input splits — r14 optimization round).
+  *
+  * The driver-generated test tables are single-file, SINGLE-ROW-GROUP
+  * parquet, and a row group is the unit of scan parallelism — so every
+  * scan-fused heavy projection (per-shingle MinHash digests, SimHash
+  * votes, n-gram explodes, tokenizer corpus passes, classifier
+  * featurization) ran on ONE core regardless of cluster size. Config
+  * can't fix that (splits below a row group produce empty tasks);
+  * the fix is a hash repartition by the row key AHEAD of the heavy
+  * stage.
+  *
+  * Scale-adaptive by construction, not tuned for local mode: the
+  * repartition fires ONLY when the frame's physical scan parallelism
+  * is below the session's default parallelism — at 100 TB an input
+  * arrives as thousands of row groups and this is a no-op (zero added
+  * shuffle); on narrow inputs it costs one shuffle of the raw rows and
+  * unlocks every core for the expensive stage.
+  *
+  * Determinism: hash partitioning by the caller's ROW KEY — a pure
+  * function of the data, no rand(), no round-robin — so row-to-
+  * partition assignment is retry-stable (SPARK-38388) and every row of
+  * one key (e.g. all exploded tokens of one document) stays in one
+  * partition, preserving per-key accumulation order for the per-doc
+  * aggregates downstream. Call sites are restricted to pipelines whose
+  * downstream corpus-level aggregates are order-exact (integers,
+  * strings, min/max, per-key rollups, micro-unit sums).
+  */
+object FanOut {
+
+  /** Hash-repartition `df` by `keyCol` to the default parallelism iff
+    * its current physical partitioning is less than half of it. */
+  def byKey(df: DataFrame, keyCol: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < p) df.repartition(p, col(keyCol))
+    else df
+  }
+}

@@ -65,20 +65,28 @@ object Louvain {
 
   /** One guarded synchronous sweep.
     *
+    * The per-node weighted degree __k (static within a level) RIDES the
+    * labels frame (r14 optimization): the old form joined a separate
+    * deg frame twice per sweep — once to build the community totals,
+    * once into the scored candidates. With __k carried as a column,
+    * `tot` is one groupBy over the node-sized label frame and `scored`
+    * picks __k up from the same la join it already makes; the final
+    * aggregate forwards __k (constant per node, min = the value) so the
+    * next sweep needs no re-attach. Identical arithmetic, two fewer
+    * node-sized joins per sweep.
+    *
     * @param sym inter-community symmetrized edges (__s, __t, __w)
-    * @param deg per-node weighted degree INCLUDING self weight
-    *   (__s, __k)
     * @param m2 broadcast 1-row total symmetrized weight (__m2)
-    * @param labels current assignment (__n, __c)
+    * @param labels current assignment (__n, __c, __k)
     * @param down odd sweeps move only toward smaller community ids;
     *   even sweeps only toward larger
     */
-  private def sweep(sym: DataFrame, deg: DataFrame, m2: DataFrame,
+  private def sweep(sym: DataFrame, m2: DataFrame,
       labels: DataFrame, down: Boolean): DataFrame = {
-    val la = labels.select(col("__n").as("__s"), col("__c").as("__cs"))
+    val la = labels.select(col("__n").as("__s"), col("__c").as("__cs"),
+      col("__k"))
     val lb = labels.select(col("__n").as("__t"), col("__c").as("__ct"))
-    val tot = deg.join(la, Seq("__s"))
-      .groupBy(col("__cs").as("__c")).agg(sum("__k").as("__tot"))
+    val tot = la.groupBy(col("__cs").as("__c")).agg(sum("__k").as("__tot"))
     // i's weight into each neighbor community; the own community is
     // always a candidate (weight-0 row unioned in) so an isolated
     // super-node with only a self-loop still has a stay row
@@ -101,10 +109,9 @@ object Louvain {
     val scored = cand
       .join(la, Seq("__s"))
       .filter(col("__c") === col("__cs") || dirOk)
-      .join(deg, Seq("__s"))
       .join(tot, Seq("__c"))
       .crossJoin(broadcast(m2))
-      .select(col("__s"), col("__c"), col("__cs"),
+      .select(col("__s"), col("__c"), col("__cs"), col("__k"),
         (col("__m2").cast("double") * col("__kic")
           - col("__k").cast("double") * (col("__tot")
             - when(col("__c") === col("__cs"), col("__k"))
@@ -118,10 +125,12 @@ object Louvain {
           .as("__m"),
         max(when(col("__c") === col("__cs"), col("__score")))
           .as("__stay"),
-        min(col("__cs")).as("__cs")) // constant per __s; min = the value
+        min(col("__cs")).as("__cs"), // constant per __s; min = the value
+        min(col("__k")).as("__k"))   // constant per __s; rides along
       .select(col("__s").as("__n"),
         when(-col("__m.ns") > col("__stay"), col("__m.c"))
           .otherwise(col("__cs")).as("__c"),
+        col("__k"),
         (-col("__m.ns") > col("__stay")
           && col("__m.c") =!= col("__cs")).as("__moved"))
   }
@@ -133,26 +142,26 @@ object Louvain {
       nodes: DataFrame, maxSweeps: Int): DataFrame = {
     val symDeg = sym.groupBy("__s").agg(sum("__w").as("__kd"))
     val sw = selfW.select(col("__n").as("__s"), col("__sw").as("__swv"))
-    val deg = track(nodes.select(col("__n").as("__s"))
+    // degree rides the labels frame across sweeps (see sweep doc) —
+    // one build here, zero per-sweep deg joins
+    var labels = nodes.select(col("__n").as("__s"))
       .join(symDeg, Seq("__s"), "left")
       .join(sw, Seq("__s"), "left")
-      .select(col("__s"),
+      .select(col("__s").as("__n"), col("__s").as("__c"),
         (coalesce(col("__kd"), lit(0L))
           + coalesce(col("__swv"), lit(0L))).as("__k"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
-    var labels = nodes.select(col("__n"), col("__n").as("__c"))
       .localCheckpoint()
     var zeroRun = 0
     var t = 1
     while (t <= maxSweeps && zeroRun < 2) {
-      val next = sweep(sym, deg, m2, labels, down = t % 2 == 1)
+      val next = sweep(sym, m2, labels, down = t % 2 == 1)
         .localCheckpoint()
       val moved = next.filter(col("__moved")).count()
       zeroRun = if (moved == 0L) zeroRun + 1 else 0
       labels = next.drop("__moved")
       t += 1
     }
-    labels
+    labels.select(col("__n"), col("__c"))
   }
 
   /** @param pairs undirected edge list (`id_a`, `id_b`), multiplicity

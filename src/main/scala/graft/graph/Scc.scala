@@ -52,15 +52,45 @@ object Scc {
     */
   def pivotScc(edges: DataFrame, srcCol: String, dstCol: String,
       pivot: Long, rounds: Int = 8): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val seeds = Seq(pivot).toDF("__seed")
-    val f = SeedDistance.hopDistance(edges, srcCol, dstCol, seeds, rounds)
-      .select(col("id"), col("hops").as("hops_fwd"))
-    val b = SeedDistance.hopDistance(
-        edges.select(col(dstCol).as("__rs"), col(srcCol).as("__rt")),
-        "__rs", "__rt", seeds, rounds)
-      .select(col("id").as("__idb"), col("hops").as("hops_bwd"))
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // r14 optimization: the forward and backward sweeps are independent
+    // BFS relaxations over the same node set — running them as two
+    // [[SeedDistance]] chains doubled the per-round job count. One
+    // direction-KEYED frame (__dir 0 = forward, 1 = reversed edges)
+    // relaxes both in each round's single join+rollup; per direction
+    // the integer arithmetic is exactly the hopDistance round, so the
+    // readout is unchanged.
+    val e = edges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__t"))
+    val both = e.select(lit(0).as("__dir"), col("__s"), col("__t"))
+      .unionByName(e.select(lit(1).as("__dir"), col("__t").as("__s"),
+        col("__s").as("__t")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.core.Memos.tracked("scc", both)
+    val nodes = e.select(col("__s").as("__n"))
+      .union(e.select(col("__t").as("__n"))).distinct()
+    var dist = nodes
+      .select(col("__n"), explode(array(lit(0), lit(1))).as("__dir"))
+      .select(col("__dir"), col("__n"),
+        when(col("__n") === pivot, lit(0L))
+          .otherwise(lit(null).cast("long")).as("__d"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = both.join(dist.where(col("__d").isNotNull)
+            .select(col("__dir").as("__rd"), col("__n"), col("__d")),
+          col("__dir") === col("__rd") && col("__s") === col("__n"))
+        .groupBy(col("__dir"), col("__t")).agg(min(col("__d") + 1).as("__nd"))
+        .select(col("__dir").as("__rd"), col("__t"), col("__nd"))
+      dist = dist.join(relaxed,
+          col("__dir") === col("__rd") && col("__n") === col("__t"), "left")
+        .select(col("__dir"), col("__n"),
+          least(col("__d"), col("__nd")).as("__d"))
+        .localCheckpoint()
+    }
+    val f = dist.where(col("__dir") === 0)
+      .select(col("__n").as("id"), col("__d").as("hops_fwd"))
+    val b = dist.where(col("__dir") === 1)
+      .select(col("__n").as("__idb"), col("__d").as("hops_bwd"))
     f.join(b, col("id") === col("__idb"))
       .select(col("id"), col("hops_fwd"), col("hops_bwd"),
         (col("hops_fwd").isNotNull && col("hops_bwd").isNotNull)

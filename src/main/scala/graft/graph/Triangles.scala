@@ -85,9 +85,30 @@ object Triangles {
         (col("db") === col("dc") && col("b") < col("c")))
       .select(col("a"), col("b"), col("c"))
 
-    // close the wedge: {b, c} must be an edge (oriented b → c by rank)
+    // close the wedge: {b, c} must be an edge (oriented b → c by rank).
+    // Bloom pre-filter (guide §3.2, r14 optimization round): the wedge
+    // frame is O(m^1.5) rows but only the tiny triangle fraction
+    // survives the closing join — pre-filtering wedges against a bloom
+    // of the oriented edge PAIRS drops ~all non-closing wedges BEFORE
+    // they shuffle. No false negatives (the exact join below still
+    // verifies every survivor), so the result is unchanged; false
+    // positives only cost a little extra shuffle. The filter is built
+    // only while |oriented| keeps the broadcast bloom small (~1.2 bytes
+    // per edge) — beyond that the plain join path runs unchanged, so
+    // the operator never drags an edge-scale filter to the driver.
     val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
-    val triangles = wedges.join(closing, Seq("b", "c"))
+    val nOriented = oriented.count() // cheap: persisted frame
+    val wedgesPruned =
+      if (nOriented <= 100000000L) {
+        val bridge = org.apache.spark.sql.graft.ExpressionBridge
+        val bfBytes = oriented
+          .agg(bridge.bloomFilterAgg(xxhash64(col("src"), col("dst")),
+            math.max(nOriented, 1L)).as("__bf"))
+          .head.getAs[Array[Byte]]("__bf")
+        wedges.filter(bridge.bloomMightContain(lit(bfBytes),
+          xxhash64(col("b"), col("c"))))
+      } else wedges
+    val triangles = wedgesPruned.join(closing, Seq("b", "c"))
 
     // per-node membership counts → the standard local coefficient
     val perNode = triangles

@@ -49,7 +49,7 @@ object Bpe {
   private[llmdata] def topWords(docs: DataFrame, textCol: String,
       maxWords: Int,
       extraFilter: Column = lit(true)): Array[(String, Long)] =
-    docs
+    graft.core.FanOut.byKey(docs, textCol)
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0 && extraFilter)
       .groupBy("w").agg(count(lit(1)).as("c"))

@@ -190,7 +190,8 @@ object Dedup {
     * full (id, shingle) stream just to remove within-document repeats.
     */
   def shingles(df: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol), explode(shingleSetExpr(textCol, n)).as("shingle"))
+    graft.core.FanOut.byKey(df, idCol)
+      .select(col(idCol), explode(shingleSetExpr(textCol, n)).as("shingle"))
 
   /** Incremental-ingest exact dedup: drop arriving documents whose
     * normalized fingerprint already exists in the known-corpus
@@ -422,7 +423,8 @@ object Dedup {
           }
         }
       }
-    val withSig = df.select(col(idCol), sig(col(textCol)).as("__sig"))
+    val withSig = graft.core.FanOut.byKey(df, idCol)
+      .select(col(idCol), sig(col(textCol)).as("__sig"))
       .filter(col("__sig").isNotNull)
     withSig.select(col(idCol) +:
       (0 until k).map(s => element_at(col("__sig"), s + 1).as(s"mh_$s")): _*)
@@ -782,6 +784,13 @@ object Dedup {
     // corpus) so the expensive per-shingle hashing UDF runs exactly once.
     val sigs = minhashSignatures(df, textCol, idCol, k, shingleN, oracleCompatible)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the signature cache EAGERLY: the candidate plan below
+    // references it from four branches (skew-cap count + anti-join ×
+    // self-join a/b) that AQE runs as CONCURRENT stages — against a
+    // lazily-populated cache each branch re-ran the per-shingle hashing
+    // UDF in parallel (4× the scan work, measured r14); one count pays
+    // the scan once and every branch reads blocks
+    sigs.count()
     val cands = candidatePairs(bandHashes(sigs, idCol, k, rowsPerBand), idCol,
       maxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -811,7 +820,7 @@ object Dedup {
   def simhash(df: DataFrame, textCol: String, idCol: String,
       bits: Int = 60): DataFrame = {
     require(bits <= 60, "md5-15-hex hash carries 60 bits")
-    val tok = df
+    val tok = graft.core.FanOut.byKey(df, idCol)
       .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
     val votes = (0 until bits).map(j =>
@@ -928,7 +937,8 @@ object Dedup {
     // gram string up front), and only the ~16th that survive the anchor
     // filter are cached: both consumers below (global dup counting and
     // the mark join) then pay the k×-fan-out generation + md5 ONCE.
-    val grams = df.filter(length(col(textCol)) >= k)
+    val grams = graft.core.FanOut.byKey(df, idCol)
+      .filter(length(col(textCol)) >= k)
       .select(col(idCol), col(textCol),
         explode(sequence(lit(0), length(col(textCol)) - k)).as("p"))
       .select(col(idCol), col("p"),

@@ -132,41 +132,59 @@ object LangIdClassifier {
     val gb = Array.fill(k)(0.0)
     val vw = Array.fill(k, d)(0.0)
     val vb = Array.fill(k)(0.0)
-    val logits = Array.fill(k)(0.0)
+    // r14 optimization: the fit dominated its gate's wall time as a
+    // single-threaded driver loop (iters·n·d·k flops). Every per-CLASS
+    // computation — logits z(i,c), gradient accumulation over i, the
+    // momentum update — is independent across classes with an
+    // UNCHANGED per-class arithmetic order (same i order, same j
+    // order), so classes run on parallel threads and the weights are
+    // bit-identical to the sequential loop. The only cross-class
+    // arithmetic (softmax max + exp-sum per row) stays a sequential
+    // ascending-c loop between the two parallel phases.
+    val p = Array.ofDim[Double](k, n)
+    def parClasses(f: Int => Unit): Unit =
+      java.util.stream.IntStream.range(0, k).parallel().forEach(c => f(c))
     var it = 0
     while (it < iters) {
-      var c = 0
-      while (c < k) {
-        java.util.Arrays.fill(gw(c), 0.0); gb(c) = 0.0; c += 1
-      }
-      var i = 0
-      while (i < n) {
-        val xi = x(i)
-        var mx = Double.NegativeInfinity
-        c = 0
-        while (c < k) {
-          var z = b(c); val wc = w(c)
+      parClasses { c =>
+        val wc = w(c); val bc = b(c); val pc = p(c)
+        var i = 0
+        while (i < n) {
+          val xi = x(i)
+          var z = bc
           var j = 0
           while (j < d) { z += wc(j) * xi(j); j += 1 }
-          logits(c) = z; if (z > mx) mx = z; c += 1
+          pc(i) = z; i += 1
         }
+      }
+      // softmax per row: max over c (order-free), exp-sum in ascending
+      // c (the original loop's order)
+      var i = 0
+      while (i < n) {
+        var mx = Double.NegativeInfinity
+        var c = 0
+        while (c < k) { if (p(c)(i) > mx) mx = p(c)(i); c += 1 }
         var sum = 0.0
         c = 0
-        while (c < k) { logits(c) = math.exp(logits(c) - mx); sum += logits(c); c += 1 }
-        c = 0
         while (c < k) {
-          val p = logits(c) / sum
-          val g = p - (if (y(i) == c) 1.0 else 0.0)
-          val gwc = gw(c)
-          var j = 0
-          while (j < d) { gwc(j) += g * xi(j); j += 1 }
-          gb(c) += g; c += 1
+          val e = math.exp(p(c)(i) - mx); p(c)(i) = e; sum += e; c += 1
         }
+        c = 0
+        while (c < k) { p(c)(i) /= sum; c += 1 }
         i += 1
       }
-      c = 0
-      while (c < k) {
-        val wc = w(c); val gwc = gw(c); val vwc = vw(c)
+      parClasses { c =>
+        val gwc = gw(c); val pc = p(c)
+        java.util.Arrays.fill(gwc, 0.0); gb(c) = 0.0
+        var i = 0
+        while (i < n) {
+          val g = pc(i) - (if (y(i) == c) 1.0 else 0.0)
+          val xi = x(i)
+          var j = 0
+          while (j < d) { gwc(j) += g * xi(j); j += 1 }
+          gb(c) += g; i += 1
+        }
+        val wc = w(c); val vwc = vw(c)
         var j = 0
         while (j < d) {
           vwc(j) = momentum * vwc(j) - lr * (gwc(j) / n + lambda * wc(j))
@@ -174,7 +192,6 @@ object LangIdClassifier {
         }
         vb(c) = momentum * vb(c) - lr * gb(c) / n
         b(c) += vb(c)
-        c += 1
       }
       it += 1
     }

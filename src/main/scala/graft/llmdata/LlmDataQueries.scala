@@ -49,7 +49,7 @@ object LlmDataQueries extends QueryPack {
       val t = col("text")
       val (wts, b) = QualityClassifier.trained(s, dir)
       val margin = QualityClassifier.marginExpr(t, wts, b)
-      val scored = Tables.documents(s, dir).select(
+      val scored = graft.core.FanOut.byKey(Tables.documents(s, dir), "doc_id").select(
         col("doc_id"), t, col("source"),
         (lit(1.0) / (lit(1.0) + exp(margin * lit(-1.0)))).as("p_quality"),
         margin.as("qmargin"),
@@ -220,7 +220,7 @@ object LlmDataQueries extends QueryPack {
 
     "q_text_stats" -> ((s, dir) => {
       val t = col("text")
-      Tables.documents(s, dir).select(
+      graft.core.FanOut.byKey(Tables.documents(s, dir), "doc_id").select(
         col("doc_id"),
         TextStats.tokenCount(t).as("n_tokens"),
         round(TextStats.avgTokenLen(t), 6).as("avg_token_len"),
@@ -251,7 +251,7 @@ object LlmDataQueries extends QueryPack {
 
     "q_lang_id" -> ((s, dir) => {
       val t = col("text")
-      Tables.documents(s, dir).select(
+      graft.core.FanOut.byKey(Tables.documents(s, dir), "doc_id").select(
         col("doc_id"),
         TextStats.languageScore(t, TextStats.defaultMarkers("en")).as("s_en"),
         TextStats.languageScore(t, TextStats.defaultMarkers("fr")).as("s_fr"),
@@ -263,7 +263,7 @@ object LlmDataQueries extends QueryPack {
     // composite Gopher/C4-style quality score — all scan-fused exprs.
     "q_text_quality" -> ((s, dir) => {
       val t = col("text")
-      Tables.documents(s, dir).select(
+      graft.core.FanOut.byKey(Tables.documents(s, dir), "doc_id").select(
         col("doc_id"),
         TextStats.bpeTokenCount(t).as("n_bpe_tokens"),
         round(TextStats.punctRatio(t), 6).as("punct_ratio"),
@@ -279,7 +279,7 @@ object LlmDataQueries extends QueryPack {
     // across the projected columns — scan-fused, shuffle-free.
     "q_repetition" -> ((s, dir) => {
       val t = col("text")
-      Tables.documents(s, dir).select(
+      graft.core.FanOut.byKey(Tables.documents(s, dir), "doc_id").select(
         col("doc_id"),
         round(TextStats.topNgramCharFrac(t, 2), 6).as("top2_char_frac"),
         round(TextStats.dupNgramCharFrac(t, 5), 6).as("dup5_char_frac"),
@@ -309,7 +309,7 @@ object LlmDataQueries extends QueryPack {
     // naive semi-join + chunk-join form scanned the corpus four times.
     "q_llm_pipeline" -> ((s, dir) => {
       val t = col("text")
-      val scored = Tables.documents(s, dir).select(
+      val scored = graft.core.FanOut.byKey(Tables.documents(s, dir), "doc_id").select(
         col("doc_id"), t,
         TextStats.qualityScore(t).as("quality"),
         TextStats.languageId(t).as("lang"),
@@ -523,7 +523,7 @@ object LlmDataQueries extends QueryPack {
     // array bound once) — the generation-diversity / templated-text
     // signal beside the Gopher duplicated-n-gram CHARACTER fractions.
     "q_distinct_ngrams" -> ((s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
+      graft.core.FanOut.byKey(Tables.documents(s, dir), "doc_id").select(col("doc_id"),
         round(TextStats.distinctNgramRatio(col("text"), 1), 6).as("d1"),
         round(TextStats.distinctNgramRatio(col("text"), 2), 6).as("d2"),
         round(TextStats.distinctNgramRatio(col("text"), 3), 6).as("d3"))
@@ -599,7 +599,8 @@ object LlmDataQueries extends QueryPack {
     "q_quality_classifier" -> ((s, dir) => {
       val (w, b) = QualityClassifier.trained(s, dir)
       val m = QualityClassifier.marginExpr(col("text"), w, b)
-      Tables.documents(s, dir).select(col("doc_id"),
+      graft.core.FanOut.byKey(Tables.documents(s, dir), "doc_id")
+        .select(col("doc_id"),
         round(lit(1.0) / (lit(1.0) + exp(m * lit(-1.0))), 6).as("p_quality"),
         (m > 0).cast("int").as("pred"))
         .orderBy("doc_id")
@@ -611,7 +612,7 @@ object LlmDataQueries extends QueryPack {
     // vectors embed as VALUES (trainedLangIdOracle).
     "q_langid_trained" -> ((s, dir) => {
       val models = LangIdClassifier.trained(s, dir)
-      Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      graft.core.FanOut.byKey(Tables.documents(s, dir), "doc_id").select(col("doc_id"), col("lang"),
         LangIdClassifier.predictExpr(col("text"), models).as("pred_lang"))
         .withColumn("correct", (col("lang") === col("pred_lang")).cast("int"))
         .orderBy("doc_id")
@@ -627,7 +628,7 @@ object LlmDataQueries extends QueryPack {
       val t = col("text")
       val (wts, b) = QualityClassifier.trained(s, dir)
       val margin = QualityClassifier.marginExpr(t, wts, b)
-      val scored = Tables.documents(s, dir).select(
+      val scored = graft.core.FanOut.byKey(Tables.documents(s, dir), "doc_id").select(
         col("doc_id"), t, col("source"),
         (lit(1.0) / (lit(1.0) + exp(margin * lit(-1.0)))).as("p_quality"),
         margin.as("qmargin"),
@@ -672,7 +673,7 @@ object LlmDataQueries extends QueryPack {
       val t = col("text")
       val (wts, b) = QualityClassifier.trained(s, dir)
       val margin = QualityClassifier.marginExpr(t, wts, b)
-      val scored = Tables.documents(s, dir).select(
+      val scored = graft.core.FanOut.byKey(Tables.documents(s, dir), "doc_id").select(
         col("doc_id"), t, col("source"),
         (lit(1.0) / (lit(1.0) + exp(margin * lit(-1.0)))).as("p_quality"),
         margin.as("qmargin"),
@@ -798,7 +799,7 @@ object LlmDataQueries extends QueryPack {
     // rates aggregation shuffles ≤ |langs| keys.
     "q_llm_pipeline_v2" -> ((s, dir) => {
       val t = col("text")
-      val scored = Tables.documents(s, dir).select(
+      val scored = graft.core.FanOut.byKey(Tables.documents(s, dir), "doc_id").select(
         col("doc_id"), t, col("source"),
         TextStats.qualityScore(t).as("quality"),
         TextStats.languageId(t).as("lang"),

@@ -38,7 +38,8 @@ object NgramLm {
     * string "prev w" — tokens never contain spaces by construction.
     */
   def train(ref: DataFrame, textCol: String): (DataFrame, DataFrame, DataFrame) = {
-    val t = ref.select(toks(col(textCol)).as("t"))
+    val t = graft.core.FanOut.byKey(ref, textCol)
+      .select(toks(col(textCol)).as("t"))
     val uni = t.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
     val bi = t.filter(size(col("t")) >= 2)
@@ -57,7 +58,8 @@ object NgramLm {
   def score(docs: DataFrame, textCol: String, idCol: String,
       uni: DataFrame, bi: DataFrame, totals: DataFrame,
       lambdaBi: Double = 0.9, lambdaUni: Double = 0.1): DataFrame = {
-    val pos = docs.select(col(idCol), toks(col(textCol)).as("t"))
+    val pos = graft.core.FanOut.byKey(docs, idCol)
+      .select(col(idCol), toks(col(textCol)).as("t"))
       .select(col(idCol), explode(transform(
         sequence(lit(0), size(col("t")) - 1),
         i => struct(col("t")(i).as("w"),
@@ -174,7 +176,8 @@ object NgramLm {
     val totals = bi.agg(count(lit(1)).as("n_bi_types"))
       .crossJoin(uni.agg(count(lit(1)).as("v_size")))
 
-    val pos = docs.select(col(idCol), toks(col(textCol)).as("t"))
+    val pos = graft.core.FanOut.byKey(docs, idCol)
+      .select(col(idCol), toks(col(textCol)).as("t"))
       .select(col(idCol), explode(transform(
         sequence(lit(0), size(col("t")) - 1),
         i => struct(col("t")(i).as("w"),

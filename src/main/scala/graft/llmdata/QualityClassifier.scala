@@ -51,7 +51,7 @@ object QualityClassifier {
     */
   def hashedFeatures(docs: DataFrame, textCol: String, idCol: String,
       d: Int = D): DataFrame = {
-    val cnt = docs
+    val cnt = graft.core.FanOut.byKey(docs, idCol)
       .select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
       .groupBy(col(idCol), bucketExpr(col("__t"), d).as("__b"))
       .agg(count(lit(1)).cast("double").as("__c"))

@@ -749,7 +749,9 @@ object TextStats {
       n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
     val t = tokens(col(textCol))
-    val sh0 = df.filter(size(t) >= n)
+    // fan out by the TEXT column (the group key has only a handful of
+    // distinct values — hashing on it would collapse the repartition)
+    val sh0 = graft.core.FanOut.byKey(df, textCol).filter(size(t) >= n)
       .select(col(groupCol).as("g"),
         explode(transform(sequence(lit(1), size(t) - (n - 1)),
           i => concat_ws(" ",
@@ -895,7 +897,7 @@ object TextStats {
     * normalized by its ln(n_distinct) maximum.
     */
   def tokenEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
+    val toks = graft.core.FanOut.byKey(df, idCol).select(col(idCol),
       explode(filter(split(translate(col(textCol), "\n", " "), " "),
         t => length(t) > 0)).as("tok"))
     toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
@@ -961,7 +963,8 @@ object TextStats {
     // k-gram md5s + monotonic-deque rolling min, rightmost ties) —
     // no per-position explode, no per-document windows, no shuffle;
     // the exploded output is already distinct and position-ordered.
-    df.filter(length(col(textCol)) >= k)
+    graft.core.FanOut.byKey(df, idCol)
+      .filter(length(col(textCol)) >= k)
       .select(col(idCol),
         explode(graft.functions.WinnowingFp(col(textCol), k, w)).as("__s"))
       .select(col(idCol), col("__s.pos").cast("int").as("pos"),

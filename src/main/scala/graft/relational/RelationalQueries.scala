@@ -160,6 +160,22 @@ object RelationalQueries extends QueryPack {
       d
     })
   }
+  /** Per-dir DeepWalk corpus memo: q_random_walks, q_walk_skipgram and
+    * q_glove_walks all generate the IDENTICAL trajectory set (seeds
+    * ≤ 30, 2 walks × 4 hops, salt "rw") — one generation serves all
+    * three (r14 optimization; the lpaLabelsMemo convention). */
+  private def walksMemo(s: SparkSession, dir: String): DataFrame = {
+    val sym = coPurchaseSymMemo(s, dir)
+    graphMemo.computeIfAbsent(s"walks:$dir", _ => {
+      val seeds = sym.select(col("__s")).distinct()
+        .filter(col("__s") <= 30).select(col("__s").as("__n"))
+      val w = graft.graph.RandomWalks.uniformWalksOn(sym, seeds,
+          walksPerNode = 2, steps = 4, salt = "rw")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      w.count()
+      w
+    })
+  }
   private def lpaLabelsMemo(s: SparkSession, dir: String): DataFrame = {
     // resolve the edge memo BEFORE computeIfAbsent (no nested updates
     // on one map — the linkageParamsMemo convention)
@@ -668,9 +684,10 @@ object RelationalQueries extends QueryPack {
     // broadcast 1-row Gram (the YᵀY trick — the quadratic cell space
     // never materializes). Quantized trajectory (round-6 confidences,
     // Gram entries and factors) → EXACT chained-CTE oracle.
+    // r14 optimization: the rank-2 fit is memoized per dir
+    // (alsFactorsMemo) — q_als_recs consumed an identical second fit.
     "q_als_implicit" -> ((s, dir) =>
-      graft.recommend.ImplicitAls.fit(alsConfidences(s, dir), 2)
-        .orderBy("role", "id")),
+      alsFactorsMemo(s, dir).orderBy("role", "id")),
 
     // The same HKV fit at rank d = 8 — the dimension-generic path
     // (ImplicitAls.fitD): identical Gram-trick aggregation shape, the
@@ -690,10 +707,10 @@ object RelationalQueries extends QueryPack {
     // serving rides Ann.knnGraph on the item factors instead.
     "q_als_recs" -> ((s, dir) => {
       val conf = alsConfidences(s, dir)
-      val factors = graft.recommend.ImplicitAls.fit(conf, 2)
       val probe = conf.select(col("user")).filter(col("user") < 30)
         .distinct()
-      graft.recommend.ImplicitAls.recommendTopK(factors, conf, probe, 5)
+      graft.recommend.ImplicitAls.recommendTopK(alsFactorsMemo(s, dir),
+          conf, probe, 5)
         .orderBy("user", "rank")
     }),
 
@@ -1072,11 +1089,7 @@ object RelationalQueries extends QueryPack {
     // in DuckDB's own md5/row_number arithmetic. Per hop the engine
     // moves O(|walkers|) rows through two node-keyed equi-joins.
     "q_random_walks" -> ((s, dir) => {
-      val sym = coPurchaseSymMemo(s, dir)
-      val seeds = sym.select(col("__s")).distinct()
-        .filter(col("__s") <= 30).select(col("__s").as("__n"))
-      graft.graph.RandomWalks.uniformWalksOn(sym, seeds,
-          walksPerNode = 2, steps = 4, salt = "rw")
+      walksMemo(s, dir)
         .orderBy("walk_id", "step")
     }),
 
@@ -1088,11 +1101,7 @@ object RelationalQueries extends QueryPack {
     // Oracle replays the walks AND the window arithmetic on the
     // list form.
     "q_walk_skipgram" -> ((s, dir) => {
-      val sym = coPurchaseSymMemo(s, dir)
-      val seeds = sym.select(col("__s")).distinct()
-        .filter(col("__s") <= 30).select(col("__s").as("__n"))
-      val walks = graft.graph.RandomWalks.uniformWalksOn(sym, seeds,
-        walksPerNode = 2, steps = 4, salt = "rw")
+      val walks = walksMemo(s, dir)
       val seqs = walks
         .groupBy("walk_id")
         .agg(array_sort(collect_list(struct(col("step"), col("node"))))
@@ -1111,11 +1120,7 @@ object RelationalQueries extends QueryPack {
     // (md5-draw hops, window pairs, round-6 ALS handoffs) replayed by
     // one chained-CTE oracle.
     "q_glove_walks" -> ((s, dir) => {
-      val sym = coPurchaseSymMemo(s, dir)
-      val seeds = sym.select(col("__s")).distinct()
-        .filter(col("__s") <= 30).select(col("__s").as("__n"))
-      val walks = graft.graph.RandomWalks.uniformWalksOn(sym, seeds,
-        walksPerNode = 2, steps = 4, salt = "rw")
+      val walks = walksMemo(s, dir)
       val seqs = walks
         .groupBy("walk_id")
         .agg(array_sort(collect_list(struct(col("step"), col("node"))))
@@ -2552,6 +2557,20 @@ object RelationalQueries extends QueryPack {
     * strengths off lineitem⋈orders, confidence quantized at
     * construction (ImplicitAls.confidences).
     */
+  /** Per-dir rank-2 ALS factors (fit-once memo, the lpaLabelsMemo
+    * convention): q_als_implicit gates the factors and q_als_recs
+    * scores recommendations off the SAME fit — before r14 each ran its
+    * own full 2-alternation fit on identical inputs. */
+  private def alsFactorsMemo(s: SparkSession, dir: String): DataFrame = {
+    val conf = alsConfidences(s, dir)
+    graphMemo.computeIfAbsent(s"alsf2:$dir", _ => {
+      val f = graft.recommend.ImplicitAls.fit(conf, 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      f.count()
+      f
+    })
+  }
+
   private def alsConfidences(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     graft.recommend.ImplicitAls.confidences(
