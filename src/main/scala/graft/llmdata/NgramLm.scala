@@ -95,8 +95,9 @@ object NgramLm {
     * shuffles vs the single-model path: the key rides the same
     * aggregation and broadcast-join keys.
     */
-  def perplexityScoreByKey(docs: DataFrame, textCol: String, idCol: String,
+  def perplexityScoreByKey(docs0: DataFrame, textCol: String, idCol: String,
       keyCol: String): DataFrame = {
+    val docs = graft.core.FanOut.byKey(docs0, idCol)
     val t = docs.select(col(keyCol), toks(col(textCol)).as("t"))
     val uni0 = t.select(col(keyCol), explode(col("t")).as("w"))
       .groupBy(keyCol, "w").agg(count(lit(1)).as("cw"))

@@ -34,8 +34,11 @@ object FeatureSelection {
         label.cast("string").as("label"))
       .groupBy("__f", "bin", "label").agg(count(lit(1)).as("n_xy"))
     val names = features.map(_._1)
-    val withName = cells.withColumn("feature",
-      element_at(array(names.map(lit): _*), col("__f") + 1))
+    // shared by four branches (margins ×3 + the join spine) — eager
+    // persist kills the concurrent duplicate scans (FanOut.shared doc)
+    val withName = graft.core.FanOut.shared("fsel",
+      cells.withColumn("feature",
+        element_at(array(names.map(lit): _*), col("__f") + 1)))
     // margins off the contingency frame (tiny): per-feature bin totals,
     // class totals, and grand total
     val rowM = withName.groupBy("feature", "bin")
@@ -96,11 +99,12 @@ object FeatureSelection {
       lit(features(i)._1 + "|" + features(j)._1).as("p"),
       features(i)._2.cast("string").as("ba"),
       features(j)._2.cast("string").as("bb"))
-    val cells = df
+    // shared by four branches — eager persist (FanOut.shared doc)
+    val cells = graft.core.FanOut.shared("fsel", df
       .select(explode(array(pairStructs: _*)).as("__e"))
       .select(col("__e.p").as("pair"), col("__e.ba").as("ba"),
         col("__e.bb").as("bb"))
-      .groupBy("pair", "ba", "bb").agg(count(lit(1)).as("n_xy"))
+      .groupBy("pair", "ba", "bb").agg(count(lit(1)).as("n_xy")))
     val rowM = cells.groupBy("pair", "ba").agg(sum("n_xy").as("n_x"))
     val colM = cells.groupBy("pair", "bb").agg(sum("n_xy").as("n_y"))
     val tot = cells.groupBy("pair").agg(sum("n_xy").as("n"))

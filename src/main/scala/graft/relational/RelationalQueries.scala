@@ -1160,8 +1160,13 @@ object RelationalQueries extends QueryPack {
     // definition DuckDB's quantile_cont uses). Exact percentile is the
     // small-group path; at 100 TB switch to percentile_approx (the
     // GK sketch Quantiles.scala wraps) — gated separately there.
+    // exact order statistics are accumulation-order-independent, so the
+    // heavy percentile buffers can fan out across cores (r14; plain
+    // double-mean aggregates like q_robust_stats' winsorized means stay
+    // on the scan partitioning — fanning those out would introduce
+    // merge-order nondeterminism into a round-6 gate)
     "q_percentiles" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
+      graft.core.FanOut.byKey(Tables.lineitem(s, dir), "l_orderkey")
         .groupBy("l_returnflag")
         .agg(
           round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),

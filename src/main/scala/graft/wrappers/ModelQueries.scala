@@ -143,7 +143,9 @@ object ModelQueries extends QueryPack {
           col("argmin"), round(col("min_dist"), 6).as("min_dist")))),
 
     "q_pairwise_kernels" -> ((s, dir) => {
-      val base = li(s, dir)
+      // five chained per-row kernel projections over a single-row-group
+      // scan — fan out so the array math uses every core (r14)
+      val base = graft.core.FanOut.byKey(li(s, dir), "l_orderkey")
       val withRbf = Pairwise.pairwiseKernels(base, feat,
         Array(yBlock(0)), metric = "rbf", gamma = 0.01, prefix = "rbf_")
       val withPoly = Pairwise.pairwiseKernels(withRbf, feat,

@@ -65,6 +65,31 @@ class DeltaSteppingSpec extends SparkSpec {
     assert(got(7L).isEmpty && got(8L).isEmpty)
   }
 
+  test("multi-seed batch equals per-seed single runs (schedule " +
+      "independence of the shared bucket schedule)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val n = 30
+    val edges = (for (_ <- 1 to 120) yield
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+        1L + rnd.nextInt(40))).filter(e => e._1 != e._2).distinct
+    val e = edges.toDF("src", "dst", "len")
+    val seeds = Seq(0L, 3L, 7L)
+    val multi = DeltaStepping.shortestPathsMulti(e, "src", "dst", "len",
+        seeds.toDF("id"), delta = 8L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    for (s <- seeds) {
+      val single = run(edges, source = s, delta = 8L)
+      for ((v, d) <- single)
+        assert(multi((s, v)) == d,
+          s"seed $s node $v: multi ${multi((s, v))} vs single $d")
+      // same row set per seed
+      assert(multi.keys.count(_._1 == s) == single.size)
+    }
+  }
+
   test("a longer light path beats a shorter heavy edge (re-entry " +
       "within a bucket)") {
     // direct heavy edge 0->3 of length 20; light chain 0->1->2->3 of
