@@ -74,7 +74,8 @@ object Dsir {
       b: Int = B): DataFrame = {
     val spark = target.sparkSession
     def gramBuckets(df: DataFrame, tag: Int) =
-      df.select(explode(grams(col(textCol))).as("g"))
+      graft.core.FanOut.byKey(df, textCol)
+        .select(explode(grams(col(textCol))).as("g"))
         .select(bucket(col("g"), b).as("bucket"), lit(tag.toLong).as("t"))
     val counts = gramBuckets(target, 1).unionByName(gramBuckets(raw, 0))
       .groupBy("bucket")
@@ -101,7 +102,8 @@ object Dsir {
     */
   def importanceWeights(docs: DataFrame, textCol: String, idCol: String,
       ratios: DataFrame, b: Int = B): DataFrame =
-    docs.select(col(idCol), explode(grams(col(textCol))).as("g"))
+    graft.core.FanOut.byKey(docs, idCol)
+      .select(col(idCol), explode(grams(col(textCol))).as("g"))
       .select(col(idCol), bucket(col("g"), b).as("bucket"))
       .join(broadcast(ratios), Seq("bucket"))
       .groupBy(idCol)

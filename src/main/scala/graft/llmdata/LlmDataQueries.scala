@@ -42,6 +42,23 @@ object LlmDataQueries extends QueryPack {
       a
     })
 
+  /** Per-dir DSIR importance weights (n_grams, logw per doc) — the
+    * identical ratios+weights computation fed q_dsir_weights,
+    * q_dsir_sample AND the v5 pipeline's selection stage; fit-once
+    * memo (r14 optimization, the neymanAllocMemo convention). */
+  private val dsirMemo =
+    graft.core.Memos.register(new graft.core.Memos.CachedFrameMap())
+  private def dsirWeightsMemo(s: SparkSession, dir: String): DataFrame =
+    dsirMemo.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+      val ratios = Dsir.bucketLogRatios(
+        docs.filter(col("lang") === "en"), docs, "text")
+      val w = Dsir.importanceWeights(docs, "text", "doc_id", ratios)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      w.count()
+      w
+    })
+
   private val v5Memo =
     graft.core.Memos.register(new graft.core.Memos.CachedFrameMap())
   private def v5Packed(s: SparkSession, dir: String): DataFrame =
@@ -76,11 +93,8 @@ object LlmDataQueries extends QueryPack {
         .select(col("doc_id"), col("nll"))
       val withNll = substrFiltered.join(broadcast(nll), Seq("doc_id"))
       // DSIR selection: corpus-wide weights, off-distribution tail out
-      val ratios = Dsir.bucketLogRatios(
-        Tables.documents(s, dir).filter(col("lang") === "en"),
-        Tables.documents(s, dir), "text")
-      val dweights = Dsir.importanceWeights(Tables.documents(s, dir),
-          "text", "doc_id", ratios)
+      // (the SAME ratios+weights as the q_dsir_* gates — shared memo)
+      val dweights = dsirWeightsMemo(s, dir)
         .select(col("doc_id"), col("logw"))
       val selected = withNll.join(broadcast(dweights), Seq("doc_id"))
         .filter(round(col("logw"), 6) > lit(-0.5))
@@ -569,26 +583,18 @@ object LlmDataQueries extends QueryPack {
     // DSIR importance weights (Xie 2302.03169): hashed uni+bi-gram
     // bucket models for the trusted (en) slice vs the raw corpus;
     // per-doc logw via a B-row broadcast join on the gram stream.
-    "q_dsir_weights" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val ratios = Dsir.bucketLogRatios(
-        docs.filter(col("lang") === "en"), docs, "text")
-      Dsir.importanceWeights(docs, "text", "doc_id", ratios)
+    "q_dsir_weights" -> ((s, dir) =>
+      dsirWeightsMemo(s, dir)
         .select(col("doc_id"), col("n_grams"),
           round(col("logw"), 6).as("logw"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // DSIR Gumbel top-k resample: without-replacement selection ∝ the
     // importance weights, perturbation drawn from 52 md5 bits so both
     // engines rank the identical keys.
-    "q_dsir_sample" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val ratios = Dsir.bucketLogRatios(
-        docs.filter(col("lang") === "en"), docs, "text")
-      val w = Dsir.importanceWeights(docs, "text", "doc_id", ratios)
-      Dsir.resample(w, "doc_id", 100).orderBy("doc_id")
-    }),
+    "q_dsir_sample" -> ((s, dir) =>
+      Dsir.resample(dsirWeightsMemo(s, dir), "doc_id", 100)
+        .orderBy("doc_id")),
 
     // Trained quality classifier (fastText-style hashed-n-gram logistic,
     // Joulin 1607.01759): trained in-repo by the existing GLM surface on
