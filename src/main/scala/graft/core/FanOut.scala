@@ -36,6 +36,9 @@ object FanOut {
   /** Hash-repartition `df` by `keyCol` to the default parallelism iff
     * its current physical partitioning is less than half of it. */
   def byKey(df: DataFrame, keyCol: String): DataFrame = {
+    // streaming frames pass through: .rdd is illegal on them, and
+    // micro-batch parallelism is the source's concern, not the scan's
+    if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 < p) df.repartition(p, col(keyCol))
     else df

@@ -110,7 +110,17 @@ object RelationalQueries extends QueryPack {
       val pairs = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("id_a"), col("b.pk").as("id_b"))
+      // persisted PRE-PARTITIONED on __s (r14 optimization, guide §2.4
+      // "share one exchange"): the family's per-round joins broadcast
+      // the node-sized side, so the join output keeps this
+      // partitioning, and every groupBy(__s, …) / per-__s window
+      // downstream is then exchange-free (HashPartitioning(__s)
+      // satisfies any clustering that CONTAINS __s) — one exchange at
+      // memo build instead of one per round per consumer. The
+      // production analog is bucketing the edge table by source id.
+      val nParts = s.sessionState.conf.numShufflePartitions
       val sym = graft.graph.EdgeFrames.symmetrizedWeighted(pairs)
+        .repartition(nParts, col("__s"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sym.count()
       sym
