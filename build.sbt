@@ -28,3 +28,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The round driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. sbt's default LoggedOutput strategy prefixes every forked stdout
+// line with "[info] " and appends a "[success] Total time" line after the
+// run, which defeated that parse two rounds running (PERF r13/r14
+// `parsed: null`). StdoutOutput passes the forked process's streams through
+// bare, and showSuccess=false drops the trailing [success] line, so the
+// bench's final JSON is the last bare line on stdout.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess

@@ -237,11 +237,11 @@ object Bench {
       runs.map { r =>
         "\"" + r._1 + "\":[" + sel(r).map(t => f"$t%.3f").mkString(",") + "]" }
         .mkString("{", ",", "}")
-    // full per-query breakdown goes to a FILE (and stderr): with 80+
-    // queries the dict is ~2.5 KB, larger than the driver's stdout tail
-    // window — r2's metric line got its head truncated and failed to
-    // parse. stdout carries ONE short line: the total plus the slowest
-    // 15 queries, always inside the window.
+    // full per-query breakdown goes to a FILE (and stderr) for
+    // provenance; since r15 the final stdout line ALSO carries the full
+    // per-query map — the r14 verdict's PERF parser reads the last
+    // stdout line as JSON and needs every query in it (additions-only:
+    // the same keys as before, `queries` just holds all entries now).
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":${passes.size},"queries":${toJson(results)},"no_valid_rep":$noValidJson,"solo":$soloJson,"runs":${runsJson(_._2)},"invalid":${runsJson(_._3)},"sf":"$sfDir"}"""
     // subset runs (dev iteration) must not clobber the full artifact
@@ -270,11 +270,12 @@ object Bench {
       System.err.println(s"[bench] guardrail clean: no query above " +
         "1.5x its committed estimate")
 
-    val slowest = results.sortBy(-_._2).take(15)
+    // slowest-first so a human tail still sees the heavy queries
+    val ordered = results.sortBy(-_._2)
     // stop FIRST so nothing else can write to stdout after the metric
-    // line — the driver parses the tail of stdout as JSON
+    // line — the driver parses the last line of stdout as JSON
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":${passes.size},"queries":${toJson(slowest)},"n_queries":${results.size},"n_no_valid_rep":${noValid.size},"queries_file":"$artifact","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":${passes.size},"queries":${toJson(ordered)},"n_queries":${results.size},"n_no_valid_rep":${noValid.size},"queries_file":"$artifact","sf":"$sfDir"}""")
     System.out.flush()
   }
 }
