@@ -80,8 +80,18 @@ object EstimatorQueries extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[String, KMeansModel]())
   private def fittedKMeans(s: SparkSession, dir: String): KMeansModel =
     kmeansMemo.computeIfAbsent(dir, _ =>
+      // r15: fan the single-row-group projection out before the MLlib
+      // fit — every k-means|| init pass and Lloyd round ran as ONE task
+      // (the r14 FanOut finding; ~30 single-core jobs profiled). The
+      // trajectory changes with the partition layout (k-means|| samples
+      // per partition), which is exactly what this gate tolerates: its
+      // oracle checks seed-independent INVARIANTS (partition counts,
+      // the Lloyd fixed point, the single-cluster baseline, inertia
+      // consistency), not centers. The EXACT trajectory gate
+      // (q_kmeans_fit / fitLloydDeterministic) keeps the raw memo frame
+      // — only this seeded fit fans out.
       new KMeans(fitFeatures, nClusters = 4, seed = 42)
-        .fit(kmeansFeatures(s, dir)))
+        .fit(graft.core.FanOut.byKey(kmeansFeatures(s, dir), "l_orderkey")))
 
   /** The deterministic Lloyd fit behind the EXACT q_kmeans_fit gate:
     * fit once per dir (the trajectory's step count parameterizes the
@@ -158,7 +168,10 @@ object EstimatorQueries extends QueryPack {
     // (n·Σvar_pop), and trainingCost agreeing with an independent
     // expression-based recompute of Σ min_c ‖x−c‖².
     "q_kmeans_fit_invariants" -> ((s, dir) => {
-      val li = kmeansFeatures(s, dir)
+      // fanned out like the fit itself (r15): the invariant aggregates
+      // are tolerance-gated (1e-6/1e-2 relative) and n_total is exact,
+      // so partition-order fp noise cannot flip a flag
+      val li = graft.core.FanOut.byKey(kmeansFeatures(s, dir), "l_orderkey")
       val feats = fitFeatures
       val m = fittedKMeans(s, dir)
       // ONE fused groupBy pass over the shared cached frame computes

@@ -33,6 +33,21 @@ import org.apache.spark.sql.functions.col
   */
 object FanOut {
 
+  /** Decision memo keyed by (session, canonicalized plan): the probe
+    * below costs a full analysis + physical-planning pass + RDD
+    * conversion (r15 ADVICE finding — it ran on EVERY call, on hot
+    * per-query paths), while the answer is a pure function of the
+    * frame's source layout, which is immutable for the JVM session
+    * (the [[Memos]] contract). Most call sites probe the same handful
+    * of base-table scans, so the cache collapses ~30 planning passes
+    * per bench pass into one per distinct frame. Entries are a few
+    * bytes; never cleared (the decision stays valid as long as the
+    * data does, and the key count is bounded by distinct call-site
+    * frames).
+    */
+  private val decisions =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Boolean]()
+
   /** Hash-repartition `df` by `keyCol` to the default parallelism iff
     * its current physical partitioning is less than half of it. */
   def byKey(df: DataFrame, keyCol: String): DataFrame = {
@@ -40,7 +55,11 @@ object FanOut {
     // micro-batch parallelism is the source's concern, not the scan's
     if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < p) df.repartition(p, col(keyCol))
+    val key = (System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash().toLong)
+    val low = decisions.computeIfAbsent(key,
+      _ => df.rdd.getNumPartitions * 2 < p)
+    if (low) df.repartition(p, col(keyCol))
     else df
   }
 
@@ -56,6 +75,9 @@ object FanOut {
     * pairs), never raw corpus rows.
     */
   def shared(tag: String, df: DataFrame): DataFrame = {
+    // streaming frames pass through (persist + count throw on them) —
+    // the byKey guard, mirrored here (r15, ADVICE)
+    if (df.isStreaming) return df
     val p = Memos.tracked(tag,
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     p.count()

@@ -52,11 +52,16 @@ object DeltaStepping {
     *   bucket-monotone settling silently returns non-optimal
     *   distances on negative lengths, the classic Dijkstra
     *   precondition).
-    * @param seeds 1-column frame of source node ids (distance 0).
+    * @param seeds 1-column frame of source node ids (distance 0). With
+    *   MULTIPLE seeds this is the classic multi-source field: one row
+    *   per node, dist = min over seeds (0 at every seed), null when no
+    *   seed reaches it — the r14 batching regression that sliced the
+    *   per-seed product to duplicate rows is fixed by the min rollup
+    *   (r15, ADVICE).
     * @param delta bucket width Δ (light/heavy threshold).
     * @param maxBuckets hard cap on processed (non-empty) bucket phases
-    *   — at most one per node, so this is a runaway guard, not a
-    *   truncation knob; exceeding it raises.
+    *   PER SEED — at most one per node, so this is a runaway guard,
+    *   not a truncation knob; exceeding it raises.
     * @return (id, dist) for every node on either edge end; null dist =
     *   unreachable.
     */
@@ -65,7 +70,10 @@ object DeltaStepping {
       maxBuckets: Int = 256): DataFrame =
     shortestPathsMulti(edges, srcCol, dstCol, lenCol, seeds,
       delta = delta, maxBuckets = maxBuckets)
-      .select(col("id"), col("dist"))
+      // min ignores nulls (min of all-null = null), so this IS the
+      // multi-source min-distance field; for one seed it is the
+      // identity on the per-seed rows
+      .groupBy("id").agg(min("dist").as("dist"))
 
   /** All-seeds batched SSSP — (seed, id, dist) with each seed's dist
     * column identical to a [[shortestPaths]] run from that seed alone
@@ -137,12 +145,20 @@ object DeltaStepping {
       if (r.isNullAt(0)) -1L else r.getLong(0)
     }
 
+    // the global schedule's non-empty phases are the UNION of the
+    // per-seed phase sets, so the runaway cap scales with the seed
+    // count (r15, ADVICE: a k-seed batch must not trip a cap each
+    // single-seed run would have respected). seedIds is bounded by
+    // caller contract and already broadcast-collected above.
+    val nSeeds = math.max(seedIds.count(), 1L)
+    val phaseCap = maxBuckets.toLong * nSeeds
     var b = nextBucket(0L)
-    var phases = 0
+    var phases = 0L
     while (b >= 0) {
       phases += 1
-      require(phases <= maxBuckets,
-        s"delta-stepping exceeded $maxBuckets bucket phases (delta too small?)")
+      require(phases <= phaseCap,
+        s"delta-stepping exceeded $phaseCap bucket phases " +
+          s"($maxBuckets x $nSeeds seeds; delta too small?)")
       // light-edge inner loop: frontier = (seed, node) pairs newly in /
       // improved within bucket b; stabilizes because integer distances
       // strictly decrease on every improvement. Frontiers derive LAZILY

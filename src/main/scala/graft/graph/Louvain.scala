@@ -188,8 +188,14 @@ object Louvain {
     val spark = sym0.sparkSession
     import spark.implicits._
     // 2m is level-invariant: contraction moves weight between the
-    // edge frame and the self-loop frame but conserves the total
-    val m2 = broadcast(sym0.agg(sum("__w").as("__m2")))
+    // edge frame and the self-loop frame but conserves the total.
+    // Collected ONCE into a literal frame (r15): the old broadcast of
+    // the live aggregate re-ran an edge-frame aggregate + broadcast
+    // build inside EVERY sweep's plan — ~12 redundant jobs per query
+    // for one immutable long.
+    val m2r = sym0.agg(sum("__w")).head()
+    val m2v = if (m2r.isNullAt(0)) 0L else m2r.getLong(0)
+    val m2 = broadcast(Seq(m2v).toDF("__m2"))
     var sym = sym0
     var selfW = Seq.empty[(Long, Long)].toDF("__n", "__sw")
     var nodes = sym0.select(col("__s").as("__n")).distinct()

@@ -92,18 +92,34 @@ object Triangles {
     // of the oriented edge PAIRS drops ~all non-closing wedges BEFORE
     // they shuffle. No false negatives (the exact join below still
     // verifies every survivor), so the result is unchanged; false
-    // positives only cost a little extra shuffle. The filter is built
-    // only while |oriented| keeps the broadcast bloom small (~1.2 bytes
-    // per edge) — beyond that the plain join path runs unchanged, so
-    // the operator never drags an edge-scale filter to the driver.
+    // positives only cost a little extra shuffle.
+    //
+    // Sizing (r15, ADVICE fix): BloomFilterAggregate clamps its item
+    // estimate to spark.sql.optimizer.runtime.bloomFilter.maxNumItems
+    // (4M default) and its bit count to 67108864, so the old 1e8-edge
+    // guard built filters that saturated toward all-pass between ~10M
+    // and 100M edges while still paying the aggregation and an ~8 MB
+    // broadcast literal. The guard now engages only up to the session's
+    // maxNumItems (where the estimate is honored), and numBits is
+    // passed EXPLICITLY at ~10 bits/item (fpp < 1%) instead of the
+    // fixed conf default — beyond that the plain join path runs
+    // unchanged and nothing edge-scale reaches the driver.
     val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
     val nOriented = oriented.count() // cheap: persisted frame
+    val bloomMaxItems = sym.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
+      .toLong
     val wedgesPruned =
-      if (nOriented <= 100000000L) {
+      if (nOriented <= bloomMaxItems) {
         val bridge = org.apache.spark.sql.graft.ExpressionBridge
+        val items = math.max(nOriented, 1L)
         val bfBytes = oriented
           .agg(bridge.bloomFilterAgg(xxhash64(col("src"), col("dst")),
-            math.max(nOriented, 1L)).as("__bf"))
+            items,
+            // ≥ the engine's 8388608-bit conf default so small graphs
+            // keep their near-zero fpp; 10 bits/item above that
+            math.min(math.max(items * 10L, 8388608L), 67108864L))
+            .as("__bf"))
           .head.getAs[Array[Byte]]("__bf")
         wedges.filter(bridge.bloomMightContain(lit(bfBytes),
           xxhash64(col("b"), col("c"))))

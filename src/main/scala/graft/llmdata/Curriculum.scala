@@ -43,12 +43,12 @@ object Curriculum {
     * budget, or None when the whole corpus fits the budget.
     */
   private def budgetCut(base: DataFrame, budget: Long): Option[(Double, Long)] = {
-    // window over the AGGREGATE frame only (≤ distinct-score rows)
-    val wg = Window.orderBy(col("__s").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val boundary = base.groupBy(col("__s"))
-      .agg(sum(col("__t")).as("__gt"))
-      .withColumn("__gcum", sum(col("__gt")).over(wg))
+    // prefix sum over the per-score AGGREGATE frame — corpus-sized for
+    // near-unique scores, so it runs as a range-partitioned two-pass
+    // prefix sum (guide §2, r15; long addend, regrouping exact)
+    val boundary = graft.core.Prefix.cumSums(
+        base.groupBy(col("__s")).agg(sum(col("__t")).as("__gt")),
+        Seq(col("__s").desc), Seq((col("__gt"), "__gcum", true)))
       .filter(col("__gcum") > budget)
       .orderBy(col("__s").desc)
       .limit(1)

@@ -136,16 +136,16 @@ object SkipGram {
       s"need negatives >= 1 and nBuckets >= 1, got $negatives, $nBuckets")
     val pos = positives(df, textCol, idCol, window)
     // fit-once noise table: smoothed integer weights + cumulative
-    // intervals; the ≤|vocab| ordered prefix sum runs over the
-    // persisted aggregate, never the corpus
-    val cum = track(df
-      .select(explode(tokens(col(textCol))).as("__w"))
-      .groupBy("__w").agg(count(lit(1)).as("__c"))
-      .withColumn("__wt",
-        round(pow(col("__c").cast("double"), power) * 1e6).cast("long"))
-      .withColumn("__hi", sum("__wt").over(
-        Window.orderBy("__w").rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)))
+    // intervals over the ≤|vocab| aggregate — a large vocab would make
+    // a global window a single-partition sort, so the interval ends
+    // come from a range-partitioned two-pass prefix sum (guide §2,
+    // r15; long addend, regrouping exact)
+    val cum = track(graft.core.Prefix.cumSums(
+        df.select(explode(tokens(col(textCol))).as("__w"))
+          .groupBy("__w").agg(count(lit(1)).as("__c"))
+          .withColumn("__wt",
+            round(pow(col("__c").cast("double"), power) * 1e6).cast("long")),
+        Seq(col("__w")), Seq((col("__wt"), "__hi", true)))
       .withColumn("__lo", col("__hi") - col("__wt"))
       .select(col("__w"), col("__lo"), col("__hi"))
       .persist(StorageLevel.MEMORY_AND_DISK))

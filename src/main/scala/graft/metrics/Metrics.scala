@@ -223,9 +223,12 @@ object Metrics {
     val g = df.groupBy(col(scoreCol).as("s"))
       .agg(count(lit(1)).cast("double").as("cnt"),
         sum(col(yTrue).cast("double")).as("pos"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val r = g.withColumn("cb", coalesce(sum(col("cnt")).over(w), lit(0.0)))
+    // the per-score frame is corpus-sized for near-unique scores: the
+    // cumulative rank runs as a range-partitioned two-pass prefix sum
+    // (guide §2, r15), never a single-partition window. cnt is an
+    // integer-valued double, so the regrouped accumulation is exact.
+    val r = graft.core.Prefix.cumSums(g, Seq(col("s")),
+        Seq((col("cnt"), "cb", false)))
       .agg(
         sum(col("pos") * (col("cb") + (col("cnt") + 1) / 2)).as("rank_sum"),
         sum(col("pos")).as("p"), sum(col("cnt")).as("n")).head()
@@ -247,10 +250,10 @@ object Metrics {
     val g = df.groupBy(col(scoreCol).as("s"))
       .agg(count(lit(1)).cast("double").as("cnt"),
         sum(col(yTrue).cast("double")).as("pos"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val r = g.withColumn("cumtp", sum(col("pos")).over(w))
-      .withColumn("cumall", sum(col("cnt")).over(w))
+    // two-pass prefix sums over the per-score frame (see rocAuc): both
+    // addends are integer-valued doubles, regrouping is exact
+    val r = graft.core.Prefix.cumSums(g, Seq(col("s").desc),
+        Seq((col("pos"), "cumtp", true), (col("cnt"), "cumall", true)))
       .agg(sum(col("pos") * col("cumtp") / col("cumall")).as("num"),
         sum(col("pos")).as("p")).head()
     val (num, p) = (r.getDouble(0), r.getDouble(1))

@@ -41,21 +41,26 @@ object Survival {
       .groupBy("__t").agg(
         count(lit(1)).as("__m"),
         sum(when(col("__e"), 1L).otherwise(0L)).as("__d"))
-    // risk set: units with duration >= t — a reverse cumulative sum
-    // over the tiny per-duration frame
-    val wRisk = Window.orderBy(col("__t").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // risk set: units with duration >= t — a reverse cumulative sum,
+    // computed as a range-partitioned two-pass prefix sum (guide §2,
+    // r15: never a single-partition window over the per-duration
+    // frame; __m is a long, so regrouped accumulation is exact)
     val wSurv = Window.orderBy(col("__t").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    per.withColumn("__n", sum("__m").over(wRisk))
+    graft.core.Prefix.cumSums(per, Seq(col("__t").desc),
+        Seq((col("__m"), "__n", true)))
       .withColumn("__f",
         round(lit(1.0) - col("__d").cast("double") / col("__n"), 6))
-      // ordered product as a fold over the ascending prefix of factors
-      // (multiplication order pinned; the frame is duration-sized)
+      // event rows only BEFORE the ordered product: zero-death
+      // durations have __f = 1 − 0/n = exactly 1.0, and x·1.0 ≡ x in
+      // IEEE, so dropping them from the fold is bit-identical — the
+      // sequential product then runs over the event-duration frame
+      // (bounded by distinct durations with deaths; multiplication is
+      // non-associative, so this fold stays order-pinned)
+      .filter(col("__d") > 0)
       .withColumn("__surv",
         round(aggregate(collect_list(col("__f")).over(wSurv),
           lit(1.0), (acc, x) => acc * x), 6))
-      .filter(col("__d") > 0)
       .select(col("__t").as("t"), col("__n").as("n_risk"),
         col("__d").as("n_events"),
         (col("__m") - col("__d")).as("n_censored_at"),
@@ -149,15 +154,18 @@ object Survival {
         sum(col("__x")).as("__sx"),
         sum(col("__x") * col("__x")).as("__sxx"),
         sum(when(col("__e"), col("__x")).otherwise(0.0)).as("__sex"))
-    val wRisk = Window.orderBy(col("__t").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val s0 = col("__s0").cast("double")
     val dD = col("__d").cast("double")
     val xbar = col("__s1") / s0
-    val agg = per
-      .withColumn("__s0", sum("__m").over(wRisk))
-      .withColumn("__s1", sum("__sx").over(wRisk))
-      .withColumn("__s2", sum("__sxx").over(wRisk))
+    // reverse cumulative risk-set moments as two-pass prefix sums
+    // (guide §2, r15). Exactness note: __sx/__sxx are double sums, so
+    // this relies on the covariate being integer-valued (the declared
+    // gate feeds an event count) — integer-valued doubles accumulate
+    // exactly under any regrouping below 2^53, identical to the old
+    // sequential window fold.
+    val agg = graft.core.Prefix.cumSums(per, Seq(col("__t").desc),
+        Seq((col("__m"), "__s0", true), (col("__sx"), "__s1", true),
+          (col("__sxx"), "__s2", true)))
       .filter(col("__d") > 0)
       .select(col("__d"),
         (col("__sex") - dD * xbar).as("__u"),
@@ -190,14 +198,13 @@ object Survival {
         sum(when(col("__a"), 1L).otherwise(0L)).as("__ma"),
         sum(when(col("__e"), 1L).otherwise(0L)).as("__d"),
         sum(when(col("__e") && col("__a"), 1L).otherwise(0L)).as("__da"))
-    val wRisk = Window.orderBy(col("__t").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nD = col("__n").cast("double")
     val naD = col("__na").cast("double")
     val dD = col("__d").cast("double")
-    val agg = per
-      .withColumn("__n", sum("__m").over(wRisk))
-      .withColumn("__na", sum("__ma").over(wRisk))
+    // reverse cumulative risk sets as two-pass prefix sums (guide §2,
+    // r15); long addends, regrouping exact
+    val agg = graft.core.Prefix.cumSums(per, Seq(col("__t").desc),
+        Seq((col("__m"), "__n", true), (col("__ma"), "__na", true)))
       .filter(col("__d") > 0)
       .select(col("__da"), col("__d"),
         (dD * naD / nD).as("__ea"),

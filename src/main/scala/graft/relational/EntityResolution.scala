@@ -151,9 +151,11 @@ object EntityResolution {
     blockingUnion(df, idCol, rules, payload = Seq(nameCol))
       .filter(abs(length(col(s"${nameCol}_a")) -
         length(col(s"${nameCol}_b"))) <= maxDistance)
+      // banded threshold form — see [[fuzzyPairs]]; identical distances
+      // for kept pairs, O(k·n) instead of O(n²) per candidate
       .withColumn("distance",
-        levenshtein(col(s"${nameCol}_a"), col(s"${nameCol}_b")))
-      .filter(col("distance") <= maxDistance)
+        levenshtein(col(s"${nameCol}_a"), col(s"${nameCol}_b"), maxDistance))
+      .filter(col("distance") >= 0)
       .select(col("id_a"), col("id_b"), col(s"${nameCol}_a").as("name_a"),
         col(s"${nameCol}_b").as("name_b"), col("distance"))
   }
@@ -220,9 +222,16 @@ object EntityResolution {
         col("id_a") < col("id_b") &&
         abs(length(col("name_a")) - length(col("name_b"))) <= maxDistance)
     }
+    // banded DP (r15 optimization, guide §3): the 3-arg levenshtein
+    // computes only the ±maxDistance diagonal band and aborts early
+    // (returns -1 past the threshold) — O(k·n) per pair instead of the
+    // O(n²) full DP, with identical distances for every kept pair. The
+    // pair loop is the whole cost of this operator; the probe work per
+    // pair drops ~n/k-fold.
     joined
-      .withColumn("distance", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("distance") <= maxDistance)
+      .withColumn("distance",
+        levenshtein(col("name_a"), col("name_b"), maxDistance))
+      .filter(col("distance") >= 0)
       .select("id_a", "id_b", "name_a", "name_b", "distance")
   }
 }

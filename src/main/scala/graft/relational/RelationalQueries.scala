@@ -2586,15 +2586,27 @@ object RelationalQueries extends QueryPack {
     })
   }
 
+  /** The confidence frame persisted per dir (r15): three consumers —
+    * the rank-2 fit memo, the d=8 fit, and q_als_recs' probe/anti-join
+    * — each re-paid the lineitem⋈orders build (one corpus join +
+    * rollup per fit, plus every half-step re-reading it without this
+    * cache). Persist + eager count once; Memos.clearAll releases it
+    * between bench passes.
+    */
   private def alsConfidences(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    graft.recommend.ImplicitAls.confidences(
-      Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
-        .agg(sum(col("l_quantity")).as("x")),
-      "user", "item", "x")
+    graphMemo.computeIfAbsent(s"alsconf:$dir", _ => {
+      val c = graft.recommend.ImplicitAls.confidences(
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
+          .agg(sum(col("l_quantity")).as("x")),
+        "user", "item", "x")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      c
+    })
 
   /** The ALS confidence frame as a DuckDB CTE `ac(u_id, i_id, c)` —
     * mirrors [[alsConfidences]] sum-then-round. */

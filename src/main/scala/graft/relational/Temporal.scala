@@ -546,10 +546,13 @@ object Temporal {
   def robustTrend(df: DataFrame, tsCol: String): DataFrame = {
     val daily = df.groupBy(date_trunc("DAY", col(tsCol)).as("d"))
       .agg(count(lit(1)).as("y"))
-    val w = Window.orderBy("d")
-    // tiny-frame global window: |days| rows by construction
-    val idx = daily.select(row_number().over(w).cast("long").as("i"),
-      col("y"))
+    // day index as a two-pass prefix rank (guide §2, r15): row_number
+    // over an unpartitioned window single-partitions the per-day frame;
+    // rank = exclusive running count + 1 computes the same integer
+    // index range-partitioned (long addend, regrouping exact)
+    val idx = graft.core.Prefix.cumSums(daily.withColumn("__one", lit(1L)),
+        Seq(col("d")), Seq((col("__one"), "__i0", false)))
+      .select((col("__i0") + 1L).as("i"), col("y"))
     val pairs = idx.alias("a").join(broadcast(idx.alias("b")),
         col("b.i") > col("a.i"))
       .select(col("a.i").as("i"), col("b.i").as("j"),

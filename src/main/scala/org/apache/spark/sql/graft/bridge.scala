@@ -25,6 +25,21 @@ object ExpressionBridge {
       .BloomFilterAggregate(expression(hashed), expectedItems)
       .toAggregateExpression())
 
+  /** 3-arg form with EXPLICIT sizing: the 2-arg constructor derives
+    * numBits from estimatedNumItems and then clamps BOTH through the
+    * runtime-bloom-filter session confs (maxNumItems defaults to 4M),
+    * so past ~4M items the filter silently saturates toward all-pass.
+    * Passing numBits directly sizes the bit array for the true item
+    * count (still capped at the engine's 67108864-bit hard max).
+    */
+  def bloomFilterAgg(hashed: Column, expectedItems: Long,
+      numBits: Long): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(expression(hashed),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+
   def bloomMightContain(bloom: Column, hashed: Column): Column =
     column(new org.apache.spark.sql.catalyst.expressions
       .BloomFilterMightContain(expression(bloom), expression(hashed)))
