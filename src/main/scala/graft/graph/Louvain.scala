@@ -215,13 +215,22 @@ object Louvain {
         // plus carried self weight becomes the super-node's self-loop
         val la = lab.select(col("__n").as("__s"), col("__c").as("__cs"))
         val lb = lab.select(col("__n").as("__t"), col("__c").as("__ct"))
-        val joined = sym.join(la, Seq("__s")).join(lb, Seq("__t"))
-        sym = track(joined.filter(col("__cs") =!= col("__ct"))
-          .groupBy(col("__cs").as("__s"), col("__ct").as("__t"))
+        // ONE (cs, ct) rollup serves both contraction outputs (r15):
+        // `joined` used to feed two separate groupBys (inter-community
+        // edges, internal weight) — two executions of the edge-sized
+        // two-label join, since plans share no common subtrees. The
+        // rollup is persisted; the super-edge frame and the internal
+        // self-weight are filters over its community²-bounded rows.
+        // Identical sums: partitioning the rollup by (cs, ct) before
+        // the = / ≠ split groups exactly the same integer addends.
+        val contracted = track(sym.join(la, Seq("__s")).join(lb, Seq("__t"))
+          .groupBy(col("__cs"), col("__ct"))
           .agg(sum("__w").as("__w"))
           .persist(StorageLevel.MEMORY_AND_DISK))
-        val internal = joined.filter(col("__cs") === col("__ct"))
-          .groupBy(col("__cs").as("__n")).agg(sum("__w").as("__sw"))
+        sym = contracted.filter(col("__cs") =!= col("__ct"))
+          .select(col("__cs").as("__s"), col("__ct").as("__t"), col("__w"))
+        val internal = contracted.filter(col("__cs") === col("__ct"))
+          .select(col("__cs").as("__n"), col("__w").as("__sw"))
         val carried = selfW.join(lab, "__n")
           .groupBy(col("__c").as("__n")).agg(sum("__sw").as("__sw"))
         selfW = track(internal.unionByName(carried)
